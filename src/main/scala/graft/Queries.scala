@@ -1,0 +1,646 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.dsl._
+import graft.table.Table
+
+/** The correctness-gate query inventory: one entry per SURVEY §2 operator,
+  * each written through the graft DSL and paired with DuckDB oracle SQL.
+  *
+  * Determinism rules (both engines):
+  *  - every query ends in a total ORDER BY (unique key suffix);
+  *  - SUM/AVG over doubles go through an exact DECIMAL intermediate and
+  *    are cast back to DOUBLE, so results are addition-order-independent;
+  *  - oracle integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT).
+  */
+object Queries {
+
+  private def src(s: SparkSession, dir: String, t: String): Table = Table.source(s, dir, t)
+
+  private val D18 = DecimalType(18, 4)
+  private val D25 = DecimalType(25, 6)
+
+  /** exact, order-independent sum of a double column. */
+  private def dsum(e: ColExpr): ColExpr = e.cast(D18).sum().cast(DoubleType)
+  private def dsum25(e: ColExpr): ColExpr = e.cast(D25).sum().cast(DoubleType)
+
+  // ---------------------------------------------------------------
+  // q01 — flagship: TPC-H Q1 shape (filter → group_by → summarize → arrange)
+  // ---------------------------------------------------------------
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "lineitem")
+      .filter(C("l_shipdate") <= timestamp("1998-09-02 00:00:00"))
+      .groupBy(C("l_returnflag"), C("l_linestatus"))
+      .summarize(
+        "sum_qty" -> dsum(C("l_quantity")),
+        "sum_base_price" -> dsum(C("l_extendedprice")),
+        "sum_disc_price" -> dsum25(C("l_extendedprice") * (lit(1.0) - C("l_discount"))),
+        "avg_qty" -> dsum(C("l_quantity")) / count(),
+        "avg_disc" -> dsum(C("l_discount")) / count(),
+        "count_order" -> count())
+      .arrange(C("l_returnflag"), C("l_linestatus"))
+      .toDF
+
+  private val q1Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q02 — select / mutate (elementwise arithmetic)
+  // ---------------------------------------------------------------
+  def q2Mutate(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "lineitem")
+      .mutate(
+        "net_price" -> C("l_extendedprice") * (lit(1.0) - C("l_discount")),
+        "taxed" -> C("l_extendedprice") * (lit(1.0) - C("l_discount")) * (lit(1.0) + C("l_tax")),
+        "qty_sq" -> C("l_quantity") * C("l_quantity"),
+        "half_qty" -> C("l_quantity") / lit(2),
+        "line_mod" -> C("l_linenumber") % lit(3),
+        "line_div" -> C("l_linenumber").floorDiv(lit(2)))
+      .select(C("l_orderkey"), C("l_linenumber"), C("net_price"), C("taxed"),
+        C("qty_sq"), C("half_qty"), C("line_mod"), C("line_div"))
+      .arrange(C("l_orderkey"), C("l_linenumber"))
+      .toDF
+
+  private val q2Oracle =
+    """SELECT l_orderkey, l_linenumber,
+      |l_extendedprice * (1.0 - l_discount) AS net_price,
+      |l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS taxed,
+      |l_quantity * l_quantity AS qty_sq,
+      |l_quantity / 2 AS half_qty,
+      |l_linenumber % 3 AS line_mod,
+      |CAST(TRUNC(CAST(l_linenumber AS DOUBLE) / 2) AS BIGINT) AS line_div
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q03 — filter (conjunction, comparisons, is_in, boolean logic)
+  // ---------------------------------------------------------------
+  def q3Filter(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .filter(
+        C("o_orderstatus").isIn(lit("F"), lit("O")),
+        C("o_totalprice") > lit(50000.0) || C("o_orderpriority") === lit("1-URGENT"),
+        !(C("o_custkey") % lit(7) === lit(0)))
+      .select(C("o_orderkey"), C("o_custkey"), C("o_orderstatus"), C("o_totalprice"))
+      .arrange(C("o_orderkey"))
+      .toDF
+
+  private val q3Oracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus IN ('F','O')
+      |AND (o_totalprice > 50000.0 OR o_orderpriority = '1-URGENT')
+      |AND NOT (o_custkey % 7 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q04 — arrange (desc / nulls handling) + slice_head (limit+offset)
+  // ---------------------------------------------------------------
+  def q4ArrangeSlice(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .arrange(C("o_totalprice").desc, C("o_orderkey"))
+      .sliceHead(100, offset = 10)
+      .select(C("o_orderkey"), C("o_totalprice"), C("o_orderpriority"))
+      .toDF
+
+  private val q4Oracle =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100 OFFSET 10""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q05 — rename / drop
+  // ---------------------------------------------------------------
+  def q5RenameDrop(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "nation")
+      .rename(Map("n_name" -> "nation_name", "n_nationkey" -> "id"))
+      .drop(C("n_regionkey"))
+      .arrange(C("id"))
+      .toDF
+
+  private val q5Oracle =
+    """SELECT n_nationkey AS id, n_name AS nation_name
+      |FROM nation ORDER BY id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q06 — inner join + aggregate over the joined result
+  // ---------------------------------------------------------------
+  def q6JoinInner(s: SparkSession, dir: String): DataFrame = {
+    val o = src(s, dir, "orders")
+    val c = src(s, dir, "customer")
+    o.innerJoin(c, C("o_custkey") === c.col("c_custkey"))
+      .groupBy(C("c_mktsegment"))
+      .summarize(
+        "n_orders" -> count(),
+        "revenue" -> dsum(C("o_totalprice")))
+      .arrange(C("c_mktsegment"))
+      .toDF
+  }
+
+  private val q6Oracle =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q07 — left join (nulls on the right), counting non-null keys
+  // ---------------------------------------------------------------
+  def q7JoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = src(s, dir, "customer")
+    val o = src(s, dir, "orders")
+    c.leftJoin(o, C("c_custkey") === o.col("o_custkey"))
+      .groupBy(C("c_custkey"), C("c_name"))
+      .summarize(
+        "n_orders" -> C("o_orderkey").count(),
+        "max_price" -> C("o_totalprice").max())
+      .arrange(C("c_custkey"))
+      .toDF
+  }
+
+  private val q7Oracle =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+      |MAX(o_totalprice) AS max_price
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q08 — full outer join of two aggregates
+  // ---------------------------------------------------------------
+  def q8JoinFull(s: SparkSession, dir: String): DataFrame = {
+    val bigCust = src(s, dir, "customer").filter(C("c_acctbal") > lit(9000.0))
+      .select(C("c_custkey"), C("c_acctbal"))
+    val o = src(s, dir, "orders")
+      .groupBy(C("o_custkey"))
+      .summarize("n_orders" -> count())
+    bigCust.fullJoin(o, C("c_custkey") === o.col("o_custkey"))
+      .mutate("key" -> coalesce(C("c_custkey"), C("o_custkey")))
+      .select(C("key"), C("c_acctbal"), C("n_orders"))
+      .arrange(C("key"))
+      .toDF
+  }
+
+  private val q8Oracle =
+    """SELECT COALESCE(c_custkey, o_custkey) AS key, c_acctbal, n_orders
+      |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0) b
+      |FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) o
+      |ON b.c_custkey = o.o_custkey
+      |ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q09 — cross join
+  // ---------------------------------------------------------------
+  def q9CrossJoin(s: SparkSession, dir: String): DataFrame = {
+    val r = src(s, dir, "region").select(C("r_name"))
+    val n = src(s, dir, "nation").select(C("n_name"))
+    r.crossJoin(n)
+      .arrange(C("r_name"), C("n_name"))
+      .toDF
+  }
+
+  private val q9Oracle =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q10 — union all / union distinct
+  // ---------------------------------------------------------------
+  def q10Union(s: SparkSession, dir: String): DataFrame = {
+    val a = src(s, dir, "customer").select(C("c_nationkey")).rename(Map("c_nationkey" -> "k"))
+    val b = src(s, dir, "supplier").select(C("s_nationkey")).rename(Map("s_nationkey" -> "k"))
+    a.union(b) // UNION ALL
+      .groupBy(C("k"))
+      .summarize("n" -> count())
+      .arrange(C("k"))
+      .toDF
+  }
+
+  private val q10Oracle =
+    """SELECT k, COUNT(*) AS n FROM (
+      |SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey AS k FROM supplier
+      |) GROUP BY k ORDER BY k""".stripMargin
+
+  def q10b(s: SparkSession, dir: String): DataFrame = {
+    val a = src(s, dir, "customer").select(C("c_nationkey")).rename(Map("c_nationkey" -> "k"))
+    val b = src(s, dir, "supplier").select(C("s_nationkey")).rename(Map("s_nationkey" -> "k"))
+    a.union(b, distinct = true).arrange(C("k")).toDF
+  }
+
+  private val q10bOracle =
+    """SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey AS k FROM supplier
+      |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q11 — window rank family (row_number / rank / dense_rank)
+  // ---------------------------------------------------------------
+  def q11WindowRank(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate(
+        "rn" -> rowNumber(
+          arrange = Seq(C("o_totalprice").desc, C("o_orderkey")),
+          partitionBy = Seq(C("o_custkey"))),
+        "rk" -> rank(
+          arrange = Seq(C("o_orderpriority")),
+          partitionBy = Seq(C("o_custkey"))),
+        "drk" -> denseRank(
+          arrange = Seq(C("o_orderpriority")),
+          partitionBy = Seq(C("o_custkey"))))
+      .filter(C("rn") <= lit(3L))
+      .select(C("o_custkey"), C("o_orderkey"), C("rn"), C("rk"), C("drk"))
+      .arrange(C("o_custkey"), C("rn"), C("o_orderkey"))
+      .toDF
+
+  private val q11Oracle =
+    """SELECT o_custkey, o_orderkey, rn, rk, drk FROM (
+      |SELECT o_custkey, o_orderkey,
+      |CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+      |CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS rk,
+      |CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS BIGINT) AS drk
+      |FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q12 — window shift (lag/lead) + cum_sum
+  // ---------------------------------------------------------------
+  def q12WindowShift(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate(
+        "prev_price" -> C("o_totalprice").shift(1,
+          partitionBy = Seq(C("o_custkey")),
+          arrange = Seq(C("o_orderdate"), C("o_orderkey"))),
+        "next_price" -> C("o_totalprice").shift(-1,
+          partitionBy = Seq(C("o_custkey")),
+          arrange = Seq(C("o_orderdate"), C("o_orderkey"))),
+        "running" -> C("o_totalprice").cast(D18).cumSum(
+          partitionBy = Seq(C("o_custkey")),
+          arrange = Seq(C("o_orderdate"), C("o_orderkey"))).cast(DoubleType))
+      .select(C("o_custkey"), C("o_orderkey"), C("prev_price"), C("next_price"), C("running"))
+      .arrange(C("o_custkey"), C("o_orderkey"))
+      .toDF
+
+  private val q12Oracle =
+    """SELECT o_custkey, o_orderkey,
+      |LAG(o_totalprice) OVER w AS prev_price,
+      |LEAD(o_totalprice) OVER w AS next_price,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q13 — grouped mutate: aggregates become windows under group_by
+  // ---------------------------------------------------------------
+  def q13GroupedMutate(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "customer")
+      .groupBy(C("c_nationkey"))
+      .mutate(
+        "nation_total" -> dsum(C("c_acctbal")),
+        "nation_n" -> count(),
+        "share" -> C("c_acctbal") / (dsum(C("c_acctbal")) + lit(1e-9)))
+      .ungroup
+      .select(C("c_custkey"), C("c_nationkey"), C("nation_total"), C("nation_n"), C("share"))
+      .arrange(C("c_custkey"))
+      .toDF
+
+  private val q13Oracle =
+    """SELECT c_custkey, c_nationkey,
+      |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER w AS DOUBLE) AS nation_total,
+      |COUNT(*) OVER w AS nation_n,
+      |c_acctbal / (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER w AS DOUBLE) + 1e-9) AS share
+      |FROM customer WINDOW w AS (PARTITION BY c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q14 — string operators
+  // ---------------------------------------------------------------
+  def q14Strings(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "part")
+      .mutate(
+        "up" -> C("p_name").str.upper,
+        "lo" -> C("p_brand").str.lower,
+        "ln" -> C("p_name").str.len,
+        "first5" -> C("p_name").str.slice(lit(0), lit(5)),
+        "brand_num" -> C("p_brand").str.replaceAll("Brand#", ""),
+        "is_promo" -> C("p_type").str.startsWith("PROMO"),
+        "ends_steel" -> C("p_type").str.endsWith("STEEL"),
+        "has_green" -> C("p_name").str.contains("green", allowRegex = false),
+        "full" -> (C("p_brand") + lit(":") + C("p_type")))
+      .select(C("p_partkey"), C("up"), C("lo"), C("ln"), C("first5"),
+        C("brand_num"), C("is_promo"), C("ends_steel"), C("has_green"), C("full"))
+      .arrange(C("p_partkey"))
+      .toDF
+
+  private val q14Oracle =
+    """SELECT p_partkey, UPPER(p_name) AS up, LOWER(p_brand) AS lo,
+      |CAST(LENGTH(p_name) AS BIGINT) AS ln,
+      |SUBSTRING(p_name, 1, 5) AS first5,
+      |REPLACE(p_brand, 'Brand#', '') AS brand_num,
+      |STARTS_WITH(p_type, 'PROMO') AS is_promo,
+      |ENDS_WITH(p_type, 'STEEL') AS ends_steel,
+      |CONTAINS(p_name, 'green') AS has_green,
+      |p_brand || ':' || p_type AS full
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q15 — datetime operators (ISO day_of_week, day_of_year, parts)
+  // ---------------------------------------------------------------
+  def q15Datetime(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate(
+        "yr" -> C("o_orderdate").dt.year,
+        "mo" -> C("o_orderdate").dt.month,
+        "dy" -> C("o_orderdate").dt.day,
+        "dow" -> C("o_orderdate").dt.dayOfWeek,
+        "doy" -> C("o_orderdate").dt.dayOfYear,
+        "hr" -> C("o_orderdate").dt.hour)
+      .select(C("o_orderkey"), C("yr"), C("mo"), C("dy"), C("dow"), C("doy"), C("hr"))
+      .arrange(C("o_orderkey"))
+      .toDF
+
+  private val q15Oracle =
+    """SELECT o_orderkey,
+      |CAST(YEAR(o_orderdate) AS BIGINT) AS yr,
+      |CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+      |CAST(DAY(o_orderdate) AS BIGINT) AS dy,
+      |CAST(ISODOW(o_orderdate) AS BIGINT) AS dow,
+      |CAST(DAYOFYEAR(o_orderdate) AS BIGINT) AS doy,
+      |CAST(HOUR(o_orderdate) AS BIGINT) AS hr
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q16 — duration: datetime subtraction (μs) + extractors
+  // ---------------------------------------------------------------
+  def q16Duration(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate(
+        "age_us" -> (C("o_orderdate") - timestamp("1995-06-15 00:00:00")),
+        "age_days" -> (C("o_orderdate") - timestamp("1995-06-15 00:00:00")).dur.days,
+        "age_hours" -> (C("o_orderdate") - timestamp("1995-06-15 00:00:00")).dur.hours,
+        "age_secs" -> (C("o_orderdate") - timestamp("1995-06-15 00:00:00")).dur.seconds)
+      .select(C("o_orderkey"), C("age_us"), C("age_days"), C("age_hours"), C("age_secs"))
+      .arrange(C("o_orderkey"))
+      .toDF
+
+  private val q16Oracle =
+    """SELECT o_orderkey,
+      |DATE_DIFF('microsecond', TIMESTAMP '1995-06-15 00:00:00', o_orderdate) AS age_us,
+      |CAST(TRUNC(CAST(DATE_DIFF('microsecond', TIMESTAMP '1995-06-15 00:00:00', o_orderdate) AS DOUBLE) / 86400000000) AS BIGINT) AS age_days,
+      |CAST(TRUNC(CAST(DATE_DIFF('microsecond', TIMESTAMP '1995-06-15 00:00:00', o_orderdate) AS DOUBLE) / 3600000000) AS BIGINT) AS age_hours,
+      |CAST(TRUNC(CAST(DATE_DIFF('microsecond', TIMESTAMP '1995-06-15 00:00:00', o_orderdate) AS DOUBLE) / 1000000) AS BIGINT) AS age_secs
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q17 — case/when, map sugar, casts (incl. trunc-toward-zero), try_cast
+  // ---------------------------------------------------------------
+  def q17CaseCast(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate(
+        "bucket" -> when(C("o_totalprice") < lit(50000.0)).then_(lit("low"))
+          .when(C("o_totalprice") < lit(150000.0)).then_(lit("mid"))
+          .otherwise(lit("high")),
+        "status_label" -> C("o_orderstatus").map(Map(
+          (lit("O"): ColExpr) -> lit("open"),
+          (lit("F"): ColExpr) -> lit("finished")), default = lit("other")),
+        "price_int" -> C("o_totalprice").cast(LongType),
+        "key_str" -> C("o_orderkey").cast(StringType),
+        "prio_num" -> C("o_orderpriority").str.slice(lit(0), lit(1)).tryCast(LongType))
+      .select(C("o_orderkey"), C("bucket"), C("status_label"), C("price_int"),
+        C("key_str"), C("prio_num"))
+      .arrange(C("o_orderkey"))
+      .toDF
+
+  private val q17Oracle =
+    """SELECT o_orderkey,
+      |CASE WHEN o_totalprice < 50000.0 THEN 'low'
+      |     WHEN o_totalprice < 150000.0 THEN 'mid' ELSE 'high' END AS bucket,
+      |CASE WHEN o_orderstatus = 'O' THEN 'open'
+      |     WHEN o_orderstatus = 'F' THEN 'finished' ELSE 'other' END AS status_label,
+      |CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+      |CAST(o_orderkey AS VARCHAR) AS key_str,
+      |TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q18 — null ops: fill_null, is_null, is_in with nulls, clip, coalesce
+  // ---------------------------------------------------------------
+  def q18NullOps(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "customer")
+      .mutate("bal" -> when(C("c_custkey") % lit(5) === lit(0)).then_(lit(null)).otherwise(C("c_acctbal")))
+      .mutate(
+        "bal_filled" -> C("bal").fillNull(lit(0.0)),
+        "bal_null" -> C("bal").isNull,
+        "bal_nn" -> C("bal").isNotNull,
+        "bal_clip" -> C("bal").clip(lit(0.0), lit(5000.0)),
+        "seg_in" -> C("c_mktsegment").isIn(lit("BUILDING"), lit("MACHINERY")),
+        "first_nn" -> coalesce(C("bal"), C("c_acctbal"), lit(-1.0)))
+      .select(C("c_custkey"), C("bal"), C("bal_filled"), C("bal_null"), C("bal_nn"),
+        C("bal_clip"), C("seg_in"), C("first_nn"))
+      .arrange(C("c_custkey"))
+      .toDF
+
+  private val q18Oracle =
+    """SELECT c_custkey, bal,
+      |COALESCE(bal, 0.0) AS bal_filled,
+      |bal IS NULL AS bal_null,
+      |bal IS NOT NULL AS bal_nn,
+      |CASE WHEN bal IS NULL THEN NULL ELSE LEAST(GREATEST(bal, 0.0), 5000.0) END AS bal_clip,
+      |c_mktsegment IN ('BUILDING','MACHINERY') AS seg_in,
+      |COALESCE(bal, c_acctbal, -1.0) AS first_nn
+      |FROM (SELECT *, CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_acctbal END AS bal FROM customer)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q19 — horizontal fns: hmax/hmin/coalesce/hany/hall/hsum
+  // ---------------------------------------------------------------
+  def q19Horizontal(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "lineitem")
+      .mutate(
+        "mx" -> hmax(C("l_discount"), C("l_tax")),
+        "mn" -> hmin(C("l_discount"), C("l_tax")),
+        "either" -> hany(C("l_discount") > lit(0.05), C("l_tax") > lit(0.05)),
+        "both" -> hall(C("l_discount") > lit(0.05), C("l_tax") > lit(0.05)),
+        "tot" -> hsum(C("l_discount"), C("l_tax")))
+      .select(C("l_orderkey"), C("l_linenumber"), C("mx"), C("mn"), C("either"), C("both"), C("tot"))
+      .arrange(C("l_orderkey"), C("l_linenumber"))
+      .toDF
+
+  private val q19Oracle =
+    """SELECT l_orderkey, l_linenumber,
+      |GREATEST(l_discount, l_tax) AS mx,
+      |LEAST(l_discount, l_tax) AS mn,
+      |(l_discount > 0.05 OR l_tax > 0.05) AS either,
+      |(l_discount > 0.05 AND l_tax > 0.05) AS both,
+      |l_discount + l_tax AS tot
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q20 — summarize with filter= kwarg (FILTER WHERE), any/all, min/max
+  // ---------------------------------------------------------------
+  def q20AggKwargs(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "lineitem")
+      .groupBy(C("l_returnflag"))
+      .summarize(
+        "n_cheap" -> count(filter = C("l_extendedprice") < lit(10000.0)),
+        "qty_cheap" -> C("l_quantity").cast(D18).sum(filter = C("l_extendedprice") < lit(10000.0)).cast(DoubleType),
+        "any_big" -> (C("l_quantity") > lit(49.0)).any(),
+        "all_pos" -> (C("l_quantity") > lit(0.0)).all(),
+        "min_ship" -> C("l_shipdate").min(),
+        "max_ship" -> C("l_shipdate").max(),
+        "n_lines" -> count(),
+        "avg_size" -> C("l_linenumber").mean())
+      .arrange(C("l_returnflag"))
+      .toDF
+
+  private val q20Oracle =
+    """SELECT l_returnflag,
+      |COUNT(*) FILTER (WHERE l_extendedprice < 10000.0) AS n_cheap,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) FILTER (WHERE l_extendedprice < 10000.0) AS DOUBLE) AS qty_cheap,
+      |BOOL_OR(l_quantity > 49.0) AS any_big,
+      |BOOL_AND(l_quantity > 0.0) AS all_pos,
+      |MIN(l_shipdate) AS min_ship,
+      |MAX(l_shipdate) AS max_ship,
+      |COUNT(*) AS n_lines,
+      |AVG(CAST(l_linenumber AS DOUBLE)) AS avg_size
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q21 — str.join (ordered string agg) + list.agg
+  // ---------------------------------------------------------------
+  def q21StrJoin(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "nation")
+      .groupBy(C("n_regionkey"))
+      .summarize(
+        "nations" -> C("n_name").str.join(",", arrange = Seq(C("n_name"))),
+        "n" -> count())
+      .arrange(C("n_regionkey"))
+      .toDF
+
+  private val q21Oracle =
+    """SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+      |COUNT(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q22 — alias + self-join (uuid reset, verbs.py:100-160)
+  // ---------------------------------------------------------------
+  def q22SelfJoin(s: SparkSession, dir: String): DataFrame = {
+    val n1 = src(s, dir, "nation")
+    val n2 = n1.alias("n2")
+    n1.innerJoin(n2,
+        (C("n_regionkey") === n2.col("n_regionkey")) && (C("n_nationkey") < n2.col("n_nationkey")))
+      .select(C("n_name"), C("n_name_n2"), C("n_regionkey"))
+      .arrange(C("n_name"), C("n_name_n2"))
+      .toDF
+  }
+
+  private val q22Oracle =
+    """SELECT a.n_name AS n_name, b.n_name AS n_name_n2, a.n_regionkey
+      |FROM nation a JOIN nation b
+      |ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+      |ORDER BY n_name, n_name_n2""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q23 — numeric math fns
+  // ---------------------------------------------------------------
+  def q23Math(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "part")
+      .mutate(
+        "r2" -> C("p_retailprice").round(2),
+        "rneg" -> C("p_retailprice").round(-1),
+        "fl" -> C("p_retailprice").floor,
+        "ce" -> C("p_retailprice").ceil,
+        "ab" -> (lit(0.0) - C("p_retailprice")).abs,
+        "sq" -> C("p_retailprice").sqrt,
+        // transcendentals: libm vs java.lang.Math differ in the last ulp —
+        // quantize to 6 decimals for cross-engine comparability
+        "lg" -> C("p_retailprice").log.round(6),
+        "l10" -> C("p_retailprice").log10.round(6),
+        "ex" -> (C("p_size").cast(DoubleType) / lit(100.0)).exp.round(6),
+        "pw" -> C("p_size").cast(DoubleType).pow(lit(2.0)).round(6),
+        "ng" -> -C("p_size"))
+      .select(C("p_partkey"), C("r2"), C("rneg"), C("fl"), C("ce"), C("ab"),
+        C("sq"), C("lg"), C("l10"), C("ex"), C("pw"), C("ng"))
+      .arrange(C("p_partkey"))
+      .toDF
+
+  private val q23Oracle =
+    """SELECT p_partkey,
+      |ROUND(p_retailprice, 2) AS r2,
+      |ROUND(p_retailprice, -1) AS rneg,
+      |FLOOR(p_retailprice) AS fl,
+      |CEIL(p_retailprice) AS ce,
+      |ABS(0.0 - p_retailprice) AS ab,
+      |SQRT(p_retailprice) AS sq,
+      |ROUND(LN(p_retailprice), 6) AS lg,
+      |ROUND(LOG10(p_retailprice), 6) AS l10,
+      |ROUND(EXP(CAST(p_size AS DOUBLE) / 100.0), 6) AS ex,
+      |ROUND(POW(CAST(p_size AS DOUBLE), 2.0), 6) AS pw,
+      |-p_size AS ng
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // registry
+  // ---------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_summarize_flagship" -> (q1Agg _),
+    "q02_select_mutate_arith" -> (q2Mutate _),
+    "q03_filter_isin_boolops" -> (q3Filter _),
+    "q04_arrange_slice_head" -> (q4ArrangeSlice _),
+    "q05_rename_drop" -> (q5RenameDrop _),
+    "q06_join_inner" -> (q6JoinInner _),
+    "q07_join_left" -> (q7JoinLeft _),
+    "q08_join_full" -> (q8JoinFull _),
+    "q09_join_cross" -> (q9CrossJoin _),
+    "q10_union_all" -> (q10Union _),
+    "q10b_union_distinct" -> (q10b _),
+    "q11_window_rank_family" -> (q11WindowRank _),
+    "q12_window_shift_cumsum" -> (q12WindowShift _),
+    "q13_grouped_mutate_window" -> (q13GroupedMutate _),
+    "q14_string_ops" -> (q14Strings _),
+    "q15_datetime_ops" -> (q15Datetime _),
+    "q16_duration_ops" -> (q16Duration _),
+    "q17_case_map_cast" -> (q17CaseCast _),
+    "q18_null_ops" -> (q18NullOps _),
+    "q19_horizontal_fns" -> (q19Horizontal _),
+    "q20_summarize_filter_kwarg" -> (q20AggKwargs _),
+    "q21_str_join_agg" -> (q21StrJoin _),
+    "q22_alias_self_join" -> (q22SelfJoin _),
+    "q23_numeric_math" -> (q23Math _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_summarize_flagship" -> q1Oracle,
+    "q02_select_mutate_arith" -> q2Oracle,
+    "q03_filter_isin_boolops" -> q3Oracle,
+    "q04_arrange_slice_head" -> q4Oracle,
+    "q05_rename_drop" -> q5Oracle,
+    "q06_join_inner" -> q6Oracle,
+    "q07_join_left" -> q7Oracle,
+    "q08_join_full" -> q8Oracle,
+    "q09_join_cross" -> q9Oracle,
+    "q10_union_all" -> q10Oracle,
+    "q10b_union_distinct" -> q10bOracle,
+    "q11_window_rank_family" -> q11Oracle,
+    "q12_window_shift_cumsum" -> q12Oracle,
+    "q13_grouped_mutate_window" -> q13Oracle,
+    "q14_string_ops" -> q14Oracle,
+    "q15_datetime_ops" -> q15Oracle,
+    "q16_duration_ops" -> q16Oracle,
+    "q17_case_map_cast" -> q17Oracle,
+    "q18_null_ops" -> q18Oracle,
+    "q19_horizontal_fns" -> q19Oracle,
+    "q20_summarize_filter_kwarg" -> q20Oracle,
+    "q21_str_join_agg" -> q21Oracle,
+    "q22_alias_self_join" -> q22Oracle,
+    "q23_numeric_math" -> q23Oracle)
+}

@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.dsl._
+import graft.table.Table
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query is written through the graft DSL (Table verbs + ColExpr),
+  * and paired in [[oracleSql]] with ANSI SQL that DuckDB runs over the
+  * same parquet files. Numeric-stability rule: any SUM/AVG over doubles
+  * is computed through an exact DECIMAL intermediate and cast back to
+  * DOUBLE in BOTH engines, so the result is order-independent and
+  * hash-comparable across engines.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  def src(s: SparkSession, dir: String, t: String): Table = Table.source(s, dir, t)
+
+  /** Flagship query on sf=0.001 (TPC-H Q1 shape); driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
 }

@@ -1,0 +1,86 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** Function type of an operator — the reference's central semantic
+  * invariant (reference: _internal/ops/op.py:13-16). Composition rules:
+  * elementwise-of-aggregate is aggregate; elementwise-of-window is window;
+  * aggregate-of-aggregate and window-inside-agg/window are errors
+  * (reference: _internal/tree/col_expr.py:2478-2533).
+  */
+sealed trait FType
+object FType {
+  case object ElementWise extends FType
+  case object Aggregate extends FType
+  case object Window extends FType
+}
+
+/** Type utilities over Spark SQL types. The reference keeps its own scalar
+  * type lattice (_internal/tree/types.py); Spark-first we reuse
+  * [[org.apache.spark.sql.types.DataType]] directly and provide the
+  * least-common-ancestor used for CASE branches and unions
+  * (reference: types.py:189-235).
+  */
+object DTypes {
+  val Int64: DataType = LongType
+  val Float64: DataType = DoubleType
+
+  def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  def isFloating(t: DataType): Boolean = t match {
+    case FloatType | DoubleType => true
+    case _ => false
+  }
+  def isNumeric(t: DataType): Boolean =
+    isIntegral(t) || isFloating(t) || t.isInstanceOf[DecimalType]
+
+  def isTimeLike(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType || t == DateType
+
+  def isComparable(t: DataType): Boolean = t match {
+    case _ if isNumeric(t) => true
+    case StringType | BooleanType | DateType | TimestampType |
+        TimestampNTZType | _: DayTimeIntervalType => true
+    case _ => false
+  }
+
+  private def intRank(t: DataType): Int = t match {
+    case ByteType => 1
+    case ShortType => 2
+    case IntegerType => 3
+    case LongType => 4
+    case _ => 0
+  }
+
+  /** Least common ancestor for branch/union typing
+    * (reference: _internal/tree/types.py:189-235). Null converts to
+    * anything (types.py:295-298); Int widens to Float.
+    */
+  def lca(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (NullType, y) => y
+    case (x, NullType) => x
+    case (x, y) if isIntegral(x) && isIntegral(y) =>
+      if (intRank(x) >= intRank(y)) x else y
+    case (x, y) if isFloating(x) && isFloating(y) =>
+      if (x == DoubleType || y == DoubleType) DoubleType else FloatType
+    case (x, y) if isIntegral(x) && isFloating(y) => DoubleType
+    case (x, y) if isFloating(x) && isIntegral(y) => DoubleType
+    case (x: DecimalType, y) if isNumeric(y) => DoubleType
+    case (x, y: DecimalType) if isNumeric(x) => DoubleType
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) => TimestampNTZType
+    case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) => TimestampType
+    case (x, y) =>
+      throw new GraftTypeError(s"incompatible types $x and $y (no common supertype)")
+  }
+
+  def lcaAll(ts: Seq[DataType]): DataType = ts.reduceLeft(lca)
+}
+
+class GraftError(msg: String) extends RuntimeException(msg)
+class GraftTypeError(msg: String) extends GraftError(msg)
+class GraftColumnNotFoundError(msg: String) extends GraftError(msg)
+class GraftFunctionTypeError(msg: String) extends GraftError(msg)

@@ -1,0 +1,499 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.compile.{Ctx, ExprCompiler, Mode, Typing}
+
+/** Column metadata: stable uuid identity + current user-facing name +
+  * visibility (hidden columns stay addressable via old [[ColRef]] handles
+  * but not by name — reference: pipe/verbs.py:428-433, cache.py:18-31). */
+final case class ColMeta(uuid: Long, name: String, visible: Boolean)
+
+/** The user-facing table: a lazy [[DataFrame]] whose physical columns are
+  * named by globally-unique internal ids (`_g<uuid>`), plus the metadata
+  * the reference keeps in its `Cache` (pipe/cache.py:18-31): name↔uuid
+  * maps, visibility, ambient grouping. Spark-first design: every verb is a
+  * DataFrame transformation, the lazy "AST" is Catalyst's logical plan,
+  * and all optimization (pushdown, pruning, join selection, AQE) is
+  * Catalyst's job (SURVEY §4).
+  *
+  * Internal names make `rename` metadata-only, keep hidden/overwritten
+  * columns alive, and make join column collisions structurally impossible.
+  * A hidden `__rowid` surrogate provides stable row order for windows
+  * without `arrange` and for `slice_head` (SURVEY §7.4); Catalyst prunes
+  * it whenever unused.
+  */
+final class Table private[graft] (
+    private[graft] val df: DataFrame,
+    private[graft] val cols: Vector[ColMeta],
+    private[graft] val grouping: Vector[Long],
+    private[graft] val rowIdUuid: Option[Long],
+    private[graft] val ordered: Boolean,
+    val name: String) {
+
+  import Table._
+
+  // ------------------------------------------------------------------
+  // column access
+  // ------------------------------------------------------------------
+
+  private def visibleCols: Vector[ColMeta] = cols.filter(_.visible)
+
+  def columns: Seq[String] = visibleCols.map(_.name)
+
+  private def dtypeOfUuid(u: Long): DataType = {
+    val n = internal(u)
+    df.schema(n).dataType
+  }
+
+  /** `t.col("x")` / `t("x")` — resolved column handle with stable uuid. */
+  def col(n: String): ColRef = visibleCols.find(_.name == n) match {
+    case Some(m) => ColRef(m.uuid, n, dtypeOfUuid(m.uuid))
+    case None =>
+      val near = visibleCols.map(_.name).filter(_.toLowerCase.contains(n.toLowerCase))
+      throw new GraftColumnNotFoundError(
+        s"column `$n` not found in table `$name`; available: ${columns.mkString(", ")}" +
+          (if (near.nonEmpty) s"; did you mean ${near.mkString(", ")}?" else ""))
+  }
+  def apply(n: String): ColRef = col(n)
+
+  // ------------------------------------------------------------------
+  // expression plumbing
+  // ------------------------------------------------------------------
+
+  private def hasUuid(u: Long): Boolean = cols.exists(_.uuid == u)
+
+  /** Resolve `C("x")` against the current table and validate foreign
+    * ColRefs (reference preprocess_arg, pipe/verbs.py:1590-1640). */
+  private def preprocess(e: ColExpr): ColExpr = e match {
+    case CName(n) => col(n)
+    case r @ ColRef(u, n, _) =>
+      if (!hasUuid(u)) throw new GraftColumnNotFoundError(
+        s"column `$n` (uuid $u) does not belong to table `$name` — " +
+          "use alias() before self-joins or re-resolve after union/summarize")
+      r
+    case l: Lit => l
+    case Marker(inner, d, nl) => Marker(preprocess(inner), d, nl)
+    case CastE(inner, to, s) => CastE(preprocess(inner), to, s)
+    case CaseE(bs, o) =>
+      CaseE(bs.map { case (c, v) => (preprocess(c), preprocess(v)) }, o.map(preprocess))
+    case Fn(op, args, pb, arr, fc) =>
+      Fn(op, args.map(preprocess), pb.map(preprocess),
+        arr.map(o => o.copy(e = preprocess(o.e))), fc.map(preprocess))
+  }
+
+  private def ctx(mode: Mode): Ctx = Ctx(
+    resolve = u => df(internal(u)),
+    dtype = dtypeOfUuid,
+    ambient = grouping.map(u => df(internal(u))),
+    rowId = rowIdUuid.map(u => df(internal(u))),
+    mode = mode)
+
+  private def compiled(e: ColExpr, mode: Mode): Column =
+    ExprCompiler.compile(e, ctx(mode))
+
+  private def withDf(df2: DataFrame, cols2: Vector[ColMeta] = cols,
+      grouping2: Vector[Long] = grouping, ordered2: Boolean = ordered): Table =
+    new Table(df2, cols2, grouping2, rowIdUuid, ordered2, name)
+
+  /** Chaining for user-defined composite verbs — the analog of the
+    * reference's `@verb` decorator (pipe/pipeable.py:55-102). */
+  def pipe(f: Table => Table): Table = f(this)
+  def |>(f: Table => Table): Table = f(this)
+
+  // ------------------------------------------------------------------
+  // verbs (reference: _internal/pipe/verbs.py)
+  // ------------------------------------------------------------------
+
+  /** Keep a subset of columns visible; the rest become hidden but stay
+    * addressable through existing handles (verbs.py:399). */
+  def select(selection: ColExpr*): Table = {
+    val uuids = selection.map {
+      case CName(n) => col(n).uuid
+      case ColRef(u, n, _) =>
+        if (!hasUuid(u)) throw new GraftColumnNotFoundError(s"`$n` not in `$name`")
+        u
+      case other => throw new GraftError(s"select expects columns, got $other")
+    }
+    val keep = uuids.toSet
+    // reorder visible cols to the selection order, hide the rest
+    val hidden = cols.filterNot(c => keep(c.uuid)).map(_.copy(visible = false))
+    val shown = uuids.map(u => cols.find(_.uuid == u).get.copy(visible = true))
+    withDf(df, shown.toVector ++ hidden)
+  }
+
+  def drop(selection: ColExpr*): Table = {
+    val dropU = selection.map {
+      case CName(n) => col(n).uuid
+      case ColRef(u, _, _) => u
+      case other => throw new GraftError(s"drop expects columns, got $other")
+    }.toSet
+    select(visibleCols.filterNot(c => dropU(c.uuid)).map(c => CName(c.name)): _*)
+  }
+
+  /** Metadata-only rename; simultaneous application so swaps work
+    * (verbs.py:486). */
+  def rename(m: Map[String, String]): Table = {
+    val vis = visibleCols.map(_.name).toSet
+    m.keys.foreach(k => if (!vis(k)) throw new GraftColumnNotFoundError(
+      s"rename: column `$k` not found in `$name`"))
+    val newCols = cols.map { c =>
+      if (c.visible && m.contains(c.name)) c.copy(name = m(c.name)) else c
+    }
+    val newVis = newCols.filter(_.visible).map(_.name)
+    if (newVis.distinct.size != newVis.size)
+      throw new GraftError(s"rename: name collision after renaming: " +
+        newVis.diff(newVis.distinct).distinct.mkString(", "))
+    withDf(df, newCols)
+  }
+
+  /** Add or overwrite computed columns. Aggregates under ambient grouping
+    * become window functions (verbs.py:582, 1605-1611). Overwriting keeps
+    * the old column alive as hidden (uuid identity). */
+  def mutate(defs: (String, ColExpr)*): Table = {
+    val resolved = defs.map { case (n, e0) =>
+      val e = preprocess(e0)
+      Typing.ftypeOf(e) // validates composition rules
+      Typing.dtypeOf(e, dtypeOfUuid) // eager type check
+      (n, e)
+    }
+    val newMeta = resolved.map { case (n, _) => ColMeta(ColIds.next.getAndIncrement(), n, visible = true) }
+    val existing = df.columns.map(df(_))
+    val added = resolved.zip(newMeta).map { case ((_, e), m) =>
+      compiled(e, Mode.Project).as(internal(m.uuid))
+    }
+    val df2 = df.select(existing ++ added: _*)
+    val overwritten = defs.map(_._1).toSet
+    val kept = cols.map(c => if (c.visible && overwritten(c.name)) c.copy(visible = false) else c)
+    withDf(df2, kept ++ newMeta, ordered2 = ordered)
+  }
+
+  /** Row filter; aggregates and window functions are forbidden
+    * (verbs.py:634,676-687). */
+  def filter(preds: ColExpr*): Table = {
+    if (preds.isEmpty) return this
+    val ps = preds.map { p =>
+      val e = preprocess(p)
+      if (Typing.ftypeOf(e) != FType.ElementWise)
+        throw new GraftFunctionTypeError(
+          "filter: aggregates / window functions are not allowed here " +
+            "(use summarize+filter or mutate first)")
+      val dt = Typing.dtypeOf(e, dtypeOfUuid)
+      if (dt != BooleanType) throw new GraftTypeError(s"filter predicate must be Bool, got $dt")
+      e
+    }
+    withDf(df.filter(ps.map(e => compiled(e, Mode.Simple)).reduce(_ && _)))
+  }
+
+  /** Stable multi-key sort (verbs.py:697). Stability comes from the hidden
+    * row-id tiebreaker (Polars `maintain_order=True` analog). */
+  def arrange(keys: ColExpr*): Table = {
+    val ords = keys.map(k => Ord.of(preprocess(k)))
+    ords.foreach { o =>
+      if (Typing.ftypeOf(o.e) != FType.ElementWise)
+        throw new GraftFunctionTypeError("arrange: keys must be elementwise")
+    }
+    val c = ctx(Mode.Simple)
+    val sortCols = ExprCompiler.orderColumns(ords, c) ++
+      rowIdUuid.map(u => df(internal(u)).asc)
+    withDf(df.orderBy(sortCols: _*), ordered2 = true)
+  }
+
+  /** Set (or extend, with add=true) the ambient grouping — pure metadata,
+    * no Spark op emitted (verbs.py:770, cache.py:135-138). */
+  def groupBy(keys: ColExpr*): Table = groupByAdd(add = false, keys: _*)
+  def groupByAdd(add: Boolean, keys: ColExpr*): Table = {
+    val us = keys.map {
+      case CName(n) => col(n).uuid
+      case ColRef(u, n, _) =>
+        if (!hasUuid(u)) throw new GraftColumnNotFoundError(s"`$n` not in `$name`")
+        u
+      case other => throw new GraftError(s"group_by expects columns, got $other")
+    }
+    val g2 = if (add) (grouping ++ us).distinct.toVector else us.distinct.toVector
+    withDf(df, grouping2 = g2)
+  }
+
+  def ungroup: Table = withDf(df, grouping2 = Vector.empty)
+
+  /** Grouped aggregation; output = group keys + aggregates only. Every
+    * non-aggregated leaf must be a grouping column (verbs.py:862,928-944). */
+  def summarize(defs: (String, ColExpr)*): Table = {
+    val resolved = defs.map { case (n, e0) =>
+      val e = preprocess(e0)
+      checkSummarizeLeaves(e, n)
+      Typing.dtypeOf(e, dtypeOfUuid)
+      (n, e)
+    }
+    val keyNames = grouping.map(u => cols.find(_.uuid == u).get)
+    val aggMeta = resolved.map { case (n, _) =>
+      ColMeta(ColIds.next.getAndIncrement(), n, visible = true)
+    }
+    val aggCols = resolved.zip(aggMeta).map { case ((_, e), m) =>
+      compiled(e, Mode.Agg).as(internal(m.uuid))
+    }
+    val out =
+      if (grouping.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(grouping.map(u => df(internal(u))): _*).agg(aggCols.head, aggCols.tail: _*)
+    val ridMeta = ColMeta(ColIds.next.getAndIncrement(), RowIdName, visible = false)
+    val out2 = out.withColumn(internal(ridMeta.uuid), F.monotonically_increasing_id())
+    new Table(out2,
+      keyNames.map(_.copy(visible = true)) ++ aggMeta :+ ridMeta,
+      Vector.empty, Some(ridMeta.uuid), ordered = false, name)
+  }
+
+  private def checkSummarizeLeaves(e: ColExpr, defName: String): Unit = {
+    val ft = Typing.ftypeOf(e)
+    if (ft == FType.Window)
+      throw new GraftFunctionTypeError(
+        s"summarize `$defName`: window functions are not allowed (verbs.py:928-944)")
+    // every ColRef leaf not under an aggregate must be a grouping key
+    def walk(x: ColExpr, underAgg: Boolean): Unit = x match {
+      case ColRef(u, n, _) =>
+        if (!underAgg && !grouping.contains(u))
+          throw new GraftFunctionTypeError(
+            s"summarize `$defName`: column `$n` is neither aggregated nor a group key")
+      case Fn(op, args, pb, arr, fc) =>
+        val nowAgg = underAgg || op.ftype == FType.Aggregate
+        (args ++ pb ++ arr.map(_.e) ++ fc).foreach(walk(_, nowAgg))
+      case CaseE(bs, o) =>
+        bs.foreach { case (c, v) => walk(c, underAgg); walk(v, underAgg) }
+        o.foreach(walk(_, underAgg))
+      case CastE(inner, _, _) => walk(inner, underAgg)
+      case Marker(inner, _, _) => walk(inner, underAgg)
+      case _ => ()
+    }
+    walk(e, underAgg = false)
+  }
+
+  /** LIMIT n OFFSET m; forbidden on grouped tables (verbs.py:955).
+    * Positional ⇒ made deterministic via the row-id order when no arrange
+    * is in effect. */
+  def sliceHead(n: Int, offset: Int = 0): Table = {
+    if (grouping.nonEmpty)
+      throw new GraftError("slice_head: not allowed on a grouped table")
+    val base =
+      if (ordered) df
+      else rowIdUuid.map(u => df.orderBy(df(internal(u)).asc)).getOrElse(df)
+    val sliced = (if (offset > 0) base.offset(offset) else base).limit(n)
+    withDf(sliced, ordered2 = true)
+  }
+
+  // ------------------------------------------------------------------
+  // joins (verbs.py:1010-1234)
+  // ------------------------------------------------------------------
+
+  /** Theta-join. `on` may reference both sides' resolved columns; right
+    * visible columns whose names clash with left visible names get
+    * `suffix` appended (default `_<right.name>`). `validate` runs an
+    * eager cardinality assertion (1:1 / 1:m / m:1 / m:m). */
+  def join(right: Table, on: ColExpr, how: String = "inner",
+      suffix: Option[String] = None, validate: String = "m:m"): Table = {
+    if (grouping.nonEmpty || right.grouping.nonEmpty)
+      throw new GraftError("join: both tables must be ungrouped")
+    val overlap = cols.map(_.uuid).toSet.intersect(right.cols.map(_.uuid).toSet)
+    if (overlap.nonEmpty)
+      throw new GraftError(
+        "join: self-join without alias() — call `.alias(\"r\")` on one side first")
+    val cond = resolveJoinCond(on, right)
+    if (Typing.ftypeOf(cond) != FType.ElementWise)
+      throw new GraftFunctionTypeError("join: `on` must be elementwise (verbs.py:1218-1224)")
+    val jctx = joinCtx(right)
+    if (validate != "m:m") validateCardinality(right, cond, validate)
+    val condCol = ExprCompiler.compile(cond, jctx)
+    val joined = how match {
+      case "cross" => df.crossJoin(right.df)
+      case h => df.join(right.df, condCol, h)
+    }
+    val sfx = suffix.getOrElse("_" + right.name)
+    val leftVis = visibleCols.map(_.name).toSet
+    val rightCols = right.cols.map { c =>
+      if (c.visible && leftVis(c.name)) c.copy(name = c.name + sfx) else c
+    }
+    val rNames = rightCols.filter(_.visible).map(_.name)
+    if (rNames.exists(leftVis)) throw new GraftError(
+      s"join: suffix `$sfx` did not disambiguate: ${rNames.filter(leftVis).mkString(", ")}")
+    // keep the left row-id as the combined surrogate order
+    new Table(joined, cols ++ rightCols, Vector.empty, rowIdUuid, ordered = false, name)
+  }
+
+  def innerJoin(right: Table, on: ColExpr, suffix: Option[String] = None,
+      validate: String = "m:m"): Table = join(right, on, "inner", suffix, validate)
+  def leftJoin(right: Table, on: ColExpr, suffix: Option[String] = None,
+      validate: String = "m:m"): Table = join(right, on, "left", suffix, validate)
+  def fullJoin(right: Table, on: ColExpr, suffix: Option[String] = None,
+      validate: String = "m:m"): Table = join(right, on, "full", suffix, validate)
+  def crossJoin(right: Table, suffix: Option[String] = None): Table =
+    join(right, Lit(true), "cross", suffix)
+
+  /** Equi-join sugar: `on` column names present on both sides. */
+  def joinOn(right: Table, names: Seq[String], how: String = "inner",
+      suffix: Option[String] = None, validate: String = "m:m"): Table = {
+    val cond = names.map(n => (col(n): ColExpr) === right.col(n)).reduce(_ && _)
+    join(right, cond, how, suffix, validate)
+  }
+
+  /** Top-level bare `C("k")` is the same-name equi-join sugar; nested
+    * CNames resolve left-first, then right. */
+  private def resolveJoinCond(on: ColExpr, right: Table): ColExpr = on match {
+    case CName(n) => (col(n): ColExpr) === right.col(n)
+    case other => resolveInJoin(other, right)
+  }
+
+  private def resolveInJoin(e: ColExpr, right: Table): ColExpr = e match {
+    case CName(n) =>
+      if (visibleCols.exists(_.name == n)) col(n) else right.col(n)
+    case r @ ColRef(u, n, _) =>
+      if (!hasUuid(u) && !right.hasUuid(u))
+        throw new GraftColumnNotFoundError(s"join on: `$n` not in either table")
+      r
+    case l: Lit => l
+    case Marker(i, d, nl) => Marker(resolveInJoin(i, right), d, nl)
+    case CastE(i, t, s) => CastE(resolveInJoin(i, right), t, s)
+    case CaseE(bs, o) => CaseE(
+      bs.map { case (c, v) => (resolveInJoin(c, right), resolveInJoin(v, right)) },
+      o.map(resolveInJoin(_, right)))
+    case Fn(op, args, pb, arr, fc) =>
+      Fn(op, args.map(resolveInJoin(_, right)), pb.map(resolveInJoin(_, right)),
+        arr.map(o => o.copy(e = resolveInJoin(o.e, right))), fc.map(resolveInJoin(_, right)))
+  }
+
+  private def joinCtx(right: Table): Ctx = Ctx(
+    resolve = u =>
+      if (hasUuid(u)) df(internal(u)) else right.df(internal(u)),
+    dtype = u => if (hasUuid(u)) dtypeOfUuid(u) else right.dtypeOfUuid(u),
+    ambient = Nil, rowId = None, mode = Mode.Simple)
+
+  /** `validate=` cardinality assertion (verbs.py:1016,1037-1041): checks
+    * key uniqueness on the constrained side(s) with a pre-join job over
+    * the equi-keys extracted from the condition. */
+  private def validateCardinality(right: Table, cond: ColExpr, validate: String): Unit = {
+    val (leftKeys, rightKeys) = equiKeys(cond, right)
+    if (leftKeys.isEmpty)
+      throw new GraftError(s"join validate=$validate requires an equi-join condition")
+    def unique(t: Table, keys: Seq[Long]): Boolean = {
+      val kc = keys.map(u => t.df(internal(u)))
+      t.df.groupBy(kc: _*).count().filter(F.col("count") > 1).isEmpty
+    }
+    validate match {
+      case "1:1" =>
+        if (!unique(this, leftKeys)) throw new GraftError("join validate=1:1: left keys not unique")
+        if (!unique(right, rightKeys)) throw new GraftError("join validate=1:1: right keys not unique")
+      case "1:m" =>
+        if (!unique(this, leftKeys)) throw new GraftError("join validate=1:m: left keys not unique")
+      case "m:1" =>
+        if (!unique(right, rightKeys)) throw new GraftError("join validate=m:1: right keys not unique")
+      case other => throw new GraftError(s"join: unknown validate=$other")
+    }
+  }
+
+  private def equiKeys(cond: ColExpr, right: Table): (Seq[Long], Seq[Long]) = cond match {
+    case Fn(op, Seq(a, b), _, _, _) if op.name == "and" =>
+      val (l1, r1) = equiKeys(a, right); val (l2, r2) = equiKeys(b, right)
+      (l1 ++ l2, r1 ++ r2)
+    case Fn(op, Seq(ColRef(u1, _, _), ColRef(u2, _, _)), _, _, _) if op.name == "eq" =>
+      if (hasUuid(u1) && right.hasUuid(u2)) (Seq(u1), Seq(u2))
+      else if (hasUuid(u2) && right.hasUuid(u1)) (Seq(u2), Seq(u1))
+      else (Nil, Nil)
+    case _ => (Nil, Nil)
+  }
+
+  // ------------------------------------------------------------------
+  // union (verbs.py:1357-1475)
+  // ------------------------------------------------------------------
+
+  /** UNION ALL (or UNION with distinct=true). Requires identical visible
+    * column-name sets; types unified via lca. Hidden columns are dropped
+    * (polars.py:444-479). */
+  def union(right: Table, distinct: Boolean = false): Table = {
+    val ln = visibleCols.map(_.name)
+    val rn = right.visibleCols.map(_.name)
+    if (ln.toSet != rn.toSet)
+      throw new GraftError(s"union: column sets differ: ${ln.mkString(",")} vs ${rn.mkString(",")}")
+    val types = ln.map { n =>
+      val lt = dtypeOfUuid(col(n).uuid)
+      val rt = right.dtypeOfUuid(right.col(n).uuid)
+      n -> DTypes.lca(lt, rt)
+    }.toMap
+    def proj(t: Table): DataFrame =
+      t.df.select(ln.map(n => t.df(internal(t.col(n).uuid)).cast(types(n)).as(n)): _*)
+    val merged = proj(this).unionByName(proj(right))
+    val out = if (distinct) merged.distinct() else merged
+    Table.fromDF(out, name)
+  }
+
+  /** Fresh uuids for all columns — resets column references, enabling
+    * self-joins (verbs.py:100-160, tree/verbs.py:79). */
+  def alias(newName: String = name): Table = {
+    val fresh = cols.map(c => c.copy(uuid = ColIds.next.getAndIncrement()))
+    val df2 = df.select(cols.zip(fresh).map { case (o, n) =>
+      df(internal(o.uuid)).as(internal(n.uuid))
+    }: _*)
+    val rid2 = rowIdUuid.map(u => fresh(cols.indexWhere(_.uuid == u)).uuid)
+    new Table(df2, fresh, grouping.map(u => fresh(cols.indexWhere(_.uuid == u)).uuid),
+      rid2, ordered, newName)
+  }
+
+  // ------------------------------------------------------------------
+  // materialization / export (verbs.py:168-347)
+  // ------------------------------------------------------------------
+
+  /** Materialize now but keep pipelining (reference `collect`,
+    * verbs.py:168-244) — Spark: cache + force. */
+  def collectNow(): Table = { val c = df.cache(); c.count(); withDf(c) }
+
+  /** Final projection: visible columns under their user names, in order.
+    * The row-id and hidden columns are dropped here, letting Catalyst
+    * prune them out of the physical plan entirely when unused. */
+  def toDF: DataFrame =
+    df.select(visibleCols.map(c => df(internal(c.uuid)).as(c.name)): _*)
+
+  def collect(): Array[Row] = toDF.collect()
+  def show(n: Int = 20): Unit = toDF.show(n, truncate = false)
+  def count(): Long = toDF.count()
+
+  /** Reference `build_query`/`show_query` (verbs.py:355-390): the compiled
+    * plan as text — Spark-first this is the Catalyst plan. */
+  def buildQuery: String = toDF.queryExecution.optimizedPlan.toString
+  def explainFormatted(): Unit = toDF.explain("formatted")
+
+  def astRepr: String = {
+    val vis = visibleCols.map(c => s"${c.name}: ${dtypeOfUuid(c.uuid).simpleString}")
+    s"Table `$name` [${vis.mkString(", ")}]" +
+      (if (grouping.nonEmpty) s" grouped by ${grouping.map(u => cols.find(_.uuid == u).get.name).mkString(",")}"
+       else "")
+  }
+}
+
+object Table {
+  private[graft] val RowIdName = "__rowid"
+  private[graft] def internal(uuid: Long): String = s"_g$uuid"
+
+  /** Wrap an existing DataFrame: rename all columns to internal ids and
+    * attach the hidden row-order surrogate (SURVEY §7.4 hard part 1). */
+  def fromDF(src: DataFrame, name: String): Table = {
+    val metas = src.schema.fields.map { f =>
+      ColMeta(ColIds.next.getAndIncrement(), f.name, visible = true)
+    }.toVector
+    val rid = ColMeta(ColIds.next.getAndIncrement(), RowIdName, visible = false)
+    val renamed = src.select(
+      src.schema.fields.zip(metas).map { case (f, m) => src(f.name).as(internal(m.uuid)) }.toIndexedSeq
+        :+ F.monotonically_increasing_id().as(internal(rid.uuid)): _*)
+    new Table(renamed, metas :+ rid, Vector.empty, Some(rid.uuid), ordered = false, name)
+  }
+
+  def fromParquet(spark: SparkSession, path: String, name: String): Table =
+    fromDF(spark.read.parquet(path), name)
+
+  /** A testdata star-schema table: `Table.source(spark, sfDir, "lineitem")`. */
+  def source(spark: SparkSession, sfDir: String, table: String): Table =
+    fromParquet(spark, s"$sfDir/$table.parquet", table)
+
+  /** In-memory literal table for tests (reference: Table from dict,
+    * table_impl.py:72-73). */
+  def fromRows(spark: SparkSession, schema: StructType, rows: Seq[Row], name: String): Table = {
+    import scala.jdk.CollectionConverters._
+    fromDF(spark.createDataFrame(rows.asJava, schema), name)
+  }
+}
