@@ -1,0 +1,312 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.dsl._
+import graft.functions.{dedup, multimodal, similarity, text}
+import graft.table.Table
+
+/** Training-data-pipeline extension queries (dedup / similarity search /
+  * text analysis / multimodal / event streams) over the `documents`,
+  * `embeddings` and `events` tables. Oracle SQL provided wherever the
+  * operation is portably expressible in DuckDB; hash-based ops
+  * (MinHash/SimHash/LSH) are engine-native and get rows-only checks.
+  */
+object ExtQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) — read as Long nanos
+    * (legacy.parquet.nanosAsLong) and convert to μs TimestampNTZ, the
+    * same truncation DuckDB applies on read. Exact integer division via
+    * a decimal intermediate (ns epochs exceed double precision). */
+  private def eventsDf(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts",
+          F.timestamp_micros((F.col("ts").cast(DecimalType(38, 0)) / 1000)
+            .cast(LongType)).cast(TimestampNTZType))
+      case _ => raw
+    }
+  }
+  private def eventsTable(s: SparkSession, dir: String): Table =
+    Table.fromDF(eventsDf(s, dir), "events")
+
+  // ---------------- dedup ----------------
+
+  def x01DedupExact(s: SparkSession, dir: String): DataFrame =
+    dedup.exactDuplicates(docs(s, dir), "doc_id", "text")
+      .orderBy("fingerprint")
+
+  private val x01Oracle =
+    """SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id,
+      |COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  def x02DedupJaccard(s: SparkSession, dir: String): DataFrame =
+    dedup.tokenJaccardPairs(docs(s, dir), "doc_id", "text", "source", minJ = 0.8)
+      .orderBy("id_a", "id_b")
+
+  private val x02Oracle =
+    """WITH t AS (SELECT doc_id, source,
+      |  list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |  (CAST(len(a.toks) AS DOUBLE) + CAST(len(b.toks) AS DOUBLE)
+      |   - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jaccard
+      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |  (CAST(len(a.toks) AS DOUBLE) + CAST(len(b.toks) AS DOUBLE)
+      |   - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash-LSH near-dup candidates — engine-native hashing, rows-only. */
+  def x03DedupMinhash(s: SparkSession, dir: String): DataFrame =
+    dedup.minhashPairs(docs(s, dir), "doc_id", "text",
+        k = 3, numPerm = 32, bands = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup candidates — engine-native hashing, rows-only. */
+  def x04DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedup.simhashPairs(docs(s, dir), "doc_id", "text", "source", maxDist = 6)
+      .orderBy("id_a", "id_b")
+
+  def x05DedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    similarity.cosinePairs(embs(s, dir), "vec_id", "embedding", "label", minCos = 0.3)
+      .orderBy("id_a", "id_b")
+
+  private val x05Oracle =
+    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |  / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |  / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------- similarity search ----------------
+
+  def x06AnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.bruteForceTopK(e, e.filter(F.col("vec_id") < 8), "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x06Oracle =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |  list_sum(list_transform(list_zip(q.embedding, e.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos
+      |  FROM e CROSS JOIN q WHERE e.vec_id != q.vec_id)
+      |SELECT q_id, n_id, cos, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN — engine-native hyperplane hashing, rows-only. */
+  def x07AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.lshTopK(e, e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, nPlanes = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  // ---------------- text analysis ----------------
+
+  def x08TokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        F.col("doc_id"),
+        text.tokenCount(F.col("text")).as("n_tokens"),
+        text.charCount(F.col("text")).as("n_chars2"),
+        text.distinctTokenCount(F.col("text")).as("n_distinct"))
+      .orderBy("doc_id")
+
+  private val x08Oracle =
+    """SELECT doc_id,
+      |CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+      |CAST(length(text) AS BIGINT) AS n_chars2,
+      |CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def x09Quality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        F.col("doc_id"),
+        text.stopwordCount(F.lower(F.col("text")), text.EnStopwords).as("n_stop"),
+        text.patternCount(F.col("text"), "[^A-Za-z0-9\\s]").as("n_punct"),
+        text.qualityScore(F.col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  private val x09Oracle =
+    """SELECT doc_id,
+      |CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|in|and|is)\b')) AS BIGINT) AS n_stop,
+      |CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+      |((CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|in|and|is)\b')) AS DOUBLE)
+      |   / (CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) + 1.0)) * 0.4
+      | + (1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |   / (CAST(length(text) AS DOUBLE) + 1.0))) * 0.3)
+      | + LEAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def x10LangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        F.col("doc_id"), F.col("lang"),
+        text.languageId(F.col("text")).as("pred"))
+      .orderBy("doc_id")
+
+  private val x10Oracle =
+    """WITH c AS (SELECT doc_id, lang,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|in|and|is)\b')) AS BIGINT) AS en,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS BIGINT) AS de,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b')) AS BIGINT) AS fr,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(el|los|y|que|una|es)\b')) AS BIGINT) AS es,
+      |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 AS cjk
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |CASE WHEN cjk THEN 'zh'
+      |     WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+      |     WHEN de >= fr AND de >= es THEN 'de'
+      |     WHEN fr >= es THEN 'fr'
+      |     ELSE 'es' END AS pred
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  def x11Fingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        F.col("doc_id"),
+        text.fingerprintMd5(F.col("text")).as("fp_md5"),
+        text.fingerprint64(F.col("text")).as("fp64"))
+      .orderBy("doc_id")
+
+  private val x11Oracle =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      |CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS fp64
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------- multimodal ----------------
+
+  def x12Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val media = multimodal.toMedia(docs(s, dir), "doc_id", "text")
+    multimodal.decodeFeatures(media).toDF()
+      .orderBy("doc_id")
+  }
+
+  private val x12Oracle =
+    """SELECT doc_id,
+      |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |substring(text, 1, 4) AS magic,
+      |CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+      |CAST(octet_length(encode(text)) % 480 AS INTEGER) AS height,
+      |3 AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------- event streams (batch shape of the streaming ops) ----------------
+
+  /** 5-minute tumbling-window aggregation, written through the DSL
+    * (duration-μs arithmetic → group_by → summarize). */
+  def x13EventsWindow(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .mutate("epoch_us" -> (C("ts") - timestamp("1970-01-01 00:00:00")))
+      .mutate("bucket_us" -> (C("epoch_us") - (C("epoch_us") % lit(300000000L))))
+      .groupBy(C("bucket_us"), C("event_type"))
+      .summarize(
+        "n" -> count(),
+        "total_value" -> C("value").cast(DecimalType(18, 4)).sum().cast(DoubleType))
+      .arrange(C("bucket_us"), C("event_type"))
+      .toDF
+
+  private val x13Oracle =
+    """SELECT epoch_us(ts) - epoch_us(ts) % 300000000 AS bucket_us, event_type,
+      |COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_us, event_type""".stripMargin
+
+  /** Sessionization: 30-minute-gap session ids per user via shift +
+    * cum_sum — the batch shape of the streaming stateful op. */
+  def x14EventsSessionize(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .mutate("epoch_us" -> (C("ts") - timestamp("1970-01-01 00:00:00")))
+      .mutate("prev_us" -> C("epoch_us").shift(1,
+        partitionBy = Seq(C("user_id")),
+        arrange = Seq(C("epoch_us"), C("event_id"))))
+      .mutate("new_session" -> when(
+          C("prev_us").isNull || ((C("epoch_us") - C("prev_us")) > lit(1800000000L)))
+        .then_(lit(1L)).otherwise(lit(0L)))
+      .mutate("session_idx" -> C("new_session").cumSum(
+        partitionBy = Seq(C("user_id")),
+        arrange = Seq(C("epoch_us"), C("event_id"))))
+      .select(C("event_id"), C("user_id"), C("session_idx"))
+      .arrange(C("event_id"))
+      .toDF
+
+  private val x14Oracle =
+    """SELECT event_id, user_id,
+      |CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_us, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |FROM (
+      |  SELECT event_id, user_id, epoch_us,
+      |  CASE WHEN prev_us IS NULL OR epoch_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT event_id, user_id, epoch_us(ts) AS epoch_us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |    FROM events))
+      |ORDER BY event_id""".stripMargin
+
+  /** JSON property extraction from the events props column. */
+  def x15EventsJson(s: SparkSession, dir: String): DataFrame =
+    eventsDf(s, dir)
+      .select(F.col("event_id"),
+        F.get_json_object(F.col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+
+  private val x15Oracle =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------- registry ----------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> (x01DedupExact _),
+    "x02_dedup_ngram_jaccard" -> (x02DedupJaccard _),
+    "x03_dedup_minhash_lsh" -> (x03DedupMinhash _),
+    "x04_dedup_simhash" -> (x04DedupSimhash _),
+    "x05_dedup_embedding_cosine" -> (x05DedupEmbedding _),
+    "x06_ann_brute_force_topk" -> (x06AnnBruteForce _),
+    "x07_ann_lsh_topk" -> (x07AnnLsh _),
+    "x08_text_token_stats" -> (x08TokenStats _),
+    "x09_text_quality_score" -> (x09Quality _),
+    "x10_text_language_id" -> (x10LangId _),
+    "x11_text_fingerprint" -> (x11Fingerprint _),
+    "x12_multimodal_decode" -> (x12Multimodal _),
+    "x13_events_tumbling_window" -> (x13EventsWindow _),
+    "x14_events_sessionize" -> (x14EventsSessionize _),
+    "x15_events_json_extract" -> (x15EventsJson _))
+
+  val oracles: Map[String, String] = Map(
+    "x01_dedup_exact" -> x01Oracle,
+    "x02_dedup_ngram_jaccard" -> x02Oracle,
+    "x05_dedup_embedding_cosine" -> x05Oracle,
+    "x06_ann_brute_force_topk" -> x06Oracle,
+    "x08_text_token_stats" -> x08Oracle,
+    "x09_text_quality_score" -> x09Oracle,
+    "x10_text_language_id" -> x10Oracle,
+    "x11_text_fingerprint" -> x11Oracle,
+    "x12_multimodal_decode" -> x12Oracle,
+    "x13_events_tumbling_window" -> x13Oracle,
+    "x14_events_sessionize" -> x14Oracle,
+    "x15_events_json_extract" -> x15Oracle)
+}

@@ -22,7 +22,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.q1Agg(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ ExtQueries.all
 
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ ExtQueries.oracles
 }

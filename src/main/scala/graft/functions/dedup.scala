@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for web-scale corpora. Scale design:
+  *
+  *  - exact dedup = one hash-shuffle groupBy on a fingerprint (never on
+  *    the raw text — the shuffle key is 16 bytes, not the document);
+  *  - MinHash-LSH = signatures computed expression-side (no shuffle),
+  *    then ONE shuffle on (band, bandHash) buckets; candidate pairs are
+  *    generated inside buckets only — O(n) + bucket-local joins instead
+  *    of the O(n²) all-pairs cross join;
+  *  - SimHash = 64-bit signature per doc, Hamming-distance candidates
+  *    inside cheap blocking buckets;
+  *  - n-gram Jaccard = exact verification measure, run only on candidate
+  *    pairs (or small blocking buckets), never all-pairs at scale.
+  */
+object dedup {
+
+  /** Exact dedup: group by md5 fingerprint, keep the smallest id.
+    * The groupBy shuffles only (fingerprint, id) — scales to any corpus. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(text.fingerprintMd5(F.col(textCol)).as("fingerprint"), F.col(idCol))
+      .groupBy("fingerprint")
+      .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("n_copies"))
+
+  /** k-word shingles of a document. */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = text.tokens(c)
+    val n = F.size(toks)
+    F.when(n < k, F.array(F.concat_ws(" ", toks)))
+      .otherwise(F.transform(F.sequence(F.lit(0), n - k),
+        i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k)))))
+  }
+
+  /** MinHash signature: `numPerm` permutations approximated by seeded
+    * xxhash64; each component is the min hash over the shingle set.
+    * Pure expression — computed at scan time, no shuffle. */
+  def minhashSignature(c: Column, k: Int, numPerm: Int): Column = {
+    val sh = F.array_distinct(shingles(c, k))
+    F.array((0 until numPerm).map(i =>
+      F.array_min(F.transform(sh, s => F.xxhash64(F.lit(i), s)))): _*)
+  }
+
+  /** LSH band keys over a MinHash signature: `bands` hashes of
+    * signature slices of `rowsPerBand`. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    F.array((0 until bands).map(b =>
+      F.xxhash64(F.lit(b) +: (0 until rowsPerBand)
+        .map(r => F.element_at(sig, b * rowsPerBand + r + 1)): _*)): _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard
+    * ≥ `threshold`. One shuffle on band buckets; pairs generated
+    * bucket-locally; signatures re-joined for the estimate. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sigs = df.select(F.col(idCol).as("id"),
+        minhashSignature(F.col(textCol), k, numPerm).as("sig"))
+      .withColumn("bands", lshBandKeys(F.col("sig"), bands, rowsPerBand))
+    val buckets = sigs.select(F.col("id"),
+        F.posexplode(F.col("bands")).as(Seq("band_idx", "band_hash")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        F.col("a.band_idx") === F.col("b.band_idx") &&
+        F.col("a.band_hash") === F.col("b.band_hash") &&
+        F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    val withSigs = cand
+      .join(sigs.select(F.col("id"), F.col("sig").as("sig_a")), F.col("id_a") === F.col("id"))
+      .drop("id")
+      .join(sigs.select(F.col("id"), F.col("sig").as("sig_b")), F.col("id_b") === F.col("id"))
+      .drop("id")
+    withSigs
+      .withColumn("est_jaccard",
+        F.aggregate(F.zip_with(F.col("sig_a"), F.col("sig_b"),
+            (x, y) => F.when(x === y, 1).otherwise(0)),
+          F.lit(0), (acc, v) => acc + v).cast(DoubleType) / F.lit(numPerm.toDouble))
+      .filter(F.col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over the token set: per-token xxhash64 bit votes,
+    * sign-packed. One array pass per row, shuffle-free. */
+  def simhash64(c: Column): Column = {
+    val hashes = F.transform(F.array_distinct(text.tokens(c)), t => F.xxhash64(t))
+    val bitArrays = F.transform(hashes, h =>
+      F.array((0 until 64).map(j =>
+        (F.shiftright(h, j).bitwiseAND(F.lit(1L)) * 2 - 1).cast(IntegerType)): _*))
+    val votes = F.aggregate(bitArrays,
+      F.array_repeat(F.lit(0), 64),
+      (acc, bits) => F.zip_with(acc, bits, (a, b) => a + b))
+    (0 until 64).map(j =>
+      F.when(F.element_at(votes, j + 1) > 0, F.shiftleft(F.lit(1L), j)).otherwise(F.lit(0L)))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-duplicate pairs: Hamming distance ≤ `maxDist`, candidates
+    * blocked by `bucketCol` (at full scale: block by simhash byte-chunks,
+    * the standard multi-index approach). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bucketCol: String, maxDist: Int): DataFrame = {
+    val sigs = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
+      simhash64(F.col(textCol)).as("sim"))
+    sigs.as("a").join(sigs.as("b"),
+        F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).as("hamming"))
+      .filter(F.col("hamming") <= maxDist)
+  }
+
+  /** Exact token-set Jaccard similarity between two token arrays —
+    * deterministic integer set sizes, double division. */
+  def tokenJaccard(a: Column, b: Column): Column = {
+    val inter = F.size(F.array_intersect(a, b)).cast(DoubleType)
+    val union = F.size(a).cast(DoubleType) + F.size(b).cast(DoubleType) - inter
+    inter / union
+  }
+
+  /** All-pairs-within-bucket exact token Jaccard ≥ `minJ`. The bucket
+    * column bounds the quadratic blow-up (use LSH candidates upstream at
+    * full scale). */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      bucketCol: String, minJ: Double): DataFrame = {
+    val toks = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
+      F.array_distinct(text.tokens(F.col(textCol))).as("toks"))
+    toks.as("a").join(toks.as("b"),
+        F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        tokenJaccard(F.col("a.toks"), F.col("b.toks")).as("jaccard"))
+      .filter(F.col("jaccard") >= minJ)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * scans the corpus once — the right plan when queries ≪ corpus; the
+  * LSH variant buckets by random-hyperplane sign bits so each query only
+  * scans its bucket — the scale path when both sides are large.
+  * Dot products are computed with double accumulation in index order,
+  * which is deterministic and matches a sequential oracle.
+  */
+object similarity {
+
+  def dot(a: Column, b: Column): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      F.lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = F.sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+
+  /** Brute-force cosine top-k: for every row of `queries`, the k nearest
+    * rows of `corpus` (excluding self-matches by id), deterministic
+    * tie-break by corpus id. Queries are broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"))
+    val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("n_id"),
+        cosine(F.col("q_vec"), F.col("n_vec")).as("cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(F.col("cos").desc, F.col("n_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast(LongType))
+      .filter(F.col("rank") <= k)
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
+  /** Random-hyperplane sign bucket: `nPlanes` sign bits of dot products
+    * with deterministic ±1 hyperplanes (seeded, driver-computed). */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column = {
+    def planeSigns(j: Int): Seq[Double] =
+      (0 until dim).map { i =>
+        val h = scala.util.hashing.MurmurHash3.productHash((seed, j, i))
+        if ((h & 1) == 0) 1.0 else -1.0
+      }
+    (0 until nPlanes).map { j =>
+      val plane = F.typedlit(planeSigns(j))
+      val d = F.aggregate(F.zip_with(vec, plane, (x, p) => x.cast(DoubleType) * p),
+        F.lit(0.0), (acc, v) => acc + v)
+      F.when(d >= 0, F.shiftleft(F.lit(1L), j)).otherwise(F.lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** IVF/LSH-bucketed ANN top-k: both sides bucketed by hyperplane signs;
+    * each query is compared only against corpus vectors in its bucket.
+    * One shuffle on the bucket key — the 100-TB-shaped plan. Recall is
+    * tunable via nPlanes (fewer planes = bigger buckets = higher recall). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
+      lshBucket(F.col(vecCol), dim, nPlanes).as("bucket"))
+    val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"),
+      lshBucket(F.col(vecCol), dim, nPlanes).as("bucket"))
+    val scored = c.join(q, "bucket")
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("n_id"),
+        cosine(F.col("q_vec"), F.col("n_vec")).as("cos"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(F.col("cos").desc, F.col("n_id").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast(LongType))
+      .filter(F.col("rank") <= k)
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within blocking buckets. */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      bucketCol: String, minCos: Double): DataFrame = {
+    val v = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
+      F.col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"),
+        F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        cosine(F.col("a.vec"), F.col("b.vec")).as("cos"))
+      .filter(F.col("cos") >= minCos)
+  }
+}

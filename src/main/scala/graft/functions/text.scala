@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language-ID heuristic, document
+  * fingerprinting. All pure Column expressions — codegen'd, shuffle-free,
+  * linear in input size, so they scale to arbitrary data volumes.
+  */
+object text {
+
+  def tokens(c: Column): Column = F.split(F.trim(c), "\\s+")
+
+  /** whitespace-separated token count. */
+  def tokenCount(c: Column): Column =
+    F.when(F.length(F.trim(c)) === 0, F.lit(0L))
+      .otherwise(F.size(tokens(c)).cast(LongType))
+
+  def charCount(c: Column): Column = F.length(c).cast(LongType)
+
+  def distinctTokenCount(c: Column): Column =
+    F.size(F.array_distinct(tokens(c))).cast(LongType)
+
+  /** count of regex matches (Spark regexp_count; oracle:
+    * len(regexp_extract_all(...))). */
+  def patternCount(c: Column, pattern: String): Column =
+    F.regexp_count(c, F.lit(pattern)).cast(LongType)
+
+  val EnStopwords = Seq("the", "a", "of", "to", "in", "and", "is")
+  val DeStopwords = Seq("der", "die", "und", "das", "ist", "nicht")
+  val FrStopwords = Seq("le", "la", "et", "les", "des", "est")
+  val EsStopwords = Seq("el", "los", "y", "que", "una", "es")
+
+  private def wordAlt(ws: Seq[String]): String = s"\\b(${ws.mkString("|")})\\b"
+
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    patternCount(F.lower(c), wordAlt(words))
+
+  /** Heuristic quality score in [0,1]: stopword density + low punctuation
+    * noise + length prior. Deterministic double arithmetic, written
+    * identically in the DuckDB oracle. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast(DoubleType)
+    val nChar = charCount(c).cast(DoubleType)
+    val punct = patternCount(c, "[^A-Za-z0-9\\s]").cast(DoubleType)
+    val stops = stopwordCount(c, EnStopwords).cast(DoubleType)
+    val stopRatio = stops / (nTok + F.lit(1.0))
+    val punctRatio = punct / (nChar + F.lit(1.0))
+    val lenPrior = F.least(nTok / F.lit(100.0), F.lit(1.0))
+    stopRatio * F.lit(0.4) + (F.lit(1.0) - punctRatio) * F.lit(0.3) + lenPrior * F.lit(0.3)
+  }
+
+  /** n-gram/stopword language-ID heuristic over {en,de,fr,es,zh}:
+    * CJK characters short-circuit to zh, otherwise argmax of per-language
+    * stopword hit counts with a fixed tie-break order. */
+  def languageId(c: Column): Column = {
+    val lc = F.lower(c)
+    val en = stopwordCount(lc, EnStopwords)
+    val de = stopwordCount(lc, DeStopwords)
+    val fr = stopwordCount(lc, FrStopwords)
+    val es = stopwordCount(lc, EsStopwords)
+    val hasCjk = F.regexp_count(c, F.lit("[\\x{4e00}-\\x{9fff}]")) > 0
+    F.when(hasCjk, F.lit("zh"))
+      .when(en >= de && en >= fr && en >= es, F.lit("en"))
+      .when(de >= fr && de >= es, F.lit("de"))
+      .when(fr >= es, F.lit("fr"))
+      .otherwise(F.lit("es"))
+  }
+
+  /** full-document fingerprint (md5 hex). */
+  def fingerprintMd5(c: Column): Column = F.md5(c)
+
+  /** 60-bit integer fingerprint: first 15 hex digits of md5 — portable to
+    * any engine with md5 (oracle: CAST(concat('0x', substring(md5(x),1,15))
+    * AS BIGINT)). */
+  def fingerprint64(c: Column): Column =
+    F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** rolling polynomial hash over tokens (base-31, 61-bit prime modulus) —
+    * order-sensitive document fingerprint computed in one array pass.
+    * Spark-native (xxhash64 per token), no cross-engine oracle. */
+  def rollingTokenHash(c: Column): Column = {
+    val p = F.lit(2305843009213693951L) // 2^61 - 1
+    F.aggregate(tokens(c), F.lit(0L),
+      (acc, t) => F.pmod(acc * F.lit(31L) + F.pmod(F.xxhash64(t), p), p))
+  }
+}
