@@ -36,11 +36,18 @@ object dedup {
 
   /** MinHash signature: `numPerm` permutations approximated by seeded
     * xxhash64; each component is the min hash over the shingle set.
-    * Pure expression — computed at scan time, no shuffle. */
+    * ONE pass over the shingle array (shingle → 64-bit hash once, then
+    * `numPerm` cheap integer re-hashes folded with zip_with/least) — a
+    * single expression tree, so Catalyst's project-collapsing cannot
+    * duplicate the string-building work. Shuffle-free. */
   def minhashSignature(c: Column, k: Int, numPerm: Int): Column = {
-    val sh = F.array_distinct(shingles(c, k))
-    F.array((0 until numPerm).map(i =>
-      F.array_min(F.transform(sh, s => F.xxhash64(F.lit(i), s)))): _*)
+    val hashes = F.transform(F.array_distinct(shingles(c, k)), s => F.xxhash64(s))
+    F.aggregate(
+      hashes,
+      F.array_repeat(F.lit(Long.MaxValue), numPerm),
+      (acc, h) => F.zip_with(acc,
+        F.array((0 until numPerm).map(i => F.xxhash64(F.lit(i), h)): _*),
+        (a, b) => F.least(a, b)))
   }
 
   /** LSH band keys over a MinHash signature: `bands` hashes of
@@ -57,29 +64,27 @@ object dedup {
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
+    // materialize signatures once — at full scale this is the signature
+    // table a real pipeline would persist anyway
     val sigs = df.select(F.col(idCol).as("id"),
         minhashSignature(F.col(textCol), k, numPerm).as("sig"))
-      .withColumn("bands", lshBandKeys(F.col("sig"), bands, rowsPerBand))
-    val buckets = sigs.select(F.col("id"),
-        F.posexplode(F.col("bands")).as(Seq("band_idx", "band_hash")))
-    val cand = buckets.as("a").join(buckets.as("b"),
+      .persist()
+    // signatures ride along through the explode: no join-back needed
+    val buckets = sigs
+      .select(F.col("id"), F.col("sig"),
+        F.posexplode(lshBandKeys(F.col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val est = F.aggregate(F.zip_with(F.col("a.sig"), F.col("b.sig"),
+        (x, y) => F.when(x === y, 1).otherwise(0)),
+      F.lit(0), (acc, v) => acc + v).cast(DoubleType) / F.lit(numPerm.toDouble)
+    buckets.as("a").join(buckets.as("b"),
         F.col("a.band_idx") === F.col("b.band_idx") &&
         F.col("a.band_hash") === F.col("b.band_hash") &&
         F.col("a.id") < F.col("b.id"))
-      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
-      .distinct()
-    val withSigs = cand
-      .join(sigs.select(F.col("id"), F.col("sig").as("sig_a")), F.col("id_a") === F.col("id"))
-      .drop("id")
-      .join(sigs.select(F.col("id"), F.col("sig").as("sig_b")), F.col("id_b") === F.col("id"))
-      .drop("id")
-    withSigs
-      .withColumn("est_jaccard",
-        F.aggregate(F.zip_with(F.col("sig_a"), F.col("sig_b"),
-            (x, y) => F.when(x === y, 1).otherwise(0)),
-          F.lit(0), (acc, v) => acc + v).cast(DoubleType) / F.lit(numPerm.toDouble))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        est.as("est_jaccard"))
       .filter(F.col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+      .distinct() // a pair can match in several bands; est is identical
   }
 
   /** 64-bit SimHash over the token set: per-token xxhash64 bit votes,
@@ -103,7 +108,7 @@ object dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, maxDist: Int): DataFrame = {
     val sigs = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
-      simhash64(F.col(textCol)).as("sim"))
+      simhash64(F.col(textCol)).as("sim")).persist()
     sigs.as("a").join(sigs.as("b"),
         F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
@@ -124,8 +129,12 @@ object dedup {
     * full scale). */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, minJ: Double): DataFrame = {
+    // tokens hashed to 64-bit longs: set sizes (and hence Jaccard) are
+    // unchanged absent collisions (~1e-15 for 1k-token docs), and the
+    // per-pair intersection runs on longs instead of strings
     val toks = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
-      F.array_distinct(text.tokens(F.col(textCol))).as("toks"))
+      F.array_distinct(F.transform(text.tokens(F.col(textCol)), t => F.xxhash64(t)))
+        .as("toks"))
     toks.as("a").join(toks.as("b"),
         F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),

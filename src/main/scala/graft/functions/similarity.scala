@@ -15,7 +15,14 @@ import org.apache.spark.sql.types._
   */
 object similarity {
 
-  def dot(a: Column, b: Column): Column =
+  /** Sequential double-accumulation dot product via the codegen'd
+    * [[graft.plans.ArrayDotProduct]] expression (sessions built by graft
+    * register it through GraftExtensions). */
+  def dot(a: Column, b: Column): Column = F.call_function("graft_dot", a, b)
+
+  /** Portable fallback with identical semantics, built-ins only —
+    * interpreted higher-order functions, ~5× slower in the hot path. */
+  def dotPortable(a: Column, b: Column): Column =
     F.aggregate(F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       F.lit(0.0), (acc, v) => acc + v)
 
@@ -28,12 +35,14 @@ object similarity {
     * tie-break by corpus id. Queries are broadcast. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"))
-    val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"))
+    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
+      norm(F.col(vecCol)).as("n_nrm"))
+    val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"),
+      norm(F.col(vecCol)).as("q_nrm"))
     val scored = c.crossJoin(F.broadcast(q))
       .filter(F.col("n_id") =!= F.col("q_id"))
       .select(F.col("q_id"), F.col("n_id"),
-        cosine(F.col("q_vec"), F.col("n_vec")).as("cos"))
+        (dot(F.col("q_vec"), F.col("n_vec")) / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
     val w = Window.partitionBy("q_id")
       .orderBy(F.col("cos").desc, F.col("n_id").asc)
     scored.withColumn("rank", F.row_number().over(w).cast(LongType))
@@ -64,13 +73,13 @@ object similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
     val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
-      lshBucket(F.col(vecCol), dim, nPlanes).as("bucket"))
+      norm(F.col(vecCol)).as("n_nrm"), lshBucket(F.col(vecCol), dim, nPlanes).as("bucket"))
     val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"),
-      lshBucket(F.col(vecCol), dim, nPlanes).as("bucket"))
+      norm(F.col(vecCol)).as("q_nrm"), lshBucket(F.col(vecCol), dim, nPlanes).as("bucket"))
     val scored = c.join(q, "bucket")
       .filter(F.col("n_id") =!= F.col("q_id"))
       .select(F.col("q_id"), F.col("n_id"),
-        cosine(F.col("q_vec"), F.col("n_vec")).as("cos"))
+        (dot(F.col("q_vec"), F.col("n_vec")) / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
     val w = Window.partitionBy("q_id")
       .orderBy(F.col("cos").desc, F.col("n_id").asc)
     scored.withColumn("rank", F.row_number().over(w).cast(LongType))
@@ -81,12 +90,14 @@ object similarity {
   /** Embedding-cosine near-duplicate pairs within blocking buckets. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, minCos: Double): DataFrame = {
+    // norms computed once per row, not once per pair; division order
+    // (dot / nrm_a / nrm_b) matches the sequential oracle exactly
     val v = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
-      F.col(vecCol).as("vec"))
+      F.col(vecCol).as("vec"), norm(F.col(vecCol)).as("nrm"))
     v.as("a").join(v.as("b"),
         F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-        cosine(F.col("a.vec"), F.col("b.vec")).as("cos"))
+        (dot(F.col("a.vec"), F.col("b.vec")) / F.col("a.nrm") / F.col("b.nrm")).as("cos"))
       .filter(F.col("cos") >= minCos)
   }
 }

@@ -81,7 +81,8 @@ object text {
     * order-sensitive document fingerprint computed in one array pass.
     * Spark-native (xxhash64 per token), no cross-engine oracle. */
   def rollingTokenHash(c: Column): Column = {
-    val p = F.lit(2305843009213693951L) // 2^61 - 1
+    // 31-bit prime modulus keeps acc*31 + h inside Long under ANSI mode
+    val p = F.lit(1000000007L)
     F.aggregate(tokens(c), F.lit(0L),
       (acc, t) => F.pmod(acc * F.lit(31L) + F.pmod(F.xxhash64(t), p), p))
   }

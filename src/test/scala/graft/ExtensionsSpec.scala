@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.functions.{dedup, multimodal, similarity, text}
+
+/** Extension operators on tiny literal data. */
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "s1"),
+    (2L, "the quick brown fox jumps over the lazy cat", "s1"),
+    (3L, "completely different text with other words here", "s1"),
+    (4L, "the quick brown fox jumps over the lazy dog", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical texts") {
+    val d = dedup.exactDuplicates(docsDf, "doc_id", "text")
+    val dups = d.filter(F.col("n_copies") > 1).collect()
+    assert(dups.length == 1 && dups.head.getAs[Long]("keep_id") == 1L)
+    assert(d.count() == 3)
+  }
+
+  test("token jaccard pairs find near-dups within buckets") {
+    val p = dedup.tokenJaccardPairs(docsDf, "doc_id", "text", "source", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p == Set((1L, 2L))) // doc 4 is in another bucket; doc 3 dissimilar
+  }
+
+  test("minhash LSH finds the near-dup pair with high estimate") {
+    val p = dedup.minhashPairs(docsDf, "doc_id", "text",
+      k = 2, numPerm = 32, bands = 16, threshold = 0.3).collect()
+    val ids = p.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L)))
+    assert(!ids.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, different far") {
+    val sigs = docsDf.select(F.col("doc_id"), dedup.simhash64(F.col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(4L)) == 0)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("cosine: orthogonal 0, identical 1; native expression = portable") {
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(2.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = v.as("a").crossJoin(v.as("b"))
+      .select(F.col("a.vec_id"), F.col("b.vec_id"),
+        similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).as("c"),
+        (similarity.dotPortable(F.col("a.embedding"), F.col("b.embedding")) /
+          F.sqrt(similarity.dotPortable(F.col("a.embedding"), F.col("a.embedding"))) /
+          F.sqrt(similarity.dotPortable(F.col("b.embedding"), F.col("b.embedding")))).as("cp"))
+      .collect()
+    got.foreach { r => assert(r.getDouble(2) == r.getDouble(3)) }
+    val m = got.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 2L)) == 0.0 && m((1L, 3L)) == 1.0)
+  }
+
+  test("brute-force top-k returns k neighbors ranked by cosine") {
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val r = similarity.bruteForceTopK(v, v.filter(F.col("vec_id") === 1L),
+      "vec_id", "embedding", k = 2).collect()
+    assert(r.map(_.getLong(1)).toSeq == Seq(4L, 2L)) // closest first
+  }
+
+  test("text analysis: counts, quality in [0,1], langid, fingerprints") {
+    val d = docsDf.select(
+      text.tokenCount(F.col("text")).as("nt"),
+      text.qualityScore(F.col("text")).as("q"),
+      text.languageId(F.col("text")).as("lang"),
+      text.fingerprintMd5(F.col("text")).as("md5"),
+      text.fingerprint64(F.col("text")).as("fp"),
+      text.rollingTokenHash(F.col("text")).as("rh")).collect()
+    assert(d.head.getAs[Long]("nt") == 9L)
+    d.foreach { r =>
+      assert(r.getAs[Double]("q") >= 0.0 && r.getAs[Double]("q") <= 1.0)
+      assert(r.getAs[String]("lang") == "en")
+      assert(r.getAs[String]("md5").length == 32)
+    }
+    // rolling hash is order-sensitive: docs 1 and 2 differ
+    assert(d(0).getAs[Long]("rh") != d(1).getAs[Long]("rh"))
+    assert(d(0).getAs[Long]("rh") == d(3).getAs[Long]("rh"))
+  }
+
+  test("multimodal: typed pipeline with stubbed decode") {
+    val feats = multimodal.decodeFeatures(
+      multimodal.toMedia(docsDf, "doc_id", "text")).collect()
+    assert(feats.length == 4)
+    val f = feats.find(_.doc_id == 1L).get
+    assert(f.n_bytes == 43L && f.magic == "the " && f.channels == 3)
+    assert(f.width == (43 % 640) && f.height == (43 % 480))
+  }
+
+  test("lsh bucket is deterministic across evaluations") {
+    val v = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val b1 = v.select(similarity.lshBucket(F.col("embedding"), 8, 4)).head().getLong(0)
+    val b2 = v.select(similarity.lshBucket(F.col("embedding"), 8, 4)).head().getLong(0)
+    assert(b1 == b2)
+  }
+}
