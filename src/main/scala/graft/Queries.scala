@@ -589,6 +589,81 @@ object Queries {
       |FROM part ORDER BY p_partkey""".stripMargin
 
   // ---------------------------------------------------------------
+  // q24 — trig/cbrt + inf/nan predicates
+  // ---------------------------------------------------------------
+  def q24Trig(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "part")
+      .mutate("x" -> C("p_size").cast(DoubleType) / lit(50.0))
+      .mutate("v" -> when(C("p_size") % lit(3) === lit(0)).then_(lit(Double.NaN))
+        .when(C("p_size") % lit(3) === lit(1)).then_(lit(Double.PositiveInfinity))
+        .otherwise(C("x")))
+      .mutate(
+        "sn" -> C("x").sin.round(9),
+        "cs" -> C("x").cos.round(9),
+        "tn" -> C("x").tan.round(9),
+        "at" -> C("x").atan.round(9),
+        "cb" -> C("x").cbrt.round(9),
+        "is_nan" -> C("v").isNan,
+        "is_inf" -> C("v").isInf,
+        "not_inf" -> C("v").isNotInf)
+      .select(C("p_partkey"), C("sn"), C("cs"), C("tn"), C("at"), C("cb"),
+        C("is_nan"), C("is_inf"), C("not_inf"))
+      .arrange(C("p_partkey"))
+      .toDF
+
+  private val q24Oracle =
+    """SELECT p_partkey,
+      |ROUND(SIN(x), 9) AS sn, ROUND(COS(x), 9) AS cs, ROUND(TAN(x), 9) AS tn,
+      |ROUND(ATAN(x), 9) AS at, ROUND(CBRT(x), 9) AS cb,
+      |isnan(v) AS is_nan,
+      |(v = 'infinity'::DOUBLE OR v = '-infinity'::DOUBLE) AS is_inf,
+      |NOT (v = 'infinity'::DOUBLE OR v = '-infinity'::DOUBLE) AS not_inf
+      |FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) / 50.0 AS x,
+      |  CASE WHEN p_size % 3 = 0 THEN 'nan'::DOUBLE
+      |       WHEN p_size % 3 = 1 THEN 'infinity'::DOUBLE
+      |       ELSE CAST(p_size AS DOUBLE) / 50.0 END AS v
+      |  FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q25 — string→date/datetime parsing + regex contains
+  // ---------------------------------------------------------------
+  def q25Parse(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate("ds" -> C("o_orderdate").cast(StringType).str.slice(lit(0), lit(10)))
+      .mutate(
+        "d" -> C("ds").str.toDate,
+        "dt2" -> (C("ds") + lit(" 12:30:00")).str.toDatetime,
+        "has_urgent" -> C("o_orderpriority").str.contains("URG|HIGH", allowRegex = true))
+      .select(C("o_orderkey"), C("ds"), C("d"), C("dt2"), C("has_urgent"))
+      .arrange(C("o_orderkey"))
+      .toDF
+
+  private val q25Oracle =
+    """SELECT o_orderkey,
+      |substring(CAST(o_orderdate AS VARCHAR), 1, 10) AS ds,
+      |CAST(substring(CAST(o_orderdate AS VARCHAR), 1, 10) AS DATE) AS d,
+      |CAST(substring(CAST(o_orderdate AS VARCHAR), 1, 10) || ' 12:30:00' AS TIMESTAMP) AS dt2,
+      |regexp_matches(o_orderpriority, 'URG|HIGH') AS has_urgent
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q26 — nested slice_head (limit/offset merging) + collect/cache verb
+  // ---------------------------------------------------------------
+  def q26NestedSlice(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .arrange(C("o_orderkey"))
+      .sliceHead(100, offset = 20)
+      .sliceHead(10, offset = 5)
+      .select(C("o_orderkey"))
+      .toDF
+
+  private val q26Oracle =
+    """SELECT o_orderkey FROM (
+      |SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 20)
+      |LIMIT 10 OFFSET 5""".stripMargin
+
+  // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
 
@@ -616,7 +691,10 @@ object Queries {
     "q20_summarize_filter_kwarg" -> (q20AggKwargs _),
     "q21_str_join_agg" -> (q21StrJoin _),
     "q22_alias_self_join" -> (q22SelfJoin _),
-    "q23_numeric_math" -> (q23Math _))
+    "q23_numeric_math" -> (q23Math _),
+    "q24_trig_inf_nan" -> (q24Trig _),
+    "q25_parse_regex" -> (q25Parse _),
+    "q26_nested_slice" -> (q26NestedSlice _))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -642,5 +720,8 @@ object Queries {
     "q20_summarize_filter_kwarg" -> q20Oracle,
     "q21_str_join_agg" -> q21Oracle,
     "q22_alias_self_join" -> q22Oracle,
-    "q23_numeric_math" -> q23Oracle)
+    "q23_numeric_math" -> q23Oracle,
+    "q24_trig_inf_nan" -> q24Oracle,
+    "q25_parse_regex" -> q25Oracle,
+    "q26_nested_slice" -> q26Oracle)
 }

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Streaming ops driven end-to-end: parquet source dir → transforms →
+  * memory sink, compared against the equivalent batch computation. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(): String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val rows = Seq(
+      Streams.Event(1L, ts(0), 1L, "click", 1.0),
+      Streams.Event(2L, ts(2), 1L, "view", 2.0),
+      Streams.Event(3L, ts(7), 2L, "click", 3.0),
+      Streams.Event(4L, ts(90), 1L, "click", 4.0), // new session for user 1
+      Streams.Event(5L, ts(91), 2L, "view", 5.0))
+    rows.toDS().write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed counts with watermark: stream result = batch result") {
+    val dir = mkEvents()
+    val stream = Streams.windowedCounts(Streams.readEventStream(spark, dir))
+    Streams.runToMemory(stream, "win_counts", OutputMode.Complete())
+    val got = spark.table("win_counts")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = Streams.windowedCounts(spark.read.parquet(dir))
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.toSeq == batch.toSeq)
+    // tumbling windows × event_type: (00:00 click), (00:00 view),
+    // (00:05 click), (01:30 click), (01:30 view)
+    assert(got.length == 5)
+  }
+
+  test("stateful sessionization counts 30-min-gap sessions per user") {
+    val dir = mkEvents()
+    val events = spark.readStream.schema(Streams.eventSchema).parquet(dir).as[Streams.Event]
+    val stats = Streams.sessionStats(events)
+    val q = stats.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 2L, 2L)))
+  }
+}
