@@ -170,7 +170,8 @@ object ExprCompiler {
   def compile(e: ColExpr, ctx: Ctx): Column = e match {
     case ColRef(u, _, _) => ctx.resolve(u)
     case CName(n) => throw new GraftError(s"unresolved C($n) reached compiler")
-    case Lit(null, _) => F.lit(null)
+    case Lit(null, None) => F.lit(null)
+    case Lit(null, Some(dt)) => F.lit(null).cast(dt)
     case Lit(v, Some(dt)) => F.lit(v).cast(dt)
     case Lit(v, None) => F.lit(v)
     case Marker(inner, _, _) => compile(inner, ctx)
@@ -179,9 +180,14 @@ object ExprCompiler {
       val from = Typing.dtypeOf(inner, ctx.dtype)
       compileCast(c, from, to, strict)
     case CaseE(branches, otherwise) =>
-      val start = F.when(compile(branches.head._1, ctx), compile(branches.head._2, ctx))
+      // untyped null conditions coerce to Boolean (types.py:295-298)
+      def cond(e: ColExpr): Column = {
+        val c = compile(e, ctx)
+        if (Typing.dtypeOf(e, ctx.dtype) == NullType) c.cast(BooleanType) else c
+      }
+      val start = F.when(cond(branches.head._1), compile(branches.head._2, ctx))
       val chained = branches.tail.foldLeft(start) { case (acc, (c, v)) =>
-        acc.when(compile(c, ctx), compile(v, ctx))
+        acc.when(cond(c), compile(v, ctx))
       }
       otherwise.map(o => chained.otherwise(compile(o, ctx))).getOrElse(chained)
     case fn @ Fn(op, _, _, _, _) =>
@@ -213,8 +219,22 @@ object ExprCompiler {
 
   private def compileElementwise(fn: Fn, ctx: Ctx): Column = {
     val Fn(op, args, _, _, _) = fn
-    lazy val c = args.map(a => compile(a, ctx))
-    lazy val at = args.map(a => Typing.dtypeOf(a, ctx.dtype))
+    lazy val rawAt = args.map(a => Typing.dtypeOf(a, ctx.dtype))
+    // NullType (untyped null literal) coerces to the sibling-arg type —
+    // the reference's implicit-conversion rule (types.py:295-298); for
+    // logical ops the target is Boolean. Keeps Column-API analysis happy
+    // where the SQL parser would have coerced.
+    lazy val nullTarget: DataType = op.name match {
+      case "and" | "or" | "xor" | "not" => BooleanType
+      case _ =>
+        val sib = rawAt.filterNot(_ == NullType)
+        if (sib.isEmpty) StringType else sib.reduceLeft(DTypes.lca)
+    }
+    lazy val at = rawAt.map(t => if (t == NullType) nullTarget else t)
+    lazy val c = args.zip(rawAt).map { case (a, t) =>
+      val col = compile(a, ctx)
+      if (t == NullType) col.cast(nullTarget) else col
+    }
     def a0 = c(0); def a1 = c(1)
     def boolToLong(i: Int): Column =
       if (at(i) == BooleanType) c(i).cast(LongType) else c(i)
