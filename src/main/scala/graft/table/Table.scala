@@ -453,6 +453,62 @@ final class Table private[graft] (
   def show(n: Int = 20): Unit = toDF.show(n, truncate = false)
   def count(): Long = toDF.count()
 
+  /** Export targets (reference: backend/targets.py / verbs.py:252-347). */
+  def toLocalIterator: Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    toDF.toLocalIterator.asScala
+  }
+  /** single value of a 1×1 result (reference `Scalar` target). */
+  def exportScalar: Any = {
+    val r = toDF.collect()
+    if (r.length != 1 || r.head.length != 1)
+      throw new GraftError(s"export scalar: result is ${r.length} rows × ${columns.length} cols, need 1×1")
+    r.head.get(0)
+  }
+  /** rows as name→value maps (reference `ListOfDicts`). */
+  def exportMaps: Seq[Map[String, Any]] = {
+    val names = columns
+    collect().toSeq.map(r => names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap)
+  }
+  /** columns as name→values (reference `DictOfLists`). */
+  def exportColumns: Map[String, Seq[Any]] = {
+    val names = columns
+    val data = collect()
+    names.zipWithIndex.map { case (n, i) => n -> data.toSeq.map(_.get(i)) }.toMap
+  }
+
+  def backend: String = "spark"
+  def isSqlBacked: Boolean = true
+
+  /** Positional splice of expressions computed against ANOTHER table —
+    * the reference's `eval_aligned` escape hatch (pipe/aligned.py:15-137).
+    * Both sides are numbered by their stable row order and joined on
+    * position. Documented slow path (global row_number) — for rare
+    * alignment flows, not bulk joins (SURVEY §7.4 hard part 4). */
+  def evalAligned(other: Table, defs: (String, ColExpr)*): Table = {
+    if (defs.map(_._1).exists(n => visibleCols.exists(_.name == n)))
+      throw new GraftError("evalAligned: name collision with existing columns")
+    def numbered(t: Table): DataFrame = {
+      val rid = t.rowIdUuid.getOrElse(
+        throw new GraftError("evalAligned: table lacks a row-order surrogate"))
+      t.df.withColumn("__pos",
+        F.row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(t.df(internal(rid)).asc)))
+    }
+    val rightCols = defs.map(_._1)
+    val rightDf = {
+      val m = other.mutate(defs: _*)
+      val proj = numbered(m).select(F.col("__pos") +:
+        rightCols.map(n => m.df(internal(m.col(n).uuid)).as(n)): _*)
+      proj
+    }
+    val newMeta = rightCols.map(n => ColMeta(ColIds.next.getAndIncrement(), n, visible = true))
+    val joined = numbered(this).join(rightDf, Seq("__pos"), "inner")
+    val out = joined.select(df.columns.map(joined(_)) ++
+      rightCols.zip(newMeta).map { case (n, m2) => joined(n).as(internal(m2.uuid)) }: _*)
+    new Table(out, cols ++ newMeta, grouping, rowIdUuid, ordered, name)
+  }
+
   /** Reference `build_query`/`show_query` (verbs.py:355-390): the compiled
     * plan as text — Spark-first this is the Catalyst plan. */
   def buildQuery: String = toDF.queryExecution.optimizedPlan.toString
