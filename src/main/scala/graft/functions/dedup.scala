@@ -88,8 +88,15 @@ object dedup {
   }
 
   /** 64-bit SimHash over the token set: per-token xxhash64 bit votes,
-    * sign-packed. One array pass per row, shuffle-free. */
-  def simhash64(c: Column): Column = {
+    * sign-packed by the codegen'd [[graft.plans.SimHash64FromHashes]]
+    * expression. One array pass per row, shuffle-free. */
+  def simhash64(c: Column): Column =
+    F.call_function("graft_simhash64",
+      F.transform(F.array_distinct(text.tokens(c)), t => F.xxhash64(t)))
+
+  /** Built-ins-only SimHash with identical semantics (slower; used to
+    * cross-check the native expression). */
+  def simhash64Portable(c: Column): Column = {
     val hashes = F.transform(F.array_distinct(text.tokens(c)), t => F.xxhash64(t))
     val bitArrays = F.transform(hashes, h =>
       F.array((0 until 64).map(j =>
@@ -129,16 +136,20 @@ object dedup {
     * full scale). */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, minJ: Double): DataFrame = {
-    // tokens hashed to 64-bit longs: set sizes (and hence Jaccard) are
-    // unchanged absent collisions (~1e-15 for 1k-token docs), and the
-    // per-pair intersection runs on longs instead of strings
+    // tokens hashed to 64-bit longs and SORTED once per row: set sizes
+    // (and hence Jaccard) are unchanged absent collisions (~1e-15 for
+    // 1k-token docs), and the per-pair intersection is a codegen'd linear
+    // merge (graft_intersect_count) — no per-pair hash set
     val toks = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
-      F.array_distinct(F.transform(text.tokens(F.col(textCol)), t => F.xxhash64(t)))
-        .as("toks"))
+      F.array_sort(F.array_distinct(
+        F.transform(text.tokens(F.col(textCol)), t => F.xxhash64(t)))).as("toks"))
+      .withColumn("n", F.size(F.col("toks")).cast(DoubleType))
+    val inter = F.call_function("graft_intersect_count",
+      F.col("a.toks"), F.col("b.toks")).cast(DoubleType)
     toks.as("a").join(toks.as("b"),
         F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-        tokenJaccard(F.col("a.toks"), F.col("b.toks")).as("jaccard"))
+        (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
       .filter(F.col("jaccard") >= minJ)
   }
 }

@@ -66,6 +66,100 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays (callers sort once per row
+  * with array_sort) — a linear merge with no per-pair hash set or result
+  * array, the hot inner loop of exact Jaccard verification. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_intersect_count expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    while (i < x.numElements() && j < y.numElements()) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { n += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $n++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash from an array of token hashes: bit-vote loop in tight
+  * generated Java instead of 64 interpreted when-chains per token. */
+case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"graft_simhash64 expects array<bigint>, got $t")
+  }
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < x.numElements()) {
+      val h = x.getLong(i)
+      var j = 0
+      while (j < 64) { votes(j) += (((h >>> j) & 1L).toInt * 2) - 1; j += 1 }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) sim |= (1L << j); j += 1 }
+    sim
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val h = ctx.freshName("h"); val sim = ctx.freshName("sim")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    $votes[$j] += ((int)(($h >>> $j) & 1L) * 2) - 1;
+         |  }
+         |}
+         |long $sim = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($votes[$j] > 0) $sim |= (1L << $j); }
+         |${ev.value} = $sim;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extensions registering graft's native functions; install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
   * entry points do). */
@@ -75,5 +169,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => ArrayDotProduct(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "graft_intersect_count"),
+      (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64FromHashes].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64FromHashes(children(0))))
   }
 }

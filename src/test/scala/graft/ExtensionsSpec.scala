@@ -35,6 +35,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(!ids.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
   }
 
+  test("native simhash expression equals the portable built-ins version") {
+    val both = docsDf.select(dedup.simhash64(F.col("text")).as("a"),
+      dedup.simhash64Portable(F.col("text")).as("b")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, different far") {
     val sigs = docsDf.select(F.col("doc_id"), dedup.simhash64(F.col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
