@@ -277,6 +277,49 @@ object ExtQueries {
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** As-of join: each click event picks up the most recent prior error
+    * value of the same user (oracle: DuckDB's native ASOF JOIN). */
+  def x16AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsDf(s, dir)
+    val clicks = ev.filter(F.col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(F.col("event_type") === "error")
+      .select(F.col("user_id"), F.col("ts"), F.col("value").as("err_value"))
+    graft.functions.joins.asofBackward(clicks, errors,
+        leftTs = "ts", rightTs = "ts", by = Seq("user_id"), rightVals = Seq("err_value"))
+      .select("event_id", "user_id", "err_value")
+      .orderBy("event_id")
+  }
+
+  private val x16Oracle =
+    """SELECT l.event_id, l.user_id, r.value AS err_value
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') r
+      |ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY event_id""".stripMargin
+
+  /** Sub-second datetime extractors on μs-precision event timestamps. */
+  def x17EventParts(s: SparkSession, dir: String): DataFrame =
+    eventsTable(s, dir)
+      .mutate(
+        "sec" -> C("ts").dt.second,
+        "ms" -> C("ts").dt.millisecond,
+        "us" -> C("ts").dt.microsecond,
+        "hr" -> C("ts").dt.hour,
+        "mi" -> C("ts").dt.minute)
+      .select(C("event_id"), C("sec"), C("ms"), C("us"), C("hr"), C("mi"))
+      .arrange(C("event_id"))
+      .toDF
+
+  private val x17Oracle =
+    """SELECT event_id,
+      |CAST(second(ts) AS BIGINT) AS sec,
+      |CAST(millisecond(ts) % 1000 AS BIGINT) AS ms,
+      |CAST(microsecond(ts) % 1000000 AS BIGINT) AS us,
+      |CAST(hour(ts) AS BIGINT) AS hr,
+      |CAST(minute(ts) AS BIGINT) AS mi
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -294,7 +337,9 @@ object ExtQueries {
     "x12_multimodal_decode" -> (x12Multimodal _),
     "x13_events_tumbling_window" -> (x13EventsWindow _),
     "x14_events_sessionize" -> (x14EventsSessionize _),
-    "x15_events_json_extract" -> (x15EventsJson _))
+    "x15_events_json_extract" -> (x15EventsJson _),
+    "x16_asof_join" -> (x16AsofJoin _),
+    "x17_event_subsecond_parts" -> (x17EventParts _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -308,5 +353,7 @@ object ExtQueries {
     "x12_multimodal_decode" -> x12Oracle,
     "x13_events_tumbling_window" -> x13Oracle,
     "x14_events_sessionize" -> x14Oracle,
-    "x15_events_json_extract" -> x15Oracle)
+    "x15_events_json_extract" -> x15Oracle,
+    "x16_asof_join" -> x16Oracle,
+    "x17_event_subsecond_parts" -> x17Oracle)
 }

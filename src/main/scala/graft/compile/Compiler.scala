@@ -325,8 +325,10 @@ object ExprCompiler {
       case "dt.hour" => F.hour(a0).cast(LongType)
       case "dt.minute" => F.minute(a0).cast(LongType)
       case "dt.second" => F.second(a0).cast(LongType)
-      case "dt.millisecond" => (F.unix_micros(a0) % 1000000L / 1000L).cast(LongType)
-      case "dt.microsecond" => (F.unix_micros(a0) % 1000000L).cast(LongType)
+      case "dt.millisecond" =>
+        (F.unix_micros(a0.cast(TimestampType)) % 1000000L / 1000L).cast(LongType)
+      case "dt.microsecond" =>
+        (F.unix_micros(a0.cast(TimestampType)) % 1000000L).cast(LongType)
       // ISO: Mon=1..Sun=7 (datetime.py:49-56; same fixup as duckdb.py:117-119)
       case "dt.day_of_week" => ((F.dayofweek(a0) + F.lit(5)) % 7 + F.lit(1)).cast(LongType)
       case "dt.day_of_year" => F.dayofyear(a0).cast(LongType)

@@ -103,6 +103,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(f.width == (43 % 640) && f.height == (43 % 480))
   }
 
+  test("asof backward join picks latest right row <= left ts per key") {
+    import graft.functions.joins
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val l = Seq((1L, 1L, ts(10)), (2L, 1L, ts(30)), (3L, 2L, ts(10)))
+      .toDF("id", "k", "ts")
+    val r = Seq((1L, ts(5), "a"), (1L, ts(20), "b"), (2L, ts(50), "z"))
+      .toDF("k", "ts", "v")
+    val j = joins.asofBackward(l, r, "ts", "ts", Seq("k"), Seq("v"))
+      .orderBy("id").collect().map(x => (x.getLong(0), x.getString(3))).toSeq
+    assert(j == Seq((1L, "a"), (2L, "b"), (3L, null))) // id3: no error ≤ ts
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val v = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
     val b1 = v.select(similarity.lshBucket(F.col("embedding"), 8, 4)).head().getLong(0)
