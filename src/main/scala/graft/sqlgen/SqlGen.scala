@@ -28,9 +28,24 @@ object SqlGen {
 
   def typeSql(t: DataType): String = t.sql
 
-  /** Emit SQL for an elementwise expression; `nameOf` resolves column
-    * uuids to (quoted) source column names. */
-  def exprSql(e: ColExpr, nameOf: Long => String): String = {
+  sealed trait Mode
+  object Mode {
+    case object Project extends Mode // mutate: aggregates become windows
+    case object Agg extends Mode // summarize: plain aggregation
+    case object Simple extends Mode // filter/join/arrange
+  }
+
+  /** Emit SQL for an expression; `nameOf` resolves column uuids to
+    * (unquoted) source column names; `ambient` is the ambient grouping
+    * (already rendered) injected as the window partition in Project mode. */
+  def exprSql(e: ColExpr, nameOf: Long => String,
+      mode: Mode = Mode.Simple, ambient: Seq[String] = Nil,
+      typeOf: ColExpr => Option[DataType] = _ => None): String = {
+    def ty(x: ColExpr): Option[DataType] = typeOf(x)
+    def isTime(x: ColExpr): Boolean =
+      ty(x).exists(t => t == TimestampType || t == TimestampNTZType || t == DateType)
+    def isStr(x: ColExpr): Boolean = ty(x).contains(StringType)
+    def isInt(x: ColExpr): Boolean = ty(x).exists(DTypes.isIntegral)
     def go(e: ColExpr): String = e match {
       case ColRef(u, _, _) => s"`${nameOf(u)}`"
       case CName(n) => s"`$n`"
@@ -44,9 +59,110 @@ object SqlGen {
         val whens = branches.map { case (c, v) => s"WHEN ${go(c)} THEN ${go(v)}" }
         val els = otherwise.map(o => s" ELSE ${go(o)}").getOrElse("")
         s"CASE ${whens.mkString(" ")}$els END"
-      case Fn(op, args, _, _, _) => fnSql(op, args.map(go), args, go)
+      case fn @ Fn(op, args, _, _, _) => op.ftype match {
+        case FType.ElementWise => elemSql(fn, go)
+        case FType.Aggregate => aggSql(fn, go)
+        case FType.Window => windowSql(fn, go)
+      }
     }
+
+    // type-sensitive elementwise cases mirror the compiler exactly
+    def elemSql(fn: Fn, go: ColExpr => String): String = {
+      val Fn(op, args, _, _, _) = fn
+      lazy val a = args.map(go)
+      op.name match {
+        case "add" if args.forall(isStr) => s"CONCAT(${a(0)}, ${a(1)})"
+        case "add" if isTime(args(0)) =>
+          s"CAST(TIMESTAMP_MICROS(UNIX_MICROS(CAST(${a(0)} AS TIMESTAMP)) + ${a(1)}) AS TIMESTAMP_NTZ)"
+        case "add" if isTime(args(1)) =>
+          s"CAST(TIMESTAMP_MICROS(UNIX_MICROS(CAST(${a(1)} AS TIMESTAMP)) + ${a(0)}) AS TIMESTAMP_NTZ)"
+        case "sub" if args.forall(isTime) =>
+          s"(UNIX_MICROS(CAST(${a(0)} AS TIMESTAMP)) - UNIX_MICROS(CAST(${a(1)} AS TIMESTAMP)))"
+        case "floordiv" if args.forall(isInt) =>
+          s"CAST(CAST((${a(0)} - (${a(0)} % ${a(1)})) AS DECIMAL(38,0)) / " +
+            s"CAST(${a(1)} AS DECIMAL(38,0)) AS BIGINT)"
+        case "floordiv" => s"FLOOR(${a(0)} / ${a(1)})"
+        case _ => fnSql(op, a, args, go)
+      }
+    }
+
+    def ordSql(o: Ord): String = {
+      val d = if (o.desc) "DESC" else "ASC"
+      val nl = if (o.nullsLast) "NULLS LAST" else "NULLS FIRST"
+      s"${go(o.e)} $d $nl"
+    }
+
+    def overClause(pb: Seq[ColExpr], arrange: Seq[Ord], frame: String = ""): String = {
+      val part = (if (pb.nonEmpty) pb.map(go) else ambient) match {
+        case Nil => ""
+        case ps => s"PARTITION BY ${ps.mkString(", ")}"
+      }
+      val ord = if (arrange.nonEmpty) s"ORDER BY ${arrange.map(ordSql).mkString(", ")}" else ""
+      s"OVER (${Seq(part, ord, frame).filter(_.nonEmpty).mkString(" ")})"
+    }
+
+    def aggSql(fn: Fn, go: ColExpr => String): String = {
+      val Fn(op, args, pb, arrange, filterC) = fn
+      // filter= kwarg desugars to CASE-wrap, exactly like the compiler
+      def a0: String = filterC match {
+        case Some(c) => s"CASE WHEN ${go(c)} THEN ${go(args.head)} END"
+        case None => go(args.head)
+      }
+      val base = op.name match {
+        case "min" => s"MIN($a0)"
+        case "max" => s"MAX($a0)"
+        case "mean" => s"AVG(CAST($a0 AS DOUBLE))"
+        case "sum" => s"SUM($a0)"
+        case "any" => s"MAX($a0)"
+        case "all" => s"MIN($a0)"
+        case "count" => s"COUNT($a0)"
+        case "count_star" => filterC match {
+          case Some(c) => s"COUNT(CASE WHEN ${go(c)} THEN 1 END)"
+          case None => "COUNT(*)"
+        }
+        case other => throw new GraftError(s"sqlgen: no SQL rule for aggregate `$other`")
+      }
+      mode match {
+        case Mode.Agg => base
+        case Mode.Project =>
+          if (arrange.nonEmpty)
+            throw new GraftError("sqlgen: ordered aggregate-as-window not supported")
+          s"$base ${overClause(pb, Nil)}"
+        case Mode.Simple =>
+          throw new GraftError("sqlgen: aggregate not allowed in this context")
+      }
+    }
+
+    def windowSql(fn: Fn, go: ColExpr => String): String = {
+      if (mode != Mode.Project)
+        throw new GraftError("sqlgen: window function not allowed in this context")
+      val Fn(op, args, pb, arrange, _) = fn
+      if (arrange.isEmpty)
+        throw new GraftError(s"sqlgen: ${op.name} needs explicit arrange for SQL text")
+      op.name match {
+        case "row_number" => s"CAST(ROW_NUMBER() ${overClause(pb, arrange)} AS BIGINT)"
+        case "rank" => s"CAST(RANK() ${overClause(pb, arrange)} AS BIGINT)"
+        case "dense_rank" => s"CAST(DENSE_RANK() ${overClause(pb, arrange)} AS BIGINT)"
+        case "shift" =>
+          val n = fn.args(1) match { case Lit(i: Int, _) => i; case _ => throw new GraftError("shift n") }
+          val fill = go(fn.args(2))
+          val c = go(fn.args.head)
+          if (n >= 0) s"LAG($c, $n, $fill) ${overClause(pb, arrange)}"
+          else s"LEAD($c, ${-n}, $fill) ${overClause(pb, arrange)}"
+        case "cum_sum" =>
+          s"SUM(${go(args.head)}) ${overClause(pb, arrange,
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")}"
+        case other => throw new GraftError(s"sqlgen: no SQL rule for window `$other`")
+      }
+    }
+
     go(e)
+  }
+
+  def ordKeySql(o: Ord, nameOf: Long => String): String = {
+    val d = if (o.desc) "DESC" else "ASC"
+    val nl = if (o.nullsLast) "NULLS LAST" else "NULLS FIRST"
+    s"${exprSql(o.e, nameOf)} $d $nl"
   }
 
   private def fnSql(op: Op, a: Seq[String], raw: Seq[ColExpr], go: ColExpr => String): String =
@@ -63,6 +179,19 @@ object SqlGen {
       case "ceil" => s"CAST(CEIL(${a(0)}) AS DOUBLE)"
       case "sqrt" => s"SQRT(${a(0)})"
       case "exp" => s"EXP(${a(0)})"
+      case "log" => s"LN(${a(0)})"
+      case "log10" => s"LOG10(${a(0)})"
+      case "cbrt" => s"CBRT(${a(0)})"
+      case "sin" => s"SIN(${a(0)})"
+      case "cos" => s"COS(${a(0)})"
+      case "tan" => s"TAN(${a(0)})"
+      case "asin" => s"ASIN(${a(0)})"
+      case "acos" => s"ACOS(${a(0)})"
+      case "atan" => s"ATAN(${a(0)})"
+      case "round" => s"ROUND(${a(0)}, ${raw(1) match { case Lit(i: Int, _) => i; case _ => 0 }})"
+      case "is_nan" => s"ISNAN(${a(0)})"
+      case "is_inf" =>
+        s"(${a(0)} = double('inf') OR ${a(0)} = double('-inf'))"
       case "eq" => s"(${a(0)} = ${a(1)})"
       case "ne" => s"(${a(0)} != ${a(1)})"
       case "lt" => s"(${a(0)} < ${a(1)})"
@@ -88,6 +217,22 @@ object SqlGen {
       case "str.ends_with" => s"ENDSWITH(${a(0)}, ${a(1)})"
       case "str.contains" => s"CONTAINS(${a(0)}, ${a(1)})"
       case "str.slice" => s"SUBSTRING(${a(0)}, ${a(1)} + 1, ${a(2)})"
+      case "str.replace_all" => s"REPLACE(${a(0)}, ${a(1)}, ${a(2)})"
+      case "str.contains_regex" => s"(${a(0)} RLIKE ${a(1)})"
+      case "str.to_datetime" => s"TO_TIMESTAMP(${a(0)})"
+      case "str.to_date" => s"TO_DATE(${a(0)})"
+      case "dt.year" => s"CAST(YEAR(${a(0)}) AS BIGINT)"
+      case "dt.month" => s"CAST(MONTH(${a(0)}) AS BIGINT)"
+      case "dt.day" => s"CAST(DAY(${a(0)}) AS BIGINT)"
+      case "dt.hour" => s"CAST(HOUR(${a(0)}) AS BIGINT)"
+      case "dt.minute" => s"CAST(MINUTE(${a(0)}) AS BIGINT)"
+      case "dt.second" => s"CAST(SECOND(${a(0)}) AS BIGINT)"
+      case "dt.day_of_week" => s"CAST(((DAYOFWEEK(${a(0)}) + 5) % 7) + 1 AS BIGINT)"
+      case "dt.day_of_year" => s"CAST(DAYOFYEAR(${a(0)}) AS BIGINT)"
+      case "dt.millisecond" =>
+        s"CAST(UNIX_MICROS(CAST(${a(0)} AS TIMESTAMP)) % 1000000 DIV 1000 AS BIGINT)"
+      case "dt.microsecond" =>
+        s"CAST(UNIX_MICROS(CAST(${a(0)} AS TIMESTAMP)) % 1000000 AS BIGINT)"
       case "h.max" => s"GREATEST(${a.mkString(", ")})"
       case "h.min" => s"LEAST(${a.mkString(", ")})"
       case "coalesce" => s"COALESCE(${a.mkString(", ")})"

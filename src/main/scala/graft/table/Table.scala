@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, functions => 
 import org.apache.spark.sql.types._
 import graft.core._
 import graft.compile.{Ctx, ExprCompiler, Mode, Typing}
+import graft.sqlgen.{SqlGen, SqlQuery}
 
 /** Column metadata: stable uuid identity + current user-facing name +
   * visibility (hidden columns stay addressable via old [[ColRef]] handles
@@ -30,7 +31,8 @@ final class Table private[graft] (
     private[graft] val grouping: Vector[Long],
     private[graft] val rowIdUuid: Option[Long],
     private[graft] val ordered: Boolean,
-    val name: String) {
+    val name: String,
+    private[graft] val sqlQ: Option[SqlQuery] = None) {
 
   import Table._
 
@@ -94,8 +96,19 @@ final class Table private[graft] (
     ExprCompiler.compile(e, ctx(mode))
 
   private def withDf(df2: DataFrame, cols2: Vector[ColMeta] = cols,
-      grouping2: Vector[Long] = grouping, ordered2: Boolean = ordered): Table =
-    new Table(df2, cols2, grouping2, rowIdUuid, ordered2, name)
+      grouping2: Vector[Long] = grouping, ordered2: Boolean = ordered,
+      sqlQ2: Option[SqlQuery] = None): Table =
+    new Table(df2, cols2, grouping2, rowIdUuid, ordered2, name, sqlQ2)
+
+  // ---- SQL-text tracking (build_query) ----
+  private def sqlNameOf(u: Long): String = internal(u)
+  private def sqlTypeOf(e: ColExpr): Option[DataType] =
+    scala.util.Try(Typing.dtypeOf(e, dtypeOfUuid)).toOption
+  private def trySql(e: ColExpr, mode: SqlGen.Mode): Option[String] =
+    scala.util.Try(SqlGen.exprSql(e, sqlNameOf, mode,
+      grouping.map(u => s"`${internal(u)}`"), sqlTypeOf)).toOption
+  private def extendSql(f: SqlQuery => Option[SqlQuery]): Option[SqlQuery] =
+    sqlQ.flatMap(q => scala.util.Try(f(q)).toOption.flatten)
 
   /** Chaining for user-defined composite verbs — the analog of the
     * reference's `@verb` decorator (pipe/pipeable.py:55-102). */
@@ -120,7 +133,7 @@ final class Table private[graft] (
     // reorder visible cols to the selection order, hide the rest
     val hidden = cols.filterNot(c => keep(c.uuid)).map(_.copy(visible = false))
     val shown = uuids.map(u => cols.find(_.uuid == u).get.copy(visible = true))
-    withDf(df, shown.toVector ++ hidden)
+    withDf(df, shown.toVector ++ hidden, sqlQ2 = sqlQ)
   }
 
   def drop(selection: ColExpr*): Table = {
@@ -145,7 +158,7 @@ final class Table private[graft] (
     if (newVis.distinct.size != newVis.size)
       throw new GraftError(s"rename: name collision after renaming: " +
         newVis.diff(newVis.distinct).distinct.mkString(", "))
-    withDf(df, newCols)
+    withDf(df, newCols, sqlQ2 = sqlQ)
   }
 
   /** Add or overwrite computed columns. Aggregates under ambient grouping
@@ -166,7 +179,12 @@ final class Table private[graft] (
     val df2 = df.select(existing ++ added: _*)
     val overwritten = defs.map(_._1).toSet
     val kept = cols.map(c => if (c.visible && overwritten(c.name)) c.copy(visible = false) else c)
-    withDf(df2, kept ++ newMeta, ordered2 = ordered)
+    val sql2 = extendSql { q =>
+      val rendered = resolved.zip(newMeta).map { case ((_, e), m) =>
+        trySql(e, SqlGen.Mode.Project).map(sql => (m.uuid, sql)) }
+      if (rendered.forall(_.isDefined)) Some(q.mutate(rendered.map(_.get))) else None
+    }
+    withDf(df2, kept ++ newMeta, ordered2 = ordered, sqlQ2 = sql2)
   }
 
   /** Row filter; aggregates and window functions are forbidden
@@ -183,7 +201,11 @@ final class Table private[graft] (
       if (dt != BooleanType) throw new GraftTypeError(s"filter predicate must be Bool, got $dt")
       e
     }
-    withDf(df.filter(ps.map(e => compiled(e, Mode.Simple)).reduce(_ && _)))
+    val sql2 = extendSql { q =>
+      val rendered = ps.map(e => trySql(e, SqlGen.Mode.Simple))
+      if (rendered.forall(_.isDefined)) Some(q.filter(rendered.map(_.get))) else None
+    }
+    withDf(df.filter(ps.map(e => compiled(e, Mode.Simple)).reduce(_ && _)), sqlQ2 = sql2)
   }
 
   /** Stable multi-key sort (verbs.py:697). Stability comes from the hidden
@@ -197,7 +219,11 @@ final class Table private[graft] (
     val c = ctx(Mode.Simple)
     val sortCols = ExprCompiler.orderColumns(ords, c) ++
       rowIdUuid.map(u => df(internal(u)).asc)
-    withDf(df.orderBy(sortCols: _*), ordered2 = true)
+    val sql2 = extendSql { q =>
+      val rendered = ords.map(o => scala.util.Try(SqlGen.ordKeySql(o, sqlNameOf)).toOption)
+      if (rendered.forall(_.isDefined)) Some(q.orderBy(rendered.map(_.get))) else None
+    }
+    withDf(df.orderBy(sortCols: _*), ordered2 = true, sqlQ2 = sql2)
   }
 
   /** Set (or extend, with add=true) the ambient grouping — pure metadata,
@@ -212,10 +238,10 @@ final class Table private[graft] (
       case other => throw new GraftError(s"group_by expects columns, got $other")
     }
     val g2 = if (add) (grouping ++ us).distinct.toVector else us.distinct.toVector
-    withDf(df, grouping2 = g2)
+    withDf(df, grouping2 = g2, sqlQ2 = sqlQ)
   }
 
-  def ungroup: Table = withDf(df, grouping2 = Vector.empty)
+  def ungroup: Table = withDf(df, grouping2 = Vector.empty, sqlQ2 = sqlQ)
 
   /** Grouped aggregation; output = group keys + aggregates only. Every
     * non-aggregated leaf must be a grouping column (verbs.py:862,928-944). */
@@ -238,9 +264,15 @@ final class Table private[graft] (
       else df.groupBy(grouping.map(u => df(internal(u))): _*).agg(aggCols.head, aggCols.tail: _*)
     val ridMeta = ColMeta(ColIds.next.getAndIncrement(), RowIdName, visible = false)
     val out2 = out.withColumn(internal(ridMeta.uuid), F.monotonically_increasing_id())
+    val sql2 = extendSql { q =>
+      val rendered = resolved.zip(aggMeta).map { case ((_, e), m) =>
+        trySql(e, SqlGen.Mode.Agg).map(sql => (m.uuid, sql)) }
+      if (rendered.forall(_.isDefined)) Some(q.summarize(grouping, rendered.map(_.get)))
+      else None
+    }
     new Table(out2,
       keyNames.map(_.copy(visible = true)) ++ aggMeta :+ ridMeta,
-      Vector.empty, Some(ridMeta.uuid), ordered = false, name)
+      Vector.empty, Some(ridMeta.uuid), ordered = false, name, sql2)
   }
 
   private def checkSummarizeLeaves(e: ColExpr, defName: String): Unit = {
@@ -277,7 +309,8 @@ final class Table private[graft] (
       if (ordered) df
       else rowIdUuid.map(u => df.orderBy(df(internal(u)).asc)).getOrElse(df)
     val sliced = (if (offset > 0) base.offset(offset) else base).limit(n)
-    withDf(sliced, ordered2 = true)
+    val sql2 = extendSql(q => Some(q.limit(n, offset)))
+    withDf(sliced, ordered2 = true, sqlQ2 = sql2)
   }
 
   // ------------------------------------------------------------------
@@ -315,7 +348,14 @@ final class Table private[graft] (
     if (rNames.exists(leftVis)) throw new GraftError(
       s"join: suffix `$sfx` did not disambiguate: ${rNames.filter(leftVis).mkString(", ")}")
     // keep the left row-id as the combined surrogate order
-    new Table(joined, cols ++ rightCols, Vector.empty, rowIdUuid, ordered = false, name)
+    val sql2 = (for { l <- sqlQ; r <- right.sqlQ } yield {
+      val jTypeOf: ColExpr => Option[DataType] =
+        e => scala.util.Try(Typing.dtypeOf(e, joinCtx(right).dtype)).toOption
+      if (how == "cross") scala.util.Try(l.join(r, how, None)).toOption
+      else scala.util.Try(SqlGen.exprSql(cond, sqlNameOf, SqlGen.Mode.Simple, Nil, jTypeOf))
+        .toOption.flatMap(cs => scala.util.Try(l.join(r, how, Some(cs))).toOption)
+    }).flatten
+    new Table(joined, cols ++ rightCols, Vector.empty, rowIdUuid, ordered = false, name, sql2)
   }
 
   def innerJoin(right: Table, on: ColExpr, suffix: Option[String] = None,
@@ -416,11 +456,21 @@ final class Table private[graft] (
       val rt = right.dtypeOfUuid(right.col(n).uuid)
       n -> DTypes.lca(lt, rt)
     }.toMap
+    val outMeta = ln.map(n => ColMeta(ColIds.next.getAndIncrement(), n, visible = true))
     def proj(t: Table): DataFrame =
-      t.df.select(ln.map(n => t.df(internal(t.col(n).uuid)).cast(types(n)).as(n)): _*)
+      t.df.select(ln.zip(outMeta).map { case (n, m) =>
+        t.df(internal(t.col(n).uuid)).cast(types(n)).as(internal(m.uuid))
+      }: _*)
     val merged = proj(this).unionByName(proj(right))
     val out = if (distinct) merged.distinct() else merged
-    Table.fromDF(out, name)
+    val rid = ColMeta(ColIds.next.getAndIncrement(), RowIdName, visible = false)
+    val out2 = out.withColumn(internal(rid.uuid), F.monotonically_increasing_id())
+    val sql2 = (for { l <- sqlQ; r <- right.sqlQ } yield scala.util.Try(
+      l.union(r, ln.map(n => (col(n).uuid, types(n))),
+        ln.map(n => (right.col(n).uuid, types(n))), outMeta.map(_.uuid), distinct)
+    ).toOption).flatten
+    new Table(out2, outMeta.toVector :+ rid, Vector.empty, Some(rid.uuid),
+      ordered = false, name, sql2)
   }
 
   /** Fresh uuids for all columns — resets column references, enabling
@@ -431,8 +481,13 @@ final class Table private[graft] (
       df(internal(o.uuid)).as(internal(n.uuid))
     }: _*)
     val rid2 = rowIdUuid.map(u => fresh(cols.indexWhere(_.uuid == u)).uuid)
+    val sql2 = sqlQ.map { q =>
+      val pairs = cols.zip(fresh).filterNot(p => rowIdUuid.contains(p._1.uuid))
+        .map { case (o, n) => s"${internal(o.uuid)} AS ${internal(n.uuid)}" }
+      SqlQuery(s"SELECT ${pairs.mkString(", ")} FROM (\n${q.sql}\n)")
+    }
     new Table(df2, fresh, grouping.map(u => fresh(cols.indexWhere(_.uuid == u)).uuid),
-      rid2, ordered, newName)
+      rid2, ordered, newName, sql2)
   }
 
   // ------------------------------------------------------------------
@@ -514,6 +569,19 @@ final class Table private[graft] (
   def buildQuery: String = toDF.queryExecution.optimizedPlan.toString
   def explainFormatted(): Unit = toDF.explain("formatted")
 
+  /** Reference `build_query` proper: the pipeline as runnable Spark SQL
+    * text (maintained incrementally per verb, SURVEY §7.1 "sqlgen").
+    * Raises when the pipeline used a non-SQL-expressible construct.
+    * NOTE: the SQL text omits the hidden row-order surrogate, so ordering
+    * is only as deterministic as the emitted ORDER BY keys. */
+  def buildQuerySql: String = sqlQ match {
+    case Some(q) => q.render(visibleCols.map(c => (c.uuid, c.name)))
+    case None => throw new GraftError(
+      "build_query: pipeline contains a construct without a SQL rendering " +
+        "(engine-native hashing, evalAligned, collectNow, or a non-parquet source)")
+  }
+  def showQuery(): Unit = println(buildQuerySql)
+
   def astRepr: String = {
     val vis = visibleCols.map(c => s"${c.name}: ${dtypeOfUuid(c.uuid).simpleString}")
     s"Table `$name` [${vis.mkString(", ")}]" +
@@ -539,8 +607,12 @@ object Table {
     new Table(renamed, metas :+ rid, Vector.empty, Some(rid.uuid), ordered = false, name)
   }
 
-  def fromParquet(spark: SparkSession, path: String, name: String): Table =
-    fromDF(spark.read.parquet(path), name)
+  def fromParquet(spark: SparkSession, path: String, name: String): Table = {
+    val t = fromDF(spark.read.parquet(path), name)
+    val srcCols = t.cols.filterNot(c => t.rowIdUuid.contains(c.uuid))
+    val seed = SqlQuery.fromParquet(path, srcCols.map(c => (c.uuid, c.name)))
+    new Table(t.df, t.cols, t.grouping, t.rowIdUuid, t.ordered, name, Some(seed))
+  }
 
   /** A testdata star-schema table: `Table.source(spark, sfDir, "lineitem")`. */
   def source(spark: SparkSession, sfDir: String, table: String): Table =
