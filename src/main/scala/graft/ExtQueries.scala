@@ -320,6 +320,29 @@ object ExtQueries {
       |CAST(minute(ts) AS BIGINT) AS mi
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Deterministic hash-keyed sampling (reproducible dataset splits):
+    * ~12% sample + per-language stratified rates, both md5-keyed so the
+    * DuckDB oracle selects the identical rows. */
+  def x18HashSample(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val uni = graft.functions.sampling.hashSample(d, "doc_id", permille = 1200)
+      .select(F.col("doc_id")).withColumn("which", F.lit("uniform"))
+    val strat = graft.functions.sampling.stratifiedHashSample(d, "doc_id", "lang",
+        Map("en" -> 500, "zh" -> 10000), defaultPermille = 2000)
+      .select(F.col("doc_id")).withColumn("which", F.lit("stratified"))
+    uni.unionByName(strat).orderBy("which", "doc_id")
+  }
+
+  private val x18Oracle =
+    """WITH b AS (SELECT doc_id, lang,
+      |  CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, 'uniform' AS which FROM b WHERE bucket < 1200
+      |UNION ALL
+      |SELECT doc_id, 'stratified' AS which FROM b
+      |WHERE bucket < (CASE WHEN lang = 'zh' THEN 10000 WHEN lang = 'en' THEN 500 ELSE 2000 END)
+      |ORDER BY which, doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -339,7 +362,8 @@ object ExtQueries {
     "x14_events_sessionize" -> (x14EventsSessionize _),
     "x15_events_json_extract" -> (x15EventsJson _),
     "x16_asof_join" -> (x16AsofJoin _),
-    "x17_event_subsecond_parts" -> (x17EventParts _))
+    "x17_event_subsecond_parts" -> (x17EventParts _),
+    "x18_hash_sampling" -> (x18HashSample _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -355,5 +379,6 @@ object ExtQueries {
     "x14_events_sessionize" -> x14Oracle,
     "x15_events_json_extract" -> x15Oracle,
     "x16_asof_join" -> x16Oracle,
-    "x17_event_subsecond_parts" -> x17Oracle)
+    "x17_event_subsecond_parts" -> x17Oracle,
+    "x18_hash_sampling" -> x18Oracle)
 }

@@ -69,6 +69,14 @@ object Streams {
           UserSessionStats(userId, st.nEvents, st.nSessions)
       }
 
+  /** Streaming exact dedup: drops repeated ids within the watermark —
+    * state is bounded by the watermark horizon, the streaming face of
+    * batch exact dedup. */
+  def dedupeStream(events: DataFrame, idCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Drive a stream synchronously to a memory sink (testing/smoke). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

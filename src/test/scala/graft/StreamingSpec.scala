@@ -40,6 +40,21 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 5)
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      Streams.Event(1L, ts(0), 1L, "click", 1.0),
+      Streams.Event(1L, ts(1), 1L, "click", 1.0), // dup id within watermark
+      Streams.Event(2L, ts(2), 1L, "view", 2.0))
+      .toDS().write.mode("overwrite").parquet(dir)
+    val deduped = Streams.dedupeStream(Streams.readEventStream(spark, dir), "event_id")
+    Streams.runToMemory(deduped, "dedup_out", OutputMode.Append())
+    assert(spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L))
+  }
+
   test("stateful sessionization counts 30-min-gap sessions per user") {
     val dir = mkEvents()
     val events = spark.readStream.schema(Streams.eventSchema).parquet(dir).as[Streams.Event]
