@@ -361,32 +361,33 @@ object ExprCompiler {
   }
 
   /** An aggregate op: plain aggregation in summarize, windowed over the
-    * (explicit or ambient) partition in mutate (verbs.py:1605-1611). */
+    * (explicit or ambient) partition in mutate (verbs.py:1605-1611).
+    * `.over` is applied to the aggregate FUNCTION itself; ordered-collect
+    * post-processing (array_sort/transform) wraps outside the window. */
   private def compileAggLike(fn: Fn, ctx: Ctx): Column = {
-    val base = aggColumn(fn, ctx)
-    ctx.mode match {
-      case Mode.Agg => base
+    val w: Option[org.apache.spark.sql.expressions.WindowSpec] = ctx.mode match {
+      case Mode.Agg => None
       case Mode.Project =>
         val part =
           if (fn.partitionBy.nonEmpty) fn.partitionBy.map(p => compile(p, ctx))
           else ctx.ambient
-        val w0 = if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy()
-        if (fn.arrange.nonEmpty) {
-          val w = w0.orderBy(fn.arrange.map(o => orderCol(o, ctx)): _*)
-            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-          base.over(w)
-        } else base.over(w0)
+        // no orderBy: ordering for order-sensitive aggs is applied by the
+        // post-sort, so the frame is always the whole partition
+        Some(if (part.nonEmpty) Window.partitionBy(part: _*) else Window.partitionBy())
       case Mode.Simple =>
         throw new GraftFunctionTypeError(
           s"${fn.op.name}: aggregation not allowed in this context (filter/join/arrange)")
     }
+    aggColumn(fn, ctx, w)
   }
 
-  /** Build the raw aggregate Column, applying the `filter=` kwarg as the
-    * CASE-wrap desugaring (col_expr.py:2371-2383). Empty/all-null input
-    * yields null (not 0/false) natively on Spark except count. */
-  private def aggColumn(fn: Fn, ctx: Ctx): Column = {
+  /** Build the aggregate Column (optionally windowed), applying the
+    * `filter=` kwarg as the CASE-wrap desugaring (col_expr.py:2371-2383).
+    * Empty/all-null input yields null (not 0/false) natively except count. */
+  private def aggColumn(fn: Fn, ctx: Ctx,
+      w: Option[org.apache.spark.sql.expressions.WindowSpec]): Column = {
     val Fn(op, args, _, arrange, filterC) = fn
+    def fin(agg: Column): Column = w.map(agg.over).getOrElse(agg)
     def arg(i: Int): Column = {
       val raw = compile(args(i), ctx)
       filterC match {
@@ -396,22 +397,22 @@ object ExprCompiler {
     }
     lazy val at = args.map(a => Typing.dtypeOf(a, ctx.dtype))
     op.name match {
-      case "min" => F.min(arg(0))
-      case "max" => F.max(arg(0))
-      case "mean" => F.avg(arg(0).cast(DoubleType))
+      case "min" => fin(F.min(arg(0)))
+      case "max" => fin(F.max(arg(0)))
+      case "mean" => fin(F.avg(arg(0).cast(DoubleType)))
       case "sum" =>
-        if (at.head == BooleanType) F.sum(arg(0).cast(LongType)) else F.sum(arg(0))
-      case "any" => F.max(arg(0)) // bool max = any (sql.py:815-821)
-      case "all" => F.min(arg(0))
-      case "count" => F.count(arg(0))
+        if (at.head == BooleanType) fin(F.sum(arg(0).cast(LongType))) else fin(F.sum(arg(0)))
+      case "any" => fin(F.max(arg(0))) // bool max = any (sql.py:815-821)
+      case "all" => fin(F.min(arg(0)))
+      case "count" => fin(F.count(arg(0)))
       case "count_star" =>
         filterC match {
-          case Some(cond) => F.count(F.when(compile(cond, ctx), F.lit(1)))
-          case None => F.count(F.lit(1))
+          case Some(cond) => fin(F.count(F.when(compile(cond, ctx), F.lit(1))))
+          case None => fin(F.count(F.lit(1)))
         }
       case "str.join" =>
-        F.array_join(orderedCollect(arg(0), arrange, ctx), litStr(args(1)))
-      case "list.agg" => orderedCollect(arg(0), arrange, ctx)
+        F.array_join(orderedCollect(arg(0), arrange, ctx, fin), litStr(args(1)))
+      case "list.agg" => orderedCollect(arg(0), arrange, ctx, fin)
       case other => throw new GraftError(s"no compile rule for aggregate op $other")
     }
   }
@@ -420,20 +421,21 @@ object ExprCompiler {
     * structs, array_sort with a desc/nulls-aware comparator, then project
     * the value back out. Distributed-safe: ordering is applied after the
     * shuffle, not assumed from it. */
-  private def orderedCollect(value: Column, arrange: Seq[Ord], ctx: Ctx): Column = {
+  private def orderedCollect(value: Column, arrange: Seq[Ord], ctx: Ctx,
+      fin: Column => Column): Column = {
     if (arrange.isEmpty) {
       // deterministic even without arrange: sort by the row-id surrogate
       // (collect_list order after a shuffle is otherwise unspecified)
       ctx.rowId match {
         case Some(rid) =>
           F.transform(
-            F.array_sort(F.collect_list(F.struct(rid.as("k0"), value.as("v")))),
+            F.array_sort(fin(F.collect_list(F.struct(rid.as("k0"), value.as("v"))))),
             x => x.getField("v"))
-        case None => F.collect_list(value)
+        case None => fin(F.collect_list(value))
       }
     } else {
       val keys = arrange.zipWithIndex.map { case (o, i) => compile(o.e, ctx).as(s"k$i") }
-      val structs = F.collect_list(F.struct(keys :+ value.as("v"): _*))
+      val structs = fin(F.collect_list(F.struct(keys :+ value.as("v"): _*)))
       val cmp = (x: Column, y: Column) =>
         // pairwise field compare honoring desc / nullsLast per key
         arrange.zipWithIndex.foldRight(F.lit(0)) { case ((o, i), tail) =>

@@ -99,6 +99,14 @@ class JoinWindowSpec extends SparkSpec {
     assert(rows(j.select(C("lst"))) == Seq(Seq(Seq("b", "a")), Seq(Seq("c"))))
   }
 
+  test("ordered string agg as a window (mutate under grouping)") {
+    val t = tbl(Seq(("g1", 2L, "b"), ("g1", 1L, "a"), ("g2", 1L, "c")).toDF("g", "i", "s"))
+    val m = t.groupBy(C("g"))
+      .mutate("all_s" -> C("s").str.join("|", arrange = Seq(C("i"))))
+      .ungroup.arrange(C("g"), C("i"))
+    assert(rows(m.select(C("all_s"))) == Seq(Seq("a|b"), Seq("a|b"), Seq("c")))
+  }
+
   test("window inside summarize / agg in join condition are rejected") {
     val t = tbl(Seq(1.0).toDF("v"))
     intercept[GraftFunctionTypeError] {
