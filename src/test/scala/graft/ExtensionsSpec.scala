@@ -116,6 +116,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(j == Seq((1L, "a"), (2L, "b"), (3L, null))) // id3: no error ≤ ts
   }
 
+  test("curation pipeline: quality/lang filter + exact & near dedup compose") {
+    import graft.functions.pipelines
+    val curated = pipelines.curateDocuments(docsDf,
+      minQuality = 0.0, nearDupThreshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 4 is an exact dup of 1; doc 2 a near-dup of 1 → both dropped
+    assert(curated.contains(1L) && curated.contains(3L))
+    assert(!curated.contains(4L))
+    assert(!curated.contains(2L))
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val v = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
     val b1 = v.select(similarity.lshBucket(F.col("embedding"), 8, 4)).head().getLong(0)
