@@ -94,7 +94,9 @@ class FuzzSpec extends SparkSpec {
       (-2L, null, -2.25, 3.5, " y ", false),
       (null, 0L, null, 0.0, "", null),
       (3L, -1L, 0.0, null, null, true),
-      (5L, 5L, 2.5, 2.5, "YY", null)
+      (5L, 5L, 2.5, 2.5, "YY", null),
+      (Long.MaxValue / 4, 1L, -0.0, 1e50, "%_", false),
+      (-7L, 2L, 1e-51, -1.2e-39, "x" * 100, true)
     ).toDF("a", "a2", "b", "b2", "c", "d")
     d.createOrReplaceTempView("fuzz_t")
     d
