@@ -343,6 +343,19 @@ object ExtQueries {
       |WHERE bucket < (CASE WHEN lang = 'zh' THEN 10000 WHEN lang = 'en' THEN 500 ELSE 2000 END)
       |ORDER BY which, doc_id""".stripMargin
 
+  /** list.agg producing array columns (rows-only: list hashing is not
+    * portable across the parquet/DuckDB boundary). */
+  def x19ListAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.table.Table
+    Table.source(s, dir, "nation")
+      .groupBy(C("n_regionkey"))
+      .summarize(
+        "names" -> listAgg(C("n_name"), arrange = Seq(C("n_name"))),
+        "keys_desc" -> listAgg(C("n_nationkey"), arrange = Seq(C("n_nationkey").desc)))
+      .arrange(C("n_regionkey"))
+      .toDF
+  }
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -363,7 +376,8 @@ object ExtQueries {
     "x15_events_json_extract" -> (x15EventsJson _),
     "x16_asof_join" -> (x16AsofJoin _),
     "x17_event_subsecond_parts" -> (x17EventParts _),
-    "x18_hash_sampling" -> (x18HashSample _))
+    "x18_hash_sampling" -> (x18HashSample _),
+    "x19_list_agg" -> (x19ListAgg _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
