@@ -53,4 +53,29 @@ object multimodal {
           channels = 3)
       }
     }
+
+  /** Resize stage: recomputes geometry toward a bounding box preserving
+    * aspect ratio. STUB pixel path (real version transforms `payload`);
+    * the metadata math and typed plumbing are real. */
+  def resize(ds: Dataset[MediaFeatures], maxW: Int, maxH: Int): Dataset[MediaFeatures] =
+    ds.map { f =>
+      val w = math.max(1, f.width); val h = math.max(1, f.height)
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      f.copy(width = math.max(1, (w * scale).toInt),
+        height = math.max(1, (h * scale).toInt))
+    }
+
+  final case class Frame(doc_id: Long, frame_idx: Long, offset: Long, n_bytes: Long)
+  implicit val frameEnc: Encoder[Frame] = Encoders.product[Frame]
+
+  /** Frame-sampling stage for video-like payloads: every `stride` bytes
+    * becomes one sampled "frame" descriptor (offset + length). STUB frame
+    * extraction; the explode-shaped plumbing (one input row → N frame
+    * rows, computed lazily, no driver materialization) is real. */
+  def sampleFrames(ds: Dataset[MediaRow], stride: Long): Dataset[Frame] =
+    ds.flatMap { r =>
+      val n = math.max(1L, (r.n_bytes + stride - 1) / stride)
+      (0L until n).iterator.map(i =>
+        Frame(r.doc_id, i, i * stride, math.min(stride, r.n_bytes - i * stride)))
+    }
 }

@@ -103,6 +103,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(f.width == (43 % 640) && f.height == (43 % 480))
   }
 
+  test("multimodal: resize preserves aspect ratio within bounds; frame sampling explodes") {
+    val media = multimodal.toMedia(docsDf, "doc_id", "text")
+    val resized = multimodal.resize(multimodal.decodeFeatures(media), 10, 10).collect()
+    resized.foreach { f => assert(f.width <= 10 && f.height <= 10 && f.width >= 1) }
+    val frames = multimodal.sampleFrames(media, stride = 10L).collect()
+    val f1 = frames.filter(_.doc_id == 1L).sortBy(_.frame_idx)
+    // 43 bytes / stride 10 → 5 frames: 10+10+10+10+3
+    assert(f1.length == 5)
+    assert(f1.map(_.n_bytes).sum == 43L)
+    assert(f1.last.offset == 40L && f1.last.n_bytes == 3L)
+  }
+
   test("asof backward join picks latest right row <= left ts per key") {
     import graft.functions.joins
     def ts(min: Int) = new java.sql.Timestamp(

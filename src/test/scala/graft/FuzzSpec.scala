@@ -102,14 +102,17 @@ class FuzzSpec extends SparkSpec {
     d
   }
 
-  test("fuzz: DSL compiler == Spark SQL parser on 300 random expression trees") {
+  // deepen with GRAFT_FUZZ_N=2000 for one-off assurance runs
+  private val iterations = sys.env.getOrElse("GRAFT_FUZZ_N", "300").toInt
+
+  test(s"fuzz: DSL compiler == Spark SQL parser on $iterations random expression trees") {
     val t = tbl(df, "fuzz")
     val seed0 = rng.Seed(42L)
     var seed = seed0
     var n = 0
     var checked = 0
     val tyGen = Gen.oneOf[Ty](TLong, TDouble, TBool, TStr)
-    while (n < 300) {
+    while (n < iterations) {
       n += 1
       val g = for { ty <- tyGen; e <- expr(ty, 3) } yield e
       val e = g.pureApply(Gen.Parameters.default, seed)
@@ -121,7 +124,7 @@ class FuzzSpec extends SparkSpec {
         s"\nexpr: $e\nsql: $sql\ndsl=$viaDsl\nsql=$viaSql")
       checked += 1
     }
-    assert(checked == 300)
+    assert(checked == iterations)
   }
 
   // resolve CNames so SqlGen sees ColRefs with uuids mapped back to names

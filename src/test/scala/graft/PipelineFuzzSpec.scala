@@ -80,8 +80,10 @@ class PipelineFuzzSpec extends SparkSpec {
   private def arrangeAll(t: Table): Table =
     t.arrange(t.columns.map(n => C(n): ColExpr): _*)
 
-  test("fuzz: 40 random verb pipelines — SQL text == DataFrame compiler") {
-    (0 until 40).foreach { i =>
+  private val iterations = sys.env.getOrElse("GRAFT_PIPE_FUZZ_N", "40").toInt
+
+  test(s"fuzz: $iterations random verb pipelines — SQL text == DataFrame compiler") {
+    (0 until iterations).foreach { i =>
       val r = new Random(1000 + i)
       var t: Table = Table.source(spark, dir, "orders").drop(C("o_orderdate"))
       var summarized = false
