@@ -133,7 +133,8 @@ object ExtQueries {
         F.col("doc_id"),
         text.tokenCount(F.col("text")).as("n_tokens"),
         text.charCount(F.col("text")).as("n_chars2"),
-        text.distinctTokenCount(F.col("text")).as("n_distinct"))
+        text.distinctTokenCount(F.col("text")).as("n_distinct"),
+        text.bpeTokenCount(F.col("text")).as("n_bpe"))
       .orderBy("doc_id")
 
   private val x08Oracle =
@@ -141,7 +142,8 @@ object ExtQueries {
       |CASE WHEN length(trim(text)) = 0 THEN 0
       |     ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
       |CAST(length(text) AS BIGINT) AS n_chars2,
-      |CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct
+      |CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_distinct,
+      |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
 
   def x09Quality(s: SparkSession, dir: String): DataFrame =

@@ -22,6 +22,16 @@ object text {
   def distinctTokenCount(c: Column): Column =
     F.size(F.array_distinct(tokens(c))).cast(LongType)
 
+  /** BPE-ish subword pre-tokenization: word pieces OR single non-space
+    * symbols (the GPT-2-style pre-tokenizer shape, simplified to an
+    * RE2/Java-portable pattern). */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(c: Column): Column =
+    F.regexp_extract_all(c, F.lit(BpeTokenPattern), F.lit(0))
+
+  def bpeTokenCount(c: Column): Column = F.size(bpeTokens(c)).cast(LongType)
+
   /** count of regex matches (Spark regexp_count; oracle:
     * len(regexp_extract_all(...))). */
   def patternCount(c: Column, pattern: String): Column =
