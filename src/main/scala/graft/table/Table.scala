@@ -535,6 +535,19 @@ final class Table private[graft] (
   def backend: String = "spark"
   def isSqlBacked: Boolean = true
 
+  /** Positional splice of an external local sequence as a column — the
+    * reference's `Series` injection (col_expr.py:2771, pipe/aligned.py).
+    * Values are parallelized and joined by stable row position; the local
+    * data must fit in driver memory (it is external by definition). */
+  def withColumnFromSeq[T: org.apache.spark.sql.Encoder](
+      name2: String, values: Seq[T]): Table = {
+    val spark = df.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newLongEncoder}
+    val other = Table.fromDF(
+      values.toDS().toDF("__v"), s"series_$name2")
+    evalAligned(other, name2 -> CName("__v"))
+  }
+
   /** Positional splice of expressions computed against ANOTHER table —
     * the reference's `eval_aligned` escape hatch (pipe/aligned.py:15-137).
     * Both sides are numbered by their stable row order and joined on

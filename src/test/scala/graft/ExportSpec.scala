@@ -28,6 +28,12 @@ class ExportSpec extends SparkSpec {
     intercept[GraftError] { t.evalAligned(other, "s" -> C("v")) }
   }
 
+  test("withColumnFromSeq splices external local data positionally") {
+    val j = t.arrange(C("id")).withColumnFromSeq("w", Seq(0.5, 0.7))
+    assert(j.columns == Seq("id", "s", "w"))
+    assert(rows(j.arrange(C("id")).select(C("w"))) == Seq(Seq(0.5), Seq(0.7)))
+  }
+
   test("collectNow materializes and keeps pipelining") {
     val c = t.mutate("x" -> (C("id") * lit(2L))).collectNow()
     assert(c.filter(C("x") > lit(2L)).count() == 1)
