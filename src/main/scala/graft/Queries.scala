@@ -664,6 +664,30 @@ object Queries {
       |LIMIT 10 OFFSET 5""".stripMargin
 
   // ---------------------------------------------------------------
+  // q27 — statistical aggregates: count-distinct, median, quantile
+  // ---------------------------------------------------------------
+  def q27Stats(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "lineitem")
+      .groupBy(C("l_returnflag"))
+      .summarize(
+        "n_parts" -> C("l_partkey").nUnique(),
+        "n_supp" -> C("l_suppkey").nUnique(),
+        "med_qty" -> C("l_quantity").median(),
+        "q90_qty" -> C("l_quantity").quantile(0.9),
+        "med_cheap" -> C("l_quantity").median(filter = C("l_extendedprice") < lit(20000.0)))
+      .arrange(C("l_returnflag"))
+      .toDF
+
+  private val q27Oracle =
+    """SELECT l_returnflag,
+      |COUNT(DISTINCT l_partkey) AS n_parts,
+      |COUNT(DISTINCT l_suppkey) AS n_supp,
+      |CAST(MEDIAN(l_quantity) AS DOUBLE) AS med_qty,
+      |CAST(QUANTILE_CONT(l_quantity, 0.9) AS DOUBLE) AS q90_qty,
+      |CAST(MEDIAN(CASE WHEN l_extendedprice < 20000.0 THEN l_quantity END) AS DOUBLE) AS med_cheap
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------
   // registry
   // ---------------------------------------------------------------
 
@@ -694,7 +718,8 @@ object Queries {
     "q23_numeric_math" -> (q23Math _),
     "q24_trig_inf_nan" -> (q24Trig _),
     "q25_parse_regex" -> (q25Parse _),
-    "q26_nested_slice" -> (q26NestedSlice _))
+    "q26_nested_slice" -> (q26NestedSlice _),
+    "q27_stats_aggregates" -> (q27Stats _))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -723,5 +748,6 @@ object Queries {
     "q23_numeric_math" -> q23Oracle,
     "q24_trig_inf_nan" -> q24Oracle,
     "q25_parse_regex" -> q25Oracle,
-    "q26_nested_slice" -> q26Oracle)
+    "q26_nested_slice" -> q26Oracle,
+    "q27_stats_aggregates" -> q27Oracle)
 }

@@ -116,7 +116,9 @@ object Typing {
         if (a0 == BooleanType) LongType
         else if (isIntegral(a0)) LongType
         else a0
-      case "count" | "count_star" | "row_number" | "rank" | "dense_rank" => LongType
+      case "count" | "count_star" | "row_number" | "rank" | "dense_rank" |
+          "n_unique" | "approx_n_unique" => LongType
+      case "median" | "quantile" => DoubleType
       case "shift" => a0
       case "list.agg" => ArrayType(a0)
       case other => throw new GraftError(s"no typing rule for op $other")
@@ -410,6 +412,20 @@ object ExprCompiler {
           case Some(cond) => fin(F.count(F.when(compile(cond, ctx), F.lit(1))))
           case None => fin(F.count(F.lit(1)))
         }
+      case "n_unique" => w match {
+        // DISTINCT window functions are unsupported — count via collect_set
+        case Some(ws) =>
+          F.size(F.collect_set(compile(args.head, ctx)).over(ws)).cast(LongType)
+        case None => F.count_distinct(compile(args.head, ctx))
+      }
+      case "median" => fin(F.median(arg(0)).cast(DoubleType))
+      case "quantile" =>
+        val p = args(1) match {
+          case Lit(d: Double, _) => d
+          case other => throw new GraftTypeError(s"quantile: p must be a Double literal, got $other")
+        }
+        fin(F.percentile(arg(0), F.lit(p)).cast(DoubleType))
+      case "approx_n_unique" => fin(F.approx_count_distinct(arg(0)))
       case "str.join" =>
         F.array_join(orderedCollect(arg(0), arrange, ctx, fin), litStr(args(1)))
       case "list.agg" => orderedCollect(arg(0), arrange, ctx, fin)

@@ -84,6 +84,15 @@ sealed trait ColExpr {
     agg(ops.all, filter, partitionBy)
   def count(filter: ColExpr = null, partitionBy: Seq[ColExpr] = null): ColExpr =
     agg(ops.count, filter, partitionBy)
+  def nUnique(partitionBy: Seq[ColExpr] = null): ColExpr =
+    agg(ops.nUnique, null, partitionBy)
+  def median(filter: ColExpr = null, partitionBy: Seq[ColExpr] = null): ColExpr =
+    agg(ops.median, filter, partitionBy)
+  def quantile(p: Double, filter: ColExpr = null, partitionBy: Seq[ColExpr] = null): ColExpr =
+    Fn(ops.quantile, Seq(this, Lit(p)),
+      partitionBy = Option(partitionBy).getOrElse(Nil), filterC = Option(filter))
+  def approxNUnique(partitionBy: Seq[ColExpr] = null): ColExpr =
+    agg(ops.approxNUnique, null, partitionBy)
 
   private def agg(op: Op, filter: ColExpr, partitionBy: Seq[ColExpr]): ColExpr =
     Fn(op, Seq(this),
@@ -305,6 +314,11 @@ object ops {
   val countStar = Op("count_star", Aggregate)
   val strJoin = Op("str.join", Aggregate)
   val listAgg = Op("list.agg", Aggregate)
+  // statistical extensions (SURVEY §2.2 note: trivial on Spark)
+  val nUnique = Op("n_unique", Aggregate)
+  val median = Op("median", Aggregate)
+  val quantile = Op("quantile", Aggregate)
+  val approxNUnique = Op("approx_n_unique", Aggregate)
   // window (reference: ops/ops/window.py)
   val shift = Op("shift", Window)
   val rowNumber = Op("row_number", Window)

@@ -116,6 +116,11 @@ object SqlGen {
         case "any" => s"MAX($a0)"
         case "all" => s"MIN($a0)"
         case "count" => s"COUNT($a0)"
+        case "n_unique" => s"COUNT(DISTINCT ${go(args.head)})"
+        case "median" => s"CAST(MEDIAN($a0) AS DOUBLE)"
+        case "quantile" =>
+          val p = args(1) match { case Lit(d: Double, _) => d; case _ => 0.5 }
+          s"CAST(PERCENTILE($a0, $p) AS DOUBLE)"
         case "count_star" => filterC match {
           case Some(c) => s"COUNT(CASE WHEN ${go(c)} THEN 1 END)"
           case None => "COUNT(*)"

@@ -97,6 +97,23 @@ class VerbSpec extends SparkSpec {
     assert(rows(s) == Seq(Seq(null, null, 0L)))
   }
 
+  test("statistical aggregates: n_unique, median, quantile, approx distinct") {
+    val t = tbl(Seq(("a", 1L), ("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L))
+      .toDF("g", "v"))
+    val s = t.groupBy(C("g")).summarize(
+      "nu" -> C("v").nUnique(),
+      "med" -> C("v").median(),
+      "q50" -> C("v").quantile(0.5),
+      "anu" -> C("v").approxNUnique())
+      .arrange(C("g"))
+    assert(rows(s.select(C("nu"), C("med"), C("q50"))) ==
+      Seq(Seq(2L, 1.0, 1.0), Seq(2L, 3.0, 3.0)))
+    assert(rows(s.select(C("anu"))).flatten.forall(_.asInstanceOf[Long] == 2L))
+    // as windows under grouping
+    val w = t.groupBy(C("g")).mutate("nu" -> C("v").nUnique()).ungroup
+    assert(w.filter(C("nu") === lit(2L)).count() == 5)
+  }
+
   test("slice_head with offset; forbidden when grouped") {
     val s = t1.arrange(C("v").desc).sliceHead(2, offset = 1)
     assert(rows(s.select(C("id"))) == Seq(Seq(3L), Seq(2L)))
