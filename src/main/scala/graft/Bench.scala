@@ -38,6 +38,9 @@ object Bench {
       }
       val cold = once()
       val warm = once()
+      // drop anything a query persisted (e.g. LSH signature tables) so
+      // later queries aren't penalized by leaked cache memory
+      spark.catalog.clearCache()
       (name, cold, warm)
     }
     val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }

@@ -667,25 +667,25 @@ object Queries {
   // q27 — statistical aggregates: count-distinct, median, quantile
   // ---------------------------------------------------------------
   def q27Stats(s: SparkSession, dir: String): DataFrame =
-    src(s, dir, "lineitem")
-      .groupBy(C("l_returnflag"))
+    src(s, dir, "orders")
+      .groupBy(C("o_orderstatus"))
       .summarize(
-        "n_parts" -> C("l_partkey").nUnique(),
-        "n_supp" -> C("l_suppkey").nUnique(),
-        "med_qty" -> C("l_quantity").median(),
-        "q90_qty" -> C("l_quantity").quantile(0.9),
-        "med_cheap" -> C("l_quantity").median(filter = C("l_extendedprice") < lit(20000.0)))
-      .arrange(C("l_returnflag"))
+        "n_cust" -> C("o_custkey").nUnique(),
+        "n_prio" -> C("o_orderpriority").nUnique(),
+        "med_price" -> C("o_totalprice").median(),
+        "q90_price" -> C("o_totalprice").quantile(0.9),
+        "med_urgent" -> C("o_totalprice").median(filter = C("o_orderpriority") === lit("1-URGENT")))
+      .arrange(C("o_orderstatus"))
       .toDF
 
   private val q27Oracle =
-    """SELECT l_returnflag,
-      |COUNT(DISTINCT l_partkey) AS n_parts,
-      |COUNT(DISTINCT l_suppkey) AS n_supp,
-      |CAST(MEDIAN(l_quantity) AS DOUBLE) AS med_qty,
-      |CAST(QUANTILE_CONT(l_quantity, 0.9) AS DOUBLE) AS q90_qty,
-      |CAST(MEDIAN(CASE WHEN l_extendedprice < 20000.0 THEN l_quantity END) AS DOUBLE) AS med_cheap
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    """SELECT o_orderstatus,
+      |COUNT(DISTINCT o_custkey) AS n_cust,
+      |COUNT(DISTINCT o_orderpriority) AS n_prio,
+      |CAST(MEDIAN(o_totalprice) AS DOUBLE) AS med_price,
+      |CAST(QUANTILE_CONT(o_totalprice, 0.9) AS DOUBLE) AS q90_price,
+      |CAST(MEDIAN(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS DOUBLE) AS med_urgent
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   // ---------------------------------------------------------------
   // registry
