@@ -48,22 +48,32 @@ object ExtQueries {
       |COUNT(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  /** Exact 3-shingle Jaccard ≥ 0.8 with MinHash-LSH candidate generation
+    * (the scale-safe composition). The oracle is the ALL-PAIRS exact
+    * scan: with 32 bands of 2 rows a J ≥ 0.8 pair escapes the candidate
+    * set with probability (1-0.64)^32 ≈ 6e-15, so the LSH-fed result
+    * equals the quadratic scan on any realistic data. */
   def x02DedupJaccard(s: SparkSession, dir: String): DataFrame =
-    dedup.tokenJaccardPairs(docs(s, dir), "doc_id", "text", "source", minJ = 0.8)
+    dedup.jaccardPairsLsh(docs(s, dir), "doc_id", "text",
+        k = 3, numPerm = 64, bands = 32, minJ = 0.8)
       .orderBy("id_a", "id_b")
 
   private val x02Oracle =
-    """WITH t AS (SELECT doc_id, source,
-      |  list_distinct(string_split_regex(trim(text), '\s+')) AS toks
-      |  FROM documents)
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |  (CAST(len(a.toks) AS DOUBLE) + CAST(len(b.toks) AS DOUBLE)
-      |   - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) AS jaccard
-      |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-      |  (CAST(len(a.toks) AS DOUBLE) + CAST(len(b.toks) AS DOUBLE)
-      |   - CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)) >= 0.8
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |  (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |  (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash-LSH near-dup candidates — engine-native hashing, rows-only. */
@@ -72,9 +82,10 @@ object ExtQueries {
         k = 3, numPerm = 32, bands = 8, threshold = 0.5)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup candidates — engine-native hashing, rows-only. */
+  /** SimHash near-dup pairs via signature byte-chunk multi-index blocking
+    * (exact by pigeonhole) — engine-native hashing, rows-only. */
   def x04DedupSimhash(s: SparkSession, dir: String): DataFrame =
-    dedup.simhashPairs(docs(s, dir), "doc_id", "text", "source", maxDist = 6)
+    dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 6)
       .orderBy("id_a", "id_b")
 
   def x05DedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -345,8 +356,10 @@ object ExtQueries {
       |WHERE bucket < (CASE WHEN lang = 'zh' THEN 10000 WHEN lang = 'en' THEN 500 ELSE 2000 END)
       |ORDER BY which, doc_id""".stripMargin
 
-  /** list.agg producing array columns (rows-only: list hashing is not
-    * portable across the parquet/DuckDB boundary). */
+  /** list.agg (ordered collect) — the arrays are built by the DSL's
+    * listAgg, then rendered to delimited strings so the result is hashable
+    * by the cross-engine oracle (raw ArrayType semantics stay covered in
+    * VerbSpec). DuckDB side uses string_agg with matching ORDER BY. */
   def x19ListAgg(s: SparkSession, dir: String): DataFrame = {
     import graft.table.Table
     Table.source(s, dir, "nation")
@@ -356,7 +369,18 @@ object ExtQueries {
         "keys_desc" -> listAgg(C("n_nationkey"), arrange = Seq(C("n_nationkey").desc)))
       .arrange(C("n_regionkey"))
       .toDF
+      .select(
+        F.col("n_regionkey"),
+        F.array_join(F.col("names"), "|").as("names"),
+        F.array_join(F.transform(F.col("keys_desc"), _.cast("string")), "|")
+          .as("keys_desc"))
   }
+
+  private val x19Oracle =
+    """SELECT n_regionkey,
+      |string_agg(n_name, '|' ORDER BY n_name) AS names,
+      |string_agg(CAST(n_nationkey AS VARCHAR), '|' ORDER BY n_nationkey DESC) AS keys_desc
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
   // ---------------- registry ----------------
 
@@ -396,5 +420,6 @@ object ExtQueries {
     "x15_events_json_extract" -> x15Oracle,
     "x16_asof_join" -> x16Oracle,
     "x17_event_subsecond_parts" -> x17Oracle,
-    "x18_hash_sampling" -> x18Oracle)
+    "x18_hash_sampling" -> x18Oracle,
+    "x19_list_agg" -> x19Oracle)
 }

@@ -259,10 +259,9 @@ object ExprCompiler {
       case "truediv" => a0.cast(DoubleType) / a1.cast(DoubleType)
       case "floordiv" =>
         // truncation toward zero — C/SQL convention (arithmetic.py:49-87).
-        // (a - a%b)/b is exact; decimal intermediate keeps 64-bit range.
+        // IntegralDivide (`a DIV b`) is native 64-bit trunc-toward-zero.
         if (at.forall(isIntegral))
-          ((a0 - a0 % a1).cast(DecimalType(38, 0)) / a1.cast(DecimalType(38, 0)))
-            .cast(LongType)
+          F.call_function("div", a0.cast(LongType), a1.cast(LongType))
         else F.floor(a0 / a1)
       case "mod" => a0 % a1 // dividend sign — Spark native (arithmetic.py:89-128)
       case "pow" => F.pow(a0, a1)
@@ -300,8 +299,11 @@ object ExprCompiler {
       case "is_not_null" => a0.isNotNull
       case "fill_null" => F.coalesce(a0, a1)
       case "is_in" =>
-        // null propagates like chained `== OR ==` (comparison.py:55-67)
-        c.tail.map(v => a0 === v).reduce(_ || _)
+        // null propagates like chained `== OR ==` (comparison.py:55-67);
+        // empty value list = false for non-null input, null for null input
+        if (c.size <= 1)
+          F.when(a0.isNull, F.lit(null).cast(BooleanType)).otherwise(F.lit(false))
+        else c.tail.map(v => a0 === v).reduce(_ || _)
       case "clip" =>
         F.when(a0.isNull || a1.isNull || c(2).isNull, F.lit(null))
           .otherwise(F.least(F.greatest(a0, a1), c(2)))
@@ -352,10 +354,10 @@ object ExprCompiler {
     }
   }
 
-  /** truncating-toward-zero integer division by a positive constant. */
+  /** truncating-toward-zero integer division by a positive constant —
+    * native IntegralDivide, far cheaper codegen than a decimal round-trip. */
   private def intDiv(c: Column, d: Long): Column =
-    ((c - c % F.lit(d)).cast(DecimalType(38, 0)) / F.lit(d).cast(DecimalType(38, 0)))
-      .cast(LongType)
+    F.call_function("div", c, F.lit(d))
 
   private def litStr(e: ColExpr): String = e match {
     case Lit(s: String, _) => s

@@ -34,21 +34,28 @@ object dedup {
         i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(k)))))
   }
 
-  /** MinHash signature: `numPerm` permutations approximated by seeded
-    * xxhash64; each component is the min hash over the shingle set.
-    * ONE pass over the shingle array (shingle → 64-bit hash once, then
-    * `numPerm` cheap integer re-hashes folded with zip_with/least) — a
-    * single expression tree, so Catalyst's project-collapsing cannot
-    * duplicate the string-building work. Shuffle-free. */
-  def minhashSignature(c: Column, k: Int, numPerm: Int): Column = {
-    val hashes = F.transform(F.array_distinct(shingles(c, k)), s => F.xxhash64(s))
+  /** hashed distinct shingle set, sorted — the canonical per-document
+    * representation: set sizes (hence Jaccard) are unchanged absent
+    * 64-bit collisions (~1e-15 for 1k-shingle docs), and sorted arrays
+    * let the per-pair intersection be a codegen'd linear merge. */
+  def shingleHashes(c: Column, k: Int): Column =
+    F.array_sort(F.array_distinct(F.transform(shingles(c, k), s => F.xxhash64(s))))
+
+  /** MinHash signature from a pre-hashed shingle array: `numPerm`
+    * permutations approximated by seeded integer re-hashes folded with
+    * zip_with/least — ONE expression tree, so Catalyst's
+    * project-collapsing cannot duplicate the work. Shuffle-free. */
+  def minhashFromHashes(hashes: Column, numPerm: Int): Column =
     F.aggregate(
       hashes,
       F.array_repeat(F.lit(Long.MaxValue), numPerm),
       (acc, h) => F.zip_with(acc,
         F.array((0 until numPerm).map(i => F.xxhash64(F.lit(i), h)): _*),
         (a, b) => F.least(a, b)))
-  }
+
+  /** MinHash signature of a document's k-word shingle set. */
+  def minhashSignature(c: Column, k: Int, numPerm: Int): Column =
+    minhashFromHashes(shingleHashes(c, k), numPerm)
 
   /** LSH band keys over a MinHash signature: `bands` hashes of
     * signature slices of `rowsPerBand`. */
@@ -64,11 +71,13 @@ object dedup {
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
-    // materialize signatures once — at full scale this is the signature
-    // table a real pipeline would persist anyway
+    // no persist: both sides of the self-join shuffle the identical
+    // subplan on (band_idx, band_hash), so Spark's ReuseExchange computes
+    // the signatures once and reads the shuffle files twice — no cache
+    // leak for library callers (at full scale a real pipeline would
+    // still checkpoint the signature table explicitly)
     val sigs = df.select(F.col(idCol).as("id"),
         minhashSignature(F.col(textCol), k, numPerm).as("sig"))
-      .persist()
     // signatures ride along through the explode: no join-back needed
     val buckets = sigs
       .select(F.col("id"), F.col("sig"),
@@ -109,13 +118,45 @@ object dedup {
       .reduce(_ bitwiseOR _)
   }
 
-  /** SimHash near-duplicate pairs: Hamming distance ≤ `maxDist`, candidates
-    * blocked by `bucketCol` (at full scale: block by simhash byte-chunks,
-    * the standard multi-index approach). */
+  /** SimHash near-duplicate pairs via the standard multi-index blocking:
+    * the 64-bit signature is split into `maxDist + 1` bit chunks; by
+    * pigeonhole, any pair at Hamming distance ≤ `maxDist` agrees exactly
+    * on at least one chunk, so blocking on (chunk_idx, chunk_value) is
+    * EXACT — the result equals the all-pairs scan, at one shuffle on the
+    * chunk buckets plus bucket-local pairing. The 100 TB shape. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame = {
+    val nChunks = maxDist + 1
+    require(nChunks <= 64, "simhashPairs: maxDist must be < 64")
+    val widths = {
+      val base = 64 / nChunks; val rem = 64 % nChunks
+      (0 until nChunks).map(i => if (i < rem) base + 1 else base)
+    }
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sigs = df.select(F.col(idCol).as("id"), simhash64(F.col(textCol)).as("sim"))
+    val chunkVals = F.array((0 until nChunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      F.shiftrightunsigned(F.col("sim"), offsets(i)).bitwiseAND(F.lit(mask))
+    }: _*)
+    val blocks = sigs.select(F.col("id"), F.col("sim"),
+      F.posexplode(chunkVals).as(Seq("chunk_idx", "chunk_val")))
+    blocks.as("a").join(blocks.as("b"),
+        F.col("a.chunk_idx") === F.col("b.chunk_idx") &&
+        F.col("a.chunk_val") === F.col("b.chunk_val") &&
+        F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).as("hamming"))
+      .filter(F.col("hamming") <= maxDist)
+      .distinct() // a pair may agree on several chunks
+  }
+
+  /** All-pairs SimHash Hamming scan inside caller-supplied blocking
+    * buckets — the quadratic verification stage; use [[simhashPairs]]'s
+    * multi-index blocking at scale. */
+  def simhashPairsWithin(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, maxDist: Int): DataFrame = {
     val sigs = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
-      simhash64(F.col(textCol)).as("sim")).persist()
+      simhash64(F.col(textCol)).as("sim"))
     sigs.as("a").join(sigs.as("b"),
         F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
@@ -131,8 +172,46 @@ object dedup {
     inter / union
   }
 
+  /** Exact k-shingle Jaccard pairs ≥ `minJ`, with candidate pairs from
+    * MinHash-LSH banding instead of a quadratic scan — the scale-safe
+    * composition (LSH candidates → exact verification). Candidates are
+    * any pair sharing at least one band bucket (no estimate pre-filter:
+    * the exact measure decides), so a J ≥ minJ pair is missed only with
+    * probability (1-minJ^r)^bands — ~1e-14 at the defaults for J ≥ 0.8.
+    * Candidate generation shuffles only (id, band_hash); the shingle
+    * arrays travel once, through the verification joins. */
+  def jaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 32,
+      minJ: Double = 0.8): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    val sh = df.select(F.col(idCol).as("id"),
+        shingleHashes(F.col(textCol), k).as("sh"))
+      .withColumn("n", F.size(F.col("sh")).cast(DoubleType))
+    // sig must cross a projection boundary as a NAMED column: inlining it
+    // into the 32 band-key expressions would duplicate the whole minhash
+    // fold 64× in the expression tree (catastrophic analysis/codegen cost)
+    val buckets = df.select(F.col(idCol).as("id"),
+        minhashFromHashes(shingleHashes(F.col(textCol), k), numPerm).as("sig"))
+      .select(F.col("id"),
+        F.posexplode(lshBandKeys(F.col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        F.col("a.band_idx") === F.col("b.band_idx") &&
+        F.col("a.band_hash") === F.col("b.band_hash") &&
+        F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
+      .distinct()
+    val inter = F.call_function("graft_intersect_count",
+      F.col("a.sh"), F.col("b.sh")).cast(DoubleType)
+    cand.join(sh.as("a"), F.col("id_a") === F.col("a.id"))
+      .join(sh.as("b"), F.col("id_b") === F.col("b.id"))
+      .select(F.col("id_a"), F.col("id_b"),
+        (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
+      .filter(F.col("jaccard") >= minJ)
+  }
+
   /** All-pairs-within-bucket exact token Jaccard ≥ `minJ`. The bucket
-    * column bounds the quadratic blow-up (use LSH candidates upstream at
+    * column bounds the quadratic blow-up (use [[jaccardPairsLsh]] at
     * full scale). */
   def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       bucketCol: String, minJ: Double): DataFrame = {

@@ -87,6 +87,24 @@ object similarity {
       .select("q_id", "n_id", "cos", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs with candidates from
+    * hyperplane-LSH buckets — the scale path: one shuffle on the bucket
+    * key, bucket-local pairing, exact cosine verification. Recall for
+    * pairs at angle θ is (1-θ/π)^nPlanes per probe; fewer planes = bigger
+    * buckets = higher recall (use [[cosinePairs]] as the exact
+    * verification stage when candidates come from elsewhere). */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, nPlanes: Int, minCos: Double): DataFrame = {
+    val v = df.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
+      norm(F.col(vecCol)).as("nrm"),
+      lshBucket(F.col(vecCol), dim, nPlanes).as("bucket"))
+    v.as("a").join(v.as("b"),
+        F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
+      .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
+        (dot(F.col("a.vec"), F.col("b.vec")) / F.col("a.nrm") / F.col("b.nrm")).as("cos"))
+      .filter(F.col("cos") >= minCos)
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocking buckets. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, minCos: Double): DataFrame = {

@@ -16,6 +16,12 @@ object skew {
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       factor: Int, how: String = "inner"): DataFrame = {
     require(factor > 0, "saltedJoin: factor must be positive")
+    // right/full outer would emit each unmatched right row `factor` times
+    // (the replicas have no left partner to collapse against)
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+        "leftsemi", "left_anti", "leftanti", "semi", "anti").contains(how),
+      s"saltedJoin: right-preserving join type `$how` is not supported " +
+        "(the replicated right side would duplicate unmatched right rows)")
     val salted = left.withColumn("__salt",
       F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(factor)).cast(IntegerType))
     val replicated = right.withColumn("__salt",

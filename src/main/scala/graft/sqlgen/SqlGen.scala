@@ -79,8 +79,7 @@ object SqlGen {
         case "sub" if args.forall(isTime) =>
           s"(UNIX_MICROS(CAST(${a(0)} AS TIMESTAMP)) - UNIX_MICROS(CAST(${a(1)} AS TIMESTAMP)))"
         case "floordiv" if args.forall(isInt) =>
-          s"CAST(CAST((${a(0)} - (${a(0)} % ${a(1)})) AS DECIMAL(38,0)) / " +
-            s"CAST(${a(1)} AS DECIMAL(38,0)) AS BIGINT)"
+          s"(CAST(${a(0)} AS BIGINT) DIV CAST(${a(1)} AS BIGINT))"
         case "floordiv" => s"FLOOR(${a(0)} / ${a(1)})"
         case _ => fnSql(op, a, args, go)
       }
@@ -206,7 +205,10 @@ object SqlGen {
       case "is_null" => s"(${a(0)} IS NULL)"
       case "is_not_null" => s"(${a(0)} IS NOT NULL)"
       case "fill_null" => s"COALESCE(${a(0)}, ${a(1)})"
-      case "is_in" => a.tail.map(v => s"(${a(0)} = $v)").mkString("(", " OR ", ")")
+      case "is_in" =>
+        if (a.size <= 1)
+          s"(CASE WHEN ${a(0)} IS NULL THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+        else a.tail.map(v => s"(${a(0)} = $v)").mkString("(", " OR ", ")")
       case "and" => s"(${a(0)} AND ${a(1)})"
       case "or" => s"(${a(0)} OR ${a(1)})"
       case "xor" => s"(${a(0)} != ${a(1)})"
@@ -238,6 +240,14 @@ object SqlGen {
         s"CAST(UNIX_MICROS(CAST(${a(0)} AS TIMESTAMP)) % 1000000 DIV 1000 AS BIGINT)"
       case "dt.microsecond" =>
         s"CAST(UNIX_MICROS(CAST(${a(0)} AS TIMESTAMP)) % 1000000 AS BIGINT)"
+      // durations are Long microseconds; extractors are trunc-toward-zero
+      // integer division, same as the compiler's intDiv
+      case "dur.days" => s"(${a(0)} DIV 86400000000)"
+      case "dur.hours" => s"(${a(0)} DIV 3600000000)"
+      case "dur.minutes" => s"(${a(0)} DIV 60000000)"
+      case "dur.seconds" => s"(${a(0)} DIV 1000000)"
+      case "dur.milliseconds" => s"(${a(0)} DIV 1000)"
+      case "dur.microseconds" => a(0)
       case "h.max" => s"GREATEST(${a.mkString(", ")})"
       case "h.min" => s"LEAST(${a.mkString(", ")})"
       case "coalesce" => s"COALESCE(${a.mkString(", ")})"

@@ -35,6 +35,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(!ids.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
   }
 
+  test("LSH-fed jaccard pairs equal the all-pairs exact scan") {
+    val lsh = dedup.jaccardPairsLsh(docsDf, "doc_id", "text",
+        k = 2, numPerm = 64, bands = 32, minJ = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = dedup.tokenJaccardPairs( // constant bucket = true all-pairs…
+        docsDf.withColumn("one", F.lit(1)), "doc_id", "text", "one", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // …re-measured on 2-shingles for comparability
+    val sh2 = docsDf.select(F.col("doc_id"),
+      dedup.shingleHashes(F.col("text"), 2).as("sh"))
+    val exact = sh2.as("a").join(sh2.as("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+      .select(F.col("a.doc_id"), F.col("b.doc_id"),
+        dedup.tokenJaccard(F.col("a.sh"), F.col("b.sh")).as("j"))
+      .filter(F.col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact) // recall 1 here: identical + 1-word-edit docs
+    assert(all.nonEmpty) // the quadratic verification stage still works
+  }
+
+  test("simhash multi-index blocking equals the all-pairs Hamming scan") {
+    val multi = dedup.simhashPairs(docsDf, "doc_id", "text", maxDist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val allPairs = dedup.simhashPairsWithin(
+        docsDf.withColumn("one", F.lit(1)), "doc_id", "text", "one", maxDist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(multi == allPairs) // pigeonhole blocking is exact, not approximate
+    assert(multi.exists { case (a, b, d) => a == 1L && b == 4L && d == 0 })
+  }
+
+  test("cosine LSH pairs: same-bucket near-dups verified exactly") {
+    val v = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val p = similarity.cosinePairsLsh(v, "vec_id", "embedding",
+        dim = 4, nPlanes = 2, minCos = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((1L, 2L))) // near-identical vectors share every sign bit
+    assert(!p.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
+  }
+
+  test("saltedJoin rejects right-preserving join types") {
+    import graft.functions.skew
+    val l = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      skew.saltedJoin(l, l, Seq("k"), factor = 4, how = "full_outer")
+    }
+  }
+
   test("native simhash expression equals the portable built-ins version") {
     val both = docsDf.select(dedup.simhash64(F.col("text")).as("a"),
       dedup.simhash64Portable(F.col("text")).as("b")).collect()
