@@ -72,6 +72,10 @@ object Typing {
   import DTypes.isTimeLike
 
   private def fnType(op: Op, at: Seq[DataType], args: Seq[ColExpr]): DataType = {
+    // eager signature check (reference signature.py trie + conversion
+    // lattice): ill-typed arguments raise here, at verb application,
+    // never reaching Spark's implicit coercion
+    Signatures.validate(op, at, args)
     def a0 = at.head
     def numBin(): DataType = {
       val t = lcaAll(at)
@@ -96,7 +100,7 @@ object Typing {
       case "mod" => numBin()
       case "pow" | "log" | "log10" | "exp" | "sqrt" | "cbrt" | "sin" | "cos" |
           "tan" | "asin" | "acos" | "atan" | "floor" | "ceil" => DoubleType
-      case "neg" | "abs" | "round" => a0
+      case "neg" | "pos" | "abs" | "round" => a0
       case "rand" => DoubleType
       case "is_inf" | "is_nan" | "is_null" | "is_not_null" | "is_in" |
           "eq" | "ne" | "lt" | "le" | "gt" | "ge" |
@@ -266,6 +270,7 @@ object ExprCompiler {
       case "mod" => a0 % a1 // dividend sign — Spark native (arithmetic.py:89-128)
       case "pow" => F.pow(a0, a1)
       case "neg" => -a0
+      case "pos" => a0 // unary + is the identity (numeric.py:35)
       case "abs" => F.abs(a0)
       case "round" =>
         val d = fn.args(1) match {
@@ -349,7 +354,8 @@ object ExprCompiler {
       case "coalesce" => F.coalesce(c: _*)
       case "h.any" => c.reduce(_ || _)
       case "h.all" => c.reduce(_ && _)
-      case "h.sum" => c.reduce(_ + _)
+      case "h.sum" =>
+        if (at.forall(_ == StringType)) F.concat(c: _*) else c.reduce(_ + _)
       case other => throw new GraftError(s"no compile rule for elementwise op $other")
     }
   }

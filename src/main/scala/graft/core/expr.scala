@@ -18,6 +18,7 @@ sealed trait ColExpr {
   def %(other: ColExpr): ColExpr = Fn(ops.mod, Seq(this, other))
   def pow(other: ColExpr): ColExpr = Fn(ops.pow, Seq(this, other))
   def unary_- : ColExpr = Fn(ops.neg, Seq(this))
+  def unary_+ : ColExpr = Fn(ops.pos, Seq(this))
   def unary_! : ColExpr = Fn(ops.not, Seq(this))
 
   def ===(other: ColExpr): ColExpr = Fn(ops.eq, Seq(this, other))
@@ -238,6 +239,7 @@ object ops {
   // numeric (reference: ops/ops/numeric.py)
   val pow = Op("pow", ElementWise)
   val neg = Op("neg", ElementWise)
+  val pos = Op("pos", ElementWise)
   val abs = Op("abs", ElementWise)
   val round = Op("round", ElementWise)
   val floor = Op("floor", ElementWise)

@@ -46,6 +46,15 @@ object DTypes {
     case _ => false
   }
 
+  /** the exact decimal type covering an integral's range
+    * (Spark's own forType mapping). */
+  private def integralAsDecimal(t: DataType): DecimalType = t match {
+    case ByteType => DecimalType(3, 0)
+    case ShortType => DecimalType(5, 0)
+    case IntegerType => DecimalType(10, 0)
+    case _ => DecimalType(20, 0)
+  }
+
   private def intRank(t: DataType): Int = t match {
     case ByteType => 1
     case ShortType => 2
@@ -68,8 +77,17 @@ object DTypes {
       if (x == DoubleType || y == DoubleType) DoubleType else FloatType
     case (x, y) if isIntegral(x) && isFloating(y) => DoubleType
     case (x, y) if isFloating(x) && isIntegral(y) => DoubleType
-    case (x: DecimalType, y) if isNumeric(y) => DoubleType
-    case (x, y: DecimalType) if isNumeric(x) => DoubleType
+    // Decimal lca (reference types.py:208-216): widen to cover both the
+    // integer part (max precision-scale) and the fractional part (max
+    // scale); integrals enter as Decimal(p, 0) by their range
+    case (x: DecimalType, y: DecimalType) =>
+      val scale = math.max(x.scale, y.scale)
+      val intPart = math.max(x.precision - x.scale, y.precision - y.scale)
+      DecimalType(math.min(intPart + scale, DecimalType.MAX_PRECISION), scale)
+    case (x: DecimalType, y) if isIntegral(y) => lca(x, integralAsDecimal(y))
+    case (x, y: DecimalType) if isIntegral(x) => lca(integralAsDecimal(x), y)
+    case (x: DecimalType, y) if isFloating(y) => DoubleType // Decimal→Float (0,1)
+    case (x, y: DecimalType) if isFloating(x) => DoubleType
     case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
     case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) => TimestampNTZType
     case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) => TimestampType

@@ -178,6 +178,7 @@ object SqlGen {
       case "mod" => s"(${a(0)} % ${a(1)})"
       case "pow" => s"POW(${a(0)}, ${a(1)})"
       case "neg" => s"(- ${a(0)})"
+      case "pos" => a(0)
       case "abs" => s"ABS(${a(0)})"
       case "floor" => s"CAST(FLOOR(${a(0)}) AS DOUBLE)"
       case "ceil" => s"CAST(CEIL(${a(0)}) AS DOUBLE)"

@@ -55,8 +55,10 @@ class FuzzSpec extends SparkSpec {
       for { x <- expr(TLong, d - 1); y <- expr(TLong, d - 1) } yield x.fillNull(y),
       for { c <- expr(TBool, d - 1); x <- expr(TLong, d - 1); y <- expr(TLong, d - 1) }
         yield when(c).then_(x).otherwise(y),
-      for { x <- expr(TLong, d - 1); lo <- litGen(TLong); hi <- litGen(TLong) }
-        yield x.clip(hmin(lo, hi), hmax(lo, hi)))
+      // clip bounds are Const params (literals only, reference string.py
+      // Const enforcement) — order them at generation time
+      for { x <- expr(TLong, d - 1); a <- Gen.choose(-6L, 6L); b <- Gen.choose(-6L, 6L) }
+        yield x.clip(lit(math.min(a, b)), lit(math.max(a, b))))
     case TDouble => Gen.oneOf(
       for { x <- expr(TDouble, d - 1); y <- expr(TDouble, d - 1) } yield x + y,
       for { x <- expr(TDouble, d - 1); y <- expr(TDouble, d - 1) } yield x * y,
