@@ -691,6 +691,95 @@ object Queries {
   // registry
   // ---------------------------------------------------------------
 
+  // ---------------------------------------------------------------
+  // q28 — oracle-coverage closers: asin/acos, xor, str.strip,
+  // dur.minutes, is_not_nan, unary pos, shift with non-null fill,
+  // nulls_first/nulls_last arrange markers (observable via slice_head)
+  // ---------------------------------------------------------------
+  def q28Coverage(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "customer")
+      .mutate("x" -> ((C("c_custkey") % lit(7L)).cast(DoubleType) / lit(7.0) - lit(0.5)))
+      .mutate(
+        "v" -> when(C("c_custkey") % lit(5L) === lit(0L)).then_(lit(Double.NaN))
+          .otherwise(C("c_acctbal")),
+        "nb" -> when(C("c_custkey") % lit(4L) === lit(0L)).then_(lit(null))
+          .otherwise(C("c_acctbal")),
+        "nb2" -> when(C("c_custkey") % lit(3L) === lit(0L)).then_(lit(null))
+          .otherwise(C("c_acctbal")))
+      .mutate(
+        "asn" -> C("x").asin.round(9),
+        "acs" -> C("x").acos.round(9),
+        "xr" -> ((C("c_custkey") % lit(2L) === lit(0L)) ^
+          (C("c_nationkey") % lit(2L) === lit(0L))),
+        "st" -> (lit("  ") + C("c_name") + lit(" ")).str.strip,
+        "nn" -> C("v").isNotNan,
+        "mins" -> (C("c_custkey") * lit(90000000L)).dur.minutes,
+        "p" -> +C("c_acctbal"),
+        "prev2" -> C("c_acctbal").shift(2, fill = lit(-1.0),
+          partitionBy = Seq(C("c_mktsegment")), arrange = Seq(C("c_custkey"))))
+      .arrange(C("nb").nullsFirst, C("nb2").desc.nullsLast, C("c_custkey"))
+      .sliceHead(60)
+      .select(C("c_custkey"), C("asn"), C("acs"), C("xr"), C("st"), C("nn"),
+        C("mins"), C("p"), C("prev2"), C("nb"), C("nb2"))
+      .toDF
+
+  private val q28Oracle =
+    """WITH b AS (
+      |SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+      |  CAST(c_custkey % 7 AS DOUBLE) / 7.0 - 0.5 AS x,
+      |  CASE WHEN c_custkey % 5 = 0 THEN 'nan'::DOUBLE ELSE c_acctbal END AS v,
+      |  CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_acctbal END AS nb,
+      |  CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS nb2
+      |FROM customer)
+      |SELECT c_custkey,
+      |ROUND(ASIN(x), 9) AS asn, ROUND(ACOS(x), 9) AS acs,
+      |((c_custkey % 2 = 0) != (c_nationkey % 2 = 0)) AS xr,
+      |TRIM('  ' || c_name || ' ') AS st,
+      |NOT isnan(v) AS nn,
+      |(c_custkey * 90000000) // 60000000 AS mins,
+      |c_acctbal AS p,
+      |lag(c_acctbal, 2, -1.0) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS prev2,
+      |nb, nb2
+      |FROM b
+      |ORDER BY nb ASC NULLS FIRST, nb2 DESC NULLS LAST, c_custkey
+      |LIMIT 60""".stripMargin
+
+  // ---------------------------------------------------------------
+  // q29 — Decimal-typed pipeline: casts, Decimal lca across CASE
+  // branches, decimal arithmetic, decimal aggregation (as a window);
+  // results rendered as strings (scale is part of the rendering, so
+  // the lca/widening rules are observable in the hash)
+  // ---------------------------------------------------------------
+  def q29Decimal(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate(
+        "d1" -> C("o_totalprice").cast(DecimalType(12, 2)),
+        "d2" -> C("o_totalprice").cast(DecimalType(14, 4)))
+      .mutate(
+        "mix" -> when(C("o_orderkey") % lit(2L) === lit(0L)).then_(C("d1"))
+          .otherwise(C("d2")), // lca(Decimal(12,2), Decimal(14,4)) = Decimal(14,4)
+        "pls" -> (C("d1") + C("d1")),
+        "tot" -> C("d1").sum(partitionBy = Seq(C("o_orderstatus"))))
+      .mutate(
+        "d1s" -> C("d1").cast(StringType),
+        "mixs" -> C("mix").cast(StringType),
+        "plss" -> C("pls").cast(StringType),
+        "tots" -> C("tot").cast(StringType))
+      .select(C("o_orderkey"), C("d1s"), C("mixs"), C("plss"), C("tots"))
+      .arrange(C("o_orderkey"))
+      .toDF
+
+  private val q29Oracle =
+    """WITH b AS (SELECT o_orderkey, o_orderstatus,
+      |  CAST(o_totalprice AS DECIMAL(12,2)) AS d1,
+      |  CAST(o_totalprice AS DECIMAL(14,4)) AS d2 FROM orders)
+      |SELECT o_orderkey,
+      |CAST(d1 AS VARCHAR) AS d1s,
+      |CAST(CASE WHEN o_orderkey % 2 = 0 THEN d1 ELSE d2 END AS VARCHAR) AS mixs,
+      |CAST(d1 + d1 AS VARCHAR) AS plss,
+      |CAST(SUM(d1) OVER (PARTITION BY o_orderstatus) AS VARCHAR) AS tots
+      |FROM b ORDER BY o_orderkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summarize_flagship" -> (q1Agg _),
     "q02_select_mutate_arith" -> (q2Mutate _),
@@ -719,7 +808,9 @@ object Queries {
     "q24_trig_inf_nan" -> (q24Trig _),
     "q25_parse_regex" -> (q25Parse _),
     "q26_nested_slice" -> (q26NestedSlice _),
-    "q27_stats_aggregates" -> (q27Stats _))
+    "q27_stats_aggregates" -> (q27Stats _),
+    "q28_coverage_closers" -> (q28Coverage _),
+    "q29_decimal_pipeline" -> (q29Decimal _))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -749,5 +840,7 @@ object Queries {
     "q24_trig_inf_nan" -> q24Oracle,
     "q25_parse_regex" -> q25Oracle,
     "q26_nested_slice" -> q26Oracle,
-    "q27_stats_aggregates" -> q27Oracle)
+    "q27_stats_aggregates" -> q27Oracle,
+    "q28_coverage_closers" -> q28Oracle,
+    "q29_decimal_pipeline" -> q29Oracle)
 }

@@ -119,7 +119,11 @@ object Typing {
       case "sum" | "cum_sum" =>
         if (a0 == BooleanType) LongType
         else if (isIntegral(a0)) LongType
-        else a0
+        else a0 match {
+          // Spark widens sum-of-decimal by 10 integer digits
+          case d: DecimalType => DecimalType(math.min(d.precision + 10, 38), d.scale)
+          case t => t
+        }
       case "count" | "count_star" | "row_number" | "rank" | "dense_rank" |
           "n_unique" | "approx_n_unique" => LongType
       case "median" | "quantile" => DoubleType
