@@ -47,9 +47,44 @@ object Streams {
         F.col("n"), F.col("total_value"))
 
   /** Stateful sessionization via mapGroupsWithState: per user, counts
-    * events and 30-minute-gap sessions across triggers. State is one
-    * small record per active user, timed out after inactivity. */
+    * events and `gap`-separated sessions across triggers. State is ONE
+    * small record per ACTIVE user, bounded by an event-time timeout: a
+    * user idle past the session gap (relative to the watermark) emits a
+    * final row and is evicted, so state is O(users active within the
+    * watermark horizon), never O(users ever seen). */
   def sessionStats(events: Dataset[Event],
+      gapMicros: Long = 1800000000L,
+      watermark: String = "30 minutes"): Dataset[UserSessionStats] =
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessionStats](
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // idle past the gap: emit the final stats and evict the state
+            val st = state.get
+            state.remove()
+            UserSessionStats(userId, st.nEvents, st.nSessions)
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              val newSession = st.lastTsMicros == Long.MinValue || us - st.lastTsMicros > gapMicros
+              st = SessionState(us, st.nEvents + 1,
+                st.nSessions + (if (newSession) 1 else 0))
+            }
+            state.update(st)
+            // evict once the watermark passes last-event + gap
+            state.setTimeoutTimestamp(st.lastTsMicros / 1000L + gapMicros / 1000L)
+            UserSessionStats(userId, st.nEvents, st.nSessions)
+          }
+      }
+
+  /** NoTimeout variant — unbounded state, ONLY for bounded test/batch
+    * replays where every user's history must stay addressable. */
+  def sessionStatsUnbounded(events: Dataset[Event],
       gapMicros: Long = 1800000000L): Dataset[UserSessionStats] =
     events.groupByKey(_.user_id)
       .mapGroupsWithState[SessionState, UserSessionStats](
@@ -63,8 +98,6 @@ object Streams {
             st = SessionState(us, st.nEvents + 1,
               st.nSessions + (if (newSession) 1 else 0))
           }
-          // production deployments add a GroupStateTimeout to evict
-          // idle users and bound state size
           state.update(st)
           UserSessionStats(userId, st.nEvents, st.nSessions)
       }

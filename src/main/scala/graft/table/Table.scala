@@ -32,7 +32,11 @@ final class Table private[graft] (
     private[graft] val rowIdUuid: Option[Long],
     private[graft] val ordered: Boolean,
     val name: String,
-    private[graft] val sqlQ: Option[SqlQuery] = None) {
+    private[graft] val sqlQ: Option[SqlQuery] = None,
+    /** the compiled sort keys of the last `arrange` (incl. rowid
+      * tiebreak) while the order is still current — lets evalAligned
+      * align by the CURRENT row order, not insertion order. */
+    private[graft] val sortCols: Seq[Column] = Nil) {
 
   import Table._
 
@@ -97,8 +101,10 @@ final class Table private[graft] (
 
   private def withDf(df2: DataFrame, cols2: Vector[ColMeta] = cols,
       grouping2: Vector[Long] = grouping, ordered2: Boolean = ordered,
-      sqlQ2: Option[SqlQuery] = None): Table =
-    new Table(df2, cols2, grouping2, rowIdUuid, ordered2, name, sqlQ2)
+      sqlQ2: Option[SqlQuery] = None, sortCols2: Seq[Column] = null): Table =
+    new Table(df2, cols2, grouping2, rowIdUuid, ordered2, name, sqlQ2,
+      if (sortCols2 != null) sortCols2
+      else if (ordered2) sortCols else Nil)
 
   // ---- SQL-text tracking (build_query) ----
   private def sqlNameOf(u: Long): String = internal(u)
@@ -223,7 +229,8 @@ final class Table private[graft] (
       val rendered = ords.map(o => scala.util.Try(SqlGen.ordKeySql(o, sqlNameOf)).toOption)
       if (rendered.forall(_.isDefined)) Some(q.orderBy(rendered.map(_.get))) else None
     }
-    withDf(df.orderBy(sortCols: _*), ordered2 = true, sqlQ2 = sql2)
+    withDf(df.orderBy(sortCols: _*), ordered2 = true, sqlQ2 = sql2,
+      sortCols2 = sortCols)
   }
 
   /** Set (or extend, with add=true) the ambient grouping — pure metadata,
@@ -550,18 +557,41 @@ final class Table private[graft] (
 
   /** Positional splice of expressions computed against ANOTHER table —
     * the reference's `eval_aligned` escape hatch (pipe/aligned.py:15-137).
-    * Both sides are numbered by their stable row order and joined on
-    * position. Documented slow path (global row_number) — for rare
-    * alignment flows, not bulk joins (SURVEY §7.4 hard part 4). */
+    * Both sides are numbered by their CURRENT row order (the last
+    * `arrange` if one is in effect, else the insertion-order surrogate)
+    * and joined on position. Raises on a row-count mismatch (reference
+    * semantics: alignment requires equal shapes) and fails fast above
+    * `spark.graft.evalAligned.maxRows` (default 10M) — the positional
+    * numbering single-tasks a global sort, so it is for rare alignment
+    * flows, not bulk joins (SURVEY §7.4 hard part 4). */
   def evalAligned(other: Table, defs: (String, ColExpr)*): Table = {
     if (defs.map(_._1).exists(n => visibleCols.exists(_.name == n)))
       throw new GraftError("evalAligned: name collision with existing columns")
+    val maxRows = df.sparkSession.conf
+      .getOption("spark.graft.evalAligned.maxRows").map(_.toLong)
+      .getOrElse(10000000L)
+    val (nLeft, nRight) = (df.count(), other.df.count())
+    if (nLeft != nRight)
+      throw new GraftError(
+        s"evalAligned: row count mismatch — left table `$name` has $nLeft " +
+          s"rows, right table `${other.name}` has $nRight (positional " +
+          "alignment requires equal shapes)")
+    if (nLeft > maxRows)
+      throw new GraftError(
+        s"evalAligned: $nLeft rows exceeds spark.graft.evalAligned.maxRows" +
+          s"=$maxRows — the positional splice serializes a global sort " +
+          "into one task; use a keyed join for bulk data")
     def numbered(t: Table): DataFrame = {
-      val rid = t.rowIdUuid.getOrElse(
-        throw new GraftError("evalAligned: table lacks a row-order surrogate"))
+      val ord: Seq[Column] =
+        if (t.ordered && t.sortCols.nonEmpty) t.sortCols
+        else {
+          val rid = t.rowIdUuid.getOrElse(
+            throw new GraftError("evalAligned: table lacks a row-order surrogate"))
+          Seq(t.df(internal(rid)).asc)
+        }
       t.df.withColumn("__pos",
         F.row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(t.df(internal(rid)).asc)))
+          .orderBy(ord: _*)))
     }
     val rightCols = defs.map(_._1)
     val rightDf = {
@@ -575,6 +605,37 @@ final class Table private[graft] (
     val out = joined.select(df.columns.map(joined(_)) ++
       rightCols.zip(newMeta).map { case (n, m2) => joined(n).as(internal(m2.uuid)) }: _*)
     new Table(out, cols ++ newMeta, grouping, rowIdUuid, ordered, name)
+  }
+
+  /** Re-attach column identity after external materialization — the
+    * reference's `transfer_col_references` (pipe/cache.py:288-353).
+    * Returns THIS table's data with its visible columns re-identified by
+    * `refSource`'s uuids (matched by name), so column handles taken from
+    * `refSource` before a checkpoint keep resolving against the
+    * re-loaded table:
+    * {{{
+    * val t  = Table.source(spark, dir, "orders")
+    * val c  = t.col("o_totalprice")         // handle from the original
+    * t.toDF.write.parquet(ckpt)             // materialize
+    * val t2 = Table.fromDF(spark.read.parquet(ckpt), "orders")
+    *   .transferColReferences(t)
+    * t2.mutate("x" -> (c * lit(2.0)))       // old handle still works
+    * }}}
+    * Every visible column of this table must exist in `refSource`
+    * (GraftColumnNotFoundError otherwise). The SQL-text tracking restarts
+    * (build_query treats the materialization as a new source). */
+  def transferColReferences(refSource: Table): Table = {
+    val mapping: Map[Long, Long] = visibleCols.map { m =>
+      val r = refSource.col(m.name) // throws with the available-columns message
+      m.uuid -> r.uuid
+    }.toMap
+    val newCols = cols.map(m =>
+      mapping.get(m.uuid).map(u => m.copy(uuid = u)).getOrElse(m))
+    val renamed = df.select(cols.map(m =>
+      df(internal(m.uuid)).as(internal(
+        mapping.getOrElse(m.uuid, m.uuid)))): _*)
+    new Table(renamed, newCols, grouping.map(u => mapping.getOrElse(u, u)),
+      rowIdUuid, ordered, name, sqlQ = None)
   }
 
   /** Reference `build_query`/`show_query` (verbs.py:355-390): the compiled

@@ -34,6 +34,52 @@ class ExportSpec extends SparkSpec {
     assert(rows(j.arrange(C("id")).select(C("w"))) == Seq(Seq(0.5), Seq(0.7)))
   }
 
+  test("evalAligned raises on a row-count mismatch instead of dropping rows") {
+    val e = intercept[GraftError] {
+      t.withColumnFromSeq("w", Seq(0.5, 0.7, 0.9))
+    }
+    assert(e.getMessage.contains("row count mismatch"))
+  }
+
+  test("evalAligned aligns to the CURRENT (arranged) row order") {
+    // t rows by insertion: id=1 then id=2; arranged desc: id=2 first —
+    // the splice must attach to the arranged order
+    val j = t.arrange(C("id").desc).withColumnFromSeq("w", Seq(100.0, 200.0))
+    assert(rows(j.arrange(C("id")).select(C("id"), C("w"))) ==
+      Seq(Seq(1L, 200.0), Seq(2L, 100.0)))
+  }
+
+  test("evalAligned fails fast above the configured row threshold") {
+    spark.conf.set("spark.graft.evalAligned.maxRows", "1")
+    try {
+      val e = intercept[GraftError] {
+        t.withColumnFromSeq("w", Seq(0.5, 0.7))
+      }
+      assert(e.getMessage.contains("maxRows"))
+    } finally spark.conf.unset("spark.graft.evalAligned.maxRows")
+  }
+
+  test("transferColReferences: old column handles survive a checkpoint") {
+    import graft.table.Table
+    val orig = t.mutate("x" -> (C("id") * lit(10L)))
+    val handle = orig.col("x") // ColRef bound to `orig`'s uuid
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    orig.toDF.write.mode("overwrite").parquet(ckpt)
+    val reloaded = Table.fromDF(spark.read.parquet(ckpt), "t_ckpt")
+    // without the transfer, the old handle must be rejected…
+    intercept[GraftColumnNotFoundError] {
+      reloaded.mutate("y" -> (handle + lit(1L)))
+    }
+    // …with it, checkpoint-and-continue flows keep working
+    val t2 = reloaded.transferColReferences(orig)
+    assert(rows(t2.mutate("y" -> (handle + lit(1L)))
+      .arrange(C("id")).select(C("y"))) == Seq(Seq(11L), Seq(21L)))
+    // a column absent from the reference source is an error
+    intercept[GraftColumnNotFoundError] {
+      reloaded.transferColReferences(t) // t lacks `x`
+    }
+  }
+
   test("collectNow materializes and keeps pipelining") {
     val c = t.mutate("x" -> (C("id") * lit(2L))).collectNow()
     assert(c.filter(C("x") > lit(2L)).count() == 1)

@@ -66,4 +66,29 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 3L, 2L), (2L, 2L, 2L)))
   }
+
+  test("sessionization state is evicted after the event-time timeout") {
+    val dir = Files.createTempDirectory("graft_evict").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    Seq(
+      Streams.Event(1L, ts(0), 1L, "click", 1.0),
+      Streams.Event(2L, ts(2), 1L, "view", 2.0))
+      .toDS().write.mode("append").parquet(dir)
+    val events = spark.readStream.schema(Streams.eventSchema).parquet(dir).as[Streams.Event]
+    val q = Streams.sessionStats(events).writeStream
+      .outputMode(OutputMode.Update()).format("memory").queryName("evict").start()
+    q.processAllAvailable()
+    val firstRows = spark.table("evict").filter(F.col("user_id") === 1L).count()
+    // a much-later batch advances the watermark past user 1's
+    // last-event + gap → the timeout branch fires, re-emitting the final
+    // stats for user 1 and removing its state
+    Seq(Streams.Event(9L, ts(600), 7L, "click", 1.0))
+      .toDS().write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val u1Rows = spark.table("evict").filter(F.col("user_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(u1Rows.length > firstRows.toInt, "timeout emission expected after watermark advance")
+    assert(u1Rows.distinct == Seq((2L, 1L))) // final stats unchanged by eviction
+  }
 }
