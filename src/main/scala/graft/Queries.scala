@@ -810,7 +810,9 @@ object Queries {
     "q26_nested_slice" -> (q26NestedSlice _),
     "q27_stats_aggregates" -> (q27Stats _),
     "q28_coverage_closers" -> (q28Coverage _),
-    "q29_decimal_pipeline" -> (q29Decimal _))
+    "q29_decimal_pipeline" -> (q29Decimal _),
+    "q30_diff_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.query(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -842,5 +844,6 @@ object Queries {
     "q26_nested_slice" -> q26Oracle,
     "q27_stats_aggregates" -> q27Oracle,
     "q28_coverage_closers" -> q28Oracle,
-    "q29_decimal_pipeline" -> q29Oracle)
+    "q29_decimal_pipeline" -> q29Oracle,
+    "q30_diff_fuzz_battery" -> graft.fuzz.DiffFuzz.oracle)
 }

@@ -1,0 +1,219 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+import graft.core._
+import graft.dsl._
+import graft.table.Table
+
+/** Cross-engine differential expression fuzzer (the analog of the
+  * reference's `fuzz.py:75-117`, upgraded from same-engine to
+  * cross-engine): a deterministic battery of random expression trees is
+  * generated as PAIRS — the graft `ColExpr` and its DuckDB-dialect SQL —
+  * so the whole battery runs as one oracled query through the driver's
+  * DuckDB hash gate (and `tools/check.py` locally). Any divergence in
+  * null propagation, coercion, truncation or collation between the
+  * Catalyst compilation and the portable SQL semantics breaks the hash.
+  *
+  * Domain discipline (so both engines compute bit-identical values):
+  * literals are binary-exact doubles / small longs rendered with explicit
+  * casts; integer division/modulo only sees non-negative dividends
+  * (DuckDB `//` floors, Spark DIV truncates — equal on non-negatives);
+  * no transcendentals (1-ulp libm differences) and no `round` (HALF_UP
+  * vs banker's edge cases) — those are covered by q23/q24/q28 with
+  * rounding applied on both sides.
+  */
+object DiffFuzz {
+
+  /** A generated node: the DSL expression and its DuckDB SQL. */
+  final case class GE(e: ColExpr, d: String)
+
+  val N = 300
+  val Seed = 20260812L
+  val Depth = 3
+
+  private final class Gen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    // ---- leaves ----
+    private val longLits = IndexedSeq(-5L, -2L, 0L, 1L, 3L, 7L)
+    private val dblLits = IndexedSeq(-2.5, -1.25, 0.0, 0.5, 1.5, 3.25)
+    private val strLits = IndexedSeq("A", "xy", "", "AN")
+
+    def longLeaf(): GE = pick(IndexedSeq(
+      () => GE(C("n_nationkey"), "n_nationkey"),
+      () => GE(C("n_regionkey"), "n_regionkey"),
+      () => { val v = pick(longLits); GE(lit(v), s"CAST($v AS BIGINT)") },
+      () => GE( // nullable long
+        when(C("n_nationkey") % lit(4L) === lit(0L)).then_(lit(null))
+          .otherwise(C("n_nationkey")),
+        "(CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_nationkey END)")))()
+
+    def dblLeaf(): GE = pick(IndexedSeq(
+      () => GE(C("n_nationkey").cast(DoubleType) / lit(7.0),
+        "(CAST(n_nationkey AS DOUBLE) / CAST(7.0 AS DOUBLE))"),
+      () => { val v = pick(dblLits); GE(lit(v), s"CAST($v AS DOUBLE)") },
+      () => GE( // nullable double
+        when(C("n_regionkey") === lit(2L)).then_(lit(null))
+          .otherwise(C("n_nationkey").cast(DoubleType)),
+        "(CASE WHEN n_regionkey = 2 THEN NULL ELSE CAST(n_nationkey AS DOUBLE) END)")))()
+
+    def strLeaf(): GE = pick(IndexedSeq(
+      () => GE(C("n_name"), "n_name"),
+      () => GE(C("n_name") + lit("_x"), "(n_name || '_x')"),
+      () => { val v = pick(strLits); GE(lit(v), s"'$v'") },
+      () => GE( // nullable string
+        when(C("n_nationkey") % lit(5L) === lit(0L)).then_(lit(null))
+          .otherwise(C("n_name")),
+        "(CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END)")))()
+
+    def boolLeaf(): GE = pick(IndexedSeq(
+      () => GE(C("n_nationkey") % lit(2L) === lit(0L), "(n_nationkey % 2 = 0)"),
+      () => GE(lit(true), "TRUE"),
+      () => GE(lit(false), "FALSE"),
+      () => GE(
+        when(C("n_regionkey") === lit(1L)).then_(lit(null))
+          .otherwise(C("n_nationkey") % lit(3L) === lit(0L)),
+        "(CASE WHEN n_regionkey = 1 THEN NULL ELSE n_nationkey % 3 = 0 END)")))()
+
+    // ---- nodes ----
+    def longE(d: Int): GE =
+      if (d <= 0) longLeaf()
+      else pick(IndexedSeq[() => GE](
+        () => { val a = longE(d - 1); val b = longE(d - 1)
+          GE(a.e + b.e, s"(${a.d} + ${b.d})") },
+        () => { val a = longE(d - 1); val b = longE(d - 1)
+          GE(a.e - b.e, s"(${a.d} - ${b.d})") },
+        () => { val a = longE(d - 1); val v = pick(IndexedSeq(0L, 1L, 2L, 3L))
+          GE(a.e * lit(v), s"(${a.d} * CAST($v AS BIGINT))") },
+        // non-negative dividends: DuckDB // floors, Spark DIV truncates;
+        // they agree on non-negatives only
+        () => { val a = longE(d - 1); val v = pick(IndexedSeq(1L, 2L, 3L, 7L))
+          GE(a.e.abs % lit(v), s"(ABS(${a.d}) % CAST($v AS BIGINT))") },
+        () => { val a = longE(d - 1); val v = pick(IndexedSeq(1L, 2L, 3L, 7L))
+          GE(a.e.abs.floorDiv(lit(v)), s"(ABS(${a.d}) // CAST($v AS BIGINT))") },
+        () => { val a = longE(d - 1); GE(a.e.abs, s"ABS(${a.d})") },
+        () => { val a = longE(d - 1); GE(-a.e, s"(- ${a.d})") },
+        () => { val a = strE(d - 1); GE(a.e.str.len, s"CAST(LENGTH(${a.d}) AS BIGINT)") },
+        () => { val c = boolE(d - 1); val a = longE(d - 1); val b = longE(d - 1)
+          GE(when(c.e).then_(a.e).otherwise(b.e),
+            s"(CASE WHEN ${c.d} THEN ${a.d} ELSE ${b.d} END)") },
+        () => { val a = longE(d - 1); val b = longE(d - 1)
+          GE(a.e.fillNull(b.e), s"COALESCE(${a.d}, ${b.d})") },
+        () => { val a = longE(d - 1)
+          GE(a.e.clip(lit(-3L), lit(9L)),
+            s"(CASE WHEN ${a.d} IS NULL THEN NULL ELSE " +
+              s"LEAST(GREATEST(${a.d}, CAST(-3 AS BIGINT)), CAST(9 AS BIGINT)) END)") }))()
+
+    def dblE(d: Int): GE =
+      if (d <= 0) dblLeaf()
+      else pick(IndexedSeq[() => GE](
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e + b.e, s"(${a.d} + ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e - b.e, s"(${a.d} - ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e * b.e, s"(${a.d} * ${b.d})") },
+        // x/0 → NULL in both engines (non-ANSI Spark, DuckDB default)
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e / b.e,
+            s"(CAST(${a.d} AS DOUBLE) / CAST(${b.d} AS DOUBLE))") },
+        () => { val a = longE(d - 1); val b = longE(d - 1)
+          GE(a.e / b.e, // int/int → Float (reference truediv)
+            s"(CAST(${a.d} AS DOUBLE) / CAST(${b.d} AS DOUBLE))") },
+        () => { val a = dblE(d - 1); GE(a.e.abs, s"ABS(${a.d})") },
+        () => { val a = dblE(d - 1); GE(-a.e, s"(- ${a.d})") },
+        () => { val a = longE(d - 1)
+          GE(a.e.cast(DoubleType), s"CAST(${a.d} AS DOUBLE)") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(hmax(a.e, b.e), s"GREATEST(${a.d}, ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(hmin(a.e, b.e), s"LEAST(${a.d}, ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(coalesce(a.e, b.e), s"COALESCE(${a.d}, ${b.d})") },
+        () => { val c = boolE(d - 1); val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(when(c.e).then_(a.e).otherwise(b.e),
+            s"(CASE WHEN ${c.d} THEN ${a.d} ELSE ${b.d} END)") }))()
+
+    def boolE(d: Int): GE =
+      if (d <= 0) boolLeaf()
+      else pick(IndexedSeq[() => GE](
+        () => { val a = longE(d - 1); val b = longE(d - 1)
+          GE(a.e < b.e, s"(${a.d} < ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e >= b.e, s"(${a.d} >= ${b.d})") },
+        () => { val a = longE(d - 1); val b = longE(d - 1)
+          GE(a.e === b.e, s"(${a.d} = ${b.d})") },
+        () => { val a = strE(d - 1); val b = strE(d - 1)
+          GE(a.e =!= b.e, s"(${a.d} != ${b.d})") },
+        () => { val a = strE(d - 1); val b = strE(d - 1)
+          GE(a.e < b.e, s"(${a.d} < ${b.d})") }, // binary collation both
+        () => { val a = boolE(d - 1); val b = boolE(d - 1)
+          GE(a.e && b.e, s"(${a.d} AND ${b.d})") },
+        () => { val a = boolE(d - 1); val b = boolE(d - 1)
+          GE(a.e || b.e, s"(${a.d} OR ${b.d})") },
+        () => { val a = boolE(d - 1); val b = boolE(d - 1)
+          GE(a.e ^ b.e, s"(${a.d} != ${b.d})") },
+        () => { val a = boolE(d - 1); GE(!a.e, s"(NOT ${a.d})") },
+        () => { val a = pick(IndexedSeq[() => GE](() => longE(d - 1),
+          () => dblE(d - 1), () => strE(d - 1)))()
+          GE(a.e.isNull, s"(${a.d} IS NULL)") },
+        () => { val a = longE(d - 1)
+          GE(a.e.isIn(lit(1L), lit(3L), lit(8L)),
+            s"((${a.d} = CAST(1 AS BIGINT)) OR (${a.d} = CAST(3 AS BIGINT))" +
+              s" OR (${a.d} = CAST(8 AS BIGINT)))") },
+        () => { val a = strE(d - 1)
+          GE(a.e.str.startsWith("A"), s"starts_with(${a.d}, 'A')") },
+        () => { val a = strE(d - 1)
+          GE(a.e.str.contains("an", allowRegex = false),
+            s"contains(${a.d}, 'an')") }))()
+
+    def strE(d: Int): GE =
+      if (d <= 0) strLeaf()
+      else pick(IndexedSeq[() => GE](
+        () => { val a = strE(d - 1); GE(a.e.str.upper, s"UPPER(${a.d})") },
+        () => { val a = strE(d - 1); GE(a.e.str.lower, s"LOWER(${a.d})") },
+        () => { val a = strE(d - 1); GE(a.e.str.strip, s"TRIM(${a.d})") },
+        () => { val a = strE(d - 1); val b = strE(d - 1)
+          GE(a.e + b.e, s"(${a.d} || ${b.d})") },
+        () => { val a = strE(d - 1)
+          GE(a.e.str.replaceAll("AN", "_"), s"REPLACE(${a.d}, 'AN', '_')") },
+        () => { val a = strE(d - 1); val o = rnd.nextInt(4); val n = rnd.nextInt(6)
+          GE(a.e.str.slice(lit(o), lit(n)),
+            s"SUBSTRING(${a.d}, ${o + 1}, $n)") },
+        () => { val a = strE(d - 1); val b = strE(d - 1)
+          GE(a.e.fillNull(b.e), s"COALESCE(${a.d}, ${b.d})") },
+        () => { val c = boolE(d - 1); val a = strE(d - 1); val b = strE(d - 1)
+          GE(when(c.e).then_(a.e).otherwise(b.e),
+            s"(CASE WHEN ${c.d} THEN ${a.d} ELSE ${b.d} END)") }))()
+  }
+
+  /** The deterministic battery: (column name, paired tree). */
+  lazy val battery: Seq[(String, GE)] = {
+    val g = new Gen(new scala.util.Random(Seed))
+    (0 until N).map { i =>
+      val ge = (i % 4) match {
+        case 0 => g.longE(Depth)
+        case 1 => g.dblE(Depth)
+        case 2 => g.boolE(Depth)
+        case 3 => g.strE(Depth)
+      }
+      (f"f$i%03d", ge)
+    }
+  }
+
+  /** One projection over `nation` carrying all N fuzzed columns. */
+  def query(s: SparkSession, dir: String): DataFrame = {
+    val defs = battery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "nation")
+      .mutate(defs: _*)
+      .select(C("n_nationkey") +: battery.map(b => C(b._1): ColExpr): _*)
+      .arrange(C("n_nationkey"))
+      .toDF
+  }
+
+  def oracle: String = {
+    val cols = battery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"SELECT n_nationkey,\n${cols.mkString(",\n")}\nFROM nation ORDER BY n_nationkey"
+  }
+}
