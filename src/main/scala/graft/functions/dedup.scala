@@ -18,6 +18,28 @@ import org.apache.spark.sql.types._
   */
 object dedup {
 
+  /** Signature frames persisted by the pairs functions (signatures are
+    * referenced by BOTH sides of the candidate self-join, and exchange
+    * reuse cannot kick in: higher-order-function lambdas defeat plan
+    * canonicalization, so without a cache Spark computes the expensive
+    * signature expressions once per join side). Call [[unpersistAll]]
+    * when the derived frames are materialized — or rely on
+    * `spark.catalog.clearCache()` — to release executor storage. */
+  private val persistedFrames =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def cached(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedFrames.add(p)
+    p
+  }
+
+  /** Release every signature frame persisted by the pairs functions. */
+  def unpersistAll(): Unit = {
+    var d = persistedFrames.poll()
+    while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
+  }
+
   /** Exact dedup: group by md5 fingerprint, keep the smallest id.
     * The groupBy shuffles only (fingerprint, id) — scales to any corpus. */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -71,13 +93,11 @@ object dedup {
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numPerm / bands
-    // no persist: both sides of the self-join shuffle the identical
-    // subplan on (band_idx, band_hash), so Spark's ReuseExchange computes
-    // the signatures once and reads the shuffle files twice — no cache
-    // leak for library callers (at full scale a real pipeline would
-    // still checkpoint the signature table explicitly)
-    val sigs = df.select(F.col(idCol).as("id"),
-        minhashSignature(F.col(textCol), k, numPerm).as("sig"))
+    // signatures persisted (tracked — see unpersistAll): both sides of
+    // the candidate self-join read them, and at full scale this is the
+    // signature table a real pipeline would checkpoint anyway
+    val sigs = cached(df.select(F.col(idCol).as("id"),
+      minhashSignature(F.col(textCol), k, numPerm).as("sig")))
     // signatures ride along through the explode: no join-back needed
     val buckets = sigs
       .select(F.col("id"), F.col("sig"),
@@ -133,7 +153,8 @@ object dedup {
       (0 until nChunks).map(i => if (i < rem) base + 1 else base)
     }
     val offsets = widths.scanLeft(0)(_ + _)
-    val sigs = df.select(F.col(idCol).as("id"), simhash64(F.col(textCol)).as("sim"))
+    val sigs = cached(df.select(F.col(idCol).as("id"),
+      simhash64(F.col(textCol)).as("sim")))
     val chunkVals = F.array((0 until nChunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       F.shiftrightunsigned(F.col("sim"), offsets(i)).bitwiseAND(F.lit(mask))
@@ -184,14 +205,17 @@ object dedup {
       k: Int = 3, numPerm: Int = 64, bands: Int = 32,
       minJ: Double = 0.8): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val sh = df.select(F.col(idCol).as("id"),
+    // hashed shingles persisted once (tracked — see unpersistAll): the
+    // MinHash signature derives from them AND both verification joins
+    // read them — 3 consumers of one expensive pass over the text.
+    // sig must still cross a projection boundary as a NAMED column:
+    // inlining it into the 32 band-key expressions would duplicate the
+    // whole minhash fold 64× in the expression tree
+    val sh = cached(df.select(F.col(idCol).as("id"),
         shingleHashes(F.col(textCol), k).as("sh"))
-      .withColumn("n", F.size(F.col("sh")).cast(DoubleType))
-    // sig must cross a projection boundary as a NAMED column: inlining it
-    // into the 32 band-key expressions would duplicate the whole minhash
-    // fold 64× in the expression tree (catastrophic analysis/codegen cost)
-    val buckets = df.select(F.col(idCol).as("id"),
-        minhashFromHashes(shingleHashes(F.col(textCol), k), numPerm).as("sig"))
+      .withColumn("n", F.size(F.col("sh")).cast(DoubleType)))
+    val buckets = sh
+      .select(F.col("id"), minhashFromHashes(F.col("sh"), numPerm).as("sig"))
       .select(F.col("id"),
         F.posexplode(lshBandKeys(F.col("sig"), bands, rowsPerBand))
           .as(Seq("band_idx", "band_hash")))
