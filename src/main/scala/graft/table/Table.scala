@@ -515,6 +515,46 @@ final class Table private[graft] (
   def show(n: Int = 20): Unit = toDF.show(n, truncate = false)
   def count(): Long = toDF.count()
 
+  // ---- sinks: the visible projection under its public names ----
+
+  /** Parquet sink. `partitionCols` lays the data out for partition
+    * pruning on those columns (the 100 TB read-path lever); keep
+    * partition cardinality modest (thousands, not millions of dirs). */
+  def writeParquet(path: String, mode: String = "error",
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = toDF.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  def writeOrc(path: String, mode: String = "error",
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = toDF.write.mode(mode)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .orc(path)
+  }
+
+  def writeCsv(path: String, mode: String = "error", header: Boolean = true,
+      delimiter: String = ","): Unit =
+    toDF.write.mode(mode).option("header", header.toString)
+      .option("sep", delimiter).csv(path)
+
+  def writeJson(path: String, mode: String = "error"): Unit =
+    toDF.write.mode(mode).json(path)
+
+  /** Catalog sink; with `bucketBy`, repeated equi-joins/aggregations on
+    * the bucket keys read back shuffle-free (see functions.layout). */
+  def saveAsTable(tableName: String, mode: String = "error",
+      bucketBy: Option[(Int, Seq[String])] = None): Unit = {
+    val w = toDF.write.mode(mode).format("parquet")
+    bucketBy match {
+      case Some((n, keys)) =>
+        w.bucketBy(n, keys.head, keys.tail: _*)
+          .sortBy(keys.head, keys.tail: _*).saveAsTable(tableName)
+      case None => w.saveAsTable(tableName)
+    }
+  }
+
   /** Export targets (reference: backend/targets.py / verbs.py:252-347). */
   def toLocalIterator: Iterator[Row] = {
     import scala.jdk.CollectionConverters._
@@ -691,6 +731,39 @@ object Table {
   /** A testdata star-schema table: `Table.source(spark, sfDir, "lineitem")`. */
   def source(spark: SparkSession, sfDir: String, table: String): Table =
     fromParquet(spark, s"$sfDir/$table.parquet", table)
+
+  // ---- further construction sources (the reference takes tables from
+  // its host engines, table_impl.py:55-115; Spark-first we expose the
+  // DataSource V2 formats + the catalog) ----
+
+  /** CSV source; pass a schema for production scans (inference reads the
+    * data twice) — header-driven inference is for exploration. */
+  def fromCsv(spark: SparkSession, path: String, name: String,
+      schema: Option[StructType] = None, header: Boolean = true,
+      delimiter: String = ","): Table = {
+    val r = spark.read.option("header", header.toString).option("sep", delimiter)
+    fromDF(schema.map(r.schema).getOrElse(r.option("inferSchema", "true")).csv(path),
+      name)
+  }
+
+  /** JSON-lines source (one object per line — the splittable layout). */
+  def fromJson(spark: SparkSession, path: String, name: String,
+      schema: Option[StructType] = None): Table = {
+    val r = spark.read
+    fromDF(schema.map(r.schema).getOrElse(r).json(path), name)
+  }
+
+  def fromOrc(spark: SparkSession, path: String, name: String): Table =
+    fromDF(spark.read.orc(path), name)
+
+  /** Catalog/metastore table (the analog of the reference's SQLAlchemy
+    * table source) — bucketed tables keep their co-location metadata. */
+  def fromTable(spark: SparkSession, tableName: String): Table =
+    fromDF(spark.table(tableName), tableName)
+
+  /** An arbitrary SQL query as a source. */
+  def fromSql(spark: SparkSession, query: String, name: String): Table =
+    fromDF(spark.sql(query), name)
 
   /** In-memory literal table for tests (reference: Table from dict,
     * table_impl.py:72-73). */
