@@ -88,22 +88,44 @@ object ExtQueries {
     dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 6)
       .orderBy("id_a", "id_b")
 
-  def x05DedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    similarity.cosinePairs(embs(s, dir), "vec_id", "embedding", "label", minCos = 0.3)
+  /** Embedding near-dup detection on the SCALE path: plant a
+    * deterministic near-duplicate of every vector (y = x + 0.004·pattern,
+    * cos(x,y) ≈ 0.999 on these unit-norm embeddings), then find all
+    * pairs with cos ≥ 0.95 via multi-table hyperplane LSH (16 planes ×
+    * 32 tables; worst-case planted-pair miss probability ~1e-16) with
+    * exact cosine verification. The oracle is the ALL-PAIRS quadratic
+    * scan over the same constructed corpus — same gate as x02 uses for
+    * Jaccard: LSH candidates → exact verify ≡ brute force. */
+  def x05DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).select(F.col("vec_id").cast(LongType).as("vec_id"),
+      F.transform(F.col("embedding"), _.cast(DoubleType)).as("v"))
+    val pattern = F.typedlit((0 until 64).map(i => 0.004 * ((i % 5) - 2)))
+    val pert = base.select((F.col("vec_id") + F.lit(1000000L)).as("vec_id"),
+      F.zip_with(F.col("v"), pattern, (x, p) => x + p).as("v"))
+    similarity.cosinePairsLsh(base.unionByName(pert), "vec_id", "v",
+        dim = 64, nPlanes = 16, minCos = 0.95, nTables = 32)
       .orderBy("id_a", "id_b")
+  }
 
   private val x05Oracle =
-    """WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+    """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pert AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v,
+      |      list_transform(generate_series(0, 63),
+      |        i -> CAST(0.004 AS DOUBLE) * ((i % 5) - 2))),
+      |      x -> x[1] + x[2]) AS v
+      |  FROM base),
+      |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      |  / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-      |  / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos
-      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-      |  / sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
-      |  / sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) >= 0.3
+      |  list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |    / a.nrm / b.nrm AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |    / a.nrm / b.nrm >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------- similarity search ----------------

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Deduplication operators for web-scale corpora. Scale design:
@@ -38,6 +39,38 @@ object dedup {
   def unpersistAll(): Unit = {
     var d = persistedFrames.poll()
     while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
+  }
+
+  /** Salt-split oversized LSH buckets (the hot-bucket cap): above `cap`
+    * rows, a bucket is deterministically split into ⌈m/cap⌉ sub-buckets
+    * of ≤ cap rows (ordered by id), and the first row of every
+    * sub-bucket is ALSO emitted into a representatives sub-bucket
+    * (salt = -1) so the split groups stay linked for
+    * connected-component dedup. Per-task pair generation is bounded by
+    * cap²/2, and the oversized bucket's candidate output degrades
+    * gracefully from quadratic (m²/2) to linear (~m·cap/2) — the
+    * production posture for boilerplate-heavy web corpora, where one
+    * band bucket can hold millions of near-identical documents.
+    * Buckets at or under `cap` are untouched (salt 0, no
+    * representatives), so results on non-skewed data are identical to
+    * the uncapped plan; with a cap, candidate generation inside an
+    * oversized bucket is intentionally NOT all-pairs any more (each row
+    * still pairs with ~cap neighbours and every sub-group is linked via
+    * the representatives). cap = 0 disables capping. */
+  private def saltOversized(df: DataFrame, bucketCols: Seq[String],
+      cap: Int): DataFrame = {
+    if (cap <= 0) df.withColumn("salt", F.lit(0))
+    else {
+      val part = Window.partitionBy(bucketCols.map(F.col): _*)
+      val salted = df
+        .withColumn("_rn", F.row_number().over(part.orderBy(F.col("id"))))
+        .withColumn("_overflow", F.max(F.col("_rn")).over(part) > cap)
+        .withColumn("salt", ((F.col("_rn") - 1) / cap).cast(IntegerType))
+      val reps = salted
+        .filter(F.col("_overflow") && (F.col("_rn") - 1) % cap === 0)
+        .withColumn("salt", F.lit(-1))
+      salted.unionByName(reps).drop("_rn", "_overflow")
+    }
   }
 
   /** Exact dedup: group by md5 fingerprint, keep the smallest id.
@@ -88,10 +121,13 @@ object dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs with estimated Jaccard
     * ≥ `threshold`. One shuffle on band buckets; pairs generated
-    * bucket-locally; signatures re-joined for the estimate. */
+    * bucket-locally; signatures ride along with the explode.
+    * `maxBucket` > 0 salt-splits oversized band buckets (see
+    * [[saltOversized]]) to bound per-task pair generation on
+    * boilerplate-heavy corpora. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     val rowsPerBand = numPerm / bands
     // signatures persisted (tracked — see unpersistAll): both sides of
     // the candidate self-join read them, and at full scale this is the
@@ -99,16 +135,18 @@ object dedup {
     val sigs = cached(df.select(F.col(idCol).as("id"),
       minhashSignature(F.col(textCol), k, numPerm).as("sig")))
     // signatures ride along through the explode: no join-back needed
-    val buckets = sigs
+    val buckets = saltOversized(sigs
       .select(F.col("id"), F.col("sig"),
         F.posexplode(lshBandKeys(F.col("sig"), bands, rowsPerBand))
-          .as(Seq("band_idx", "band_hash")))
+          .as(Seq("band_idx", "band_hash"))),
+      Seq("band_idx", "band_hash"), maxBucket)
     val est = F.aggregate(F.zip_with(F.col("a.sig"), F.col("b.sig"),
         (x, y) => F.when(x === y, 1).otherwise(0)),
       F.lit(0), (acc, v) => acc + v).cast(DoubleType) / F.lit(numPerm.toDouble)
     buckets.as("a").join(buckets.as("b"),
         F.col("a.band_idx") === F.col("b.band_idx") &&
         F.col("a.band_hash") === F.col("b.band_hash") &&
+        F.col("a.salt") === F.col("b.salt") &&
         F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         est.as("est_jaccard"))
@@ -143,11 +181,17 @@ object dedup {
     * pigeonhole, any pair at Hamming distance ≤ `maxDist` agrees exactly
     * on at least one chunk, so blocking on (chunk_idx, chunk_value) is
     * EXACT — the result equals the all-pairs scan, at one shuffle on the
-    * chunk buckets plus bucket-local pairing. The 100 TB shape. */
+    * chunk buckets plus bucket-local pairing. The 100 TB shape.
+    * `maxBucket` > 0 salt-splits oversized chunk buckets (see
+    * [[saltOversized]]); with a cap the guarantee weakens from exact to
+    * "every row is compared against ≥ cap block neighbours, sub-groups
+    * linked via representatives" inside the (boilerplate) buckets that
+    * overflow. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, maxBucket: Int = 0): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64,
+      "simhashPairs: maxDist must be in [0, 64)")
     val nChunks = maxDist + 1
-    require(nChunks <= 64, "simhashPairs: maxDist must be < 64")
     val widths = {
       val base = 64 / nChunks; val rem = 64 % nChunks
       (0 until nChunks).map(i => if (i < rem) base + 1 else base)
@@ -159,11 +203,14 @@ object dedup {
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       F.shiftrightunsigned(F.col("sim"), offsets(i)).bitwiseAND(F.lit(mask))
     }: _*)
-    val blocks = sigs.select(F.col("id"), F.col("sim"),
-      F.posexplode(chunkVals).as(Seq("chunk_idx", "chunk_val")))
+    val blocks = saltOversized(
+      sigs.select(F.col("id"), F.col("sim"),
+        F.posexplode(chunkVals).as(Seq("chunk_idx", "chunk_val"))),
+      Seq("chunk_idx", "chunk_val"), maxBucket)
     blocks.as("a").join(blocks.as("b"),
         F.col("a.chunk_idx") === F.col("b.chunk_idx") &&
         F.col("a.chunk_val") === F.col("b.chunk_val") &&
+        F.col("a.salt") === F.col("b.salt") &&
         F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).as("hamming"))
@@ -200,10 +247,11 @@ object dedup {
     * the exact measure decides), so a J ≥ minJ pair is missed only with
     * probability (1-minJ^r)^bands — ~1e-14 at the defaults for J ≥ 0.8.
     * Candidate generation shuffles only (id, band_hash); the shingle
-    * arrays travel once, through the verification joins. */
+    * arrays travel once, through the verification joins. `maxBucket` > 0
+    * salt-splits oversized band buckets (see [[saltOversized]]). */
   def jaccardPairsLsh(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 64, bands: Int = 32,
-      minJ: Double = 0.8): DataFrame = {
+      minJ: Double = 0.8, maxBucket: Int = 0): DataFrame = {
     val rowsPerBand = numPerm / bands
     // hashed shingles persisted once (tracked — see unpersistAll): the
     // MinHash signature derives from them AND both verification joins
@@ -214,14 +262,16 @@ object dedup {
     val sh = cached(df.select(F.col(idCol).as("id"),
         shingleHashes(F.col(textCol), k).as("sh"))
       .withColumn("n", F.size(F.col("sh")).cast(DoubleType)))
-    val buckets = sh
+    val buckets = saltOversized(sh
       .select(F.col("id"), minhashFromHashes(F.col("sh"), numPerm).as("sig"))
       .select(F.col("id"),
         F.posexplode(lshBandKeys(F.col("sig"), bands, rowsPerBand))
-          .as(Seq("band_idx", "band_hash")))
+          .as(Seq("band_idx", "band_hash"))),
+      Seq("band_idx", "band_hash"), maxBucket)
     val cand = buckets.as("a").join(buckets.as("b"),
         F.col("a.band_idx") === F.col("b.band_idx") &&
         F.col("a.band_hash") === F.col("b.band_hash") &&
+        F.col("a.salt") === F.col("b.salt") &&
         F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"))
       .distinct()

@@ -76,6 +76,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(!p.exists { case (a, b) => Set(a, b) == Set(1L, 3L) })
   }
 
+  test("hot-bucket cap bounds pair generation on a skewed corpus and keeps it connected") {
+    val copies = (0L until 1000L).map(i =>
+      (i, "spam spam lovely spam wonderful spam boilerplate"))
+    val uniques = Seq(
+      (2000L, "a genuinely unique document about gardens"),
+      (2001L, "another singular text concerning astronomy"))
+    val df = (copies ++ uniques).toDF("doc_id", "text")
+    val pairs = dedup.minhashPairs(df, "doc_id", "text",
+        k = 2, numPerm = 16, bands = 4, threshold = 0.5, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (m, cap) = (1000, 50); val groups = m / cap
+    // linear-in-m candidate volume: 20·C(50,2) inside sub-buckets plus
+    // C(20,2) representative links — not the uncapped C(1000,2) = 499,500
+    assert(pairs.length ==
+      groups * cap * (cap - 1) / 2 + groups * (groups - 1) / 2)
+    assert(!pairs.exists { case (a, b) => a >= 2000L || b >= 2000L })
+    // the 1000-copy clique stays ONE component via the representatives
+    val parent = scala.collection.mutable.Map((0L until 1000L).map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    assert((0L until 1000L).map(find).toSet.size == 1)
+  }
+
+  test("capped pair generators equal uncapped when no bucket overflows") {
+    val capped = dedup.simhashPairs(docsDf, "doc_id", "text",
+        maxDist = 20, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = dedup.simhashPairs(docsDf, "doc_id", "text", maxDist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+    intercept[IllegalArgumentException] {
+      dedup.simhashPairs(docsDf, "doc_id", "text", maxDist = -1)
+    }
+  }
+
+  test("multi-table cosine LSH equals the all-pairs exact scan on planted near-dups") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val pert = base.map { case (id, x) =>
+      (id + 1000L, x.zipWithIndex.map { case (v, j) => v + 0.01f * ((j % 3) - 1) })
+    }
+    val v = (base ++ pert).toDF("vec_id", "embedding")
+    val lsh = similarity.cosinePairsLsh(v, "vec_id", "embedding",
+        dim = 16, nPlanes = 8, minCos = 0.95, nTables = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = similarity.cosinePairs(v.withColumn("one", F.lit(1)),
+        "vec_id", "embedding", "one", minCos = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == all)      // recall 1 on the planted pairs, no extras
+    assert(all.size >= 40)  // every planted near-dup is present
+  }
+
   test("saltedJoin rejects right-preserving join types") {
     import graft.functions.skew
     val l = Seq((1L, "a")).toDF("k", "v")

@@ -61,15 +61,18 @@ class SourceSinkSpec extends SparkSpec {
 
   test("bucketed saveAsTable + catalog source reads back shuffle-free joins") {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed")
-    t.saveAsTable("graft_bucketed", bucketBy = Some((4, Seq("id"))))
+    t.saveAsTable("graft_bucketed", bucketBy = Some((4, Seq("id"))),
+      mode = "overwrite")
     val back = Table.fromTable(spark, "graft_bucketed")
     assert(back.count() == 3)
     assert(back.columns.toSet == Set("id", "grp", "v"))
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed")
   }
 
   test("fromSql source") {
+    t.toDF.createOrReplaceTempView("graft_sql_src")
     val s = Table.fromSql(spark,
-      "SELECT id * 10 AS id10 FROM graft_bucketed WHERE id <= 2", "sq")
+      "SELECT id * 10 AS id10 FROM graft_sql_src WHERE id <= 2", "sq")
     assert(rows(s.arrange(C("id10"))) == Seq(Seq(10L), Seq(20L)))
   }
 }

@@ -7,10 +7,18 @@ import graft.table.Table
 /** Shared session per JVM (one per test run). */
 object SparkSpec {
   lazy val session: SparkSession = {
+    // Per-run warehouse + metastore so catalog tests are idempotent:
+    // a managed table's directory must not outlive the Derby metastore
+    // that knows about it (otherwise saveAsTable hits
+    // LOCATION_ALREADY_EXISTS on the next JVM).
+    val runDir = java.nio.file.Files.createTempDirectory("graft_test_")
     val s = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", runDir.resolve("warehouse").toString)
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=${runDir.resolve("metastore_db")};create=true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
