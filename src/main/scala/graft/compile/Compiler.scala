@@ -210,7 +210,12 @@ object ExprCompiler {
 
   /** Cast semantics (reference cast matrix col_expr.py:2686-2722):
     * float→int truncates toward zero (Spark native); non-strict = try_cast
-    * (null on failure); String→numeric strips whitespace first. */
+    * (null on failure); String→numeric strips whitespace first.
+    * strict=true RAISES on conversion failure (reference col_expr.py:
+    * 295-377) even under non-ANSI sessions: fallible casts compile to
+    * try_cast plus a raise_error guard on rows where a non-null input
+    * became null. Infallible casts (Catalyst up-casts) skip the guard
+    * and stay a bare cast. */
   private def compileCast(c: Column, from: DataType, to: DataType, strict: Boolean): Column = {
     val src =
       if (from == StringType && isNumeric(to)) F.trim(c)
@@ -223,9 +228,26 @@ object ExprCompiler {
       else c
     if (from == StringType && to == StringType) c
     else if (isFloating(from) && to == StringType) src
-    else if (strict) src.cast(to)
-    else src.try_cast(to)
+    else if (strict) {
+      if (!castIsFallible(from, to)) src.cast(to)
+      else {
+        val tried = src.try_cast(to)
+        F.when(src.isNotNull && tried.isNull,
+            F.raise_error(F.lit(strictCastErrorMsg(to))))
+          .otherwise(tried)
+      }
+    } else src.try_cast(to)
   }
+
+  /** Shared with SqlGen so build_query emits the identical guard. */
+  private[graft] def strictCastErrorMsg(to: DataType): String =
+    s"graft: strict cast to ${to.sql} failed on a non-null value; use try_cast for null-on-failure"
+
+  /** A cast can fail at runtime unless it is a Catalyst up-cast (or a
+    * trivial same-type / from-null cast). */
+  private[graft] def castIsFallible(from: DataType, to: DataType): Boolean =
+    from != NullType && from != to &&
+      !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to)
 
   private def compileElementwise(fn: Fn, ctx: Ctx): Column = {
     val Fn(op, args, _, _, _) = fn

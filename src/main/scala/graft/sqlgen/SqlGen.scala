@@ -53,8 +53,17 @@ object SqlGen {
       case Lit(v, Some(t)) => s"CAST(${litSql(v)} AS ${typeSql(t)})"
       case Marker(inner, _, _) => go(inner)
       case CastE(inner, to, strict) =>
-        val fn = if (strict) "CAST" else "TRY_CAST"
-        s"$fn(${go(inner)} AS ${typeSql(to)})"
+        val x = go(inner); val t = typeSql(to)
+        if (!strict) s"TRY_CAST($x AS $t)"
+        else if (ty(inner).exists(f =>
+            graft.compile.ExprCompiler.castIsFallible(f, to) &&
+            !(f == StringType && to == StringType) &&
+            !(DTypes.isFloating(f) && to == StringType))) {
+          // mirror the compiler's strict-cast raise guard exactly
+          val msg = graft.compile.ExprCompiler.strictCastErrorMsg(to).replace("'", "''")
+          s"(CASE WHEN ($x) IS NOT NULL AND TRY_CAST($x AS $t) IS NULL " +
+            s"THEN RAISE_ERROR('$msg') ELSE TRY_CAST($x AS $t) END)"
+        } else s"CAST($x AS $t)"
       case CaseE(branches, otherwise) =>
         val whens = branches.map { case (c, v) => s"WHEN ${go(c)} THEN ${go(v)}" }
         val els = otherwise.map(o => s" ELSE ${go(o)}").getOrElse("")

@@ -135,4 +135,34 @@ class ExprOpsSpec extends SparkSpec {
       t.mutate("x" -> C("v").shift(1, arrange = Seq(C("v"))).sum())
     }
   }
+
+  test("strict cast raises on conversion failure (col_expr.py:295-377)") {
+    val t = tbl(Seq("12", "abc", "7").toDF("s"))
+    val e = intercept[Exception] {
+      t.mutate("n" -> C("s").cast(LongType)).collect()
+    }
+    assert(e.getMessage.contains("strict cast"))
+  }
+
+  test("try_cast nulls on failure; strict passes nulls and valid input through") {
+    val t = tbl(Seq("12", "abc", "7").toDF("s"))
+    assert(rows(t.mutate("n" -> C("s").tryCast(LongType)).select(C("n"))) ==
+      Seq(Seq(12L), Seq(null), Seq(7L)))
+    // strict cast of NULL input stays null — only non-null failures raise
+    val tn = tbl(Seq[(String, String)](("3", null)).toDF("a", "b"))
+    assert(rows(tn.mutate("x" -> C("b").cast(LongType)).select(C("x"))) ==
+      Seq(Seq(null)))
+    // all-valid strict casts still succeed
+    assert(rows(t.filter(C("s") =!= lit("abc"))
+      .mutate("n" -> C("s").cast(LongType)).select(C("n"))) ==
+      Seq(Seq(12L), Seq(7L)))
+  }
+
+  test("build_query emits the same strict-cast raise guard (SQL = DF)") {
+    val part = graft.table.Table.source(spark, "/root/testdata/sf0.001", "part")
+    val q = part.mutate("n" -> C("p_name").cast(LongType))
+      .select(C("n")).buildQuerySql
+    val sqlErr = intercept[Exception] { spark.sql(q).collect() }
+    assert(sqlErr.getMessage.contains("strict cast"))
+  }
 }
