@@ -176,22 +176,38 @@ object dedup {
       .reduce(_ bitwiseOR _)
   }
 
-  /** SimHash near-duplicate pairs via the standard multi-index blocking:
-    * the 64-bit signature is split into `maxDist + 1` bit chunks; by
-    * pigeonhole, any pair at Hamming distance ≤ `maxDist` agrees exactly
-    * on at least one chunk, so blocking on (chunk_idx, chunk_value) is
-    * EXACT — the result equals the all-pairs scan, at one shuffle on the
-    * chunk buckets plus bucket-local pairing. The 100 TB shape.
-    * `maxBucket` > 0 salt-splits oversized chunk buckets (see
+  /** SimHash near-duplicate pairs via exact multi-index blocking. Two
+    * index shapes, both EXACT (result ≡ the all-pairs Hamming scan):
+    *
+    *  - `pairBlocking = true` (default): the signature is split into
+    *    `maxDist + 2` bit chunks and rows are indexed under every chunk
+    *    PAIR — C(maxDist+2, 2) indexes whose keys concatenate two
+    *    chunks. Pigeonhole: ≤ maxDist flipped bits dirty at most
+    *    maxDist chunks, so ≥ 2 chunks are clean and the pair of those
+    *    two agrees. Key cardinality is the SQUARE of the single-chunk
+    *    index (~2^16 vs ~2^9 at maxDist = 6), so block occupancy stays
+    *    sub-quadratic even at multi-billion-document corpus sizes —
+    *    the beyond-100 TB shape, at the cost of C(8,2) = 28 index
+    *    entries per row instead of 7.
+    *  - `pairBlocking = false`: the classic `maxDist + 1`-chunk single
+    *    index (any close pair agrees on ≥ 1 chunk). Fewer index
+    *    entries, much smaller key space — fine when the corpus is
+    *    small relative to 2^(64/(maxDist+1)).
+    *
+    * One shuffle on the block buckets plus bucket-local pairing either
+    * way. `maxBucket` > 0 salt-splits oversized buckets (see
     * [[saltOversized]]); with a cap the guarantee weakens from exact to
     * "every row is compared against ≥ cap block neighbours, sub-groups
     * linked via representatives" inside the (boilerplate) buckets that
     * overflow. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, maxBucket: Int = 0): DataFrame = {
+      maxDist: Int, maxBucket: Int = 0,
+      pairBlocking: Boolean = true): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       "simhashPairs: maxDist must be in [0, 64)")
-    val nChunks = maxDist + 1
+    // pair blocking needs ≥ 2 clean chunks → maxDist + 2 ≤ 64
+    val usePairs = pairBlocking && maxDist <= 62
+    val nChunks = if (usePairs) maxDist + 2 else maxDist + 1
     val widths = {
       val base = 64 / nChunks; val rem = 64 % nChunks
       (0 until nChunks).map(i => if (i < rem) base + 1 else base)
@@ -199,10 +215,18 @@ object dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     val sigs = cached(df.select(F.col(idCol).as("id"),
       simhash64(F.col(textCol)).as("sim")))
-    val chunkVals = F.array((0 until nChunks).map { i =>
+    def chunk(i: Int): Column = {
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       F.shiftrightunsigned(F.col("sim"), offsets(i)).bitwiseAND(F.lit(mask))
-    }: _*)
+    }
+    val chunkVals =
+      if (usePairs)
+        // block key bijectively concatenates the two chunk values
+        // (w_i + w_j ≤ 64 bits); posexplode position = pair index
+        F.array((for { i <- 0 until nChunks; j <- (i + 1) until nChunks }
+          yield F.shiftleft(chunk(i), widths(j)).bitwiseOR(chunk(j))): _*)
+      else
+        F.array((0 until nChunks).map(chunk): _*)
     val blocks = saltOversized(
       sigs.select(F.col("id"), F.col("sim"),
         F.posexplode(chunkVals).as(Seq("chunk_idx", "chunk_val"))),

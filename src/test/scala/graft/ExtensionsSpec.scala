@@ -64,6 +64,32 @@ class ExtensionsSpec extends SparkSpec {
     assert(multi.exists { case (a, b, d) => a == 1L && b == 4L && d == 0 })
   }
 
+  test("simhash chunk-pair blocking ≡ single-chunk blocking ≡ all-pairs at maxDist=6") {
+    // 60 docs: 20 bases × 3 variants (identical / one-word edit / reorder)
+    // so several pairs land within Hamming ≤ 6 and many don't
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 20).flatMap { b =>
+      val base = Seq.fill(12)(words(rnd.nextInt(words.length)))
+      Seq(
+        (b * 3L, base.mkString(" ")),
+        (b * 3L + 1, (base :+ words(rnd.nextInt(words.length))).mkString(" ")),
+        (b * 3L + 2, rnd.shuffle(base).mkString(" ")))
+    }.toDF("doc_id", "text")
+    def run(pairs: Boolean) = dedup.simhashPairs(docs, "doc_id", "text",
+        maxDist = 6, pairBlocking = pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaPairs = run(true)
+    val viaChunks = run(false)
+    val allPairs = dedup.simhashPairsWithin(
+        docs.withColumn("one", F.lit(1)), "doc_id", "text", "one", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaPairs == allPairs)   // C(8,2)=28 two-chunk indexes are exact
+    assert(viaChunks == allPairs)  // 7 single-chunk indexes are exact
+    assert(allPairs.nonEmpty)      // the fixture actually plants close pairs
+  }
+
   test("cosine LSH pairs: same-bucket near-dups verified exactly") {
     val v = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
