@@ -780,6 +780,42 @@ object Queries {
       |CAST(SUM(d1) OVER (PARTITION BY o_orderstatus) AS VARCHAR) AS tots
       |FROM b ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q31 — Enum type (reference types.py Enum; SURVEY §1.2 "String +
+  // check constraint"): strict cast to an in-set enum passes values
+  // through, try_cast to a narrower enum nulls out-of-set values,
+  // enum columns compare against (validated) in-set literals and feed
+  // String-typed ops; runtime stays String so the oracle is plain SQL
+  // ---------------------------------------------------------------
+  def q31Enum(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate(
+        "st" -> C("o_orderstatus").cast(EnumType(Seq("O", "F", "P"))),
+        "pri" -> C("o_orderpriority").tryCast(
+          EnumType(Seq("1-URGENT", "2-HIGH"))))
+      .mutate(
+        "is_open" -> (C("st") === lit("O")), // literal checked against the set
+        "st_low" -> C("st").str.lower) // Enum converts into Str-typed params
+      .groupBy(C("st"))
+      .summarize(
+        "n" -> count(),
+        "n_prio" -> C("pri").count(), // non-null = in-set priorities
+        "n_open" -> C("is_open").sum(),
+        "st_low" -> C("st_low").min())
+      .arrange(C("st"))
+      .toDF
+
+  private val q31Oracle =
+    """WITH b AS (SELECT o_orderstatus AS st,
+      |  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN o_orderpriority END AS pri
+      |  FROM orders)
+      |SELECT st, CAST(COUNT(*) AS BIGINT) AS n,
+      |CAST(COUNT(pri) AS BIGINT) AS n_prio,
+      |CAST(SUM(CASE WHEN st = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |MIN(LOWER(st)) AS st_low
+      |FROM b GROUP BY st ORDER BY st""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summarize_flagship" -> (q1Agg _),
     "q02_select_mutate_arith" -> (q2Mutate _),
@@ -812,7 +848,8 @@ object Queries {
     "q28_coverage_closers" -> (q28Coverage _),
     "q29_decimal_pipeline" -> (q29Decimal _),
     "q30_diff_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.query(s, dir)))
+      graft.fuzz.DiffFuzz.query(s, dir)),
+    "q31_enum_cast" -> (q31Enum _))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -845,5 +882,6 @@ object Queries {
     "q27_stats_aggregates" -> q27Oracle,
     "q28_coverage_closers" -> q28Oracle,
     "q29_decimal_pipeline" -> q29Oracle,
-    "q30_diff_fuzz_battery" -> graft.fuzz.DiffFuzz.oracle)
+    "q30_diff_fuzz_battery" -> graft.fuzz.DiffFuzz.oracle,
+    "q31_enum_cast" -> q31Oracle)
 }

@@ -61,7 +61,19 @@ object Typing {
         throw new GraftError(s"unresolved column C($n) reached typing — preprocess first")
       case Lit(v, dt) => dt.getOrElse(litType(v))
       case Marker(inner, _, _) => go(inner)
-      case CastE(_, to, _) => to
+      case CastE(inner, to, _) =>
+        to match {
+          case e: EnumType =>
+            // only String-family values cast to Enum (col_expr.py:2720)
+            val from = go(inner)
+            if (from != StringType && from != NullType &&
+                !from.isInstanceOf[EnumType])
+              throw new GraftTypeError(
+                s"cannot cast ${from.simpleString} to ${e.simpleString}: " +
+                  "only String casts to Enum")
+          case _ => ()
+        }
+        to
       case CaseE(branches, otherwise) =>
         lcaAll(branches.map(b => go(b._2)) ++ otherwise.map(go))
       case Fn(op, args, _, _, _) => fnType(op, args.map(go), args)
@@ -216,7 +228,22 @@ object ExprCompiler {
     * try_cast plus a raise_error guard on rows where a non-null input
     * became null. Infallible casts (Catalyst up-casts) skip the guard
     * and stay a bare cast. */
-  private def compileCast(c: Column, from: DataType, to: DataType, strict: Boolean): Column = {
+  private def compileCast(c: Column, from0: DataType, to: DataType, strict: Boolean): Column = {
+    // Enum target: runtime stays String; cast = membership check
+    // (strict → raise on out-of-set non-null, try_cast → null)
+    to match {
+      case e: EnumType =>
+        if (from0 == to) return c
+        val member = c.isin(e.values: _*)
+        return if (strict)
+          F.when(c.isNotNull && !member,
+              F.raise_error(F.lit(strictCastErrorMsg(e))))
+            .otherwise(c)
+          else F.when(member, c) // no otherwise → null
+      case _ => ()
+    }
+    // Enum source behaves as its physical String for every other target
+    val from = DTypes.physical(from0)
     val src =
       if (from == StringType && isNumeric(to)) F.trim(c)
       else if (isFloating(from) && to == StringType)
@@ -265,7 +292,7 @@ object ExprCompiler {
     lazy val at = rawAt.map(t => if (t == NullType) nullTarget else t)
     lazy val c = args.zip(rawAt).map { case (a, t) =>
       val col = compile(a, ctx)
-      if (t == NullType) col.cast(nullTarget) else col
+      if (t == NullType) col.cast(DTypes.physical(nullTarget)) else col
     }
     def a0 = c(0); def a1 = c(1)
     def boolToLong(i: Int): Column =

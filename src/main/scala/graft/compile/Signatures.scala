@@ -153,7 +153,7 @@ object Signatures {
     case Fl => DTypes.isFloating(t) || DTypes.isIntegral(t) ||
       t.isInstanceOf[DecimalType] // Int→Float (1,0); Decimal→Float (0,1)
     case Dec => t.isInstanceOf[DecimalType] || DTypes.isIntegral(t) // Int→Decimal (2,0)
-    case Str => t == StringType
+    case Str => t == StringType || t.isInstanceOf[EnumType] // Enum→String implicit
     case B => t == BooleanType
     case Dt => t == TimestampType || t == TimestampNTZType
     case D => t == DateType
@@ -191,7 +191,7 @@ object Signatures {
   /** Validate `op(at...)`; throws [[GraftTypeError]] with the expected
     * signatures on mismatch. Ops absent from the table (internal ones)
     * pass through unchecked. */
-  def validate(op: Op, at: Seq[DataType], args: Seq[ColExpr]): Unit =
+  def validate(op: Op, at: Seq[DataType], args: Seq[ColExpr]): Unit = {
     table.get(op.name).foreach { sigs =>
       if (!sigs.exists(s => accepts(s, at, args))) {
         val got = at.map(_.simpleString).mkString("(", ", ", ")")
@@ -202,4 +202,33 @@ object Signatures {
               " (Const(...) parameters require literal arguments)" else ""))
       }
     }
+    checkEnumLiterals(op, at, args)
+  }
+
+  /** Comparison ops that confront an Enum-typed argument with string
+    * literals — the static membership check (reference: polars enum cast
+    * raises on out-of-set; graft enforces it at expression build). */
+  private val enumLitOps =
+    Set("eq", "ne", "lt", "le", "gt", "ge", "is_in", "fill_null")
+
+  private def litStringOf(e: ColExpr): Option[String] = e match {
+    case Lit(s: String, _) => Some(s)
+    case Marker(inner, _, _) => litStringOf(inner)
+    case _ => None
+  }
+
+  private def checkEnumLiterals(op: Op, at: Seq[DataType],
+      args: Seq[ColExpr]): Unit = {
+    if (!enumLitOps.contains(op.name)) return
+    val enums = at.collect { case e: EnumType => e }
+    if (enums.isEmpty) return
+    args.foreach { a =>
+      litStringOf(a).foreach { s =>
+        enums.find(!_.contains(s)).foreach { e =>
+          throw new GraftTypeError(
+            s"${op.name}: literal '$s' is not a member of ${e.simpleString}")
+        }
+      }
+    }
+  }
 }

@@ -25,6 +25,14 @@ object DTypes {
   val Int64: DataType = LongType
   val Float64: DataType = DoubleType
 
+  /** Physical (runtime) Spark type of a graft dtype: [[EnumType]] exists
+    * only in the typing layer and executes as String. */
+  def physical(t: DataType): DataType = t match {
+    case _: EnumType => StringType
+    case ArrayType(e: EnumType, n) => ArrayType(StringType, n)
+    case t => t
+  }
+
   def isIntegral(t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
@@ -43,6 +51,7 @@ object DTypes {
     case _ if isNumeric(t) => true
     case StringType | BooleanType | DateType | TimestampType |
         TimestampNTZType | _: DayTimeIntervalType => true
+    case _: EnumType => true
     case _ => false
   }
 
@@ -71,6 +80,11 @@ object DTypes {
     case (x, y) if x == y => x
     case (NullType, y) => y
     case (x, NullType) => x
+    // Enum/String family (reference types.py:201-206): identical enums
+    // stay themselves (covered above); enum-vs-string and enum-vs-other-
+    // enum widen to plain String
+    case (_: EnumType, StringType) | (StringType, _: EnumType)
+       | (_: EnumType, _: EnumType) => StringType
     case (x, y) if isIntegral(x) && isIntegral(y) =>
       if (intRank(x) >= intRank(y)) x else y
     case (x, y) if isFloating(x) && isFloating(y) =>
@@ -96,6 +110,37 @@ object DTypes {
   }
 
   def lcaAll(ts: Seq[DataType]): DataType = ts.reduceLeft(lca)
+}
+
+/** String restricted to a closed value set — the reference's `Enum`
+  * scalar type (types.py; SURVEY §1.2 maps it to "String + check
+  * constraint"). Lives purely in graft's typing layer: the runtime Spark
+  * type is always String ([[DTypes.physical]]), the value set travels as
+  * column metadata across verbs, membership is enforced on cast
+  * (strict → raise, try_cast → null) and statically on literal
+  * comparisons ([[graft.compile.Signatures]]). */
+final case class EnumType(values: Seq[String]) extends DataType {
+  require(values.nonEmpty, "EnumType: value set must be non-empty")
+  require(values.distinct == values, "EnumType: duplicate values")
+  require(values.forall(_ != null), "EnumType: null is not an enum value")
+  override def defaultSize: Int = StringType.defaultSize
+  override def asNullable: DataType = this
+  override def typeName: String = "enum"
+  override def simpleString: String = s"enum(${values.mkString(", ")})"
+  override def sql: String = simpleString
+  def contains(v: String): Boolean = values.contains(v)
+}
+
+object EnumType {
+  private val MetaKey = "graft_enum_values"
+  /** Column-level metadata carrying the value set — how enum-ness
+    * survives projections/joins: Spark preserves field metadata on
+    * pass-through columns. */
+  def toMetadata(e: EnumType): Metadata =
+    new MetadataBuilder().putStringArray(MetaKey, e.values.toArray).build()
+  def fromMetadata(m: Metadata): Option[EnumType] =
+    if (m.contains(MetaKey)) Some(EnumType(m.getStringArray(MetaKey).toSeq))
+    else None
 }
 
 class GraftError(msg: String) extends RuntimeException(msg)

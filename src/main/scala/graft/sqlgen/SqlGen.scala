@@ -26,7 +26,7 @@ object SqlGen {
     case other => throw new GraftError(s"sqlgen: unsupported literal $other")
   }
 
-  def typeSql(t: DataType): String = t.sql
+  def typeSql(t: DataType): String = DTypes.physical(t).sql
 
   sealed trait Mode
   object Mode {
@@ -52,10 +52,23 @@ object SqlGen {
       case Lit(v, None) => litSql(v)
       case Lit(v, Some(t)) => s"CAST(${litSql(v)} AS ${typeSql(t)})"
       case Marker(inner, _, _) => go(inner)
+      case CastE(inner, to: EnumType, strict) =>
+        // enum cast = string membership check (mirrors compileCast)
+        val x = go(inner)
+        if (ty(inner).contains(to)) x
+        else {
+          val set = to.values.map(litSql).mkString("(", ", ", ")")
+          if (strict) {
+            val msg = graft.compile.ExprCompiler
+              .strictCastErrorMsg(to).replace("'", "''")
+            s"(CASE WHEN ($x) IS NOT NULL AND ($x) NOT IN $set " +
+              s"THEN RAISE_ERROR('$msg') ELSE $x END)"
+          } else s"(CASE WHEN ($x) IN $set THEN $x END)"
+        }
       case CastE(inner, to, strict) =>
         val x = go(inner); val t = typeSql(to)
         if (!strict) s"TRY_CAST($x AS $t)"
-        else if (ty(inner).exists(f =>
+        else if (ty(inner).map(DTypes.physical).exists(f =>
             graft.compile.ExprCompiler.castIsFallible(f, to) &&
             !(f == StringType && to == StringType) &&
             !(DTypes.isFloating(f) && to == StringType))) {

@@ -49,8 +49,10 @@ final class Table private[graft] (
   def columns: Seq[String] = visibleCols.map(_.name)
 
   private def dtypeOfUuid(u: Long): DataType = {
-    val n = internal(u)
-    df.schema(n).dataType
+    val f = df.schema(internal(u))
+    // enum-ness travels as column metadata (EnumType.toMetadata) — Spark
+    // preserves field metadata on pass-through projections/joins
+    EnumType.fromMetadata(f.metadata).getOrElse(f.dataType)
   }
 
   /** `t.col("x")` / `t("x")` — resolved column handle with stable uuid. */
@@ -174,19 +176,23 @@ final class Table private[graft] (
     val resolved = defs.map { case (n, e0) =>
       val e = preprocess(e0)
       Typing.ftypeOf(e) // validates composition rules
-      Typing.dtypeOf(e, dtypeOfUuid) // eager type check
-      (n, e)
+      val dt = Typing.dtypeOf(e, dtypeOfUuid) // eager type check
+      (n, e, dt)
     }
-    val newMeta = resolved.map { case (n, _) => ColMeta(ColIds.next.getAndIncrement(), n, visible = true) }
+    val newMeta = resolved.map { case (n, _, _) => ColMeta(ColIds.next.getAndIncrement(), n, visible = true) }
     val existing = df.columns.map(df(_))
-    val added = resolved.zip(newMeta).map { case ((_, e), m) =>
-      compiled(e, Mode.Project).as(internal(m.uuid))
+    val added = resolved.zip(newMeta).map { case ((_, e, dt), m) =>
+      val c = compiled(e, Mode.Project)
+      dt match { // persist enum-ness on the aliased field
+        case et: EnumType => c.as(internal(m.uuid), EnumType.toMetadata(et))
+        case _ => c.as(internal(m.uuid))
+      }
     }
     val df2 = df.select(existing ++ added: _*)
     val overwritten = defs.map(_._1).toSet
     val kept = cols.map(c => if (c.visible && overwritten(c.name)) c.copy(visible = false) else c)
     val sql2 = extendSql { q =>
-      val rendered = resolved.zip(newMeta).map { case ((_, e), m) =>
+      val rendered = resolved.zip(newMeta).map { case ((_, e, _), m) =>
         trySql(e, SqlGen.Mode.Project).map(sql => (m.uuid, sql)) }
       if (rendered.forall(_.isDefined)) Some(q.mutate(rendered.map(_.get))) else None
     }
@@ -466,7 +472,8 @@ final class Table private[graft] (
     val outMeta = ln.map(n => ColMeta(ColIds.next.getAndIncrement(), n, visible = true))
     def proj(t: Table): DataFrame =
       t.df.select(ln.zip(outMeta).map { case (n, m) =>
-        t.df(internal(t.col(n).uuid)).cast(types(n)).as(internal(m.uuid))
+        t.df(internal(t.col(n).uuid)).cast(DTypes.physical(types(n)))
+          .as(internal(m.uuid))
       }: _*)
     val merged = proj(this).unionByName(proj(right))
     val out = if (distinct) merged.distinct() else merged

@@ -158,6 +158,29 @@ class ExprOpsSpec extends SparkSpec {
       Seq(Seq(12L), Seq(7L)))
   }
 
+  test("enum cast: strict raises on out-of-set, try_cast nulls, metadata survives verbs") {
+    val oenum = EnumType(Seq("x", "y"))
+    val t = tbl(Seq("x", "y", "z").toDF("s"))
+    // strict: 'z' is out of set → raise
+    val e = intercept[Exception] {
+      t.mutate("en" -> C("s").cast(oenum)).collect()
+    }
+    assert(e.getMessage.contains("strict cast"))
+    // try_cast: out-of-set → null; enum survives filter/select and
+    // still feeds Str-typed ops + membership-checked literal compares
+    val te = t.mutate("en" -> C("s").tryCast(oenum))
+    assert(rows(te.select(C("en"))) == Seq(Seq("x"), Seq("y"), Seq(null)))
+    assert(rows(te.filter(C("en").isNotNull)
+      .mutate("u" -> C("en").str.upper).select(C("u"))) ==
+      Seq(Seq("X"), Seq("Y")))
+    intercept[GraftTypeError] {
+      te.filter(C("en") === lit("not-a-member"))
+    }
+    // enum → plain string cast is the identity on values
+    assert(rows(te.mutate("s2" -> C("en").cast(StringType)).select(C("s2"))) ==
+      Seq(Seq("x"), Seq("y"), Seq(null)))
+  }
+
   test("build_query emits the same strict-cast raise guard (SQL = DF)") {
     val part = graft.table.Table.source(spark, "/root/testdata/sf0.001", "part")
     val q = part.mutate("n" -> C("p_name").cast(LongType))

@@ -127,6 +127,27 @@ class SignatureSpec extends SparkSpec {
     assert(rows(t.filter(C("i").isIn(lit(1L), lit(null)))).nonEmpty)
   }
 
+  // ---- Enum (reference types.py Enum: String + value-set check) ----
+  test("comparing an Enum column to an out-of-set literal is rejected") {
+    val abc = EnumType(Seq("a", "b"))
+    val te = t.mutate("e" -> C("s").cast(abc))
+    val e1 = err(te.filter(C("e") === lit("zzz")))
+    assert(e1.getMessage.contains("not a member") &&
+      e1.getMessage.contains("enum(a, b)"))
+    err(te.mutate("x" -> C("e").isIn(lit("a"), lit("nope"))))
+    err(te.mutate("x" -> C("e").fillNull(lit("q"))))
+    // in-set literals pass
+    assert(rows(te.filter(C("e") === lit("a"))).nonEmpty)
+  }
+  test("only String casts to Enum; Enum lca follows the reference") {
+    err(t.mutate("x" -> C("i").cast(EnumType(Seq("a")))))
+    assert(DTypes.lca(EnumType(Seq("a")), StringType) == StringType)
+    assert(DTypes.lca(EnumType(Seq("a")), EnumType(Seq("b"))) == StringType)
+    assert(DTypes.lca(EnumType(Seq("a")), EnumType(Seq("a"))) ==
+      EnumType(Seq("a")))
+    intercept[GraftTypeError](DTypes.lca(EnumType(Seq("a")), LongType))
+  }
+
   // ---- Decimal lca (reference types.py:208-216) ----
   test("Decimal lca widens precision/scale instead of collapsing to Double") {
     assert(DTypes.lca(DecimalType(10, 2), DecimalType(12, 4)) == DecimalType(12, 4))
