@@ -30,9 +30,35 @@ object similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
+  /** Two-stage exact top-k per query over a `(q_id, n_id, cos)` scored
+    * frame — the scale-safe replacement for a single
+    * `row_number().over(partitionBy(q_id))` window, which sorts the
+    * ENTIRE scored corpus for one query inside one task. Stage 1 keeps
+    * the k best candidates per (q_id, input partition) — each sort is
+    * bounded by one partition's rows; stage 2 merges the ≤ k × P
+    * survivors per query. Exact: any global top-k row is also in the
+    * top-k of its own partition (anything that beats it locally beats it
+    * globally), and `(cos DESC, n_id ASC)` is a strict total order, so
+    * ranks are identical to the single-window plan. */
+  private def twoStageTopK(scored: DataFrame, k: Int): DataFrame = {
+    val local = Window.partitionBy(F.col("q_id"), F.col("_pid"))
+      .orderBy(F.col("cos").desc, F.col("n_id").asc)
+    val global = Window.partitionBy(F.col("q_id"))
+      .orderBy(F.col("cos").desc, F.col("n_id").asc)
+    scored
+      .withColumn("_pid", F.spark_partition_id())
+      .withColumn("_lr", F.row_number().over(local))
+      .filter(F.col("_lr") <= k)
+      .withColumn("rank", F.row_number().over(global).cast(LongType))
+      .filter(F.col("rank") <= k)
+      .select("q_id", "n_id", "cos", "rank")
+  }
+
   /** Brute-force cosine top-k: for every row of `queries`, the k nearest
     * rows of `corpus` (excluding self-matches by id), deterministic
-    * tie-break by corpus id. Queries are broadcast. */
+    * tie-break by corpus id. Queries are broadcast; ranking is the
+    * bounded [[twoStageTopK]], so no task ever sorts more than one
+    * corpus partition's candidates. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
@@ -43,11 +69,7 @@ object similarity {
       .filter(F.col("n_id") =!= F.col("q_id"))
       .select(F.col("q_id"), F.col("n_id"),
         (dot(F.col("q_vec"), F.col("n_vec")) / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(F.col("cos").desc, F.col("n_id").asc)
-    scored.withColumn("rank", F.row_number().over(w).cast(LongType))
-      .filter(F.col("rank") <= k)
-      .select("q_id", "n_id", "cos", "rank")
+    twoStageTopK(scored, k)
   }
 
   /** Random-hyperplane sign bucket: `nPlanes` sign bits of dot products
@@ -80,11 +102,22 @@ object similarity {
       .filter(F.col("n_id") =!= F.col("q_id"))
       .select(F.col("q_id"), F.col("n_id"),
         (dot(F.col("q_vec"), F.col("n_vec")) / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(F.col("cos").desc, F.col("n_id").asc)
-    scored.withColumn("rank", F.row_number().over(w).cast(LongType))
-      .filter(F.col("rank") <= k)
-      .select("q_id", "n_id", "cos", "rank")
+    twoStageTopK(scored, k)
+  }
+
+  /** The ±1 hyperplane sign bank for [[cosinePairsLsh]], bit-packed for
+    * [[graft.plans.HyperplaneBuckets]]: layout `[table][plane][word]`,
+    * bit i of word i>>6 set = +1 for vector element i. Signs use the
+    * exact [[lshBucket]] formula with per-table seed `seed + 7919·t`. */
+  private[graft] def packedPlaneSigns(dim: Int, nPlanes: Int, nTables: Int,
+      seed: Int): Array[Long] = {
+    val words = (dim + 63) >> 6
+    val out = new Array[Long](nTables * nPlanes * words)
+    for (t <- 0 until nTables; j <- 0 until nPlanes; i <- 0 until dim) {
+      val h = scala.util.hashing.MurmurHash3.productHash((seed + 7919 * t, j, i))
+      if ((h & 1) == 0) out((t * nPlanes + j) * words + (i >> 6)) |= 1L << (i & 63)
+    }
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs with candidates from
@@ -95,28 +128,40 @@ object similarity {
     * tables with (1-p)^nTables: at cos ≥ 0.997 with 16 planes × 32
     * tables that is ~1e-16, so the LSH-fed result equals the all-pairs
     * exact scan on any realistic near-dup corpus (the oracle for
-    * x05_dedup_embedding_cosine checks exactly that). Plan shape: one
-    * explode (×nTables), one shuffle on (table, bucket) for bucket-local
-    * pairing, one shuffle to dedup candidate pairs, then ONE exact
-    * cosine verification per distinct candidate — candidates colliding
-    * in many tables are verified once, not nTables times. */
+    * x05_dedup_embedding_cosine checks exactly that).
+    *
+    * Scale shape: the candidate stream that rides the ×nTables explode,
+    * the (table, bucket) pairing shuffle and the candidate-dedup shuffle
+    * carries only `(id, nrm)` — never the vector — and the plane bank is
+    * a bit-packed array<bigint> (4 KiB at 32×16×64) evaluated by the
+    * codegen'd [[graft.plans.HyperplaneBuckets]] in ONE pass per row,
+    * not 512 inlined literal arrays. Vectors are joined back from the
+    * source exactly once, for a single exact-cosine verification per
+    * DISTINCT candidate pair. If `df` is expensive to recompute (it is
+    * read once for buckets and once per verification side), persist it
+    * before calling. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, nPlanes: Int, minCos: Double,
       nTables: Int = 1, seed: Int = 42): DataFrame = {
     require(nTables >= 1, "nTables must be >= 1")
-    val buckets = F.array((0 until nTables).map(t =>
-      lshBucket(F.col(vecCol), dim, nPlanes, seed + 7919 * t)): _*)
-    val v = df.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
-      norm(F.col(vecCol)).as("nrm"),
+    require(nPlanes >= 1 && nPlanes <= 63, "nPlanes must be in [1, 63]")
+    val signs = F.typedlit(packedPlaneSigns(dim, nPlanes, nTables, seed).toSeq)
+    val buckets = F.call_function("graft_hyperplane_buckets",
+      F.col(vecCol), signs, F.lit(nPlanes))
+    // light stream: no vector payload on the explode or either shuffle
+    val light = df.select(F.col(idCol).as("id"), norm(F.col(vecCol)).as("nrm"),
       F.posexplode(buckets).as(Seq("tbl", "bucket")))
-    v.as("a").join(v.as("b"),
+    val cand = light.as("a").join(light.as("b"),
         F.col("a.tbl") === F.col("b.tbl") &&
           F.col("a.bucket") === F.col("b.bucket") &&
           F.col("a.id") < F.col("b.id"))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
-        F.col("a.vec").as("vec_a"), F.col("b.vec").as("vec_b"),
         F.col("a.nrm").as("nrm_a"), F.col("b.nrm").as("nrm_b"))
       .dropDuplicates("id_a", "id_b")
+    val va = df.select(F.col(idCol).as("_ia"), F.col(vecCol).as("vec_a"))
+    val vb = df.select(F.col(idCol).as("_ib"), F.col(vecCol).as("vec_b"))
+    cand.join(va, F.col("id_a") === F.col("_ia"))
+      .join(vb, F.col("id_b") === F.col("_ib"))
       .select(F.col("id_a"), F.col("id_b"),
         (dot(F.col("vec_a"), F.col("vec_b")) / F.col("nrm_a") / F.col("nrm_b")).as("cos"))
       .filter(F.col("cos") >= minCos)

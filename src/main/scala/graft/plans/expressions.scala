@@ -160,6 +160,110 @@ case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All random-hyperplane LSH bucket keys of one embedding in one pass:
+  * the ±1 plane signs arrive bit-PACKED as array<bigint> (layout
+  * `[table][plane][word]`, bit i of word i>>6 = sign of element i), so a
+  * 32-table × 16-plane × 64-dim plane bank is 4 KiB of plan state
+  * instead of 512 inlined literal arrays (~260 KiB that previously rode
+  * every task binary). Per plane the projection is a sequential double
+  * accumulation `acc += ±vec[i]` — bit-identical to `graft_dot` against
+  * a ±1.0 literal plane (multiplying by ±1.0 is exact), so buckets match
+  * [[graft.functions.similarity.lshBucket]] exactly. Returns
+  * array<bigint> of length nTables: table t's key has bit j set iff the
+  * projection on plane (t, j) is ≥ 0. */
+case class HyperplaneBuckets(vec: Expression, signs: Expression, nPlanes: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = signs
+  override def third: Expression = nPlanes
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, signs.dataType, nPlanes.dataType) match {
+      case (ArrayType(vt, _), ArrayType(LongType, _), IntegerType)
+          if vt == FloatType || vt == DoubleType =>
+        if (nPlanes.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_hyperplane_buckets: nPlanes must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_hyperplane_buckets expects (array<float|double>, array<bigint>, int), got " +
+          s"${vec.dataType} / ${signs.dataType} / ${nPlanes.dataType}")
+    }
+
+  private def isFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any, s: Any, p: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val sg = s.asInstanceOf[ArrayData]
+    val planes = p.asInstanceOf[Int]
+    val dim = x.numElements()
+    val words = (dim + 63) >> 6
+    val nTables = sg.numElements() / (planes * words)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var key = 0L
+      var j = 0
+      while (j < planes) {
+        val base = (t * planes + j) * words
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          val w = sg.getLong(base + (i >> 6))
+          acc += (if (((w >>> (i & 63)) & 1L) == 1L) xv else -xv)
+          i += 1
+        }
+        if (acc >= 0) key |= (1L << j)
+        j += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, s, p) => {
+      val dim = ctx.freshName("dim"); val words = ctx.freshName("words")
+      val nT = ctx.freshName("nT"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val j = ctx.freshName("j"); val i = ctx.freshName("i")
+      val key = ctx.freshName("key"); val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc"); val w = ctx.freshName("w"); val xv = ctx.freshName("xv")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $dim = $v.numElements();
+         |int $words = ($dim + 63) >> 6;
+         |int $nT = $s.numElements() / ($p * $words);
+         |long[] $out = new long[$nT];
+         |for (int $t = 0; $t < $nT; $t++) {
+         |  long $key = 0L;
+         |  for (int $j = 0; $j < $p; $j++) {
+         |    int $base = ($t * $p + $j) * $words;
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) {
+         |      double $xv = $getV;
+         |      long $w = $s.getLong($base + ($i >> 6));
+         |      $acc += ((($w >>> ($i & 63)) & 1L) == 1L) ? $xv : -$xv;
+         |    }
+         |    if ($acc >= 0) $key |= (1L << $j);
+         |  }
+         |  $out[$t] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, signs = newSecond, nPlanes = newThird)
+}
+
 /** Session extensions registering graft's native functions; install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
   * entry points do). */
@@ -177,5 +281,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64FromHashes].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64FromHashes(children(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+      (children: Seq[Expression]) => HyperplaneBuckets(children(0), children(1), children(2))))
   }
 }

@@ -196,6 +196,52 @@ class ExtensionsSpec extends SparkSpec {
     assert(m((1L, 2L)) == 0.0 && m((1L, 3L)) == 1.0)
   }
 
+  test("two-stage top-k equals a driver-side exact sort (and uses two bounded windows)") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val queries = corpus.take(5)
+    val df = corpus.toDF("vec_id", "embedding").repartition(7) // force multi-partition stage 1
+    val got = similarity.bruteForceTopK(df,
+        queries.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 4)
+    // exact oracle: full scoring + sort on the driver
+    def dotd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    def nrm(a: Array[Float]) = math.sqrt(dotd(a, a))
+    val expected = queries.flatMap { case (qid, qv) =>
+      corpus.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, dotd(qv, nv) / nrm(qv) / nrm(nv)) }
+        .sortBy { case (nid, cos) => (-cos, nid) }
+        .take(4).zipWithIndex
+        .map { case ((nid, cos), r) => (qid, nid, cos, r + 1L) }
+    }.toSet
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows == expected)
+    // plan shape: a bounded local window + a survivors-only global window,
+    // never one full-corpus sort per q_id
+    val windows = got.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Window"))
+    assert(windows >= 2)
+  }
+
+  test("packed-sign hyperplane buckets equal the literal-plane lshBucket per table") {
+    val rnd = new scala.util.Random(3)
+    val v = (0 until 20).map(i => (i.toLong, Array.fill(10)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val (dim, nPlanes, nTables, seed) = (10, 5, 6, 42)
+    val packed = F.typedlit(
+      similarity.packedPlaneSigns(dim, nPlanes, nTables, seed).toSeq)
+    val viaExpr = F.call_function("graft_hyperplane_buckets",
+      F.col("embedding"), packed, F.lit(nPlanes))
+    val viaLiterals = F.array((0 until nTables).map(t =>
+      similarity.lshBucket(F.col("embedding"), dim, nPlanes, seed + 7919 * t)): _*)
+    v.select(viaExpr.as("a"), viaLiterals.as("b")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
   test("brute-force top-k returns k neighbors ranked by cosine") {
     val v = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
