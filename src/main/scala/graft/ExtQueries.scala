@@ -76,6 +76,32 @@ object ExtQueries {
       |   - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** The hot-bucket cap exercised END-TO-END under an oracle: the corpus
+    * is `documents` plus 1000 planted copies of one gibberish document
+    * whose vocabulary is disjoint from the corpus, so exactly the
+    * planted band buckets overflow `maxBucket = 100` and take the
+    * salted ring-chained plan (saltOversized), while every original
+    * document's buckets stay under the cap and keep EXACT all-pairs
+    * semantics. The query emits only original-corpus pairs, which must
+    * therefore equal the same all-pairs scan x02 is checked against;
+    * the capped part's contract (bounded sub-buckets, ring-connected)
+    * is proven separately in ExtensionsSpec. */
+  def x20DedupCappedLsh(s: SparkSession, dir: String): DataFrame = {
+    val filler = s.range(0, 1000).select(
+      (F.col("id") + 10000000L).as("doc_id"),
+      F.lit("zq0x zq1x zq2x zq3x zq4x zq5x zq6x zq7x").as("text"))
+    val corpus = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+      .unionByName(filler)
+    dedup.jaccardPairsLsh(corpus, "doc_id", "text",
+        k = 3, numPerm = 32, bands = 16, minJ = 0.8, maxBucket = 100)
+      .filter(F.col("id_a") < 10000000L && F.col("id_b") < 10000000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  // identical to the x02 all-pairs oracle but at the x20 band/perm
+  // parameters' miss probability ((1-0.8^2)^16 ≈ 8e-8 per J≥0.8 pair)
+  private val x20Oracle = x02Oracle
+
   /** MinHash-LSH near-dup candidates — engine-native hashing, rows-only. */
   def x03DedupMinhash(s: SparkSession, dir: String): DataFrame =
     dedup.minhashPairs(docs(s, dir), "doc_id", "text",
@@ -425,7 +451,8 @@ object ExtQueries {
     "x16_asof_join" -> (x16AsofJoin _),
     "x17_event_subsecond_parts" -> (x17EventParts _),
     "x18_hash_sampling" -> (x18HashSample _),
-    "x19_list_agg" -> (x19ListAgg _))
+    "x19_list_agg" -> (x19ListAgg _),
+    "x20_dedup_capped_lsh" -> (x20DedupCappedLsh _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -443,5 +470,6 @@ object ExtQueries {
     "x16_asof_join" -> x16Oracle,
     "x17_event_subsecond_parts" -> x17Oracle,
     "x18_hash_sampling" -> x18Oracle,
-    "x19_list_agg" -> x19Oracle)
+    "x19_list_agg" -> x19Oracle,
+    "x20_dedup_capped_lsh" -> x20Oracle)
 }

@@ -41,35 +41,47 @@ object dedup {
     while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
   }
 
-  /** Salt-split oversized LSH buckets (the hot-bucket cap): above `cap`
-    * rows, a bucket is deterministically split into ⌈m/cap⌉ sub-buckets
-    * of ≤ cap rows (ordered by id), and the first row of every
-    * sub-bucket is ALSO emitted into a representatives sub-bucket
-    * (salt = -1) so the split groups stay linked for
-    * connected-component dedup. Per-task pair generation is bounded by
-    * cap²/2, and the oversized bucket's candidate output degrades
-    * gracefully from quadratic (m²/2) to linear (~m·cap/2) — the
-    * production posture for boilerplate-heavy web corpora, where one
-    * band bucket can hold millions of near-identical documents.
+  /** Salt-split oversized LSH buckets (the hot-bucket cap): a bucket
+    * with m > `cap` rows is deterministically hash-split into
+    * nSub = ⌈m/cap⌉ sub-buckets (salt = xxhash64(id) mod nSub, ~cap rows
+    * each whp), and the min-id row of every sub-bucket is RE-EMITTED
+    * into the NEXT sub-bucket ((salt+1) mod nSub) so the sub-buckets
+    * form one connected ring for connected-component dedup. Per-task
+    * pair generation is bounded by ~(cap+1)²/2 for EVERY task — ring
+    * chaining has no shared representatives bucket, so the bound holds
+    * at any skew (a 10M-row bucket at cap=1000 yields 10k sub-buckets
+    * of ~1000, not a 10k-row rep bucket), and the oversized bucket's
+    * candidate output degrades gracefully from quadratic (m²/2) to
+    * linear (~m·cap/2) — the production posture for boilerplate-heavy
+    * web corpora. Plan shape: bucket sizes come from a partial-agg
+    * groupBy whose >cap survivors are BROADCAST back (the big side is
+    * never shuffled to discover overflow), and the min-id window for
+    * representatives runs only over overflow rows in ≤ ~cap-row groups.
     * Buckets at or under `cap` are untouched (salt 0, no
     * representatives), so results on non-skewed data are identical to
     * the uncapped plan; with a cap, candidate generation inside an
     * oversized bucket is intentionally NOT all-pairs any more (each row
-    * still pairs with ~cap neighbours and every sub-group is linked via
-    * the representatives). cap = 0 disables capping. */
-  private def saltOversized(df: DataFrame, bucketCols: Seq[String],
+    * still pairs with ~cap neighbours and every sub-group stays linked
+    * via the ring). cap = 0 disables capping. */
+  private[graft] def saltOversized(df: DataFrame, bucketCols: Seq[String],
       cap: Int): DataFrame = {
     if (cap <= 0) df.withColumn("salt", F.lit(0))
     else {
-      val part = Window.partitionBy(bucketCols.map(F.col): _*)
-      val salted = df
-        .withColumn("_rn", F.row_number().over(part.orderBy(F.col("id"))))
-        .withColumn("_overflow", F.max(F.col("_rn")).over(part) > cap)
-        .withColumn("salt", ((F.col("_rn") - 1) / cap).cast(IntegerType))
-      val reps = salted
-        .filter(F.col("_overflow") && (F.col("_rn") - 1) % cap === 0)
-        .withColumn("salt", F.lit(-1))
-      salted.unionByName(reps).drop("_rn", "_overflow")
+      val counts = df.groupBy(bucketCols.map(F.col): _*)
+        .agg(F.count(F.lit(1)).as("_m"))
+        .filter(F.col("_m") > cap)
+      val nSub = F.ceil(F.col("_m").cast(DoubleType) / cap).cast(IntegerType)
+      val salted = df.join(F.broadcast(counts), bucketCols, "left")
+        .withColumn("salt",
+          F.when(F.col("_m").isNull, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64(F.col("id")), nSub).cast(IntegerType)))
+      val part = Window.partitionBy((bucketCols :+ "salt").map(F.col): _*)
+      val reps = salted.filter(F.col("_m").isNotNull)
+        .withColumn("_min", F.min(F.col("id")).over(part))
+        .filter(F.col("id") === F.col("_min"))
+        .withColumn("salt", (F.col("salt") + 1) % nSub)
+        .drop("_min")
+      salted.unionByName(reps).drop("_m")
     }
   }
 
@@ -197,8 +209,8 @@ object dedup {
     * One shuffle on the block buckets plus bucket-local pairing either
     * way. `maxBucket` > 0 salt-splits oversized buckets (see
     * [[saltOversized]]); with a cap the guarantee weakens from exact to
-    * "every row is compared against ≥ cap block neighbours, sub-groups
-    * linked via representatives" inside the (boilerplate) buckets that
+    * "every row is compared against ~cap block neighbours, sub-buckets
+    * linked in a ring" inside the (boilerplate) buckets that
     * overflow. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, maxBucket: Int = 0,

@@ -112,18 +112,42 @@ class ExtensionsSpec extends SparkSpec {
     val pairs = dedup.minhashPairs(df, "doc_id", "text",
         k = 2, numPerm = 16, bands = 4, threshold = 0.5, maxBucket = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val (m, cap) = (1000, 50); val groups = m / cap
-    // linear-in-m candidate volume: 20·C(50,2) inside sub-buckets plus
-    // C(20,2) representative links — not the uncapped C(1000,2) = 499,500
-    assert(pairs.length ==
-      groups * cap * (cap - 1) / 2 + groups * (groups - 1) / 2)
+    // linear-in-m candidate volume: ~20 hash-split sub-buckets of ~50
+    // rows each (+1 ring representative) — far below the uncapped
+    // C(1000,2) = 499,500
+    assert(pairs.length < 120000)
     assert(!pairs.exists { case (a, b) => a >= 2000L || b >= 2000L })
-    // the 1000-copy clique stays ONE component via the representatives
+    // the 1000-copy clique stays ONE component via the ring links
     val parent = scala.collection.mutable.Map((0L until 1000L).map(i => i -> i): _*)
     def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
     pairs.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
     assert((0L until 1000L).map(find).toSet.size == 1)
+  }
+
+  test("ring-chained salting stays bounded and connected even when m/cap > cap") {
+    // the regime that broke the old shared-representatives bucket: a
+    // 10k-row bucket at cap=10 → 1000 sub-buckets; the old scheme put
+    // all 1000 reps in ONE salt=-1 bucket (quadratic again), the ring
+    // chains them with exactly one extra row per sub-bucket
+    val df = (0L until 10000L).map(i => (i, 1)).toDF("id", "b")
+    val out = dedup.saltOversized(df, Seq("b"), cap = 10).cache()
+    try {
+      val sizes = out.groupBy("b", "salt").count()
+        .collect().map(_.getLong(2))
+      assert(sizes.max <= 40)          // ~Poisson(10) + 1 rep, whp bound
+      assert(sizes.length >= 900)      // really did split ~1000 ways
+      assert(out.count() >= 10000 + 900) // every row once + ~1 rep per sub-bucket
+      // all-pairs-within-sub-bucket implies one component over all ids
+      val groups = out.select("salt", "id").collect()
+        .groupBy(_.getInt(0)).values.map(_.map(_.getLong(1)).toSeq)
+      val parent = scala.collection.mutable.Map((0L until 10000L).map(i => i -> i): _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      groups.foreach { g =>
+        g.tail.foreach { x =>
+          val (ra, rb) = (find(g.head), find(x)); if (ra != rb) parent(ra) = rb } }
+      assert((0L until 10000L).map(find).toSet.size == 1)
+    } finally out.unpersist()
   }
 
   test("capped pair generators equal uncapped when no bucket overflows") {
