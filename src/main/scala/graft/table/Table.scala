@@ -33,10 +33,13 @@ final class Table private[graft] (
     private[graft] val ordered: Boolean,
     val name: String,
     private[graft] val sqlQ: Option[SqlQuery] = None,
-    /** the compiled sort keys of the last `arrange` (incl. rowid
-      * tiebreak) while the order is still current — lets evalAligned
-      * align by the CURRENT row order, not insertion order. */
-    private[graft] val sortCols: Seq[Column] = Nil) {
+    /** the sort keys of the last `arrange` — kept as [[Ord]] ASTs, not
+      * compiled Columns, while the order is still current. evalAligned
+      * compiles them against the table's CURRENT frame, so the keys
+      * survive verbs that rebuild the physical columns (alias,
+      * transferColReferences remap the uuids structurally) instead of
+      * silently going stale with the old DataFrame's attributes. */
+    private[graft] val sortOrds: Seq[Ord] = Nil) {
 
   import Table._
 
@@ -103,10 +106,10 @@ final class Table private[graft] (
 
   private def withDf(df2: DataFrame, cols2: Vector[ColMeta] = cols,
       grouping2: Vector[Long] = grouping, ordered2: Boolean = ordered,
-      sqlQ2: Option[SqlQuery] = None, sortCols2: Seq[Column] = null): Table =
+      sqlQ2: Option[SqlQuery] = None, sortOrds2: Seq[Ord] = null): Table =
     new Table(df2, cols2, grouping2, rowIdUuid, ordered2, name, sqlQ2,
-      if (sortCols2 != null) sortCols2
-      else if (ordered2) sortCols else Nil)
+      if (sortOrds2 != null) sortOrds2
+      else if (ordered2) sortOrds else Nil)
 
   // ---- SQL-text tracking (build_query) ----
   private def sqlNameOf(u: Long): String = internal(u)
@@ -236,7 +239,7 @@ final class Table private[graft] (
       if (rendered.forall(_.isDefined)) Some(q.orderBy(rendered.map(_.get))) else None
     }
     withDf(df.orderBy(sortCols: _*), ordered2 = true, sqlQ2 = sql2,
-      sortCols2 = sortCols)
+      sortOrds2 = ords)
   }
 
   /** Set (or extend, with add=true) the ambient grouping — pure metadata,
@@ -488,9 +491,13 @@ final class Table private[graft] (
   }
 
   /** Fresh uuids for all columns — resets column references, enabling
-    * self-joins (verbs.py:100-160, tree/verbs.py:79). */
+    * self-joins (verbs.py:100-160, tree/verbs.py:79). An in-effect
+    * `arrange` survives: the sort-key ASTs are remapped onto the fresh
+    * uuids, so `arrange(..).alias(..).evalAligned(..)` still aligns by
+    * the arranged order (not silently by insertion order). */
   def alias(newName: String = name): Table = {
     val fresh = cols.map(c => c.copy(uuid = ColIds.next.getAndIncrement()))
+    val uuidMap = cols.zip(fresh).map { case (o, n) => o.uuid -> n.uuid }.toMap
     val df2 = df.select(cols.zip(fresh).map { case (o, n) =>
       df(internal(o.uuid)).as(internal(n.uuid))
     }: _*)
@@ -501,7 +508,8 @@ final class Table private[graft] (
       SqlQuery(s"SELECT ${pairs.mkString(", ")} FROM (\n${q.sql}\n)")
     }
     new Table(df2, fresh, grouping.map(u => fresh(cols.indexWhere(_.uuid == u)).uuid),
-      rid2, ordered, newName, sql2)
+      rid2, ordered, newName, sql2,
+      sortOrds.map(o => o.copy(e = Table.remapRefs(o.e, uuidMap))))
   }
 
   // ------------------------------------------------------------------
@@ -617,7 +625,19 @@ final class Table private[graft] (
     val maxRows = df.sparkSession.conf
       .getOption("spark.graft.evalAligned.maxRows").map(_.toLong)
       .getOrElse(10000000L)
-    val (nLeft, nRight) = (df.count(), other.df.count())
+    // ONE fused job for the shape check: both sides reduced to a tag
+    // column, unioned at the RDD level, and tallied per-partition under
+    // a single action (a SQL-path union of two aggregates would still
+    // run one AQE stage-materialization job per exchange). The cheap
+    // counts run BEFORE any positional window so maxRows can refuse the
+    // global sort.
+    val tagged = df.select(F.lit(false).as("__right")).rdd
+      .union(other.df.select(F.lit(true).as("__right")).rdd)
+    val (nLeft, nRight) = tagged.mapPartitions { it =>
+      var l = 0L; var r = 0L
+      it.foreach(row => if (row.getBoolean(0)) r += 1 else l += 1)
+      Iterator.single((l, r))
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
     if (nLeft != nRight)
       throw new GraftError(
         s"evalAligned: row count mismatch — left table `$name` has $nLeft " +
@@ -630,7 +650,11 @@ final class Table private[graft] (
           "into one task; use a keyed join for bulk data")
     def numbered(t: Table): DataFrame = {
       val ord: Seq[Column] =
-        if (t.ordered && t.sortCols.nonEmpty) t.sortCols
+        if (t.ordered && t.sortOrds.nonEmpty)
+          // recompile the kept sort-key ASTs against the CURRENT frame
+          // (+ rowid tiebreak, matching arrange's stable sort)
+          ExprCompiler.orderColumns(t.sortOrds, t.ctx(Mode.Simple)) ++
+            t.rowIdUuid.map(u => t.df(internal(u)).asc)
         else {
           val rid = t.rowIdUuid.getOrElse(
             throw new GraftError("evalAligned: table lacks a row-order surrogate"))
@@ -651,7 +675,7 @@ final class Table private[graft] (
     val joined = numbered(this).join(rightDf, Seq("__pos"), "inner")
     val out = joined.select(df.columns.map(joined(_)) ++
       rightCols.zip(newMeta).map { case (n, m2) => joined(n).as(internal(m2.uuid)) }: _*)
-    new Table(out, cols ++ newMeta, grouping, rowIdUuid, ordered, name)
+    new Table(out, cols ++ newMeta, grouping, rowIdUuid, ordered, name, None, sortOrds)
   }
 
   /** Re-attach column identity after external materialization — the
@@ -682,7 +706,8 @@ final class Table private[graft] (
       df(internal(m.uuid)).as(internal(
         mapping.getOrElse(m.uuid, m.uuid)))): _*)
     new Table(renamed, newCols, grouping.map(u => mapping.getOrElse(u, u)),
-      rowIdUuid, ordered, name, sqlQ = None)
+      rowIdUuid, ordered, name, None,
+      sortOrds.map(o => o.copy(e = Table.remapRefs(o.e, mapping))))
   }
 
   /** Reference `build_query`/`show_query` (verbs.py:355-390): the compiled
@@ -714,6 +739,23 @@ final class Table private[graft] (
 object Table {
   private[graft] val RowIdName = "__rowid"
   private[graft] def internal(uuid: Long): String = s"_g$uuid"
+
+  /** Structurally remap [[ColRef]] uuids through `m` (identity for
+    * unmapped uuids) — how kept sort-key ASTs follow alias() /
+    * transferColReferences onto fresh column identities. */
+  private[graft] def remapRefs(e: ColExpr, m: Map[Long, Long]): ColExpr = e match {
+    case r @ ColRef(u, n, dt) => m.get(u).map(nu => ColRef(nu, n, dt)).getOrElse(r)
+    case l: Lit => l
+    case c: CName => c
+    case Marker(i, d, nl) => Marker(remapRefs(i, m), d, nl)
+    case CastE(i, to, s) => CastE(remapRefs(i, m), to, s)
+    case CaseE(bs, o) =>
+      CaseE(bs.map { case (c, v) => (remapRefs(c, m), remapRefs(v, m)) },
+        o.map(remapRefs(_, m)))
+    case Fn(op, args, pb, arr, fc) =>
+      Fn(op, args.map(remapRefs(_, m)), pb.map(remapRefs(_, m)),
+        arr.map(o => o.copy(e = remapRefs(o.e, m))), fc.map(remapRefs(_, m)))
+  }
 
   /** Wrap an existing DataFrame: rename all columns to internal ids and
     * attach the hidden row-order surrogate (SURVEY §7.4 hard part 1). */

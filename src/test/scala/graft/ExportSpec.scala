@@ -49,6 +49,33 @@ class ExportSpec extends SparkSpec {
       Seq(Seq(1L, 200.0), Seq(2L, 100.0)))
   }
 
+  test("evalAligned still aligns to the arranged order AFTER alias()") {
+    // alias() rebuilds every physical column under fresh uuids; the kept
+    // sort-key ASTs must be remapped onto them, or the splice silently
+    // falls back to insertion order (round-3 verdict item #2)
+    val j = t.arrange(C("id").desc).alias("a2")
+      .withColumnFromSeq("w", Seq(100.0, 200.0))
+    assert(rows(j.arrange(C("id")).select(C("id"), C("w"))) ==
+      Seq(Seq(1L, 200.0), Seq(2L, 100.0)))
+  }
+
+  test("evalAligned shape check runs as ONE fused Spark job") {
+    val sc = spark.sparkContext
+    val other = tbl(Seq(10.0, 20.0).toDF("v"), "o1j")
+    sc.setJobGroup("graft-shape-check", "evalAligned shape check")
+    try t.evalAligned(other, "v2" -> C("v"))
+    finally sc.clearJobGroup()
+    // statusTracker lags the listener bus; poll until the group shows up
+    var ids = sc.statusTracker.getJobIdsForGroup("graft-shape-check")
+    val deadline = System.nanoTime() + 5000000000L
+    while (ids.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      ids = sc.statusTracker.getJobIdsForGroup("graft-shape-check")
+    }
+    assert(ids.length == 1,
+      s"expected exactly 1 job for the fused count check, saw ${ids.length}")
+  }
+
   test("evalAligned fails fast above the configured row threshold") {
     spark.conf.set("spark.graft.evalAligned.maxRows", "1")
     try {
