@@ -89,16 +89,56 @@ object Typing {
     // never reaching Spark's implicit coercion
     Signatures.validate(op, at, args)
     def a0 = at.head
+    // Spark's DecimalPrecision arithmetic rules (Add/Subtract carry digit,
+    // Multiply p1+p2+1, Mod min-int-digits), with the 38-cap scale
+    // adjustment — so the TYPED dtype matches the runtime schema exactly
+    // instead of the plain lca (which lacks the carry digit).
+    def asDec(t: DataType, e: ColExpr): DecimalType = (t, e) match {
+      case (d: DecimalType, _) => d
+      // Spark promotes an integral LITERAL to its minimal decimal
+      // (DecimalPrecision: Literal(7L) → Decimal(1,0)), not the full
+      // width of its integral type
+      case (t, Lit(v, None)) if isIntegral(t) =>
+        val p = new java.math.BigDecimal(v.toString).precision
+        DecimalType(p, 0)
+      case (ByteType, _) => DecimalType(3, 0)
+      case (ShortType, _) => DecimalType(5, 0)
+      case (IntegerType, _) => DecimalType(10, 0)
+      case (LongType, _) => DecimalType(20, 0)
+      case (other, _) => throw new GraftTypeError(s"${op.name}: cannot widen $other to decimal")
+    }
+    def decBin(l: DecimalType, r: DecimalType): DataType = {
+      val (p1, s1, p2, s2) = (l.precision, l.scale, r.precision, r.scale)
+      val (p, s) = op.name match {
+        case "add" | "sub" =>
+          val sc = math.max(s1, s2)
+          (math.max(p1 - s1, p2 - s2) + sc + 1, sc)
+        case "mul" => (p1 + p2 + 1, s1 + s2)
+        case "mod" =>
+          val sc = math.max(s1, s2)
+          (math.min(p1 - s1, p2 - s2) + sc, sc)
+        case _ => return lcaAll(at)
+      }
+      if (p <= 38) DecimalType(p, s)
+      else { // adjustPrecisionScale under allowPrecisionLoss (the default)
+        val intDigits = p - s
+        DecimalType(38, math.max(38 - intDigits, math.min(s, 6)))
+      }
+    }
     def numBin(): DataType = {
       val t = lcaAll(at)
       if (!isNumeric(t)) throw new GraftTypeError(s"${op.name}: expected numeric args, got $at")
-      t
+      if (at.length == 2 && at.exists(_.isInstanceOf[DecimalType]) &&
+          !at.exists(isFloating))
+        decBin(asDec(at(0), args(0)), asDec(at(1), args(1)))
+      else t
     }
     op.name match {
       case "add" =>
         // Datetime + Duration(μs Long) → Datetime; durations are carried
-        // as Long microseconds (deterministic, oracle-friendly)
-        if (at.forall(_ == StringType)) StringType
+        // as Long microseconds (deterministic, oracle-friendly).
+        // Enum operands act as String (physical type) → concat → String.
+        if (at.forall(DTypes.physical(_) == StringType)) StringType
         else if (at.exists(isTimeLike)) at.find(isTimeLike).get
         else if (at.forall(_ == BooleanType)) LongType
         else numBin()
@@ -289,7 +329,10 @@ object ExprCompiler {
         val sib = rawAt.filterNot(_ == NullType)
         if (sib.isEmpty) StringType else sib.reduceLeft(DTypes.lca)
     }
-    lazy val at = rawAt.map(t => if (t == NullType) nullTarget else t)
+    // dispatch on PHYSICAL types: EnumType executes as String, so every
+    // `== StringType` branch (concat for add/h.sum) must see it as one
+    lazy val at = rawAt.map(t =>
+      DTypes.physical(if (t == NullType) nullTarget else t))
     lazy val c = args.zip(rawAt).map { case (a, t) =>
       val col = compile(a, ctx)
       if (t == NullType) col.cast(DTypes.physical(nullTarget)) else col

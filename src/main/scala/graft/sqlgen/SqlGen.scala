@@ -44,7 +44,10 @@ object SqlGen {
     def ty(x: ColExpr): Option[DataType] = typeOf(x)
     def isTime(x: ColExpr): Boolean =
       ty(x).exists(t => t == TimestampType || t == TimestampNTZType || t == DateType)
-    def isStr(x: ColExpr): Boolean = ty(x).contains(StringType)
+    // physicalized: Enum executes as String, so enum-typed args take the
+    // string branches exactly as the DataFrame compiler does
+    def isStr(x: ColExpr): Boolean =
+      ty(x).map(DTypes.physical).contains(StringType)
     def isInt(x: ColExpr): Boolean = ty(x).exists(DTypes.isIntegral)
     def go(e: ColExpr): String = e match {
       case ColRef(u, _, _) => s"`${nameOf(u)}`"
@@ -185,10 +188,13 @@ object SqlGen {
     go(e)
   }
 
-  def ordKeySql(o: Ord, nameOf: Long => String): String = {
+  def ordKeySql(o: Ord, nameOf: Long => String,
+      typeOf: ColExpr => Option[DataType] = _ => None): String = {
     val d = if (o.desc) "DESC" else "ASC"
     val nl = if (o.nullsLast) "NULLS LAST" else "NULLS FIRST"
-    s"${exprSql(o.e, nameOf)} $d $nl"
+    // typeOf MUST be threaded: a strict cast inside a sort key renders
+    // its raise guard only when the source type is known-fallible
+    s"${exprSql(o.e, nameOf, Mode.Simple, Nil, typeOf)} $d $nl"
   }
 
   private def fnSql(op: Op, a: Seq[String], raw: Seq[ColExpr], go: ColExpr => String): String =

@@ -235,7 +235,8 @@ final class Table private[graft] (
     val sortCols = ExprCompiler.orderColumns(ords, c) ++
       rowIdUuid.map(u => df(internal(u)).asc)
     val sql2 = extendSql { q =>
-      val rendered = ords.map(o => scala.util.Try(SqlGen.ordKeySql(o, sqlNameOf)).toOption)
+      val rendered = ords.map(o =>
+        scala.util.Try(SqlGen.ordKeySql(o, sqlNameOf, sqlTypeOf)).toOption)
       if (rendered.forall(_.isDefined)) Some(q.orderBy(rendered.map(_.get))) else None
     }
     withDf(df.orderBy(sortCols: _*), ordered2 = true, sqlQ2 = sql2,
@@ -475,8 +476,13 @@ final class Table private[graft] (
     val outMeta = ln.map(n => ColMeta(ColIds.next.getAndIncrement(), n, visible = true))
     def proj(t: Table): DataFrame =
       t.df.select(ln.zip(outMeta).map { case (n, m) =>
-        t.df(internal(t.col(n).uuid)).cast(DTypes.physical(types(n)))
-          .as(internal(m.uuid))
+        val c = t.df(internal(t.col(n).uuid)).cast(DTypes.physical(types(n)))
+        types(n) match {
+          // lca kept the enum (identical value sets both sides): re-attach
+          // the metadata, as mutate does, so enum-ness survives the union
+          case et: EnumType => c.as(internal(m.uuid), EnumType.toMetadata(et))
+          case _ => c.as(internal(m.uuid))
+        }
       }: _*)
     val merged = proj(this).unionByName(proj(right))
     val out = if (distinct) merged.distinct() else merged

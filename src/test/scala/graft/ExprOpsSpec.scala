@@ -181,6 +181,22 @@ class ExprOpsSpec extends SparkSpec {
       Seq(Seq("x"), Seq("y"), Seq(null)))
   }
 
+  test("Enum dispatches as String: concat via +, h.sum; union keeps enum-ness") {
+    val en = EnumType(Seq("x", "y"))
+    val te = tbl(Seq("x", "y").toDF("s")).mutate("en" -> C("s").cast(en))
+    // enum + str → concat (NOT numeric reduce silently nulling)
+    assert(rows(te.mutate("c" -> (C("en") + lit("!"))).arrange(C("s"))
+      .select(C("c"))) == Seq(Seq("x!"), Seq("y!")))
+    // h.sum over (enum, str) → concat
+    assert(rows(te.mutate("h" -> hsum(C("en"), C("s"))).arrange(C("s"))
+      .select(C("h"))) == Seq(Seq("xx"), Seq("yy")))
+    // union of two identical-enum sides keeps the enum: out-of-set
+    // literal compares must still be rejected afterwards
+    val u = te.select(C("en")).union(te.select(C("en")))
+    intercept[GraftTypeError] { u.filter(C("en") === lit("zzz")) }
+    assert(rows(u.filter(C("en") === lit("x"))).size == 2)
+  }
+
   test("build_query emits the same strict-cast raise guard (SQL = DF)") {
     val part = graft.table.Table.source(spark, "/root/testdata/sf0.001", "part")
     val q = part.mutate("n" -> C("p_name").cast(LongType))

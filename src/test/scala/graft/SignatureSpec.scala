@@ -148,6 +148,27 @@ class SignatureSpec extends SparkSpec {
     intercept[GraftTypeError](DTypes.lca(EnumType(Seq("a")), LongType))
   }
 
+  test("decimal arithmetic typing matches Spark's runtime schema (carry digit)") {
+    import graft.compile.Typing
+    import org.apache.spark.sql.functions.{col => scol}
+    val df = Seq(("1.25", "3.5012")).toDF("sa", "sb")
+      .select(scol("sa").cast(DecimalType(12, 2)).as("a"),
+        scol("sb").cast(DecimalType(10, 4)).as("b"))
+    val td = tbl(df, "dec")
+    val m = td.mutate("s" -> (C("a") + C("b")), "p" -> (C("a") * C("b")),
+      "l" -> (C("a") + lit(7L)))
+    val sch = m.toDF.schema
+    val (a, b) = (td.col("a"), td.col("b"))
+    val look: Long => DataType =
+      Map(a.uuid -> DecimalType(12, 2), b.uuid -> DecimalType(10, 4))
+    // typed dtype == runtime schema dtype, carry digit included
+    assert(Typing.dtypeOf(a + b, look) == sch("s").dataType)
+    assert(Typing.dtypeOf(a * b, look) == sch("p").dataType)
+    assert(Typing.dtypeOf(a + lit(7L), look) == sch("l").dataType)
+    assert(sch("s").dataType == DecimalType(15, 4)) // max(10,6)+4+1
+    assert(sch("p").dataType == DecimalType(23, 6)) // 12+10+1, 2+4
+  }
+
   // ---- Decimal lca (reference types.py:208-216) ----
   test("Decimal lca widens precision/scale instead of collapsing to Double") {
     assert(DTypes.lca(DecimalType(10, 2), DecimalType(12, 4)) == DecimalType(12, 4))
