@@ -23,17 +23,54 @@ object dedup {
     * referenced by BOTH sides of the candidate self-join, and exchange
     * reuse cannot kick in: higher-order-function lambdas defeat plan
     * canonicalization, so without a cache Spark computes the expensive
-    * signature expressions once per join side). Call [[unpersistAll]]
-    * when the derived frames are materialized — or rely on
-    * `spark.catalog.clearCache()` — to release executor storage. */
+    * signature expressions once per join side). Lifecycle is automatic:
+    * a [[org.apache.spark.sql.util.QueryExecutionListener]] unpersists a
+    * frame as soon as the first query CONSUMING it completes — executor
+    * storage never outlives the candidate query, and a library user
+    * looping these generators cannot accumulate pinned blocks. (A later
+    * re-materialization of the same result recomputes the signatures,
+    * cached again for the duration of that query — correct, just not
+    * cross-query cached.) [[unpersistAll]] remains as the manual valve. */
   private val persistedFrames =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val hookedSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
   private def cached(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(p)
+    autoRelease(df.sparkSession)
     p
   }
+
+  /** Register (once per session) the release hook: after any query
+    * execution finishes, every tracked frame whose analyzed plan occurs
+    * inside the finished query's plan is unpersisted. Matching uses
+    * Catalyst's canonicalized `sameResult`, the same test CacheManager
+    * applies, so the frame is released exactly when a query that could
+    * have hit its cache has run. */
+  private def autoRelease(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (hookedSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private def release(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          if (!persistedFrames.isEmpty) {
+            val it = persistedFrames.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              val used = try {
+                val pa = p.queryExecution.analyzed
+                qe.analyzed.find(_.sameResult(pa)).isDefined
+              } catch { case scala.util.control.NonFatal(_) => false }
+              if (used) { p.unpersist(blocking = false); it.remove() }
+            }
+          }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          release(qe)
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit =
+          release(qe)
+      })
 
   /** Release every signature frame persisted by the pairs functions. */
   def unpersistAll(): Unit = {

@@ -529,10 +529,23 @@ final class Table private[graft] (
   /** Final projection: visible columns under their user names, in order.
     * The row-id and hidden columns are dropped here, letting Catalyst
     * prune them out of the physical plan entirely when unused. */
-  def toDF: DataFrame =
-    df.select(visibleCols.map(c => df(internal(c.uuid)).as(c.name)): _*)
+  def toDF: DataFrame = toDF(Map.empty)
 
-  def collect(): Array[Row] = toDF.collect()
+  /** Final projection with per-column type overrides applied at the
+    * export boundary (reference `schema_overrides`, verbs.py:252-347,
+    * targets.py:11-40): a raw Spark cast OUTSIDE the graft type system —
+    * the escape hatch when the target wants a physical type the checked
+    * `cast` rules would refuse or adjust. */
+  def toDF(schemaOverrides: Map[String, DataType]): DataFrame = {
+    schemaOverrides.keys.foreach(col) // unknown name → GraftColumnNotFoundError
+    df.select(visibleCols.map { c =>
+      val base = df(internal(c.uuid))
+      schemaOverrides.get(c.name).fold(base)(base.cast).as(c.name)
+    }: _*)
+  }
+
+  def collect(schemaOverrides: Map[String, DataType] = Map.empty): Array[Row] =
+    toDF(schemaOverrides).collect()
   def show(n: Int = 20): Unit = toDF.show(n, truncate = false)
   def count(): Long = toDF.count()
 
@@ -576,27 +589,34 @@ final class Table private[graft] (
     }
   }
 
-  /** Export targets (reference: backend/targets.py / verbs.py:252-347). */
-  def toLocalIterator: Iterator[Row] = {
+  /** Export targets (reference: backend/targets.py / verbs.py:252-347).
+    * All accept `schemaOverrides` (name → Spark type): raw casts applied
+    * at the export boundary, outside the checked type system. */
+  def toLocalIterator: Iterator[Row] = toLocalIterator(Map.empty)
+  def toLocalIterator(schemaOverrides: Map[String, DataType]): Iterator[Row] = {
     import scala.jdk.CollectionConverters._
-    toDF.toLocalIterator.asScala
+    toDF(schemaOverrides).toLocalIterator.asScala
   }
   /** single value of a 1×1 result (reference `Scalar` target). */
-  def exportScalar: Any = {
-    val r = toDF.collect()
+  def exportScalar: Any = exportScalar(Map.empty)
+  def exportScalar(schemaOverrides: Map[String, DataType]): Any = {
+    val r = toDF(schemaOverrides).collect()
     if (r.length != 1 || r.head.length != 1)
       throw new GraftError(s"export scalar: result is ${r.length} rows × ${columns.length} cols, need 1×1")
     r.head.get(0)
   }
   /** rows as name→value maps (reference `ListOfDicts`). */
-  def exportMaps: Seq[Map[String, Any]] = {
+  def exportMaps: Seq[Map[String, Any]] = exportMaps(Map.empty)
+  def exportMaps(schemaOverrides: Map[String, DataType]): Seq[Map[String, Any]] = {
     val names = columns
-    collect().toSeq.map(r => names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap)
+    collect(schemaOverrides).toSeq
+      .map(r => names.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap)
   }
   /** columns as name→values (reference `DictOfLists`). */
-  def exportColumns: Map[String, Seq[Any]] = {
+  def exportColumns: Map[String, Seq[Any]] = exportColumns(Map.empty)
+  def exportColumns(schemaOverrides: Map[String, DataType]): Map[String, Seq[Any]] = {
     val names = columns
-    val data = collect()
+    val data = collect(schemaOverrides)
     names.zipWithIndex.map { case (n, i) => n -> data.toSeq.map(_.get(i)) }.toMap
   }
 

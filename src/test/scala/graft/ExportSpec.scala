@@ -20,6 +20,24 @@ class ExportSpec extends SparkSpec {
     assert(t.backend == "spark" && t.isSqlBacked)
   }
 
+  test("schema_overrides casts at the export boundary, outside the type system") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{col => scol}
+    val d = tbl(Seq("1.25", "3.50").toDF("s")
+      .select(scol("s").cast(DecimalType(12, 2)).as("v")), "dec")
+    // Decimal(12,2) → Double on export, no checked cast involved
+    val maps = d.arrange(C("v")).exportMaps(Map("v" -> DoubleType))
+    assert(maps == Seq(Map("v" -> 1.25), Map("v" -> 3.5)))
+    assert(d.toDF(Map("v" -> DoubleType)).schema("v").dataType == DoubleType)
+    assert(d.collect(Map("v" -> StringType)).map(_.getString(0)).sorted
+      .toSeq == Seq("1.25", "3.50"))
+    // exportColumns + scalar take the same overrides
+    assert(d.exportColumns(Map("v" -> DoubleType))("v").toSet == Set(1.25, 3.5))
+    assert(d.filter(C("v") > lit(2.0)).exportScalar(Map("v" -> DoubleType)) == 3.5)
+    // unknown column name is rejected eagerly
+    intercept[GraftColumnNotFoundError] { d.toDF(Map("nope" -> DoubleType)) }
+  }
+
   test("evalAligned splices a column from another table by row position") {
     val other = tbl(Seq(10.0, 20.0).toDF("v"), "o")
     val j = t.arrange(C("id")).evalAligned(other, "v2" -> (C("v") * lit(3.0)))

@@ -54,6 +54,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(all.nonEmpty) // the quadratic verification stage still works
   }
 
+  test("signature caches auto-release after the consuming query completes") {
+    dedup.minhashPairs(docsDf, "doc_id", "text",
+      k = 2, numPerm = 32, bands = 16, threshold = 0.3).collect()
+    dedup.jaccardPairsLsh(docsDf, "doc_id", "text",
+      k = 2, numPerm = 64, bands = 32, minJ = 0.5).collect()
+    // the QueryExecutionListener fires asynchronously — poll briefly
+    val deadline = System.nanoTime() + 10000000000L
+    def pinned = spark.sparkContext.getPersistentRDDs.size
+    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(pinned == 0,
+      s"signature frames still pinned after materialization: $pinned")
+  }
+
   test("simhash multi-index blocking equals the all-pairs Hamming scan") {
     val multi = dedup.simhashPairs(docsDf, "doc_id", "text", maxDist = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
