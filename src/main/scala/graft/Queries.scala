@@ -816,6 +816,46 @@ object Queries {
       |MIN(LOWER(st)) AS st_low
       |FROM b GROUP BY st ORDER BY st""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q32 — Time type (reference types.py:258,292,332: COMPARABLE-only
+  // time-of-day scalar; Spark 4 TimeType behind spark.sql.timeType
+  // .enabled). Times enter as literals — the reference admits no casts
+  // to Time — and flow through compare / clip / min/max / sort; the
+  // result carries TIME(6) columns through parquet to the DuckDB TIME
+  // oracle.
+  // ---------------------------------------------------------------
+  def q32Time(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate("slot" ->
+        when(C("o_orderpriority") === lit("1-URGENT")).then_(time("06:00:00"))
+          .when(C("o_orderpriority") === lit("2-HIGH")).then_(time("09:30:00"))
+          .when(C("o_orderpriority") === lit("3-MEDIUM")).then_(time("13:45:15"))
+          .otherwise(time("21:15:00")))
+      .mutate(
+        "clipped" -> C("slot").clip(time("08:00:00"), time("18:00:00")),
+        "late" -> (C("slot") > time("12:00:00")))
+      .groupBy(C("o_orderstatus"))
+      .summarize(
+        "mn" -> C("slot").min(),
+        "mx" -> C("slot").max(),
+        "mn_clip" -> C("clipped").min(),
+        "n_late" -> C("late").sum())
+      .arrange(C("o_orderstatus"))
+      .toDF
+
+  private val q32Oracle =
+    """WITH b AS (SELECT o_orderstatus,
+      |  CASE WHEN o_orderpriority = '1-URGENT' THEN TIME '06:00:00'
+      |       WHEN o_orderpriority = '2-HIGH' THEN TIME '09:30:00'
+      |       WHEN o_orderpriority = '3-MEDIUM' THEN TIME '13:45:15'
+      |       ELSE TIME '21:15:00' END AS slot
+      |  FROM orders)
+      |SELECT o_orderstatus, MIN(slot) AS mn, MAX(slot) AS mx,
+      |MIN(LEAST(GREATEST(slot, TIME '08:00:00'), TIME '18:00:00')) AS mn_clip,
+      |CAST(SUM(CASE WHEN slot > TIME '12:00:00' THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_late
+      |FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summarize_flagship" -> (q1Agg _),
     "q02_select_mutate_arith" -> (q2Mutate _),
@@ -849,7 +889,8 @@ object Queries {
     "q29_decimal_pipeline" -> (q29Decimal _),
     "q30_diff_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.query(s, dir)),
-    "q31_enum_cast" -> (q31Enum _))
+    "q31_enum_cast" -> (q31Enum _),
+    "q32_time_type" -> (q32Time _))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -883,5 +924,6 @@ object Queries {
     "q28_coverage_closers" -> q28Oracle,
     "q29_decimal_pipeline" -> q29Oracle,
     "q30_diff_fuzz_battery" -> graft.fuzz.DiffFuzz.oracle,
-    "q31_enum_cast" -> q31Oracle)
+    "q31_enum_cast" -> q31Oracle,
+    "q32_time_type" -> q32Oracle)
 }

@@ -49,6 +49,7 @@ object Typing {
     case _: java.sql.Date | _: java.time.LocalDate => DateType
     case _: java.sql.Timestamp | _: java.time.Instant => TimestampType
     case _: java.time.LocalDateTime => TimestampNTZType
+    case _: java.time.LocalTime => TimeType.apply() // TIME(6), Spark 4 flagged type
     case _: java.math.BigDecimal => DecimalType(38, 18)
     case _: Array[Byte] => BinaryType
     case other => throw new GraftTypeError(s"unsupported literal: $other (${other.getClass})")
@@ -62,15 +63,23 @@ object Typing {
       case Lit(v, dt) => dt.getOrElse(litType(v))
       case Marker(inner, _, _) => go(inner)
       case CastE(inner, to, _) =>
+        val from = go(inner)
         to match {
           case e: EnumType =>
             // only String-family values cast to Enum (col_expr.py:2720)
-            val from = go(inner)
             if (from != StringType && from != NullType &&
                 !from.isInstanceOf[EnumType])
               throw new GraftTypeError(
                 s"cannot cast ${from.simpleString} to ${e.simpleString}: " +
                   "only String casts to Enum")
+          // Time is COMPARABLE-only in the reference: VALID_CASTS
+          // (col_expr.py:2688-2722) lists no cast to or from Time
+          case _: TimeType if !from.isInstanceOf[TimeType] && from != NullType =>
+            throw new GraftTypeError(
+              s"cannot cast ${from.simpleString} to TIME: Time admits no casts")
+          case _ if from.isInstanceOf[TimeType] && !to.isInstanceOf[TimeType] =>
+            throw new GraftTypeError(
+              s"cannot cast TIME to ${to.simpleString}: Time admits no casts")
           case _ => ()
         }
         to

@@ -19,7 +19,12 @@ import graft.core._
   *  - the reference rejects Date-vs-Datetime mixing; graft's
   *    [[DTypes.lca]] deliberately widens Date to Datetime (documented
   *    Spark-parity convenience), so type-variable unification follows lca;
-  *  - `Time` does not exist (no Spark scalar time-of-day type).
+  *  - `Time` (time-of-day) maps to Spark 4's `TimeType` (behind
+  *    `spark.sql.timeType.enabled`, which graft's session entry points
+  *    switch on). Faithful to the reference it is COMPARABLE-only:
+  *    compare/sort/min/max/clip/fill_null/shift — no casts, no
+  *    arithmetic, no extraction ops (types.py:258,292,332; Time appears
+  *    in no ops/ops/ *.py signature).
   */
 object Signatures {
 
@@ -37,6 +42,8 @@ object Signatures {
   /** Timestamp / TimestampNTZ. */
   case object Dt extends P { val show = "Datetime" }
   case object D extends P { val show = "Date" }
+  /** Spark 4 TimeType (time-of-day). */
+  case object T extends P { val show = "Time" }
   /** type variable: all S positions must unify to a common type. */
   case object S extends P { val show = "S" }
 
@@ -61,9 +68,9 @@ object Signatures {
   // reference COMPARABLE (types.py): Int Float String Datetime Duration Date Bool
   private val comparable2: Seq[Sig] =
     Seq(sig(I, I), sig(Fl, Fl), sig(Dec, Dec), sig(Str, Str), sig(Dt, Dt),
-      sig(D, D), sig(B, B), sig(Dt, D), sig(D, Dt))
+      sig(D, D), sig(B, B), sig(T, T), sig(Dt, D), sig(D, Dt))
   private val comparable1: Seq[Sig] =
-    Seq(sig(I), sig(Fl), sig(Dec), sig(Str), sig(Dt), sig(D), sig(B))
+    Seq(sig(I), sig(Fl), sig(Dec), sig(Str), sig(Dt), sig(D), sig(B), sig(T))
   private val floatUnary: Seq[Sig] = Seq(sig(Fl))
   private val numUnary: Seq[Sig] = Seq(sig(I), sig(Fl), sig(Dec))
 
@@ -157,6 +164,7 @@ object Signatures {
     case B => t == BooleanType
     case Dt => t == TimestampType || t == TimestampNTZType
     case D => t == DateType
+    case T => t.isInstanceOf[TimeType]
     case S => true
   }
 

@@ -105,6 +105,9 @@ object DTypes {
     case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
     case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) => TimestampNTZType
     case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) => TimestampType
+    // Time unifies only with Time (reference types.py:292), widest precision
+    case (x: TimeType, y: TimeType) =>
+      if (x.precision >= y.precision) x else y
     case (x, y) =>
       throw new GraftTypeError(s"incompatible types $x and $y (no common supertype)")
   }

@@ -12,6 +12,8 @@ package object dsl {
   /** NTZ timestamp literal — parquet timestamps read as TimestampNTZ. */
   def timestamp(s: String): Lit =
     Lit(java.time.LocalDateTime.parse(s.replace(' ', 'T')))
+  /** Time-of-day literal, e.g. time("08:30:00") — Spark 4 TIME. */
+  def time(s: String): Lit = Lit(java.time.LocalTime.parse(s))
 
   /** Late-bound column by name — the reference's `C.x` (pipe/c.py:7-20). */
   def C(n: String): CName = CName(n)

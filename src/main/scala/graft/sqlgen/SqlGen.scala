@@ -23,6 +23,8 @@ object SqlGen {
     case d: java.sql.Date => s"DATE'$d'"
     case t: java.time.LocalDateTime => s"TIMESTAMP_NTZ'$t'"
     case t: java.sql.Timestamp => s"TIMESTAMP'$t'"
+    case t: java.time.LocalTime => // full precision, unambiguous parse
+      s"TIME'${t.format(java.time.format.DateTimeFormatter.ofPattern("HH:mm:ss.SSSSSS"))}'"
     case other => throw new GraftError(s"sqlgen: unsupported literal $other")
   }
 

@@ -21,6 +21,7 @@ object SparkSpec {
         s"jdbc:derby:;databaseName=${runDir.resolve("metastore_db")};create=true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.timeType.enabled", "true") // Spark 4 TIME — graft Time type
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
