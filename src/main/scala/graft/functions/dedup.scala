@@ -141,15 +141,31 @@ object dedup {
   /** hashed distinct shingle set, sorted — the canonical per-document
     * representation: set sizes (hence Jaccard) are unchanged absent
     * 64-bit collisions (~1e-15 for 1k-shingle docs), and sorted arrays
-    * let the per-pair intersection be a codegen'd linear merge. */
+    * let the per-pair intersection be a codegen'd linear merge. Computed
+    * by the compiled [[graft.plans.ShingleHashesExpr]] — the built-ins
+    * pipeline it replaces ran as an interpreted Project re-evaluating
+    * the tokenizing split per lambda and dominated every LSH query. */
   def shingleHashes(c: Column, k: Int): Column =
+    F.call_function("graft_shingle_hashes", c, F.lit(k))
+
+  /** Built-ins-only shingle hashing with identical semantics (used to
+    * cross-check the native expression). */
+  def shingleHashesPortable(c: Column, k: Int): Column =
     F.array_sort(F.array_distinct(F.transform(shingles(c, k), s => F.xxhash64(s))))
 
   /** MinHash signature from a pre-hashed shingle array: `numPerm`
-    * permutations approximated by seeded integer re-hashes folded with
-    * zip_with/least — ONE expression tree, so Catalyst's
-    * project-collapsing cannot duplicate the work. Shuffle-free. */
+    * permutations approximated by seeded integer re-hashes, computed by
+    * the codegen'd [[graft.plans.MinHashFromHashes]] — one tight
+    * numPerm × shingles loop per row with precomputed per-permutation
+    * seeds. Shuffle-free; one expression, so Catalyst's
+    * project-collapsing cannot duplicate the work. */
   def minhashFromHashes(hashes: Column, numPerm: Int): Column =
+    F.call_function("graft_minhash", hashes, F.lit(numPerm))
+
+  /** Built-ins-only MinHash with identical semantics (interpreted
+    * aggregate/zip_with fold; used to cross-check the native
+    * expression). */
+  def minhashFromHashesPortable(hashes: Column, numPerm: Int): Column =
     F.aggregate(
       hashes,
       F.array_repeat(F.lit(Long.MaxValue), numPerm),
@@ -205,10 +221,12 @@ object dedup {
 
   /** 64-bit SimHash over the token set: per-token xxhash64 bit votes,
     * sign-packed by the codegen'd [[graft.plans.SimHash64FromHashes]]
-    * expression. One array pass per row, shuffle-free. */
+    * expression over the compiled token-hash set (k=1 shingles; the
+    * vote is order-independent, so the sorted set is equivalent to the
+    * first-occurrence order the interpreted pipeline produced). One
+    * array pass per row, shuffle-free. */
   def simhash64(c: Column): Column =
-    F.call_function("graft_simhash64",
-      F.transform(F.array_distinct(text.tokens(c)), t => F.xxhash64(t)))
+    F.call_function("graft_simhash64", shingleHashes(c, 1))
 
   /** Built-ins-only SimHash with identical semantics (slower; used to
     * cross-check the native expression). */
@@ -367,8 +385,7 @@ object dedup {
     // 1k-token docs), and the per-pair intersection is a codegen'd linear
     // merge (graft_intersect_count) — no per-pair hash set
     val toks = df.select(F.col(idCol).as("id"), F.col(bucketCol).as("bucket"),
-      F.array_sort(F.array_distinct(
-        F.transform(text.tokens(F.col(textCol)), t => F.xxhash64(t)))).as("toks"))
+      shingleHashes(F.col(textCol), 1).as("toks"))
       .withColumn("n", F.size(F.col("toks")).cast(DoubleType))
     val inter = F.call_function("graft_intersect_count",
       F.col("a.toks"), F.col("b.toks")).cast(DoubleType)

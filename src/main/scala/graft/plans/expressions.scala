@@ -160,6 +160,166 @@ case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted distinct xxhash64 hashes of a document's k-word shingles in one
+  * pass of compiled Java — replaces an interpreted Project of nested
+  * `transform`/`slice`/`concat_ws` lambdas that re-evaluated the
+  * tokenizing split four times per row (the dominant cost of every LSH
+  * dedup query). Bit-identical to the built-ins pipeline
+  * ([[graft.functions.dedup.shingleHashesPortable]]): SQL TRIM (spaces
+  * only, via UTF8String.trim), `split(_, "\\s+", -1)` (Java Pattern
+  * semantics, leading empty field included when the trimmed text starts
+  * with non-space whitespace), shingle string = tokens joined by a single
+  * space (all tokens when fewer than k), hash = xxhash64(utf8, seed 42),
+  * then distinct + signed-ascending sort. k must be a literal ≥ 1. */
+case class ShingleHashesExpr(text: Expression, k: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = k
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, k.dataType) match {
+      case (StringType, IntegerType) =>
+        if (k.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_shingle_hashes: k must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_hashes expects (string, int), got ${text.dataType} / ${k.dataType}")
+    }
+
+  override protected def nullSafeEval(t: Any, kk: Any): Any =
+    ShingleHashesExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      kk.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk) =>
+      s"${ev.value} = graft.plans.ShingleHashesExpr.compute($t, $kk);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, k = newRight)
+}
+
+object ShingleHashesExpr {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** static so generated code can call it directly (one invoke per row). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    // UTF8String.trim = SQL TRIM: strips ' ' only (NOT Java trim's ≤0x20)
+    val toks = ws.split(text.trim.toString, -1)
+    val n = toks.length
+    val hashes =
+      if (n < k) Array(hashShingle(toks, 0, n))
+      else Array.tabulate(n - k + 1)(i => hashShingle(toks, i, k))
+    java.util.Arrays.sort(hashes)
+    // in-place dedup of the sorted array
+    var w = 0; var i = 0
+    while (i < hashes.length) {
+      if (w == 0 || hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w == hashes.length) hashes else java.util.Arrays.copyOf(hashes, w))
+  }
+
+  private def hashShingle(toks: Array[String], start: Int, len: Int): Long = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb.append(' ')
+      sb.append(toks(start + i))
+      i += 1
+    }
+    XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), 42L)
+  }
+}
+
+/** MinHash signature from a pre-hashed shingle array in ONE tight loop:
+  * sig[i] = min over shingles h of xxhash64(i, h) — bit-identical to the
+  * interpreted `aggregate`/`zip_with` fold it replaces
+  * ([[graft.functions.dedup.minhashFromHashesPortable]]): Spark's
+  * `xxhash64(lit(i), h)` is XXH64.hashLong(h, XXH64.hashInt(i, 42)), so
+  * the per-permutation seeds are precomputed once and the inner loop is
+  * a single hashLong per (shingle, perm). Null shingles contribute the
+  * bare seed, matching XxHash64's null-skip. numPerm must be a literal. */
+case class MinHashFromHashes(hashes: Expression, numPerm: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = hashes
+  override def right: Expression = numPerm
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hashes.dataType, numPerm.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        if (numPerm.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_minhash: numPerm must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash expects (array<bigint>, int), got ${hashes.dataType} / ${numPerm.dataType}")
+    }
+
+  // per-permutation seed = xxhash64 state after hashing the perm index
+  // (Int literal) from Spark's default seed 42
+  private lazy val seeds: Array[Long] = {
+    val p = numPerm.eval(null).asInstanceOf[Int]
+    Array.tabulate(p)(i => XXH64.hashInt(i, 42L))
+  }
+
+  override protected def nullSafeEval(a: Any, p: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val np = p.asInstanceOf[Int]
+    val sig = Array.fill(np)(Long.MaxValue)
+    var k = 0
+    while (k < x.numElements()) {
+      var i = 0
+      if (x.isNullAt(k)) {
+        while (i < np) { if (seeds(i) < sig(i)) sig(i) = seeds(i); i += 1 }
+      } else {
+        val h = x.getLong(k)
+        while (i < np) {
+          val v = XXH64.hashLong(h, seeds(i))
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, p) => {
+      val seedsRef = ctx.addReferenceObj("minhashSeeds", seeds, "long[]")
+      val sig = ctx.freshName("sig"); val k = ctx.freshName("k")
+      val i = ctx.freshName("i"); val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |long[] $sig = new long[$p];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $k = 0; $k < $a.numElements(); $k++) {
+         |  if ($a.isNullAt($k)) {
+         |    for (int $i = 0; $i < $p; $i++) {
+         |      if ($seedsRef[$i] < $sig[$i]) $sig[$i] = $seedsRef[$i];
+         |    }
+         |  } else {
+         |    long $h = $a.getLong($k);
+         |    for (int $i = 0; $i < $p; $i++) {
+         |      long $v = $xxh.hashLong($h, $seedsRef[$i]);
+         |      if ($v < $sig[$i]) $sig[$i] = $v;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(hashes = newLeft, numPerm = newRight)
+}
+
 /** All random-hyperplane LSH bucket keys of one embedding in one pass:
   * the ±1 plane signs arrive bit-PACKED as array<bigint> (layout
   * `[table][plane][word]`, bit i of word i>>6 = sign of element i), so a
@@ -281,6 +441,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64FromHashes].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64FromHashes(children(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashesExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashFromHashes].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashFromHashes(children(0), children(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),

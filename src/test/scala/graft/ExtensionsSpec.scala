@@ -202,6 +202,37 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("native shingle hashing equals the portable built-ins pipeline") {
+    // fixture + whitespace edge cases: tabs inside (leading empty token
+    // after space-only TRIM), repeated separators, short docs (< k)
+    import spark.implicits._
+    val texts = docsDf.select(F.col("text")).as[String].collect().toSeq ++
+      Seq("  \ta b\tc  ", "one", "a  b", "", " ", "x y z w")
+    val df = texts.toDF("text")
+    for (k <- Seq(1, 2, 3)) {
+      val both = df.select(
+        dedup.shingleHashes(F.col("text"), k).as("native"),
+        dedup.shingleHashesPortable(F.col("text"), k).as("portable"))
+      both.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k mismatch")
+      }
+    }
+  }
+
+  test("native minhash expression equals the portable built-ins fold") {
+    val sh = dedup.shingleHashes(F.col("text"), 3)
+    val both = docsDf.select(
+      dedup.minhashFromHashes(sh, 32).as("native"),
+      dedup.minhashFromHashesPortable(sh, 32).as("portable"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    // empty shingle array → all-MaxValue signature, both paths
+    val empty = spark.sql(
+      "SELECT graft_minhash(CAST(array() AS array<bigint>), 4) AS s").collect()
+    assert(empty.head.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("native simhash expression equals the portable built-ins version") {
     val both = docsDf.select(dedup.simhash64(F.col("text")).as("a"),
       dedup.simhash64Portable(F.col("text")).as("b")).collect()
