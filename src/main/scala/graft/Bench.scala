@@ -64,8 +64,11 @@ object Bench {
       }
       val warm = median3(once(), once(), once())
       // drop anything a query persisted (e.g. LSH signature tables) so
-      // later queries aren't penalized by leaked cache memory
+      // later queries aren't penalized by leaked cache memory, and nudge
+      // a collection so accumulated codegen classes/garbage from this
+      // query's 6 samples don't distort the next query's tail
       spark.catalog.clearCache()
+      System.gc()
       (name, cold, warm)
     }
     val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }
