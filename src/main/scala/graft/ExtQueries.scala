@@ -177,6 +177,37 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** IVF ANN exercised end-to-end under an EXACT oracle: k-means coarse
+    * quantizer trained in Spark jobs (hash sample, 2 Lloyd passes),
+    * corpus assigned to cells once, queries probe cells, candidates meet
+    * in one cell equi-join, bounded two-stage top-k. With nprobe = nlist
+    * every cell is probed, so the result is provably identical to the
+    * brute-force scan regardless of where the centroids converged — the
+    * oracle checks the full machinery without depending on float
+    * reduction order in training. Recall at partial nprobe is proven
+    * separately in ExtensionsSpec. */
+  def x21AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.ivfTopK(e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k = 7, nlist = 16, nprobe = 16, iters = 2)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x21Oracle =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |  list_sum(list_transform(list_zip(q.embedding, e.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos
+      |  FROM e CROSS JOIN q WHERE e.vec_id != q.vec_id)
+      |SELECT q_id, n_id, cos, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 7 ORDER BY q_id, rank""".stripMargin
+
   /** LSH-bucketed ANN — engine-native hyperplane hashing, rows-only. */
   def x07AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -452,7 +483,8 @@ object ExtQueries {
     "x17_event_subsecond_parts" -> (x17EventParts _),
     "x18_hash_sampling" -> (x18HashSample _),
     "x19_list_agg" -> (x19ListAgg _),
-    "x20_dedup_capped_lsh" -> (x20DedupCappedLsh _))
+    "x20_dedup_capped_lsh" -> (x20DedupCappedLsh _),
+    "x21_ann_ivf" -> (x21AnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -471,5 +503,6 @@ object ExtQueries {
     "x17_event_subsecond_parts" -> x17Oracle,
     "x18_hash_sampling" -> x18Oracle,
     "x19_list_agg" -> x19Oracle,
-    "x20_dedup_capped_lsh" -> x20Oracle)
+    "x20_dedup_capped_lsh" -> x20Oracle,
+    "x21_ann_ivf" -> x21Oracle)
 }

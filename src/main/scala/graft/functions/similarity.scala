@@ -105,6 +105,82 @@ object similarity {
     twoStageTopK(scored, k)
   }
 
+  /** Train IVF coarse-quantizer centroids with Lloyd iterations run as
+    * Spark jobs over a deterministic hash sample — never a driver-side
+    * loop over vectors. Scale shape: the corpus is filtered by a hash
+    * range (no global sort), only the ≤ `sampleN`-row sample is ever
+    * sorted (for deterministic seeding by smallest xxhash64(id)), each
+    * iteration is one assignment pass (codegen'd
+    * [[graft.plans.CentroidTopK]] against the broadcast-literal bank)
+    * plus a per-dimension avg aggregated via posexplode — and only
+    * nlist × dim aggregate rows ever reach the driver. Empty clusters
+    * keep their previous centroid. Returns the flat bank (centroids ++
+    * norms) for [[graft.plans.CentroidTopK]]. */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5, sampleN: Int = 20000): Array[Double] = {
+    require(nlist >= 1 && iters >= 0)
+    val n = corpus.count()
+    val keepOneIn = math.max(1L, n / math.max(1L, sampleN.toLong))
+    val samp = corpus.select(F.col(idCol).as("id"),
+        F.col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .filter(F.pmod(F.xxhash64(F.col("id")), F.lit(keepOneIn)) === 0)
+      .persist()
+    try {
+      val init = samp.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(nlist)
+        .select("vec").collect().map(_.getSeq[Double](0).toArray)
+      val dim = init.head.length
+      var cents: Array[Array[Double]] = init
+      def bankOf(cs: Array[Array[Double]]): Array[Double] =
+        cs.flatten ++ cs.map(c => math.sqrt(c.map(x => x * x).sum))
+      for (_ <- 0 until iters) {
+        val bank = F.typedlit(bankOf(cents).toSeq)
+        val assigned = samp.select(
+          F.element_at(F.call_function("graft_centroid_topk",
+            F.col("vec"), bank, F.lit(1)), 1).as("cell"),
+          F.posexplode(F.col("vec")).as(Seq("pos", "x")))
+        val means = assigned.groupBy("cell", "pos").agg(F.avg("x").as("m"))
+          .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+        // cents.length, not nlist: a sample smaller than nlist trains
+        // fewer (still valid) centroids
+        cents = Array.tabulate(cents.length) { c =>
+          if (means.contains((c, 0))) Array.tabulate(dim)(d => means((c, d)))
+          else cents(c) // empty cluster: keep the old centroid
+        }
+      }
+      bankOf(cents)
+    } finally { samp.unpersist(blocking = false); () }
+  }
+
+  /** IVF ANN top-k: corpus vectors are assigned to their nearest
+    * centroid cell ONCE (codegen'd argmax over the broadcast-literal
+    * bank — no shuffle), queries probe their `nprobe` nearest cells, and
+    * candidates meet in ONE equi-join on the cell id followed by exact
+    * cosine rescoring through the bounded [[twoStageTopK]]. The
+    * 100 TB shape: cell assignment is embarrassingly parallel, the only
+    * shuffle is the cell join, and recall is tunable per-query via
+    * nprobe with cost ∝ nprobe/nlist of the corpus scanned. With
+    * nprobe = nlist every cell is probed and the result is EXACTLY
+    * [[bruteForceTopK]] (the x21 oracle). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 64,
+      nprobe: Int = 8, iters: Int = 5, sampleN: Int = 20000): DataFrame = {
+    val bank = F.typedlit(
+      trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, sampleN).toSeq)
+    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
+      norm(F.col(vecCol)).as("n_nrm"),
+      F.element_at(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bank, F.lit(1)), 1).as("cell"))
+    val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"),
+      norm(F.col(vecCol)).as("q_nrm"),
+      F.explode(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bank, F.lit(nprobe))).as("cell"))
+    val scored = c.join(q, "cell")
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("n_id"),
+        (dot(F.col("q_vec"), F.col("n_vec")) / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
+    twoStageTopK(scored, k)
+  }
+
   /** The ±1 hyperplane sign bank for [[cosinePairsLsh]], bit-packed for
     * [[graft.plans.HyperplaneBuckets]]: layout `[table][plane][word]`,
     * bit i of word i>>6 set = +1 for vector element i. Signs use the

@@ -424,6 +424,122 @@ case class HyperplaneBuckets(vec: Expression, signs: Expression, nPlanes: Expres
     copy(vec = newFirst, signs = newSecond, nPlanes = newThird)
 }
 
+/** Top-`nprobe` IVF centroid indices of one embedding by cosine, in one
+  * pass: the centroid bank arrives as a flat array<double> of
+  * `nlist × dim` components followed by `nlist` precomputed norms
+  * (layout [c0…c_{nlist-1}, ‖c0‖…]; nlist is inferred from the bank
+  * length and the vector's dim). Scores are dot(vec, c_i)/‖c_i‖ — the
+  * query's own norm is constant across centroids and cannot change the
+  * ranking. Ties and the selection order break toward the LOWER index,
+  * so probing is deterministic. A zero-norm centroid scores -∞ and is
+  * never probed. Returns array<int> of length min(nprobe, nlist);
+  * corpus-side cell assignment is the same expression with nprobe = 1. */
+case class CentroidTopK(vec: Expression, bank: Expression, nprobe: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = bank
+  override def third: Expression = nprobe
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, bank.dataType, nprobe.dataType) match {
+      case (ArrayType(vt, _), ArrayType(DoubleType, _), IntegerType)
+          if vt == FloatType || vt == DoubleType =>
+        if (nprobe.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_centroid_topk: nprobe must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_centroid_topk expects (array<float|double>, array<double>, int), got " +
+          s"${vec.dataType} / ${bank.dataType} / ${nprobe.dataType}")
+    }
+
+  private def isFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any, b: Any, p: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val bk = b.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val nlist = bk.numElements() / (dim + 1)
+    val scores = new Array[Double](nlist)
+    var c = 0
+    while (c < nlist) {
+      val nrm = bk.getDouble(nlist * dim + c)
+      if (nrm > 0) {
+        var acc = 0.0
+        var i = 0
+        while (i < dim) {
+          val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+          acc += xv * bk.getDouble(c * dim + i)
+          i += 1
+        }
+        scores(c) = acc / nrm
+      } else scores(c) = Double.NegativeInfinity
+      c += 1
+    }
+    val np = math.min(p.asInstanceOf[Int], nlist)
+    val out = new Array[Int](np)
+    val used = new Array[Boolean](nlist)
+    var r = 0
+    while (r < np) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < nlist) {
+        if (!used(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        j += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b, p) => {
+      val dim = ctx.freshName("dim"); val nlist = ctx.freshName("nlist")
+      val scores = ctx.freshName("scores"); val used = ctx.freshName("used")
+      val out = ctx.freshName("out"); val np = ctx.freshName("np")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val r = ctx.freshName("r"); val acc = ctx.freshName("acc"); val nrm = ctx.freshName("nrm")
+      val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $dim = $v.numElements();
+         |int $nlist = $b.numElements() / ($dim + 1);
+         |double[] $scores = new double[$nlist];
+         |for (int $c = 0; $c < $nlist; $c++) {
+         |  double $nrm = $b.getDouble($nlist * $dim + $c);
+         |  if ($nrm > 0) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) { $acc += $getV * $b.getDouble($c * $dim + $i); }
+         |    $scores[$c] = $acc / $nrm;
+         |  } else { $scores[$c] = Double.NEGATIVE_INFINITY; }
+         |}
+         |int $np = java.lang.Math.min($p, $nlist);
+         |int[] $out = new int[$np];
+         |boolean[] $used = new boolean[$nlist];
+         |for (int $r = 0; $r < $np; $r++) {
+         |  int $best = -1; double $bestScore = Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $nlist; $j++) {
+         |    if (!$used[$j] && $scores[$j] > $bestScore) { $best = $j; $bestScore = $scores[$j]; }
+         |  }
+         |  $used[$best] = true;
+         |  $out[$r] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, bank = newSecond, nprobe = newThird)
+}
+
 /** Session extensions registering graft's native functions; install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
   * entry points do). */
@@ -449,6 +565,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashFromHashes].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashFromHashes(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_centroid_topk"),
+      new ExpressionInfo(classOf[CentroidTopK].getName, "graft_centroid_topk"),
+      (children: Seq[Expression]) => CentroidTopK(children(0), children(1), children(2))))
     e.injectFunction((
       new FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),

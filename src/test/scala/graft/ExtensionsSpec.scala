@@ -310,6 +310,28 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: full probing equals brute force; partial probing keeps recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(F.col("vec_id") < 6)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("q_id")), r.getLong(r.fieldIndex("rank")),
+        r.getLong(r.fieldIndex("n_id")))).toSet
+    val brute = key(similarity.bruteForceTopK(e, q, "vec_id", "embedding", k = 5))
+    // nprobe = nlist → provably identical to brute force
+    val full = key(similarity.ivfTopK(e, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8, iters = 2))
+    assert(full == brute)
+    // partial probing: recall@5 against brute force stays high
+    val part = key(similarity.ivfTopK(e, q, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3, iters = 2))
+    val bruteIds = brute.map { case (qid, _, nid) => (qid, nid) }
+    val partIds = part.map { case (qid, _, nid) => (qid, nid) }
+    val recall = (bruteIds & partIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"recall@5 with nprobe=3/8 was $recall")
+    // centroid training never leaves pinned sample storage behind
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("brute-force top-k returns k neighbors ranked by cosine") {
     val v = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
