@@ -117,10 +117,14 @@ object similarity {
     * keep their previous centroid. Returns the flat bank (centroids ++
     * norms) for [[graft.plans.CentroidTopK]]. */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 5, sampleN: Int = 20000): Array[Double] = {
+      nlist: Int, iters: Int = 5, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L): Array[Double] = {
     require(nlist >= 1 && iters >= 0)
-    val n = corpus.count()
-    val keepOneIn = math.max(1L, n / math.max(1L, sampleN.toLong))
+    // sampleOneIn > 0 skips the sizing count — at 100 TB pass the known
+    // corpus-to-sample ratio instead of paying a full scan to learn it
+    val keepOneIn =
+      if (sampleOneIn > 0) sampleOneIn
+      else math.max(1L, corpus.count() / math.max(1L, sampleN.toLong))
     val samp = corpus.select(F.col(idCol).as("id"),
         F.col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
       .filter(F.pmod(F.xxhash64(F.col("id")), F.lit(keepOneIn)) === 0)
@@ -163,9 +167,10 @@ object similarity {
     * [[bruteForceTopK]] (the x21 oracle). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, nlist: Int = 64,
-      nprobe: Int = 8, iters: Int = 5, sampleN: Int = 20000): DataFrame = {
-    val bank = F.typedlit(
-      trainIvfCentroids(corpus, idCol, vecCol, nlist, iters, sampleN).toSeq)
+      nprobe: Int = 8, iters: Int = 5, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L): DataFrame = {
+    val bank = F.typedlit(trainIvfCentroids(
+      corpus, idCol, vecCol, nlist, iters, sampleN, sampleOneIn).toSeq)
     val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
       norm(F.col(vecCol)).as("n_nrm"),
       F.element_at(F.call_function("graft_centroid_topk",
