@@ -461,6 +461,70 @@ object ExtQueries {
       |string_agg(CAST(n_nationkey AS VARCHAR), '|' ORDER BY n_nationkey DESC) AS keys_desc
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  /** Pairs → duplicate-GROUPS resolution (the step after candidate
+    * generation in every real dedup pipeline): connected components over
+    * the union of (a) exact-duplicate groups chain-linked id → next-id
+    * inside each md5 fingerprint group — the groups arrive as PATHS, so
+    * resolving them requires genuine transitive closure, not a one-hop
+    * lookup — and (b) LSH-fed exact-Jaccard near-dup pairs (the x02
+    * graph). Output: (id, component) with component = the smallest
+    * reachable doc_id, for every document with at least one duplicate
+    * relation. Oracle: DuckDB recursive-CTE transitive closure over the
+    * same pair graph. */
+  def x22DedupComponents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the sf corpus is all-distinct, so plant exact copies (ids +10000 /
+    // +20000) the same way in both engines: every doc_id % 10 == 0 group
+    // becomes a 3-node PATH via chain-linking — transitive closure has
+    // real multi-hop work to do
+    val d0 = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+    val d = d0
+      .unionByName(d0.filter(F.col("doc_id") % 5 === 0)
+        .select((F.col("doc_id") + 10000L).as("doc_id"), F.col("text")))
+      .unionByName(d0.filter(F.col("doc_id") % 10 === 0)
+        .select((F.col("doc_id") + 20000L).as("doc_id"), F.col("text")))
+    val chain = d.select(F.col("doc_id"), F.md5(F.col("text")).as("fp"))
+      .withColumn("nxt",
+        F.lead("doc_id", 1).over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(F.col("nxt").isNotNull)
+      .select(F.col("doc_id").as("id_a"), F.col("nxt").as("id_b"))
+    val near = dedup.jaccardPairsLsh(d, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 32, minJ = 0.8)
+      .select("id_a", "id_b")
+    dedup.connectedComponents(chain.unionByName(near), "id_a", "id_b")
+      .orderBy("id")
+  }
+
+  private val x22Oracle =
+    """WITH RECURSIVE
+      |corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id % 10 = 0),
+      |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM corpus),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk),
+      |near AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |     - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.8),
+      |chain AS (SELECT id_a, id_b FROM (SELECT doc_id AS id_a,
+      |    lead(doc_id) OVER (PARTITION BY md5(text) ORDER BY doc_id) AS id_b
+      |  FROM corpus) WHERE id_b IS NOT NULL),
+      |pairs AS (SELECT id_a, id_b FROM chain UNION SELECT id_a, id_b FROM near),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+      |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -484,7 +548,8 @@ object ExtQueries {
     "x18_hash_sampling" -> (x18HashSample _),
     "x19_list_agg" -> (x19ListAgg _),
     "x20_dedup_capped_lsh" -> (x20DedupCappedLsh _),
-    "x21_ann_ivf" -> (x21AnnIvf _))
+    "x21_ann_ivf" -> (x21AnnIvf _),
+    "x22_dedup_components" -> (x22DedupComponents _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -504,5 +569,6 @@ object ExtQueries {
     "x18_hash_sampling" -> x18Oracle,
     "x19_list_agg" -> x19Oracle,
     "x20_dedup_capped_lsh" -> x20Oracle,
-    "x21_ann_ivf" -> x21Oracle)
+    "x21_ann_ivf" -> x21Oracle,
+    "x22_dedup_components" -> x22Oracle)
 }

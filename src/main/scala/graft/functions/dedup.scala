@@ -323,6 +323,103 @@ object dedup {
       .filter(F.col("hamming") <= maxDist)
   }
 
+  /** Connected components of the undirected pair graph produced by the
+    * candidate generators — the pairs → duplicate-groups resolution step
+    * every real dedup pipeline runs after pair generation (keep one
+    * canonical document per component, drop the rest). Returns one row
+    * per distinct node id in `pairs`: `(id, component)` with `component`
+    * = the smallest node id reachable from `id` (the canonical
+    * representative). Nodes with no pair never appear — they are their
+    * own component by definition.
+    *
+    * Algorithm: alternating large-star / small-star contraction (the
+    * MapReduce-native CC of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — large-star points every node's larger
+    * neighbors at its neighborhood minimum, small-star flattens the
+    * smaller neighbors, and the fixed point is a star forest rooted at
+    * each component's minimum. Scale shape: each half-step is ONE
+    * groupBy-min over the current edge set plus a hash join back — no
+    * windows, no driver-side data, and the driver loop runs O(log n)
+    * iterations (each round at least halves path lengths), so even the
+    * ring-chained sub-buckets [[saltOversized]] emits for a hot bucket
+    * (a path of length m/cap) resolve in ~log₂(m/cap) rounds, not
+    * m/cap. Per round the edge frame is re-rooted on its materialized
+    * RDD (`createDataFrame(rdd, schema)`) so the Catalyst plan stays
+    * constant-size across iterations; the previous round's cache is
+    * released as soon as the next is materialized, and the final frame
+    * is tracked by the same auto-release listener the signature caches
+    * use — executor storage does not outlive the consuming query.
+    * Convergence is detected by an (edge-count, xxhash64-sum) checksum
+    * — the same aggregate job that materializes the round's cache. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 64): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    // orient (large, small), drop self-loops and duplicates
+    def canon(e: DataFrame): DataFrame = e
+      .filter(F.col("u") =!= F.col("v"))
+      .select(F.greatest(F.col("u"), F.col("v")).as("u"),
+        F.least(F.col("u"), F.col("v")).as("v"))
+      .distinct()
+    // large-star: for every node n, point each LARGER neighbor at the
+    // minimum of n's closed neighborhood (emits (larger, min), still
+    // oriented large→small since min ≤ n < larger)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(F.col("v").as("u"), F.col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).as("m"))
+      canon(sym.join(mins, "u").filter(F.col("v") > F.col("u"))
+        .select(F.col("v").as("u"), F.col("m").as("v")))
+    }
+    // small-star: for every node n, re-point n and all its SMALLER
+    // neighbors at the minimum among them
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(F.min("v").as("m"))
+      val joined = e.join(mins, "u")
+      canon(joined.select(F.col("v").as("u"), F.col("m").as("v"))
+        .unionByName(mins.select(F.col("u"), F.col("m").as("v"))))
+    }
+    // materialize + checksum in ONE job; re-root the plan on the cached
+    // RDD so per-iteration Catalyst analysis stays O(1)
+    def settle(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val p = spark.createDataFrame(e.rdd, e.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val r = p.agg(F.count(F.lit(1)),
+        F.coalesce(F.sum(F.xxhash64(F.col("u"), F.col("v"))), F.lit(0L))).head()
+      (p, (r.getLong(0), r.getLong(1)))
+    }
+    var (edges, sum) = settle(canon(
+      pairs.select(F.col(aCol).as("u"), F.col(bCol).as("v"))))
+    var it = 0
+    var done = sum._1 == 0L
+    while (!done && it < maxIter) {
+      val (next, nextSum) = settle(smallStar(largeStar(edges)))
+      edges.unpersist(blocking = false)
+      done = nextSum == sum
+      edges = next; sum = nextSum; it += 1
+    }
+    require(done, s"connectedComponents did not converge in $maxIter iterations")
+    // fixed point is a star forest: every non-root points at its root
+    persistedFrames.add(edges); autoRelease(spark)
+    edges.select(F.col("u").as("id"), F.col("v").as("component"))
+      .unionByName(edges.select(F.col("v").as("id"), F.col("v").as("component")))
+      .distinct()
+  }
+
+  /** Drop every non-canonical member of each duplicate component: keeps
+    * the smallest id per connected component of `pairs` (plus every row
+    * with no pair at all). The principled keep-rule — transitive, order-
+    * independent, stable under pair discovery order — unlike dropping
+    * `id_b` of each pair, which over-drops when A~B, B~C but A≁C
+    * (dropping C strands evidence linking it only through B). */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(F.col("id") =!= F.col("component"))
+      .select(F.col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact token-set Jaccard similarity between two token arrays —
     * deterministic integer set sizes, double division. */
   def tokenJaccard(a: Column, b: Column): Column = {

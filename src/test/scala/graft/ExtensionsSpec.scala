@@ -411,4 +411,68 @@ class ExtensionsSpec extends SparkSpec {
     val b2 = v.select(similarity.lshBucket(F.col("embedding"), 8, 4)).head().getLong(0)
     assert(b1 == b2)
   }
+
+  private def componentsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val nodes = parent.keys.toSeq
+    val minOf = nodes.groupBy(find).map { case (r, ks) => r -> ks.min }
+    nodes.map(k => k -> minOf(find(k))).toMap
+  }
+
+  test("connected components resolve a known graph to component minima") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (3L, 2L), (9L, 9L))
+      .toDF("id_a", "id_b")
+    val got = dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // (9,9) is a self-loop: dropped; 9 never appears
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("connected components collapse a 10k-node path in logarithmic rounds") {
+    // the exact shape saltOversized's ring chaining produces for a hot
+    // bucket: a long path. Min-propagation would need 10k rounds; the
+    // star algorithm's maxIter=64 bound only holds if rounds are ~log n.
+    val edges = spark.range(0, 9999)
+      .select(F.col("id").as("id_a"), (F.col("id") + 1).as("id_b"))
+    val got = dedup.connectedComponents(edges, maxIter = 40)
+    assert(got.count() == 10000)
+    assert(got.agg(F.countDistinct("component")).head().getLong(0) == 1L)
+    assert(got.agg(F.max("component")).head().getLong(0) == 0L)
+  }
+
+  test("connected components match a driver union-find on a random graph") {
+    val rnd = new scala.util.Random(19)
+    val pairs = (0 until 400).map(_ =>
+      (rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
+      .filter { case (a, b) => a != b }
+    val got = dedup.connectedComponents(pairs.toDF("id_a", "id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == componentsOf(pairs))
+  }
+
+  test("keepCanonical keeps the component minimum and every unpaired row") {
+    // chain 1-2-4 is ONE component (transitivity): keep 1, drop 2 and 4;
+    // the naive drop-id_b-of-each-pair rule would get this right only by
+    // luck — the chain is the case it over-drops on
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("id_a", "id_b")
+    val kept = dedup.keepCanonical(docsDf, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("connected components release their iteration caches") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
+    dedup.connectedComponents(pairs).collect()
+    val deadline = System.nanoTime() + 10000000000L
+    def pinned = spark.sparkContext.getPersistentRDDs.size
+    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(pinned == 0, s"CC frames still pinned: $pinned")
+  }
 }
