@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.types._
 import graft.core._
 import graft.dsl._
-import graft.functions.{dedup, multimodal, similarity, text}
+import graft.functions.{contamination, dedup, multimodal, similarity, text}
 import graft.table.Table
 
 /** Training-data-pipeline extension queries (dedup / similarity search /
@@ -525,6 +525,75 @@ object ExtQueries {
       |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
       |SELECT id, MIN(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Benchmark decontamination over a deterministic train/bench split of
+    * the documents table (doc_id % 7 == 3 plays the eval set): per
+    * training doc, distinct 3-shingle count, the count overlapping any
+    * benchmark doc, and the ≥ 50 %-overlap contamination flag. The
+    * benchmark fingerprint set is broadcast — the training corpus is
+    * never shuffled to discover overlap. */
+  def x23Decontamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    contamination.overlapStats(
+        d.filter(F.col("doc_id") % 7 =!= 3), "doc_id", "text",
+        d.filter(F.col("doc_id") % 7 === 3), "text",
+        k = 3, minOverlap = 0.5)
+      .orderBy("doc_id")
+  }
+
+  private val x23Oracle =
+    """WITH bench AS (SELECT text FROM documents WHERE doc_id % 7 = 3),
+      |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+      |ttk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM train),
+      |tsh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM ttk),
+      |btk AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench),
+      |bsh AS (SELECT DISTINCT
+      |    CAST(concat('0x', substring(md5(u), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT unnest(list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END)) AS u
+      |    FROM btk)),
+      |tf AS (SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(u), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(s) AS u FROM tsh)),
+      |j AS (SELECT tf.doc_id, CASE WHEN bsh.h IS NOT NULL THEN 1 END AS hit
+      |  FROM tf LEFT JOIN bsh ON tf.h = bsh.h)
+      |SELECT doc_id, COUNT(*) AS n_shingles, COUNT(hit) AS n_overlap,
+      |  (CAST(COUNT(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) >= 0.5
+      |    AS contaminated
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Corpus TF-IDF: top-3 terms per document with smoothed idf, scores
+    * rounded to 9 dp before ranking (ln differs from libm by 1 ulp),
+    * token tie-break. */
+  def x24TfIdf(s: SparkSession, dir: String): DataFrame =
+    text.tfidfTopTerms(docs(s, dir), "doc_id", "text", topK = 3)
+      .orderBy("doc_id", "rank")
+
+  private val x24Oracle =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      |  WHERE len(token) > 0 GROUP BY 1, 2),
+      |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (SELECT doc_id, token, tf,
+      |    round(CAST(tf AS DOUBLE) *
+      |      (ln((CAST(n_docs AS DOUBLE) + 1) / (CAST(df AS DOUBLE) + 1)) + 1),
+      |      9) AS tfidf
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+      |  FROM scored)
+      |SELECT doc_id, token, tf, tfidf, rank FROM r WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -549,7 +618,9 @@ object ExtQueries {
     "x19_list_agg" -> (x19ListAgg _),
     "x20_dedup_capped_lsh" -> (x20DedupCappedLsh _),
     "x21_ann_ivf" -> (x21AnnIvf _),
-    "x22_dedup_components" -> (x22DedupComponents _))
+    "x22_dedup_components" -> (x22DedupComponents _),
+    "x23_decontamination" -> (x23Decontamination _),
+    "x24_tfidf_top_terms" -> (x24TfIdf _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -570,5 +641,7 @@ object ExtQueries {
     "x19_list_agg" -> x19Oracle,
     "x20_dedup_capped_lsh" -> x20Oracle,
     "x21_ann_ivf" -> x21Oracle,
-    "x22_dedup_components" -> x22Oracle)
+    "x22_dedup_components" -> x22Oracle,
+    "x23_decontamination" -> x23Oracle,
+    "x24_tfidf_top_terms" -> x24Oracle)
 }

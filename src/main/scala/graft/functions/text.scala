@@ -96,4 +96,35 @@ object text {
     F.aggregate(tokens(c), F.lit(0L),
       (acc, t) => F.pmod(acc * F.lit(31L) + F.pmod(F.xxhash64(t), p), p))
   }
+
+  /** Corpus-level TF-IDF: the `topK` highest-scoring tokens per document
+    * with smoothed idf (`ln((N+1)/(df+1)) + 1`), deterministic tie-break
+    * by token, scores rounded to 9 decimals BEFORE ranking so ordering
+    * is reproducible across engines. Scale shape: one shuffle to count
+    * (doc, token), one vocabulary-keyed aggregation for document
+    * frequencies (vocabulary ≪ corpus), the scalar document count
+    * broadcast, and the per-document ranking window is bounded by a
+    * single document's distinct tokens — never a corpus-wide sort. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(F.col(idCol),
+        F.explode(tokens(F.col(textCol))).as("token"))
+      .filter(F.length(F.col("token")) > 0)
+    val tf = toks.groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).as("df"))
+    val nDocs = df.agg(F.count(F.lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(F.broadcast(nDocs))
+      .withColumn("tfidf", F.round(
+        F.col("tf").cast(DoubleType) *
+          (F.log((F.col("n_docs").cast(DoubleType) + 1.0) /
+            (F.col("df").cast(DoubleType) + 1.0)) + 1.0), 9))
+    val w = Window.partitionBy(idCol)
+      .orderBy(F.col("tfidf").desc, F.col("token").asc)
+    scored.withColumn("rank", F.row_number().over(w).cast(LongType))
+      .filter(F.col("rank") <= topK)
+      .select(F.col(idCol), F.col("token"), F.col("tf"),
+        F.col("tfidf"), F.col("rank"))
+  }
 }

@@ -467,6 +467,50 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("decontamination overlap stats match hand-computed shingle overlap") {
+    import graft.functions.contamination
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),   // shingles: ab g, b g d → 2
+      (2L, "alpha beta gamma epsilon"), // a b g, b g e → 2
+      (3L, "zeta eta theta iota")       // 2, none in bench
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma x y z").toDF("text") // has "alpha beta gamma"
+    val got = contamination.overlapStats(train, "doc_id", "text", bench, "text",
+        k = 3, minOverlap = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((2L, 1L, true)))  // "alpha beta gamma" shared: 1/2 ≥ 0.5
+    assert(got(2L) == ((2L, 1L, true)))
+    assert(got(3L) == ((2L, 0L, false)))
+  }
+
+  test("decontaminate drops contaminated rows and keeps the rest") {
+    import graft.functions.contamination
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma x").toDF("text")
+    val kept = contamination.decontaminate(train, "doc_id", "text",
+        bench, "text", k = 3, minOverlap = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
+  test("tfidf top terms rank rare tokens above common ones") {
+    val df = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val got = text.tfidfTopTerms(df, "doc_id", "text", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(4)) -> r.getString(1)).toMap
+    // singleton tokens (df=1, idf ln(4/2)+1 ≈ 1.69) outscore "common"
+    // (df=3, idf ln(4/4)+1 = 1) at equal tf…
+    assert(got((2L, 1L)) == "rare2" && got((2L, 2L)) == "common")
+    assert(got((3L, 1L)) == "other")
+    // …but doc 1's common has tf=2 → score 2 > rare1's 1×1.69
+    assert(got((1L, 1L)) == "common" && got((1L, 2L)) == "rare1")
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
