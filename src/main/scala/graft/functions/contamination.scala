@@ -21,10 +21,17 @@ import org.apache.spark.sql.types._
   */
 object contamination {
 
-  /** Distinct k-token shingle fingerprints of a text column. */
+  /** Distinct k-token shingle fingerprints of a text column, computed by
+    * the codegen'd [[graft.plans.ShingleFp64Expr]] — one tokenize + md5
+    * pass per row. */
   private def shingleFps(c: Column, k: Int): Column =
-    F.array_distinct(F.transform(dedup.shingles(c, k),
-      s => text.fingerprint64(s)))
+    F.call_function("graft_shingle_fp64", c, F.lit(k))
+
+  /** Built-ins-only version with identical semantics (interpreted; used
+    * to cross-check the native expression). */
+  private[graft] def shingleFpsPortable(c: Column, k: Int): Column =
+    F.array_sort(F.array_distinct(F.transform(dedup.shingles(c, k),
+      s => text.fingerprint64(s))))
 
   /** Per-training-document overlap stats against a benchmark corpus:
     * `(idCol, n_shingles, n_overlap, contaminated)` where `n_shingles`

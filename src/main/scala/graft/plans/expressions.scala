@@ -235,6 +235,86 @@ object ShingleHashesExpr {
   }
 }
 
+/** Sorted distinct 60-bit md5-prefix fingerprints of a document's k-word
+  * shingles — [[ShingleHashesExpr]]'s portable sibling for operators
+  * whose counts must reproduce in any engine with md5 (benchmark
+  * decontamination): the fingerprint equals
+  * `CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT)`, i.e.
+  * the top 60 bits of the md5 digest, so a cross-engine oracle can
+  * recompute it exactly. One tokenize + md5 loop per row in generated
+  * code — replaces an interpreted transform(transform(...)) pipeline
+  * that re-evaluated the split per lambda. */
+case class ShingleFp64Expr(text: Expression, k: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = k
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, k.dataType) match {
+      case (StringType, IntegerType) =>
+        if (k.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_shingle_fp64: k must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_fp64 expects (string, int), got ${text.dataType} / ${k.dataType}")
+    }
+
+  override protected def nullSafeEval(t: Any, kk: Any): Any =
+    ShingleFp64Expr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      kk.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk) =>
+      s"${ev.value} = graft.plans.ShingleFp64Expr.compute($t, $kk);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, k = newRight)
+}
+
+object ShingleFp64Expr {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** static so generated code can call it directly (one invoke per row). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val toks = ws.split(text.trim.toString, -1)
+    val n = toks.length
+    val fps =
+      if (n < k) Array(fpShingle(toks, 0, n))
+      else Array.tabulate(n - k + 1)(i => fpShingle(toks, i, k))
+    java.util.Arrays.sort(fps)
+    var w = 0; var i = 0
+    while (i < fps.length) {
+      if (w == 0 || fps(i) != fps(w - 1)) { fps(w) = fps(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w == fps.length) fps else java.util.Arrays.copyOf(fps, w))
+  }
+
+  private def fpShingle(toks: Array[String], start: Int, len: Int): Long = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < len) {
+      if (i > 0) sb.append(' ')
+      sb.append(toks(start + i))
+      i += 1
+    }
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex digits = top 60 bits: big-endian first 8 bytes >>> 4
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v >>> 4
+  }
+}
+
 /** MinHash signature from a pre-hashed shingle array in ONE tight loop:
   * sig[i] = min over shingles h of xxhash64(i, h) — bit-identical to the
   * interpreted `aggregate`/`zip_with` fold it replaces
@@ -561,6 +641,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashesExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingle_fp64"),
+      new ExpressionInfo(classOf[ShingleFp64Expr].getName, "graft_shingle_fp64"),
+      (children: Seq[Expression]) => ShingleFp64Expr(children(0), children(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashFromHashes].getName, "graft_minhash"),

@@ -484,6 +484,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3L) == ((2L, 0L, false)))
   }
 
+  test("native md5-prefix shingle fingerprints equal the portable pipeline") {
+    import spark.implicits._
+    val texts = docsDf.select(F.col("text")).as[String].collect().toSeq ++
+      Seq("  \ta b\tc  ", "one", "a  b", "", " ", "x y z w")
+    val df = texts.toDF("text")
+    for (k <- Seq(1, 3, 8)) {
+      df.select(
+          F.call_function("graft_shingle_fp64", F.col("text"), F.lit(k)).as("native"),
+          graft.functions.contamination.shingleFpsPortable(F.col("text"), k).as("portable"))
+        .collect().foreach { r =>
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"k=$k mismatch")
+        }
+    }
+  }
+
   test("decontaminate drops contaminated rows and keeps the rest") {
     import graft.functions.contamination
     val train = Seq(
