@@ -594,6 +594,47 @@ object ExtQueries {
       |SELECT doc_id, token, tf, tfidf, rank FROM r WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Repetition / boilerplate quality signals (Gopher-style): duplicate
+    * token fraction and top-1 bigram/trigram share per document — pure
+    * scalar columns, one array pass per row. Ratios are exact IEEE
+    * divisions of integer counts, so they reproduce bit-for-bit in the
+    * oracle without rounding. */
+  def x25RepetitionSignals(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+        F.col("doc_id"),
+        text.duplicateTokenFraction(F.col("text")).as("dup_token_frac"),
+        text.topNgramShare(F.col("text"), 2).as("top2_share"),
+        text.topNgramShare(F.col("text"), 3).as("top3_share"))
+      .orderBy("doc_id")
+
+  private val x25Oracle =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g2 AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 2
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1]) END) AS g FROM tk),
+      |g3 AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS g
+      |  FROM tk),
+      |s2 AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+      |    AS top2_share
+      |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |s3 AS (SELECT doc_id, CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+      |    AS top3_share
+      |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |d AS (SELECT doc_id,
+      |    1 - CAST(len(list_distinct(toks)) AS DOUBLE) /
+      |      CAST(len(toks) AS DOUBLE) AS dup_token_frac
+      |  FROM tk)
+      |SELECT d.doc_id, dup_token_frac, top2_share, top3_share
+      |FROM d JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -620,7 +661,8 @@ object ExtQueries {
     "x21_ann_ivf" -> (x21AnnIvf _),
     "x22_dedup_components" -> (x22DedupComponents _),
     "x23_decontamination" -> (x23Decontamination _),
-    "x24_tfidf_top_terms" -> (x24TfIdf _))
+    "x24_tfidf_top_terms" -> (x24TfIdf _),
+    "x25_repetition_signals" -> (x25RepetitionSignals _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -643,5 +685,6 @@ object ExtQueries {
     "x21_ann_ivf" -> x21Oracle,
     "x22_dedup_components" -> x22Oracle,
     "x23_decontamination" -> x23Oracle,
-    "x24_tfidf_top_terms" -> x24Oracle)
+    "x24_tfidf_top_terms" -> x24Oracle,
+    "x25_repetition_signals" -> x25Oracle)
 }

@@ -17,15 +17,25 @@ object pipelines {
     * 1. quality-score filter,
     * 2. language allow-list (heuristic language-ID),
     * 3. exact dedup (md5 fingerprint, keep smallest id),
-    * 4. MinHash-LSH near-dedup (drop the higher id of each pair),
-    * 5. deterministic hash sample.
+    * 4. MinHash-LSH near-dedup resolved through connected components
+    *    (keep the smallest id per duplicate GROUP — transitive and
+    *    discovery-order-independent, unlike dropping `id_b` of each
+    *    pair, which over-drops on chains A~B~C where A≁C),
+    * 5. benchmark decontamination (optional: n-gram overlap vs `bench`),
+    * 6. deterministic hash sample.
     * Returns the curated frame (same schema as input + quality/pred_lang).
+    * Stages 1-3 and 5-6 are lazy transforms; stage 4's component
+    * resolution runs eagerly when called (a short driver loop of
+    * O(log n) Spark jobs).
     */
   def curateDocuments(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       minQuality: Double = 0.3,
       langs: Seq[String] = Seq("en"),
       nearDupThreshold: Double = 0.7,
+      bench: Option[DataFrame] = None,
+      benchTextCol: String = "text",
+      benchNgram: Int = 8,
       samplePermille: Int = 10000): DataFrame = {
     val scored = docs
       .withColumn("quality", text.qualityScore(F.col(textCol)))
@@ -38,13 +48,17 @@ object pipelines {
       .select(F.col("keep_id").as(idCol))
     val exactDeduped = scored.join(keepExact, idCol)
 
-    // near-dedup: drop the larger id of every LSH-confirmed pair
-    val dropNear = dedup.minhashPairs(exactDeduped, idCol, textCol,
-        threshold = nearDupThreshold)
-      .select(F.col("id_b").as(idCol)).distinct()
-    val nearDeduped = exactDeduped.join(dropNear, Seq(idCol), "left_anti")
+    // near-dedup: one canonical survivor per duplicate component
+    val nearPairs = dedup.minhashPairs(exactDeduped, idCol, textCol,
+      threshold = nearDupThreshold)
+    val nearDeduped = dedup.keepCanonical(exactDeduped, idCol, nearPairs)
 
-    if (samplePermille >= 10000) nearDeduped
-    else sampling.hashSample(nearDeduped, idCol, samplePermille)
+    val clean = bench match {
+      case Some(b) => contamination.decontaminate(
+        nearDeduped, idCol, textCol, b, benchTextCol, k = benchNgram)
+      case None => nearDeduped
+    }
+    if (samplePermille >= 10000) clean
+    else sampling.hashSample(clean, idCol, samplePermille)
   }
 }

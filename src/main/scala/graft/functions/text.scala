@@ -97,6 +97,41 @@ object text {
       (acc, t) => F.pmod(acc * F.lit(31L) + F.pmod(F.xxhash64(t), p), p))
   }
 
+  // ---- repetition / boilerplate signals (Gopher-style quality rules) ----
+
+  /** Fraction of lines that repeat an earlier line — the classic
+    * boilerplate signal for scraped pages (nav bars, footers). */
+  def duplicateLineFraction(c: Column): Column = {
+    val lines = F.split(c, "\n")
+    F.lit(1.0) - F.size(F.array_distinct(lines)).cast(DoubleType) /
+      F.size(lines).cast(DoubleType)
+  }
+
+  /** Fraction of tokens that repeat an earlier token. */
+  def duplicateTokenFraction(c: Column): Column = {
+    val toks = tokens(c)
+    F.lit(1.0) - F.size(F.array_distinct(toks)).cast(DoubleType) /
+      F.size(toks).cast(DoubleType)
+  }
+
+  /** Share of the document's n-grams taken by its single most frequent
+    * n-gram (Gopher's top-n-gram fraction, over counts). Computed in one
+    * array pass per row: sort the n-grams, then a run-length fold tracks
+    * the longest run — no explode, no shuffle, so the signal costs the
+    * same as any other scalar quality column at corpus scale. */
+  def topNgramShare(c: Column, n: Int): Column = {
+    val sorted = F.array_sort(dedup.shingles(c, n))
+    val st = F.aggregate(sorted,
+      F.struct(F.lit("").as("prev"), F.lit(0L).as("run"), F.lit(0L).as("best")),
+      (acc, x) => {
+        val run = F.when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(F.lit(1L))
+        F.struct(x.as("prev"), run.as("run"),
+          F.greatest(acc.getField("best"), run).as("best"))
+      })
+    st.getField("best").cast(DoubleType) / F.size(sorted).cast(DoubleType)
+  }
+
   /** Corpus-level TF-IDF: the `topK` highest-scoring tokens per document
     * with smoothed idf (`ln((N+1)/(df+1)) + 1`), deterministic tie-break
     * by token, scores rounded to 9 decimals BEFORE ranking so ordering

@@ -405,6 +405,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(!curated.contains(2L))
   }
 
+  test("curation with a benchmark set also drops contaminated docs") {
+    import graft.functions.pipelines
+    val bench = Seq("completely different text with other words here plus extra")
+      .toDF("text")
+    val curated = pipelines.curateDocuments(docsDf,
+        minQuality = 0.0, nearDupThreshold = 0.3, bench = Some(bench),
+        benchNgram = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated == Set(1L)) // doc 3 overlaps the benchmark heavily
+  }
+
+  test("repetition signals match hand-computed fractions") {
+    val df = Seq(
+      (1L, "a a a b"),          // tokens: 4, distinct 2 → dup 0.5
+      (2L, "x y x y x"),        // bigrams: x y, y x, x y, y x → top2 = 2/4
+      (3L, "line1\nline2\nline1") // 3 lines, 2 distinct → dup 1/3
+    ).toDF("doc_id", "text")
+    val got = df.select(F.col("doc_id"),
+        text.duplicateTokenFraction(F.col("text")).as("dt"),
+        text.topNgramShare(F.col("text"), 2).as("t2"),
+        text.duplicateLineFraction(F.col("text")).as("dl"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 == 0.5)
+    assert(got(1L)._2 == 2.0 / 3.0)  // "a a" twice of 3 bigrams
+    assert(got(2L)._2 == 0.5)
+    assert(got(3L)._3 == 1.0 - 2.0 / 3.0)
+    assert(got(1L)._3 == 0.0)
+  }
+
   test("lsh bucket is deterministic across evaluations") {
     val v = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
     val b1 = v.select(similarity.lshBucket(F.col("embedding"), 8, 4)).head().getLong(0)
