@@ -635,6 +635,57 @@ object ExtQueries {
       |FROM d JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Corpus vocabulary mining: the 50 most frequent trigram phrases.
+    * Bounded top-k (TakeOrderedAndProject), never a global sort. */
+  def x26TopNgrams(s: SparkSession, dir: String): DataFrame =
+    text.topNgrams(docs(s, dir), "text", n = 3, k = 50)
+
+  private val x26Oracle =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |g AS (SELECT unnest(CASE WHEN len(toks) < 3
+      |    THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS ngram
+      |  FROM tk)
+      |SELECT ngram, COUNT(*) AS n_occurrences FROM g GROUP BY 1
+      |ORDER BY n_occurrences DESC, ngram LIMIT 50""".stripMargin
+
+  /** Embedding preprocessing: unit-normalize + per-vector int8
+    * quantization. Norm of the normalized vector (rounded to 6) proves
+    * the normalize; the quantized codes travel as an exact comma-joined
+    * integer string plus their sum. */
+  def x27EmbeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(F.col("vec_id").cast(LongType).as("vec_id"),
+      F.transform(F.col("embedding"), _.cast(DoubleType)).as("v"))
+    val q = similarity.quantizeInt8(F.col("v"))
+    e.select(
+        F.col("vec_id"),
+        F.round(similarity.norm(similarity.l2Normalize(F.col("v"))), 6)
+          .as("unit_nrm"),
+        F.array_join(F.transform(q, _.cast(StringType)), ",").as("q_codes"),
+        F.aggregate(q, F.lit(0L), (a, x) => a + x).as("q_sum"))
+      .orderBy("vec_id")
+  }
+
+  private val x27Oracle =
+    """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+      |    list_min(v) AS mn, list_max(v) AS mx FROM e),
+      |q AS (SELECT vec_id, nrm,
+      |    list_transform(v, x -> CASE WHEN mx = mn THEN 0
+      |      ELSE CAST(round((x - mn) / (mx - mn) * 254, 0) AS INT) - 127 END)
+      |      AS qv,
+      |    list_transform(v, x -> x / nrm) AS u FROM s)
+      |SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(u, x -> x * x))), 6) AS unit_nrm,
+      |  array_to_string(qv, ',') AS q_codes,
+      |  CAST(list_sum(qv) AS BIGINT) AS q_sum
+      |FROM q ORDER BY vec_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -662,7 +713,9 @@ object ExtQueries {
     "x22_dedup_components" -> (x22DedupComponents _),
     "x23_decontamination" -> (x23Decontamination _),
     "x24_tfidf_top_terms" -> (x24TfIdf _),
-    "x25_repetition_signals" -> (x25RepetitionSignals _))
+    "x25_repetition_signals" -> (x25RepetitionSignals _),
+    "x26_top_ngrams" -> (x26TopNgrams _),
+    "x27_embedding_quantize" -> (x27EmbeddingQuantize _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -686,5 +739,7 @@ object ExtQueries {
     "x22_dedup_components" -> x22Oracle,
     "x23_decontamination" -> x23Oracle,
     "x24_tfidf_top_terms" -> x24Oracle,
-    "x25_repetition_signals" -> x25Oracle)
+    "x25_repetition_signals" -> x25Oracle,
+    "x26_top_ngrams" -> x26Oracle,
+    "x27_embedding_quantize" -> x27Oracle)
 }

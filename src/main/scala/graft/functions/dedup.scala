@@ -129,7 +129,15 @@ object dedup {
       .groupBy("fingerprint")
       .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("n_copies"))
 
-  /** k-word shingles of a document. */
+  /** k-word shingles of a document, in order with duplicates — computed
+    * by the codegen'd [[graft.plans.ShingleStringsExpr]] (one tokenize
+    * pass per row). */
+  def shingleStrings(c: Column, k: Int): Column =
+    F.call_function("graft_shingles", c, F.lit(k))
+
+  /** Built-ins-only shingles with identical semantics (interpreted — the
+    * lambda re-evaluates the token split per element; used to cross-check
+    * the native expression and wherever k is not a literal). */
   def shingles(c: Column, k: Int): Column = {
     val toks = text.tokens(c)
     val n = F.size(toks)

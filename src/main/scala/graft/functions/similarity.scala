@@ -248,6 +248,28 @@ object similarity {
       .filter(F.col("cos") >= minCos)
   }
 
+  /** L2-normalize an embedding to unit length (double arithmetic;
+    * IEEE-exact, so it reproduces bit-for-bit in any engine). */
+  def l2Normalize(vec: Column): Column = {
+    val n = norm(vec)
+    F.transform(vec, x => x.cast(DoubleType) / n)
+  }
+
+  /** Per-vector scalar int8 quantization: affine-map [min, max] onto
+    * [-127, 127] with round-half-up (both engines round half away from
+    * zero on the non-negative scaled operand, so outputs are exact
+    * integers cross-engine). Degenerate constant vectors map to 0. The
+    * standard 4× storage shrink before ANN indexing — elementwise,
+    * shuffle-free. */
+  def quantizeInt8(vec: Column): Column = {
+    val mn = F.array_min(vec).cast(DoubleType)
+    val mx = F.array_max(vec).cast(DoubleType)
+    F.transform(vec, x =>
+      F.when(mx === mn, F.lit(0))
+        .otherwise(F.round((x.cast(DoubleType) - mn) / (mx - mn) * 254, 0)
+          .cast(IntegerType) - 127))
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocking buckets. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, minCos: Double): DataFrame = {

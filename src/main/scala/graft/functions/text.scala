@@ -115,11 +115,17 @@ object text {
   }
 
   /** Share of the document's n-grams taken by its single most frequent
-    * n-gram (Gopher's top-n-gram fraction, over counts). Computed in one
-    * array pass per row: sort the n-grams, then a run-length fold tracks
-    * the longest run — no explode, no shuffle, so the signal costs the
-    * same as any other scalar quality column at corpus scale. */
-  def topNgramShare(c: Column, n: Int): Column = {
+    * n-gram (Gopher's top-n-gram fraction, over counts). One codegen'd
+    * tokenize + count pass per row ([[graft.plans.TopNgramShareExpr]]) —
+    * no explode, no shuffle, so the signal costs the same as any other
+    * scalar quality column at corpus scale. */
+  def topNgramShare(c: Column, n: Int): Column =
+    F.call_function("graft_top_ngram_share", c, F.lit(n))
+
+  /** Built-ins-only version with identical semantics (sort the n-grams,
+    * run-length fold for the longest run; interpreted — used to
+    * cross-check the native expression). */
+  private[graft] def topNgramSharePortable(c: Column, n: Int): Column = {
     val sorted = F.array_sort(dedup.shingles(c, n))
     val st = F.aggregate(sorted,
       F.struct(F.lit("").as("prev"), F.lit(0L).as("run"), F.lit(0L).as("best")),
@@ -131,6 +137,19 @@ object text {
       })
     st.getField("best").cast(DoubleType) / F.size(sorted).cast(DoubleType)
   }
+
+  /** Corpus-wide top-`k` n-grams by occurrence count (vocabulary / stop-
+    * phrase mining), ties broken by n-gram text. Scale shape: explode +
+    * map-side partial aggregation onto the n-gram key (cardinality ≈
+    * vocabulary, ≪ corpus), then Spark's TakeOrderedAndProject — a
+    * bounded per-partition top-k merged on the driver, never a global
+    * sort of the vocabulary. */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+      n: Int, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(F.explode(dedup.shingleStrings(F.col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(F.count(F.lit(1)).as("n_occurrences"))
+      .orderBy(F.col("n_occurrences").desc, F.col("ngram").asc)
+      .limit(k)
 
   /** Corpus-level TF-IDF: the `topK` highest-scoring tokens per document
     * with smoothed idf (`ln((N+1)/(df+1)) + 1`), deterministic tie-break

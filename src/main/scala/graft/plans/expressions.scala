@@ -235,6 +235,125 @@ object ShingleHashesExpr {
   }
 }
 
+/** A document's k-word shingle STRINGS in order, duplicates preserved —
+  * the codegen sibling of [[graft.functions.dedup.shingles]] for
+  * operators that need the phrases themselves (n-gram counting, top-
+  * n-gram share): one tokenize pass per row instead of an interpreted
+  * transform whose lambda re-evaluates the split per element. */
+case class ShingleStringsExpr(text: Expression, k: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = k
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, k.dataType) match {
+      case (StringType, IntegerType) =>
+        if (k.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_shingles: k must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles expects (string, int), got ${text.dataType} / ${k.dataType}")
+    }
+
+  override protected def nullSafeEval(t: Any, kk: Any): Any =
+    ShingleStringsExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      kk.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk) =>
+      s"${ev.value} = graft.plans.ShingleStringsExpr.compute($t, $kk);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, k = newRight)
+}
+
+object ShingleStringsExpr {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** static so generated code can call it directly (one invoke per row). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
+    val toks = ws.split(text.trim.toString, -1)
+    val n = toks.length
+    def shingle(start: Int, len: Int): org.apache.spark.unsafe.types.UTF8String = {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < len) {
+        if (i > 0) sb.append(' ')
+        sb.append(toks(start + i))
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    }
+    val out: Array[Any] =
+      if (n < k) Array(shingle(0, n))
+      else Array.tabulate[Any](n - k + 1)(i => shingle(i, k))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Share of a document's k-word n-grams taken by its most frequent
+  * n-gram (Gopher's top-n-gram repetition signal) in ONE tokenize +
+  * count pass per row — same result as sorting the shingles and taking
+  * the longest run, without materializing the array. */
+case class TopNgramShareExpr(text: Expression, k: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = k
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, k.dataType) match {
+      case (StringType, IntegerType) =>
+        if (k.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_top_ngram_share: k must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_top_ngram_share expects (string, int), got ${text.dataType} / ${k.dataType}")
+    }
+
+  override protected def nullSafeEval(t: Any, kk: Any): Any =
+    TopNgramShareExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      kk.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, kk) =>
+      s"${ev.value} = graft.plans.TopNgramShareExpr.compute($t, $kk);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(text = newLeft, k = newRight)
+}
+
+object TopNgramShareExpr {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** static so generated code can call it directly (one invoke per row). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): Double = {
+    val toks = ws.split(text.trim.toString, -1)
+    val n = toks.length
+    val total = if (n < k) 1 else n - k + 1
+    val counts = new java.util.HashMap[String, Int](total * 2)
+    var best = 0
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      val len = if (n < k) n else k
+      while (j < len) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > best) best = c
+      i += 1
+    }
+    best.toDouble / total.toDouble
+  }
+}
+
 /** Sorted distinct 60-bit md5-prefix fingerprints of a document's k-word
   * shingles — [[ShingleHashesExpr]]'s portable sibling for operators
   * whose counts must reproduce in any engine with md5 (benchmark
@@ -641,6 +760,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashesExpr].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashesExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_top_ngram_share"),
+      new ExpressionInfo(classOf[TopNgramShareExpr].getName, "graft_top_ngram_share"),
+      (children: Seq[Expression]) => TopNgramShareExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleStringsExpr].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleStringsExpr(children(0), children(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_shingle_fp64"),
       new ExpressionInfo(classOf[ShingleFp64Expr].getName, "graft_shingle_fp64"),

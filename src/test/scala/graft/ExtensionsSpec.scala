@@ -219,6 +219,56 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("native shingle strings equal the portable pipeline, order and dups kept") {
+    import spark.implicits._
+    val texts = docsDf.select(F.col("text")).as[String].collect().toSeq ++
+      Seq("  \ta b\tc  ", "one", "a  b", "", " ", "x y x y x")
+    val df = texts.toDF("text")
+    for (k <- Seq(1, 2, 3, 9)) {
+      df.select(dedup.shingleStrings(F.col("text"), k).as("native"),
+          dedup.shingles(F.col("text"), k).as("portable"))
+        .collect().foreach { r =>
+          assert(r.getSeq[String](0) == r.getSeq[String](1), s"k=$k mismatch")
+        }
+    }
+  }
+
+  test("native top-ngram share equals the portable run-length fold") {
+    import spark.implicits._
+    val texts = docsDf.select(F.col("text")).as[String].collect().toSeq ++
+      Seq("a a a b", "x y x y x", "one", "", " ", "a  b\tc")
+    val df = texts.toDF("text")
+    for (n <- Seq(1, 2, 3)) {
+      df.select(text.topNgramShare(F.col("text"), n).as("native"),
+          graft.functions.text.topNgramSharePortable(F.col("text"), n).as("portable"))
+        .collect().foreach { r =>
+          assert(r.getDouble(0) == r.getDouble(1), s"n=$n mismatch")
+        }
+    }
+  }
+
+  test("top ngrams count duplicates and break ties by phrase") {
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val got = text.topNgrams(df, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // bigrams: "a b"×3, "b a"×1, "b c"×1 → ties by phrase
+    assert(got.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("quantizeInt8 maps min/max to -127/127 and constants to 0") {
+    val df = Seq(
+      (1L, Seq(0.0, 0.5, 1.0)),
+      (2L, Seq(3.0, 3.0, 3.0))).toDF("id", "v")
+    val got = df.select(F.col("id"), similarity.quantizeInt8(F.col("v")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(-127, 0, 127))
+    assert(got(2L) == Seq(0, 0, 0))
+    val u = df.filter(F.col("id") === 1L)
+      .select(similarity.norm(similarity.l2Normalize(F.col("v"))))
+      .head().getDouble(0)
+    assert(math.abs(u - 1.0) < 1e-12)
+  }
+
   test("native minhash expression equals the portable built-ins fold") {
     val sh = dedup.shingleHashes(F.col("text"), 3)
     val both = docsDf.select(
