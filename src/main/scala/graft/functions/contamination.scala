@@ -42,13 +42,17 @@ object contamination {
     * row appears in the output, including zero-overlap ones. */
   def overlapStats(train: DataFrame, idCol: String, textCol: String,
       bench: DataFrame, benchTextCol: String, k: Int = 8,
-      minOverlap: Double = 0.1): DataFrame = {
+      minOverlap: Double = 0.1, broadcastBench: Boolean = true): DataFrame = {
     val tSh = train.select(F.col(idCol),
         F.explode(shingleFps(F.col(textCol), k)).as("h"))
     val bSh = bench
       .select(F.explode(shingleFps(F.col(benchTextCol), k)).as("h"))
       .distinct()
-    tSh.join(F.broadcast(bSh.withColumn("_hit", F.lit(1))), Seq("h"), "left")
+    // broadcastBench = false: a benchmark set too large for executor
+    // memory falls back to a shuffle join on the 8-byte fingerprint —
+    // still never the text
+    val bHits = bSh.withColumn("_hit", F.lit(1))
+    tSh.join(if (broadcastBench) F.broadcast(bHits) else bHits, Seq("h"), "left")
       .groupBy(idCol)
       .agg(
         F.count(F.lit(1)).as("n_shingles"),

@@ -606,6 +606,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(got((1L, 1L)) == "common" && got((1L, 2L)) == "rare1")
   }
 
+  test("connected components work on string ids (lexicographic minima)") {
+    val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val got = dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()

@@ -38,6 +38,69 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(ids.getLong(0) >= 280000L && ids.getLong(1) < 300000L)
   }
 
+  test("connected components resolve a 1M-node path plus 100k cliques in log rounds") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    // worst case for min-propagation (a single 1M-hop path needs 1M
+    // rounds there) and the exact shape ring-chained salting emits;
+    // star contraction must close it within the maxIter=64 bound,
+    // alongside 100k disjoint 5-cliques resolving to their minima
+    val path = spark.range(0, 999999)
+      .select(F.col("id").as("id_a"), (F.col("id") + 1).as("id_b"))
+    val grp = F.floor(F.col("id") / 4) // long / int is a DOUBLE divide in Spark
+    val cliques = spark.range(0, 400000).select(
+      (F.lit(2000000L) + grp * 5 + 1 + F.pmod(F.col("id"), F.lit(4)))
+        .cast("long").as("id_a"),
+      (F.lit(2000000L) + grp * 5).cast("long").as("id_b"))
+    val comp = graft.functions.dedup.connectedComponents(
+      path.unionByName(cliques))
+    val agg = comp.agg(
+      F.count(F.lit(1)), F.countDistinct("component"),
+      F.sum(F.when(F.col("component") === 0L, 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) == 1000000L + 500000L)
+    assert(agg.getLong(1) == 1L + 100000L)
+    assert(agg.getLong(2) == 1000000L) // the whole path maps to node 0
+  }
+
+  test("curation composite runs end-to-end on a 100k corpus with a benchmark set") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.pipelines
+    // 100k docs: 80k unique (10 random words each from a 30k vocab — a
+    // SHARED template prefix is deliberately absent: prefix shingles make
+    // the near-dup graph percolate into giant components and mass-delete,
+    // the known over-deletion failure of aggressive LSH thresholds on
+    // templated text), 10k exact copies of one doc, 10k near-dups of the
+    // first 10k; benchmark = the exact text of docs 0..499
+    // hash (id, i) as a PAIR: `xxhash64(id + i)` would make every doc a
+    // sliding window onto one global word sequence — adjacent ids then
+    // share 9 of 10 tokens and the whole corpus chains into one
+    // component
+    def words(c: org.apache.spark.sql.Column) =
+      F.concat_ws(" ", (0 until 10).map(i =>
+        F.concat(F.lit("w"), F.pmod(F.xxhash64(c, F.lit(i)), F.lit(30000)))): _*)
+    val base = spark.range(0, 80000).select(
+      F.col("id").as("doc_id"), words(F.col("id")).as("text"))
+    val copies = spark.range(0, 10000).select(
+      (F.col("id") + 100000L).as("doc_id"),
+      F.lit("terms and conditions apply to all content here now").as("text"))
+    val nears = spark.range(0, 10000).select(
+      (F.col("id") + 200000L).as("doc_id"),
+      F.concat(words(F.col("id")), F.lit(" extra")).as("text"))
+    val corpus = base.unionByName(copies).unionByName(nears)
+    val bench = spark.range(0, 500).select(words(F.col("id")).as("text"))
+    val curated = pipelines.curateDocuments(corpus,
+      minQuality = 0.0, langs = Seq("en"), nearDupThreshold = 0.7,
+      bench = Some(bench), benchNgram = 8)
+    val n = curated.count()
+    // 10k exact copies collapse to 1, each near-dup loses to its base
+    // (component minimum), and the ~500 bench-overlapping docs drop
+    assert(n > 78000 && n < 80500, s"curated count out of range: $n")
+    // signature/CC caches auto-release asynchronously — poll briefly
+    val deadline = System.nanoTime() + 10000000000L
+    def pinned = spark.sparkContext.getPersistentRDDs.size
+    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(pinned == 0, s"caches still pinned after curation: $pinned")
+  }
+
   test("IVF ANN answers 100 queries against a 200k-vector corpus via cell probing") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     // deterministic pseudo-random 16-dim vectors from the id
