@@ -686,6 +686,49 @@ object ExtQueries {
       |  CAST(list_sum(qv) AS BIGINT) AS q_sum
       |FROM q ORDER BY vec_id""".stripMargin
 
+  /** Incremental-crawl dedup: a batch of "new" documents (every third
+    * corpus doc perturbed with an extra token, ids +50000) checked
+    * against the existing corpus via cross-corpus MinHash-LSH with exact
+    * Jaccard verification. Oracle: the quadratic all-pairs cross scan —
+    * a J ≥ 0.8 pair escapes the 32-band candidate set with probability
+    * (1-0.8²)^32 ≈ 6e-15. */
+  def x28DedupCross(s: SparkSession, dir: String): DataFrame = {
+    val ref = docs(s, dir)
+    val fresh = ref.filter(F.col("doc_id") % 3 === 0)
+      .select((F.col("doc_id") + 50000L).as("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).as("text"))
+    dedup.jaccardPairsLshCross(fresh, ref, "doc_id", "text",
+        k = 3, numPerm = 64, bands = 32, minJ = 0.8)
+      .orderBy("new_id", "ref_id")
+  }
+
+  private val x28Oracle =
+    """WITH newdocs AS (SELECT doc_id + 50000 AS doc_id, text || ' zzz' AS text
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |tkn AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM newdocs),
+      |tkr AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |shn AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tkn),
+      |shr AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tkr)
+      |SELECT a.doc_id AS new_id, b.doc_id AS ref_id,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |  (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+      |FROM shn a JOIN shr b ON TRUE
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |  (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.8
+      |ORDER BY new_id, ref_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -715,7 +758,8 @@ object ExtQueries {
     "x24_tfidf_top_terms" -> (x24TfIdf _),
     "x25_repetition_signals" -> (x25RepetitionSignals _),
     "x26_top_ngrams" -> (x26TopNgrams _),
-    "x27_embedding_quantize" -> (x27EmbeddingQuantize _))
+    "x27_embedding_quantize" -> (x27EmbeddingQuantize _),
+    "x28_dedup_cross_corpus" -> (x28DedupCross _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -741,5 +785,6 @@ object ExtQueries {
     "x24_tfidf_top_terms" -> x24Oracle,
     "x25_repetition_signals" -> x25Oracle,
     "x26_top_ngrams" -> x26Oracle,
-    "x27_embedding_quantize" -> x27Oracle)
+    "x27_embedding_quantize" -> x27Oracle,
+    "x28_dedup_cross_corpus" -> x28Oracle)
 }

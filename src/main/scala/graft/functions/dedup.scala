@@ -331,6 +331,100 @@ object dedup {
       .filter(F.col("hamming") <= maxDist)
   }
 
+  /** Cross-corpus exact duplicates — the incremental-crawl shape: for
+    * every document of `dfNew` whose fingerprint already occurs in
+    * `dfRef`, emit `(new_id, ref_id)` with ref_id the smallest matching
+    * id. Shuffles only (fingerprint, id) on both sides. */
+  def exactDuplicatesCross(dfNew: DataFrame, dfRef: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val n = dfNew.select(F.col(idCol).as("new_id"),
+      text.fingerprintMd5(F.col(textCol)).as("fp"))
+    val r = dfRef.select(text.fingerprintMd5(F.col(textCol)).as("fp"),
+        F.col(idCol).as("rid"))
+      .groupBy("fp").agg(F.min("rid").as("ref_id"))
+    n.join(r, "fp").select("new_id", "ref_id")
+  }
+
+  /** Grid-salt one LSH bucket stream for a CROSS join: ref rows land in
+    * one of R = ⌈m_ref/cap⌉ row-groups and are replicated across all
+    * S = ⌈m_new/cap⌉ column-groups (and vice versa for new rows), so
+    * every (new, ref) pair meets in exactly one (bucket, r, s) cell of
+    * ~cap × cap rows — per-task pair generation is bounded at ANY skew
+    * and NO pair is lost (unlike the self-join ring cap, completeness
+    * here is free: total work is still m_ref × m_new, only bounded per
+    * task). Bucket sizes come from partial-agg counts of BOTH sides,
+    * broadcast back; buckets at or under `cap` on both sides pay
+    * nothing. */
+  private def gridSalt(side: DataFrame, own: DataFrame, other: DataFrame,
+      bucketCols: Seq[String], cap: Int): DataFrame = {
+    if (cap <= 0)
+      side.withColumn("salt_own", F.lit(0)).withColumn("salt_rep", F.lit(0))
+    else {
+      def counts(df: DataFrame, name: String) =
+        df.groupBy(bucketCols.map(F.col): _*)
+          .agg(F.count(F.lit(1)).as(name)).filter(F.col(name) > cap)
+      val joined = side
+        .join(F.broadcast(counts(own, "_mo")), bucketCols, "left")
+        .join(F.broadcast(counts(other, "_mt")), bucketCols, "left")
+      val nOwn = F.ceil(F.coalesce(F.col("_mo"), F.lit(0L))
+        .cast(DoubleType) / cap).cast(IntegerType)
+      val nRep = F.ceil(F.coalesce(F.col("_mt"), F.lit(0L))
+        .cast(DoubleType) / cap).cast(IntegerType)
+      joined
+        .withColumn("salt_own", F.when(F.col("_mo").isNull, F.lit(0))
+          .otherwise(F.pmod(F.xxhash64(F.col("id")), nOwn).cast(IntegerType)))
+        .withColumn("salt_rep", F.explode(
+          F.sequence(F.lit(0), F.greatest(nRep - 1, F.lit(0)))))
+        .drop("_mo", "_mt")
+    }
+  }
+
+  /** Cross-corpus MinHash-LSH near-dedup with exact Jaccard verification:
+    * which documents of `dfNew` near-duplicate the existing corpus
+    * `dfRef` (J ≥ `minJ` on k-shingles) — the job every incremental
+    * crawl runs before admitting new documents. Same candidate scheme as
+    * [[jaccardPairsLsh]] (any band-bucket collision; no estimate
+    * pre-filter, the exact measure decides) but the band join pairs the
+    * two corpora instead of self-joining one. `maxBucket` > 0 bounds
+    * per-task pair generation in hot buckets via [[gridSalt]] — unlike
+    * the self-join ring cap this loses NO pairs. Candidate generation
+    * shuffles only (id, band_hash); shingle sets travel once, through
+    * the verification joins. */
+  def jaccardPairsLshCross(dfNew: DataFrame, dfRef: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 3, numPerm: Int = 64, bands: Int = 32,
+      minJ: Double = 0.8, maxBucket: Int = 0): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    def prep(df: DataFrame) = cached(df.select(F.col(idCol).as("id"),
+        shingleHashes(F.col(textCol), k).as("sh"))
+      .withColumn("n", F.size(F.col("sh")).cast(DoubleType)))
+    def bucketsOf(sh: DataFrame) = sh
+      .select(F.col("id"), minhashFromHashes(F.col("sh"), numPerm).as("sig"))
+      .select(F.col("id"),
+        F.posexplode(lshBandKeys(F.col("sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_hash")))
+    val shN = prep(dfNew); val shR = prep(dfRef)
+    val bN = bucketsOf(shN); val bR = bucketsOf(shR)
+    val keys = Seq("band_idx", "band_hash")
+    val sN = gridSalt(bN, bN, bR, keys, maxBucket)
+    val sR = gridSalt(bR, bR, bN, keys, maxBucket)
+    val cand = sN.as("a").join(sR.as("b"),
+        F.col("a.band_idx") === F.col("b.band_idx") &&
+        F.col("a.band_hash") === F.col("b.band_hash") &&
+        // new row's own group pairs with the ref replica addressed to it
+        F.col("a.salt_own") === F.col("b.salt_rep") &&
+        F.col("a.salt_rep") === F.col("b.salt_own"))
+      .select(F.col("a.id").as("new_id"), F.col("b.id").as("ref_id"))
+      .distinct()
+    val inter = F.call_function("graft_intersect_count",
+      F.col("a.sh"), F.col("b.sh")).cast(DoubleType)
+    cand.join(shN.as("a"), F.col("new_id") === F.col("a.id"))
+      .join(shR.as("b"), F.col("ref_id") === F.col("b.id"))
+      .select(F.col("new_id"), F.col("ref_id"),
+        (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
+      .filter(F.col("jaccard") >= minJ)
+  }
+
   /** Connected components of the undirected pair graph produced by the
     * candidate generators — the pairs → duplicate-groups resolution step
     * every real dedup pipeline runs after pair generation (keep one

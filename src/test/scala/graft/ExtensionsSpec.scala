@@ -606,6 +606,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(got((1L, 1L)) == "common" && got((1L, 2L)) == "rare1")
   }
 
+  test("cross-corpus exact dedup maps new docs to the smallest matching ref id") {
+    val ref = Seq((10L, "same text"), (7L, "same text"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((100L, "same text"), (101L, "unseen")).toDF("doc_id", "text")
+    val got = dedup.exactDuplicatesCross(fresh, ref, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 7L)))
+  }
+
+  test("cross-corpus LSH jaccard equals the all-pairs cross scan, capped and uncapped") {
+    // ref: 3 distinct docs + 300 copies of boilerplate; new: a near-dup
+    // of ref doc 1, a boilerplate copy, and an unrelated doc — the
+    // boilerplate buckets overflow cap=20 and take the grid-salted plan
+    val ref = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text with other words here"),
+      (3L, "a third document about astronomy and gardens")) ++
+      (100L until 400L).map(i => (i, "spam spam lovely spam wonderful spam")))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1000L, "the quick brown fox jumps over the lazy cat tonight"),
+      (1001L, "spam spam lovely spam wonderful spam"),
+      (1002L, "nothing like anything in the reference corpus at all"))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = key(dedup.jaccardPairsLshCross(fresh, ref, "doc_id", "text",
+      k = 2, numPerm = 64, bands = 32, minJ = 0.5))
+    val capped = key(dedup.jaccardPairsLshCross(fresh, ref, "doc_id", "text",
+      k = 2, numPerm = 64, bands = 32, minJ = 0.5, maxBucket = 20))
+    // exact oracle: all-pairs cross scan on 2-shingles
+    val sh = (df: org.apache.spark.sql.DataFrame) => df.select(F.col("doc_id"),
+      dedup.shingleHashes(F.col("text"), 2).as("sh"))
+    val exact = key(sh(fresh).as("a").join(sh(ref).as("b"))
+      .select(F.col("a.doc_id"), F.col("b.doc_id"),
+        dedup.tokenJaccard(F.col("a.sh"), F.col("b.sh")).as("j"))
+      .filter(F.col("j") >= 0.5))
+    assert(uncapped == exact)
+    assert(capped == exact) // grid salting loses NO pairs
+    assert(exact.count { case (n, _, _) => n == 1001L } == 300) // hot bucket hit
+  }
+
   test("connected components work on string ids (lexicographic minima)") {
     val pairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
     val got = dedup.connectedComponents(pairs).collect()
