@@ -729,6 +729,40 @@ object ExtQueries {
       |   - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.8
       |ORDER BY new_id, ref_id""".stripMargin
 
+  /** Token-budget corpus mixing: per-source budgets (src0 unlimited,
+    * src1 excluded, everything else 700 tokens), reported as per-source
+    * kept doc/token totals. Bucket-granular two-pass sampling — see
+    * [[graft.functions.sampling.tokenBudgetSample]]. */
+  def x29TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.functions.sampling.tokenBudgetSample(
+      docs(s, dir), "doc_id", "text", "source",
+      Map("src0" -> 1000000L, "src1" -> 0L), defaultBudget = 700L)
+    kept.groupBy("source").agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(text.tokenCount(F.col("text"))).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  private val x29Oracle =
+    """WITH b AS (SELECT doc_id, source,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END
+      |      AS toks,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10000 AS bucket
+      |  FROM documents),
+      |s AS (SELECT source, bucket, SUM(toks) AS bt FROM b GROUP BY 1, 2),
+      |c AS (SELECT source, bucket,
+      |    SUM(bt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+      |  FROM s),
+      |kept AS (SELECT source, bucket FROM c
+      |  WHERE cum <= (CASE WHEN source = 'src0' THEN 1000000
+      |    WHEN source = 'src1' THEN 0 ELSE 700 END))
+      |SELECT b.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(b.toks) AS BIGINT) AS n_tokens
+      |FROM b JOIN kept ON b.source = kept.source AND b.bucket = kept.bucket
+      |GROUP BY 1 ORDER BY b.source""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -759,7 +793,8 @@ object ExtQueries {
     "x25_repetition_signals" -> (x25RepetitionSignals _),
     "x26_top_ngrams" -> (x26TopNgrams _),
     "x27_embedding_quantize" -> (x27EmbeddingQuantize _),
-    "x28_dedup_cross_corpus" -> (x28DedupCross _))
+    "x28_dedup_cross_corpus" -> (x28DedupCross _),
+    "x29_token_budget_mixing" -> (x29TokenBudget _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -786,5 +821,6 @@ object ExtQueries {
     "x25_repetition_signals" -> x25Oracle,
     "x26_top_ngrams" -> x26Oracle,
     "x27_embedding_quantize" -> x27Oracle,
-    "x28_dedup_cross_corpus" -> x28Oracle)
+    "x28_dedup_cross_corpus" -> x28Oracle,
+    "x29_token_budget_mixing" -> x29Oracle)
 }

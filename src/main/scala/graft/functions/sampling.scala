@@ -30,4 +30,34 @@ object sampling {
     }
     df.filter(hashBucket(F.col(key)) < rate)
   }
+
+  /** Token-budget corpus mixing: keep, per source, a deterministic
+    * subset holding at most `budget(source)` whitespace tokens — training
+    * mixtures are specified in tokens, not documents. Two-pass and
+    * bucket-granular: documents land in one of 10000 hash buckets per
+    * source, pass 1 aggregates per-(source, bucket) token sums (≤ 10000
+    * rows per source — never corpus-sized, so the cumulative-sum window
+    * over buckets is a tiny frame, not a per-source sort of the data),
+    * and a document is kept iff its whole bucket's running total fits
+    * the budget. Granularity is one bucket (~1/10000 of a source);
+    * under- never over-shoots. The kept bucket list is broadcast back —
+    * the corpus itself is filtered map-side. */
+  def tokenBudgetSample(df: DataFrame, key: String, textCol: String,
+      sourceCol: String, budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("_tb_bucket", hashBucket(F.col(key)))
+    val budget = budgets.foldLeft(F.lit(defaultBudget)) { case (acc, (s, v)) =>
+      F.when(F.col(sourceCol) === s, F.lit(v)).otherwise(acc)
+    }
+    val kept = withB
+      .groupBy(sourceCol, "_tb_bucket")
+      .agg(F.sum(text.tokenCount(F.col(textCol))).as("_tb_toks"))
+      .withColumn("_tb_cum", F.sum("_tb_toks")
+        .over(Window.partitionBy(sourceCol).orderBy("_tb_bucket")))
+      .filter(F.col("_tb_cum") <= budget)
+      .select(F.col(sourceCol), F.col("_tb_bucket"))
+    withB.join(F.broadcast(kept), Seq(sourceCol, "_tb_bucket"))
+      .drop("_tb_bucket")
+  }
 }

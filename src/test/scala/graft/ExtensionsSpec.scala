@@ -606,6 +606,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(got((1L, 1L)) == "common" && got((1L, 2L)) == "rare1")
   }
 
+  test("token-budget sampling keeps whole buckets while the running total fits") {
+    import graft.functions.sampling
+    // 40 docs of 10 tokens each in one source → 400 tokens; budget 100
+    // keeps the first hash buckets summing to ≤ 100 (bucket-granular,
+    // never overshooting)
+    val df = (0L until 40L).map(i =>
+      (i, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "s")).toDF("doc_id", "text", "source")
+    val kept = sampling.tokenBudgetSample(df, "doc_id", "text", "source",
+      Map.empty, defaultBudget = 100L)
+    val n = kept.count()
+    assert(n == 10L) // 10 docs × 10 tokens = exactly the budget
+    // determinism: same call → same rows
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = sampling.tokenBudgetSample(df, "doc_id", "text", "source",
+        Map.empty, defaultBudget = 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // a zero budget excludes the source entirely
+    assert(sampling.tokenBudgetSample(df, "doc_id", "text", "source",
+      Map("s" -> 0L), defaultBudget = 100L).count() == 0L)
+  }
+
   test("cross-corpus exact dedup maps new docs to the smallest matching ref id") {
     val ref = Seq((10L, "same text"), (7L, "same text"), (2L, "other"))
       .toDF("doc_id", "text")
