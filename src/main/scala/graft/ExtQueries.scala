@@ -658,13 +658,18 @@ object ExtQueries {
   def x27EmbeddingQuantize(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(F.col("vec_id").cast(LongType).as("vec_id"),
       F.transform(F.col("embedding"), _.cast(DoubleType)).as("v"))
-    val q = similarity.quantizeInt8(F.col("v"))
-    e.select(
+    // quantize ONCE behind a named column: referencing the transform
+    // from two output columns would let project-collapsing duplicate
+    // the whole 64-element loop per use
+    e.select(F.col("vec_id"), F.col("v"),
+        similarity.quantizeInt8(F.col("v")).as("q"))
+      .select(
         F.col("vec_id"),
         F.round(similarity.norm(similarity.l2Normalize(F.col("v"))), 6)
           .as("unit_nrm"),
-        F.array_join(F.transform(q, _.cast(StringType)), ",").as("q_codes"),
-        F.aggregate(q, F.lit(0L), (a, x) => a + x).as("q_sum"))
+        F.array_join(F.transform(F.col("q"), _.cast(StringType)), ",")
+          .as("q_codes"),
+        F.aggregate(F.col("q"), F.lit(0L), (a, x) => a + x).as("q_sum"))
       .orderBy("vec_id")
   }
 
