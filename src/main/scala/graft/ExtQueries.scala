@@ -768,6 +768,32 @@ object ExtQueries {
       |FROM b JOIN kept ON b.source = kept.source AND b.bucket = kept.bucket
       |GROUP BY 1 ORDER BY b.source""".stripMargin
 
+  /** Sequence packing (concat-and-chunk): each document's offset in the
+    * concatenated deterministic-hash-ordered token stream and the
+    * 512-token training sequence its first token lands in. Two bounded
+    * passes — see [[graft.functions.packing.concatChunkOffsets]]. */
+  def x30SequencePacking(s: SparkSession, dir: String): DataFrame =
+    graft.functions.packing.concatChunkOffsets(
+        docs(s, dir), "doc_id", "text", seqLen = 512L)
+      .orderBy("doc_id")
+
+  private val x30Oracle =
+    """WITH b AS (SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END
+      |      AS n_tokens,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10000 AS bucket
+      |  FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY bucket, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS "offset"
+      |  FROM b)
+      |SELECT doc_id, n_tokens, "offset",
+      |  "offset" // 512 AS seq_id, "offset" % 512 AS seq_off
+      |FROM o ORDER BY doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -799,7 +825,8 @@ object ExtQueries {
     "x26_top_ngrams" -> (x26TopNgrams _),
     "x27_embedding_quantize" -> (x27EmbeddingQuantize _),
     "x28_dedup_cross_corpus" -> (x28DedupCross _),
-    "x29_token_budget_mixing" -> (x29TokenBudget _))
+    "x29_token_budget_mixing" -> (x29TokenBudget _),
+    "x30_sequence_packing" -> (x30SequencePacking _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -827,5 +854,6 @@ object ExtQueries {
     "x26_top_ngrams" -> x26Oracle,
     "x27_embedding_quantize" -> x27Oracle,
     "x28_dedup_cross_corpus" -> x28Oracle,
-    "x29_token_budget_mixing" -> x29Oracle)
+    "x29_token_budget_mixing" -> x29Oracle,
+    "x30_sequence_packing" -> x30Oracle)
 }

@@ -606,6 +606,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(got((1L, 1L)) == "common" && got((1L, 2L)) == "rare1")
   }
 
+  test("concat-and-chunk packing offsets match a driver-side prefix sum") {
+    import graft.functions.{packing, sampling}
+    val df = (0L until 60L).map(i =>
+      (i, (0 until (3 + (i % 5)).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = packing.concatChunkOffsets(df, "doc_id", "text", seqLen = 16L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // driver oracle: same (bucket, id) order, running prefix sum
+    val bucketOf = df.select(F.col("doc_id"),
+        sampling.hashBucket(F.col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var off = 0L
+    val expected = (0L until 60L).sortBy(i => (bucketOf(i), i)).map { i =>
+      val n = 3 + (i % 5)
+      val e = i -> (n, off, off / 16, off % 16)
+      off += n; e
+    }.toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).sum == off) // every token accounted for
+    assert(got.values.forall { case (_, _, _, so) => so >= 0 && so < 16 })
+  }
+
   test("token-budget sampling keeps whole buckets while the running total fits") {
     import graft.functions.sampling
     // 40 docs of 10 tokens each in one source → 400 tokens; budget 100
