@@ -794,6 +794,116 @@ object ExtQueries {
       |  "offset" // 512 AS seq_id, "offset" % 512 AS seq_off
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Per-domain document cap (crawl curation: ≤ 15 pages per source,
+    * hash-ordered so the kept subset is an unbiased deterministic
+    * sample). Exact under the two-pass bucket scheme — see
+    * [[graft.functions.sampling.groupCapSample]]; the oracle ranks with
+    * one plain window, proving base+rank ≡ the global per-group rank. */
+  def x31DomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.functions.sampling.groupCapSample(
+        docs(s, dir).select("doc_id", "source"),
+        "doc_id", "source", cap = 15L)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+
+  private val x31Oracle =
+    """WITH b AS (SELECT doc_id, source,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 10000 AS bucket
+      |  FROM documents),
+      |r AS (SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY bucket, doc_id)
+      |      AS rk
+      |  FROM b)
+      |SELECT doc_id, source FROM r WHERE rk <= 15 ORDER BY doc_id""".stripMargin
+
+  /** PII scrub: plant deterministic emails / IPv4s / phone numbers into
+    * the synthetic corpus (both engines build the identical augmented
+    * text), then count and redact each category —
+    * [[graft.functions.text.redactPii]]. Linear codegen'd expressions,
+    * no shuffle: the 100 TB scrub-pass shape. */
+  def x32PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val d = F.col("doc_id")
+    val planted = docs(s, dir).select(d, F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast(StringType),
+        F.lit("@mail.example.com"),
+        F.when(d % 5 === 0,
+          F.concat(F.lit(" cc admin"), d.cast(StringType),
+            F.lit("@example.org"))).otherwise(F.lit("")),
+        F.lit(" from 10."), (d % 256).cast(StringType),
+        F.lit(".0."), (d % 100).cast(StringType),
+        F.when(d % 2 === 0,
+          F.concat(F.lit(" tel 555-01"), (d % 10).cast(StringType),
+            F.lit("-4567"))).otherwise(F.lit(""))).as("text"))
+    val t = F.col("text")
+    planted.select(
+        d,
+        text.piiCounts(t).head._2.as("n_emails"),
+        text.piiCounts(t)(1)._2.as("n_ips"),
+        text.piiCounts(t)(2)._2.as("n_phones"),
+        text.redactPii(t).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  private val x32Oracle =
+    """WITH p AS (SELECT doc_id,
+      |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+      |      '@mail.example.com',
+      |      CASE WHEN doc_id % 5 = 0 THEN concat(' cc admin',
+      |        CAST(doc_id AS VARCHAR), '@example.org') ELSE '' END,
+      |      ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+      |      '.0.', CAST(doc_id % 100 AS VARCHAR),
+      |      CASE WHEN doc_id % 2 = 0 THEN concat(' tel 555-01',
+      |        CAST(doc_id % 10 AS VARCHAR), '-4567') ELSE '' END) AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_emails,
+      |  CAST(len(regexp_extract_all(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** C4-style global line dedup: build a 2–3-line corpus (chunked
+    * substrings + a boilerplate line planted in every third document),
+    * keep only each line's first corpus-wide occurrence, reassemble —
+    * [[graft.functions.dedup.dedupLines]]. The boilerplate line survives
+    * exactly once, in the smallest planted doc_id. */
+  def x33LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val multi = docs(s, dir).select(F.col("doc_id"), F.concat(
+        F.substring(F.col("text"), 1, 60), F.lit("\n"),
+        F.substring(F.col("text"), 61, 60),
+        F.when(F.col("doc_id") % 3 === 0,
+          F.lit("\nsubscribe to our newsletter for updates"))
+          .otherwise(F.lit(""))).as("text"))
+    dedup.dedupLines(multi, "doc_id", "text").orderBy("doc_id")
+  }
+
+  private val x33Oracle =
+    """WITH m AS (SELECT doc_id,
+      |    concat(substr(text, 1, 60), chr(10), substr(text, 61, 60),
+      |      CASE WHEN doc_id % 3 = 0
+      |        THEN concat(chr(10), 'subscribe to our newsletter for updates')
+      |        ELSE '' END) AS text
+      |  FROM documents),
+      |l AS (SELECT doc_id, i AS pos, ls[i] AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM m),
+      |    unnest(generate_series(1, len(ls))) AS t(i)),
+      |k AS (SELECT doc_id, pos, line,
+      |    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+      |  FROM l)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+      |  COUNT(*) AS n_lines
+      |FROM k WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -826,7 +936,10 @@ object ExtQueries {
     "x27_embedding_quantize" -> (x27EmbeddingQuantize _),
     "x28_dedup_cross_corpus" -> (x28DedupCross _),
     "x29_token_budget_mixing" -> (x29TokenBudget _),
-    "x30_sequence_packing" -> (x30SequencePacking _))
+    "x30_sequence_packing" -> (x30SequencePacking _),
+    "x31_domain_cap" -> (x31DomainCap _),
+    "x32_pii_redaction" -> (x32PiiRedaction _),
+    "x33_line_dedup" -> (x33LineDedup _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -855,5 +968,8 @@ object ExtQueries {
     "x27_embedding_quantize" -> x27Oracle,
     "x28_dedup_cross_corpus" -> x28Oracle,
     "x29_token_budget_mixing" -> x29Oracle,
-    "x30_sequence_packing" -> x30Oracle)
+    "x30_sequence_packing" -> x30Oracle,
+    "x31_domain_cap" -> x31Oracle,
+    "x32_pii_redaction" -> x32Oracle,
+    "x33_line_dedup" -> x33Oracle)
 }

@@ -124,6 +124,45 @@ object dedup {
 
   /** Exact dedup: group by md5 fingerprint, keep the smallest id.
     * The groupBy shuffles only (fingerprint, id) — scales to any corpus. */
+  /** C4-style line-level dedup: keep only the FIRST corpus-wide
+    * occurrence of every distinct line (first = smallest (doc id, line
+    * position)), drop repeats, and reassemble each document from its
+    * surviving lines in original order. Documents whose every line was
+    * seen earlier disappear (C4 drops emptied docs).
+    *
+    * Scale shape: one map-side explode; the keeper per line comes from
+    * a `min(struct(id, pos))` groupBy — partial aggregation combines
+    * map-side, so a boilerplate line repeated in billions of documents
+    * reduces to one row per input partition BEFORE the shuffle (a
+    * `row_number` window keyed on the line would funnel that hot line
+    * into a single task instead). Occurrences then rejoin the keeper set
+    * on (line, id, pos) — a unique key, so that shuffle cannot skew.
+    * Reassembly is a bounded per-document sort (`sort_array` over one
+    * doc's lines). The shuffle key is the line FINGERPRINT (16-byte
+    * md5), never the line text. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(F.col(idCol), F.posexplode(F.split(F.col(textCol), "\n"))
+        .as(Seq("_dl_pos", "_dl_line")))
+      .withColumn("_dl_fp", F.md5(F.col("_dl_line")))
+    val keepers = lines
+      .groupBy("_dl_fp")
+      .agg(F.min(F.struct(F.col(idCol), F.col("_dl_pos"))).as("_dl_keep"))
+      .select(F.col("_dl_fp"), F.col(s"_dl_keep.$idCol").as(idCol),
+        F.col("_dl_keep._dl_pos").as("_dl_pos"))
+    lines.join(keepers, Seq("_dl_fp", idCol, "_dl_pos"))
+      .groupBy(idCol)
+      .agg(
+        F.count(F.lit(1)).as("n_lines"),
+        F.array_join(
+          F.transform(
+            F.sort_array(F.collect_list(
+              F.struct(F.col("_dl_pos"), F.col("_dl_line")))),
+            s => s.getField("_dl_line")),
+          "\n").as(textCol))
+      .select(F.col(idCol), F.col(textCol), F.col("n_lines"))
+  }
+
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(text.fingerprintMd5(F.col(textCol)).as("fingerprint"), F.col(idCol))
       .groupBy("fingerprint")

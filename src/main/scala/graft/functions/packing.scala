@@ -42,7 +42,11 @@ object packing {
       .agg(F.sum("n_tokens").as("_pk_sum"))
       .withColumn("_pk_base",
         F.coalesce(F.sum("_pk_sum").over(
-          Window.orderBy("_pk_bucket")
+          // constant partition key: the whole ≤10000-row frame is ONE
+          // task by design (bounded metadata, not corpus data); the
+          // explicit spec documents that and keeps WindowExec from
+          // warning about a missing partition.
+          Window.partitionBy(F.lit(0)).orderBy("_pk_bucket")
             .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
       .select("_pk_bucket", "_pk_base")
     // pass 2: offset within the bucket (window bounded by one bucket)

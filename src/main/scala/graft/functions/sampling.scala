@@ -31,6 +31,42 @@ object sampling {
     df.filter(hashBucket(F.col(key)) < rate)
   }
 
+  /** Exact per-group document cap — crawl curation's "at most `cap`
+    * pages per domain", deterministic and scale-safe. Order within a
+    * group is hash order (bucket, then key): reproducible across runs
+    * and engines, and ≈ random, so the kept subset is an unbiased
+    * sample of the group.
+    *
+    * A plain `row_number().over(partitionBy(group))` ranks a hot domain
+    * inside ONE task — billions of rows for a mega-domain at 100 TB.
+    * Instead: pass 1 counts rows per (group, bucket) over 10000 hash
+    * buckets and turns them into per-bucket base ranks (a window over
+    * ≤ 10000 rows per group, broadcast back); pass 2 ranks only WITHIN
+    * a bucket (~1/10000 of the group per task) and keeps a row iff
+    * `base + rank ≤ cap`. Exact: (bucket, key) is a total order, so
+    * base+rank is precisely the row's global rank in its group. */
+  def groupCapSample(df: DataFrame, key: String, groupCol: String,
+      cap: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 0, "groupCapSample: cap must be non-negative")
+    val withB = df.withColumn("_gc_bucket", hashBucket(F.col(key)))
+    val bases = withB
+      .groupBy(groupCol, "_gc_bucket")
+      .agg(F.count(F.lit(1)).as("_gc_cnt"))
+      .withColumn("_gc_base", F.coalesce(F.sum("_gc_cnt")
+        .over(Window.partitionBy(groupCol).orderBy("_gc_bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
+      // buckets entirely past the cap never rejoin the corpus
+      .filter(F.col("_gc_base") < cap)
+      .select(F.col(groupCol), F.col("_gc_bucket"), F.col("_gc_base"))
+    val inBucket = Window.partitionBy(groupCol, "_gc_bucket")
+      .orderBy(key)
+    withB.join(F.broadcast(bases), Seq(groupCol, "_gc_bucket"))
+      .withColumn("_gc_rank", F.row_number().over(inBucket))
+      .filter(F.col("_gc_base") + F.col("_gc_rank") <= cap)
+      .drop("_gc_bucket", "_gc_base", "_gc_rank")
+  }
+
   /** Token-budget corpus mixing: keep, per source, a deterministic
     * subset holding at most `budget(source)` whitespace tokens — training
     * mixtures are specified in tokens, not documents. Two-pass and

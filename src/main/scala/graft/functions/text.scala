@@ -79,6 +79,31 @@ object text {
   }
 
   /** full-document fingerprint (md5 hex). */
+  /** PII scrubbing patterns — deliberately RE2/Java-portable (no
+    * lookarounds, no backrefs) so the DuckDB oracle runs the identical
+    * regexes. Ordered: emails first (an address contains dots that the
+    * IP pattern must not see), then IPv4, then phone. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\\b"
+
+  /** Redact emails / IPv4s / phone-shaped numbers to typed placeholder
+    * tags. Pure codegen'd expression chain — linear, shuffle-free, the
+    * shape a 100 TB scrub pass needs. */
+  def redactPii(c: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(c, F.lit(EmailPattern), F.lit("<EMAIL>")),
+        F.lit(Ipv4Pattern), F.lit("<IP>")),
+      F.lit(PhonePattern), F.lit("<PHONE>"))
+
+  /** Per-category PII match counts on the UNredacted text. */
+  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> patternCount(c, EmailPattern),
+    "n_ips" -> patternCount(F.regexp_replace(c, F.lit(EmailPattern),
+      F.lit("<EMAIL>")), Ipv4Pattern),
+    "n_phones" -> patternCount(c, PhonePattern))
+
   def fingerprintMd5(c: Column): Column = F.md5(c)
 
   /** 60-bit integer fingerprint: first 15 hex digits of md5 — portable to

@@ -701,6 +701,58 @@ class ExtensionsSpec extends SparkSpec {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
+  test("groupCapSample: two-pass rank equals the plain per-group window rank") {
+    import graft.functions.sampling
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val got = sampling.groupCapSample(df, "id", "grp", cap = 10L)
+      .select("id").as[Long].collect().toSet
+    // oracle: one global window per group over (bucket, id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("b", "id")
+    val want = df.withColumn("b", sampling.hashBucket(F.col("id")))
+      .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+      .select("id").as[Long].collect().toSet
+    assert(got == want && got.size == 30)
+    assert(sampling.groupCapSample(df, "id", "grp", cap = 0L).count() == 0)
+    // cap above group size keeps everything
+    assert(sampling.groupCapSample(df, "id", "grp", cap = 1000L).count() == 200)
+  }
+
+  test("redactPii scrubs emails, IPs, phones and counts them") {
+    val df = Seq(
+      (1L, "write bob.smith+x@corp.example.com or 192.168.1.254 tel 555-123-4567"),
+      (2L, "no pii here, just 1.2 numbers and words"),
+      (3L, "a@b.io b@c.net 10.0.0.1 10.0.0.2")
+    ).toDF("id", "text")
+    val out = df.select(F.col("id") +: (text.piiCounts(F.col("text"))
+        .map { case (n, c) => c.as(n) } :+
+        text.redactPii(F.col("text")).as("red")): _*)
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 1 &&
+      out(0).getAs[Long]("n_ips") == 1 && out(0).getAs[Long]("n_phones") == 1)
+    assert(out(0).getAs[String]("red") ==
+      "write <EMAIL> or <IP> tel <PHONE>")
+    assert(out(1).getAs[String]("red") == out(1).getAs[String]("red") &&
+      out(1).getAs[Long]("n_emails") == 0 && out(1).getAs[Long]("n_ips") == 0)
+    assert(out(2).getAs[Long]("n_emails") == 2 && out(2).getAs[Long]("n_ips") == 2)
+    assert(out(2).getAs[String]("red") == "<EMAIL> <EMAIL> <IP> <IP>")
+  }
+
+  test("dedupLines keeps first corpus-wide occurrence and reassembles in order") {
+    val df = Seq(
+      (10L, "alpha\nboiler\nbeta"),
+      (20L, "boiler\ngamma"),
+      (30L, "boiler"),          // emptied entirely -> dropped
+      (40L, "alpha\ndelta\nalpha") // in-doc repeat also dedups
+    ).toDF("doc_id", "text")
+    val got = dedup.dedupLines(df, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      (10L, "alpha\nboiler\nbeta", 3L),
+      (20L, "gamma", 1L),
+      (40L, "delta", 1L)))
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
