@@ -904,6 +904,29 @@ object ExtQueries {
       |  COUNT(*) AS n_lines
       |FROM k WHERE rk = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Unigram-LM perplexity-proxy scoring (CCNet-style quality filter):
+    * mean per-token negative log-likelihood under a unigram model
+    * trained on the corpus itself — [[graft.functions.text.unigramNll]].
+    * DECIMAL-summed rounded logprobs keep the result order-independent
+    * and cross-engine exact. */
+  def x34UnigramNll(s: SparkSession, dir: String): DataFrame =
+    text.unigramNll(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val x34Oracle =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |t AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      |  WHERE length(token) > 0 GROUP BY 1, 2),
+      |f AS (SELECT token, SUM(tf) AS cnt FROM t GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS n FROM f)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  CAST(ROUND(CAST(SUM(tf * CAST(ROUND(-ln(CAST(cnt AS DOUBLE)
+      |      / CAST(n AS DOUBLE)), 7) AS DECIMAL(28,7))) AS DOUBLE)
+      |    / CAST(SUM(tf) AS DOUBLE), 5) AS DOUBLE) AS nll
+      |FROM t JOIN f USING (token) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -939,7 +962,8 @@ object ExtQueries {
     "x30_sequence_packing" -> (x30SequencePacking _),
     "x31_domain_cap" -> (x31DomainCap _),
     "x32_pii_redaction" -> (x32PiiRedaction _),
-    "x33_line_dedup" -> (x33LineDedup _))
+    "x33_line_dedup" -> (x33LineDedup _),
+    "x34_unigram_nll" -> (x34UnigramNll _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -971,5 +995,6 @@ object ExtQueries {
     "x30_sequence_packing" -> x30Oracle,
     "x31_domain_cap" -> x31Oracle,
     "x32_pii_redaction" -> x32Oracle,
-    "x33_line_dedup" -> x33Oracle)
+    "x33_line_dedup" -> x33Oracle,
+    "x34_unigram_nll" -> x34Oracle)
 }

@@ -206,4 +206,39 @@ object text {
       .select(F.col(idCol), F.col("token"), F.col("tf"),
         F.col("tfidf"), F.col("rank"))
   }
+
+  /** CCNet-style unigram language-model scoring: train a unigram LM on
+    * the corpus itself (one aggregation) and score every document by its
+    * mean per-token negative log-likelihood — the classic
+    * perplexity-proxy quality filter (high nll = rare-token soup, low
+    * nll = repetitive boilerplate; both tails get cut in curation).
+    *
+    * Scale shape: per-(doc, token) term frequencies FIRST (map-side
+    * combine shrinks a hot token to one row per containing doc before
+    * any join), then one token-keyed join tf↔vocab whose per-key row
+    * count is bounded by the number of documents, not occurrences —
+    * AQE's skew split handles "the". No broadcast of the vocabulary is
+    * assumed: at 100 TB the vocab itself is join-sized, not
+    * driver-sized.
+    *
+    * Determinism: per-token nll is rounded to 7 digits and summed as
+    * DECIMAL (order-independent), so the result hash-matches any engine
+    * computing the same expression. */
+  def unigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(F.col(idCol),
+        F.explode(tokens(F.col(textCol))).as("token"))
+      .filter(F.length(F.col("token")) > 0)
+    val tf = toks.groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
+    val vocab = tf.groupBy("token").agg(F.sum("tf").as("cnt"))
+    val total = vocab.agg(F.sum("cnt").as("n"))
+    tf.join(vocab, "token")
+      .crossJoin(F.broadcast(total))
+      .withColumn("_nll", F.round(-F.log(F.col("cnt").cast(DoubleType) /
+        F.col("n").cast(DoubleType)), 7).cast(DecimalType(28, 7)))
+      .groupBy(idCol)
+      .agg(F.sum("tf").cast(LongType).as("n_tokens"),
+        F.round(F.sum(F.col("tf") * F.col("_nll")).cast(DoubleType) /
+          F.sum("tf").cast(DoubleType), 5).as("nll"))
+  }
 }

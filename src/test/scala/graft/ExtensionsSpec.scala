@@ -753,6 +753,19 @@ class ExtensionsSpec extends SparkSpec {
       (40L, "delta", 1L)))
   }
 
+  test("unigramNll matches a hand-computed unigram model") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val got = text.unigramNll(df, "id", "text").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def nll(p: Double) = BigDecimal(-math.log(p)).setScale(7,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = math.round((2 * nll(2.0 / 5) + nll(2.0 / 5)) / 3 * 1e5) / 1e5
+    val d2 = math.round((nll(2.0 / 5) + nll(1.0 / 5)) / 2 * 1e5) / 1e5
+    assert(got.toSeq == Seq((1L, 3L, d1), (2L, 2L, d2)))
+    // boilerplate (all-common tokens) scores LOWER than rare-token soup
+    assert(d1 < d2)
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
