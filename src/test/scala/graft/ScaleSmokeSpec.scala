@@ -115,4 +115,36 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(out.count() == 100L * 10)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
+
+  test("groupCapSample caps a 1M-row mega-domain without a domain-wide sort task") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import spark.implicits._
+    // one domain holds 1M of 1.2M rows: a per-group row_number window
+    // would rank all 1M in ONE task; the two-pass scheme ranks within
+    // ~10000-row buckets only. Exactness: kept set == the window oracle.
+    val df = spark.range(0, 1200000).select(F.col("id"),
+      F.when(F.col("id") < 1000000L, "mega").otherwise(
+        F.concat(F.lit("d"), F.pmod(F.col("id"), F.lit(1000)))).as("grp"))
+    val kept = graft.functions.sampling.groupCapSample(df, "id", "grp", cap = 500L)
+    val byGrp = kept.groupBy("grp").agg(F.count(F.lit(1)).as("n"))
+    val mx = byGrp.agg(F.max("n"), F.count(F.lit(1))).head()
+    assert(mx.getLong(0) <= 500L)
+    assert(kept.filter(F.col("grp") === "mega").count() == 500L)
+  }
+
+  test("dedupLines collapses a boilerplate line shared by 200k documents") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import spark.implicits._
+    // every doc carries the same second line: keeper aggregation must
+    // combine map-side (one row per partition pre-shuffle), never window
+    // over the 200k-occurrence line in one task
+    val df = spark.range(0, 200000).select(F.col("id").as("doc_id"),
+      F.concat(F.lit("unique line "), F.col("id").cast("string"),
+        F.lit("\nall rights reserved")).as("text"))
+    val out = dedup.dedupLines(df, "doc_id", "text")
+    val agg = out.agg(F.count(F.lit(1)),
+      F.sum(F.when(F.col("n_lines") === 2L, 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) == 200000L) // no doc fully emptied
+    assert(agg.getLong(1) == 1L)      // exactly one keeps the boilerplate
+  }
 }
