@@ -927,6 +927,100 @@ object ExtQueries {
       |FROM t JOIN f USING (token) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Crawl URL normalization: plant deterministic messy URLs (mixed
+    * case, user-info, ports, www, query strings), then extract host /
+    * canonical host / registered domain / path —
+    * [[graft.functions.text.urlNormHost]] etc. Shuffle-free regex
+    * codegen, the per-record shape of a crawl-frontier pass. */
+  def x35UrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val d = F.col("doc_id")
+    val url = F.concat(
+      F.when(d % 2 === 0, F.lit("https")).otherwise(F.lit("HTTP")),
+      F.lit("://"),
+      F.when(d % 11 === 0, F.lit("bob@")).otherwise(F.lit("")),
+      F.when(d % 4 === 0, F.lit("WWW.")).otherwise(F.lit("")),
+      F.lit("Sub"), (d % 5).cast(StringType), F.lit("."),
+      F.col("source"), F.lit(".Example.COM"),
+      F.when(d % 7 === 0, F.lit(":8443")).otherwise(F.lit("")),
+      F.lit("/p/"), d.cast(StringType),
+      F.when(d % 3 === 0, F.lit("?ref=rss")).otherwise(F.lit("")))
+    docs(s, dir).select(d, url.as("url"))
+      .select(d, F.col("url"),
+        text.urlHost(F.col("url")).as("host"),
+        text.urlNormHost(F.col("url")).as("norm_host"),
+        text.urlDomain(F.col("url")).as("domain"),
+        text.urlPath(F.col("url")).as("path"))
+      .orderBy("doc_id")
+  }
+
+  private val x35Oracle =
+    """WITH u AS (SELECT doc_id, concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
+      |    CASE WHEN doc_id % 11 = 0 THEN 'bob@' ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,
+      |    'Sub', CAST(doc_id % 5 AS VARCHAR), '.', source, '.Example.COM',
+      |    CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END,
+      |    '/p/', CAST(doc_id AS VARCHAR),
+      |    CASE WHEN doc_id % 3 = 0 THEN '?ref=rss' ELSE '' END) AS url
+      |  FROM documents),
+      |h AS (SELECT doc_id, url,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)
+      |      AS host,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      |  FROM u),
+      |n AS (SELECT doc_id, url, host, path,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(host),
+      |      '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS norm_host
+      |  FROM h)
+      |SELECT doc_id, url, host, norm_host,
+      |  regexp_extract(norm_host, '([^.]+\.[^.]+)$', 1) AS domain, path
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** BM25 retrieval: every 50th document's 40-char prefix is a query;
+    * top-5 corpus matches each, via the relational inverted index —
+    * [[graft.functions.retrieval.bm25TopK]]. Self-match at rank 1 is the
+    * built-in sanity check. */
+  def x36Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val queries = corpus.filter(F.col("doc_id") % 50 === 0)
+      .select(F.col("doc_id").as("q_id"),
+        F.substring(F.col("text"), 1, 40).as("q_text"))
+    graft.functions.retrieval.bm25TopK(
+        corpus, "doc_id", "text", queries, "q_id", "q_text", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x36Oracle =
+    """WITH tk AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+      |  WHERE length(token) > 0 GROUP BY 1, 2),
+      |len AS (SELECT doc_id, SUM(tf) AS dl FROM t GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS nd,
+      |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM len),
+      |dfreq AS (SELECT token, COUNT(*) AS dfr FROM t GROUP BY 1),
+      |q AS (SELECT doc_id AS q_id, substr(text, 1, 40) AS qt
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |qt AS (SELECT DISTINCT q_id, token FROM (SELECT q_id,
+      |    unnest(string_split_regex(trim(qt), '\s+')) AS token
+      |  FROM q WHERE length(trim(qt)) > 0) WHERE length(token) > 0),
+      |sc AS (SELECT qt.q_id, t.doc_id AS n_id,
+      |    SUM(CAST(ROUND(ln((nd - dfr + 0.5) / (dfr + 0.5) + 1)
+      |      * t.tf * (1.2 + 1) /
+      |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 7)
+      |      AS DECIMAL(28,7))) AS s
+      |  FROM qt JOIN t USING (token) JOIN dfreq USING (token)
+      |    JOIN len ON t.doc_id = len.doc_id CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |r AS (SELECT q_id, n_id, s, ROW_NUMBER() OVER
+      |    (PARTITION BY q_id ORDER BY s DESC, n_id) AS rank FROM sc)
+      |SELECT q_id, n_id, CAST(s AS DOUBLE) AS score,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -963,7 +1057,9 @@ object ExtQueries {
     "x31_domain_cap" -> (x31DomainCap _),
     "x32_pii_redaction" -> (x32PiiRedaction _),
     "x33_line_dedup" -> (x33LineDedup _),
-    "x34_unigram_nll" -> (x34UnigramNll _))
+    "x34_unigram_nll" -> (x34UnigramNll _),
+    "x35_url_normalize" -> (x35UrlNormalize _),
+    "x36_bm25_topk" -> (x36Bm25TopK _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -996,5 +1092,7 @@ object ExtQueries {
     "x31_domain_cap" -> x31Oracle,
     "x32_pii_redaction" -> x32Oracle,
     "x33_line_dedup" -> x33Oracle,
-    "x34_unigram_nll" -> x34Oracle)
+    "x34_unigram_nll" -> x34Oracle,
+    "x35_url_normalize" -> x35Oracle,
+    "x36_bm25_topk" -> x36Oracle)
 }

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** Sparse lexical retrieval for data selection: BM25 in relational form.
+  * Training-data pipelines use it to pull task-relevant subsets out of a
+  * web corpus (and as the lexical arm of contamination sweeps) — the
+  * inverted index is not a special data structure here, it IS the
+  * `(token, doc, tf)` relation, so Catalyst plans the probe as ordinary
+  * joins.
+  *
+  * Scale shape: term frequencies aggregate map-side; the query-token →
+  * postings join is keyed on the token, touching only documents sharing
+  * a query term (never a corpus scan per query); per-key fan-out is
+  * bounded by a term's document frequency, with AQE skew-split covering
+  * stopword-grade terms; ranking is the bounded two-stage top-k — no
+  * task ever sorts one query's whole candidate set.
+  *
+  * Determinism: per-term contributions are rounded to 7 digits and
+  * summed as DECIMAL, so scores (and therefore ranks, tie-broken by doc
+  * id) are order-independent and engine-portable.
+  */
+object retrieval {
+
+  /** Top-k BM25 matches per query row: `(q_id, n_id, score, rank)`.
+    * `k1`/`b` are the standard Robertson parameters; idf is the
+    * BM25+ always-positive form `ln((N - df + 0.5)/(df + 0.5) + 1)`. */
+  def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qIdCol: String, qTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = corpus.select(F.col(idCol),
+        F.explode(text.tokens(F.col(textCol))).as("token"))
+      .filter(F.length(F.col("token")) > 0)
+      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
+    val lens = tf.groupBy(idCol).agg(F.sum("tf").as("dl"))
+    // exact-integer division: deterministic regardless of doc order
+    val stats = lens.agg(F.count(F.lit(1)).as("nd"),
+      (F.sum("dl").cast(DoubleType) /
+        F.count(F.lit(1)).cast(DoubleType)).as("avgdl"))
+    val dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).as("dfr"))
+    val qTok = queries.select(F.col(qIdCol).as("q_id"),
+        F.explode(text.tokens(F.col(qTextCol))).as("token"))
+      .filter(F.length(F.col("token")) > 0)
+      .distinct()
+    val termScore = F.round(
+      F.log((F.col("nd") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5) + 1) *
+        F.col("tf") * (k1 + 1) /
+        (F.col("tf") +
+          F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))),
+      7).cast(DecimalType(28, 7))
+    val scored = qTok
+      .join(tf, "token")
+      .join(dfreq, "token")
+      .join(lens, idCol)
+      .crossJoin(F.broadcast(stats))
+      .groupBy(F.col("q_id"), F.col(idCol).as("n_id"))
+      .agg(F.sum(termScore).as("cos"))
+    similarity.twoStageTopK(scored, k)
+      .select(F.col("q_id"), F.col("n_id"),
+        F.col("cos").cast(DoubleType).as("score"), F.col("rank"))
+  }
+}

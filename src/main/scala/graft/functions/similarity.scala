@@ -40,7 +40,7 @@ object similarity {
     * top-k of its own partition (anything that beats it locally beats it
     * globally), and `(cos DESC, n_id ASC)` is a strict total order, so
     * ranks are identical to the single-window plan. */
-  private def twoStageTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[functions] def twoStageTopK(scored: DataFrame, k: Int): DataFrame = {
     val local = Window.partitionBy(F.col("q_id"), F.col("_pid"))
       .orderBy(F.col("cos").desc, F.col("n_id").asc)
     val global = Window.partitionBy(F.col("q_id"))

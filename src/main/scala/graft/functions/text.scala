@@ -207,6 +207,33 @@ object text {
         F.col("tfidf"), F.col("rank"))
   }
 
+  /** URL decomposition for crawl curation — regex-only (portable to any
+    * engine; Spark's parse_url exists but has no DuckDB counterpart).
+    * All shuffle-free codegen'd expressions. */
+  val UrlHostPattern = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+  val UrlPathPattern = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** raw authority component (may carry user@, port, mixed case). */
+  def urlHost(c: Column): Column = F.regexp_extract(c, UrlHostPattern, 1)
+
+  /** canonical host: lowercase, user-info and port stripped, one
+    * leading `www.` dropped — the key crawl dedup/cap pipelines group
+    * by. */
+  def urlNormHost(c: Column): Column =
+    F.regexp_replace(
+      F.regexp_replace(
+        F.regexp_replace(F.lower(urlHost(c)), "^[^@]*@", ""),
+        ":[0-9]+$", ""),
+      "^www\\.", "")
+
+  /** registered domain ≈ last two dot-labels of the normalized host
+    * (public-suffix lists need a table, not a regex; last-two is the
+    * standard approximation for synthetic/test pipelines). */
+  def urlDomain(c: Column): Column =
+    F.regexp_extract(urlNormHost(c), "([^.]+\\.[^.]+)$", 1)
+
+  def urlPath(c: Column): Column = F.regexp_extract(c, UrlPathPattern, 1)
+
   /** CCNet-style unigram language-model scoring: train a unigram LM on
     * the corpus itself (one aggregation) and score every document by its
     * mean per-token negative log-likelihood — the classic

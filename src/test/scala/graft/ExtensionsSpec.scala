@@ -766,6 +766,67 @@ class ExtensionsSpec extends SparkSpec {
     assert(d1 < d2)
   }
 
+  test("url parts: host, canonical host, registered domain, path") {
+    val df = Seq(
+      (1L, "https://bob@WWW.Sub.News.Example.COM:8443/a/b?q=1#frag"),
+      (2L, "http://example.org"),
+      (3L, "ftp://www.x.y.z.co/path")
+    ).toDF("id", "url")
+    val out = df.select(F.col("id"),
+        text.urlHost(F.col("url")).as("h"),
+        text.urlNormHost(F.col("url")).as("nh"),
+        text.urlDomain(F.col("url")).as("d"),
+        text.urlPath(F.col("url")).as("p"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "bob@WWW.Sub.News.Example.COM:8443")
+    assert(out(0).getString(2) == "sub.news.example.com")
+    assert(out(0).getString(3) == "example.com")
+    assert(out(0).getString(4) == "/a/b")
+    assert(out(1).getString(2) == "example.org" &&
+      out(1).getString(3) == "example.org" && out(1).getString(4) == "")
+    assert(out(2).getString(2) == "x.y.z.co" && out(2).getString(3) == "z.co")
+  }
+
+  test("bm25TopK matches a driver-side reference scorer") {
+    val corpus = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "spark caches hot data in memory"),
+      (3L, "ducks swim on the quiet pond"),
+      (4L, "the pond reflects the quiet sky"),
+      (5L, "data pipelines clean web data")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "quiet pond data")).toDF("q_id", "q_text")
+    val got = graft.functions.retrieval
+      .bm25TopK(corpus, "doc_id", "text", queries, "q_id", "q_text", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // reference: plain-scala BM25 with the same rounding contract
+    val docs = Map(1L -> "spark shuffles data between stages",
+      2L -> "spark caches hot data in memory",
+      3L -> "ducks swim on the quiet pond",
+      4L -> "the pond reflects the quiet sky",
+      5L -> "data pipelines clean web data").map {
+      case (id, t) => id -> t.split("\\s+").toSeq }
+    val n = docs.size
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    def score(q: Seq[String], d: Seq[String]): BigDecimal =
+      q.distinct.flatMap { t =>
+        val tf = d.count(_ == t)
+        val dfr = docs.values.count(_.contains(t))
+        if (tf == 0 || dfr == 0) None
+        else Some(BigDecimal(
+          math.log((n - dfr + 0.5) / (dfr + 0.5) + 1) * tf * 2.2 /
+            (tf + 1.2 * (1 - 0.75 + 0.75 * d.size / avgdl)))
+          .setScale(7, BigDecimal.RoundingMode.HALF_UP))
+      }.sum
+    val want = docs.map { case (id, t) =>
+        (id, score(Seq("quiet", "pond", "data"), t)) }
+      .filter(_._2 > 0).toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(3).zipWithIndex
+      .map { case ((id, s), i) => (id, s.toDouble, (i + 1).toLong) }
+    assert(got.toSeq == want)
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
