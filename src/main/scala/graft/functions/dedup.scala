@@ -36,7 +36,7 @@ object dedup {
   private val hookedSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
-  private def cached(df: DataFrame): DataFrame = {
+  private[functions] def cached(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add(p)
     autoRelease(df.sparkSession)
@@ -122,8 +122,6 @@ object dedup {
     }
   }
 
-  /** Exact dedup: group by md5 fingerprint, keep the smallest id.
-    * The groupBy shuffles only (fingerprint, id) — scales to any corpus. */
   /** C4-style line-level dedup: keep only the FIRST corpus-wide
     * occurrence of every distinct line (first = smallest (doc id, line
     * position)), drop repeats, and reassemble each document from its
@@ -163,6 +161,8 @@ object dedup {
       .select(F.col(idCol), F.col(textCol), F.col("n_lines"))
   }
 
+  /** Exact dedup: group by md5 fingerprint, keep the smallest id.
+    * The groupBy shuffles only (fingerprint, id) — scales to any corpus. */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(text.fingerprintMd5(F.col(textCol)).as("fingerprint"), F.col(idCol))
       .groupBy("fingerprint")

@@ -29,11 +29,15 @@ object retrieval {
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = corpus.select(F.col(idCol),
+    // tf feeds four consumers (lens, stats, dfreq, the probe join) —
+    // without a cache Catalyst re-runs the explode+aggregate per
+    // consumer. Lifecycle: dedup's auto-release listener unpersists
+    // after the consuming query completes.
+    val tf = dedup.cached(corpus.select(F.col(idCol),
         F.explode(text.tokens(F.col(textCol))).as("token"))
       .filter(F.length(F.col("token")) > 0)
-      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf"))
-    val lens = tf.groupBy(idCol).agg(F.sum("tf").as("dl"))
+      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf")))
+    val lens = dedup.cached(tf.groupBy(idCol).agg(F.sum("tf").as("dl")))
     // exact-integer division: deterministic regardless of doc order
     val stats = lens.agg(F.count(F.lit(1)).as("nd"),
       (F.sum("dl").cast(DoubleType) /
