@@ -977,13 +977,13 @@ object ExtQueries {
       |  regexp_extract(norm_host, '([^.]+\.[^.]+)$', 1) AS domain, path
       |FROM n ORDER BY doc_id""".stripMargin
 
-  /** BM25 retrieval: every 50th document's 40-char prefix is a query;
+  /** BM25 retrieval: every 250th document's 40-char prefix is a query;
     * top-5 corpus matches each, via the relational inverted index —
     * [[graft.functions.retrieval.bm25TopK]]. Self-match at rank 1 is the
     * built-in sanity check. */
   def x36Bm25TopK(s: SparkSession, dir: String): DataFrame = {
     val corpus = docs(s, dir)
-    val queries = corpus.filter(F.col("doc_id") % 50 === 0)
+    val queries = corpus.filter(F.col("doc_id") % 250 === 0)
       .select(F.col("doc_id").as("q_id"),
         F.substring(F.col("text"), 1, 40).as("q_text"))
     graft.functions.retrieval.bm25TopK(
@@ -1003,7 +1003,7 @@ object ExtQueries {
       |  FROM len),
       |dfreq AS (SELECT token, COUNT(*) AS dfr FROM t GROUP BY 1),
       |q AS (SELECT doc_id AS q_id, substr(text, 1, 40) AS qt
-      |  FROM documents WHERE doc_id % 50 = 0),
+      |  FROM documents WHERE doc_id % 250 = 0),
       |qt AS (SELECT DISTINCT q_id, token FROM (SELECT q_id,
       |    unnest(string_split_regex(trim(qt), '\s+')) AS token
       |  FROM q WHERE length(trim(qt)) > 0) WHERE length(token) > 0),
@@ -1020,6 +1020,37 @@ object ExtQueries {
       |SELECT q_id, n_id, CAST(s AS DOUBLE) AS score,
       |  CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** One-pass corpus profile over `documents` —
+    * [[graft.functions.profile.columnProfile]]: row/null/distinct counts
+    * and native-ordered min/max per column, one table scan. */
+  def x37Profile(s: SparkSession, dir: String): DataFrame =
+    graft.functions.profile.columnProfile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy("col_name")
+
+  private val x37Oracle =
+    """WITH s AS (SELECT COUNT(*) AS n,
+      |    COUNT(doc_id) AS nn1, COUNT(DISTINCT doc_id) AS nd1,
+      |    CAST(MIN(doc_id) AS VARCHAR) AS mn1, CAST(MAX(doc_id) AS VARCHAR) AS mx1,
+      |    COUNT(text) AS nn2, COUNT(DISTINCT text) AS nd2,
+      |    CAST(MIN(text) AS VARCHAR) AS mn2, CAST(MAX(text) AS VARCHAR) AS mx2,
+      |    COUNT(lang) AS nn3, COUNT(DISTINCT lang) AS nd3,
+      |    CAST(MIN(lang) AS VARCHAR) AS mn3, CAST(MAX(lang) AS VARCHAR) AS mx3,
+      |    COUNT(source) AS nn4, COUNT(DISTINCT source) AS nd4,
+      |    CAST(MIN(source) AS VARCHAR) AS mn4, CAST(MAX(source) AS VARCHAR) AS mx4,
+      |    COUNT(n_chars) AS nn5, COUNT(DISTINCT n_chars) AS nd5,
+      |    CAST(MIN(n_chars) AS VARCHAR) AS mn5, CAST(MAX(n_chars) AS VARCHAR) AS mx5
+      |  FROM documents)
+      |SELECT col_name, n AS n_rows, n - nn AS n_nulls, nd AS n_distinct,
+      |  mn AS min_str, mx AS max_str
+      |FROM (
+      |  SELECT 'doc_id' AS col_name, n, nn1 AS nn, nd1 AS nd, mn1 AS mn, mx1 AS mx FROM s
+      |  UNION ALL SELECT 'text', n, nn2, nd2, mn2, mx2 FROM s
+      |  UNION ALL SELECT 'lang', n, nn3, nd3, mn3, mx3 FROM s
+      |  UNION ALL SELECT 'source', n, nn4, nd4, mn4, mx4 FROM s
+      |  UNION ALL SELECT 'n_chars', n, nn5, nd5, mn5, mx5 FROM s)
+      |ORDER BY col_name""".stripMargin
 
   // ---------------- registry ----------------
 
@@ -1059,7 +1090,8 @@ object ExtQueries {
     "x33_line_dedup" -> (x33LineDedup _),
     "x34_unigram_nll" -> (x34UnigramNll _),
     "x35_url_normalize" -> (x35UrlNormalize _),
-    "x36_bm25_topk" -> (x36Bm25TopK _))
+    "x36_bm25_topk" -> (x36Bm25TopK _),
+    "x37_profile" -> (x37Profile _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1094,5 +1126,6 @@ object ExtQueries {
     "x33_line_dedup" -> x33Oracle,
     "x34_unigram_nll" -> x34Oracle,
     "x35_url_normalize" -> x35Oracle,
-    "x36_bm25_topk" -> x36Oracle)
+    "x36_bm25_topk" -> x36Oracle,
+    "x37_profile" -> x37Oracle)
 }

@@ -827,6 +827,22 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("columnProfile counts rows, nulls, distincts; native-ordered min/max") {
+    val df = Seq((10, Some("b")), (9, None), (10, Some("a")))
+      .toDF("n", "s")
+    val got = graft.functions.profile.columnProfile(df, Seq("n", "s"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("n", 3L, 0L, 2L, "9", "10"),   // native int ordering: 9 < 10
+      ("s", 3L, 1L, 2L, "a", "b")))
+    // approx variant keeps the same shape and exact row/null counts
+    val ap = graft.functions.profile.columnProfile(df, Seq("n"), approx = true)
+      .collect().head
+    assert(ap.getLong(1) == 3L && ap.getLong(3) >= 1L)
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
