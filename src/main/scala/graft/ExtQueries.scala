@@ -1052,6 +1052,79 @@ object ExtQueries {
       |  UNION ALL SELECT 'n_chars', n, nn5, nd5, mn5, mx5 FROM s)
       |ORDER BY col_name""".stripMargin
 
+  /** Crawl snapshot diff: build a deterministic recrawl (1-in-17 pages
+    * gone, 1-in-13 edited, 1-in-29 new) and reconcile —
+    * [[graft.functions.snapshot.diffStatus]]. One co-partitioned
+    * full-outer join on the id, fingerprint compare. */
+  def x38SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val old = docs(s, dir).select("doc_id", "text")
+    val base = old.filter(F.col("doc_id") % 17 =!= 0)
+      .select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 13 === 0,
+          F.concat(F.col("text"), F.lit(" v2")))
+          .otherwise(F.col("text")).as("text"))
+    val adds = old.filter(F.col("doc_id") % 29 === 0)
+      .select((F.col("doc_id") + 1000000L).as("doc_id"), F.col("text"))
+    graft.functions.snapshot
+      .diffStatus(old, base.unionByName(adds), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val x38Oracle =
+    """WITH old AS (SELECT doc_id, text FROM documents),
+      |b AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0
+      |    THEN concat(text, ' v2') ELSE text END AS text
+      |  FROM old WHERE doc_id % 17 <> 0),
+      |a AS (SELECT doc_id + 1000000 AS doc_id, text FROM old
+      |  WHERE doc_id % 29 = 0),
+      |nw AS (SELECT * FROM b UNION ALL SELECT * FROM a)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Dynamic-threshold quality cut: unigram-LM nll per document, keep
+    * the [5%, 95%] quantile band at 0.01 bucket granularity, report
+    * per-source survivors — [[graft.functions.quality.quantileBandFilter]]
+    * over [[graft.functions.text.unigramNll]]. */
+  def x39QualityBand(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val scored = text.unigramNll(d, "doc_id", "text")
+      .join(d.select("doc_id", "source"), "doc_id")
+    graft.functions.quality
+      .quantileBandFilter(scored, "nll", 0.05, 0.95, decimals = 2)
+      .groupBy("source").agg(F.count(F.lit(1)).as("n_docs"))
+      .orderBy("source")
+  }
+
+  private val x39Oracle =
+    """WITH toks AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |t AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      |  WHERE length(token) > 0 GROUP BY 1, 2),
+      |f AS (SELECT token, SUM(tf) AS cnt FROM t GROUP BY 1),
+      |tot AS (SELECT SUM(cnt) AS n FROM f),
+      |nl AS (SELECT doc_id,
+      |    CAST(ROUND(CAST(SUM(tf * CAST(ROUND(-ln(CAST(cnt AS DOUBLE)
+      |        / CAST(n AS DOUBLE)), 7) AS DECIMAL(28,7))) AS DOUBLE)
+      |      / CAST(SUM(tf) AS DOUBLE), 5) AS DOUBLE) AS nll
+      |  FROM t JOIN f USING (token) CROSS JOIN tot GROUP BY doc_id),
+      |h AS (SELECT ROUND(nll, 2) AS bkt, COUNT(*) AS c FROM nl GROUP BY 1),
+      |cm AS (SELECT bkt, SUM(c) OVER (ORDER BY bkt) AS cum FROM h),
+      |nn AS (SELECT COUNT(*) AS n FROM nl),
+      |bo AS (SELECT
+      |    MIN(CASE WHEN cum >= ceil(0.05 * n) THEN bkt END) AS lo,
+      |    MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bkt END) AS hi
+      |  FROM cm CROSS JOIN nn)
+      |SELECT d.source, COUNT(*) AS n_docs
+      |FROM nl JOIN documents d USING (doc_id) CROSS JOIN bo
+      |WHERE ROUND(nll, 2) BETWEEN lo AND hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1091,7 +1164,9 @@ object ExtQueries {
     "x34_unigram_nll" -> (x34UnigramNll _),
     "x35_url_normalize" -> (x35UrlNormalize _),
     "x36_bm25_topk" -> (x36Bm25TopK _),
-    "x37_profile" -> (x37Profile _))
+    "x37_profile" -> (x37Profile _),
+    "x38_snapshot_diff" -> (x38SnapshotDiff _),
+    "x39_quality_band" -> (x39QualityBand _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1127,5 +1202,7 @@ object ExtQueries {
     "x34_unigram_nll" -> x34Oracle,
     "x35_url_normalize" -> x35Oracle,
     "x36_bm25_topk" -> x36Oracle,
-    "x37_profile" -> x37Oracle)
+    "x37_profile" -> x37Oracle,
+    "x38_snapshot_diff" -> x38Oracle,
+    "x39_quality_band" -> x39Oracle)
 }

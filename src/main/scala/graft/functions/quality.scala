@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.types._
+
+/** Dynamic-threshold filtering: cut a corpus to the rows whose score
+  * lies between two quantiles of the score's own distribution — the
+  * CCNet posture (both perplexity tails are bad: one is rare-token
+  * soup, the other repetitive boilerplate).
+  *
+  * Scale design: an exact global order statistic needs a corpus-wide
+  * sort (or 10% of the corpus on the driver via top-k selection);
+  * instead the quantiles are resolved at BUCKET granularity — scores
+  * round to `decimals` digits, a histogram aggregation (map-side
+  * combining) produces one row per distinct bucket, a cumulative sum
+  * over that tiny frame finds the threshold buckets, and the corpus is
+  * filtered map-side against two broadcast literals-to-be. Exact
+  * integer logic after the rounding, hence engine-portable; threshold
+  * resolution is 10^-decimals, the same trade CCNet's bucketed
+  * perplexity cutoffs make. */
+object quality {
+
+  /** Keep rows whose `round(scoreCol, decimals)` falls in the
+    * [pLo, pHi] quantile band of the rounded-score distribution.
+    * Threshold buckets are the smallest buckets whose cumulative count
+    * reaches `ceil(p * n)`. */
+  def quantileBandFilter(df: DataFrame, scoreCol: String,
+      pLo: Double, pHi: Double, decimals: Int = 2): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "quality: need 0<=pLo<=pHi<=1")
+    val b = F.round(F.col(scoreCol), decimals)
+    val hist = df.groupBy(b.as("_qb_bucket"))
+      .agg(F.count(F.lit(1)).as("_qb_cnt"))
+    val cum = hist.withColumn("_qb_cum", F.sum("_qb_cnt").over(
+      // ≤ 10^decimals·range buckets: a deliberately single-task window
+      // over histogram metadata, never over corpus rows
+      org.apache.spark.sql.expressions.Window.partitionBy(F.lit(0))
+        .orderBy("_qb_bucket")))
+    val n = F.col("_qb_n")
+    val total = hist.agg(F.sum("_qb_cnt").as("_qb_n"))
+    val bounds = cum.crossJoin(F.broadcast(total))
+      .agg(
+        F.min(F.when(F.col("_qb_cum") >= F.ceil(F.lit(pLo) * n),
+          F.col("_qb_bucket"))).as("_qb_lo"),
+        F.min(F.when(F.col("_qb_cum") >= F.ceil(F.lit(pHi) * n),
+          F.col("_qb_bucket"))).as("_qb_hi"))
+    df.crossJoin(F.broadcast(bounds))
+      .filter(b >= F.col("_qb_lo") && b <= F.col("_qb_hi"))
+      .drop("_qb_lo", "_qb_hi")
+  }
+}

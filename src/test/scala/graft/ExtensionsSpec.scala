@@ -843,6 +843,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(ap.getLong(1) == 3L && ap.getLong(3) >= 1L)
   }
 
+  test("snapshot diff classifies added, removed, changed, unchanged") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val nw = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = graft.functions.snapshot.diffStatus(old, nw, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "removed"), (2L, "unchanged"),
+      (3L, "changed"), (4L, "added")))
+  }
+
+  test("quantileBandFilter cuts both tails at bucket granularity") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val kept = graft.functions.quality
+      .quantileBandFilter(df, "s", 0.1, 0.9, decimals = 2)
+      .select("id").as[Long].collect().sorted
+    // thresholds at ranks ceil(.1*100)=10 and ceil(.9*100)=90
+    assert(kept.head == 10L && kept.last == 90L && kept.length == 81)
+    // heavy ties: all rows share one bucket -> the band keeps everything
+    val ties = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "s")
+    assert(graft.functions.quality
+      .quantileBandFilter(ties, "s", 0.25, 0.75).count() == 50)
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
