@@ -110,6 +110,21 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension (user → segment, url → domain reputation, …). The static
+    * side is broadcast per micro-batch — no stream-side shuffle, no
+    * state; left join so unmatched stream rows pass through (enrichment
+    * must never drop events). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(F.broadcast(dim), Seq(key), "left")
+
+  /** Streaming PII scrub — stateless projection, composes with any
+    * downstream windowed aggregation. */
+  def scrubStream(events: DataFrame, textCol: String): DataFrame =
+    events.withColumn(textCol,
+      graft.functions.text.redactPii(F.col(textCol)))
+
   /** Drive a stream synchronously to a memory sink (testing/smoke). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

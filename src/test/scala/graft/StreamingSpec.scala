@@ -40,6 +40,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.length == 5)
   }
 
+  test("stream-static enrichment broadcasts the dim and keeps unmatched rows") {
+    val dir = mkEvents()
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "segment")
+    val enriched = Streams.enrichStream(
+      Streams.readEventStream(spark, dir), dim, "user_id")
+    Streams.runToMemory(enriched, "enriched", OutputMode.Append())
+    val got = spark.table("enriched")
+      .select("event_id", "segment").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(got.toSeq == Seq((1L, Some("gold")), (2L, Some("gold")),
+      (3L, None), (4L, Some("gold")), (5L, None))) // user 2 unmatched, kept
+  }
+
+  test("streaming PII scrub redacts inside the stream") {
+    val dir = Files.createTempDirectory("graft_scrub").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    Seq((1L, t0, "mail a@b.io now"), (2L, t0, "clean"))
+      .toDF("event_id", "ts", "note").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val scrubbed = Streams.scrubStream(
+      spark.readStream.schema(schema).parquet(dir), "note")
+    Streams.runToMemory(scrubbed, "scrubbed", OutputMode.Append())
+    val got = spark.table("scrubbed").orderBy("event_id")
+      .select("note").as[String].collect()
+    assert(got.toSeq == Seq("mail <EMAIL> now", "clean"))
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
