@@ -1125,6 +1125,30 @@ object ExtQueries {
       |WHERE ROUND(nll, 2) BETWEEN lo AND hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** RAG-style sliding-window chunking: 32-token chunks every 16 tokens
+    * (50% overlap) — [[graft.functions.text.chunkTokens]]. One tokenize
+    * + explode per document, shuffle-free. */
+  def x40ChunkTokens(s: SparkSession, dir: String): DataFrame =
+    text.chunkTokens(docs(s, dir), "doc_id", "text", size = 32, stride = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  private val x40Oracle =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ls
+      |  FROM documents
+      |  WHERE length(trim(text)) > 0 AND length(string_split_regex(
+      |    trim(text), '\s+')[1]) > 0),
+      |c AS (SELECT doc_id, ls,
+      |    ((greatest(len(ls) - 32, 0) + 15) // 16 + 1) AS k FROM tk),
+      |s AS (SELECT doc_id, ls, i AS st
+      |  FROM c, unnest(generate_series(1, (k - 1) * 16 + 1, 16)) AS t(i)),
+      |ch AS (SELECT doc_id, CAST((st - 1) // 16 AS BIGINT) AS chunk_id,
+      |    array_to_string(list_slice(ls, st, least(st + 31, len(ls))), ' ')
+      |      AS chunk_text
+      |  FROM s)
+      |SELECT doc_id, chunk_id, chunk_text,
+      |  CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS n_tokens
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1166,7 +1190,8 @@ object ExtQueries {
     "x36_bm25_topk" -> (x36Bm25TopK _),
     "x37_profile" -> (x37Profile _),
     "x38_snapshot_diff" -> (x38SnapshotDiff _),
-    "x39_quality_band" -> (x39QualityBand _))
+    "x39_quality_band" -> (x39QualityBand _),
+    "x40_chunk_tokens" -> (x40ChunkTokens _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1204,5 +1229,6 @@ object ExtQueries {
     "x36_bm25_topk" -> x36Oracle,
     "x37_profile" -> x37Oracle,
     "x38_snapshot_diff" -> x38Oracle,
-    "x39_quality_band" -> x39Oracle)
+    "x39_quality_band" -> x39Oracle,
+    "x40_chunk_tokens" -> x40Oracle)
 }

@@ -234,6 +234,32 @@ object text {
 
   def urlPath(c: Column): Column = F.regexp_extract(c, UrlPathPattern, 1)
 
+  /** Sliding-window token chunking (RAG / context-window ingestion):
+    * split each document into `size`-token chunks starting every
+    * `stride` tokens (overlap = size − stride). Pure per-row builtin
+    * expressions (tokenize once, `sequence` of starts, `slice` +
+    * `array_join` per chunk, one explode) — codegen'd, shuffle-free,
+    * linear in corpus size. Chunk ids are `(doc, ordinal)`; the last
+    * chunk may be short; empty docs yield no chunks. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, size: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "chunkTokens: need 0 < stride <= size")
+    val toks = F.col("_ck_toks")
+    // k = ceil(max(n-size,0)/stride) + 1 chunks; last may be short
+    val k = ((F.greatest(F.size(toks) - size, F.lit(0)) + (stride - 1)) /
+      stride).cast(IntegerType) + 1
+    val lastStart = (k - 1) * stride + 1
+    df.select(F.col(idCol), tokens(F.col(textCol)).as("_ck_toks"))
+      .filter(F.size(toks) > 0 && F.length(F.element_at(toks, 1)) > 0)
+      .select(F.col(idCol), F.posexplode(F.transform(
+        F.sequence(F.lit(1), lastStart, F.lit(stride)),
+        s => F.array_join(F.slice(toks, s, F.lit(size)), " ")))
+        .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("chunk_id", F.col("chunk_id").cast(LongType))
+      .withColumn("n_tokens", tokenCount(F.col("chunk_text")))
+  }
+
   /** CCNet-style unigram language-model scoring: train a unigram LM on
     * the corpus itself (one aggregation) and score every document by its
     * mean per-token negative log-likelihood — the classic

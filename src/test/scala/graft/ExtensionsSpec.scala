@@ -865,6 +865,24 @@ class ExtensionsSpec extends SparkSpec {
       .quantileBandFilter(ties, "s", 0.25, 0.75).count() == 50)
   }
 
+  test("chunkTokens: sliding windows cover every token; short tails kept") {
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 tokens, size 4 stride 2 -> 3 chunks
+      (2L, "a b"),                  // shorter than size -> one short chunk
+      (3L, "x1 x2 x3 x4"),          // exactly size -> one chunk
+      (4L, "")                      // empty -> no chunks
+    ).toDF("doc_id", "text")
+    val got = text.chunkTokens(df, "doc_id", "text", size = 4, stride = 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t5 t6 t7", 3L),
+      (2L, 0L, "a b", 2L),
+      (3L, 0L, "x1 x2 x3 x4", 4L)))
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
