@@ -837,12 +837,8 @@ object ExtQueries {
           F.concat(F.lit(" tel 555-01"), (d % 10).cast(StringType),
             F.lit("-4567"))).otherwise(F.lit(""))).as("text"))
     val t = F.col("text")
-    planted.select(
-        d,
-        text.piiCounts(t).head._2.as("n_emails"),
-        text.piiCounts(t)(1)._2.as("n_ips"),
-        text.piiCounts(t)(2)._2.as("n_phones"),
-        text.redactPii(t).as("redacted"))
+    planted.select(d +: (text.piiCounts(t).map { case (n, c) => c.as(n) } :+
+        text.redactPii(t).as("redacted")): _*)
       .orderBy("doc_id")
   }
 
@@ -1081,7 +1077,7 @@ object ExtQueries {
       |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
       |  CASE WHEN o.doc_id IS NULL THEN 'added'
       |       WHEN n.doc_id IS NULL THEN 'removed'
-      |       WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+      |       WHEN md5(o.text) IS DISTINCT FROM md5(n.text) THEN 'changed'
       |       ELSE 'unchanged' END AS status
       |FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin

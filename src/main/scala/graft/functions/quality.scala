@@ -27,8 +27,12 @@ object quality {
   def quantileBandFilter(df: DataFrame, scoreCol: String,
       pLo: Double, pHi: Double, decimals: Int = 2): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "quality: need 0<=pLo<=pHi<=1")
+    // the scored input feeds the histogram pass AND the final filter —
+    // cache it (auto-released) so an expensive upstream scorer (e.g.
+    // unigramNll) runs once, not per consumer
+    val scored = dedup.cached(df)
     val b = F.round(F.col(scoreCol), decimals)
-    val hist = df.groupBy(b.as("_qb_bucket"))
+    val hist = scored.groupBy(b.as("_qb_bucket"))
       .agg(F.count(F.lit(1)).as("_qb_cnt"))
     val cum = hist.withColumn("_qb_cum", F.sum("_qb_cnt").over(
       // ≤ 10^decimals·range buckets: a deliberately single-task window
@@ -43,7 +47,7 @@ object quality {
           F.col("_qb_bucket"))).as("_qb_lo"),
         F.min(F.when(F.col("_qb_cum") >= F.ceil(F.lit(pHi) * n),
           F.col("_qb_bucket"))).as("_qb_hi"))
-    df.crossJoin(F.broadcast(bounds))
+    scored.crossJoin(F.broadcast(bounds))
       .filter(b >= F.col("_qb_lo") && b <= F.col("_qb_hi"))
       .drop("_qb_lo", "_qb_hi")
   }

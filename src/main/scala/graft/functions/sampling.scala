@@ -41,10 +41,19 @@ object sampling {
     * inside ONE task — billions of rows for a mega-domain at 100 TB.
     * Instead: pass 1 counts rows per (group, bucket) over 10000 hash
     * buckets and turns them into per-bucket base ranks (a window over
-    * ≤ 10000 rows per group, broadcast back); pass 2 ranks only WITHIN
+    * ≤ 10000 rows per group, joined back); pass 2 ranks only WITHIN
     * a bucket (~1/10000 of the group per task) and keeps a row iff
-    * `base + rank ≤ cap`. Exact: (bucket, key) is a total order, so
-    * base+rank is precisely the row's global rank in its group. */
+    * `base + rank ≤ cap`. Exact: (bucket, key) is a total order when
+    * `key` is unique per row — REQUIRED for the determinism guarantee
+    * (duplicate keys tie arbitrarily inside a bucket).
+    *
+    * The bases side holds ≤ min(cap, 10000) buckets per group — small
+    * for a handful of groups, but web-scale group cardinality (every
+    * registered domain) makes it corpus-shaped, so the join strategy is
+    * left to AQE: broadcast when the filtered bases fit, shuffle keyed
+    * on (group, bucket) otherwise. Join keys are null-safe — rows with
+    * a NULL group (or key) form their own capped group, SQL GROUP BY
+    * style, instead of silently vanishing. */
   def groupCapSample(df: DataFrame, key: String, groupCol: String,
       cap: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -58,13 +67,16 @@ object sampling {
           .rowsBetween(Window.unboundedPreceding, -1)), F.lit(0L)))
       // buckets entirely past the cap never rejoin the corpus
       .filter(F.col("_gc_base") < cap)
-      .select(F.col(groupCol), F.col("_gc_bucket"), F.col("_gc_base"))
+      .select(F.col(groupCol).as("_gc_grp"),
+        F.col("_gc_bucket").as("_gc_bkt"), F.col("_gc_base"))
     val inBucket = Window.partitionBy(groupCol, "_gc_bucket")
       .orderBy(key)
-    withB.join(F.broadcast(bases), Seq(groupCol, "_gc_bucket"))
+    withB.join(bases,
+        F.col(groupCol) <=> F.col("_gc_grp") &&
+          F.col("_gc_bucket") <=> F.col("_gc_bkt"))
       .withColumn("_gc_rank", F.row_number().over(inBucket))
       .filter(F.col("_gc_base") + F.col("_gc_rank") <= cap)
-      .drop("_gc_bucket", "_gc_base", "_gc_rank")
+      .drop("_gc_grp", "_gc_bkt", "_gc_bucket", "_gc_base", "_gc_rank")
   }
 
   /** Token-budget corpus mixing: keep, per source, a deterministic

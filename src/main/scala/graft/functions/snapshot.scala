@@ -14,16 +14,20 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 object snapshot {
 
   /** Per-document status between `oldDf` and `newDf`:
-    * `added` / `removed` / `changed` / `unchanged`. */
+    * `added` / `removed` / `changed` / `unchanged`. Presence is tracked
+    * by an explicit flag (not fingerprint nullity), and fingerprints
+    * compare null-safely, so documents with NULL text classify
+    * correctly (null vs null = unchanged, null vs text = changed). */
   def diffStatus(oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     def fp(df: DataFrame, side: String) =
-      df.select(F.col(idCol), F.md5(F.col(textCol)).as(s"_fp_$side"))
+      df.select(F.col(idCol), F.md5(F.col(textCol)).as(s"_fp_$side"),
+        F.lit(true).as(s"_in_$side"))
     fp(oldDf, "old").join(fp(newDf, "new"), Seq(idCol), "full_outer")
       .select(F.col(idCol),
-        F.when(F.col("_fp_old").isNull, "added")
-          .when(F.col("_fp_new").isNull, "removed")
-          .when(F.col("_fp_old") =!= F.col("_fp_new"), "changed")
+        F.when(F.col("_in_old").isNull, "added")
+          .when(F.col("_in_new").isNull, "removed")
+          .when(!(F.col("_fp_old") <=> F.col("_fp_new")), "changed")
           .otherwise("unchanged").as("status"))
   }
 }

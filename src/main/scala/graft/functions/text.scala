@@ -97,7 +97,10 @@ object text {
         F.lit(Ipv4Pattern), F.lit("<IP>")),
       F.lit(PhonePattern), F.lit("<PHONE>"))
 
-  /** Per-category PII match counts on the UNredacted text. */
+  /** Per-category PII match counts. Inputs mirror [[redactPii]]'s
+    * cascade so counts reconcile with the emitted tags: emails and
+    * phones are counted on the raw text, IPv4s on the email-redacted
+    * text (an address's dotted host must not double-count as an IP). */
   def piiCounts(c: Column): Seq[(String, Column)] = Seq(
     "n_emails" -> patternCount(c, EmailPattern),
     "n_ips" -> patternCount(F.regexp_replace(c, F.lit(EmailPattern),
@@ -291,7 +294,10 @@ object text {
         F.col("n").cast(DoubleType)), 7).cast(DecimalType(28, 7)))
       .groupBy(idCol)
       .agg(F.sum("tf").cast(LongType).as("n_tokens"),
-        F.round(F.sum(F.col("tf") * F.col("_nll")).cast(DoubleType) /
-          F.sum("tf").cast(DoubleType), 5).as("nll"))
+        // tf as Decimal(9,0) keeps the product at scale 7 — a bare Long
+        // would type the multiply (38,6) under allowPrecisionLoss and
+        // silently drop the 7th digit the portability contract needs
+        F.round(F.sum(F.col("tf").cast(DecimalType(9, 0)) * F.col("_nll"))
+          .cast(DoubleType) / F.sum("tf").cast(DoubleType), 5).as("nll"))
   }
 }

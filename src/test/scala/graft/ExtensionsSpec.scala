@@ -716,6 +716,12 @@ class ExtensionsSpec extends SparkSpec {
     assert(sampling.groupCapSample(df, "id", "grp", cap = 0L).count() == 0)
     // cap above group size keeps everything
     assert(sampling.groupCapSample(df, "id", "grp", cap = 1000L).count() == 200)
+    // NULL group rows form their own capped group, not silent data loss
+    val withNull = df.withColumn("grp",
+      F.when(F.col("id") <= 40, F.lit(null).cast("string"))
+        .otherwise(F.col("grp")))
+    val capped = sampling.groupCapSample(withNull, "id", "grp", cap = 10L)
+    assert(capped.filter(F.col("grp").isNull).count() == 10L)
   }
 
   test("redactPii scrubs emails, IPs, phones and counts them") {
@@ -732,7 +738,7 @@ class ExtensionsSpec extends SparkSpec {
       out(0).getAs[Long]("n_ips") == 1 && out(0).getAs[Long]("n_phones") == 1)
     assert(out(0).getAs[String]("red") ==
       "write <EMAIL> or <IP> tel <PHONE>")
-    assert(out(1).getAs[String]("red") == out(1).getAs[String]("red") &&
+    assert(out(1).getAs[String]("red") == "no pii here, just 1.2 numbers and words" &&
       out(1).getAs[Long]("n_emails") == 0 && out(1).getAs[Long]("n_ips") == 0)
     assert(out(2).getAs[Long]("n_emails") == 2 && out(2).getAs[Long]("n_ips") == 2)
     assert(out(2).getAs[String]("red") == "<EMAIL> <EMAIL> <IP> <IP>")
@@ -850,6 +856,17 @@ class ExtensionsSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == Seq((1L, "removed"), (2L, "unchanged"),
       (3L, "changed"), (4L, "added")))
+  }
+
+  test("snapshot diff: NULL text is presence, not absence") {
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("t"))).toDF("id", "text")
+    val nw = Seq((1L, Option.empty[String]), (2L, Some("now set")),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val got = graft.functions.snapshot.diffStatus(old, nw, "id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "changed")))
   }
 
   test("quantileBandFilter cuts both tails at bucket granularity") {
