@@ -1145,6 +1145,30 @@ object ExtQueries {
       |  CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS n_tokens
       |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Leakage-free split assignment: 96/2/2 train/val/test keyed on the
+    * SOURCE hash (all docs of a source share a split, so in-domain
+    * near-dups cannot straddle train/test) —
+    * [[graft.functions.sampling.splitByGroup]]. Reported as per-split
+    * doc/source counts. */
+  def x41SplitByGroup(s: SparkSession, dir: String): DataFrame =
+    graft.functions.sampling.splitByGroup(docs(s, dir), "source",
+        Seq("train" -> 9600, "val" -> 200, "test" -> 200))
+      .groupBy("split").agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.countDistinct(F.col("source")).as("n_sources"))
+      .orderBy("split")
+
+  private val x41Oracle =
+    """WITH b AS (SELECT source,
+      |    CAST(concat('0x', substring(md5(source), 1, 8))
+      |      AS BIGINT) % 10000 AS bkt
+      |  FROM documents),
+      |sp AS (SELECT source, CASE WHEN bkt < 9600 THEN 'train'
+      |    WHEN bkt < 9800 THEN 'val' ELSE 'test' END AS split FROM b)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1187,7 +1211,8 @@ object ExtQueries {
     "x37_profile" -> (x37Profile _),
     "x38_snapshot_diff" -> (x38SnapshotDiff _),
     "x39_quality_band" -> (x39QualityBand _),
-    "x40_chunk_tokens" -> (x40ChunkTokens _))
+    "x40_chunk_tokens" -> (x40ChunkTokens _),
+    "x41_split_by_group" -> (x41SplitByGroup _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1226,5 +1251,6 @@ object ExtQueries {
     "x37_profile" -> x37Oracle,
     "x38_snapshot_diff" -> x38Oracle,
     "x39_quality_band" -> x39Oracle,
-    "x40_chunk_tokens" -> x40Oracle)
+    "x40_chunk_tokens" -> x40Oracle,
+    "x41_split_by_group" -> x41Oracle)
 }

@@ -79,6 +79,27 @@ object sampling {
       .drop("_gc_grp", "_gc_bkt", "_gc_bucket", "_gc_base", "_gc_rank")
   }
 
+  /** Leakage-free dataset splitting: assign every row to a named split
+    * by hashing its GROUP (domain, cluster id, …), so all rows of a
+    * group — near-duplicates included — land in the same split and
+    * can never straddle train/validation/test. `weights` are permille
+    * cut points over the 10000-bucket hash space (e.g. 9800/100/100);
+    * deterministic, engine-portable, shuffle-free (one codegen'd
+    * expression). */
+  def splitByGroup(df: DataFrame, groupCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 10000,
+      "splitByGroup: weights must be non-negative permille-of-10000 summing to 10000")
+    val b = hashBucket(F.col(groupCol))
+    val cuts = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = splits.zip(cuts).init.foldRight(
+      F.lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      F.when(b < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Token-budget corpus mixing: keep, per source, a deterministic
     * subset holding at most `budget(source)` whitespace tokens — training
     * mixtures are specified in tokens, not documents. Two-pass and

@@ -900,6 +900,24 @@ class ExtensionsSpec extends SparkSpec {
       (3L, 0L, "x1 x2 x3 x4", 4L)))
   }
 
+  test("splitByGroup: every group lands wholly in one split") {
+    import graft.functions.sampling
+    val df = (1L to 1000L).map(i => (i, s"g${i % 97}")).toDF("id", "grp")
+    val out = sampling.splitByGroup(df, "grp",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+    // group purity: one distinct split per group
+    assert(out.groupBy("grp").agg(F.countDistinct("split").as("k"))
+      .filter(F.col("k") =!= 1).count() == 0)
+    // all three splits non-empty at 97 groups and deterministic
+    val sizes = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    assert(sizes("train") > sizes("val") && sizes("train") > sizes("test"))
+    intercept[IllegalArgumentException] {
+      sampling.splitByGroup(df, "grp", Seq("a" -> 5000, "b" -> 4000))
+    }
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
