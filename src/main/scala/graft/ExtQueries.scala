@@ -1169,6 +1169,50 @@ object ExtQueries {
       |  COUNT(DISTINCT source) AS n_sources
       |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Exact-substring span dedup (Lee et al. posture): plant a 9-token
+    * boilerplate sentence into every fourth document, detect every
+    * 6-token window that appeared earlier in the corpus, cut the covered
+    * tokens, reassemble — [[graft.functions.dedup.dedupSpans]]. The
+    * planted run survives only in its first (smallest-doc_id) host; any
+    * naturally repeated 6-token window is cut the same way. */
+  def x42SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(F.col("doc_id"), F.concat(
+        F.substring(F.col("text"), 1, 80), F.lit(" "),
+        F.when(F.col("doc_id") % 4 === 0, F.lit(
+          "lorem boiler plate sentence repeated across many documents verbatim "))
+          .otherwise(F.lit("")),
+        F.substring(F.col("text"), 81, 80)).as("text"))
+    dedup.dedupSpans(planted, "doc_id", "text", 6).orderBy("doc_id")
+  }
+
+  private val x42Oracle =
+    """WITH d AS (SELECT doc_id, concat(substr(text, 1, 80), ' ',
+      |    CASE WHEN doc_id % 4 = 0 THEN
+      |      'lorem boiler plate sentence repeated across many documents verbatim '
+      |      ELSE '' END, substr(text, 81, 80)) AS text FROM documents),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM d),
+      |w AS (SELECT doc_id, i - 1 AS pos, len(toks) AS ntok,
+      |    md5(array_to_string(toks[i:i+5], ' ')) AS fp
+      |  FROM t, unnest(generate_series(1, greatest(len(toks) - 5, 1))) AS g(i)),
+      |k AS (SELECT doc_id, pos, ntok, fp,
+      |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rk FROM w),
+      |cov AS (SELECT DISTINCT doc_id, cpos FROM (
+      |    SELECT doc_id, unnest(generate_series(pos, least(pos + 5, ntok - 1))) AS cpos
+      |    FROM k WHERE rk > 1)),
+      |tok AS (SELECT doc_id, i - 1 AS cpos, toks[i] AS tok
+      |  FROM t, unnest(generate_series(1, len(toks))) AS g(i)),
+      |kept AS (SELECT tok.doc_id, COUNT(*) AS n_kept,
+      |    string_agg(tok.tok, ' ' ORDER BY tok.cpos) AS clean
+      |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.cpos = cov.cpos
+      |  WHERE cov.doc_id IS NULL GROUP BY 1),
+      |base AS (SELECT doc_id, len(toks) AS ntok FROM t)
+      |SELECT b.doc_id, CAST(b.ntok AS BIGINT) AS n_tokens,
+      |  CAST(b.ntok - COALESCE(k2.n_kept, 0) AS BIGINT) AS n_dup_tokens,
+      |  ROUND(CAST(b.ntok - COALESCE(k2.n_kept, 0) AS DOUBLE)
+      |    / CAST(b.ntok AS DOUBLE), 9) AS dup_fraction,
+      |  COALESCE(k2.clean, '') AS text
+      |FROM base b LEFT JOIN kept k2 USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1212,7 +1256,8 @@ object ExtQueries {
     "x38_snapshot_diff" -> (x38SnapshotDiff _),
     "x39_quality_band" -> (x39QualityBand _),
     "x40_chunk_tokens" -> (x40ChunkTokens _),
-    "x41_split_by_group" -> (x41SplitByGroup _))
+    "x41_split_by_group" -> (x41SplitByGroup _),
+    "x42_span_dedup" -> (x42SpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1252,5 +1297,6 @@ object ExtQueries {
     "x38_snapshot_diff" -> x38Oracle,
     "x39_quality_band" -> x39Oracle,
     "x40_chunk_tokens" -> x40Oracle,
-    "x41_split_by_group" -> x41Oracle)
+    "x41_split_by_group" -> x41Oracle,
+    "x42_span_dedup" -> x42Oracle)
 }

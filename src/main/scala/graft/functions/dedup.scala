@@ -613,6 +613,81 @@ object dedup {
       .filter(F.col("jaccard") >= minJ)
   }
 
+  /** Duplicated token windows: every n-token window whose fingerprint
+    * occurs somewhere EARLIER in the corpus (earlier = smaller
+    * (doc id, position); the first occurrence is the keeper and is NOT
+    * reported). This is the relational core of exact-substring dedup
+    * (the "remove any 50-token span that appears verbatim elsewhere"
+    * rule used for LLM training corpora — reference north-star; window
+    * fingerprints stand in for the suffix array). Returns
+    * (id, pos, n_tokens) of non-keeper duplicated windows; `pos` is the
+    * 0-based token offset. A document shorter than `n` tokens forms one
+    * whole-document window (mirrors [[shingleStrings]]).
+    *
+    * Scale shape: windows are fingerprinted map-side (md5 of the joined
+    * window, 16-byte shuffle key — the text itself is never shuffled);
+    * the keeper per fingerprint comes from a `min(struct(id, pos))`
+    * groupBy, so partial aggregation collapses a boilerplate window
+    * repeated in billions of documents to one row per input partition
+    * BEFORE the shuffle; occurrences then rejoin the keeper set on the
+    * (fp, id, pos) triple — unique on both sides, so that shuffle
+    * cannot skew no matter how hot a fingerprint is. Rows that match
+    * are first occurrences; the survivors of the anti filter are the
+    * duplicated spans. */
+  def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val wins = df.select(F.col(idCol).as("id"),
+        F.size(text.tokens(F.col(textCol))).as("n_tokens"),
+        F.posexplode(F.transform(shingleStrings(F.col(textCol), n),
+          w => F.md5(w))).as(Seq("pos", "fp")))
+    val keepers = wins.groupBy("fp")
+      .agg(F.min(F.struct(F.col("id"), F.col("pos"))).as("k"))
+      .select(F.col("fp"), F.col("k.id").as("id"), F.col("k.pos").as("pos"),
+        F.lit(1).as("_keep"))
+    wins.join(keepers, Seq("fp", "id", "pos"), "left")
+      .filter(F.col("_keep").isNull)
+      .select(F.col("id"), F.col("pos"), F.col("n_tokens"))
+  }
+
+  /** Exact-substring span dedup (Lee et al. 2022 posture, keep-first):
+    * drop every token covered by an n-token window that appeared
+    * earlier in the corpus, and reassemble each document from its
+    * surviving tokens in order. Documents reduced to nothing keep an
+    * empty string. Returns (id, n_tokens, n_dup_tokens, dup_fraction,
+    * cleaned text). Typical production n is 50; any n ≥ 2 works.
+    *
+    * Scale shape on top of [[repeatedWindows]]: window→token coverage
+    * is a bounded per-window explode (≤ n positions) deduplicated on
+    * the unique (id, token position) key; surviving tokens come from a
+    * left-anti join on that same unique key; reassembly is a bounded
+    * per-document `sort_array`. No stage carries a corpus-wide window
+    * or a skewable join key. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val dups = repeatedWindows(df, idCol, textCol, n)
+    val covered = dups.select(F.col("id"), F.explode(F.sequence(F.col("pos"),
+        F.least(F.col("pos") + (n - 1), F.col("n_tokens") - 1))).as("cpos"))
+      .distinct()
+    val toks = df.select(F.col(idCol).as("id"),
+      F.posexplode(text.tokens(F.col(textCol))).as(Seq("cpos", "tok")))
+    val kept = toks.join(covered, Seq("id", "cpos"), "left_anti")
+      .groupBy("id").agg(
+        F.count(F.lit(1)).as("_n_kept"),
+        F.array_join(F.transform(F.sort_array(F.collect_list(
+            F.struct(F.col("cpos"), F.col("tok")))),
+          s => s.getField("tok")), " ").as("_clean"))
+    val nDup = F.col("_nt") - F.coalesce(F.col("_n_kept"), F.lit(0L))
+    df.select(F.col(idCol), F.size(text.tokens(F.col(textCol)))
+        .cast(LongType).as("_nt"))
+      .join(kept, F.col(idCol) === kept("id"), "left")
+      .select(F.col(idCol),
+        F.col("_nt").as("n_tokens"),
+        nDup.as("n_dup_tokens"),
+        F.round(nDup.cast(DoubleType) / F.col("_nt").cast(DoubleType), 9)
+          .as("dup_fraction"),
+        F.coalesce(F.col("_clean"), F.lit("")).as(textCol))
+  }
+
   /** All-pairs-within-bucket exact token Jaccard ≥ `minJ`. The bucket
     * column bounds the quadratic blow-up (use [[jaccardPairsLsh]] at
     * full scale). */

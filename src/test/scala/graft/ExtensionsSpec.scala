@@ -918,6 +918,49 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("span dedup cuts windows seen earlier and keeps the first occurrence") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "xx yy alpha beta gamma delta epsilon zeta eta theta zz"),
+      (3L, "unique words only here nothing shared at all"),
+      (4L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val out = dedup.dedupSpans(df, "doc_id", "text", 6).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1 is the keeper of every shared window: untouched
+    assert(out(1L).getAs[String]("text") ==
+      "alpha beta gamma delta epsilon zeta eta theta")
+    assert(out(1L).getAs[Long]("n_dup_tokens") == 0L)
+    // doc 2 contains doc 1's full 8-token run at offset 2: the three
+    // interior 6-windows cover tokens 2..9, leaving the doc-specific rim
+    assert(out(2L).getAs[String]("text") == "xx yy zz")
+    assert(out(2L).getAs[Long]("n_tokens") == 11L)
+    assert(out(2L).getAs[Long]("n_dup_tokens") == 8L)
+    // doc 3 shares nothing
+    assert(out(3L).getAs[Long]("n_dup_tokens") == 0L)
+    // doc 4 is exactly one duplicated window: emptied, fraction 1.0
+    assert(out(4L).getAs[String]("text") == "")
+    assert(out(4L).getAs[Double]("dup_fraction") == 1.0)
+    // repeatedWindows reports only non-keeper windows
+    val wins = dedup.repeatedWindows(df, "doc_id", "text", 6).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Int]("pos"))).toSet
+    assert(wins == Set((2L, 2), (2L, 3), (2L, 4), (4L, 0)))
+  }
+
+  test("span dedup: a document shorter than n forms one whole-doc window") {
+    val df = Seq(
+      (1L, "tiny shared doc"),
+      (2L, "tiny shared doc"),
+      (3L, "another tiny doc")
+    ).toDF("doc_id", "text")
+    val out = dedup.dedupSpans(df, "doc_id", "text", 6).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("text") == "tiny shared doc")
+    assert(out(2L).getAs[String]("text") == "")
+    assert(out(2L).getAs[Long]("n_dup_tokens") == 3L)
+    assert(out(3L).getAs[Long]("n_dup_tokens") == 0L)
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
