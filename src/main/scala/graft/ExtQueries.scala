@@ -1213,6 +1213,56 @@ object ExtQueries {
       |  COALESCE(k2.clean, '') AS text
       |FROM base b LEFT JOIN kept k2 USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** SemDeDup-style semantic dedup end-to-end under an EXACT oracle:
+    * the x05 corpus (every vector + a planted cos≈0.999 near-dup),
+    * clustered and deduped by [[graft.functions.similarity.semanticDedup]].
+    * With `nlist = 1` the within-cluster scan IS the all-pairs scan, so
+    * the clustering path (train → assign → within-cell pairs → connected
+    * components → keep-min) is provably exact and the oracle is the
+    * quadratic cosine scan + recursive-CTE closure. Cluster-count > 1
+    * recall behavior is specced in ExtensionsSpec. */
+  def x43SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).select(F.col("vec_id").cast(LongType).as("vec_id"),
+      F.transform(F.col("embedding"), _.cast(DoubleType)).as("v"))
+    val pattern = F.typedlit((0 until 64).map(i => 0.004 * ((i % 5) - 2)))
+    val pert = base.select((F.col("vec_id") + F.lit(1000000L)).as("vec_id"),
+      F.zip_with(F.col("v"), pattern, (x, p) => x + p).as("v"))
+    similarity.semanticDedup(base.unionByName(pert), "vec_id", "v",
+        nlist = 1, minCos = 0.95, iters = 0, sampleOneIn = 1L)
+      .orderBy("vec_id")
+  }
+
+  private val x43Oracle =
+    """WITH RECURSIVE
+      |base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pert AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v,
+      |      list_transform(generate_series(0, 63),
+      |        i -> CAST(0.004 AS DOUBLE) * ((i % 5) - 2))),
+      |      x -> x[1] + x[2]) AS v
+      |  FROM base),
+      |c AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |n AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM c),
+      |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+      |      / a.nrm / b.nrm >= 0.95),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION SELECT id_b AS u, id_a AS v FROM pairs),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      |SELECT c.vec_id, COALESCE(comp.component, c.vec_id) AS component,
+      |  COALESCE(comp.component, c.vec_id) = c.vec_id AS kept
+      |FROM c LEFT JOIN comp ON comp.id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1257,7 +1307,8 @@ object ExtQueries {
     "x39_quality_band" -> (x39QualityBand _),
     "x40_chunk_tokens" -> (x40ChunkTokens _),
     "x41_split_by_group" -> (x41SplitByGroup _),
-    "x42_span_dedup" -> (x42SpanDedup _))
+    "x42_span_dedup" -> (x42SpanDedup _),
+    "x43_semantic_dedup" -> (x43SemanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1298,5 +1349,6 @@ object ExtQueries {
     "x39_quality_band" -> x39Oracle,
     "x40_chunk_tokens" -> x40Oracle,
     "x41_split_by_group" -> x41Oracle,
-    "x42_span_dedup" -> x42Oracle)
+    "x42_span_dedup" -> x42Oracle,
+    "x43_semantic_dedup" -> x43Oracle)
 }

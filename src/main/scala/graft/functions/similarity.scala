@@ -270,6 +270,43 @@ object similarity {
           .cast(IntegerType) - 127))
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-compare): k-means
+    * cluster the embedding space with the IVF coarse quantizer
+    * ([[trainIvfCentroids]] — Lloyd iterations as Spark jobs over a hash
+    * sample), assign every row to its nearest centroid in one codegen
+    * pass, find cosine ≥ `minCos` pairs WITHIN each cluster only,
+    * resolve the pair graph into duplicate groups with
+    * [[dedup.connectedComponents]], and keep the smallest id per group
+    * (graft's uniform keep rule). Returns one row per input:
+    * (id, component, kept).
+    *
+    * Scale shape: clustering replaces the corpus-wide quadratic scan
+    * with per-cluster quadratic work — at balanced cells the pair stage
+    * costs ~n²/nlist split across nlist independent buckets, and the
+    * only wide exchanges are the cell-key self-join and the O(log n)
+    * component rounds. nlist tunes the recall/cost trade exactly as in
+    * the SemDeDup paper (dups straddling a cell boundary are missed;
+    * raise nlist for cost, lower for recall). With `nlist = 1` the
+    * result is provably the exact all-pairs semantic dedup — the x43
+    * oracle gate. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, minCos: Double, iters: Int = 5, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L): DataFrame = {
+    val bank = F.typedlit(trainIvfCentroids(
+      df, idCol, vecCol, nlist, iters, sampleN, sampleOneIn).toSeq)
+    val cells = df.select(F.col(idCol).as("id"), F.col(vecCol).as("vec"),
+      F.element_at(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bank, F.lit(1)), 1).as("cell"))
+    val pairs = cosinePairs(cells, "id", "vec", "cell", minCos)
+      .select("id_a", "id_b")
+    val comp = dedup.connectedComponents(pairs)
+    val cid = F.coalesce(F.col("component"), F.col("id"))
+    df.select(F.col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(F.col("id").as(idCol), cid.as("component"),
+        (cid === F.col("id")).as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocking buckets. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, minCos: Double): DataFrame = {

@@ -961,6 +961,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(3L).getAs[Long]("n_dup_tokens") == 0L)
   }
 
+  test("semantic dedup keeps one representative per cosine-near group") {
+    // three well-separated directions in R^4; each direction carries an
+    // exact duplicate and a near-duplicate, plus one lone vector
+    def v(xs: Double*) = xs.toArray
+    val rows = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(1, 0, 0, 0)), (3L, v(0.999, 0.04, 0, 0)),
+      (10L, v(0, 1, 0, 0)), (11L, v(0, 1, 0, 0)),
+      (20L, v(0, 0, 1, 0)), (21L, v(0, 0.03, 0.999, 0)),
+      (30L, v(0.5, 0.5, 0.5, 0.5))
+    )
+    val df = rows.toDF("id", "vec")
+    // nlist=1 = exact all-pairs semantics: groups {1,2,3},{10,11},{20,21}
+    val exact = similarity.semanticDedup(df, "id", "vec",
+        nlist = 1, minCos = 0.99, iters = 0, sampleOneIn = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val exactComp = exact.map(t => t._1 -> t._2).toMap
+    assert(exactComp(2L) == 1L && !exact.find(_._1 == 2L).get._3)
+    val keptExact = exact.filter(_._3).map(_._1).toSet
+    assert(keptExact == Set(1L, 10L, 20L, 30L))
+    // real clustering (nlist=3, trained): same duplicate groups survive
+    // because each group is tight enough to land in one cell
+    val clustered = similarity.semanticDedup(df, "id", "vec",
+        nlist = 3, minCos = 0.99, iters = 3, sampleOneIn = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(clustered.filter(_._3).map(_._1).toSet == keptExact)
+    assert(clustered.map(t => t._1 -> t._2).toMap.apply(21L) == 20L)
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
