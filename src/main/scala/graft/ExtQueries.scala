@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.types._
 import graft.core._
 import graft.dsl._
-import graft.functions.{contamination, dedup, multimodal, similarity, text}
+import graft.functions.{contamination, dedup, multimodal, sampling, similarity, text}
 import graft.table.Table
 
 /** Training-data-pipeline extension queries (dedup / similarity search /
@@ -1263,6 +1263,69 @@ object ExtQueries {
       |FROM c LEFT JOIN comp ON comp.id = c.vec_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** Deterministic training-shard assignment: every document lands in
+    * one of 8 shards with a reproducible within-shard shuffle order —
+    * [[graft.functions.sampling.shardAssign]]. Reported per shard:
+    * doc/source counts, an order-independent checksum of member ids,
+    * and the first/last within-shard sort keys (so the oracle pins the
+    * ORDER, not just the membership). */
+  def x44ShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val fp = F.conv(F.substring(F.md5(F.col("doc_id").cast(StringType)),
+      1, 15), 16, 10).cast(LongType) % 1000000007L
+    sampling.shardAssign(docs(s, dir), "doc_id", 8, seed = 7)
+      .groupBy(F.col("shard").cast(LongType).as("shard"))
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.countDistinct(F.col("source")).as("n_sources"),
+        F.sum(fp).as("checksum"),
+        F.min("shard_order").as("first_order"),
+        F.max("shard_order").as("last_order"))
+      .orderBy("shard")
+  }
+
+  private val x44Oracle =
+    """WITH a AS (SELECT doc_id, source,
+      |    CAST(concat('0x', substring(md5(concat('7:',
+      |      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard,
+      |    md5(concat('o:7:', CAST(doc_id AS VARCHAR))) AS shard_order,
+      |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |      AS BIGINT) % 1000000007 AS fp
+      |  FROM documents)
+      |SELECT shard, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+      |  CAST(SUM(fp) AS BIGINT) AS checksum,
+      |  MIN(shard_order) AS first_order, MAX(shard_order) AS last_order
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** Temperature-flattened source mixing (p(s) ∝ n_s^0.5, target 3000
+    * docs): the tail sources are up-weighted relative to their natural
+    * share — [[graft.functions.sampling.temperatureSample]]. Reported
+    * per source: corpus count and kept count. The keep rule is exact
+    * integer arithmetic, so the oracle reproduces it digit-for-digit. */
+  def x45TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = sampling.temperatureSample(d, "doc_id", "source", 0.5, 3000L)
+      .groupBy("source").agg(F.count(F.lit(1)).as("n_kept"))
+    d.groupBy("source").agg(F.count(F.lit(1)).as("n_total"))
+      .join(kept, Seq("source"), "left")
+      .select(F.col("source"), F.col("n_total"),
+        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  private val x45Oracle =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+      |wt AS (SELECT source, n,
+      |    CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS srcw
+      |  FROM c),
+      |tot AS (SELECT SUM(CAST(srcw AS HUGEINT)) AS totw FROM wt),
+      |k AS (SELECT d.source, COUNT(*) AS n_kept
+      |  FROM documents d JOIN wt USING (source) CROSS JOIN tot
+      |  WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+      |        1, 8)) AS BIGINT) % 10000 AS HUGEINT) * totw * n
+      |      < CAST(10000 AS HUGEINT) * 3000 * srcw
+      |  GROUP BY 1)
+      |SELECT c.source, c.n AS n_total, COALESCE(k.n_kept, 0) AS n_kept
+      |FROM c LEFT JOIN k USING (source) ORDER BY source""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1308,7 +1371,9 @@ object ExtQueries {
     "x40_chunk_tokens" -> (x40ChunkTokens _),
     "x41_split_by_group" -> (x41SplitByGroup _),
     "x42_span_dedup" -> (x42SpanDedup _),
-    "x43_semantic_dedup" -> (x43SemanticDedup _))
+    "x43_semantic_dedup" -> (x43SemanticDedup _),
+    "x44_shard_assign" -> (x44ShardAssign _),
+    "x45_temperature_mix" -> (x45TemperatureMix _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1350,5 +1415,7 @@ object ExtQueries {
     "x40_chunk_tokens" -> x40Oracle,
     "x41_split_by_group" -> x41Oracle,
     "x42_span_dedup" -> x42Oracle,
-    "x43_semantic_dedup" -> x43Oracle)
+    "x43_semantic_dedup" -> x43Oracle,
+    "x44_shard_assign" -> x44Oracle,
+    "x45_temperature_mix" -> x45Oracle)
 }

@@ -100,6 +100,70 @@ object sampling {
     df.withColumn("split", expr)
   }
 
+  /** Deterministic training-shard assignment: `shard` in [0, nShards)
+    * and a `shard_order` sort key, both pure functions of (seed, row
+    * key) — the final global shuffle before writing training shards.
+    * Changing the seed is a fresh permutation; a given (seed, key)
+    * lands in the same shard on any cluster size, partitioning, or
+    * engine (md5-derived, like [[hashBucket]]). Shuffle-free: both
+    * columns are codegen'd expressions. To materialize:
+    * `.repartition(F.col("shard")).sortWithinPartitions("shard",
+    * "shard_order")` then `write.partitionBy("shard")` — within-shard
+    * order is the hash, i.e. a reproducible random shuffle of the
+    * corpus (what sequence-packing and curriculum-free training want). */
+  def shardAssign(df: DataFrame, key: String, nShards: Int,
+      seed: Int = 0): DataFrame = {
+    require(nShards >= 1, "shardAssign: nShards must be >= 1")
+    val tagged = F.concat(F.lit(s"$seed:"), F.col(key).cast(StringType))
+    df.withColumn("shard",
+        (F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10)
+          .cast(LongType) % nShards).cast(IntegerType))
+      .withColumn("shard_order", F.md5(F.concat(F.lit("o:"), tagged)))
+  }
+
+  /** Temperature-flattened source mixing (the multilingual / DoReMi-ish
+    * `p(s) ∝ n_s^alpha` rule): sample each source at a rate that makes
+    * the kept corpus of ~`targetRows` rows follow the temperature
+    * distribution — alpha = 1 keeps natural proportions, alpha = 0
+    * equalizes sources, in between up-weights the tail. Rates are
+    * clamped at 1 (a small source cannot be over-sampled; the kept
+    * total then undershoots `targetRows`, the standard posture).
+    *
+    * Deterministic and engine-portable BY CONSTRUCTION: the only
+    * floating-point step is `w_s = round(n_s^alpha · 1e6)` per source;
+    * the keep rule `bucket · W · n_s < 10000 · targetRows · w_s` is
+    * exact integer arithmetic with no division, so there is no rounding
+    * boundary to disagree on. Scale shape: one count aggregation at
+    * source cardinality; the per-source thresholds are computed exactly
+    * (BigInt) on the driver — mixtures are specified over languages /
+    * dumps / provenance classes, so source cardinality is driver-sized
+    * by definition (for unbounded group counts use [[groupCapSample]] /
+    * [[tokenBudgetSample]]) — and folded into ONE literal CASE filter:
+    * the corpus is filtered map-side with no join and no extra
+    * shuffle. */
+  def temperatureSample(df: DataFrame, key: String, sourceCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0.0 && targetRows >= 0,
+      "temperatureSample: alpha and targetRows must be non-negative")
+    val stats = df.groupBy(sourceCol).agg(F.count(F.lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val w = stats.map { case (s, n) =>
+      (s, n, math.round(math.pow(n.toDouble, alpha) * 1e6)) }
+    val bigW = w.map(t => BigInt(t._3)).sum
+    // bucket < (10000·T·w)/(W·n) over exact rationals ⇔
+    // bucket < ceilDiv(10000·T·w, W·n); clamp to the full bucket space
+    val thr: Seq[(Any, Long)] = w.map { case (s, n, ws) =>
+      val c = BigInt(10000) * BigInt(targetRows) * BigInt(ws)
+      val d = bigW * BigInt(n)
+      (s, ((c + d - 1) / d).min(BigInt(10000)).toLong)
+    }.toSeq
+    val bucket = hashBucket(F.col(key))
+    val keep = thr.foldLeft(F.lit(false)) { case (acc, (s, t)) =>
+      F.when(F.col(sourceCol) <=> F.lit(s), bucket < t).otherwise(acc)
+    }
+    df.filter(keep)
+  }
+
   /** Token-budget corpus mixing: keep, per source, a deterministic
     * subset holding at most `budget(source)` whitespace tokens — training
     * mixtures are specified in tokens, not documents. Two-pass and

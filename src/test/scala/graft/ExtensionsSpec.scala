@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{functions => F}
-import graft.functions.{dedup, multimodal, similarity, text}
+import graft.functions.{dedup, multimodal, sampling, similarity, text}
 
 /** Extension operators on tiny literal data. */
 class ExtensionsSpec extends SparkSpec {
@@ -987,6 +987,47 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(clustered.filter(_._3).map(_._1).toSet == keptExact)
     assert(clustered.map(t => t._1 -> t._2).toMap.apply(21L) == 20L)
+  }
+
+  test("shardAssign is a deterministic partition with a reproducible order") {
+    val df = (1L to 400L).toDF("id")
+    val a = sampling.shardAssign(df, "id", 8, seed = 7)
+    val rows = a.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getString(2)))
+    // a true partition of the corpus with every shard in range
+    assert(rows.length == 400 && rows.map(_._1).distinct.length == 400)
+    assert(rows.forall(t => t._2 >= 0 && t._2 < 8))
+    assert(rows.map(_._2).distinct.length == 8)
+    // same seed → identical assignment; different seed → different one
+    val b = sampling.shardAssign(df, "id", 8, seed = 7).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(b.sortBy(_._1).sameElements(rows.sortBy(_._1)))
+    val c = sampling.shardAssign(df, "id", 8, seed = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val aMap = rows.map(t => t._1 -> t._2).toMap
+    assert((1L to 400L).exists(i => aMap(i) != c(i)))
+  }
+
+  test("temperatureSample: clamp, determinism, and tail up-weighting") {
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++
+      (1001 to 1100).map(i => (i.toLong, "small"))).toDF("id", "source")
+    def keptBySource(alpha: Double, target: Long): Map[String, Long] =
+      sampling.temperatureSample(df, "id", "source", alpha, target)
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+    // a huge target keeps everything (rates clamp at 1)
+    assert(keptBySource(0.5, 1000000L) == Map("big" -> 900L, "small" -> 100L))
+    // deterministic
+    assert(keptBySource(0.5, 300L) == keptBySource(0.5, 300L))
+    // flattening: alpha=0 gives the small source a bigger share than
+    // alpha=1 (natural proportions)
+    val nat = keptBySource(1.0, 300L); val flat = keptBySource(0.0, 300L)
+    def share(m: Map[String, Long]) =
+      m("small").toDouble / math.max(1L, m("small") + m("big"))
+    assert(share(flat) > share(nat))
+    // kept set is a subset of the corpus
+    val kept = sampling.temperatureSample(df, "id", "source", 0.5, 300L)
+    assert(kept.join(df, Seq("id", "source"), "left_anti").count() == 0)
   }
 
   test("connected components release their iteration caches") {
