@@ -62,6 +62,11 @@ object Bench {
           median3(cold1, c2, c3)
         case None => cold1
       }
+      // cold sampling leaves invalidated-codegen garbage and any frames
+      // the query persisted; settle the JVM before the warm phase so
+      // warm medians measure steady state, not the cold phase's debris
+      spark.catalog.clearCache()
+      System.gc()
       val warm = median3(once(), once(), once())
       // drop anything a query persisted (e.g. LSH signature tables) so
       // later queries aren't penalized by leaked cache memory, and nudge
