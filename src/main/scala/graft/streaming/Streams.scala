@@ -125,6 +125,77 @@ object Streams {
     events.withColumn(textCol,
       graft.functions.text.redactPii(F.col(textCol)))
 
+  final case class BandedDoc(id: Long, ts: java.sql.Timestamp, band: Int, bkey: Long,
+      sig: Seq[Long])
+  final case class NearDupHit(doc_id: Long, dup_of: Long, est: Double)
+  final case class BucketEntry(id: Long, tsMs: Long, sig: Seq[Long])
+  final case class BucketState(entries: Seq[BucketEntry])
+  implicit val bandedEnc: Encoder[BandedDoc] = Encoders.product[BandedDoc]
+  implicit val hitEnc: Encoder[NearDupHit] = Encoders.product[NearDupHit]
+  implicit val bstateEnc: Encoder[BucketState] = Encoders.product[BucketState]
+  implicit val bkeyEnc: Encoder[(Int, Long)] = Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+
+  /** Streaming near-duplicate detection — the streaming face of batch
+    * MinHash-LSH dedup ([[graft.functions.dedup.minhashPairs]]): each
+    * incoming document's MinHash signature and LSH band keys are
+    * computed MAP-SIDE with the same batch expressions, then the stream
+    * is grouped by (band, bucket) and matched against the bucket's
+    * recent members held in [[org.apache.spark.sql.streaming.GroupState]].
+    * A document whose signature agrees with an EARLIER document's on
+    * ≥ `minEst` of the `numPerm` components emits a
+    * (doc_id, dup_of, est) hit — first occurrences emit nothing.
+    *
+    * State is bounded two ways, both keyed to the event-time watermark:
+    * entries older than `horizonMs` behind the watermark are pruned on
+    * every trigger, and an idle bucket is evicted wholesale by its
+    * event-time timeout — so state is O(documents within the horizon),
+    * never O(stream). A pair can surface in several band buckets;
+    * downstream, dedupe hits with `dropDuplicatesWithinWatermark` or
+    * treat them as a candidate stream (the batch posture). */
+  def nearDupCandidatesStream(docs: DataFrame, idCol: String, tsCol: String,
+      textCol: String, k: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      minEst: Double = 0.5, watermark: String = "30 minutes",
+      horizonMs: Long = 1800000L): Dataset[NearDupHit] = {
+    import graft.functions.dedup
+    val rowsPerBand = numPerm / bands
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(F.col(idCol).cast(LongType).as("id"), F.col(tsCol).as("ts"),
+        dedup.minhashSignature(F.col(textCol), k, numPerm).as("sig"))
+      .select(F.col("id"), F.col("ts"), F.col("sig"),
+        F.posexplode(dedup.lshBandKeys(F.col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bkey")))
+      .select(F.col("id"), F.col("ts"), F.col("band"), F.col("bkey"), F.col("sig"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(d => (d.band, d.bkey))
+      .flatMapGroupsWithState[BucketState, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), batch: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
+              .filter(_.tsMs + horizonMs >= wm)
+            val hits = Seq.newBuilder[NearDupHit]
+            batch.toSeq.sortBy(d => (d.ts.getTime, d.id)).foreach { d =>
+              entries.foreach { e =>
+                if (e.id != d.id) {
+                  val eq = e.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
+                  val est = eq.toDouble / numPerm
+                  if (est >= minEst) hits += NearDupHit(d.id, e.id, est)
+                }
+              }
+              entries = entries :+ BucketEntry(d.id, d.ts.getTime, d.sig)
+            }
+            state.update(BucketState(entries))
+            if (entries.nonEmpty)
+              state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizonMs)
+            hits.result().iterator
+          }
+      }
+  }
+
   /** Drive a stream synchronously to a memory sink (testing/smoke). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

@@ -118,4 +118,38 @@ class StreamingSpec extends SparkSpec {
     assert(u1Rows.length > firstRows.toInt, "timeout emission expected after watermark advance")
     assert(u1Rows.distinct == Seq((2L, 1L))) // final stats unchanged by eviction
   }
+
+  test("streaming near-dup detection matches across micro-batches via bucket state") {
+    val dir = Files.createTempDirectory("graft_neardup").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val shared = "the quick brown fox jumps over the lazy dog and keeps running far"
+    // batch 1: original, a near-dup one minute later, and an unrelated doc
+    Seq((1L, ts(0), shared),
+        (2L, ts(1), shared + " today"),
+        (3L, ts(1), "completely different content with no overlap at all whatsoever"))
+      .toDF("doc_id", "ts", "text").write.mode("append").parquet(dir)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val hits = Streams.nearDupCandidatesStream(stream, "doc_id", "ts", "text")
+    val q = hits.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("neardup").start()
+    q.processAllAvailable()
+    // batch 2: another near-dup of doc 1 — must match against STATE
+    // carried over from batch 1, not just within-batch pairs
+    Seq((4L, ts(2), shared + " again")).toDF("doc_id", "ts", "text")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup").select("doc_id", "dup_of")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((2L, 1L)), s"within-batch near-dup missed: $got")
+    assert(got.contains((4L, 1L)) || got.contains((4L, 2L)),
+      s"cross-batch near-dup missed: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc flagged: $got")
+    val ests = spark.table("neardup").select("est").collect().map(_.getDouble(0))
+    assert(ests.forall(e => e >= 0.5 && e <= 1.0))
+  }
 }
