@@ -1326,6 +1326,34 @@ object ExtQueries {
       |SELECT c.source, c.n AS n_total, COALESCE(k.n_kept, 0) AS n_kept
       |FROM c LEFT JOIN k USING (source) ORDER BY source""".stripMargin
 
+  /** Hashing-trick linear quality classifier applied at corpus scale —
+    * [[graft.functions.quality.hashedLinearScore]] with a deterministic
+    * 256-dim weight table (exact integer construction, so the oracle
+    * rebuilds the identical model). The shape of every fastText-style
+    * quality / toxicity / language-register filter: offline-trained
+    * weights, one codegen pass per document, no shuffle. */
+  def x46QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val weights = Array.tabulate(256)(i =>
+      ((i.toLong * 2654435761L % 1000L) - 500L) / 1000.0)
+    docs(s, dir).select(F.col("doc_id"),
+        graft.functions.quality.hashedLinearScore(
+          F.col("text"), weights, bias = 0.1).as("quality_prob"))
+      .orderBy("doc_id")
+  }
+
+  private val x46Oracle =
+    """WITH wts AS (SELECT list_transform(generate_series(0, 255),
+      |    i -> (CAST((i * 2654435761) % 1000 AS DOUBLE) - 500) / 1000.0) AS w),
+      |t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (SELECT doc_id, list_sum(list_transform(toks,
+      |      tok -> w[CAST(CAST(concat('0x', substring(md5(tok), 1, 8))
+      |        AS BIGINT) % 256 AS INT) + 1]))
+      |    / len(toks) AS m
+      |  FROM t CROSS JOIN wts)
+      |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-(0.1 + m))), 6) AS quality_prob
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1373,7 +1401,8 @@ object ExtQueries {
     "x42_span_dedup" -> (x42SpanDedup _),
     "x43_semantic_dedup" -> (x43SemanticDedup _),
     "x44_shard_assign" -> (x44ShardAssign _),
-    "x45_temperature_mix" -> (x45TemperatureMix _))
+    "x45_temperature_mix" -> (x45TemperatureMix _),
+    "x46_quality_classifier" -> (x46QualityClassifier _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1417,5 +1446,6 @@ object ExtQueries {
     "x42_span_dedup" -> x42Oracle,
     "x43_semantic_dedup" -> x43Oracle,
     "x44_shard_assign" -> x44Oracle,
-    "x45_temperature_mix" -> x45Oracle)
+    "x45_temperature_mix" -> x45Oracle,
+    "x46_quality_classifier" -> x46Oracle)
 }

@@ -51,4 +51,29 @@ object quality {
       .filter(b >= F.col("_qb_lo") && b <= F.col("_qb_hi"))
       .drop("_qb_lo", "_qb_hi")
   }
+
+  /** Hashing-trick linear classifier score (the fastText-style quality
+    * model every modern curation pipeline runs): tokens hash into a
+    * `weights.length`-dimensional table (md5-derived — engine-portable),
+    * the document embedding is the MEAN of its tokens' weights, and the
+    * score is the logistic of (bias + mean). Training happens offline;
+    * this applies a given model at corpus scale: one shuffle-free
+    * codegen'd expression per row, weights riding along as a plan
+    * literal (suits the ≤10^5-dim tables these classifiers use; ship
+    * larger tables as a broadcast join on the hash id instead).
+    * Rounded to 6 decimals so the transcendental tail is cross-engine
+    * comparable. */
+  def hashedLinearScore(text: org.apache.spark.sql.Column,
+      weights: Array[Double], bias: Double): org.apache.spark.sql.Column = {
+    require(weights.nonEmpty, "quality: weights must be non-empty")
+    val dim = weights.length
+    val w = F.typedlit(weights.toSeq)
+    val toks = graft.functions.text.tokens(text)
+    val idx = (c: org.apache.spark.sql.Column) =>
+      F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(LongType) % dim
+    val mean = F.aggregate(toks, F.lit(0.0),
+      (acc, t) => acc + F.element_at(w, (idx(t) + 1).cast(IntegerType))) /
+      F.size(toks).cast(DoubleType)
+    F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean))), 6)
+  }
 }

@@ -1030,6 +1030,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept.join(df, Seq("id", "source"), "left_anti").count() == 0)
   }
 
+  test("hashedLinearScore matches a driver-side computation of the same model") {
+    import graft.functions.quality
+    val weights = Array.tabulate(64)(i => (i % 7 - 3) / 10.0)
+    val df = Seq((1L, "alpha beta gamma"), (2L, "one"), (3L, "alpha alpha"))
+      .toDF("id", "text")
+    val got = df.select(F.col("id"),
+        quality.hashedLinearScore(F.col("text"), weights, 0.25).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def h(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4)
+      val hex = md.map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    def score(text: String): Double = {
+      val toks = text.trim.split("\\s+")
+      val m = toks.map(t => weights(h(t))).sum / toks.length
+      BigDecimal(1.0 / (1.0 + math.exp(-(0.25 + m))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq(1L -> "alpha beta gamma", 2L -> "one", 3L -> "alpha alpha").foreach {
+      case (id, text) => assert(got(id) == score(text), s"doc $id")
+    }
+    // scores are probabilities
+    assert(got.values.forall(p => p > 0.0 && p < 1.0))
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
