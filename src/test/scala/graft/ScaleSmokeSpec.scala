@@ -147,4 +147,49 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(agg.getLong(0) == 200000L) // no doc fully emptied
     assert(agg.getLong(1) == 1L)      // exactly one keeps the boilerplate
   }
+
+  test("dedupSpans cuts a 6-token run planted in 200k documents exactly once") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import spark.implicits._
+    // every doc = 6 unique tokens + the same 6-token boilerplate run:
+    // the run's windows occur 200k× corpus-wide, so the keeper groupBy
+    // must combine map-side and the rejoin must key on the unique
+    // (fp, id, pos) triple — a join keyed on fp alone would funnel all
+    // 200k occurrences of the hot fingerprint into one task
+    val df = spark.range(0, 200000).select(F.col("id").as("doc_id"),
+      F.concat(
+        F.concat_ws(" ", (0 until 6).map(i =>
+          F.concat(F.lit("u"), F.col("id") * 6 + i)): _*),
+        F.lit(" terms of service apply to everything")).as("text"))
+    val out = dedup.dedupSpans(df, "doc_id", "text", 6)
+    val agg = out.agg(F.count(F.lit(1)),
+      F.sum(F.when(F.col("n_dup_tokens") === 0L, 1L).otherwise(0L)),
+      F.min(F.col("n_tokens"))).head()
+    assert(agg.getLong(0) == 200000L)
+    assert(agg.getLong(1) == 1L)   // only the keeper doc is untouched
+    assert(agg.getLong(2) == 12L)  // 6 unique + 6 boilerplate tokens
+  }
+
+  test("semanticDedup resolves planted near-dup pairs in a 200k-vector corpus") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import spark.implicits._
+    // 100k base vectors + a perturbed near-dup of each: clustering must
+    // keep the within-cell quadratic bounded (~n²/nlist) while every
+    // planted pair lands in one cell (the perturbation is tiny)
+    val base = spark.range(0, 100000).select(F.col("id").as("vec_id"),
+      F.array((0 until 16).map(i =>
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(2000)) - 1000)
+          .cast("double") / 1000.0): _*).as("v"))
+    val pert = base.select((F.col("vec_id") + 1000000L).as("vec_id"),
+      F.transform(F.col("v"), x => x * 1.0001).as("v"))
+    val out = similarity.semanticDedup(base.unionByName(pert), "vec_id", "v",
+      nlist = 128, minCos = 0.999, iters = 2, sampleOneIn = 20)
+    val agg = out.agg(F.count(F.lit(1)),
+      F.sum(F.when(F.col("kept"), 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) == 200000L)
+    // scaling a vector leaves cosine = 1 exactly: every planted pair is
+    // found (same cell, cos 1 ≥ 0.999), so ~half the corpus is dropped;
+    // a handful of coincidental base-to-base near-dups may drop more
+    assert(agg.getLong(1) <= 100000L && agg.getLong(1) > 95000L)
+  }
 }
