@@ -676,10 +676,13 @@ object dedup {
         F.array_join(F.transform(F.sort_array(F.collect_list(
             F.struct(F.col("cpos"), F.col("tok")))),
           s => s.getField("tok")), " ").as("_clean"))
+      // internal name: a user id column itself named "id" must not
+      // become ambiguous in the final join
+      .withColumnRenamed("id", "_sd_id")
     val nDup = F.col("_nt") - F.coalesce(F.col("_n_kept"), F.lit(0L))
     df.select(F.col(idCol), F.size(text.tokens(F.col(textCol)))
         .cast(LongType).as("_nt"))
-      .join(kept, F.col(idCol) === kept("id"), "left")
+      .join(kept, F.col(idCol) === F.col("_sd_id"), "left")
       .select(F.col(idCol),
         F.col("_nt").as("n_tokens"),
         nDup.as("n_dup_tokens"),

@@ -947,6 +947,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(wins == Set((2L, 2), (2L, 3), (2L, 4), (4L, 0)))
   }
 
+  test("span dedup works when the id column is literally named 'id'") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "text")
+    val out = dedup.dedupSpans(df, "id", "text", 6).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup_tokens")).toMap
+    assert(out == Map(1L -> 0L, 2L -> 6L))
+  }
+
   test("span dedup: a document shorter than n forms one whole-doc window") {
     val df = Seq(
       (1L, "tiny shared doc"),
