@@ -1354,6 +1354,30 @@ object ExtQueries {
       |SELECT doc_id, ROUND(1.0 / (1.0 + exp(-(0.1 + m))), 6) AS quality_prob
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM scoring of every document against a bigram model trained
+    * on the corpus itself — [[graft.functions.text.bigramNll]], the
+    * conditional-probability upgrade of x34's unigram filter. */
+  def x47BigramNll(s: SparkSession, dir: String): DataFrame =
+    text.bigramNll(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val x47Oracle =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |b AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+      |  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      |  WHERE len(toks) >= 2),
+      |f AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM b GROUP BY 1, 2, 3),
+      |bc AS (SELECT prev, cur, SUM(tf) AS cb FROM f GROUP BY 1, 2),
+      |cc AS (SELECT prev, SUM(cb) AS cp FROM bc GROUP BY 1),
+      |s AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |    CAST(ROUND(CAST(SUM(tf * CAST(ROUND(-ln(CAST(cb AS DOUBLE)
+      |        / CAST(cp AS DOUBLE)), 7) AS DECIMAL(28,7))) AS DOUBLE)
+      |      / CAST(SUM(tf) AS DOUBLE), 5) AS DOUBLE) AS nll
+      |  FROM f JOIN bc USING (prev, cur) JOIN cc USING (prev)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.nll
+      |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1402,7 +1426,8 @@ object ExtQueries {
     "x43_semantic_dedup" -> (x43SemanticDedup _),
     "x44_shard_assign" -> (x44ShardAssign _),
     "x45_temperature_mix" -> (x45TemperatureMix _),
-    "x46_quality_classifier" -> (x46QualityClassifier _))
+    "x46_quality_classifier" -> (x46QualityClassifier _),
+    "x47_bigram_nll" -> (x47BigramNll _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1447,5 +1472,6 @@ object ExtQueries {
     "x43_semantic_dedup" -> x43Oracle,
     "x44_shard_assign" -> x44Oracle,
     "x45_temperature_mix" -> x45Oracle,
-    "x46_quality_classifier" -> x46Oracle)
+    "x46_quality_classifier" -> x46Oracle,
+    "x47_bigram_nll" -> x47Oracle)
 }

@@ -263,6 +263,47 @@ object text {
       .withColumn("n_tokens", tokenCount(F.col("chunk_text")))
   }
 
+  /** Bigram language-model scoring (the KenLM-shaped upgrade of
+    * [[unigramNll]]): train conditional bigram probabilities
+    * `p(cur | prev) = C(prev, cur) / C(prev)` on the corpus itself and
+    * score every document by its mean per-bigram negative
+    * log-likelihood. Both context and bigram counts come from the data,
+    * so every observed bigram has p ∈ (0, 1] — no smoothing needed for
+    * self-scoring. Documents with fewer than two tokens get
+    * n_bigrams = 0 and a null score.
+    *
+    * Scale shape mirrors [[unigramNll]]: per-(doc, bigram) frequencies
+    * first (map-side combine collapses hot bigrams per doc before any
+    * join), bigram and context tables are vocabulary-sized aggregations
+    * of each other, and both joins are key-bounded (AQE splits the
+    * "the"-context skew). Bigrams are extracted by the codegen'd
+    * 2-shingle pass — one tokenize per row, no per-lambda re-split.
+    * Determinism: the x34 scheme — per-bigram nll rounded to 7 digits,
+    * DECIMAL-summed, mean rounded to 5. */
+  def bigramNll(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = df.filter(F.size(tokens(F.col(textCol))) >= 2)
+      .select(F.col(idCol), F.explode(
+        dedup.shingleStrings(F.col(textCol), 2)).as("_bg"))
+      .select(F.col(idCol),
+        F.substring_index(F.col("_bg"), " ", 1).as("prev"),
+        F.substring_index(F.col("_bg"), " ", -1).as("cur"))
+    val tf = bg.groupBy(idCol, "prev", "cur").agg(F.count(F.lit(1)).as("tf"))
+    val bc = tf.groupBy("prev", "cur").agg(F.sum("tf").as("cb"))
+    val cc = bc.groupBy("prev").agg(F.sum("cb").as("cp"))
+    val scored = tf.join(bc, Seq("prev", "cur")).join(cc, Seq("prev"))
+      .withColumn("_nll", F.round(-F.log(F.col("cb").cast(DoubleType) /
+        F.col("cp").cast(DoubleType)), 7).cast(DecimalType(28, 7)))
+      .groupBy(idCol)
+      .agg(F.sum("tf").cast(LongType).as("n_bigrams"),
+        F.round(F.sum(F.col("tf").cast(DecimalType(9, 0)) * F.col("_nll"))
+          .cast(DoubleType) / F.sum("tf").cast(DoubleType), 5).as("nll"))
+    df.select(F.col(idCol)).join(scored, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_bigrams"), F.lit(0L)).as("n_bigrams"),
+        F.col("nll"))
+  }
+
   /** CCNet-style unigram language-model scoring: train a unigram LM on
     * the corpus itself (one aggregation) and score every document by its
     * mean per-token negative log-likelihood — the classic

@@ -1064,6 +1064,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.values.forall(p => p > 0.0 && p < 1.0))
   }
 
+  test("bigramNll matches a hand-computed conditional bigram model") {
+    // corpus bigrams: (a b)×3, (b a)×2, (b c)×1 →
+    // contexts: C(a)=3, C(b)=3; p(b|a)=1, p(a|b)=2/3, p(c|b)=1/3
+    val df = Seq(
+      (1L, "a b a b c"),   // bigrams: ab, ba, ab, bc
+      (2L, "a b a"),       // bigrams: ab, ba
+      (3L, "solo")         // < 2 tokens: n_bigrams 0, null nll
+    ).toDF("doc_id", "text")
+    val got = text.bigramNll(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    def r7(x: Double) = BigDecimal(x).setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    def mean(xs: Seq[Double], tfs: Seq[Int]): Double =
+      (xs.zip(tfs).map { case (x, t) => r7(x) * t }.sum /
+        tfs.sum).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nAb = -math.log(3.0 / 3.0); val nBa = -math.log(2.0 / 3.0)
+    val nBc = -math.log(1.0 / 3.0)
+    assert(got(1L)._1 == 4L)
+    assert(got(1L)._2.contains(mean(Seq(nAb, nBa, nBc), Seq(2, 1, 1))))
+    assert(got(2L)._1 == 2L)
+    assert(got(2L)._2.contains(mean(Seq(nAb, nBa), Seq(1, 1))))
+    assert(got(3L) == ((0L, None)))
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
