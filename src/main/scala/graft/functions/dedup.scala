@@ -636,6 +636,7 @@ object dedup {
     * duplicated spans. */
   def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    require(n >= 2, "repeatedWindows: n must be >= 2")
     val wins = df.select(F.col(idCol).as("id"),
         F.size(text.tokens(F.col(textCol))).as("n_tokens"),
         F.posexplode(F.transform(shingleStrings(F.col(textCol), n),
@@ -664,6 +665,7 @@ object dedup {
     * or a skewable join key. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
+    require(n >= 2, "dedupSpans: n must be >= 2")
     val dups = repeatedWindows(df, idCol, textCol, n)
     val covered = dups.select(F.col("id"), F.explode(F.sequence(F.col("pos"),
         F.least(F.col("pos") + (n - 1), F.col("n_tokens") - 1))).as("cpos"))
@@ -680,8 +682,10 @@ object dedup {
       // become ambiguous in the final join
       .withColumnRenamed("id", "_sd_id")
     val nDup = F.col("_nt") - F.coalesce(F.col("_n_kept"), F.lit(0L))
-    df.select(F.col(idCol), F.size(text.tokens(F.col(textCol)))
-        .cast(LongType).as("_nt"))
+    // null text contributes no windows/tokens upstream; count it as 0
+    // tokens (null dup_fraction), not size(null) = -1 under non-ANSI
+    df.select(F.col(idCol), F.when(F.col(textCol).isNull, F.lit(0L))
+        .otherwise(F.size(text.tokens(F.col(textCol))).cast(LongType)).as("_nt"))
       .join(kept, F.col(idCol) === F.col("_sd_id"), "left")
       .select(F.col(idCol),
         F.col("_nt").as("n_tokens"),

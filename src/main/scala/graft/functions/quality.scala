@@ -69,10 +69,9 @@ object quality {
     val dim = weights.length
     val w = F.typedlit(weights.toSeq)
     val toks = graft.functions.text.tokens(text)
-    val idx = (c: org.apache.spark.sql.Column) =>
-      F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast(LongType) % dim
     val mean = F.aggregate(toks, F.lit(0.0),
-      (acc, t) => acc + F.element_at(w, (idx(t) + 1).cast(IntegerType))) /
+      (acc, t) => acc + F.element_at(w,
+        (sampling.hashBucket(t, dim) + 1).cast(IntegerType))) /
       F.size(toks).cast(DoubleType)
     F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean))), 6)
   }

@@ -10,11 +10,16 @@ import org.apache.spark.sql.types._
   */
 object sampling {
 
-  /** md5-derived bucket in [0, 10000) — portable to any engine with md5
-    * (the DuckDB oracle computes the identical expression). */
-  def hashBucket(key: Column): Column =
+  /** md5-derived bucket in [0, mod) — portable to any engine with md5
+    * (oracle: `CAST(concat('0x', substring(md5(x), 1, 8)) AS BIGINT)
+    * % mod`). The single home of the 8-hex-digit hash core every
+    * hash-keyed sampler/sharder/classifier shares. */
+  def hashBucket(key: Column, mod: Long): Column =
     F.conv(F.substring(F.md5(key.cast(StringType)), 1, 8), 16, 10)
-      .cast(LongType) % 10000L
+      .cast(LongType) % mod
+
+  /** The canonical 10000-bucket space used by the permille samplers. */
+  def hashBucket(key: Column): Column = hashBucket(key, 10000L)
 
   /** Keep ~`permille`/10000 of rows, keyed by `key`. Deterministic and
     * engine-portable; complement of the sample is the exact remainder. */
@@ -115,9 +120,7 @@ object sampling {
       seed: Int = 0): DataFrame = {
     require(nShards >= 1, "shardAssign: nShards must be >= 1")
     val tagged = F.concat(F.lit(s"$seed:"), F.col(key).cast(StringType))
-    df.withColumn("shard",
-        (F.conv(F.substring(F.md5(tagged), 1, 8), 16, 10)
-          .cast(LongType) % nShards).cast(IntegerType))
+    df.withColumn("shard", hashBucket(tagged, nShards).cast(IntegerType))
       .withColumn("shard_order", F.md5(F.concat(F.lit("o:"), tagged)))
   }
 

@@ -145,18 +145,27 @@ object Streams {
     * ≥ `minEst` of the `numPerm` components emits a
     * (doc_id, dup_of, est) hit — first occurrences emit nothing.
     *
-    * State is bounded two ways, both keyed to the event-time watermark:
-    * entries older than `horizonMs` behind the watermark are pruned on
-    * every trigger, and an idle bucket is evicted wholesale by its
-    * event-time timeout — so state is O(documents within the horizon),
-    * never O(stream). A pair can surface in several band buckets;
+    * Hits are oriented by EVENT time: `dup_of` is the (event-time,
+    * id)-earlier side of the pair regardless of arrival order across
+    * triggers, matching the batch keep-first posture.
+    *
+    * State is bounded three ways, all keyed to the event-time
+    * watermark: entries older than `horizonMs` behind the watermark are
+    * pruned on every trigger, an idle bucket is evicted wholesale by
+    * its event-time timeout, and a bucket never holds more than
+    * `maxEntries` members (oldest dropped first — the streaming face of
+    * the batch hot-bucket cap: a boilerplate-heavy bucket degrades
+    * recall, not latency). A pair can surface in several band buckets;
     * downstream, dedupe hits with `dropDuplicatesWithinWatermark` or
     * treat them as a candidate stream (the batch posture). */
   def nearDupCandidatesStream(docs: DataFrame, idCol: String, tsCol: String,
       textCol: String, k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       minEst: Double = 0.5, watermark: String = "30 minutes",
-      horizonMs: Long = 1800000L): Dataset[NearDupHit] = {
+      horizonMs: Long = 1800000L, maxEntries: Int = 1000): Dataset[NearDupHit] = {
     import graft.functions.dedup
+    require(bands >= 1 && numPerm % bands == 0,
+      "nearDupCandidatesStream: numPerm must be a positive multiple of bands")
+    require(maxEntries >= 1, "nearDupCandidatesStream: maxEntries must be >= 1")
     val rowsPerBand = numPerm / bands
     val banded = docs
       .withWatermark(tsCol, watermark)
@@ -175,20 +184,31 @@ object Streams {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val wm = state.getCurrentWatermarkMs()
-            var entries = state.getOption.map(_.entries).getOrElse(Seq.empty)
-              .filter(_.tsMs + horizonMs >= wm)
+            val entries = scala.collection.mutable.ArrayBuffer.from(
+              state.getOption.map(_.entries).getOrElse(Seq.empty)
+                .filter(_.tsMs + horizonMs >= wm))
             val hits = Seq.newBuilder[NearDupHit]
             batch.toSeq.sortBy(d => (d.ts.getTime, d.id)).foreach { d =>
               entries.foreach { e =>
                 if (e.id != d.id) {
                   val eq = e.sig.iterator.zip(d.sig.iterator).count { case (a, b) => a == b }
                   val est = eq.toDouble / numPerm
-                  if (est >= minEst) hits += NearDupHit(d.id, e.id, est)
+                  if (est >= minEst) {
+                    // orient by event time (id tiebreak): dup_of is the
+                    // earlier side even when it ARRIVED later
+                    val dKey = (d.ts.getTime, d.id); val eKey = (e.tsMs, e.id)
+                    if (scala.math.Ordering[(Long, Long)].lt(eKey, dKey))
+                      hits += NearDupHit(d.id, e.id, est)
+                    else hits += NearDupHit(e.id, d.id, est)
+                  }
                 }
               }
-              entries = entries :+ BucketEntry(d.id, d.ts.getTime, d.sig)
+              entries += BucketEntry(d.id, d.ts.getTime, d.sig)
+              if (entries.length > maxEntries)
+                entries.remove(entries.iterator.zipWithIndex
+                  .minBy { case (e, _) => (e.tsMs, e.id) }._2)
             }
-            state.update(BucketState(entries))
+            state.update(BucketState(entries.toSeq))
             if (entries.nonEmpty)
               state.setTimeoutTimestamp(entries.map(_.tsMs).max + horizonMs)
             hits.result().iterator

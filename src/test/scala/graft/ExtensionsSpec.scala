@@ -954,6 +954,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 6L))
   }
 
+  test("span dedup: null text reports 0 tokens, not size(null) = -1") {
+    val df = Seq((1L, Some("a b c d e f")), (2L, None), (3L, Some("a b c d e f")))
+      .toDF("doc_id", "text")
+    val out = dedup.dedupSpans(df, "doc_id", "text", 6).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getAs[Long]("n_tokens") == 0L)
+    assert(out(2L).getAs[Long]("n_dup_tokens") == 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("dup_fraction")))
+    assert(out(2L).getAs[String]("text") == "")
+    assert(out(3L).getAs[Long]("n_dup_tokens") == 6L) // others unaffected
+    intercept[IllegalArgumentException] {
+      dedup.dedupSpans(df, "doc_id", "text", 1)
+    }
+  }
+
   test("span dedup: a document shorter than n forms one whole-doc window") {
     val df = Seq(
       (1L, "tiny shared doc"),
