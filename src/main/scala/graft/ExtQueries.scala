@@ -1378,6 +1378,55 @@ object ExtQueries {
       |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.nll
       |FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Luhn-validated card-number detection: plant one VALID and one
+    * checksum-failing candidate into deterministic document slices, then
+    * count candidates vs Luhn-valid hits per document —
+    * [[graft.functions.text.creditCardCounts]]. The checksum runs as a
+    * builtin-expression fold in both engines; only real card numbers
+    * survive it. */
+  def x48CreditCards(s: SparkSession, dir: String): DataFrame = {
+    val planted = docs(s, dir).select(F.col("doc_id"), F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.when(F.col("doc_id") % 5 === 0,
+          F.lit(" pay with 4111-1111-1111-1111 now")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 === 0,
+          F.lit(" fake 4111-1111-1111-1112 num")).otherwise(F.lit(""))
+      ).as("text"))
+    planted.select(F.col("doc_id"), text.creditCardStats(F.col("text")).as("_cc"))
+      .select(F.col("doc_id"),
+        F.col("_cc.n_candidates").as("n_candidates"),
+        F.col("_cc.n_valid_cards").as("n_valid_cards"))
+      .orderBy("doc_id")
+  }
+
+  private val x48Oracle =
+    """WITH p AS (SELECT doc_id, concat(substr(text, 1, 60),
+      |    CASE WHEN doc_id % 5 = 0 THEN ' pay with 4111-1111-1111-1111 now'
+      |      ELSE '' END,
+      |    CASE WHEN doc_id % 7 = 0 THEN ' fake 4111-1111-1111-1112 num'
+      |      ELSE '' END) AS text FROM documents),
+      |c AS (SELECT doc_id, unnest(regexp_extract_all(text,
+      |    '\b(?:[0-9][ -]?){12,18}[0-9]\b')) AS cand FROM p),
+      |d AS (SELECT doc_id, cand,
+      |    regexp_replace(cand, '[^0-9]', '', 'g') AS ds FROM c),
+      |v AS (SELECT doc_id, cand,
+      |    length(ds) BETWEEN 13 AND 19 AND
+      |    (SELECT SUM(CASE WHEN i % 2 = 0 THEN
+      |        CASE WHEN 2 * CAST(substring(ds, length(ds) - i + 1, 1) AS INT) > 9
+      |          THEN 2 * CAST(substring(ds, length(ds) - i + 1, 1) AS INT) - 9
+      |          ELSE 2 * CAST(substring(ds, length(ds) - i + 1, 1) AS INT) END
+      |        ELSE CAST(substring(ds, length(ds) - i + 1, 1) AS INT) END)
+      |      FROM unnest(generate_series(1, length(ds))) AS t(i)) % 10 = 0
+      |      AS ok
+      |  FROM d),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_candidates,
+      |    SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS n_valid_cards
+      |  FROM v GROUP BY 1)
+      |SELECT p.doc_id,
+      |  CAST(COALESCE(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+      |  CAST(COALESCE(agg.n_valid_cards, 0) AS BIGINT) AS n_valid_cards
+      |FROM p LEFT JOIN agg USING (doc_id) ORDER BY p.doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1427,7 +1476,8 @@ object ExtQueries {
     "x44_shard_assign" -> (x44ShardAssign _),
     "x45_temperature_mix" -> (x45TemperatureMix _),
     "x46_quality_classifier" -> (x46QualityClassifier _),
-    "x47_bigram_nll" -> (x47BigramNll _))
+    "x47_bigram_nll" -> (x47BigramNll _),
+    "x48_credit_cards" -> (x48CreditCards _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1473,5 +1523,6 @@ object ExtQueries {
     "x44_shard_assign" -> x44Oracle,
     "x45_temperature_mix" -> x45Oracle,
     "x46_quality_classifier" -> x46Oracle,
-    "x47_bigram_nll" -> x47Oracle)
+    "x47_bigram_nll" -> x47Oracle,
+    "x48_credit_cards" -> x48Oracle)
 }

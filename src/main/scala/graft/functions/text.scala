@@ -107,6 +107,44 @@ object text {
       F.lit("<EMAIL>")), Ipv4Pattern),
     "n_phones" -> patternCount(c, PhonePattern))
 
+  /** Luhn checksum over the digits of a candidate string (separators
+    * ignored): true iff 13–19 digits and the mod-10 check passes — the
+    * validation that separates real card numbers from digit soup, as a
+    * pure builtin expression (no UDF). Engine-portable: split-to-chars,
+    * right-to-left doubling fold. */
+  def luhnValid(cand: Column): Column = {
+    val chars = F.split(F.regexp_replace(cand, "[^0-9]", ""), "")
+    val n = F.size(chars)
+    val total = F.aggregate(F.sequence(F.lit(1), n), F.lit(0),
+      (acc, i) => {
+        val d = F.element_at(chars, (n - i + 1).cast(IntegerType))
+          .cast(IntegerType)
+        acc + F.when(F.pmod(i, F.lit(2)) === 0,
+          F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    n >= 13 && n <= 19 && F.pmod(total, F.lit(10)) === 0
+  }
+
+  /** 13–19-digit runs (spaces/dashes allowed) that could be card
+    * numbers, before Luhn validation. */
+  val CcPattern = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Candidate and Luhn-VALID card-number counts per document as a
+    * struct `(n_candidates, n_valid_cards)` — the PII audit signal
+    * [[redactPii]]'s regex cascade cannot give (a regex alone cannot
+    * checksum). One extraction pass, one counting fold: name the result
+    * once and project both fields, so the regex never runs twice. */
+  def creditCardStats(c: Column): Column = {
+    // group 0 = the whole match (Spark defaults to group 1; DuckDB to 0)
+    val cands = F.regexp_extract_all(c, F.lit(CcPattern), F.lit(0))
+    F.aggregate(cands,
+      F.struct(F.lit(0L).as("n_candidates"), F.lit(0L).as("n_valid_cards")),
+      (acc, x) => F.struct(
+        (acc.getField("n_candidates") + 1L).as("n_candidates"),
+        (acc.getField("n_valid_cards") +
+          F.when(luhnValid(x), 1L).otherwise(0L)).as("n_valid_cards")))
+  }
+
   def fingerprintMd5(c: Column): Column = F.md5(c)
 
   /** 60-bit integer fingerprint: first 15 hex digits of md5 — portable to

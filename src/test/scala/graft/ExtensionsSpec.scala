@@ -1102,6 +1102,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3L) == ((0L, None)))
   }
 
+  test("Luhn validation separates real card numbers from digit soup") {
+    val df = Seq(
+      (1L, "pay 4111111111111111 thanks"),            // valid, bare
+      (2L, "card 4111-1111-1111-1112 declined"),      // checksum fails
+      (3L, "amex 378282246310005 and visa 4111 1111 1111 1111"), // two valid
+      (4L, "call 555-0123 maybe"),                    // too short: no candidate
+      (5L, "no numbers at all here")
+    ).toDF("doc_id", "text")
+    val got = df.select(F.col("doc_id"),
+        text.creditCardStats(F.col("text")).as("cc"))
+      .select(F.col("doc_id"), F.col("cc.n_candidates"), F.col("cc.n_valid_cards"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((1L, 1L)))
+    assert(got(2L) == ((1L, 0L)))
+    assert(got(3L) == ((2L, 2L)))
+    assert(got(4L) == ((0L, 0L)))
+    assert(got(5L) == ((0L, 0L)))
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
