@@ -1050,6 +1050,12 @@ class ExtensionsSpec extends SparkSpec {
     // kept set is a subset of the corpus
     val kept = sampling.temperatureSample(df, "id", "source", 0.5, 300L)
     assert(kept.join(df, Seq("id", "source"), "left_anti").count() == 0)
+    // a NULL source forms its own stratum (null-safe compare), SQL
+    // GROUP BY style, instead of silently vanishing
+    val withNull = df.unionByName(
+      Seq((2000L, null.asInstanceOf[String])).toDF("id", "source"))
+    val keptN = sampling.temperatureSample(withNull, "id", "source", 0.0, 5000L)
+    assert(keptN.filter(F.col("source").isNull).count() == 1L)
   }
 
   test("hashedLinearScore matches a driver-side computation of the same model") {
