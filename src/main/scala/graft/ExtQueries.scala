@@ -1427,6 +1427,19 @@ object ExtQueries {
       |  CAST(COALESCE(agg.n_valid_cards, 0) AS BIGINT) AS n_valid_cards
       |FROM p LEFT JOIN agg USING (doc_id) ORDER BY p.doc_id""".stripMargin
 
+  /** Compression-ratio redundancy scoring (Gopher-family quality
+    * signal) — [[graft.functions.text.compressionRatio]] over raw,
+    * doubled (boilerplate-like), and sorted-token variants of each
+    * document. Engine-native deflate: rows-only check (DuckDB has no
+    * zlib), but the per-doc ORDERING invariants (doubling a text drops
+    * its ratio) are asserted in ExtensionsSpec. */
+  def x49CompressionRatio(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(F.col("doc_id"),
+        text.compressionRatio(F.col("text")).as("ratio"),
+        text.compressionRatio(F.concat(F.col("text"), F.lit(" "),
+          F.col("text"))).as("ratio_doubled"))
+      .orderBy("doc_id")
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1477,7 +1490,8 @@ object ExtQueries {
     "x45_temperature_mix" -> (x45TemperatureMix _),
     "x46_quality_classifier" -> (x46QualityClassifier _),
     "x47_bigram_nll" -> (x47BigramNll _),
-    "x48_credit_cards" -> (x48CreditCards _))
+    "x48_credit_cards" -> (x48CreditCards _),
+    "x49_compression_ratio" -> (x49CompressionRatio _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,

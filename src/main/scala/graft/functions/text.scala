@@ -165,6 +165,14 @@ object text {
 
   // ---- repetition / boilerplate signals (Gopher-style quality rules) ----
 
+  /** zlib compression ratio of the text (compressed/raw bytes) — the
+    * Gopher-family redundancy signal, computed by the codegen'd
+    * [[graft.plans.DeflateRatioExpr]]. Repetitive boilerplate sits far
+    * below natural prose; random soup approaches 1. Engine-native (no
+    * SQL oracle). */
+  def compressionRatio(c: Column): Column =
+    F.call_function("graft_deflate_ratio", c)
+
   /** Fraction of lines that repeat an earlier line — the classic
     * boilerplate signal for scraped pages (nav bars, footers). */
   def duplicateLineFraction(c: Column): Column = {

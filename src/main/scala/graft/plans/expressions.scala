@@ -739,6 +739,52 @@ case class CentroidTopK(vec: Expression, bank: Expression, nprobe: Expression)
     copy(vec = newFirst, bank = newSecond, nprobe = newThird)
 }
 
+/** Deflate (zlib raw, level 6) compression ratio of the UTF-8 text:
+  * compressed bytes / raw bytes — the Gopher-family redundancy signal
+  * (repetitive boilerplate compresses far below natural prose; random
+  * character soup approaches or exceeds 1). Null text → null; empty
+  * text → 1.0 by convention. Engine-native: no cross-engine oracle
+  * (DuckDB has no deflate), deterministic for a fixed zlib level and
+  * strategy. Codegen emits one static call per row; the Deflater is
+  * created and `end()`ed per invocation so no native memory leaks
+  * across the scan. */
+case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_deflate_ratio expects string, got $t")
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    DeflateRatioExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.DeflateRatioExpr.compute($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DeflateRatioExpr {
+  /** static so generated code can call it directly (one invoke per row). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val raw = text.getBytes
+    if (raw.length == 0) return 1.0
+    val d = new java.util.zip.Deflater(6, true)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var out = 0L
+      while (!d.finished()) out += d.deflate(buf)
+      out.toDouble / raw.length
+    } finally d.end()
+  }
+}
+
 /** Session extensions registering graft's native functions; install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
   * entry points do). */
@@ -784,5 +830,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (children: Seq[Expression]) => HyperplaneBuckets(children(0), children(1), children(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatioExpr].getName, "graft_deflate_ratio"),
+      (children: Seq[Expression]) => DeflateRatioExpr(children(0))))
   }
 }

@@ -1127,6 +1127,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L)))
   }
 
+  test("compression ratio orders redundancy correctly") {
+    import graft.functions.quality
+    val boiler = Array.fill(50)("subscribe now").mkString(" ")
+    val prose = "the quick brown fox jumps over the lazy dog while seven " +
+      "wizards brew unique potions under a crimson autumn sky tonight"
+    val df = Seq((1L, boiler), (2L, prose), (4L, ""))
+      .toDF("id", "text")
+    val got = df.select(F.col("id"),
+        text.compressionRatio(F.col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // repeated boilerplate compresses an order of magnitude below prose
+    assert(got(1L) < 0.1 && got(2L) > 0.5,
+      s"expected boiler << prose, got $got")
+    assert(got(1L) > 0.0 && got(4L) == 1.0)
+    // deterministic across evaluations
+    val again = df.select(F.col("id"),
+        text.compressionRatio(F.col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+    // doubling a text always improves compressibility
+    val dd = df.filter(F.col("id") =!= 4L).select(
+        (text.compressionRatio(F.concat(F.col("text"), F.lit(" "), F.col("text")))
+          < text.compressionRatio(F.col("text"))).as("drops"))
+      .collect().map(_.getBoolean(0))
+    assert(dd.forall(identity))
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
