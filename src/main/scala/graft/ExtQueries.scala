@@ -1440,6 +1440,73 @@ object ExtQueries {
           F.col("text"))).as("ratio_doubled"))
       .orderBy("doc_id")
 
+  /** The END-TO-END curation composite under a full oracle: quality
+    * filter → language allow-list → exact dedup (keep-min) → LSH-fed
+    * exact-Jaccard near-dedup resolved through connected components →
+    * deterministic 90% sample — [[graft.functions.pipelines.curateDocuments]]
+    * with `nearDupExact = true`, every stage cross-engine reproducible.
+    * The oracle replays the whole pipeline in one DuckDB WITH-chain,
+    * closure included. */
+  def x50CurationPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.functions.pipelines.curateDocuments(docs(s, dir),
+        minQuality = 0.3, langs = Seq("en"), nearDupThreshold = 0.7,
+        nearDupExact = true, samplePermille = 9000)
+      .select(F.col("doc_id"), F.col("source"), F.col("quality"),
+        F.col("pred_lang"))
+      .orderBy("doc_id")
+
+  private val x50Oracle =
+    """WITH RECURSIVE
+      |base AS (SELECT doc_id, text, source,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|in|and|is)\b')) AS BIGINT) AS en,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht)\b')) AS BIGINT) AS de,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des|est)\b')) AS BIGINT) AS fr,
+      |    CAST(len(regexp_extract_all(lower(text), '\b(el|los|y|que|una|es)\b')) AS BIGINT) AS es,
+      |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 AS cjk,
+      |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS pnc,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) AS ntok
+      |  FROM documents),
+      |q AS (SELECT doc_id, text, source,
+      |    ((CAST(en AS DOUBLE) / (ntok + 1.0)) * 0.4
+      |      + (1.0 - pnc / (CAST(length(text) AS DOUBLE) + 1.0)) * 0.3)
+      |      + LEAST(ntok / 100.0, 1.0) * 0.3 AS quality,
+      |    CASE WHEN cjk THEN 'zh'
+      |      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+      |      WHEN de >= fr AND de >= es THEN 'de'
+      |      WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang
+      |  FROM base),
+      |filt AS (SELECT * FROM q WHERE quality >= 0.3 AND pred_lang IN ('en')),
+      |ex AS (SELECT f.* FROM filt f JOIN (
+      |    SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY md5(text)) k
+      |  USING (doc_id)),
+      |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM ex),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk),
+      |near AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |     - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.7),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM near
+      |  UNION SELECT id_b AS u, id_a AS v FROM near),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      |SELECT e.doc_id, e.source, e.quality, e.pred_lang
+      |FROM ex e LEFT JOIN comp ON comp.id = e.doc_id
+      |WHERE (comp.id IS NULL OR comp.component = e.doc_id)
+      |  AND CAST(concat('0x', substring(md5(CAST(e.doc_id AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 10000 < 9000
+      |ORDER BY e.doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1491,7 +1558,8 @@ object ExtQueries {
     "x46_quality_classifier" -> (x46QualityClassifier _),
     "x47_bigram_nll" -> (x47BigramNll _),
     "x48_credit_cards" -> (x48CreditCards _),
-    "x49_compression_ratio" -> (x49CompressionRatio _))
+    "x49_compression_ratio" -> (x49CompressionRatio _),
+    "x50_curation_pipeline" -> (x50CurationPipeline _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1538,5 +1606,6 @@ object ExtQueries {
     "x45_temperature_mix" -> x45Oracle,
     "x46_quality_classifier" -> x46Oracle,
     "x47_bigram_nll" -> x47Oracle,
-    "x48_credit_cards" -> x48Oracle)
+    "x48_credit_cards" -> x48Oracle,
+    "x50_curation_pipeline" -> x50Oracle)
 }

@@ -33,6 +33,7 @@ object pipelines {
       minQuality: Double = 0.3,
       langs: Seq[String] = Seq("en"),
       nearDupThreshold: Double = 0.7,
+      nearDupExact: Boolean = false,
       bench: Option[DataFrame] = None,
       benchTextCol: String = "text",
       benchNgram: Int = 8,
@@ -48,9 +49,15 @@ object pipelines {
       .select(F.col("keep_id").as(idCol))
     val exactDeduped = scored.join(keepExact, idCol)
 
-    // near-dedup: one canonical survivor per duplicate component
-    val nearPairs = dedup.minhashPairs(exactDeduped, idCol, textCol,
-      threshold = nearDupThreshold)
+    // near-dedup: one canonical survivor per duplicate component.
+    // nearDupExact = true verifies candidates with EXACT 3-shingle
+    // Jaccard (cross-engine reproducible — the oracled x50 path);
+    // default keeps the cheaper MinHash-estimate threshold.
+    val nearPairs =
+      if (nearDupExact) dedup.jaccardPairsLsh(exactDeduped, idCol, textCol,
+        minJ = nearDupThreshold)
+      else dedup.minhashPairs(exactDeduped, idCol, textCol,
+        threshold = nearDupThreshold)
     val nearDeduped = dedup.keepCanonical(exactDeduped, idCol, nearPairs)
 
     val clean = bench match {
