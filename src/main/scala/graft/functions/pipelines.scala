@@ -38,11 +38,16 @@ object pipelines {
       benchTextCol: String = "text",
       benchNgram: Int = 8,
       samplePermille: Int = 10000): DataFrame = {
-    val scored = docs
+    // the scored frame feeds every later stage (exact-dedup agg, its
+    // rejoin, near-dup signatures, canonical filter, final output) and
+    // its quality/language regexes are the most expensive per-row work
+    // in the pipeline — cache it (auto-released) so the regex pass runs
+    // once, not once per consumer
+    val scored = dedup.cached(docs
       .withColumn("quality", text.qualityScore(F.col(textCol)))
       .withColumn("pred_lang", text.languageId(F.col(textCol)))
       .filter(F.col("quality") >= minQuality)
-      .filter(F.col("pred_lang").isin(langs: _*))
+      .filter(F.col("pred_lang").isin(langs: _*)))
 
     // exact dedup: keep the smallest id per fingerprint
     val keepExact = dedup.exactDuplicates(scored, idCol, textCol)
