@@ -1381,7 +1381,7 @@ object ExtQueries {
   /** Luhn-validated card-number detection: plant one VALID and one
     * checksum-failing candidate into deterministic document slices, then
     * count candidates vs Luhn-valid hits per document —
-    * [[graft.functions.text.creditCardCounts]]. The checksum runs as a
+    * [[graft.functions.text.creditCardStats]]. The checksum runs as a
     * builtin-expression fold in both engines; only real card numbers
     * survive it. */
   def x48CreditCards(s: SparkSession, dir: String): DataFrame = {

@@ -31,16 +31,38 @@ object dedup {
     * re-materialization of the same result recomputes the signatures,
     * cached again for the duration of that query — correct, just not
     * cross-query cached.) [[unpersistAll]] remains as the manual valve. */
+  /** (cached frame, release trigger): the cached frame is unpersisted
+    * when a query consuming the TRIGGER's plan completes. For [[cached]]
+    * the trigger is the frame itself (release on first consumption); for
+    * [[releaseWhenConsumed]] it is a downstream result, so intermediate
+    * stages (e.g. a composite's eager component-resolution jobs) can
+    * read the cache without releasing it. */
   private val persistedFrames =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    new java.util.concurrent.ConcurrentLinkedQueue[(DataFrame, DataFrame)]()
   private val hookedSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
   private[functions] def cached(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    persistedFrames.add(p)
+    persistedFrames.add((p, p))
     autoRelease(df.sparkSession)
     p
+  }
+
+  /** Persist `df` WITHOUT auto-release tracking; pair with
+    * [[releaseWhenConsumed]] once the downstream result frame exists. */
+  private[functions] def cachedPinned(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Arm auto-release for a [[cachedPinned]] frame: unpersist `cachedDf`
+    * as soon as a query consuming `trigger`'s plan completes (the
+    * trigger being the final output derived from the cache, any earlier
+    * query that merely READS the cache — e.g. the eager connected-
+    * components loop inside a composite — leaves it in place). */
+  private[functions] def releaseWhenConsumed(cachedDf: DataFrame,
+      trigger: DataFrame): Unit = {
+    persistedFrames.add((cachedDf, trigger))
+    autoRelease(cachedDf.sparkSession)
   }
 
   /** Register (once per session) the release hook: after any query
@@ -56,9 +78,9 @@ object dedup {
           if (!persistedFrames.isEmpty) {
             val it = persistedFrames.iterator()
             while (it.hasNext) {
-              val p = it.next()
+              val (p, trigger) = it.next()
               val used = try {
-                val pa = p.queryExecution.analyzed
+                val pa = trigger.queryExecution.analyzed
                 qe.analyzed.find(_.sameResult(pa)).isDefined
               } catch { case scala.util.control.NonFatal(_) => false }
               if (used) { p.unpersist(blocking = false); it.remove() }
@@ -75,7 +97,7 @@ object dedup {
   /** Release every signature frame persisted by the pairs functions. */
   def unpersistAll(): Unit = {
     var d = persistedFrames.poll()
-    while (d != null) { d.unpersist(blocking = false); d = persistedFrames.poll() }
+    while (d != null) { d._1.unpersist(blocking = false); d = persistedFrames.poll() }
   }
 
   /** Salt-split oversized LSH buckets (the hot-bucket cap): a bucket
@@ -541,7 +563,7 @@ object dedup {
     }
     require(done, s"connectedComponents did not converge in $maxIter iterations")
     // fixed point is a star forest: every non-root points at its root
-    persistedFrames.add(edges); autoRelease(spark)
+    persistedFrames.add((edges, edges)); autoRelease(spark)
     edges.select(F.col("u").as("id"), F.col("v").as("component"))
       .unionByName(edges.select(F.col("v").as("id"), F.col("v").as("component")))
       .distinct()

@@ -34,16 +34,26 @@ object pipelines {
       langs: Seq[String] = Seq("en"),
       nearDupThreshold: Double = 0.7,
       nearDupExact: Boolean = false,
+      nearDupMaxBucket: Int = 1000,
       bench: Option[DataFrame] = None,
       benchTextCol: String = "text",
       benchNgram: Int = 8,
       samplePermille: Int = 10000): DataFrame = {
-    // the scored frame feeds every later stage (exact-dedup agg, its
+    // The scored frame feeds every later stage (exact-dedup agg, its
     // rejoin, near-dup signatures, canonical filter, final output) and
     // its quality/language regexes are the most expensive per-row work
-    // in the pipeline — cache it (auto-released) so the regex pass runs
-    // once, not once per consumer
-    val scored = dedup.cached(docs
+    // in the pipeline — cache it so the regex pass runs once, not once
+    // per consumer. Release is deferred until the RETURNED frame is
+    // consumed (releaseWhenConsumed below): the eager connected-
+    // components jobs inside this composite read the cache without
+    // dropping it, so the final output query reads the cached columnar
+    // batches too. That also keeps the flagship pipeline's generated
+    // code well under Janino's 64 KB method limit: the cache boundary
+    // splits the quality/language regex stage from the dedup-join +
+    // decontamination stage, instead of fusing them all into one
+    // whole-stage-codegen method that would silently fall back to
+    // interpreted execution.
+    val scored = dedup.cachedPinned(docs
       .withColumn("quality", text.qualityScore(F.col(textCol)))
       .withColumn("pred_lang", text.languageId(F.col(textCol)))
       .filter(F.col("quality") >= minQuality)
@@ -57,12 +67,18 @@ object pipelines {
     // near-dedup: one canonical survivor per duplicate component.
     // nearDupExact = true verifies candidates with EXACT 3-shingle
     // Jaccard (cross-engine reproducible — the oracled x50 path);
-    // default keeps the cheaper MinHash-estimate threshold.
+    // default keeps the cheaper MinHash-estimate threshold. Either path
+    // runs under the hot-bucket cap (`nearDupMaxBucket`, saltOversized):
+    // a boilerplate-heavy band bucket is ring-split into ~cap-row
+    // sub-buckets, bounding per-task pair generation at any skew — the
+    // production default, since a real web corpus always has such
+    // buckets. Set nearDupMaxBucket = 0 to force exact all-pairs
+    // candidate generation inside every bucket regardless of size.
     val nearPairs =
       if (nearDupExact) dedup.jaccardPairsLsh(exactDeduped, idCol, textCol,
-        minJ = nearDupThreshold)
+        minJ = nearDupThreshold, maxBucket = nearDupMaxBucket)
       else dedup.minhashPairs(exactDeduped, idCol, textCol,
-        threshold = nearDupThreshold)
+        threshold = nearDupThreshold, maxBucket = nearDupMaxBucket)
     val nearDeduped = dedup.keepCanonical(exactDeduped, idCol, nearPairs)
 
     val clean = bench match {
@@ -70,7 +86,10 @@ object pipelines {
         nearDeduped, idCol, textCol, b, benchTextCol, k = benchNgram)
       case None => nearDeduped
     }
-    if (samplePermille >= 10000) clean
-    else sampling.hashSample(clean, idCol, samplePermille)
+    val result =
+      if (samplePermille >= 10000) clean
+      else sampling.hashSample(clean, idCol, samplePermille)
+    dedup.releaseWhenConsumed(scored, result)
+    result
   }
 }

@@ -27,12 +27,15 @@ object quality {
   def quantileBandFilter(df: DataFrame, scoreCol: String,
       pLo: Double, pHi: Double, decimals: Int = 2): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "quality: need 0<=pLo<=pHi<=1")
-    // the scored input feeds the histogram pass AND the final filter —
-    // cache it (auto-released) so an expensive upstream scorer (e.g.
-    // unigramNll) runs once, not per consumer
-    val scored = dedup.cached(df)
+    // Two passes over the input, NOTHING persisted: pass 1 (the
+    // histogram) projects only the rounded score — column pruning keeps
+    // its scan narrow — and pass 2 recomputes the score map-side in the
+    // final filter. Recomputing one scorer expression twice is the
+    // 100 TB-safe trade: the alternative (persisting the input so the
+    // scorer runs once) pins the ENTIRE corpus in MEMORY_AND_DISK for
+    // the sake of a single-column aggregation.
     val b = F.round(F.col(scoreCol), decimals)
-    val hist = scored.groupBy(b.as("_qb_bucket"))
+    val hist = df.select(b.as("_qb_bucket")).groupBy("_qb_bucket")
       .agg(F.count(F.lit(1)).as("_qb_cnt"))
     val cum = hist.withColumn("_qb_cum", F.sum("_qb_cnt").over(
       // ≤ 10^decimals·range buckets: a deliberately single-task window
@@ -47,7 +50,7 @@ object quality {
           F.col("_qb_bucket"))).as("_qb_lo"),
         F.min(F.when(F.col("_qb_cum") >= F.ceil(F.lit(pHi) * n),
           F.col("_qb_bucket"))).as("_qb_hi"))
-    scored.crossJoin(F.broadcast(bounds))
+    df.crossJoin(F.broadcast(bounds))
       .filter(b >= F.col("_qb_lo") && b <= F.col("_qb_hi"))
       .drop("_qb_lo", "_qb_hi")
   }

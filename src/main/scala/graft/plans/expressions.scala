@@ -746,8 +746,10 @@ case class CentroidTopK(vec: Expression, bank: Expression, nprobe: Expression)
   * text → 1.0 by convention. Engine-native: no cross-engine oracle
   * (DuckDB has no deflate), deterministic for a fixed zlib level and
   * strategy. Codegen emits one static call per row; the Deflater is
-  * created and `end()`ed per invocation so no native memory leaks
-  * across the scan. */
+  * held in a ThreadLocal and `reset()` per row — one native allocation
+  * per task thread for the whole scan, never per row, and still
+  * leak-free (a thread's Deflater lives exactly as long as the
+  * executor thread that owns it). */
 case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -770,18 +772,21 @@ case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
 }
 
 object DeflateRatioExpr {
+  private val deflaterLocal =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(6, true))
+
   /** static so generated code can call it directly (one invoke per row). */
   def compute(text: org.apache.spark.unsafe.types.UTF8String): Double = {
     val raw = text.getBytes
     if (raw.length == 0) return 1.0
-    val d = new java.util.zip.Deflater(6, true)
-    try {
-      d.setInput(raw); d.finish()
-      val buf = new Array[Byte](8192)
-      var out = 0L
-      while (!d.finished()) out += d.deflate(buf)
-      out.toDouble / raw.length
-    } finally d.end()
+    val d = deflaterLocal.get()
+    d.reset()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](8192)
+    var out = 0L
+    while (!d.finished()) out += d.deflate(buf)
+    out.toDouble / raw.length
   }
 }
 

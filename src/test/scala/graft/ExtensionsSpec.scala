@@ -466,6 +466,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(curated == Set(1L)) // doc 3 overlaps the benchmark heavily
   }
 
+  test("curation composite compiles every stage (no 64 KB codegen fallback)") {
+    import graft.functions.pipelines
+    // codegen is data-independent: the tiny fixture exercises the SAME
+    // generated code the 100 TB run would. The regression this pins:
+    // quality + language regexes fused with the dedup joins and
+    // decontamination used to exceed Janino's 64 KB method limit and
+    // silently fall back to interpreted execution — the cache boundary
+    // after the scoring stage must keep every method compilable.
+    val bench = Seq("completely different text with other words here plus extra")
+      .toDF("text")
+    val (_, cgErrors) = codegenErrorsDuring {
+      pipelines.curateDocuments(docsDf, minQuality = 0.0,
+        nearDupThreshold = 0.3, bench = Some(bench), benchNgram = 3).count()
+    }
+    assert(cgErrors.isEmpty, s"codegen errors during composite: $cgErrors")
+  }
+
   test("repetition signals match hand-computed fractions") {
     val df = Seq(
       (1L, "a a a b"),          // tokens: 4, distinct 2 → dup 0.5
@@ -880,6 +897,17 @@ class ExtensionsSpec extends SparkSpec {
     val ties = (1 to 50).map(i => (i.toLong, 7.0)).toDF("id", "s")
     assert(graft.functions.quality
       .quantileBandFilter(ties, "s", 0.25, 0.75).count() == 50)
+  }
+
+  test("quantileBandFilter persists nothing (no full-corpus InMemoryRelation)") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val out = graft.functions.quality.quantileBandFilter(df, "s", 0.1, 0.9)
+    out.collect() // force planning + execution
+    val imrs = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(imrs.isEmpty,
+      s"quantileBandFilter must not persist the input frame; found: $imrs")
   }
 
   test("chunkTokens: sliding windows cover every token; short tails kept") {

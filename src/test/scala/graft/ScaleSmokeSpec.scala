@@ -87,10 +87,16 @@ class ScaleSmokeSpec extends SparkSpec {
       F.concat(words(F.col("id")), F.lit(" extra")).as("text"))
     val corpus = base.unionByName(copies).unionByName(nears)
     val bench = spark.range(0, 500).select(words(F.col("id")).as("text"))
-    val curated = pipelines.curateDocuments(corpus,
-      minQuality = 0.0, langs = Seq("en"), nearDupThreshold = 0.7,
-      bench = Some(bench), benchNgram = 8)
-    val n = curated.count()
+    val (n, cgErrors) = codegenErrorsDuring {
+      val curated = pipelines.curateDocuments(corpus,
+        minQuality = 0.0, langs = Seq("en"), nearDupThreshold = 0.7,
+        bench = Some(bench), benchNgram = 8)
+      curated.count()
+    }
+    // the flagship pipeline must never silently fall back to interpreted
+    // execution: the cache boundary after the quality/language stage
+    // keeps every generated method under Janino's 64 KB limit
+    assert(cgErrors.isEmpty, s"codegen errors during composite: $cgErrors")
     // 10k exact copies collapse to 1, each near-dup loses to its base
     // (component minimum), and the ~500 bench-overlapping docs drop
     assert(n > 78000 && n < 80500, s"curated count out of range: $n")

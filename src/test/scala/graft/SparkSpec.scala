@@ -43,4 +43,41 @@ trait SparkSpec extends AnyFunSuite {
 
   def assertRows(t: Table, expected: Seq[Seq[Any]]): Unit =
     assert(rows(t) == expected)
+
+  /** Run `body` while capturing ERROR-level log events from Spark's
+    * codegen layer (Janino 64 KB overflows, compile failures). Codegen
+    * is data-independent, so a small-fixture run through an operator
+    * proves the generated code of the SAME plan shape compiles at any
+    * scale. Returns (result, captured error lines). */
+  def codegenErrorsDuring[A](body: => A): (A, Seq[String]) = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender(
+        "graft-codegen-capture", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = {
+        val msg = e.getMessage.getFormattedMessage
+        if ((e.getLoggerName.contains("CodeGenerator") ||
+             e.getLoggerName.contains("codegen") ||
+             msg.contains("grows beyond 64 KB")) &&
+            e.getLevel.isMoreSpecificThan(Level.ERROR))
+          events.add(s"${e.getLevel} ${e.getLoggerName}: ${msg.take(300)}")
+      }
+    }
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    app.start()
+    cfg.getRootLogger.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      val r = body
+      (r, { import scala.jdk.CollectionConverters._; events.asScala.toSeq })
+    } finally {
+      cfg.getRootLogger.removeAppender(app.getName)
+      ctx.updateLoggers()
+      app.stop()
+    }
+  }
 }
