@@ -21,8 +21,14 @@ object pipelines {
     *    (keep the smallest id per duplicate GROUP — transitive and
     *    discovery-order-independent, unlike dropping `id_b` of each
     *    pair, which over-drops on chains A~B~C where A≁C),
-    * 5. benchmark decontamination (optional: n-gram overlap vs `bench`),
-    * 6. deterministic hash sample.
+    * 5. history near-dedup (optional: `indexName` names a persistent
+    *    [[index]] built from previous crawls — batch documents that
+    *    near-duplicate the INDEXED corpus are dropped without ever
+    *    reshuffling it; the daily-crawl story in one call, with the
+    *    caller appending survivors via [[index.buildJaccardIndex]]
+    *    (SaveMode.Append) when the batch is admitted),
+    * 6. benchmark decontamination (optional: n-gram overlap vs `bench`),
+    * 7. deterministic hash sample.
     * Returns the curated frame (same schema as input + quality/pred_lang).
     * Stages 1-3 and 5-6 are lazy transforms; stage 4's component
     * resolution runs eagerly when called (a short driver loop of
@@ -35,6 +41,7 @@ object pipelines {
       nearDupThreshold: Double = 0.7,
       nearDupExact: Boolean = false,
       nearDupMaxBucket: Int = 1000,
+      indexName: Option[String] = None,
       bench: Option[DataFrame] = None,
       benchTextCol: String = "text",
       benchNgram: Int = 8,
@@ -81,10 +88,24 @@ object pipelines {
         threshold = nearDupThreshold, maxBucket = nearDupMaxBucket)
     val nearDeduped = dedup.keepCanonical(exactDeduped, idCol, nearPairs)
 
+    // incremental path: drop batch documents near-duplicating the
+    // persistent index (hash parameters come from the index itself; the
+    // indexed corpus is probed in place, never reshuffled — see
+    // [[index.probeJaccardIndex]])
+    val afterIndex = indexName match {
+      case Some(nm) =>
+        val hits = index.probeJaccardIndex(docs.sparkSession, nearDeduped,
+            idCol, textCol, nm, minJ = nearDupThreshold,
+            maxBucket = nearDupMaxBucket)
+          .select(F.col("id_new").as(idCol)).distinct()
+        nearDeduped.join(hits, Seq(idCol), "left_anti")
+      case None => nearDeduped
+    }
+
     val clean = bench match {
       case Some(b) => contamination.decontaminate(
-        nearDeduped, idCol, textCol, b, benchTextCol, k = benchNgram)
-      case None => nearDeduped
+        afterIndex, idCol, textCol, b, benchTextCol, k = benchNgram)
+      case None => afterIndex
     }
     val result =
       if (samplePermille >= 10000) clean

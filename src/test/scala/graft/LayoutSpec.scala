@@ -7,6 +7,28 @@ import graft.functions.layout
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Count shuffle exchanges sitting DIRECTLY on a scan of the named
+    * index's corpus tables (`_buckets` / `_sigs`) — any hit means the
+    * index side itself is being reshuffled. The `_stats` table is
+    * exempt: it is per-bucket COUNT metadata (one row per distinct band
+    * bucket, ~nothing next to the corpus), and the probe re-aggregates
+    * it by design to fold appended batches. */
+  private def reshuffledIndexScans(
+      plan: org.apache.spark.sql.execution.SparkPlan, prefix: String): Int = {
+    def unaryLeaf(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan =
+      if (p.children.size == 1) unaryLeaf(p.children.head) else p
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        unaryLeaf(e.child) match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.tableIdentifier.exists(t =>
+                t.table.startsWith(prefix) && !t.table.endsWith("_stats")) => 1
+          case _ => 0
+        }
+    }.sum
+  }
+
   test("bucketized tables join with zero shuffle exchanges") {
     val facts = (1 to 1000).map(i => (i.toLong % 50, i.toDouble)).toDF("k", "v")
     val dims = (0 to 49).map(i => (i.toLong, s"d$i")).toDF("k", "label")
@@ -47,8 +69,10 @@ class LayoutSpec extends SparkSpec {
     try {
       index.buildJaccardIndex(corpus, "doc_id", "text", "graft_ndx",
         k = 3, numPerm = 64, bands = 32, buckets = 4)
+      // hash parameters come back from the table properties, not the caller
+      assert(index.readParams(spark, "graft_ndx") == ((3, 64, 32)))
       val probe = index.probeJaccardIndex(spark, batch, "doc_id", "text",
-        "graft_ndx", k = 3, numPerm = 64, bands = 32, minJ = 0.5)
+        "graft_ndx", minJ = 0.5)
       val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == Set((10L, 1L)), s"got $got")
       // same semantics as the batch cross-corpus scan on the same data
@@ -61,18 +85,8 @@ class LayoutSpec extends SparkSpec {
       // (only unary ops between an exchange and the scan would mean the
       // index side itself is being reshuffled)
       val plan = probe.queryExecution.executedPlan
-      def unaryLeaf(p: org.apache.spark.sql.execution.SparkPlan):
-          org.apache.spark.sql.execution.SparkPlan =
-        if (p.children.size == 1) unaryLeaf(p.children.head) else p
-      val reshuffledIndexScans = plan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          unaryLeaf(e.child) match {
-            case s: org.apache.spark.sql.execution.FileSourceScanExec
-                if s.tableIdentifier.exists(_.table.startsWith("graft_ndx")) => 1
-            case _ => 0
-          }
-      }.sum
-      assert(reshuffledIndexScans == 0, s"index side reshuffled:\n$plan")
+      assert(reshuffledIndexScans(plan, "graft_ndx") == 0,
+        s"index side reshuffled:\n$plan")
       // appending a batch extends the index in place
       index.buildJaccardIndex(batch, "doc_id", "text", "graft_ndx",
         k = 3, numPerm = 64, bands = 32, buckets = 4,
@@ -80,14 +94,101 @@ class LayoutSpec extends SparkSpec {
       val again = index.probeJaccardIndex(spark,
         Seq((20L, "the quick brown fox jumps over the lazy cat"))
           .toDF("doc_id", "text"),
-        "doc_id", "text", "graft_ndx", k = 3, numPerm = 64, bands = 32,
+        "doc_id", "text", "graft_ndx",
         minJ = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(again == Set((20L, 1L), (20L, 10L)), s"got $again")
+      // appending with different hash parameters must be refused — it
+      // would silently corrupt the index
+      intercept[IllegalArgumentException] {
+        index.buildJaccardIndex(batch, "doc_id", "text", "graft_ndx",
+          k = 3, numPerm = 32, bands = 16, buckets = 4,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      }
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS graft_ndx_buckets")
       spark.sql("DROP TABLE IF EXISTS graft_ndx_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_ndx_stats")
+    }
+  }
+
+  test("near-dup index: build validates band parameters") {
+    import graft.functions.index
+    val corpus = Seq((1L, "some text here")).toDF("doc_id", "text")
+    // bands > numPerm would make rowsPerBand = 0: every band key a
+    // constant, all documents in ONE bucket — refuse at build time
+    intercept[IllegalArgumentException] {
+      index.buildJaccardIndex(corpus, "doc_id", "text", "graft_ndx_bad",
+        k = 3, numPerm = 16, bands = 32)
+    }
+    intercept[IllegalArgumentException] {
+      index.buildJaccardIndex(corpus, "doc_id", "text", "graft_ndx_bad",
+        k = 3, numPerm = 64, bands = 24) // does not divide numPerm
+    }
+  }
+
+  test("curation composite probes a persistent index without reshuffling it") {
+    import graft.functions.{index, pipelines}
+    val history = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "an entirely different document about spark and scala internals here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy cat and runs away fast"), // near-dups history doc 1
+      (11L, "completely novel content about training data curation pipelines today")
+    ).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      index.buildJaccardIndex(history, "doc_id", "text", "graft_ndx_cur",
+        k = 3, numPerm = 64, bands = 32, buckets = 4)
+      val curated = pipelines.curateDocuments(batch, minQuality = 0.0,
+        nearDupThreshold = 0.5, indexName = Some("graft_ndx_cur"))
+      val plan = curated.queryExecution.executedPlan
+      assert(reshuffledIndexScans(plan, "graft_ndx_cur") == 0,
+        s"index side reshuffled:\n$plan")
+      val got = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(11L), s"got $got") // doc 10 matches the history
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_ndx_cur_buckets")
+      spark.sql("DROP TABLE IF EXISTS graft_ndx_cur_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_ndx_cur_stats")
+    }
+  }
+
+  test("near-dup index: capped probe bounds hot buckets and loses no pairs") {
+    import graft.functions.index
+    // 60 copies of one boilerplate doc in the index: its band buckets
+    // all overflow maxBucket = 10, so the probe takes the grid-salted
+    // path for them. Grid salting is pair-complete — the capped result
+    // must EQUAL the uncapped one.
+    val boiler = (0 until 60).map(i =>
+      (i.toLong, "terms of service apply to all content on this site"))
+    val corpus = (boiler :+ ((100L, "a genuinely unique document about graft internals")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, "terms of service apply to all content on that site"), // near-dup
+      (201L, "completely unrelated probe text goes here")
+    ).toDF("doc_id", "text")
+    try {
+      index.buildJaccardIndex(corpus, "doc_id", "text", "graft_ndx_hot",
+        k = 3, numPerm = 64, bands = 32, buckets = 4)
+      def pairs(cap: Int) = index.probeJaccardIndex(spark, batch,
+          "doc_id", "text", "graft_ndx_hot", minJ = 0.5, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val uncapped = pairs(0)
+      val capped = pairs(10)
+      assert(uncapped.nonEmpty && uncapped.forall(_._1 == 200L))
+      assert(uncapped.size == 60, s"expected all 60 boilerplate matches: $uncapped")
+      assert(capped == uncapped, s"capped probe lost pairs: " +
+        s"${uncapped.diff(capped)} / gained: ${capped.diff(uncapped)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ndx_hot_buckets")
+      spark.sql("DROP TABLE IF EXISTS graft_ndx_hot_sigs")
+      spark.sql("DROP TABLE IF EXISTS graft_ndx_hot_stats")
     }
   }
 }
