@@ -10,8 +10,11 @@ import graft.table.Table
 /** Training-data-pipeline extension queries (dedup / similarity search /
   * text analysis / multimodal / event streams) over the `documents`,
   * `embeddings` and `events` tables. Oracle SQL provided wherever the
-  * operation is portably expressible in DuckDB; hash-based ops
-  * (MinHash/SimHash/LSH) are engine-native and get rows-only checks.
+  * operation is portably expressible in DuckDB — including MinHash and
+  * SimHash dedup, which run their `replayable` md5-based hash families
+  * here so the full signature → banding → threshold pipeline replays
+  * cross-engine; only intrinsically engine-native ops (hyperplane-LSH
+  * ANN bucketing, zlib deflate) keep rows-only checks.
   */
 object ExtQueries {
 
@@ -102,17 +105,79 @@ object ExtQueries {
   // parameters' miss probability ((1-0.8^2)^16 ≈ 8e-8 per J≥0.8 pair)
   private val x20Oracle = x02Oracle
 
-  /** MinHash-LSH near-dup candidates — engine-native hashing, rows-only. */
+  /** MinHash-LSH near-dup candidates under a FULL oracle: the
+    * `replayable` signature family (Carter-Wegman permutations mod
+    * 2^61−1 over md5-prefix shingle fingerprints) is exact integer
+    * arithmetic DuckDB reproduces bit-for-bit with HUGEINT, so the
+    * oracle replays the complete pipeline — signatures, band buckets
+    * (band keys hash signature SLICES, so bucket equality ≡ slice
+    * equality, which the oracle joins on directly), candidate
+    * generation, and the m/32 estimate threshold. */
   def x03DedupMinhash(s: SparkSession, dir: String): DataFrame =
     dedup.minhashPairs(docs(s, dir), "doc_id", "text",
-        k = 3, numPerm = 32, bands = 8, threshold = 0.5)
+        k = 3, numPerm = 32, bands = 8, threshold = 0.5, replayable = true)
       .orderBy("id_a", "id_b")
 
-  /** SimHash near-dup pairs via signature byte-chunk multi-index blocking
-    * (exact by pigeonhole) — engine-native hashing, rows-only. */
+  private val x03Oracle = {
+    val (as, bs) = graft.plans.MinHashPortableExpr.coeffs(32)
+    val aList = as.mkString("[", ",", "]")
+    val bList = bs.mkString("[", ",", "]")
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+       |  FROM tk),
+       |fp AS (SELECT doc_id, list_transform(s,
+       |    u -> CAST(concat('0x', substring(md5(u), 1, 15)) AS BIGINT)) AS hs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, list_transform(generate_series(1, 32), i ->
+       |    CAST(list_min(list_transform(hs, h ->
+       |      CAST(($aList[i]::HUGEINT * h + $bList[i])
+       |        % 2305843009213693951 AS BIGINT))) AS BIGINT)) AS sig
+       |  FROM fp),
+       |bk AS (SELECT doc_id, sig, b,
+       |    array_to_string(sig[(b*4+1):(b*4+4)], ',') AS key
+       |  FROM sig, range(0, 8) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |  FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+       |    AND a.doc_id < c.doc_id),
+       |est AS (SELECT id_a, id_b,
+       |    CAST(len(list_filter(generate_series(1, 32),
+       |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = cand.id_a
+       |            JOIN sig sb ON sb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SimHash near-dup pairs via signature bit-chunk multi-index blocking
+    * — EXACT by pigeonhole (result ≡ the all-pairs Hamming scan), so
+    * the oracle IS the all-pairs scan: with the `replayable` md5-prefix
+    * token fingerprints, DuckDB recomputes the same bit-vote signatures
+    * and scans all pairs at Hamming ≤ 6. */
   def x04DedupSimhash(s: SparkSession, dir: String): DataFrame =
-    dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 6)
+    dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 6,
+        replayable = true)
       .orderBy("id_a", "id_b")
+
+  private val x04Oracle =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |fp AS (SELECT doc_id, list_distinct(list_transform(toks,
+      |    u -> CAST(concat('0x', substring(md5(u), 1, 15)) AS BIGINT))) AS hs
+      |  FROM tk),
+      |sig AS (SELECT doc_id, CAST(list_sum(list_transform(
+      |    generate_series(0, 63), j ->
+      |    CASE WHEN list_sum(list_transform(hs, h ->
+      |      CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |    THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim FROM fp)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sim, b.sim)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Embedding near-dup detection on the SCALE path: plant a
     * deterministic near-duplicate of every vector (y = x + 0.004·pattern,
@@ -1564,6 +1629,8 @@ object ExtQueries {
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
     "x02_dedup_ngram_jaccard" -> x02Oracle,
+    "x03_dedup_minhash_lsh" -> x03Oracle,
+    "x04_dedup_simhash" -> x04Oracle,
     "x05_dedup_embedding_cosine" -> x05Oracle,
     "x06_ann_brute_force_topk" -> x06Oracle,
     "x08_text_token_stats" -> x08Oracle,

@@ -246,6 +246,32 @@ object dedup {
   def minhashSignature(c: Column, k: Int, numPerm: Int): Column =
     minhashFromHashes(shingleHashes(c, k), numPerm)
 
+  /** Sorted distinct 60-bit md5-prefix shingle fingerprints — the
+    * cross-engine REPLAYABLE shingle representation (same fingerprint
+    * definition as [[text.fingerprint64]]; computed by the codegen'd
+    * [[graft.plans.ShingleFp64Expr]]). Any engine with md5 reproduces
+    * these bit-for-bit. */
+  def shingleFp64(c: Column, k: Int): Column =
+    F.call_function("graft_shingle_fp64", c, F.lit(k))
+
+  /** REPLAYABLE MinHash signature: Carter-Wegman permutation hashes
+    * ((a_i·h + b_i) mod 2^61−1, md5-derived constants — see
+    * [[graft.plans.MinHashPortableExpr]]) over [[shingleFp64]]
+    * fingerprints. Exactly reproducible in any engine with md5 and
+    * 128-bit integer arithmetic (DuckDB: HUGEINT), which is what puts
+    * MinHash-LSH dedup under a cross-engine oracle; the xxhash64
+    * default is faster but engine-native. */
+  def minhashReplayable(hashes: Column, numPerm: Int): Column =
+    F.call_function("graft_minhash_portable", hashes, F.lit(numPerm))
+
+  /** REPLAYABLE SimHash: the same bit-vote packing as [[simhash64]] but
+    * over [[shingleFp64]] token fingerprints (k = 1) instead of
+    * xxhash64 token hashes. Fingerprints are 60-bit, so bits 60..63 of
+    * the signature are always 0 — Hamming distances live in the low 60
+    * bits, identically in every engine with md5. */
+  def simhash64Replayable(c: Column): Column =
+    F.call_function("graft_simhash64", shingleFp64(c, 1))
+
   /** LSH band keys over a MinHash signature: `bands` hashes of
     * signature slices of `rowsPerBand`. */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
@@ -258,16 +284,23 @@ object dedup {
     * bucket-locally; signatures ride along with the explode.
     * `maxBucket` > 0 salt-splits oversized band buckets (see
     * [[saltOversized]]) to bound per-task pair generation on
-    * boilerplate-heavy corpora. */
+    * boilerplate-heavy corpora. `replayable` switches the signature to
+    * the md5-based [[minhashReplayable]] family so the whole query can
+    * be replayed by another engine (slower per row; results differ from
+    * the xxhash64 default only in WHICH near-miss estimates clear the
+    * threshold — both are valid MinHash estimators). */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numPerm: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 0,
+      replayable: Boolean = false): DataFrame = {
     val rowsPerBand = numPerm / bands
     // signatures persisted (tracked — see unpersistAll): both sides of
     // the candidate self-join read them, and at full scale this is the
     // signature table a real pipeline would checkpoint anyway
-    val sigs = cached(df.select(F.col(idCol).as("id"),
-      minhashSignature(F.col(textCol), k, numPerm).as("sig")))
+    val sigExpr =
+      if (replayable) minhashReplayable(shingleFp64(F.col(textCol), k), numPerm)
+      else minhashSignature(F.col(textCol), k, numPerm)
+    val sigs = cached(df.select(F.col(idCol).as("id"), sigExpr.as("sig")))
     // signatures ride along through the explode: no join-back needed
     val buckets = saltOversized(sigs
       .select(F.col("id"), F.col("sig"),
@@ -338,7 +371,8 @@ object dedup {
     * overflow. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, maxBucket: Int = 0,
-      pairBlocking: Boolean = true): DataFrame = {
+      pairBlocking: Boolean = true,
+      replayable: Boolean = false): DataFrame = {
     require(maxDist >= 0 && maxDist < 64,
       "simhashPairs: maxDist must be in [0, 64)")
     // pair blocking needs ≥ 2 clean chunks → maxDist + 2 ≤ 64
@@ -349,8 +383,11 @@ object dedup {
       (0 until nChunks).map(i => if (i < rem) base + 1 else base)
     }
     val offsets = widths.scanLeft(0)(_ + _)
+    // replayable = md5-fingerprint token hashes (cross-engine oracle-
+    // able; see simhash64Replayable) instead of the xxhash64 default
     val sigs = cached(df.select(F.col(idCol).as("id"),
-      simhash64(F.col(textCol)).as("sim")))
+      (if (replayable) simhash64Replayable(F.col(textCol))
+       else simhash64(F.col(textCol))).as("sim")))
     def chunk(i: Int): Column = {
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
       F.shiftrightunsigned(F.col("sim"), offsets(i)).bitwiseAND(F.lit(mask))

@@ -519,6 +519,104 @@ case class MinHashFromHashes(hashes: Expression, numPerm: Expression)
     copy(hashes = newLeft, numPerm = newRight)
 }
 
+/** REPLAYABLE MinHash signature from md5-prefix shingle fingerprints:
+  * sig[i] = min over fingerprints h of ((a_i·h + b_i) mod p) with
+  * p = 2^61 − 1 and per-permutation constants a_i, b_i derived from md5
+  * (see [[MinHashPortableExpr.coeffs]]) — a classic Carter-Wegman hash
+  * family whose arithmetic is EXACT integer math, reproducible in any
+  * engine with md5 and 128-bit integers (DuckDB:
+  * `(a::HUGEINT * h + b) % 2305843009213693951`). This is what lets
+  * MinHash-LSH dedup run under a cross-engine oracle; the xxhash64
+  * default ([[MinHashFromHashes]]) is faster but engine-native.
+  * Input fingerprints must be < p (md5-prefix fps are 60-bit — see
+  * [[ShingleFp64Expr]]); numPerm must be a literal. */
+case class MinHashPortableExpr(hashes: Expression, numPerm: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = hashes
+  override def right: Expression = numPerm
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hashes.dataType, numPerm.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        if (numPerm.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_minhash_portable: numPerm must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_portable expects (array<bigint>, int), got " +
+          s"${hashes.dataType} / ${numPerm.dataType}")
+    }
+
+  override protected def nullSafeEval(a: Any, p: Any): Any =
+    MinHashPortableExpr.compute(a.asInstanceOf[ArrayData], p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, p) =>
+      s"${ev.value} = graft.plans.MinHashPortableExpr.compute($a, $p);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(hashes = newLeft, numPerm = newRight)
+}
+
+object MinHashPortableExpr {
+  /** p = 2^61 − 1 (Mersenne: x mod p reduces by 61-bit chunk addition). */
+  val P: Long = (1L << 61) - 1
+
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def fp64(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L; var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v >>> 4
+  }
+
+  /** Per-permutation (a, b) constants: a_i = fp64("graft:minhash:a:i")+1
+    * (60-bit md5 prefix, so a_i ∈ [1, 2^60] < p), b_i ∈ [0, 2^60).
+    * Deterministic in i alone — an oracle can inline the same values. */
+  def coeffs(numPerm: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(numPerm, np => (
+      Array.tabulate(np)(i => fp64(s"graft:minhash:a:$i") + 1L),
+      Array.tabulate(np)(i => fp64(s"graft:minhash:b:$i"))))
+
+  /** (a·h) mod (2^61−1) via 128-bit product split into 61-bit chunks
+    * (2^61 ≡ 1 mod p, so x2·2^122 + x1·2^61 + x0 ≡ x2 + x1 + x0).
+    * Requires a, h ∈ [0, 2^61): the product is < 2^122 and positive, so
+    * Math.multiplyHigh's signed high word equals the unsigned one. */
+  def mulmodP(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h)
+    val lo = a * h
+    var s = (lo & P) + (((lo >>> 61) | (hi << 3)) & P) + (hi >>> 58)
+    while (s >= P) s -= P
+    s
+  }
+
+  /** static so generated code can call it directly (one invoke per row). */
+  def compute(x: ArrayData, numPerm: Int): ArrayData = {
+    val (as, bs) = coeffs(numPerm)
+    val sig = Array.fill(numPerm)(Long.MaxValue)
+    var k = 0
+    while (k < x.numElements()) {
+      if (!x.isNullAt(k)) {
+        val h = x.getLong(k)
+        var i = 0
+        while (i < numPerm) {
+          var v = mulmodP(as(i), h) + bs(i)
+          if (v >= P) v -= P
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+}
+
 /** All random-hyperplane LSH bucket keys of one embedding in one pass:
   * the ±1 plane signs arrive bit-PACKED as array<bigint> (layout
   * `[table][plane][word]`, bit i of word i>>6 = sign of element i), so a
@@ -827,6 +925,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashFromHashes].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashFromHashes(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_minhash_portable"),
+      new ExpressionInfo(classOf[MinHashPortableExpr].getName, "graft_minhash_portable"),
+      (children: Seq[Expression]) => MinHashPortableExpr(children(0), children(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_centroid_topk"),
       new ExpressionInfo(classOf[CentroidTopK].getName, "graft_centroid_topk"),

@@ -283,6 +283,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(empty.head.getSeq[Long](0) == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("replayable minhash matches a BigInteger model of (a·h+b) mod 2^61−1") {
+    import graft.plans.MinHashPortableExpr
+    val P = java.math.BigInteger.valueOf(MinHashPortableExpr.P)
+    val (as, bs) = MinHashPortableExpr.coeffs(8)
+    // the Mersenne-chunk modmul against exact BigInteger arithmetic
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 1000) {
+      val a = as(rnd.nextInt(8)); val h = rnd.nextLong() >>> 4 // 60-bit
+      val got = MinHashPortableExpr.mulmodP(a, h)
+      val want = java.math.BigInteger.valueOf(a)
+        .multiply(java.math.BigInteger.valueOf(h)).mod(P).longValueExact()
+      assert(got == want, s"mulmodP($a, $h)")
+    }
+    // end-to-end: the codegen'd expression vs a driver-side md5 model
+    def fp(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L; for (j <- 0 until 8) v = (v << 8) | (d(j) & 0xffL)
+      v >>> 4
+    }
+    def model(text: String): Seq[Long] = {
+      val toks = text.trim.split("\\s+")
+      val sh = (if (toks.length < 3) Seq(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toSeq).distinct
+      (0 until 8).map { i =>
+        sh.map { s =>
+          java.math.BigInteger.valueOf(as(i))
+            .multiply(java.math.BigInteger.valueOf(fp(s)))
+            .add(java.math.BigInteger.valueOf(bs(i)))
+            .mod(P).longValueExact()
+        }.min
+      }
+    }
+    val texts = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta"), (3L, "one"))
+    val got = texts.toDF("id", "text")
+      .select(F.col("id"), dedup.minhashReplayable(
+        dedup.shingleFp64(F.col("text"), 3), 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.foreach { case (id, t) => assert(got(id) == model(t), s"doc $id") }
+  }
+
   test("native simhash expression equals the portable built-ins version") {
     val both = docsDf.select(dedup.simhash64(F.col("text")).as("a"),
       dedup.simhash64Portable(F.col("text")).as("b")).collect()
