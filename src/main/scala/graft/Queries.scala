@@ -856,6 +856,57 @@ object Queries {
       |  AS n_late
       |FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q33 — UInt types (reference types.py UInt8..UInt64; SURVEY §1.2
+  // maps UInt8→Short, UInt16→Int, UInt32→Long, UInt64→Decimal(20,0)).
+  // strict cast passes in-range values into the carrier, try_cast
+  // nulls out-of-range (negative or > 2^bits−1); arithmetic and
+  // aggregation dissolve to the carrier, so the runtime schema is the
+  // SURVEY mapping exactly and the oracle is plain signed SQL with an
+  // explicit range CASE.
+  // ---------------------------------------------------------------
+  def q33UInt(s: SparkSession, dir: String): DataFrame =
+    src(s, dir, "orders")
+      .mutate(
+        "u8" -> (C("o_orderkey") % lit(300L)).tryCast(UIntType(8)),
+        "u16" -> (C("o_orderkey") % lit(70000L)).tryCast(UIntType(16)),
+        "u32" -> C("o_orderkey").cast(UIntType(32)), // strict: keys > 0
+        "u64" -> C("o_orderkey").cast(UIntType(64)),
+        "neg" -> (lit(0L) - C("o_orderkey")).tryCast(UIntType(8)))
+      .mutate("u8_plus" -> (C("u8") + lit(1L))) // Short carrier + Long → Long
+      .groupBy(C("o_orderstatus"))
+      .summarize(
+        "n_u8" -> C("u8").count(),
+        "mx_u8" -> C("u8").max(),
+        "mx_u16" -> C("u16").max(),
+        "n_neg" -> C("neg").count(), // all negative → all null → 0
+        "sum_u32" -> C("u32").sum(),
+        "sum_u64" -> C("u64").sum(),
+        "mx_plus" -> C("u8_plus").max())
+      .arrange(C("o_orderstatus"))
+      .toDF
+
+  private val q33Oracle =
+    """WITH b AS (SELECT o_orderstatus,
+      |  CASE WHEN o_orderkey % 300 BETWEEN 0 AND 255
+      |    THEN CAST(o_orderkey % 300 AS SMALLINT) END AS u8,
+      |  CASE WHEN o_orderkey % 70000 BETWEEN 0 AND 65535
+      |    THEN CAST(o_orderkey % 70000 AS INTEGER) END AS u16,
+      |  CAST(o_orderkey AS BIGINT) AS u32,
+      |  CAST(o_orderkey AS DECIMAL(20,0)) AS u64,
+      |  CASE WHEN (0 - o_orderkey) BETWEEN 0 AND 255
+      |    THEN CAST(0 - o_orderkey AS SMALLINT) END AS neg
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |CAST(COUNT(u8) AS BIGINT) AS n_u8,
+      |MAX(u8) AS mx_u8,
+      |MAX(u16) AS mx_u16,
+      |CAST(COUNT(neg) AS BIGINT) AS n_neg,
+      |CAST(SUM(u32) AS BIGINT) AS sum_u32,
+      |CAST(SUM(u64) AS DECIMAL(30,0)) AS sum_u64,
+      |MAX(CAST(u8 AS BIGINT) + 1) AS mx_plus
+      |FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summarize_flagship" -> (q1Agg _),
     "q02_select_mutate_arith" -> (q2Mutate _),
@@ -890,7 +941,8 @@ object Queries {
     "q30_diff_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.query(s, dir)),
     "q31_enum_cast" -> (q31Enum _),
-    "q32_time_type" -> (q32Time _))
+    "q32_time_type" -> (q32Time _),
+    "q33_uint_types" -> (q33UInt _))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -925,5 +977,6 @@ object Queries {
     "q29_decimal_pipeline" -> q29Oracle,
     "q30_diff_fuzz_battery" -> graft.fuzz.DiffFuzz.oracle,
     "q31_enum_cast" -> q31Oracle,
-    "q32_time_type" -> q32Oracle)
+    "q32_time_type" -> q32Oracle,
+    "q33_uint_types" -> q33Oracle)
 }

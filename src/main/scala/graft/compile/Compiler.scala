@@ -72,6 +72,15 @@ object Typing {
               throw new GraftTypeError(
                 s"cannot cast ${from.simpleString} to ${e.simpleString}: " +
                   "only String casts to Enum")
+          case u: UIntType =>
+            // UInt admits the Int cast family (numeric, bool, string);
+            // range [0, 2^bits) is enforced at runtime by compileCast
+            val f = DTypes.dissolveUInt(from)
+            if (!(DTypes.isNumeric(f) || f == BooleanType ||
+                f == StringType || f == NullType))
+              throw new GraftTypeError(
+                s"cannot cast ${from.simpleString} to ${u.simpleString}: " +
+                  "UInt casts from numeric, boolean and string only")
           // Time is COMPARABLE-only in the reference: VALID_CASTS
           // (col_expr.py:2688-2722) lists no cast to or from Time
           case _: TimeType if !from.isInstanceOf[TimeType] && from != NullType =>
@@ -92,7 +101,11 @@ object Typing {
 
   import DTypes.isTimeLike
 
-  private def fnType(op: Op, at: Seq[DataType], args: Seq[ColExpr]): DataType = {
+  private def fnType(op: Op, at0: Seq[DataType], args: Seq[ColExpr]): DataType = {
+    // UInt dissolves to its signed carrier for ALL operator typing
+    // (DTypes.dissolveUInt): unsigned columns feed every numeric op as
+    // the carrier, so the typed result always equals the runtime schema
+    val at = at0.map(DTypes.dissolveUInt)
     // eager signature check (reference signature.py trie + conversion
     // lattice): ill-typed arguments raise here, at verb application,
     // never reaching Spark's implicit coercion
@@ -242,8 +255,10 @@ object ExprCompiler {
     case ColRef(u, _, _) => ctx.resolve(u)
     case CName(n) => throw new GraftError(s"unresolved C($n) reached compiler")
     case Lit(null, None) => F.lit(null)
-    case Lit(null, Some(dt)) => F.lit(null).cast(dt)
-    case Lit(v, Some(dt)) => F.lit(v).cast(dt)
+    // typed literals cast to the PHYSICAL type (Enum → String, UInt →
+    // carrier): the typing-layer types are not Spark runtime types
+    case Lit(null, Some(dt)) => F.lit(null).cast(DTypes.physical(dt))
+    case Lit(v, Some(dt)) => F.lit(v).cast(DTypes.physical(dt))
     case Lit(v, None) => F.lit(v)
     case Marker(inner, _, _) => compile(inner, ctx)
     case CastE(inner, to, strict) =>
@@ -289,6 +304,19 @@ object ExprCompiler {
               F.raise_error(F.lit(strictCastErrorMsg(e))))
             .otherwise(c)
           else F.when(member, c) // no otherwise → null
+      case u: UIntType =>
+        // UInt cast = carrier cast + range check [0, 2^bits): strict
+        // raises on conversion failure OR out-of-range, try_cast nulls
+        if (from0 == to) return c
+        val fromPhys = DTypes.physical(from0)
+        val src = if (fromPhys == StringType) F.trim(c) else c
+        val tried = src.try_cast(u.carrier)
+        val inRange = tried >= F.lit(0) && tried <= F.lit(u.maxValue)
+        return if (strict)
+          F.when(src.isNotNull && (tried.isNull || !inRange),
+              F.raise_error(F.lit(strictCastErrorMsg(u))))
+            .otherwise(tried)
+          else F.when(inRange, tried) // no otherwise → null
       case _ => ()
     }
     // Enum source behaves as its physical String for every other target

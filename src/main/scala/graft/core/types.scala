@@ -25,11 +25,23 @@ object DTypes {
   val Int64: DataType = LongType
   val Float64: DataType = DoubleType
 
-  /** Physical (runtime) Spark type of a graft dtype: [[EnumType]] exists
-    * only in the typing layer and executes as String. */
+  /** Physical (runtime) Spark type of a graft dtype: [[EnumType]] and
+    * [[UIntType]] exist only in the typing layer — Enum executes as
+    * String, UInt as its signed carrier. */
   def physical(t: DataType): DataType = t match {
     case _: EnumType => StringType
-    case ArrayType(e: EnumType, n) => ArrayType(StringType, n)
+    case u: UIntType => u.carrier
+    case ArrayType(e, n) if physical(e) != e => ArrayType(physical(e), n)
+    case t => t
+  }
+
+  /** UInt dissolves to its signed carrier for operator typing: unsigned
+    * is a STORAGE/ingestion property (SURVEY §1.2), arithmetic and
+    * aggregation compute — and type — as the carrier, exactly matching
+    * the runtime schema (a deliberate, documented delta from the
+    * reference, whose Polars backend keeps unsigned results). */
+  def dissolveUInt(t: DataType): DataType = t match {
+    case u: UIntType => u.carrier
     case t => t
   }
 
@@ -80,6 +92,12 @@ object DTypes {
     case (x, y) if x == y => x
     case (NullType, y) => y
     case (x, NullType) => x
+    // UInt family: widths unify upward (UInt8 ∪ UInt16 = UInt16,
+    // reference types.py lattice); against any OTHER type a UInt acts
+    // as its signed carrier (SURVEY §1.2 mapping)
+    case (x: UIntType, y: UIntType) => if (x.bits >= y.bits) x else y
+    case (x: UIntType, y) => lca(x.carrier, y)
+    case (x, y: UIntType) => lca(x, y.carrier)
     // Enum/String family (reference types.py:201-206): identical enums
     // stay themselves (covered above); enum-vs-string and enum-vs-other-
     // enum widen to plain String
@@ -132,6 +150,51 @@ final case class EnumType(values: Seq[String]) extends DataType {
   override def simpleString: String = s"enum(${values.mkString(", ")})"
   override def sql: String = simpleString
   def contains(v: String): Boolean = values.contains(v)
+}
+
+/** Unsigned integer of `bits` ∈ {8, 16, 32, 64} — the reference's
+  * UInt8..UInt64 scalars (types.py; SURVEY §1.2). Spark has no unsigned
+  * types, so each width executes as the narrowest SIGNED carrier whose
+  * range covers it: UInt8→Short, UInt16→Int, UInt32→Long,
+  * UInt64→Decimal(20,0) — the same widening Spark itself applies when
+  * reading parquet UINT_8/16/32/64 logical types, so unsigned columns
+  * from a Polars-written parquet file ingest losslessly and can be
+  * re-tagged by casting. Like [[EnumType]], UInt lives in graft's typing
+  * layer: the runtime type is the carrier, range membership
+  * [0, 2^bits) is enforced on cast (strict → raise, try_cast → null on
+  * out-of-range), uint-ness travels as column metadata across verbs and
+  * export, and operator typing dissolves to the carrier
+  * ([[DTypes.dissolveUInt]]). */
+final case class UIntType(bits: Int) extends DataType {
+  require(bits == 8 || bits == 16 || bits == 32 || bits == 64,
+    s"UIntType: bits must be 8, 16, 32 or 64 (got $bits)")
+  def carrier: DataType = bits match {
+    case 8 => ShortType
+    case 16 => IntegerType
+    case 32 => LongType
+    case 64 => DecimalType(20, 0)
+  }
+  /** 2^bits − 1 as an exact decimal (UInt64's max exceeds Long). */
+  def maxValue: java.math.BigDecimal =
+    new java.math.BigDecimal(java.math.BigInteger.ONE.shiftLeft(bits)
+      .subtract(java.math.BigInteger.ONE))
+  override def defaultSize: Int = carrier.defaultSize
+  override def asNullable: DataType = this
+  override def typeName: String = s"uint$bits"
+  override def simpleString: String = s"uint$bits"
+  override def sql: String = s"UINT$bits"
+}
+
+object UIntType {
+  private val MetaKey = "graft_uint_bits"
+  /** Column-level metadata carrying the width — how uint-ness survives
+    * projections/joins and export round-trips (same mechanism as
+    * [[EnumType]]). */
+  def toMetadata(u: UIntType): Metadata =
+    new MetadataBuilder().putLong(MetaKey, u.bits.toLong).build()
+  def fromMetadata(m: Metadata): Option[UIntType] =
+    if (m.contains(MetaKey)) Some(UIntType(m.getLong(MetaKey).toInt))
+    else None
 }
 
 object EnumType {

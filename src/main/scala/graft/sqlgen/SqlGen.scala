@@ -70,6 +70,23 @@ object SqlGen {
               s"THEN RAISE_ERROR('$msg') ELSE $x END)"
           } else s"(CASE WHEN ($x) IN $set THEN $x END)"
         }
+      case CastE(inner, to: UIntType, strict) =>
+        // uint cast = carrier cast + range guard (mirrors compileCast)
+        val x0 = go(inner)
+        if (ty(inner).contains(to)) x0
+        else {
+          val x = if (ty(inner).map(DTypes.physical).contains(StringType))
+            s"TRIM($x0)" else x0
+          val t = typeSql(to.carrier)
+          val tc = s"TRY_CAST($x AS $t)"
+          val max = to.maxValue.toPlainString
+          if (strict) {
+            val msg = graft.compile.ExprCompiler
+              .strictCastErrorMsg(to).replace("'", "''")
+            s"(CASE WHEN ($x) IS NOT NULL AND ($tc IS NULL OR $tc < 0 " +
+              s"OR $tc > $max) THEN RAISE_ERROR('$msg') ELSE $tc END)"
+          } else s"(CASE WHEN $tc >= 0 AND $tc <= $max THEN $tc END)"
+        }
       case CastE(inner, to, strict) =>
         val x = go(inner); val t = typeSql(to)
         if (!strict) s"TRY_CAST($x AS $t)"

@@ -53,9 +53,11 @@ final class Table private[graft] (
 
   private def dtypeOfUuid(u: Long): DataType = {
     val f = df.schema(internal(u))
-    // enum-ness travels as column metadata (EnumType.toMetadata) — Spark
-    // preserves field metadata on pass-through projections/joins
-    EnumType.fromMetadata(f.metadata).getOrElse(f.dataType)
+    // enum-ness / uint-ness travel as column metadata — Spark preserves
+    // field metadata on pass-through projections/joins
+    EnumType.fromMetadata(f.metadata)
+      .orElse(UIntType.fromMetadata(f.metadata))
+      .getOrElse(f.dataType)
   }
 
   /** `t.col("x")` / `t("x")` — resolved column handle with stable uuid. */
@@ -186,8 +188,9 @@ final class Table private[graft] (
     val existing = df.columns.map(df(_))
     val added = resolved.zip(newMeta).map { case ((_, e, dt), m) =>
       val c = compiled(e, Mode.Project)
-      dt match { // persist enum-ness on the aliased field
+      dt match { // persist enum-ness / uint-ness on the aliased field
         case et: EnumType => c.as(internal(m.uuid), EnumType.toMetadata(et))
+        case ut: UIntType => c.as(internal(m.uuid), UIntType.toMetadata(ut))
         case _ => c.as(internal(m.uuid))
       }
     }
@@ -478,9 +481,10 @@ final class Table private[graft] (
       t.df.select(ln.zip(outMeta).map { case (n, m) =>
         val c = t.df(internal(t.col(n).uuid)).cast(DTypes.physical(types(n)))
         types(n) match {
-          // lca kept the enum (identical value sets both sides): re-attach
-          // the metadata, as mutate does, so enum-ness survives the union
+          // lca kept the enum/uint (compatible both sides): re-attach
+          // the metadata, as mutate does, so it survives the union
           case et: EnumType => c.as(internal(m.uuid), EnumType.toMetadata(et))
+          case ut: UIntType => c.as(internal(m.uuid), UIntType.toMetadata(ut))
           case _ => c.as(internal(m.uuid))
         }
       }: _*)

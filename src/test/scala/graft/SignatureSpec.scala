@@ -176,4 +176,45 @@ class SignatureSpec extends SparkSpec {
     assert(DTypes.lca(DecimalType(10, 2), LongType) == DecimalType(22, 2))
     assert(DTypes.lca(DecimalType(10, 2), DoubleType) == DoubleType)
   }
+
+  // ---- UInt types (reference types.py UInt8..UInt64; SURVEY §1.2) ----
+  test("UInt carriers follow the SURVEY mapping and widths unify upward") {
+    assert(UIntType(8).carrier == ShortType)
+    assert(UIntType(16).carrier == IntegerType)
+    assert(UIntType(32).carrier == LongType)
+    assert(UIntType(64).carrier == DecimalType(20, 0))
+    intercept[IllegalArgumentException](UIntType(12))
+    // lca: widths unify upward; vs other types the carrier decides
+    assert(DTypes.lca(UIntType(8), UIntType(32)) == UIntType(32))
+    assert(DTypes.lca(UIntType(8), IntegerType) == IntegerType)
+    assert(DTypes.lca(UIntType(32), DoubleType) == DoubleType)
+    // Decimal(20,0) already covers Long's 19 digits — no widening needed
+    assert(DTypes.lca(UIntType(64), LongType) == DecimalType(20, 0))
+  }
+
+  test("UInt cast: strict raises out-of-range, try_cast nulls, metadata survives") {
+    val t2 = tbl(Seq((200L, -5L, "77"), (300L, 3L, "bad"))
+      .toDF("big", "sgn", "st"), "u")
+    // try_cast: out-of-range → null, in-range → carrier value
+    val got = t2.mutate(
+        "u8" -> C("big").tryCast(UIntType(8)),
+        "un" -> C("sgn").tryCast(UIntType(8)),
+        "us" -> C("st").tryCast(UIntType(16)))
+      .toDF.collect().map(r => (r.get(3), r.get(4), r.get(5))).toSeq
+    assert(got == Seq((200.toShort, null, 77), (null, 3.toShort, null)))
+    // strict: raises on the 300 row (raise_error → SparkRuntimeException)
+    val ex = intercept[Exception] {
+      t2.mutate("u8" -> C("big").cast(UIntType(8))).toDF.collect()
+    }
+    assert(ex.getMessage.contains("strict cast"))
+    // typing: non-numeric sources are rejected eagerly
+    val t3 = tbl(Seq(Tuple1(java.sql.Date.valueOf("2024-01-01"))).toDF("d"))
+    err(t3.mutate("x" -> C("d").cast(UIntType(16))))
+    // uint-ness survives verbs as metadata; arithmetic dissolves to the
+    // carrier (Short + Long literal → Long)
+    val m = t2.mutate("u8" -> C("big").tryCast(UIntType(8)))
+      .select(C("u8")).mutate("y" -> (C("u8") + lit(1L)))
+    assert(m.col("u8").dtype == UIntType(8))
+    assert(m.toDF.schema("y").dataType == LongType)
+  }
 }
