@@ -82,8 +82,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
-    println(s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","cpus":$cpus}"""
+    println(json)
+    // ALSO write the complete JSON to a file: the stdout line rides a
+    // noisy sbt/Spark log stream and can be truncated or interleaved by
+    // the harness capturing it — the file is the parseable artifact
+    // (cold + warm medians per query) that round-over-round comparisons
+    // ingest. Default bench_out.json in the working directory; override
+    // with SPARK_GRAFT_BENCH_OUT.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -371,6 +371,40 @@ object ExtQueries {
       |3 AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** REAL image decode: one tiny PNG per document id, dimensions
+    * derived arithmetically from the id (w = 3 + id mod 5,
+    * h = 2 + id mod 7), pixels seeded by the id, encoded by the JDK's
+    * real PNG writer on the EXECUTORS and decoded back by
+    * [[graft.functions.multimodal.decodeFeatures]]'s ImageIO path. The
+    * oracle recomputes the dimension arithmetic — the decoded geometry
+    * must round-trip the encoder exactly; `channels` = 3 (BGR) proves
+    * the raster was truly parsed, not inferred from metadata. */
+  def x51ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = docs(s, dir)
+      .select(F.col("doc_id").cast(LongType).as("doc_id"))
+      .as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val w = 3 + (id % 5).toInt
+        val h = 2 + (id % 7).toInt
+        val bytes = multimodal.syntheticPng(w, h, seed = id)
+        multimodal.MediaRow(id, bytes, bytes.length.toLong, "PNG")
+      }
+    }(multimodal.mediaRowEnc)
+    multimodal.decodeFeatures(media).toDF()
+      .select(F.col("doc_id"), F.col("width"), F.col("height"),
+        F.col("channels"))
+      .orderBy("doc_id")
+  }
+
+  private val x51Oracle =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |CAST(3 + doc_id % 5 AS INTEGER) AS width,
+      |CAST(2 + doc_id % 7 AS INTEGER) AS height,
+      |CAST(3 AS INTEGER) AS channels
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------- event streams (batch shape of the streaming ops) ----------------
 
   /** 5-minute tumbling-window aggregation, written through the DSL
@@ -1624,7 +1658,8 @@ object ExtQueries {
     "x47_bigram_nll" -> (x47BigramNll _),
     "x48_credit_cards" -> (x48CreditCards _),
     "x49_compression_ratio" -> (x49CompressionRatio _),
-    "x50_curation_pipeline" -> (x50CurationPipeline _))
+    "x50_curation_pipeline" -> (x50CurationPipeline _),
+    "x51_image_decode" -> (x51ImageDecode _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1674,5 +1709,6 @@ object ExtQueries {
     "x46_quality_classifier" -> x46Oracle,
     "x47_bigram_nll" -> x47Oracle,
     "x48_credit_cards" -> x48Oracle,
-    "x50_curation_pipeline" -> x50Oracle)
+    "x50_curation_pipeline" -> x50Oracle,
+    "x51_image_decode" -> x51Oracle)
 }

@@ -7,20 +7,23 @@ import org.apache.spark.sql.types._
   * with typed metadata, decoded/feature-extracted in partition-batched
   * typed pipelines.
   *
-  * The decode step is a STUB: this container ships no image/audio codecs,
-  * so `decodeFeatures` derives deterministic fake features from byte
-  * statistics. Everything around it — binary schema, typed Dataset
-  * encoders, mapPartitions batch shape, partition sizing — is the real
-  * plumbing a codec-backed decoder would drop into.
+  * The decode step is REAL for the formats the JDK ships codecs for
+  * (PNG, JPEG, GIF, BMP via ImageIO): `decodeFeatures` parses the
+  * payload bytes and reports true pixel dimensions and band counts.
+  * Payloads no installed reader understands (text fixtures, audio,
+  * codecs outside the JDK) fall back to deterministic byte-statistics
+  * features so the pipeline stays total — the fallback is the
+  * extension point where a container with real audio/video codecs
+  * would plug in, with the schema, encoders, mapPartitions batch shape
+  * and partition sizing unchanged.
   */
 object multimodal {
 
   /** A media row: opaque payload + cheap metadata extracted at scan time. */
   final case class MediaRow(doc_id: Long, payload: Array[Byte], n_bytes: Long, magic: String)
 
-  /** Decoded features. A real implementation would parse the container
-    * format (JPEG SOF markers, WAV headers, …); the stub is deterministic
-    * in the payload bytes. */
+  /** Decoded features: true pixel geometry for ImageIO-readable
+    * payloads, deterministic byte-statistics otherwise. */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long, magic: String,
       width: Int, height: Int, channels: Int)
 
@@ -38,21 +41,55 @@ object multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: partition-batched feature extraction. The real version
-    * would run a codec over `payload` inside this mapPartitions (one
-    * library init per partition, not per row — the batch shape matters
-    * at scale). */
+  /** Partition-batched media decode. ImageIO parses each payload
+    * in-memory (PNG/JPEG/GIF/BMP — the JDK's shipped readers): real
+    * width, height and raster band count. Unreadable payloads fall back
+    * to deterministic byte-statistics features (the audio/video
+    * extension point). Codec setup happens once per PARTITION, not per
+    * row — the batch shape that matters at scale: a 100 TB scan pays
+    * library init per task, and the decode itself never touches disk
+    * (`setUseCache(false)` keeps ImageIO off its temp-file cache). */
   def decodeFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] =
     ds.mapPartitions { rows =>
-      // per-partition "codec init" would go here
+      // per-partition codec init
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        // ??? real decode — replaced by a deterministic fake:
-        MediaFeatures(r.doc_id, r.n_bytes, r.magic,
-          width = (r.n_bytes % 640).toInt,
-          height = (r.n_bytes % 480).toInt,
-          channels = 3)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img != null)
+          MediaFeatures(r.doc_id, r.n_bytes, r.magic,
+            width = img.getWidth, height = img.getHeight,
+            channels = img.getRaster.getNumBands)
+        else
+          MediaFeatures(r.doc_id, r.n_bytes, r.magic,
+            width = (r.n_bytes % 640).toInt,
+            height = (r.n_bytes % 480).toInt,
+            channels = 3)
       }
     }
+
+  /** Deterministic tiny PNG: TYPE_3BYTE_BGR pixels derived from
+    * (seed, x, y), written through the JDK's real PNG encoder — the
+    * fixture generator for decode tests and oracled queries (the DIMS
+    * are predictable arithmetic even though the byte stream is
+    * encoder-specific). */
+  def syntheticPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((seed * 31 + y.toLong * width + x) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Resize stage: recomputes geometry toward a bounding box preserving
     * aspect ratio. STUB pixel path (real version transforms `payload`);

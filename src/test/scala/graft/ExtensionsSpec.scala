@@ -461,6 +461,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(f.width == (43 % 640) && f.height == (43 % 480))
   }
 
+  test("multimodal: ImageIO decodes real PNG bytes; unreadable payloads fall back") {
+    import multimodal._
+    import org.apache.spark.sql.Encoders
+    // real path: encoder → decoder round-trips exact geometry + bands
+    val media = spark.range(0, 20).as(Encoders.scalaLong).mapPartitions { it =>
+      it.map { id =>
+        val w = 3 + (id % 5).toInt; val h = 2 + (id % 7).toInt
+        val b = syntheticPng(w, h, seed = id)
+        MediaRow(id, b, b.length.toLong, "PNG")
+      }
+    }(mediaRowEnc)
+    decodeFeatures(media).collect().foreach { f =>
+      assert(f.width == 3 + (f.doc_id % 5).toInt, s"doc ${f.doc_id}")
+      assert(f.height == 2 + (f.doc_id % 7).toInt, s"doc ${f.doc_id}")
+      assert(f.channels == 3) // TYPE_3BYTE_BGR raster truly parsed
+    }
+    // fallback path: text bytes are not an image → byte-statistics dims
+    val text = decodeFeatures(toMedia(docsDf, "doc_id", "text")).collect()
+    text.foreach { f =>
+      assert(f.width == (f.n_bytes % 640).toInt && f.height == (f.n_bytes % 480).toInt)
+    }
+  }
+
   test("multimodal: resize preserves aspect ratio within bounds; frame sampling explodes") {
     val media = multimodal.toMedia(docsDf, "doc_id", "text")
     val resized = multimodal.resize(multimodal.decodeFeatures(media), 10, 10).collect()
