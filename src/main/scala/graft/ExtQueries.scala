@@ -273,6 +273,38 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rank <= 7 ORDER BY q_id, rank""".stripMargin
 
+  /** Persistent IVF ANN index, built then probed in one query —
+    * [[graft.functions.index.buildIvfIndex]] /
+    * [[graft.functions.index.probeIvfIndex]]: centroids trained as
+    * Spark jobs, assignments persisted partitioned-by-cell, the probe
+    * broadcast + partition-pruned. With nprobe = nlist every cell is
+    * probed, so the result is provably the brute-force top-k — same
+    * oracle family as x21, independent of where training converged. */
+  def x56IvfIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildIvfIndex(e, "vec_id", "embedding",
+      "x56_ivf", nlist = 16, iters = 2)
+    graft.functions.index.probeIvfIndex(s,
+        e.filter(F.col("vec_id") < 12), "vec_id", "embedding",
+        "x56_ivf", k = 6, nprobe = 16)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x56Oracle =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 12),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |  list_sum(list_transform(list_zip(q.embedding, e.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos
+      |  FROM e CROSS JOIN q WHERE e.vec_id != q.vec_id)
+      |SELECT q_id, n_id, cos, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 6 ORDER BY q_id, rank""".stripMargin
+
   /** LSH-bucketed ANN — engine-native hyperplane hashing, rows-only. */
   def x07AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
@@ -404,6 +436,42 @@ object ExtQueries {
       |CAST(2 + doc_id % 7 AS INTEGER) AS height,
       |CAST(3 AS INTEGER) AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Unicode canonicalization before fingerprinting
+    * ([[graft.functions.text.normalizeUnicode]] /
+    * [[graft.functions.text.foldedText]]): each document is prefixed
+    * with DECOMPOSED accents (combining marks — the form crawls emit
+    * when a site serves NFD), then NFC-normalized and folded to the
+    * canonical match key. The oracle replays both through DuckDB's
+    * `nfc_normalize` / `strip_accents` (chr() literals keep the SQL
+    * ASCII-clean); `changed` proves the normalizer actually composed
+    * the planted marks rather than passing text through. */
+  def x52UnicodeFold(s: SparkSession, dir: String): DataFrame = {
+    // E + U+0301, c + U+0327, İ (U+0130): decomposed/precomposed mix
+    val decorated = F.concat(
+      F.lit("E\u0301lan fac\u0327ade \u0130stanbul  Caf\u00E9 "),
+      F.col("text"))
+    docs(s, dir).select(F.col("doc_id"),
+        text.normalizeUnicode(decorated, "NFC").as("norm"),
+        text.foldedText(decorated).as("folded"),
+        (text.normalizeUnicode(decorated, "NFC") =!= decorated).as("changed"))
+      .select(F.col("doc_id"),
+        F.length(F.col("norm")).cast(LongType).as("norm_chars"),
+        F.col("folded"), F.col("changed"))
+      .orderBy("doc_id")
+  }
+
+  private val x52Oracle =
+    """WITH p AS (SELECT doc_id,
+      |    'E' || chr(769) || 'lan fac' || chr(807) || 'ade ' || chr(304)
+      |      || 'stanbul  Caf' || chr(233) || ' ' || text AS dec
+      |  FROM documents)
+      |SELECT doc_id,
+      |  length(nfc_normalize(dec)) AS norm_chars,
+      |  regexp_replace(trim(lower(strip_accents(nfc_normalize(dec)))),
+      |    '\s+', ' ', 'g') AS folded,
+      |  nfc_normalize(dec) != dec AS changed
+      |FROM p ORDER BY doc_id""".stripMargin
 
   // ---------------- event streams (batch shape of the streaming ops) ----------------
 
@@ -666,6 +734,57 @@ object ExtQueries {
       |  (CAST(COUNT(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) >= 0.5
       |    AS contaminated
       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Bloom-prefiltered decontamination —
+    * [[graft.functions.contamination.decontaminateBloom]], the
+    * un-broadcastable-benchmark scale path: a map-side Bloom pass (no
+    * false negatives) proves most of the corpus overlap-free; only
+    * might-contain suspects take the explode + shuffle join for exact
+    * counts that cancel the false positives. The RESULT is exact — the
+    * oracle is the plain k=4 overlap replay, Bloom invisible. fpp is
+    * deliberately coarse (5%) so the suspect path really executes. */
+  def x55BloomDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    contamination.decontaminateBloom(
+        d.filter(F.col("doc_id") % 7 =!= 3), "doc_id", "text",
+        d.filter(F.col("doc_id") % 7 === 3), "text",
+        k = 4, minOverlap = 0.3, fpp = 0.05)
+      .select(F.col("doc_id"), F.col("source"))
+      .orderBy("doc_id")
+  }
+
+  private val x55Oracle =
+    """WITH bench AS (SELECT text FROM documents WHERE doc_id % 7 = 3),
+      |train AS (SELECT doc_id, source, text FROM documents
+      |  WHERE doc_id % 7 <> 3),
+      |ttk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM train),
+      |tsh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |        || ' ' || toks[i+3]) END) AS s
+      |  FROM ttk),
+      |btk AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench),
+      |bsh AS (SELECT DISTINCT
+      |    CAST(concat('0x', substring(md5(u), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT unnest(list_distinct(
+      |    CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 3),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+      |        || ' ' || toks[i+3]) END)) AS u
+      |    FROM btk)),
+      |tf AS (SELECT doc_id,
+      |    CAST(concat('0x', substring(md5(u), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, unnest(s) AS u FROM tsh)),
+      |j AS (SELECT tf.doc_id, CASE WHEN bsh.h IS NOT NULL THEN 1 END AS hit
+      |  FROM tf LEFT JOIN bsh ON tf.h = bsh.h),
+      |st AS (SELECT doc_id, COUNT(*) AS ns, COUNT(hit) AS nov
+      |  FROM j GROUP BY doc_id)
+      |SELECT t.doc_id, t.source
+      |FROM train t JOIN st USING (doc_id)
+      |WHERE NOT (CAST(nov AS DOUBLE) / CAST(ns AS DOUBLE) >= 0.3)
+      |ORDER BY t.doc_id""".stripMargin
 
   /** Corpus TF-IDF: top-3 terms per document with smoothed idf, scores
     * rounded to 9 dp before ranking (ln differs from libm by 1 ulp),
@@ -1071,6 +1190,83 @@ object ExtQueries {
       |SELECT doc_id, url, host, norm_host,
       |  regexp_extract(norm_host, '([^.]+\.[^.]+)$', 1) AS domain, path
       |FROM n ORDER BY doc_id""".stripMargin
+
+  /** Domain-blocklist filtering over the same planted crawl URLs as
+    * x35 — [[graft.functions.text.filterBlockedDomains]]: a row is
+    * dropped when its canonical host matches a blocklist entry at ANY
+    * dot-suffix level (`sub2.src7.example.com` is blocked by the exact
+    * entry; every `sub*.src3.example.com` by the `src3.example.com`
+    * one; `example.org` never fires). Zero-shuffle: the suffix chain
+    * is tested against a plan-resident hash set
+    * ([[graft.plans.StringArrayAnyInSet]]). The oracle replays the
+    * suffix match as label-boundary NOT EXISTS. */
+  def x53DomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val d = F.col("doc_id")
+    val url = F.concat(
+      F.when(d % 2 === 0, F.lit("https")).otherwise(F.lit("HTTP")),
+      F.lit("://"),
+      F.when(d % 11 === 0, F.lit("bob@")).otherwise(F.lit("")),
+      F.when(d % 4 === 0, F.lit("WWW.")).otherwise(F.lit("")),
+      F.lit("Sub"), (d % 5).cast(StringType), F.lit("."),
+      F.col("source"), F.lit(".Example.COM"),
+      F.when(d % 7 === 0, F.lit(":8443")).otherwise(F.lit("")),
+      F.lit("/p/"), d.cast(StringType))
+    val blocklist = Seq("src3.example.com", "sub2.src7.example.com",
+      "example.org", "sub0.src0.example.com")
+    val withUrl = docs(s, dir).select(d, url.as("url"))
+    text.filterBlockedDomains(withUrl, "url", blocklist)
+      .select(d, text.urlNormHost(F.col("url")).as("norm_host"))
+      .orderBy("doc_id")
+  }
+
+  private val x53Oracle =
+    """WITH u AS (SELECT doc_id, concat(
+      |    CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END, '://',
+      |    CASE WHEN doc_id % 11 = 0 THEN 'bob@' ELSE '' END,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END,
+      |    'Sub', CAST(doc_id % 5 AS VARCHAR), '.', source, '.Example.COM',
+      |    CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END,
+      |    '/p/', CAST(doc_id AS VARCHAR)) AS url
+      |  FROM documents),
+      |n AS (SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(lower(
+      |      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      |      '^[^@]*@', ''), ':[0-9]+$', ''), '^www\.', '') AS norm_host
+      |  FROM u),
+      |b AS (SELECT * FROM (VALUES ('src3.example.com'),
+      |    ('sub2.src7.example.com'), ('example.org'),
+      |    ('sub0.src0.example.com')) AS t(bd))
+      |SELECT doc_id, norm_host FROM n
+      |WHERE NOT EXISTS (SELECT 1 FROM b
+      |  WHERE n.norm_host = b.bd OR n.norm_host LIKE '%.' || b.bd)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Epoch-weighted mixture expansion —
+    * [[graft.functions.sampling.epochExpand]]: src0 upsampled 3×, src1
+    * kept as a 25% hash-slice, src2 at 1.5× (every row once, a
+    * deterministic half twice), everything else 1×. The oracle replays
+    * floor + hash-fraction via generate_series. */
+  def x54EpochMix(s: SparkSession, dir: String): DataFrame =
+    sampling.epochExpand(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 3.0, "src1" -> 0.25, "src2" -> 1.5))
+      .select(F.col("doc_id"), F.col("source"), F.col("epoch"))
+      .orderBy("doc_id", "epoch")
+
+  private val x54Oracle =
+    """WITH w AS (SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.25
+      |      WHEN 'src2' THEN 1.5 ELSE 1.0 END AS wt
+      |  FROM documents),
+      |n AS (SELECT doc_id, source,
+      |    CAST(floor(wt) AS INT)
+      |      + CASE WHEN CAST(concat('0x', substring(
+      |          md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+      |          < (wt - floor(wt)) * 1000000.0 THEN 1 ELSE 0 END AS nc
+      |  FROM w)
+      |SELECT doc_id, source, CAST(g.e AS INT) AS epoch
+      |FROM n, unnest(generate_series(0, nc - 1)) AS g(e)
+      |WHERE nc > 0
+      |ORDER BY doc_id, epoch""".stripMargin
 
   /** BM25 retrieval: every 250th document's 40-char prefix is a query;
     * top-5 corpus matches each, via the relational inverted index —
@@ -1659,7 +1855,12 @@ object ExtQueries {
     "x48_credit_cards" -> (x48CreditCards _),
     "x49_compression_ratio" -> (x49CompressionRatio _),
     "x50_curation_pipeline" -> (x50CurationPipeline _),
-    "x51_image_decode" -> (x51ImageDecode _))
+    "x51_image_decode" -> (x51ImageDecode _),
+    "x52_unicode_fold" -> (x52UnicodeFold _),
+    "x53_domain_blocklist" -> (x53DomainBlocklist _),
+    "x54_epoch_mix" -> (x54EpochMix _),
+    "x55_bloom_decontamination" -> (x55BloomDecontamination _),
+    "x56_ivf_index_probe" -> (x56IvfIndexProbe _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1710,5 +1911,10 @@ object ExtQueries {
     "x47_bigram_nll" -> x47Oracle,
     "x48_credit_cards" -> x48Oracle,
     "x50_curation_pipeline" -> x50Oracle,
-    "x51_image_decode" -> x51Oracle)
+    "x51_image_decode" -> x51Oracle,
+    "x52_unicode_fold" -> x52Oracle,
+    "x53_domain_blocklist" -> x53Oracle,
+    "x54_epoch_mix" -> x54Oracle,
+    "x55_bloom_decontamination" -> x55Oracle,
+    "x56_ivf_index_probe" -> x56Oracle)
 }

@@ -73,4 +73,74 @@ object contamination {
       .select(F.col(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** [[overlapStats]] for benchmark sets too large to broadcast as an
+    * exact fingerprint set (hundreds of millions of n-grams — an exact
+    * long set is gigabytes; the Bloom filter is ~1.2 bytes/item at 1%
+    * fpp). Same EXACT output: a map-side Bloom pass
+    * ([[graft.plans.LongArrayBloomCount]], no false negatives) proves
+    * most of the corpus overlap-free without exploding or shuffling it;
+    * only might-contain suspects (true overlaps + ~fpp of clean rows)
+    * take the explode + SHUFFLE fingerprint join — broadcast is exactly
+    * what this path exists to avoid — for exact counts that cancel the
+    * false positives. At fpp = 1% the shuffled volume drops ~99% vs
+    * running the join over everything.
+    *
+    * `expectedItems` sizes the filter; 0 (default) counts the distinct
+    * benchmark fingerprints first (one extra small job over the BENCH
+    * side only — never the corpus). */
+  def overlapStatsBloom(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 8,
+      minOverlap: Double = 0.1, fpp: Double = 0.01,
+      expectedItems: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.{columnExpr, exprColumn}
+    require(fpp > 0.0 && fpp < 1.0, "overlapStatsBloom: fpp must be in (0,1)")
+    // pinned, not auto-released: the sizing count and the filter build
+    // both read it before the exact join; released when the RETURNED
+    // frame is consumed (releaseWhenConsumed below)
+    val bFps = dedup.cachedPinned(bench
+      .select(F.explode(shingleFps(F.col(benchTextCol), k)).as("h"))
+      .distinct())
+    val items = if (expectedItems > 0L) expectedItems else bFps.count()
+    val bf = bFps.stat.bloomFilter("h", math.max(items, 1L), fpp)
+    val bfBytes = {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os); os.toByteArray
+    }
+    val scored = train.select(F.col(idCol),
+        shingleFps(F.col(textCol), k).as("_fps"))
+      .withColumn("n_shingles", F.size(F.col("_fps")).cast(LongType))
+      .withColumn("_maybe", exprColumn(graft.plans.LongArrayBloomCount(
+        columnExpr(F.col("_fps")), bfBytes)))
+    // count == 0 is PROOF of zero overlap (no false negatives)
+    val clean = scored.filter(F.col("_maybe") === 0)
+      .select(F.col(idCol), F.col("n_shingles"), F.lit(0L).as("n_overlap"))
+    val exact = scored.filter(F.col("_maybe") > 0)
+      .select(F.col(idCol), F.col("n_shingles"),
+        F.explode(F.col("_fps")).as("h"))
+      .join(bFps.withColumn("_hit", F.lit(1)), Seq("h"), "left")
+      .groupBy(idCol, "n_shingles")
+      .agg(F.count(F.col("_hit")).as("n_overlap"))
+      .select(F.col(idCol), F.col("n_shingles"), F.col("n_overlap"))
+    val out = clean.unionByName(exact)
+      .withColumn("contaminated",
+        F.col("n_overlap").cast(DoubleType) /
+          F.col("n_shingles").cast(DoubleType) >= minOverlap)
+    dedup.releaseWhenConsumed(bFps, out)
+    out
+  }
+
+  /** [[decontaminate]] on the Bloom pre-filtered path — same exact
+    * surviving corpus, built for un-broadcastable benchmark sets. */
+  def decontaminateBloom(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 8,
+      minOverlap: Double = 0.1, fpp: Double = 0.01): DataFrame = {
+    require(minOverlap > 0.0,
+      "decontaminateBloom: minOverlap must be > 0 (0 would flag every row)")
+    val flagged = overlapStatsBloom(train, idCol, textCol, bench,
+        benchTextCol, k, minOverlap, fpp)
+      .filter(F.col("contaminated"))
+      .select(F.col(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
 }

@@ -29,6 +29,21 @@ import org.apache.spark.sql.types._
   */
 object index {
 
+  /** Make an Overwrite build idempotent ACROSS sessions: drop the
+    * catalog entry and clear any leftover managed-table directory from a
+    * previous session whose metastore is gone (a fresh in-memory
+    * catalog refuses `saveAsTable` onto an existing managed location —
+    * LOCATION_ALREADY_EXISTS). A daily index rebuild must not depend on
+    * the previous builder's metastore surviving. */
+  private def resetManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+    ()
+  }
+
   /** Build (SaveMode.Overwrite) or extend (SaveMode.Append) the index
     * tables under `name`. Appending batches over time is the intended
     * lifecycle: today's verified-new documents become tomorrow's index.
@@ -50,6 +65,9 @@ object index {
           s"do not match the build (k=${stored._1}, numPerm=${stored._2}, " +
           s"bands=${stored._3})")
     }
+    if (mode == SaveMode.Overwrite)
+      Seq(s"${name}_buckets", s"${name}_stats", s"${name}_sigs")
+        .foreach(resetManagedTable(spark, _))
     val rowsPerBand = numPerm / bands
     // signatures + band keys are each read by two writers below —
     // persist for the duration of the (synchronous) build
@@ -175,5 +193,117 @@ object index {
       .select(F.col("id_new"), F.col("id_indexed"),
         (inter / (F.col("n_new") + F.col("n") - inter)).as("jaccard"))
       .filter(F.col("jaccard") >= minJ)
+  }
+
+  // ---------------- persistent IVF ANN index ----------------
+
+  /** Build (Overwrite) or extend (Append) a persistent IVF ANN index —
+    * the embedding-space sibling of [[buildJaccardIndex]] for the
+    * daily-crawl lifecycle: centroids trained ONCE
+    * ([[similarity.trainIvfCentroids]] — Lloyd passes as Spark jobs),
+    * every corpus vector assigned to its nearest cell in one codegen
+    * pass, and the assignments persisted PARTITIONED BY CELL so a probe
+    * reads only the directories of the cells it targets (static or
+    * dynamic partition pruning) instead of the whole corpus.
+    *
+    * Append assigns the new batch with the STORED centroid bank (cell
+    * ids must stay stable — retraining would silently shift every
+    * boundary) and validates the dimension. The centroid table holds
+    * nlist × (dim + 1) doubles — driver-sized by construction.
+    *
+    * Reference model: pydiverse.transform has no ANN surface; this is
+    * part of graft's training-data-pipeline extension family. */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      name: String, nlist: Int = 64, iters: Int = 5, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(nlist >= 1, s"index: nlist must be >= 1 (got $nlist)")
+    val spark = df.sparkSession
+    val dim = df.select(F.size(F.col(vecCol))).head().getInt(0)
+    val appending =
+      mode == SaveMode.Append && spark.catalog.tableExists(s"${name}_cells")
+    if (!appending)
+      Seq(s"${name}_cells", s"${name}_centroids")
+        .foreach(resetManagedTable(spark, _))
+    val bank: Array[Double] =
+      if (appending) {
+        val stored = readIvfBank(spark, name)
+        val storedDim = readIvfDim(spark, name)
+        require(storedDim == dim,
+          s"index: append dim $dim does not match the build's $storedDim")
+        stored
+      } else similarity.trainIvfCentroids(
+        df, idCol, vecCol, nlist, iters, sampleN, sampleOneIn)
+    val bankLit = F.typedlit(bank.toSeq)
+    val cells = df.select(
+      F.col(idCol).cast(LongType).as("n_id"),
+      F.col(vecCol).as("n_vec"),
+      similarity.norm(F.col(vecCol)).as("n_nrm"),
+      F.element_at(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bankLit, F.lit(1)), 1).as("cell"))
+    cells.write.mode(mode).partitionBy("cell")
+      .format("parquet").saveAsTable(s"${name}_cells")
+    if (!appending) {
+      import spark.implicits._
+      bank.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("pos", "v").coalesce(1)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_centroids")
+      spark.sql(s"ALTER TABLE ${name}_cells SET TBLPROPERTIES(" +
+        s"'graft.dim'='$dim')")
+    }
+  }
+
+  /** The flat centroid bank recorded at build time (layout of
+    * [[similarity.trainIvfCentroids]]: centroids ++ norms). */
+  def readIvfBank(spark: SparkSession, name: String): Array[Double] =
+    spark.table(s"${name}_centroids").orderBy("pos")
+      .collect().map(_.getDouble(1))
+
+  private def readIvfDim(spark: SparkSession, name: String): Int = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_cells").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.getOrElse("graft.dim", throw new IllegalArgumentException(
+      s"index: table ${name}_cells has no 'graft.dim' property — " +
+        "not built by buildIvfIndex?")).toInt
+  }
+
+  /** Probe the IVF index: exact cosine top-k of each query over the
+    * vectors in its `nprobe` nearest cells. The centroid bank comes from
+    * the index's own table — probe and build cannot drift. With
+    * `broadcastQueries` (the queries ≪ corpus norm) the probe is
+    * shuffle-FREE: the query batch broadcasts, the cell equi-join prunes
+    * the partitioned index to only the probed cells' directories
+    * (dynamic partition pruning), and ranking is the bounded
+    * [[similarity.twoStageTopK]]. With nprobe ≥ nlist the result is
+    * exactly [[similarity.bruteForceTopK]] (the x56 oracle gate). */
+  def probeIvfIndex(spark: SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, name: String, k: Int,
+      nprobe: Int = 8, broadcastQueries: Boolean = true): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "index: k and nprobe must be >= 1")
+    val bankLit = F.typedlit(readIvfBank(spark, name).toSeq)
+    val q0 = queries.select(F.col(idCol).cast(LongType).as("q_id"),
+      F.col(vecCol).as("q_vec"),
+      similarity.norm(F.col(vecCol)).as("q_nrm"),
+      F.explode(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bankLit, F.lit(nprobe))).as("cell"))
+    val q = if (broadcastQueries) F.broadcast(q0) else q0
+    val c0 = spark.table(s"${name}_cells")
+    // Under the broadcast contract the query batch is small, so one tiny
+    // job collects its distinct probed cells and turns them into a
+    // STATIC partition filter: the scan reads only nprobe-ish of nlist
+    // directories. (Dynamic partition pruning won't fire here on its
+    // own — its selectivity heuristic wants a filtered build side, and
+    // the exploded query stream has no such predicate.) Large
+    // non-broadcast probes skip this and scan all cells once.
+    val c = if (broadcastQueries) {
+      val cells = q0.select("cell").distinct().collect().map(_.getInt(0))
+      c0.filter(F.col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    } else c0
+    val scored = c.join(q, "cell")
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("n_id"),
+        (similarity.dot(F.col("q_vec"), F.col("n_vec"))
+          / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
+    similarity.twoStageTopK(scored, k)
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, functions => F}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession, functions => F}
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: media payloads as opaque binary columns
@@ -40,6 +40,29 @@ object multimodal {
         F.substring(F.col(textCol), 1, 4).as("magic"))
       .as[MediaRow]
   }
+
+  /** Ingest a directory of REAL media files through Spark's built-in
+    * `binaryFile` source — the production path from object storage to
+    * [[decodeFeatures]]. Each file becomes one [[MediaRow]]: `doc_id` a
+    * stable 64-bit path fingerprint (xxhash64 — reproducible across
+    * runs and cluster layouts), `magic` the upper-cased extension.
+    * `binaryFile` streams file contents as a binary column with
+    * predicate pushdown on (path, length, modificationTime); cap
+    * per-task memory with `spark.sql.sources.binaryFile.maxLength` when
+    * payloads can be large. `glob` filters at LISTING time
+    * (pathGlobFilter) — unmatched files are never opened. */
+  def fromBinaryFiles(spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaRow] =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        F.xxhash64(F.col("path")).as("doc_id"),
+        F.col("content").as("payload"),
+        F.col("length").as("n_bytes"),
+        F.upper(F.regexp_extract(F.col("path"), "\\.([A-Za-z0-9]+)$", 1))
+          .as("magic"))
+      .as[MediaRow](mediaRowEnc)
 
   /** Partition-batched media decode. ImageIO parses each payload
     * in-memory (PNG/JPEG/GIF/BMP — the JDK's shipped readers): real

@@ -167,6 +167,34 @@ object sampling {
     df.filter(keep)
   }
 
+  /** Epoch-weighted mixture expansion: materialize a training mix whose
+    * per-source weights may exceed 1 — weight 2.5 repeats every row of
+    * that source twice and a deterministic 50% hash-slice a third time,
+    * weight 0.25 keeps a 25% slice once. The fractional slice is
+    * hash-keyed (not RNG): the same rows are the "extra epoch" on every
+    * run, cluster size, and engine. Output gains an `epoch` column
+    * (0-based copy ordinal) so downstream shuffles/shards can keep the
+    * copies apart. Pure map-side work: a literal CASE weight, a
+    * `sequence` + one explode — no join, no shuffle, no driver
+    * statistics; output size is exactly Σ n_source · weight_source. */
+  def epochExpand(df: DataFrame, key: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w <= 1000.0),
+      "epochExpand: weights must be in [0, 1000]")
+    val w = weights.foldLeft(F.lit(defaultWeight)) { case (acc, (v, wt)) =>
+      F.when(F.col(sourceCol) === v, F.lit(wt)).otherwise(acc)
+    }
+    val frac = w - F.floor(w)
+    val extra = F.when(
+      hashBucket(F.col(key), 1000000L).cast(DoubleType) < frac * 1e6,
+      F.lit(1)).otherwise(F.lit(0))
+    val n = F.floor(w).cast(IntegerType) + extra
+    df.withColumn("_ep_n", n)
+      .filter(F.col("_ep_n") > 0)
+      .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_ep_n") - 1)))
+      .drop("_ep_n")
+  }
+
   /** Token-budget corpus mixing: keep, per source, a deterministic
     * subset holding at most `budget(source)` whitespace tokens — training
     * mixtures are specified in tokens, not documents. Two-pass and

@@ -249,8 +249,16 @@ object similarity {
   }
 
   /** L2-normalize an embedding to unit length (double arithmetic;
-    * IEEE-exact, so it reproduces bit-for-bit in any engine). */
-  def l2Normalize(vec: Column): Column = {
+    * IEEE-exact, so it reproduces bit-for-bit in any engine). Codegen'd
+    * single pass ([[graft.plans.UnitNormalizeExpr]]) — the `transform`
+    * form re-inlines the captured norm into the lambda and recomputes
+    * the full dot product per element when interpreted. */
+  def l2Normalize(vec: Column): Column =
+    F.call_function("graft_l2_normalize", vec)
+
+  /** Built-ins-only form with identical semantics (cross-checked in
+    * ExtensionsSpec; O(dim²) interpreted — not for hot paths). */
+  private[graft] def l2NormalizePortable(vec: Column): Column = {
     val n = norm(vec)
     F.transform(vec, x => x.cast(DoubleType) / n)
   }
@@ -260,8 +268,15 @@ object similarity {
     * zero on the non-negative scaled operand, so outputs are exact
     * integers cross-engine). Degenerate constant vectors map to 0. The
     * standard 4× storage shrink before ANN indexing — elementwise,
-    * shuffle-free. */
-  def quantizeInt8(vec: Column): Column = {
+    * shuffle-free, one codegen'd min/max + map pass
+    * ([[graft.plans.Int8QuantizeExpr]]). */
+  def quantizeInt8(vec: Column): Column =
+    F.call_function("graft_quantize_int8", vec)
+
+  /** Built-ins-only form with identical semantics (cross-checked in
+    * ExtensionsSpec; recomputes array_min/array_max per element when
+    * interpreted — not for hot paths). */
+  private[graft] def quantizeInt8Portable(vec: Column): Column = {
     val mn = F.array_min(vec).cast(DoubleType)
     val mx = F.array_max(vec).cast(DoubleType)
     F.transform(vec, x =>

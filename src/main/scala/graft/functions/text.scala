@@ -145,6 +145,26 @@ object text {
           F.when(luhnValid(x), 1L).otherwise(0L)).as("n_valid_cards")))
   }
 
+  /** Unicode normalization ([[graft.plans.UnicodeNormalizeExpr]]):
+    * form ∈ NFC/NFD/NFKC/NFKD. Run before fingerprinting/dedup — the
+    * same text arrives composed from one site and decomposed from
+    * another, and un-normalized they hash apart. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column =
+    F.call_function("graft_normalize", c, F.lit(form))
+
+  /** NFD-decompose, drop combining marks, NFC-recompose
+    * ([[graft.plans.StripAccentsExpr]]): `café` → `cafe`. */
+  def stripAccents(c: Column): Column =
+    F.call_function("graft_strip_accents", c)
+
+  /** Canonical match key for cross-site text comparison: NFC, accents
+    * stripped, lower-cased, whitespace collapsed. The folding every
+    * fuzzy-matching stage (dedup keys, blocklists, contamination
+    * n-grams) should share so "Café  Noir" and "cafe noir" collide. */
+  def foldedText(c: Column): Column =
+    F.regexp_replace(F.trim(F.lower(stripAccents(normalizeUnicode(c, "NFC")))),
+      "\\s+", " ")
+
   def fingerprintMd5(c: Column): Column = F.md5(c)
 
   /** 60-bit integer fingerprint: first 15 hex digits of md5 — portable to
@@ -282,6 +302,49 @@ object text {
     F.regexp_extract(urlNormHost(c), "([^.]+\\.[^.]+)$", 1)
 
   def urlPath(c: Column): Column = F.regexp_extract(c, UrlPathPattern, 1)
+
+  /** Dot-suffix chain of a host: `a.b.example.com` →
+    * [a.b.example.com, b.example.com, example.com, com] — every level a
+    * domain blocklist entry could match at. */
+  def hostSuffixes(host: Column): Column = {
+    val parts = F.split(host, "\\.")
+    F.transform(F.sequence(F.lit(1), F.greatest(F.size(parts), F.lit(1))),
+      i => F.array_join(F.slice(parts, i, F.size(parts)), "."))
+  }
+
+  /** True iff the url's canonical host ([[urlNormHost]]) matches a
+    * blocklist domain at ANY suffix level (`spam.example.com` is blocked
+    * by an `example.com` entry). The blocklist folds once into a
+    * plan-resident hash set ([[graft.plans.StringArrayAnyInSet]]) —
+    * the whole test is shuffle-free codegen'd per-row work, the right
+    * shape for a few-thousand-entry blocklist against a 100 TB scan. */
+  def blockedHost(url: Column, domains: Seq[String]): Column =
+    F.call_function("graft_any_in_set",
+      hostSuffixes(urlNormHost(url)),
+      F.array(domains.map(d => F.lit(d.toLowerCase(java.util.Locale.ROOT))): _*))
+
+  /** Drop rows whose url matches the blocklist ([[blockedHost]]). */
+  def filterBlockedDomains(df: org.apache.spark.sql.DataFrame, urlCol: String,
+      domains: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(!blockedHost(F.col(urlCol), domains))
+
+  /** Blocklist filter for lists too large to ride the plan (millions of
+    * domains): explode each row's suffix chain (≤ ~5 labels), hash
+    * semi-join against the blocklist table (column `domain`), anti-join
+    * the hit keys back. `keyCol` must be unique per row. The blocklist
+    * and the hit set are both domain-cardinality — AQE broadcasts them
+    * when they fit, falls back to shuffle joins when they don't. */
+  def filterBlockedDomainsLarge(df: org.apache.spark.sql.DataFrame,
+      urlCol: String, keyCol: String,
+      blocked: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hits = df
+      .select(F.col(keyCol).as("_bl_key"),
+        F.explode(hostSuffixes(urlNormHost(F.col(urlCol)))).as("_bl_sfx"))
+      .join(blocked.select(F.lower(F.col("domain")).as("_bl_sfx")),
+        Seq("_bl_sfx"), "left_semi")
+      .select(F.col("_bl_key")).distinct()
+    df.join(hits, F.col(keyCol) === F.col("_bl_key"), "left_anti")
+  }
 
   /** Sliding-window token chunking (RAG / context-window ingestion):
     * split each document into `size`-token chunks starting every

@@ -888,6 +888,358 @@ object DeflateRatioExpr {
   }
 }
 
+/** Unicode normalization (NFC / NFD / NFKC / NFKD) via
+  * `java.text.Normalizer` — the canonicalization pass a crawl corpus
+  * needs before fingerprinting or dedup (the same text arrives composed
+  * from one site and decomposed from another; un-normalized they hash
+  * apart). The form is a foldable string literal resolved once at plan
+  * time. ASCII fast path: a string whose byte count equals its
+  * codepoint count is pure ASCII, invariant under every form — returned
+  * as-is with no String round-trip, so the 100 TB mostly-ASCII scan
+  * pays one integer compare per row, not an allocation. Oracle: DuckDB
+  * `nfc_normalize` (NFC only; other forms are spec-covered). */
+case class UnicodeNormalizeExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        val name = right.eval() match {
+          case null => null
+          case s => s.toString
+        }
+        if (name != null && UnicodeNormalizeExpr.Forms.contains(name))
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_normalize form must be one of ${UnicodeNormalizeExpr.Forms.keys.mkString("/")}, got $name")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_normalize expects (string, foldable string form)")
+    }
+
+  private lazy val form: java.text.Normalizer.Form =
+    UnicodeNormalizeExpr.Forms(right.eval().toString)
+
+  override protected def nullSafeEval(t: Any, f: Any): Any =
+    UnicodeNormalizeExpr.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("normForm", form,
+      classOf[java.text.Normalizer.Form].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.plans.UnicodeNormalizeExpr.compute($t, $formRef);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object UnicodeNormalizeExpr {
+  val Forms: Map[String, java.text.Normalizer.Form] =
+    java.text.Normalizer.Form.values().map(f => f.name -> f).toMap
+
+  /** static so generated code calls it directly (one invoke per row). */
+  def compute(t: org.apache.spark.unsafe.types.UTF8String,
+      form: java.text.Normalizer.Form): org.apache.spark.unsafe.types.UTF8String = {
+    // pure ASCII (bytes == codepoints) is normalization-invariant
+    if (t.numBytes() == t.numChars()) return t
+    val s = t.toString
+    if (java.text.Normalizer.isNormalized(s, form)) t
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, form))
+  }
+}
+
+/** Accent stripping: NFD-decompose, drop combining marks (general
+  * categories Mn/Mc/Me), NFC-recompose the rest — `café` → `cafe`,
+  * `İstanbul` → `Istanbul`, while `ß` (not an accented letter) is left
+  * alone. Matches DuckDB `strip_accents` on Latin text, which is the
+  * oracle. Same ASCII fast path as [[UnicodeNormalizeExpr]]. */
+case class StripAccentsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_strip_accents expects string, got $t")
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    StripAccentsExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.StripAccentsExpr.compute($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StripAccentsExpr {
+  def compute(t: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    if (t.numBytes() == t.numChars()) return t
+    val d = java.text.Normalizer.normalize(t.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      val tp = Character.getType(cp)
+      if (tp != Character.NON_SPACING_MARK && tp != Character.COMBINING_SPACING_MARK &&
+          tp != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+}
+
+/** Single-pass L2 unit-normalization of an embedding array. The
+  * built-in form `transform(v, x -> x / sqrt(dot(v, v)))` re-inlines
+  * the norm into the lambda, so the interpreted evaluator recomputes
+  * the FULL dot product for every element — O(dim²) multiplies per row
+  * (Catalyst has no let-binding for lambda-captured aggregates). This
+  * expression computes the norm once and divides once: O(dim), in
+  * generated code. Semantics match [[graft.functions.similarity]]'s
+  * portable form exactly: double accumulation in index order, zero or
+  * all-null vectors divide by 0.0 → ±Infinity/NaN identically; null
+  * elements stay null. */
+case class UnitNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_l2_normalize expects array<float|double>, got $t")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    UnitNormalizeExpr.compute(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.UnitNormalizeExpr.compute($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnitNormalizeExpr {
+  def compute(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        s += v * v
+      }
+      i += 1
+    }
+    val nrm = math.sqrt(s)
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) = v / nrm
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Single-pass per-vector int8 quantization: affine-map [min, max] onto
+  * [-127, 127], round half-up — the same algorithm as the portable
+  * `transform` form in [[graft.functions.similarity.quantizeInt8Portable]],
+  * which recomputes array_min/array_max per ELEMENT when interpreted
+  * (the lambda-capture re-inlining problem again, O(dim²)). One min/max
+  * pass + one map pass in generated code. Rounding goes through
+  * BigDecimal HALF_UP exactly like Spark's `round`, so outputs are
+  * bit-identical to the built-in form and the DuckDB oracle. */
+case class Int8QuantizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize_int8 expects array<float|double>, got $t")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    Int8QuantizeExpr.compute(a.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Int8QuantizeExpr.compute($a, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8QuantizeExpr {
+  def compute(a: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = a.numElements()
+    var mn = Double.PositiveInfinity
+    var mx = Double.NegativeInfinity
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        any = true
+      }
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        out(i) =
+          if (any && mx == mn) 0
+          else java.math.BigDecimal.valueOf((v - mn) / (mx - mn) * 254.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP).intValue() - 127
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** True iff ANY element of the string array is in a CONSTANT string
+  * set — the zero-shuffle membership test behind domain-blocklist
+  * filtering. The right child must be a foldable array<string>; it is
+  * folded ONCE into a hash set that rides the plan as a reference
+  * object (one set per stage, shared by every task in the JVM — never
+  * rebuilt per row, unlike `array_intersect` against a literal array,
+  * which re-hashes the constant side on every invocation). For
+  * blocklists too large to ride a plan ((tens of MB+), use the
+  * join-based [[graft.functions.text.filterBlockedDomainsLarge]]
+  * instead. */
+case class StringArrayAnyInSet(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_any_in_set expects (array<string>, foldable array<string>)")
+    }
+
+  private lazy val set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val arr = right.eval().asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) s.add(arr.getUTF8String(i).clone())
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("blockSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("i"); val found = ctx.freshName("found")
+      s"""
+         |boolean $found = false;
+         |for (int $i = 0; $i < $a.numElements() && !$found; $i++) {
+         |  if (!$a.isNullAt($i) && $setRef.contains($a.getUTF8String($i))) {
+         |    $found = true;
+         |  }
+         |}
+         |${ev.value} = $found;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of array<long> elements that MIGHT be in a Bloom filter — the
+  * map-side pre-filter for decontamination when the benchmark
+  * fingerprint set is too large to broadcast exactly (hundreds of
+  * millions of n-grams: an exact long set is gigabytes, the 1%-fpp
+  * filter is ~1.2 bytes/item). No false negatives by construction, so
+  * `count == 0` PROVES zero overlap and only might-contain suspects
+  * (true hits + ~fpp of clean rows) continue to exact verification.
+  *
+  * The filter is CONSTRUCTOR state, not a child expression (a literal
+  * child would ride the plan twice — once in the tree, once
+  * deserialized); built via the [[org.apache.spark.sql.graftbridge]]
+  * bridge, not the function registry. Codegen references the expression
+  * itself, so the serialized bits exist once in the task binary (object
+  *-graph dedup) and deserialize lazily once per executor JVM. */
+case class LongArrayBloomCount(child: Expression, bfBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft bloom count expects array<bigint>, got $t")
+  }
+
+  @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bfBytes))
+
+  /** public: generated code calls it through a reference to `this`. */
+  def bloomCount(a: ArrayData): Long = {
+    var i = 0; var n = 0L
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i) && bf.mightContainLong(a.getLong(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    bloomCount(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[LongArrayBloomCount].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.bloomCount($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session extensions registering graft's native functions; install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
   * entry points do). */
@@ -941,5 +1293,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "graft_deflate_ratio"),
       (children: Seq[Expression]) => DeflateRatioExpr(children(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalizeExpr].getName, "graft_normalize"),
+      (children: Seq[Expression]) => UnicodeNormalizeExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccentsExpr].getName, "graft_strip_accents"),
+      (children: Seq[Expression]) => StripAccentsExpr(children(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_any_in_set"),
+      new ExpressionInfo(classOf[StringArrayAnyInSet].getName, "graft_any_in_set"),
+      (children: Seq[Expression]) => StringArrayAnyInSet(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_l2_normalize"),
+      new ExpressionInfo(classOf[UnitNormalizeExpr].getName, "graft_l2_normalize"),
+      (children: Seq[Expression]) => UnitNormalizeExpr(children(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_quantize_int8"),
+      new ExpressionInfo(classOf[Int8QuantizeExpr].getName, "graft_quantize_int8"),
+      (children: Seq[Expression]) => Int8QuantizeExpr(children(0))))
   }
 }

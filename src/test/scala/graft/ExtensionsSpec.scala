@@ -1247,6 +1247,170 @@ class ExtensionsSpec extends SparkSpec {
     assert(dd.forall(identity))
   }
 
+  test("unicode normalize: forms, ASCII identity, null, bad form") {
+    val df = Seq(
+      (1L, "Élan"),          // decomposed -> NFC composes
+      (2L, "plain ascii"),          // fast path: returned as-is
+      (3L, "ﬁne ①"),      // fi-ligature + circled-1: NFKC folds
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val got = df.select(F.col("id"),
+        text.normalizeUnicode(F.col("t"), "NFC").as("nfc"),
+        text.normalizeUnicode(F.col("t"), "NFKC").as("nfkc"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L)._1 == "Élan" && got(1L)._2 == "Élan")
+    assert(got(2L) == (("plain ascii", "plain ascii")))
+    assert(got(3L)._1 == "ﬁne ①" && got(3L)._2 == "fine 1")
+    assert(got(4L) == ((null, null)))
+    // NFD round-trip: NFC(NFD(x)) == NFC(x)
+    val rt = df.filter(F.col("id") === 1L).select(
+      (text.normalizeUnicode(text.normalizeUnicode(F.col("t"), "NFD"), "NFC")
+        === text.normalizeUnicode(F.col("t"), "NFC")).as("eq"))
+      .collect().head.getBoolean(0)
+    assert(rt)
+    val err = intercept[Exception] {
+      df.select(text.normalizeUnicode(F.col("t"), "NFX")).collect()
+    }
+    assert(err.getMessage.contains("graft_normalize"))
+  }
+
+  test("strip accents and foldedText build the canonical match key") {
+    val df = Seq(
+      (1L, "Café  NOIR"),     // decomposed e-acute, double space
+      (2L, "café noir"),       // precomposed
+      (3L, "straße"),          // ß is not an accent: kept
+      (4L, "İstanbul")         // dotted capital I
+    ).toDF("id", "t")
+    val got = df.select(F.col("id"),
+        text.stripAccents(F.col("t")).as("s"),
+        text.foldedText(F.col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L)._2 == "cafe noir" && got(2L)._2 == "cafe noir",
+      s"fold mismatch: $got")
+    assert(got(3L)._1 == "straße")
+    assert(got(4L)._1 == "Istanbul" && got(4L)._2 == "istanbul")
+  }
+
+  test("domain blocklist filters at label-boundary suffix levels") {
+    val df = Seq(
+      (1L, "https://a.b.spam.com/x"),     // blocked via suffix of spam.com
+      (2L, "http://WWW.good.org/y"),      // www-stripped, not blocked
+      (3L, "https://bob@spam.com:8080/z"),// user+port stripped, exact match
+      (4L, "https://notspam.com/w"),      // label boundary: NOT blocked
+      (5L, "https://sub.only.net/v")      // exact entry
+    ).toDF("id", "url")
+    val blocklist = Seq("spam.com", "sub.only.net")
+    val kept = text.filterBlockedDomains(df, "url", blocklist)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L), s"got $kept")
+    val keptLarge = text.filterBlockedDomainsLarge(df, "url", "id",
+        blocklist.toDF("domain"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptLarge == kept)
+  }
+
+  test("epochExpand repeats rows by weight with deterministic fraction") {
+    val df = (1L to 100L).map(i =>
+      (i, if (i <= 40) "a" else if (i <= 80) "b" else "c")).toDF("id", "source")
+    val weights = Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0)
+    val out = sampling.epochExpand(df, "id", "source", weights)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == 80, s"got $bySrc")       // integer weight: exact
+    assert(!bySrc.contains("c"))                   // weight 0 drops all
+    assert(bySrc("b") > 5 && bySrc("b") < 35)      // ~50% hash slice
+    // every kept a-row appears exactly twice, epochs {0, 1}
+    val eps = out.filter(F.col("source") === "a").groupBy("id")
+      .agg(F.sort_array(F.collect_list("epoch")).as("e"))
+      .collect().map(_.getSeq[Int](1)).toSet
+    assert(eps == Set(Seq(0, 1)))
+    // default weight applies to unlisted sources
+    val def2 = sampling.epochExpand(df, "id", "source", Map("a" -> 1.0),
+      defaultWeight = 2.0)
+    assert(def2.filter(F.col("source") === "b").count() == 80)
+    // deterministic across runs
+    assert(sampling.epochExpand(df, "id", "source", weights).count() == out.count())
+  }
+
+  test("bloom decontamination matches the exact path at any fpp") {
+    import graft.functions.contamination
+    val train = (1L to 60L).map { i =>
+      val t = if (i % 10 == 0) "the secret benchmark answer is forty two exactly"
+        else s"ordinary training document number $i with plain words"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val bench = Seq((900L, "the secret benchmark answer is forty two exactly"))
+      .toDF("doc_id", "text")
+    val exact = contamination.overlapStats(train, "doc_id", "text",
+        bench, "text", k = 3, minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    // coarse fpp forces real false positives through the suspect path;
+    // the exact-verify stage must cancel every one of them
+    for (fpp <- Seq(0.4, 0.01)) {
+      val bloom = contamination.overlapStatsBloom(train, "doc_id", "text",
+          bench, "text", k = 3, minOverlap = 0.5, fpp = fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getBoolean(3))).toSet
+      assert(bloom == exact, s"fpp=$fpp diverged")
+    }
+    val survivors = contamination.decontaminateBloom(train, "doc_id", "text",
+        bench, "text", k = 3, minOverlap = 0.5, fpp = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == (1L to 60L).filterNot(_ % 10 == 0).toSet)
+  }
+
+  test("l2Normalize and quantizeInt8 native expressions match the portable forms") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 50L).map { i =>
+      val v = if (i == 50L) Seq.fill(8)(0.25f) // degenerate constant vector
+        else Seq.fill(8)(rnd.nextFloat() * 4 - 2)
+      (i, v)
+    } :+ ((51L, null.asInstanceOf[Seq[Float]]))
+    val df = rows.toDF("id", "v")
+    val cmp = df.select(F.col("id"),
+        similarity.l2Normalize(F.col("v")).as("ln"),
+        similarity.l2NormalizePortable(F.col("v")).as("lp"),
+        similarity.quantizeInt8(F.col("v")).as("qn"),
+        similarity.quantizeInt8Portable(F.col("v")).as("qp"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getSeq[Double](1) == r.getSeq[Double](2), s"l2 @ ${r.getLong(0)}")
+      assert(r.getSeq[Int](3) == r.getSeq[Int](4), s"q8 @ ${r.getLong(0)}")
+    }
+    // unit property on the native path
+    val nrm = df.filter(F.col("v").isNotNull)
+      .select(F.round(similarity.norm(similarity.l2Normalize(F.col("v"))), 9))
+      .collect().map(_.getDouble(0))
+    assert(nrm.forall(_ == 1.0))
+  }
+
+  test("binaryFile ingest decodes real PNG files end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
+    try {
+      for (i <- 1 to 5) {
+        val bytes = multimodal.syntheticPng(3 + i, 2 + i, seed = i)
+        java.nio.file.Files.write(
+          new java.io.File(dir, s"img_$i.png").toPath, bytes)
+      }
+      java.nio.file.Files.write( // non-matching file: never listed
+        new java.io.File(dir, "notes.txt").toPath, "hello".getBytes)
+      val media = multimodal.fromBinaryFiles(spark, dir.getAbsolutePath,
+        glob = "*.png")
+      val feats = multimodal.decodeFeatures(media).collect()
+      assert(feats.length == 5)
+      assert(feats.forall(f => f.magic == "PNG" && f.channels == 3))
+      assert(feats.map(f => (f.width, f.height)).toSet ==
+        (1 to 5).map(i => (3 + i, 2 + i)).toSet)
+      // ids are stable path fingerprints: re-reading yields the same ids
+      val again = multimodal.fromBinaryFiles(spark, dir.getAbsolutePath,
+        glob = "*.png").collect().map(_.doc_id).toSet
+      assert(again == media.collect().map(_.doc_id).toSet)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
   test("connected components release their iteration caches") {
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()

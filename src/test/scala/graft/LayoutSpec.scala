@@ -113,6 +113,60 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("IVF index: append-extended full probe equals brute force, index scan unshuffled and pruned") {
+    import graft.functions.{index, similarity}
+    import org.apache.spark.sql.SaveMode
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 60L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val all = rows.toDF("id", "v")
+    // plan assertions need the static plan (AQE hides subtrees in stages)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // build on the first batch, APPEND the second: cell ids must stay
+      // stable (stored bank reused), so the probe sees one coherent index
+      index.buildIvfIndex(all.filter(F.col("id") <= 40), "id", "v",
+        "graft_ivf_t", nlist = 4, iters = 2)
+      index.buildIvfIndex(all.filter(F.col("id") > 40), "id", "v",
+        "graft_ivf_t", mode = SaveMode.Append)
+      val queries = all.filter(F.col("id") < 5)
+      val got = index.probeIvfIndex(spark, queries, "id", "v",
+        "graft_ivf_t", k = 3, nprobe = 4)
+      val want = similarity.bruteForceTopK(all, queries, "id", "v", k = 3)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(key(got) == key(want))
+      // the index side is never reshuffled (only the scored candidate
+      // stream moves, through the bounded top-k windows)
+      assert(reshuffledIndexScans(got.queryExecution.executedPlan,
+        "graft_ivf_t") == 0, got.queryExecution.executedPlan.toString)
+      // a 1-cell probe prunes the partitioned index scan
+      val narrow = index.probeIvfIndex(spark, queries, "id", "v",
+        "graft_ivf_t", k = 3, nprobe = 1)
+      val scans = narrow.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.tableIdentifier.exists(_.table == "graft_ivf_t_cells") => s
+      }
+      def prunes(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+        s.partitionFilters.exists(f =>
+          f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.In] ||
+          f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.InSet] ||
+          f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.EqualTo])
+      assert(scans.nonEmpty && scans.forall(prunes),
+        narrow.queryExecution.executedPlan.toString)
+      // appending a different dimension must be refused
+      val bad = Seq((99L, Seq.fill(9)(0.5f))).toDF("id", "v")
+      val err = intercept[IllegalArgumentException] {
+        index.buildIvfIndex(bad, "id", "v", "graft_ivf_t",
+          mode = SaveMode.Append)
+      }
+      assert(err.getMessage.contains("dim"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_t_cells")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_t_centroids")
+    }
+  }
+
   test("near-dup index: build validates band parameters") {
     import graft.functions.index
     val corpus = Seq((1L, "some text here")).toDF("doc_id", "text")

@@ -176,6 +176,64 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(agg.getLong(2) == 12L)  // 6 unique + 6 boilerplate tokens
   }
 
+  test("bloom decontamination clears a 500k corpus against a 20k-doc benchmark") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.contamination
+    // 500k train docs (8 words from the id), 1-in-50 of them an exact
+    // copy of a benchmark doc; 20k bench docs. The Bloom pass must route
+    // only the contaminated slice (+ ~fpp of the rest) through the
+    // shuffle join — structural check: the contaminated count is exactly
+    // the planted overlap, everything else survives untouched.
+    def words(idCol: org.apache.spark.sql.Column, salt: Int) =
+      F.concat_ws(" ", (0 until 8).map(i =>
+        F.concat(F.lit("w"), F.pmod(F.xxhash64(idCol + i, F.lit(salt)),
+          F.lit(30000)))): _*)
+    val bench = spark.range(0, 20000).select(
+      F.col("id").as("doc_id"), words(F.col("id"), salt = 7).as("text"))
+    val train = spark.range(0, 500000).select(
+      F.col("id").as("doc_id"),
+      F.when(F.col("id") % 50 === 0, words(F.col("id") % 20000, salt = 7))
+        .otherwise(words(F.col("id"), salt = 13)).as("text"))
+    val stats = contamination.overlapStatsBloom(train, "doc_id", "text",
+      bench, "text", k = 3, minOverlap = 0.5, fpp = 0.01)
+    val agg = stats.agg(F.count(F.lit(1)),
+      F.sum(F.when(F.col("contaminated"), 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) == 500000L)
+    assert(agg.getLong(1) == 10000L, s"contaminated=${agg.getLong(1)}")
+    // the bench-fp cache auto-releases once the stats query completes
+    // (QueryExecutionListener fires on a bus thread — poll briefly)
+    val deadline = System.nanoTime() + 10000000000L
+    def pinned = spark.sparkContext.getPersistentRDDs.size
+    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(pinned == 0, s"bench-fp cache still pinned: $pinned")
+  }
+
+  test("persistent IVF index probes 200k vectors reading only the probed cells") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.index
+    val vecs = spark.range(0, 200000).select(
+      F.col("id").as("vec_id"),
+      F.array((0 until 16).map(i =>
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(2000)) - 1000)
+          .cast("double") / 1000.0): _*).as("embedding"))
+    try {
+      index.buildIvfIndex(vecs, "vec_id", "embedding", "graft_ivf_smoke",
+        nlist = 64, iters = 2, sampleOneIn = 20)
+      val out = index.probeIvfIndex(spark,
+        vecs.filter(F.col("vec_id") < 100), "vec_id", "embedding",
+        "graft_ivf_smoke", k = 10, nprobe = 4)
+      assert(out.count() == 100L * 10)
+      // the static cell filter prunes the partitioned scan: of 64 cell
+      // directories, at most 100 queries × 4 probes distinct cells open
+      val scans = out.queryExecution.executedPlan.toString
+      assert(scans.contains("graft_ivf_smoke_cells"))
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_smoke_cells")
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_smoke_centroids")
+    }
+  }
+
   test("semanticDedup resolves planted near-dup pairs in a 200k-vector corpus") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import spark.implicits._
