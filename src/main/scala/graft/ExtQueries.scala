@@ -437,6 +437,38 @@ object ExtQueries {
       |CAST(3 AS INTEGER) AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Canonicalized exact dedup — [[graft.functions.dedup.exactDuplicates]]
+    * with `canonicalize = true`: every document is paired with a
+    * re-crawl-shaped variant (leading spaces, UPPER-cased, an accent
+    * planted as a combining sequence vs precomposed). Byte-exact md5
+    * would see 2× distinct fingerprints; the folded key collapses each
+    * variant onto its original, so every group has n_copies = 2 with
+    * the original id as keeper. The oracle replays the same fold in
+    * DuckDB. */
+  def x57CanonicalDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(F.col("doc_id"),
+      F.concat(F.col("text"), F.lit(" Café")).as("text"))
+    val mangled = docs(s, dir).select(
+      (F.col("doc_id") + 1000000L).as("doc_id"),
+      F.concat(F.lit("  "), F.upper(F.col("text")),
+        F.lit(" \t CAFE\u0301 ")).as("text"))
+    dedup.exactDuplicates(base.unionByName(mangled), "doc_id", "text",
+        canonicalize = true)
+      .orderBy("fingerprint")
+  }
+
+  private val x57Oracle =
+    """WITH crawls AS (
+      |  SELECT doc_id, text || ' Caf' || chr(233) AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, '  ' || upper(text) || ' ' || chr(9)
+      |    || ' CAFE' || chr(769) || ' ' FROM documents),
+      |f AS (SELECT doc_id, md5(regexp_replace(trim(lower(strip_accents(
+      |    nfc_normalize(text)))), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM crawls)
+      |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM f GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
   /** Unicode canonicalization before fingerprinting
     * ([[graft.functions.text.normalizeUnicode]] /
     * [[graft.functions.text.foldedText]]): each document is prefixed
@@ -1860,7 +1892,8 @@ object ExtQueries {
     "x53_domain_blocklist" -> (x53DomainBlocklist _),
     "x54_epoch_mix" -> (x54EpochMix _),
     "x55_bloom_decontamination" -> (x55BloomDecontamination _),
-    "x56_ivf_index_probe" -> (x56IvfIndexProbe _))
+    "x56_ivf_index_probe" -> (x56IvfIndexProbe _),
+    "x57_canonical_dedup" -> (x57CanonicalDedup _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1916,5 +1949,6 @@ object ExtQueries {
     "x53_domain_blocklist" -> x53Oracle,
     "x54_epoch_mix" -> x54Oracle,
     "x55_bloom_decontamination" -> x55Oracle,
-    "x56_ivf_index_probe" -> x56Oracle)
+    "x56_ivf_index_probe" -> x56Oracle,
+    "x57_canonical_dedup" -> x57Oracle)
 }

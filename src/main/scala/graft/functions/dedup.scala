@@ -184,11 +184,20 @@ object dedup {
   }
 
   /** Exact dedup: group by md5 fingerprint, keep the smallest id.
-    * The groupBy shuffles only (fingerprint, id) — scales to any corpus. */
-  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(text.fingerprintMd5(F.col(textCol)).as("fingerprint"), F.col(idCol))
+    * The groupBy shuffles only (fingerprint, id) — scales to any corpus.
+    * `canonicalize` fingerprints [[text.foldedText]] instead of the raw
+    * bytes (NFC, accents stripped, lower-cased, whitespace collapsed),
+    * so the same document re-crawled with different composition, casing
+    * or spacing still collapses — byte-exact dedup misses most
+    * cross-site boilerplate. Costs one extra codegen'd pass per row
+    * (~free on ASCII — see [[graft.plans.UnicodeNormalizeExpr]]). */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String,
+      canonicalize: Boolean = false): DataFrame = {
+    val key = if (canonicalize) text.foldedText(F.col(textCol)) else F.col(textCol)
+    df.select(text.fingerprintMd5(key).as("fingerprint"), F.col(idCol))
       .groupBy("fingerprint")
       .agg(F.min(idCol).as("keep_id"), F.count(F.lit(1)).as("n_copies"))
+  }
 
   /** k-word shingles of a document, in order with duplicates — computed
     * by the codegen'd [[graft.plans.ShingleStringsExpr]] (one tokenize

@@ -29,4 +29,42 @@ object layout {
     df.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }.size
+
+  /** Write a training corpus as deterministic, size-bounded parquet
+    * shards — the export layout downstream trainers want: exactly
+    * `nShards` hash-assigned shard directories (stable under re-runs and
+    * cluster size — shard membership is a pure function of the key),
+    * each file capped at `maxRecordsPerFile` rows so no reader ever
+    * pulls a monster file, and rows sorted within each shard by
+    * `sortCols` (sorted columns run-length/dictionary encode far
+    * smaller, and ordered reads warm caches). One exchange total: the
+    * repartition to shard directories; the within-shard sort is
+    * spill-safe local work. */
+  def writeSharded(df: DataFrame, path: String, keyCol: String,
+      nShards: Int, maxRecordsPerFile: Long = 5000000L,
+      sortCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(nShards >= 1 && maxRecordsPerFile >= 1,
+      "writeSharded: nShards and maxRecordsPerFile must be >= 1")
+    import org.apache.spark.sql.{functions => FF}
+    val sharded = df
+      .withColumn("shard",
+        sampling.hashBucket(FF.col(keyCol), nShards.toLong)
+          .cast(org.apache.spark.sql.types.IntegerType))
+      .repartition(nShards, FF.col("shard"))
+    // The dynamic-partition writer requires rows ordered by the partition
+    // column and will insert its own (unstable) sort if they aren't —
+    // which would scramble `sortCols`. Sorting by (shard, sortCols...)
+    // satisfies that requirement as a prefix, so the writer adds nothing
+    // and the secondary order reaches the files.
+    val sorted =
+      if (sortCols.nonEmpty)
+        sharded.sortWithinPartitions(
+          (FF.col("shard") +: sortCols.map(FF.col)): _*)
+      else sharded
+    sorted.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(path)
+  }
 }

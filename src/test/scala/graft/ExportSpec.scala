@@ -128,6 +128,9 @@ class ExportSpec extends SparkSpec {
   test("collectNow materializes and keeps pipelining") {
     val c = t.mutate("x" -> (C("id") * lit(2L))).collectNow()
     assert(c.filter(C("x") > lit(2L)).count() == 1)
+    // collectNow's pin is user-controlled by design; don't leak it into
+    // the shared test session (ScaleSmokeSpec audits pinned RDDs)
+    spark.catalog.clearCache()
   }
 
   test("buildQuery returns the optimized plan text") {

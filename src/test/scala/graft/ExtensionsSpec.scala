@@ -1291,6 +1291,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(4L)._1 == "Istanbul" && got(4L)._2 == "istanbul")
   }
 
+  test("canonicalized exact dedup collapses case/space/accent variants") {
+    val df = Seq(
+      (1L, "Fox  News café"),
+      (2L, " fox news CAFE\u0301"), // decomposed accent + case + spacing
+      (3L, "different entirely")
+    ).toDF("doc_id", "text")
+    assert(dedup.exactDuplicates(df, "doc_id", "text").count() == 3)
+    val canon = dedup.exactDuplicates(df, "doc_id", "text",
+      canonicalize = true).collect()
+    assert(canon.length == 2)
+    assert(canon.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L),
+      canon.mkString(", "))
+  }
+
   test("domain blocklist filters at label-boundary suffix levels") {
     val df = Seq(
       (1L, "https://a.b.spam.com/x"),     // blocked via suffix of spam.com

@@ -167,6 +167,79 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeSharded emits stable hash shards with bounded files and sorted rows") {
+    import graft.functions.layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    val out = new java.io.File(dir, "corpus").getAbsolutePath
+    try {
+      val df = (1L to 10000L).map(i => (i, s"doc $i", i % 97)).toDF("id", "text", "score")
+      layout.writeSharded(df, out, keyCol = "id", nShards = 4,
+        maxRecordsPerFile = 1000L, sortCols = Seq("score"))
+      val back = spark.read.parquet(out)
+      assert(back.count() == 10000)
+      // exactly 4 shard directories, membership = the portable hash
+      val shards = back.select("shard").distinct().collect().map(_.getInt(0)).toSet
+      assert(shards == Set(0, 1, 2, 3))
+      val expected = df.select(F.col("id"),
+        graft.functions.sampling.hashBucket(F.col("id"), 4L).cast("int").as("e"))
+      val joined = back.select(F.col("id"), F.col("shard")).join(expected, "id")
+      assert(joined.filter(F.col("shard") =!= F.col("e")).count() == 0)
+      // every file respects the record cap
+      val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+        .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 1000, s"${f.getName} has $n rows")
+      }
+      // rows inside a file arrive sorted by score
+      val one = spark.read.parquet(files.head.getAbsolutePath)
+        .select("score").collect().map(_.getLong(0))
+      assert(one.sameElements(one.sorted), "within-file sort order broken")
+      // determinism: a second write lands every row in the same shard
+      val out2 = new java.io.File(dir, "corpus2").getAbsolutePath
+      layout.writeSharded(df, out2, keyCol = "id", nShards = 4,
+        maxRecordsPerFile = 1000L)
+      val back2 = spark.read.parquet(out2).select(F.col("id"), F.col("shard").as("s2"))
+      assert(back.select("id", "shard").join(back2, "id")
+        .filter(F.col("shard") =!= F.col("s2")).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("source filters and projections push down to the parquet scan") {
+    import graft.dsl._
+    import graft.table.Table
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = Table.source(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter(C("l_quantity") > lit(30.0))
+        .select(C("l_orderkey"), C("l_quantity"))
+        .toDF
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty)
+      val meta = scans.head.metadata
+      // the filter reaches the reader...
+      assert(meta("PushedFilters").contains("GreaterThan(l_quantity,30.0"),
+        meta("PushedFilters"))
+      // ...and the scan reads ONLY the two projected columns (the
+      // hidden rowid and the other 14 lineitem columns are pruned)
+      val read = meta("ReadSchema")
+      assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+      assert(!read.contains("l_shipdate") && !read.contains("l_comment"),
+        read)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("near-dup index: build validates band parameters") {
     import graft.functions.index
     val corpus = Seq((1L, "some text here")).toDF("doc_id", "text")

@@ -12,6 +12,24 @@ import graft.functions.{dedup, similarity}
 class ScaleSmokeSpec extends SparkSpec {
   private val on = sys.env.get("GRAFT_SCALE_SMOKE").contains("1")
 
+  /** Pins created by the CURRENT test: the shared session may carry
+    * legitimately user-controlled caches from earlier suites (e.g. a
+    * `collectNow` handle), so cache-release audits diff against a
+    * baseline taken at test start instead of asserting global zero. */
+  private def pinBaseline: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+  private def newPins(baseline: Set[Int]): Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseline
+  /** Release of auto-tracked caches is listener-driven (async) — poll. */
+  private def awaitRelease(baseline: Set[Int]): Set[Int] = {
+    val deadline = System.nanoTime() + 10000000000L
+    var p = newPins(baseline)
+    while (p.nonEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(100); p = newPins(baseline)
+    }
+    p
+  }
+
   test("capped LSH dedup survives a 20k-copy boilerplate cluster in a 300k corpus") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import spark.implicits._
@@ -63,6 +81,7 @@ class ScaleSmokeSpec extends SparkSpec {
 
   test("curation composite runs end-to-end on a 100k corpus with a benchmark set") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    val pins0 = pinBaseline
     import graft.functions.pipelines
     // 100k docs: 80k unique (10 random words each from a 30k vocab — a
     // SHARED template prefix is deliberately absent: prefix shingles make
@@ -101,14 +120,13 @@ class ScaleSmokeSpec extends SparkSpec {
     // (component minimum), and the ~500 bench-overlapping docs drop
     assert(n > 78000 && n < 80500, s"curated count out of range: $n")
     // signature/CC caches auto-release asynchronously — poll briefly
-    val deadline = System.nanoTime() + 10000000000L
-    def pinned = spark.sparkContext.getPersistentRDDs.size
-    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(pinned == 0, s"caches still pinned after curation: $pinned")
+    val left = awaitRelease(pins0)
+    assert(left.isEmpty, s"caches still pinned after curation: $left")
   }
 
   test("IVF ANN answers 100 queries against a 200k-vector corpus via cell probing") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    val pins0 = pinBaseline
     // deterministic pseudo-random 16-dim vectors from the id
     val vecs = spark.range(0, 200000).select(
       F.col("id").as("vec_id"),
@@ -119,7 +137,7 @@ class ScaleSmokeSpec extends SparkSpec {
       "vec_id", "embedding", k = 10, nlist = 64, nprobe = 4, iters = 3,
       sampleOneIn = 20)
     assert(out.count() == 100L * 10)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(newPins(pins0).isEmpty)
   }
 
   test("groupCapSample caps a 1M-row mega-domain without a domain-wide sort task") {
@@ -178,6 +196,7 @@ class ScaleSmokeSpec extends SparkSpec {
 
   test("bloom decontamination clears a 500k corpus against a 20k-doc benchmark") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    val pins0 = pinBaseline
     import graft.functions.contamination
     // 500k train docs (8 words from the id), 1-in-50 of them an exact
     // copy of a benchmark doc; 20k bench docs. The Bloom pass must route
@@ -202,14 +221,13 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(agg.getLong(1) == 10000L, s"contaminated=${agg.getLong(1)}")
     // the bench-fp cache auto-releases once the stats query completes
     // (QueryExecutionListener fires on a bus thread — poll briefly)
-    val deadline = System.nanoTime() + 10000000000L
-    def pinned = spark.sparkContext.getPersistentRDDs.size
-    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(pinned == 0, s"bench-fp cache still pinned: $pinned")
+    val left = awaitRelease(pins0)
+    assert(left.isEmpty, s"bench-fp cache still pinned: $left")
   }
 
   test("persistent IVF index probes 200k vectors reading only the probed cells") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    val pins0 = pinBaseline
     import graft.functions.index
     val vecs = spark.range(0, 200000).select(
       F.col("id").as("vec_id"),
@@ -227,7 +245,7 @@ class ScaleSmokeSpec extends SparkSpec {
       // directories, at most 100 queries × 4 probes distinct cells open
       val scans = out.queryExecution.executedPlan.toString
       assert(scans.contains("graft_ivf_smoke_cells"))
-      assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+      assert(newPins(pins0).isEmpty)
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_ivf_smoke_cells")
       spark.sql("DROP TABLE IF EXISTS graft_ivf_smoke_centroids")
