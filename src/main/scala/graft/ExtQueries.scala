@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.types._
 import graft.core._
 import graft.dsl._
-import graft.functions.{contamination, dedup, multimodal, sampling, similarity, text}
+import graft.functions.{contamination, dedup, multimodal, quality, sampling, similarity, text}
 import graft.table.Table
 
 /** Training-data-pipeline extension queries (dedup / similarity search /
@@ -468,6 +468,82 @@ object ExtQueries {
       |  FROM crawls)
       |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM f GROUP BY 1 ORDER BY fingerprint""".stripMargin
+
+  /** Gopher rule battery ([[graft.functions.quality.gopherRules]]):
+    * documents are deterministically mangled into four page shapes —
+    * raw prose, bullet-list, ellipsis-trailed lines, and symbol-spammed
+    * — so every rule (bullet-line fraction, ellipsis-line fraction,
+    * symbol-to-word ratio, word-count / mean-length / alpha-word /
+    * stopword bounds) flips on a real subset. The oracle replays the
+    * mangles and every rational-arithmetic rule in DuckDB. */
+  def x58GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val page = F.when(F.col("doc_id") % 4 === 0, F.col("text"))
+      .when(F.col("doc_id") % 4 === 1,
+        F.concat(F.lit("- "), F.col("text"),
+          F.lit("\n- item two\n- item three")))
+      .when(F.col("doc_id") % 4 === 2,
+        F.concat(F.col("text"), F.lit("...\nsecond line...\nthird line")))
+      .otherwise(F.concat(F.lit("### "), F.col("text"), F.lit(" # # # # #")))
+    val g = quality.gopherRules(page)
+    docs(s, dir).select(
+        F.col("doc_id"),
+        g.getField("n_words").as("n_words"),
+        g.getField("mean_word_len").as("mean_word_len"),
+        g.getField("symbol_ratio").as("symbol_ratio"),
+        g.getField("bullet_frac").as("bullet_frac"),
+        g.getField("ellipsis_frac").as("ellipsis_frac"),
+        g.getField("alpha_frac").as("alpha_frac"),
+        g.getField("n_stop").as("n_stop"),
+        g.getField("pass").as("pass"))
+      .orderBy("doc_id")
+  }
+
+  private val x58Oracle =
+    """WITH v AS (
+      |  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+      |    WHEN 0 THEN text
+      |    WHEN 1 THEN '- ' || text || chr(10) || '- item two' || chr(10) || '- item three'
+      |    WHEN 2 THEN text || '...' || chr(10) || 'second line...' || chr(10) || 'third line'
+      |    ELSE '### ' || text || ' # # # # #' END AS t
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id, t,
+      |    string_split_regex(trim(t), '\s+') AS words,
+      |    str_split(t, chr(10)) AS lines
+      |  FROM v),
+      |r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(t)) = 0 THEN 0
+      |         ELSE CAST(len(words) AS BIGINT) END AS n_words,
+      |    round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+      |      / len(words), 6) AS mean_word_len,
+      |    round(CAST(len(regexp_extract_all(t, '#'))
+      |      + len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+      |      / len(words), 6) AS symbol_ratio,
+      |    round(CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+      |      / len(lines), 6) AS bullet_frac,
+      |    round(CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+      |      / len(lines), 6) AS ellipsis_frac,
+      |    round(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+      |      / len(words), 6) AS alpha_frac,
+      |    CAST((CASE WHEN regexp_matches(lower(t), '\bthe\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(t), '\bbe\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(t), '\bto\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(t), '\bof\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(t), '\band\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(t), '\bthat\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(t), '\bhave\b') THEN 1 ELSE 0 END)
+      |      + (CASE WHEN regexp_matches(lower(t), '\bwith\b') THEN 1 ELSE 0 END)
+      |      AS INTEGER) AS n_stop
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+      |  ellipsis_frac, alpha_frac, n_stop,
+      |  (n_words >= 50 AND n_words <= 100000
+      |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+      |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+      |   AND n_stop >= 2) AS pass
+      |FROM r ORDER BY doc_id""".stripMargin
 
   /** Unicode canonicalization before fingerprinting
     * ([[graft.functions.text.normalizeUnicode]] /
@@ -1893,7 +1969,8 @@ object ExtQueries {
     "x54_epoch_mix" -> (x54EpochMix _),
     "x55_bloom_decontamination" -> (x55BloomDecontamination _),
     "x56_ivf_index_probe" -> (x56IvfIndexProbe _),
-    "x57_canonical_dedup" -> (x57CanonicalDedup _))
+    "x57_canonical_dedup" -> (x57CanonicalDedup _),
+    "x58_gopher_rules" -> (x58GopherRules _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -1950,5 +2027,6 @@ object ExtQueries {
     "x54_epoch_mix" -> x54Oracle,
     "x55_bloom_decontamination" -> x55Oracle,
     "x56_ivf_index_probe" -> x56Oracle,
-    "x57_canonical_dedup" -> x57Oracle)
+    "x57_canonical_dedup" -> x57Oracle,
+    "x58_gopher_rules" -> x58Oracle)
 }

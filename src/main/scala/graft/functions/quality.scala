@@ -55,6 +55,78 @@ object quality {
       .drop("_qb_lo", "_qb_hi")
   }
 
+  /** The Gopher document-quality rule battery (Rae et al. 2021, §A1.1):
+    * the standard first-pass heuristic filter of large-scale web-corpus
+    * curation. Returns a struct of the per-document metrics plus the
+    * combined `pass` flag so pipelines can either filter on `pass` or
+    * keep the metrics as features. All rules are rational arithmetic
+    * over one tokenize + one line-split — a single shuffle-free codegen
+    * pass per row, and every rule replays exactly in SQL (oracled).
+    *
+    * Rules (defaults = the published thresholds): word count in
+    * [minWords, maxWords]; mean word length in [minMeanWordLen,
+    * maxMeanWordLen]; (# + "...") symbol-to-word ratio <= maxSymbolRatio;
+    * fraction of bullet-led lines <= maxBulletLineFrac; fraction of
+    * ellipsis-ended lines <= maxEllipsisLineFrac; fraction of words with
+    * an alphabetic character >= minAlphaWordFrac; at least minStopwords
+    * distinct common-English stopwords present. */
+  def gopherRules(c: org.apache.spark.sql.Column,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletLineFrac: Double = 0.9,
+      maxEllipsisLineFrac: Double = 0.3,
+      minAlphaWordFrac: Double = 0.8,
+      minStopwords: Int = 2): org.apache.spark.sql.Column = {
+    val toks = graft.functions.text.tokens(c)
+    val nWords = graft.functions.text.tokenCount(c)
+    val nW = nWords.cast(DoubleType)
+    val meanLen = F.round(
+      F.aggregate(toks, F.lit(0L), (a, t) => a + F.length(t)).cast(DoubleType) / nW, 6)
+    val symbols = F.regexp_count(c, F.lit("#")) +
+      F.regexp_count(c, F.lit("\\.\\.\\."))
+    val symbolRatio = F.round(symbols.cast(DoubleType) / nW, 6)
+    val lines = F.split(c, "\n")
+    val nL = F.size(lines).cast(DoubleType)
+    val bulletFrac = F.round(
+      F.size(F.filter(lines, l => F.ltrim(l).rlike("^[-*•]"))).cast(DoubleType) / nL, 6)
+    val ellipsisFrac = F.round(
+      F.size(F.filter(lines, l => F.rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) / nL, 6)
+    val alphaFrac = F.round(
+      F.size(F.filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nW, 6)
+    val nStop = GopherStopwords
+      .map(w => F.when(F.lower(c).rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+      symbolRatio <= maxSymbolRatio &&
+      bulletFrac <= maxBulletLineFrac &&
+      ellipsisFrac <= maxEllipsisLineFrac &&
+      alphaFrac >= minAlphaWordFrac &&
+      nStop >= minStopwords
+    F.when(nWords > 0L, F.struct(
+      nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+      ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+      nStop.as("n_stop"), pass.as("pass")))
+      .otherwise(F.struct(
+        F.lit(0L).as("n_words"),
+        F.lit(null).cast(DoubleType).as("mean_word_len"),
+        F.lit(null).cast(DoubleType).as("symbol_ratio"),
+        F.lit(null).cast(DoubleType).as("bullet_frac"),
+        F.lit(null).cast(DoubleType).as("ellipsis_frac"),
+        F.lit(null).cast(DoubleType).as("alpha_frac"),
+        F.lit(0).as("n_stop"), F.lit(false).as("pass")))
+  }
+
+  /** Gopher's required-stopword list (presence of >= 2 distinct). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Keep only the documents that pass [[gopherRules]]. */
+  def filterGopher(df: DataFrame, textCol: String): DataFrame =
+    df.filter(gopherRules(F.col(textCol)).getField("pass"))
+
   /** Hashing-trick linear classifier score (the fastText-style quality
     * model every modern curation pipeline runs): tokens hash into a
     * `weights.length`-dimensional table (md5-derived — engine-portable),

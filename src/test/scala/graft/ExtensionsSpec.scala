@@ -1305,6 +1305,36 @@ class ExtensionsSpec extends SparkSpec {
       canon.mkString(", "))
   }
 
+  test("gopher rule battery computes the published metrics and flags") {
+    import graft.functions.quality
+    // 58 words of prose with stopwords -> passes everything
+    val good = (("the data " * 25) + "pipeline runs with care and that is fine").trim
+    // bullet-led lines (3/3 > 0.9) -> fails the bullet rule only if frac > 0.9
+    val bullets = s"- $good\n- item two\n- item three"
+    // symbol spam: 8 hashes over ~66 words -> ratio > 0.1
+    val spam = s"### $good # # # # #"
+    val df = Seq((1L, good), (2L, bullets), (3L, spam), (4L, "tiny doc"),
+      (5L, s"$good...\nsecond...\nthird line...")).toDF("id", "text")
+    val g = df.select(F.col("id"),
+      quality.gopherRules(F.col("text")).as("g")).orderBy("id").collect()
+    def row(i: Int) = g(i).getStruct(1)
+    assert(row(0).getAs[Boolean]("pass"), row(0).toString)
+    assert(row(0).getAs[Long]("n_words") == 58L) // 50 repeated + 8 tail words
+    // bullet page: every line bullet-led -> frac 1.0 -> fails
+    assert(row(1).getAs[Double]("bullet_frac") == 1.0)
+    assert(!row(1).getAs[Boolean]("pass"))
+    // symbol page: 8 '#' / 66 words > 0.1 -> fails
+    assert(row(2).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!row(2).getAs[Boolean]("pass"))
+    // word-count floor
+    assert(!row(3).getAs[Boolean]("pass"))
+    assert(row(3).getAs[Long]("n_words") == 2L)
+    // ellipsis-ended lines 3/3 > 0.3 -> fails
+    assert(row(4).getAs[Double]("ellipsis_frac") == 1.0)
+    assert(!row(4).getAs[Boolean]("pass"))
+    assert(quality.filterGopher(df, "text").count() == 1)
+  }
+
   test("domain blocklist filters at label-boundary suffix levels") {
     val df = Seq(
       (1L, "https://a.b.spam.com/x"),     // blocked via suffix of spam.com
