@@ -469,6 +469,42 @@ object ExtQueries {
       |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM f GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  /** Centroid-affinity outlier scoring
+    * ([[graft.functions.similarity.centroidOutliers]]) on int8-quantized
+    * embeddings grouped by label. Quantized codes make every cross-row
+    * aggregate exact integer arithmetic, so the oracle replays the whole
+    * thing — quantization (proven alone in x27), per-label component
+    * sums, and the cosine against the sum vector (the 1/n centroid
+    * scaling cancels) — with zero float-reduction-order exposure. */
+  def x59CentroidOutliers(s: SparkSession, dir: String): DataFrame = {
+    val q = embs(s, dir).select(F.col("vec_id"), F.col("label"),
+      similarity.quantizeInt8(F.col("embedding")).as("qv"))
+    similarity.centroidOutliers(q, "vec_id", "qv", "label", dim = 64)
+      .orderBy("vec_id")
+  }
+
+  private val x59Oracle =
+    """WITH e AS (SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (SELECT vec_id, label, v, list_min(v) AS mn, list_max(v) AS mx
+      |  FROM e),
+      |q AS (SELECT vec_id, label,
+      |    list_transform(v, x -> CASE WHEN mx = mn THEN 0
+      |      ELSE CAST(round((x - mn) / (mx - mn) * 254, 0) AS INT) - 127 END)
+      |      AS qv
+      |  FROM s),
+      |c AS (SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS sv
+      |  FROM q, range(1, 65) t(i) GROUP BY label, i),
+      |sc AS (SELECT q.vec_id, q.label,
+      |    CAST(sum(CAST(qv[c.i] AS BIGINT) * sv) AS DOUBLE) AS dotp,
+      |    sqrt(CAST(sum(CAST(qv[c.i] AS BIGINT) * qv[c.i]) AS DOUBLE)) AS na,
+      |    sqrt(CAST(sum(sv * sv) AS DOUBLE)) AS nb
+      |  FROM q JOIN c ON q.label = c.label
+      |  GROUP BY 1, 2)
+      |SELECT vec_id, label, round(dotp / na / nb, 6) AS centroid_cos
+      |FROM sc ORDER BY vec_id""".stripMargin
+
   /** Gopher rule battery ([[graft.functions.quality.gopherRules]]):
     * documents are deterministically mangled into four page shapes —
     * raw prose, bullet-list, ellipsis-trailed lines, and symbol-spammed
@@ -1970,7 +2006,8 @@ object ExtQueries {
     "x55_bloom_decontamination" -> (x55BloomDecontamination _),
     "x56_ivf_index_probe" -> (x56IvfIndexProbe _),
     "x57_canonical_dedup" -> (x57CanonicalDedup _),
-    "x58_gopher_rules" -> (x58GopherRules _))
+    "x58_gopher_rules" -> (x58GopherRules _),
+    "x59_centroid_outliers" -> (x59CentroidOutliers _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2028,5 +2065,6 @@ object ExtQueries {
     "x55_bloom_decontamination" -> x55Oracle,
     "x56_ivf_index_probe" -> x56Oracle,
     "x57_canonical_dedup" -> x57Oracle,
-    "x58_gopher_rules" -> x58Oracle)
+    "x58_gopher_rules" -> x58Oracle,
+    "x59_centroid_outliers" -> x59Oracle)
 }

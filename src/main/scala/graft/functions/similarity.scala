@@ -285,6 +285,37 @@ object similarity {
           .cast(IntegerType) - 127))
   }
 
+  /** Per-group embedding centroid affinity: for every row, the cosine
+    * between its vector and its group's mean vector — the standard
+    * mislabeled-document / domain-drift signal (low affinity = the
+    * document doesn't look like its source). Returns
+    * (id, group, centroid_cos).
+    *
+    * Scale shape: ONE shuffle — a groupBy on the group key whose `dim`
+    * component sums combine map-side, so the exchange carries
+    * #groups × dim doubles, not vectors. The per-group sums broadcast
+    * back and the score is a per-row codegen'd fold. The 1/n centroid
+    * scaling cancels inside the cosine (cos(v, S/n) = cos(v, S)), so the
+    * score is computed against the SUM vector directly: with
+    * integer-valued inputs (e.g. [[quantizeInt8]] codes) every
+    * cross-row sum is exact integer arithmetic — order-independent and
+    * engine-portable (oracled in x59). Float inputs work too, with the
+    * usual reduction-order caveat on the last ulp. */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, dim: Int): DataFrame = {
+    require(dim >= 1, "similarity: dim must be >= 1")
+    val v = F.col(vecCol)
+    val sums = (0 until dim).map(j =>
+      F.sum(F.element_at(v, j + 1).cast(DoubleType)).as(s"_co_s$j"))
+    val cents = df.groupBy(groupCol).agg(sums.head, sums.tail: _*)
+    val sumVec = F.array((0 until dim).map(j => F.col(s"_co_s$j")): _*)
+    val cf = cents.select(F.col(groupCol), sumVec.as("_co_sum"))
+    df.join(F.broadcast(cf), Seq(groupCol))
+      .select(F.col(idCol), F.col(groupCol),
+        F.round(cosine(F.transform(v, x => x.cast(DoubleType)),
+          F.col("_co_sum")), 6).as("centroid_cos"))
+  }
+
   /** SemDeDup-style semantic dedup (cluster-then-compare): k-means
     * cluster the embedding space with the IVF coarse quantizer
     * ([[trainIvfCentroids]] — Lloyd iterations as Spark jobs over a hash

@@ -1305,6 +1305,22 @@ class ExtensionsSpec extends SparkSpec {
       canon.mkString(", "))
   }
 
+  test("centroidOutliers scores cosine to the group centroid") {
+    // group a: two vectors along +x and one orthogonal along +y;
+    // sum vector = (2,1): cos((1,0),(2,1)) = 2/sqrt(5), cos((0,1),(2,1)) = 1/sqrt(5)
+    val df = Seq(
+      (1L, "a", Seq(1.0, 0.0)), (2L, "a", Seq(1.0, 0.0)), (3L, "a", Seq(0.0, 1.0)),
+      (4L, "b", Seq(0.0, 3.0))
+    ).toDF("id", "grp", "v")
+    val got = similarity.centroidOutliers(df, "id", "v", "grp", dim = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(math.abs(got(1L) - 2.0 / math.sqrt(5.0)) < 1e-6)
+    assert(math.abs(got(3L) - 1.0 / math.sqrt(5.0)) < 1e-6)
+    assert(got(4L) == 1.0) // singleton group: cos(v, v) = 1
+    // the outlier (3) scores strictly below the in-cluster rows
+    assert(got(3L) < got(1L))
+  }
+
   test("gopher rule battery computes the published metrics and flags") {
     import graft.functions.quality
     // 58 words of prose with stopwords -> passes everything
