@@ -520,17 +520,23 @@ object ExtQueries {
       .when(F.col("doc_id") % 4 === 2,
         F.concat(F.col("text"), F.lit("...\nsecond line...\nthird line")))
       .otherwise(F.concat(F.lit("### "), F.col("text"), F.lit(" # # # # #")))
-    val g = quality.gopherRules(page)
-    docs(s, dir).select(
+    // Materialize the struct in its own projection: extracting the 8
+    // fields straight off the struct EXPRESSION would inline the whole
+    // rule battery (splits + a dozen regex passes) once per field.
+    // CollapseProject keeps the boundary because `_g` is expensive and
+    // referenced 8 times, so the battery runs once per row.
+    val g = docs(s, dir)
+      .select(F.col("doc_id"), quality.gopherRules(page).as("_g"))
+    g.select(
         F.col("doc_id"),
-        g.getField("n_words").as("n_words"),
-        g.getField("mean_word_len").as("mean_word_len"),
-        g.getField("symbol_ratio").as("symbol_ratio"),
-        g.getField("bullet_frac").as("bullet_frac"),
-        g.getField("ellipsis_frac").as("ellipsis_frac"),
-        g.getField("alpha_frac").as("alpha_frac"),
-        g.getField("n_stop").as("n_stop"),
-        g.getField("pass").as("pass"))
+        F.col("_g.n_words").as("n_words"),
+        F.col("_g.mean_word_len").as("mean_word_len"),
+        F.col("_g.symbol_ratio").as("symbol_ratio"),
+        F.col("_g.bullet_frac").as("bullet_frac"),
+        F.col("_g.ellipsis_frac").as("ellipsis_frac"),
+        F.col("_g.alpha_frac").as("alpha_frac"),
+        F.col("_g.n_stop").as("n_stop"),
+        F.col("_g.pass").as("pass"))
       .orderBy("doc_id")
   }
 

@@ -78,25 +78,34 @@ object quality {
       maxEllipsisLineFrac: Double = 0.3,
       minAlphaWordFrac: Double = 0.8,
       minStopwords: Int = 2): org.apache.spark.sql.Column = {
-    val toks = graft.functions.text.tokens(c)
-    val nWords = graft.functions.text.tokenCount(c)
+    // all counters come from ONE codegen'd scan
+    // ([[graft.plans.GopherStatsExpr]]); the many references below
+    // collapse to a single per-row invoke under whole-stage
+    // subexpression elimination. Only the symbol counts and stopword
+    // probes stay as (codegen'd) regex builtins.
+    val st = F.call_function("graft_gopher_stats", c)
+    val nWords = st.getField("n_words")
     val nW = nWords.cast(DoubleType)
-    val meanLen = F.round(
-      F.aggregate(toks, F.lit(0L), (a, t) => a + F.length(t)).cast(DoubleType) / nW, 6)
+    val meanLen = F.round(st.getField("sum_word_len").cast(DoubleType) / nW, 6)
     val symbols = F.regexp_count(c, F.lit("#")) +
       F.regexp_count(c, F.lit("\\.\\.\\."))
     val symbolRatio = F.round(symbols.cast(DoubleType) / nW, 6)
-    val lines = F.split(c, "\n")
-    val nL = F.size(lines).cast(DoubleType)
+    val nL = st.getField("n_lines").cast(DoubleType)
     val bulletFrac = F.round(
-      F.size(F.filter(lines, l => F.ltrim(l).rlike("^[-*•]"))).cast(DoubleType) / nL, 6)
+      st.getField("n_bullet_lines").cast(DoubleType) / nL, 6)
     val ellipsisFrac = F.round(
-      F.size(F.filter(lines, l => F.rtrim(l).rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) / nL, 6)
+      st.getField("n_ellipsis_lines").cast(DoubleType) / nL, 6)
     val alphaFrac = F.round(
-      F.size(F.filter(toks, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nW, 6)
+      st.getField("n_alpha_words").cast(DoubleType) / nW, 6)
     val nStop = GopherStopwords
       .map(w => F.when(F.lower(c).rlike(s"\\b$w\\b"), 1).otherwise(0))
       .reduce(_ + _)
+    // NO conditional wrapper: a CASE would exclude every branch subtree
+    // from codegen subexpression elimination and re-run the stats scan
+    // and regexes once per referencing field. Empty documents fall out
+    // naturally — nW = 0 makes the ratio metrics null (non-ANSI x/0),
+    // while `n_words >= minWords` is a non-null FALSE, so `pass` is
+    // false, never null.
     val pass = nWords >= minWords && nWords <= maxWords &&
       meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
       symbolRatio <= maxSymbolRatio &&
@@ -104,19 +113,11 @@ object quality {
       ellipsisFrac <= maxEllipsisLineFrac &&
       alphaFrac >= minAlphaWordFrac &&
       nStop >= minStopwords
-    F.when(nWords > 0L, F.struct(
+    F.struct(
       nWords.as("n_words"), meanLen.as("mean_word_len"),
       symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
       ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
-      nStop.as("n_stop"), pass.as("pass")))
-      .otherwise(F.struct(
-        F.lit(0L).as("n_words"),
-        F.lit(null).cast(DoubleType).as("mean_word_len"),
-        F.lit(null).cast(DoubleType).as("symbol_ratio"),
-        F.lit(null).cast(DoubleType).as("bullet_frac"),
-        F.lit(null).cast(DoubleType).as("ellipsis_frac"),
-        F.lit(null).cast(DoubleType).as("alpha_frac"),
-        F.lit(0).as("n_stop"), F.lit(false).as("pass")))
+      nStop.as("n_stop"), pass.as("pass"))
   }
 
   /** Gopher's required-stopword list (presence of >= 2 distinct). */

@@ -354,6 +354,99 @@ object TopNgramShareExpr {
   }
 }
 
+/** All the counters the Gopher quality-rule battery needs, in ONE scan
+  * per row: word count / summed word length / alphabetic-word count
+  * (over `split(trim(s), "\s+")` — the engine-wide token convention,
+  * including its leading-empty-token quirk on non-space leading
+  * whitespace, so SQL oracles replay it exactly), plus line count and
+  * bullet-led / ellipsis-ended line counts (space-only ltrim/rtrim, the
+  * SQL trim convention). Replaces six interpreted higher-order-function
+  * pipelines that each re-split the document; codegen'd, so whole-stage
+  * subexpression elimination runs the scan once however many rule
+  * columns reference it. */
+case class GopherStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = GopherStatsExpr.Schema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gopher_stats expects string, got $t")
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    GopherStatsExpr.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.GopherStatsExpr.compute($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GopherStatsExpr {
+  val Schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("sum_word_len", LongType, nullable = false),
+    StructField("n_alpha_words", LongType, nullable = false),
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_bullet_lines", LongType, nullable = false),
+    StructField("n_ellipsis_lines", LongType, nullable = false)))
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  /** static so generated code can call it directly (one invoke per row). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    // words over trim(s) — UTF8String.trim strips spaces only, matching
+    // SQL trim; split keeps trailing/leading empties (limit -1) exactly
+    // like Spark's split()
+    val trimmed = text.trim.toString
+    var nWords = 0L; var sumLen = 0L; var nAlpha = 0L
+    if (trimmed.nonEmpty) {
+      val words = ws.split(trimmed, -1)
+      nWords = words.length.toLong
+      var i = 0
+      while (i < words.length) {
+        val w = words(i)
+        sumLen += w.codePointCount(0, w.length).toLong
+        var j = 0; var alpha = false
+        while (j < w.length && !alpha) {
+          val ch = w.charAt(j)
+          alpha = (ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')
+          j += 1
+        }
+        if (alpha) nAlpha += 1
+        i += 1
+      }
+    }
+    // lines over the RAW string; bullet/ellipsis tests use space-only
+    // ltrim/rtrim (the SQL convention), mirroring the oracle SQL
+    val raw = text.toString
+    val lines = raw.split("\n", -1)
+    var nBullet = 0L; var nEllipsis = 0L
+    var li = 0
+    while (li < lines.length) {
+      val l = lines(li)
+      var a = 0
+      while (a < l.length && l.charAt(a) == ' ') a += 1
+      if (a < l.length) {
+        val c0 = l.charAt(a)
+        if (c0 == '-' || c0 == '*' || c0 == '•') nBullet += 1
+      }
+      var b = l.length
+      while (b > 0 && l.charAt(b - 1) == ' ') b -= 1
+      if ((b >= 3 && l.charAt(b - 1) == '.' && l.charAt(b - 2) == '.' &&
+            l.charAt(b - 3) == '.') ||
+          (b >= 1 && l.charAt(b - 1) == '…')) nEllipsis += 1
+      li += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumLen, nAlpha, lines.length.toLong, nBullet, nEllipsis))
+  }
+}
+
 /** Sorted distinct 60-bit md5-prefix fingerprints of a document's k-word
   * shingles — [[ShingleHashesExpr]]'s portable sibling for operators
   * whose counts must reproduce in any engine with md5 (benchmark
@@ -1265,6 +1358,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_top_ngram_share"),
       new ExpressionInfo(classOf[TopNgramShareExpr].getName, "graft_top_ngram_share"),
       (children: Seq[Expression]) => TopNgramShareExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_gopher_stats"),
+      new ExpressionInfo(classOf[GopherStatsExpr].getName, "graft_gopher_stats"),
+      (children: Seq[Expression]) => GopherStatsExpr(children(0))))
     e.injectFunction((
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleStringsExpr].getName, "graft_shingles"),

@@ -1321,6 +1321,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(3L) < got(1L))
   }
 
+  test("centroidOutliers plan: one shuffle for the sums, centroid side broadcast") {
+    val df = (1L to 1000L).map(i => (i, (i % 7).toString,
+      Seq((i % 13).toDouble, (i % 5).toDouble))).toDF("id", "grp", "v")
+    val out = similarity.centroidOutliers(df, "id", "v", "grp", dim = 2)
+    // the only ShuffleExchange is the component-sum groupBy; the sum
+    // vectors come back as a broadcast, never a shuffled join (string
+    // count because AQE hides the subtree from executedPlan.collect)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(out.count() == 1000)
+  }
+
   test("gopher rule battery computes the published metrics and flags") {
     import graft.functions.quality
     // 58 words of prose with stopwords -> passes everything
@@ -1330,7 +1343,7 @@ class ExtensionsSpec extends SparkSpec {
     // symbol spam: 8 hashes over ~66 words -> ratio > 0.1
     val spam = s"### $good # # # # #"
     val df = Seq((1L, good), (2L, bullets), (3L, spam), (4L, "tiny doc"),
-      (5L, s"$good...\nsecond...\nthird line...")).toDF("id", "text")
+      (5L, s"$good...\nsecond...\nthird line..."), (6L, "")).toDF("id", "text")
     val g = df.select(F.col("id"),
       quality.gopherRules(F.col("text")).as("g")).orderBy("id").collect()
     def row(i: Int) = g(i).getStruct(1)
@@ -1348,6 +1361,11 @@ class ExtensionsSpec extends SparkSpec {
     // ellipsis-ended lines 3/3 > 0.3 -> fails
     assert(row(4).getAs[Double]("ellipsis_frac") == 1.0)
     assert(!row(4).getAs[Boolean]("pass"))
+    // empty document: zero words, null ratio metrics, pass = FALSE (not null)
+    assert(row(5).getAs[Long]("n_words") == 0L)
+    assert(row(5).isNullAt(row(5).fieldIndex("mean_word_len")))
+    assert(!row(5).isNullAt(row(5).fieldIndex("pass")))
+    assert(!row(5).getAs[Boolean]("pass"))
     assert(quality.filterGopher(df, "text").count() == 1)
   }
 
