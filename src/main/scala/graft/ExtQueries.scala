@@ -469,6 +469,45 @@ object ExtQueries {
       |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM f GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  /** Per-language quantile band
+    * ([[graft.functions.quality.quantileBandFilterGrouped]]): token-count
+    * scores banded to each language's own [p10, p90] — a short language
+    * must not be cut by a verbose language's thresholds. The oracle
+    * replays the per-group histogram, the per-group cumulative window,
+    * the ceil threshold rule, and the band filter. */
+  def x60GroupedBand(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(F.col("doc_id"), F.col("lang"),
+      F.col("source"),
+      text.tokenCount(F.col("text")).cast(DoubleType).as("score"))
+    quality.quantileBandFilterGrouped(d, "score", "lang", 0.10, 0.90,
+        decimals = 0)
+      .groupBy("lang", "source")
+      .agg(F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.col("score")).cast(LongType).as("sum_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  private val x60Oracle =
+    """WITH sc AS (SELECT doc_id, lang, source,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE)
+      |      AS score
+      |  FROM documents),
+      |h AS (SELECT lang, round(score, 0) AS bkt, count(*) AS c
+      |  FROM sc GROUP BY 1, 2),
+      |cm AS (SELECT lang, bkt,
+      |    SUM(c) OVER (PARTITION BY lang ORDER BY bkt) AS cum,
+      |    SUM(c) OVER (PARTITION BY lang) AS n FROM h),
+      |bo AS (SELECT lang,
+      |    MIN(CASE WHEN cum >= ceil(0.10 * n) THEN bkt END) AS lo,
+      |    MIN(CASE WHEN cum >= ceil(0.90 * n) THEN bkt END) AS hi
+      |  FROM cm GROUP BY 1)
+      |SELECT sc.lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(score) AS BIGINT) AS sum_tokens
+      |FROM sc JOIN bo USING (lang)
+      |WHERE round(score, 0) BETWEEN lo AND hi
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Centroid-affinity outlier scoring
     * ([[graft.functions.similarity.centroidOutliers]]) on int8-quantized
     * embeddings grouped by label. Quantized codes make every cross-row
@@ -2013,7 +2052,8 @@ object ExtQueries {
     "x56_ivf_index_probe" -> (x56IvfIndexProbe _),
     "x57_canonical_dedup" -> (x57CanonicalDedup _),
     "x58_gopher_rules" -> (x58GopherRules _),
-    "x59_centroid_outliers" -> (x59CentroidOutliers _))
+    "x59_centroid_outliers" -> (x59CentroidOutliers _),
+    "x60_grouped_quality_band" -> (x60GroupedBand _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2072,5 +2112,6 @@ object ExtQueries {
     "x56_ivf_index_probe" -> x56Oracle,
     "x57_canonical_dedup" -> x57Oracle,
     "x58_gopher_rules" -> x58Oracle,
-    "x59_centroid_outliers" -> x59Oracle)
+    "x59_centroid_outliers" -> x59Oracle,
+    "x60_grouped_quality_band" -> x60Oracle)
 }

@@ -55,6 +55,38 @@ object quality {
       .drop("_qb_lo", "_qb_hi")
   }
 
+  /** Per-group [[quantileBandFilter]] — the CCNet posture applied the
+    * way CCNet actually applies it: thresholds resolved PER LANGUAGE
+    * (or per source), because one language's perplexity scale is
+    * another's tail. Same bucket-granular scheme as the global variant:
+    * the histogram aggregation produces (group, bucket) rows — map-side
+    * combining, cardinality = groups × distinct buckets — the
+    * cumulative/total windows run per group over that tiny frame, and
+    * the corpus is filtered map-side against the broadcast per-group
+    * bounds. The corpus itself is never sorted, windowed, or
+    * persisted. */
+  def quantileBandFilterGrouped(df: DataFrame, scoreCol: String,
+      groupCol: String, pLo: Double, pHi: Double,
+      decimals: Int = 2): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi, "quality: need 0<=pLo<=pHi<=1")
+    import org.apache.spark.sql.expressions.Window
+    val b = F.round(F.col(scoreCol), decimals)
+    val hist = df.select(F.col(groupCol).as("_qb_g"), b.as("_qb_bucket"))
+      .groupBy("_qb_g", "_qb_bucket").agg(F.count(F.lit(1)).as("_qb_cnt"))
+    val cum = hist
+      .withColumn("_qb_cum", F.sum("_qb_cnt").over(
+        Window.partitionBy("_qb_g").orderBy("_qb_bucket")))
+      .withColumn("_qb_n", F.sum("_qb_cnt").over(Window.partitionBy("_qb_g")))
+    val bounds = cum.groupBy("_qb_g").agg(
+      F.min(F.when(F.col("_qb_cum") >= F.ceil(F.lit(pLo) * F.col("_qb_n")),
+        F.col("_qb_bucket"))).as("_qb_lo"),
+      F.min(F.when(F.col("_qb_cum") >= F.ceil(F.lit(pHi) * F.col("_qb_n")),
+        F.col("_qb_bucket"))).as("_qb_hi"))
+    df.join(F.broadcast(bounds), F.col(groupCol) === F.col("_qb_g"))
+      .filter(b >= F.col("_qb_lo") && b <= F.col("_qb_hi"))
+      .drop("_qb_g", "_qb_lo", "_qb_hi")
+  }
+
   /** The Gopher document-quality rule battery (Rae et al. 2021, §A1.1):
     * the standard first-pass heuristic filter of large-scale web-corpus
     * curation. Returns a struct of the per-document metrics plus the

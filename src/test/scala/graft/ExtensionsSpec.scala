@@ -1305,6 +1305,22 @@ class ExtensionsSpec extends SparkSpec {
       canon.mkString(", "))
   }
 
+  test("quantileBandFilterGrouped resolves thresholds per group") {
+    import graft.functions.quality
+    // group a: scores 1..10 -> band [p20,p80] keeps ceil(.2*10)=2 .. 8
+    // group b: scores 101..105 -> keeps ceil(.2*5)=1 -> lo=101, hi=ceil(4)=104
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      (101 to 105).map(i => ("b", i.toDouble))).toDF("grp", "score")
+    val kept = quality.quantileBandFilterGrouped(df, "score", "grp",
+        0.20, 0.80, decimals = 0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(kept == ((2 to 8).map(i => ("a", i.toDouble)) ++
+      (101 to 104).map(i => ("b", i.toDouble))).toSet, kept.toString)
+    // a GLOBAL band over the same data would cut group b's head, not
+    // its own p20 — the grouped variant must not do that
+    assert(kept.contains(("b", 101.0)))
+  }
+
   test("centroidOutliers scores cosine to the group centroid") {
     // group a: two vectors along +x and one orthogonal along +y;
     // sum vector = (2,1): cos((1,0),(2,1)) = 2/sqrt(5), cos((0,1),(2,1)) = 1/sqrt(5)
