@@ -125,6 +125,18 @@ object Streams {
     events.withColumn(textCol,
       graft.functions.text.redactPii(F.col(textCol)))
 
+  /** Streaming Gopher quality gate — the batch rule battery
+    * ([[graft.functions.quality.gopherRules]]) applied per micro-batch.
+    * Stateless (one codegen'd scan per row, no aggregation, no state
+    * store), so it runs at ingest time on a live crawl: rejected pages
+    * never reach the corpus. Keeps passing rows and attaches the metric
+    * struct as `metricsCol` for downstream routing/monitoring. */
+  def qualityGateStream(docs: DataFrame, textCol: String,
+      metricsCol: String = "quality_metrics"): DataFrame =
+    docs.withColumn(metricsCol,
+        graft.functions.quality.gopherRules(F.col(textCol)))
+      .filter(F.col(s"$metricsCol.pass"))
+
   final case class BandedDoc(id: Long, ts: java.sql.Timestamp, band: Int, bkey: Long,
       sig: Seq[Long])
   final case class NearDupHit(doc_id: Long, dup_of: Long, est: Double)

@@ -67,6 +67,22 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq("mail <EMAIL> now", "clean"))
   }
 
+  test("streaming quality gate drops failing pages inside the stream") {
+    val dir = Files.createTempDirectory("graft_qgate").toString
+    val good = (("the data " * 25) + "pipeline runs with care and that is fine").trim
+    Seq((1L, good), (2L, "too short"), (3L, s"- $good\n- a\n- b"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val gated = Streams.qualityGateStream(
+      spark.readStream.schema(schema).parquet(dir), "text")
+    Streams.runToMemory(gated, "qgate", OutputMode.Append())
+    val rows = spark.table("qgate").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    // the metric struct rides along for monitoring
+    assert(rows.head.getStruct(rows.head.fieldIndex("quality_metrics"))
+      .getAs[Boolean]("pass"))
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     val dir = Files.createTempDirectory("graft_dedup").toString
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
