@@ -67,4 +67,19 @@ object layout {
       .partitionBy("shard")
       .parquet(path)
   }
+
+  /** Read back a [[writeSharded]] corpus, optionally restricted to a set
+    * of shards. The shard restriction is a PARTITION filter — Spark
+    * prunes the other shard directories at file-listing time, so a
+    * 1-of-N shard read lists and scans 1/N of the corpus (assert-able
+    * via PartitionFilters in the scan node). Because shard membership is
+    * a pure hash of the key, a sharded consumer (trainer rank, backfill
+    * worker) can claim `shards` deterministically across runs. */
+  def readSharded(spark: SparkSession, path: String,
+      shards: Seq[Int] = Nil): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (shards.isEmpty) df
+    else df.filter(org.apache.spark.sql.functions.col("shard")
+      .isin(shards.map(Integer.valueOf): _*))
+  }
 }

@@ -203,6 +203,16 @@ class LayoutSpec extends SparkSpec {
       val back2 = spark.read.parquet(out2).select(F.col("id"), F.col("shard").as("s2"))
       assert(back.select("id", "shard").join(back2, "id")
         .filter(F.col("shard") =!= F.col("s2")).count() == 0)
+      // readSharded(shards=...) prunes at the partition level: the scan
+      // carries a PartitionFilter on shard and reads only that directory
+      val oneShard = layout.readSharded(spark, out, shards = Seq(2))
+      val scan = oneShard.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.metadata("PartitionFilters").contains("shard"),
+        scan.metadata("PartitionFilters"))
+      val expected2 = back.filter(F.col("shard") === 2).count()
+      assert(oneShard.count() == expected2 && expected2 > 0)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
