@@ -313,6 +313,18 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** The LSH ANN pipeline under an EXACT oracle: nPlanes = 0 puts every
+    * vector in one bucket, so the bucket join + two-stage top-k must
+    * reproduce the brute-force scan — x21's nprobe = nlist trick applied
+    * to the hyperplane path (recall at real nPlanes is spec-tested; the
+    * hashing itself stays engine-native in x07). Oracle = x06's. */
+  def x61AnnLshFull(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.lshTopK(e, e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, nPlanes = 0)
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------- text analysis ----------------
 
   def x08TokenStats(s: SparkSession, dir: String): DataFrame =
@@ -2053,7 +2065,8 @@ object ExtQueries {
     "x57_canonical_dedup" -> (x57CanonicalDedup _),
     "x58_gopher_rules" -> (x58GopherRules _),
     "x59_centroid_outliers" -> (x59CentroidOutliers _),
-    "x60_grouped_quality_band" -> (x60GroupedBand _))
+    "x60_grouped_quality_band" -> (x60GroupedBand _),
+    "x61_ann_lsh_full" -> (x61AnnLshFull _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2113,5 +2126,6 @@ object ExtQueries {
     "x57_canonical_dedup" -> x57Oracle,
     "x58_gopher_rules" -> x58Oracle,
     "x59_centroid_outliers" -> x59Oracle,
-    "x60_grouped_quality_band" -> x60Oracle)
+    "x60_grouped_quality_band" -> x60Oracle,
+    "x61_ann_lsh_full" -> x06Oracle)
 }

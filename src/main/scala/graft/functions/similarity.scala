@@ -77,12 +77,17 @@ object similarity {
     * projections go through the codegen'd graft_dot — identical double
     * accumulation to the portable zip_with/aggregate form, ~6× faster. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column = {
+    require(nPlanes >= 0 && nPlanes <= 62, "similarity: nPlanes must be in [0, 62]")
     def planeSigns(j: Int): Seq[Double] =
       (0 until dim).map { i =>
         val h = scala.util.hashing.MurmurHash3.productHash((seed, j, i))
         if ((h & 1) == 0) 1.0 else -1.0
       }
-    (0 until nPlanes).map { j =>
+    // nPlanes = 0 → one global bucket: the LSH machinery degenerates to
+    // an exact scan, which lets an oracle prove the bucketed pipeline
+    // end-to-end (x61), mirroring IVF's nprobe = nlist trick (x21)
+    if (nPlanes == 0) F.lit(0L)
+    else (0 until nPlanes).map { j =>
       val d = dot(vec, F.typedlit(planeSigns(j)))
       F.when(d >= 0, F.shiftleft(F.lit(1L), j)).otherwise(F.lit(0L))
     }.reduce(_ bitwiseOR _)
