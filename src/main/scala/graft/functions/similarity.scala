@@ -305,7 +305,13 @@ object similarity {
     * integer-valued inputs (e.g. [[quantizeInt8]] codes) every
     * cross-row sum is exact integer arithmetic — order-independent and
     * engine-portable (oracled in x59). Float inputs work too, with the
-    * usual reduction-order caveat on the last ulp. */
+    * usual reduction-order caveat on the last ulp.
+    *
+    * Width note: the aggregate carries `dim` buffer columns; past
+    * `spark.sql.codegen.maxFields` (default 100) Spark plans that stage
+    * without whole-stage codegen. Map-side partial aggregation — the
+    * property that bounds the shuffle — is unaffected; for very wide
+    * embeddings raise the conf or accept the interpreted agg stage. */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String, dim: Int): DataFrame = {
     require(dim >= 1, "similarity: dim must be >= 1")
