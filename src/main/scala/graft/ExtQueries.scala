@@ -481,6 +481,42 @@ object ExtQueries {
       |SELECT fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |FROM f GROUP BY 1 ORDER BY fingerprint""".stripMargin
 
+  /** In-document repeated-line removal
+    * ([[graft.functions.text.dropRepeatedLines]]): every document gets a
+    * planted page frame (Footer ×2 interleaved, a unique Body line,
+    * a trailing Footer); the cleaner must keep exactly the FIRST Footer
+    * and preserve order. The oracle replays the frame and the
+    * keep-first-in-order semantics via min-position aggregation. */
+  def x62InDocLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val page = F.concat(F.col("text"),
+      F.lit("\nFooter\nFooter\nBody "),
+      F.col("doc_id").cast(StringType), F.lit("\nFooter"))
+    docs(s, dir).select(
+        F.col("doc_id"),
+        text.dropRepeatedLines(page).as("clean_page"),
+        F.size(F.split(page, "\n")).cast(LongType).as("n_before"),
+        F.size(F.array_distinct(F.split(page, "\n"))).cast(LongType)
+          .as("n_after"))
+      .orderBy("doc_id")
+  }
+
+  private val x62Oracle =
+    """WITH p AS (SELECT doc_id,
+      |    text || chr(10) || 'Footer' || chr(10) || 'Footer' || chr(10)
+      |      || 'Body ' || CAST(doc_id AS VARCHAR) || chr(10) || 'Footer'
+      |      AS page
+      |  FROM documents),
+      |s AS (SELECT doc_id, str_split(page, chr(10)) AS ls FROM p),
+      |l AS (SELECT doc_id, unnest(ls) AS line,
+      |    generate_subscripts(ls, 1) AS i, len(ls) AS nb FROM s),
+      |k AS (SELECT doc_id, line, min(i) AS pos, max(nb) AS nb
+      |  FROM l GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  string_agg(line, chr(10) ORDER BY pos) AS clean_page,
+      |  CAST(max(nb) AS BIGINT) AS n_before,
+      |  CAST(count(*) AS BIGINT) AS n_after
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-language quantile band
     * ([[graft.functions.quality.quantileBandFilterGrouped]]): token-count
     * scores banded to each language's own [p10, p90] — a short language
@@ -2066,7 +2102,8 @@ object ExtQueries {
     "x58_gopher_rules" -> (x58GopherRules _),
     "x59_centroid_outliers" -> (x59CentroidOutliers _),
     "x60_grouped_quality_band" -> (x60GroupedBand _),
-    "x61_ann_lsh_full" -> (x61AnnLshFull _))
+    "x61_ann_lsh_full" -> (x61AnnLshFull _),
+    "x62_indoc_line_dedup" -> (x62InDocLineDedup _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2127,5 +2164,6 @@ object ExtQueries {
     "x58_gopher_rules" -> x58Oracle,
     "x59_centroid_outliers" -> x59Oracle,
     "x60_grouped_quality_band" -> x60Oracle,
-    "x61_ann_lsh_full" -> x06Oracle)
+    "x61_ann_lsh_full" -> x06Oracle,
+    "x62_indoc_line_dedup" -> x62Oracle)
 }

@@ -193,6 +193,15 @@ object text {
   def compressionRatio(c: Column): Column =
     F.call_function("graft_deflate_ratio", c)
 
+  /** Remove repeated lines WITHIN a document, keeping each line's first
+    * occurrence in order — the in-page companion to the corpus-wide
+    * [[graft.functions.dedup.dedupLines]] (a nav bar repeated down one
+    * page is in-doc noise even before any cross-document pass).
+    * `array_distinct` preserves first-occurrence order, so this is one
+    * shuffle-free scalar expression per row. */
+  def dropRepeatedLines(c: Column): Column =
+    F.array_join(F.array_distinct(F.split(c, "\n")), "\n")
+
   /** Fraction of lines that repeat an earlier line — the classic
     * boilerplate signal for scraped pages (nav bars, footers). */
   def duplicateLineFraction(c: Column): Column = {

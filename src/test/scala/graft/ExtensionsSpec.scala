@@ -1305,6 +1305,13 @@ class ExtensionsSpec extends SparkSpec {
       canon.mkString(", "))
   }
 
+  test("dropRepeatedLines keeps first occurrences in order") {
+    val df = Seq((1L, "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter"))
+      .toDF("id", "text")
+    val got = df.select(text.dropRepeatedLines(F.col("text"))).head.getString(0)
+    assert(got == "nav\nbody one\nbody two\nfooter")
+  }
+
   test("quantileBandFilterGrouped resolves thresholds per group") {
     import graft.functions.quality
     // group a: scores 1..10 -> band [p20,p80] keeps ceil(.2*10)=2 .. 8
