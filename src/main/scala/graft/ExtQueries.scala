@@ -517,6 +517,125 @@ object ExtQueries {
       |  CAST(count(*) AS BIGINT) AS n_after
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Keep-BEST dedup ([[graft.functions.dedup.keepBest]]): near-dup
+    * components from the x02 LSH pipeline, but the survivor per
+    * component is the copy with the MOST tokens (ties → smaller id)
+    * instead of the smallest id — the re-crawl rule that keeps the
+    * fullest version of a page. The oracle replays the all-pairs ≥ 0.8
+    * Jaccard scan, the transitive closure (recursive CTE), the
+    * (max tokens, min id) winner rule, and the anti-join. */
+  def x63KeepBestDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = dedup.jaccardPairsLsh(d, "doc_id", "text",
+      k = 3, numPerm = 64, bands = 32, minJ = 0.8)
+    dedup.keepBest(d, "doc_id", pairs, text.tokenCount(F.col("text")))
+      .select(F.col("doc_id"), text.tokenCount(F.col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val x63Oracle =
+    """WITH RECURSIVE
+      |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk),
+      |near AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |     - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.8),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM near
+      |  UNION SELECT id_b AS u, id_a AS v FROM near),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      |members AS (SELECT c.id, c.component, len(tk.toks) AS ntok
+      |  FROM comp c JOIN tk ON tk.doc_id = c.id),
+      |winners AS (SELECT component, id FROM (SELECT *,
+      |    row_number() OVER (PARTITION BY component
+      |      ORDER BY ntok DESC, id) AS rn FROM members) WHERE rn = 1),
+      |losers AS (SELECT id FROM members
+      |  WHERE id NOT IN (SELECT id FROM winners))
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM tk
+      |WHERE doc_id NOT IN (SELECT id FROM losers)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Persistent EXACT-dedup index, built then probed in one query
+    * ([[graft.functions.index.buildExactIndex]] /
+    * [[graft.functions.index.probeExactIndex]]): even doc_ids play the
+    * crawled history; the incoming batch is the odd doc_ids plus
+    * RE-CRAWLED copies of every fifth even document (same text, id +
+    * 1000000) — the probe must report exactly those copies (and any
+    * natural cross-parity duplicate). The oracle is the md5 equi-join
+    * across the same split. */
+  def x64ExactIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.index.buildExactIndex(
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x64_exact")
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(
+        (F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    graft.functions.index.probeExactIndex(s, batch, "doc_id", "text",
+        "x64_exact")
+      .orderBy("id_new", "id_indexed")
+  }
+
+  private val x64Oracle =
+    """WITH batch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+      |SELECT b.doc_id AS id_new, a.doc_id AS id_indexed,
+      |  md5(a.text) AS fingerprint
+      |FROM documents a JOIN batch b ON md5(a.text) = md5(b.text)
+      |WHERE a.doc_id % 2 = 0
+      |ORDER BY id_new, id_indexed""".stripMargin
+
+  /** Containment pairs ([[graft.functions.dedup.containmentPairs]]):
+    * every document gets a planted 12-token "quote" copy (first 12
+    * tokens, id + 1000000), and the query must find each quote inside
+    * its source at C ≥ 0.9 — the asymmetric excerpt-detection measure
+    * Jaccard misses. The oracle is the all-ordered-pairs exact scan
+    * (candidate-sketch miss probability ≲ 1e-8, the x02 argument). */
+  def x65Containment(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+    val quotes = docs(s, dir).select(
+      (F.col("doc_id") + 1000000L).as("doc_id"),
+      F.array_join(F.slice(text.tokens(F.col("text")), 1, 12), " ").as("text"))
+    dedup.containmentPairs(base.unionByName(quotes), "doc_id", "text",
+        k = 3, sketch = 8, minC = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val x65Oracle =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, array_to_string(list_slice(
+      |      string_split_regex(trim(text), '\s+'), 1, 12), ' ')
+      |    FROM documents),
+      |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM corpus),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(a.s) AS DOUBLE) AS containment
+      |FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / CAST(len(a.s) AS DOUBLE) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Per-language quantile band
     * ([[graft.functions.quality.quantileBandFilterGrouped]]): token-count
     * scores banded to each language's own [p10, p90] — a short language
@@ -2103,7 +2222,10 @@ object ExtQueries {
     "x59_centroid_outliers" -> (x59CentroidOutliers _),
     "x60_grouped_quality_band" -> (x60GroupedBand _),
     "x61_ann_lsh_full" -> (x61AnnLshFull _),
-    "x62_indoc_line_dedup" -> (x62InDocLineDedup _))
+    "x62_indoc_line_dedup" -> (x62InDocLineDedup _),
+    "x63_keep_best_dedup" -> (x63KeepBestDedup _),
+    "x64_exact_index_probe" -> (x64ExactIndexProbe _),
+    "x65_containment" -> (x65Containment _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2165,5 +2287,8 @@ object ExtQueries {
     "x59_centroid_outliers" -> x59Oracle,
     "x60_grouped_quality_band" -> x60Oracle,
     "x61_ann_lsh_full" -> x06Oracle,
-    "x62_indoc_line_dedup" -> x62Oracle)
+    "x62_indoc_line_dedup" -> x62Oracle,
+    "x63_keep_best_dedup" -> x63Oracle,
+    "x64_exact_index_probe" -> x64Oracle,
+    "x65_containment" -> x65Oracle)
 }

@@ -629,6 +629,33 @@ object dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep the BEST member of each duplicate component instead of the
+    * smallest id: the survivor maximizes `score` (ties broken by the
+    * smaller id), so a re-crawl dedup keeps the longest or
+    * highest-quality copy rather than whichever copy happened to be
+    * crawled first. Same transitive component resolution as
+    * [[keepCanonical]] (A~B~C collapses to ONE survivor even when A≁C);
+    * `score` must be numeric and deterministic.
+    *
+    * Scale shape: only rows that appear in `pairs` ever carry their
+    * score through a shuffle — the winner per component is a map-side-
+    * combining `min(struct(-score, id))` aggregate over the component
+    * members (duplicate-set sized, not corpus sized), and the no-dup
+    * bulk of the corpus is touched once by the final left_anti on ids. */
+  def keepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+    val members = df.select(F.col(idCol).as("_kb_id"), score.as("_kb_s"))
+      .join(comp, F.col("_kb_id") === F.col("id"))
+    val winners = members.groupBy("component")
+      .agg(F.min(F.struct((-F.col("_kb_s")).as("_kb_ns"),
+        F.col("_kb_id"))).as("_kb_w"))
+      .select(F.col("_kb_w._kb_id").as("_kb_keep"))
+    val losers = members.select(F.col("_kb_id").as(idCol))
+      .join(winners, F.col(idCol) === F.col("_kb_keep"), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact token-set Jaccard similarity between two token arrays —
     * deterministic integer set sizes, double division. */
   def tokenJaccard(a: Column, b: Column): Column = {
@@ -679,6 +706,65 @@ object dedup {
       .select(F.col("id_a"), F.col("id_b"),
         (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
       .filter(F.col("jaccard") >= minJ)
+  }
+
+  /** Exact k-shingle CONTAINMENT pairs: ordered (id_a, id_b) with
+    * C(a→b) = |Sa ∩ Sb| / |Sa| ≥ `minC` — the asymmetric measure that
+    * finds a short document (a quote, an excerpt, a syndicated article)
+    * inside a longer one, which Jaccard structurally misses (a 12-token
+    * quote of a 200-token page has J ≈ 0.05 at ANY containment).
+    *
+    * Candidates come from a bottom-`sketch` probe against a shingle
+    * inverted index: each document contributes its `sketch` SMALLEST
+    * shingle hashes as probe keys (the [[shingleHashes]] arrays are
+    * sorted, so the sketch is a free slice) and its full hash set as
+    * postings. A pair with C(a→b) ≥ minC shares ≥ minC·|Sa| shingles,
+    * so all probe keys miss only if every one of a's `sketch` smallest
+    * hashes falls in the < (1-minC) non-shared fraction — probability
+    * ≲ (1-minC)^sketch (~1e-8 at minC = 0.9, sketch = 8) under the
+    * hash-uniform order. Verification is the exact codegen'd linear
+    * merge ([[graft.plans.SortedLongIntersectCount]]).
+    *
+    * Scale shape: the postings explode shuffles (hash, id) pairs — the
+    * inverted-index posture of [[repeatedWindows]], 16 bytes per
+    * shingle, never the text; the probe side is `sketch` rows per
+    * document. `maxPosting` > 0 drops shingles whose posting list
+    * exceeds it from CANDIDATE GENERATION (verification still uses
+    * full sets): a boilerplate shingle shared by millions of documents
+    * would otherwise make one join key quadratic. A pair can then be
+    * missed only if ALL `sketch` of the contained side's probe shingles
+    * are corpus-hot — the bounded-work/recall trade of the LSH
+    * hot-bucket cap, and the right default posture on a web corpus. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, sketch: Int = 8, minC: Double = 0.9,
+      maxPosting: Int = 0): DataFrame = {
+    require(sketch >= 1, s"containmentPairs: sketch must be >= 1 (got $sketch)")
+    val sh = cached(df.select(F.col(idCol).as("id"),
+        shingleHashes(F.col(textCol), k).as("sh"))
+      .withColumn("n", F.size(F.col("sh")).cast(DoubleType)))
+    val postings0 = sh.select(F.col("id").as("id_b"),
+      F.explode(F.col("sh")).as("h"))
+    // hot-shingle cap: the overflow set is tiny relative to the corpus
+    // (≤ total-shingles / maxPosting keys) — the anti join is AQE's
+    // call (broadcast at any realistic cap)
+    val postings = if (maxPosting <= 0) postings0 else {
+      val hot = postings0.groupBy("h")
+        .agg(F.count(F.lit(1)).as("_pc")).filter(F.col("_pc") > maxPosting)
+        .select("h")
+      postings0.join(hot, Seq("h"), "left_anti")
+    }
+    val probe = sh.select(F.col("id").as("id_a"),
+      F.explode(F.slice(F.col("sh"), 1, sketch)).as("h"))
+    val cand = probe.join(postings, "h")
+      .filter(F.col("id_a") =!= F.col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = F.call_function("graft_intersect_count",
+      F.col("a.sh"), F.col("b.sh")).cast(DoubleType)
+    cand.join(sh.as("a"), F.col("id_a") === F.col("a.id"))
+      .join(sh.as("b"), F.col("id_b") === F.col("b.id"))
+      .select(F.col("id_a"), F.col("id_b"),
+        (inter / F.col("a.n")).as("containment"))
+      .filter(F.col("containment") >= minC)
   }
 
   /** Duplicated token windows: every n-token window whose fingerprint

@@ -195,6 +195,78 @@ object index {
       .filter(F.col("jaccard") >= minJ)
   }
 
+  // ---------------- persistent exact-dedup index ----------------
+
+  /** Build (Overwrite) or extend (Append) a persistent EXACT-dedup
+    * index: one md5 fingerprint row per document, bucketed by
+    * fingerprint — the byte-identity sibling of [[buildJaccardIndex]]
+    * for the daily-crawl lifecycle. A probe joins the new batch's
+    * fingerprints against the pre-placed table, so discovering which of
+    * today's documents already exist in a 100 TB history shuffles only
+    * the batch (16-byte keys), never the history. `canonicalize`
+    * fingerprints the folded text ([[text.foldedText]]) so re-crawl
+    * variants (composition, casing, spacing) also hit; it is recorded
+    * as a table property and enforced at probe/append time — mixing
+    * folded and raw fingerprints in one index would silently miss. */
+  def buildExactIndex(df: DataFrame, idCol: String, textCol: String,
+      name: String, canonicalize: Boolean = false, buckets: Int = 64,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (mode == SaveMode.Append && spark.catalog.tableExists(s"${name}_fps")) {
+      val stored = readExactCanonicalize(spark, name)
+      require(stored == canonicalize,
+        s"index: append canonicalize=$canonicalize does not match the " +
+          s"build's canonicalize=$stored")
+    }
+    if (mode == SaveMode.Overwrite) resetManagedTable(spark, s"${name}_fps")
+    val key = if (canonicalize) text.foldedText(F.col(textCol))
+      else F.col(textCol)
+    df.select(F.col(idCol).cast(LongType).as("id"),
+        text.fingerprintMd5(key).as("fp"))
+      .write.mode(mode).bucketBy(buckets, "fp")
+      .format("parquet").saveAsTable(s"${name}_fps")
+    if (mode == SaveMode.Overwrite)
+      spark.sql(s"ALTER TABLE ${name}_fps SET TBLPROPERTIES(" +
+        s"'graft.canonicalize'='$canonicalize')")
+  }
+
+  private def readExactCanonicalize(spark: SparkSession, name: String): Boolean = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_fps").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.getOrElse("graft.canonicalize", throw new IllegalArgumentException(
+      s"index: table ${name}_fps has no 'graft.canonicalize' property — " +
+        "not built by buildExactIndex?")).toBoolean
+  }
+
+  /** Probe the exact index: every (id_new, id_indexed, fingerprint)
+    * match between the batch and the indexed history. The fold mode
+    * comes from the index's own table property — probe and build cannot
+    * drift. Only the batch side shuffles (to meet the fp-bucketed table
+    * in place); use a `left_anti` of the batch against
+    * `probeExactIndex(...)` ids — or [[dedupAgainstExactIndex]] — to
+    * keep just the genuinely-new documents. */
+  def probeExactIndex(spark: SparkSession, dfNew: DataFrame,
+      idCol: String, textCol: String, name: String): DataFrame = {
+    val canonicalize = readExactCanonicalize(spark, name)
+    val key = if (canonicalize) text.foldedText(F.col(textCol))
+      else F.col(textCol)
+    val newFps = dfNew.select(F.col(idCol).cast(LongType).as("id_new"),
+      text.fingerprintMd5(key).as("fp"))
+    newFps.join(spark.table(s"${name}_fps"), "fp")
+      .select(F.col("id_new"), F.col("id").as("id_indexed"),
+        F.col("fp").as("fingerprint"))
+  }
+
+  /** The batch minus everything the index has seen: the one-call
+    * incremental exact dedup (schema of `dfNew`, unchanged). */
+  def dedupAgainstExactIndex(spark: SparkSession, dfNew: DataFrame,
+      idCol: String, textCol: String, name: String): DataFrame = {
+    val seen = probeExactIndex(spark, dfNew, idCol, textCol, name)
+      .select(F.col("id_new").cast(LongType).as("_ei_id")).distinct()
+    dfNew.join(seen, F.col(idCol).cast(LongType) === F.col("_ei_id"),
+      "left_anti")
+  }
+
   // ---------------- persistent IVF ANN index ----------------
 
   /** Build (Overwrite) or extend (Append) a persistent IVF ANN index —

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
 
 /** End-to-end corpus curation: the extension operators composed into the
   * shape of a real training-data preparation job. Each stage is a lazy
@@ -20,7 +20,8 @@ object pipelines {
     * 4. MinHash-LSH near-dedup resolved through connected components
     *    (keep the smallest id per duplicate GROUP — transitive and
     *    discovery-order-independent, unlike dropping `id_b` of each
-    *    pair, which over-drops on chains A~B~C where A≁C),
+    *    pair, which over-drops on chains A~B~C where A≁C; pass
+    *    `keepBestBy` to keep the highest-scoring member instead),
     * 5. history near-dedup (optional: `indexName` names a persistent
     *    [[index]] built from previous crawls — batch documents that
     *    near-duplicate the INDEXED corpus are dropped without ever
@@ -41,6 +42,7 @@ object pipelines {
       nearDupThreshold: Double = 0.7,
       nearDupExact: Boolean = false,
       nearDupMaxBucket: Int = 1000,
+      keepBestBy: Option[Column] = None,
       indexName: Option[String] = None,
       bench: Option[DataFrame] = None,
       benchTextCol: String = "text",
@@ -86,7 +88,13 @@ object pipelines {
         minJ = nearDupThreshold, maxBucket = nearDupMaxBucket)
       else dedup.minhashPairs(exactDeduped, idCol, textCol,
         threshold = nearDupThreshold, maxBucket = nearDupMaxBucket)
-    val nearDeduped = dedup.keepCanonical(exactDeduped, idCol, nearPairs)
+    // survivor rule: min id by default; `keepBestBy` keeps the member
+    // maximizing the given score instead (e.g. token count — the
+    // fullest copy of a re-crawled page), via [[dedup.keepBest]]
+    val nearDeduped = keepBestBy match {
+      case Some(score) => dedup.keepBest(exactDeduped, idCol, nearPairs, score)
+      case None => dedup.keepCanonical(exactDeduped, idCol, nearPairs)
+    }
 
     // incremental path: drop batch documents near-duplicating the
     // persistent index (hash parameters come from the index itself; the

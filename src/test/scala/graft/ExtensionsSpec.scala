@@ -520,6 +520,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(!curated.contains(2L))
   }
 
+  test("curation keepBestBy keeps the highest-scoring near-dup, not the smallest id") {
+    import graft.functions.pipelines
+    // docs 1 and 2 are near-dups (J ≥ 0.3); score doc 2 higher, so the
+    // min-id default would keep 1 but keepBestBy must keep 2. (4 is an
+    // exact dup of 1 and is gone either way — exact dedup runs first.)
+    val curated = pipelines.curateDocuments(docsDf,
+        minQuality = 0.0, nearDupThreshold = 0.3,
+        keepBestBy = Some(F.col("doc_id").cast("double")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated == Set(2L, 3L), s"got $curated")
+  }
+
   test("curation with a benchmark set also drops contaminated docs") {
     import graft.functions.pipelines
     val bench = Seq("completely different text with other words here plus extra")
@@ -1303,6 +1315,45 @@ class ExtensionsSpec extends SparkSpec {
     assert(canon.length == 2)
     assert(canon.exists(r => r.getLong(1) == 1L && r.getLong(2) == 2L),
       canon.mkString(", "))
+  }
+
+  test("keepBest keeps the highest-score member per component, transitively") {
+    // chain 1~2, 2~3 (1≁3 directly): one component, survivor = max score;
+    // 4 untouched; tie between 5~6 broken by the smaller id
+    val df = Seq(
+      (1L, 10L), (2L, 30L), (3L, 20L), (4L, 99L), (5L, 7L), (6L, 7L)
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = dedup.keepBest(df, "doc_id", pairs, F.col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L))
+  }
+
+  test("containmentPairs finds a quote inside its source, not vice versa") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"), // 3 shingles, all in doc 1
+      (3L, "unrelated words entirely disjoint from everything else here")
+    ).toDF("doc_id", "text")
+    val got = dedup.containmentPairs(df, "doc_id", "text", k = 3,
+        sketch = 8, minC = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 1L))) // asymmetric: doc 1 is NOT inside doc 2
+  }
+
+  test("containmentPairs maxPosting drops corpus-hot shingles from candidates") {
+    // 60 copies of one boilerplate text: every shingle's posting list is
+    // 60 > cap, so candidate generation is empty — bounded work, the
+    // documented recall trade on degenerate boilerplate
+    val boiler = (1L to 60L).map(i => (i, "same old boilerplate line " +
+      "repeated on every page of the site")).toDF("doc_id", "text")
+    val capped = dedup.containmentPairs(boiler, "doc_id", "text", k = 3,
+      sketch = 8, minC = 0.9, maxPosting = 10)
+    assert(capped.count() == 0L)
+    // and without the cap the same corpus is all-pairs contained
+    val uncapped = dedup.containmentPairs(boiler, "doc_id", "text", k = 3,
+      sketch = 8, minC = 0.9)
+    assert(uncapped.count() == 60L * 59L)
   }
 
   test("dropRepeatedLines keeps first occurrences in order") {

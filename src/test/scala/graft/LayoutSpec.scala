@@ -113,6 +113,60 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("exact index: probe matches a plain fingerprint join, index side unshuffled") {
+    import graft.functions.index
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "a different document"),
+      (3L, "Fox  News café")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox"),  // byte-exact hit on 1
+      (11L, " fox news CAFÉ"), // folded hit on 3 (canonicalize only)
+      (12L, "genuinely new text")
+    ).toDF("doc_id", "text")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      index.buildExactIndex(corpus, "doc_id", "text", "graft_edx", buckets = 4)
+      val probe = index.probeExactIndex(spark, batch, "doc_id", "text",
+        "graft_edx")
+      val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 1L)), s"got $got")
+      assert(reshuffledIndexScans(probe.queryExecution.executedPlan,
+        "graft_edx") == 0)
+      // the one-call incremental dedup keeps exactly the unseen batch rows
+      val fresh = index.dedupAgainstExactIndex(spark, batch, "doc_id",
+        "text", "graft_edx").select("doc_id").as[Long].collect().toSet
+      assert(fresh == Set(11L, 12L))
+      // append extends in place; canonicalize mismatch is refused
+      index.buildExactIndex(batch, "doc_id", "text", "graft_edx",
+        mode = org.apache.spark.sql.SaveMode.Append, buckets = 4)
+      val again = index.probeExactIndex(spark,
+          Seq((20L, "genuinely new text")).toDF("doc_id", "text"),
+          "doc_id", "text", "graft_edx")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again == Set((20L, 12L)), s"got $again")
+      intercept[IllegalArgumentException] {
+        index.buildExactIndex(batch, "doc_id", "text", "graft_edx",
+          canonicalize = true,
+          mode = org.apache.spark.sql.SaveMode.Append, buckets = 4)
+      }
+      // a canonicalizing index folds case/space/accents — probe follows
+      // the stored property, not a caller flag
+      index.buildExactIndex(corpus, "doc_id", "text", "graft_edxc",
+        canonicalize = true, buckets = 4)
+      val folded = index.probeExactIndex(spark, batch, "doc_id", "text",
+        "graft_edxc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(folded == Set((10L, 1L), (11L, 3L)), s"got $folded")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_edx_fps")
+      spark.sql("DROP TABLE IF EXISTS graft_edxc_fps")
+    }
+  }
+
   test("IVF index: append-extended full probe equals brute force, index scan unshuffled and pruned") {
     import graft.functions.{index, similarity}
     import org.apache.spark.sql.SaveMode
