@@ -238,6 +238,21 @@ object index {
         "not built by buildExactIndex?")).toBoolean
   }
 
+  /** The fingerprint key an exact index `name` was built with, applied
+    * to `textCol` — folded or raw per the stored property, so a caller
+    * (batch probe or streaming probe) can never hash differently from
+    * the build. */
+  def exactIndexKey(spark: SparkSession, name: String,
+      textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (readExactCanonicalize(spark, name)) text.foldedText(textCol)
+    else textCol
+
+  /** The indexed fingerprint set of exact index `name`, as a one-column
+    * (`fp`) frame — the static side of a stream-static probe. */
+  def probeExactIndexFingerprints(spark: SparkSession,
+      name: String): DataFrame =
+    spark.table(s"${name}_fps").select("fp")
+
   /** Probe the exact index: every (id_new, id_indexed, fingerprint)
     * match between the batch and the indexed history. The fold mode
     * comes from the index's own table property — probe and build cannot
@@ -247,9 +262,7 @@ object index {
     * keep just the genuinely-new documents. */
   def probeExactIndex(spark: SparkSession, dfNew: DataFrame,
       idCol: String, textCol: String, name: String): DataFrame = {
-    val canonicalize = readExactCanonicalize(spark, name)
-    val key = if (canonicalize) text.foldedText(F.col(textCol))
-      else F.col(textCol)
+    val key = exactIndexKey(spark, name, F.col(textCol))
     val newFps = dfNew.select(F.col(idCol).cast(LongType).as("id_new"),
       text.fingerprintMd5(key).as("fp"))
     newFps.join(spark.table(s"${name}_fps"), "fp")

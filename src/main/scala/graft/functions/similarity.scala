@@ -78,9 +78,12 @@ object similarity {
     * accumulation to the portable zip_with/aggregate form, ~6× faster. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column = {
     require(nPlanes >= 0 && nPlanes <= 62, "similarity: nPlanes must be in [0, 62]")
+    // productHash is pinned deliberately: the hyperplane bank must stay
+    // bit-identical across Scala releases or every persisted LSH bucket
+    // assignment silently shifts
     def planeSigns(j: Int): Seq[Double] =
       (0 until dim).map { i =>
-        val h = scala.util.hashing.MurmurHash3.productHash((seed, j, i))
+        val h: Int = (scala.util.hashing.MurmurHash3.productHash((seed, j, i)): @scala.annotation.nowarn("cat=deprecation"))
         if ((h & 1) == 0) 1.0 else -1.0
       }
     // nPlanes = 0 → one global bucket: the LSH machinery degenerates to
@@ -199,8 +202,9 @@ object similarity {
       seed: Int): Array[Long] = {
     val words = (dim + 63) >> 6
     val out = new Array[Long](nTables * nPlanes * words)
+    // pinned like lshBucket's planeSigns: cross-release bit stability
     for (t <- 0 until nTables; j <- 0 until nPlanes; i <- 0 until dim) {
-      val h = scala.util.hashing.MurmurHash3.productHash((seed + 7919 * t, j, i))
+      val h: Int = (scala.util.hashing.MurmurHash3.productHash((seed + 7919 * t, j, i)): @scala.annotation.nowarn("cat=deprecation"))
       if ((h & 1) == 0) out((t * nPlanes + j) * words + (i >> 6)) |= 1L << (i & 63)
     }
     out

@@ -119,6 +119,29 @@ object Streams {
       key: String): DataFrame =
     events.join(F.broadcast(dim), Seq(key), "left")
 
+  /** Streaming incremental exact dedup: drop stream documents whose
+    * text fingerprint already exists in a persistent exact index
+    * ([[graft.functions.index.buildExactIndex]]) — the daily-crawl
+    * probe run continuously. Stream-static left_anti join on the md5
+    * fingerprint; the fold mode comes from the index's stored
+    * `canonicalize` property (probe can never drift from the build),
+    * and each micro-batch shuffles only itself to meet the fp-bucketed
+    * index in place. Stateless: the history lives in the index tables,
+    * not in stream state, so admitting a batch (appending survivors
+    * via buildExactIndex SaveMode.Append) is what advances the
+    * "seen" set. */
+  def dedupAgainstExactIndexStream(docs: DataFrame, idCol: String,
+      textCol: String, indexName: String): DataFrame = {
+    val spark = docs.sparkSession
+    val seen = graft.functions.index
+      .probeExactIndexFingerprints(spark, indexName)
+    val key = graft.functions.index.exactIndexKey(spark, indexName,
+      F.col(textCol))
+    docs.withColumn("_sx_fp", graft.functions.text.fingerprintMd5(key))
+      .join(seen, F.col("_sx_fp") === F.col("fp"), "left_anti")
+      .drop("_sx_fp")
+  }
+
   /** Streaming PII scrub — stateless projection, composes with any
     * downstream windowed aggregation. */
   def scrubStream(events: DataFrame, textCol: String): DataFrame =

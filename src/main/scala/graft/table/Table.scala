@@ -194,7 +194,7 @@ final class Table private[graft] (
         case _ => c.as(internal(m.uuid))
       }
     }
-    val df2 = df.select(existing ++ added: _*)
+    val df2 = df.select((existing ++ added).toIndexedSeq: _*)
     val overwritten = defs.map(_._1).toSet
     val kept = cols.map(c => if (c.visible && overwritten(c.name)) c.copy(visible = false) else c)
     val sql2 = extendSql { q =>
@@ -599,7 +599,7 @@ final class Table private[graft] (
   def toLocalIterator: Iterator[Row] = toLocalIterator(Map.empty)
   def toLocalIterator(schemaOverrides: Map[String, DataType]): Iterator[Row] = {
     import scala.jdk.CollectionConverters._
-    toDF(schemaOverrides).toLocalIterator.asScala
+    toDF(schemaOverrides).toLocalIterator().asScala
   }
   /** single value of a 1×1 result (reference `Scalar` target). */
   def exportScalar: Any = exportScalar(Map.empty)
@@ -703,8 +703,9 @@ final class Table private[graft] (
     }
     val newMeta = rightCols.map(n => ColMeta(ColIds.next.getAndIncrement(), n, visible = true))
     val joined = numbered(this).join(rightDf, Seq("__pos"), "inner")
-    val out = joined.select(df.columns.map(joined(_)) ++
-      rightCols.zip(newMeta).map { case (n, m2) => joined(n).as(internal(m2.uuid)) }: _*)
+    val out = joined.select((df.columns.map(joined(_)) ++
+      rightCols.zip(newMeta).map { case (n, m2) =>
+        joined(n).as(internal(m2.uuid)) }).toIndexedSeq: _*)
     new Table(out, cols ++ newMeta, grouping, rowIdUuid, ordered, name, None, sortOrds)
   }
 

@@ -1359,7 +1359,7 @@ class ExtensionsSpec extends SparkSpec {
   test("dropRepeatedLines keeps first occurrences in order") {
     val df = Seq((1L, "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter"))
       .toDF("id", "text")
-    val got = df.select(text.dropRepeatedLines(F.col("text"))).head.getString(0)
+    val got = df.select(text.dropRepeatedLines(F.col("text"))).head().getString(0)
     assert(got == "nav\nbody one\nbody two\nfooter")
   }
 

@@ -98,6 +98,39 @@ class StreamingSpec extends SparkSpec {
       == Seq(1L, 2L))
   }
 
+  test("streaming probe against the persistent exact index drops seen docs") {
+    import graft.functions.index
+    val history = Seq(
+      (1L, "already crawled page one"),
+      (2L, "already crawled page two")).toDF("doc_id", "text")
+    index.buildExactIndex(history, "doc_id", "text", "graft_sx", buckets = 2)
+    val dir = Files.createTempDirectory("graft_sxd").toString
+    try {
+      Seq(
+        (10L, "already crawled page one"),  // seen → dropped
+        (11L, "a genuinely new document")) // unseen → passes
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+      val stream = Streams.dedupAgainstExactIndexStream(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(dir),
+        "doc_id", "text", "graft_sx")
+      Streams.runToMemory(stream, "sx_out", OutputMode.Append())
+      assert(spark.table("sx_out").select("doc_id").as[Long].collect().toSet
+        == Set(11L))
+      // admitting the survivors advances the seen set for the next batch
+      index.buildExactIndex(
+        Seq((11L, "a genuinely new document")).toDF("doc_id", "text"),
+        "doc_id", "text", "graft_sx", buckets = 2,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val stream2 = Streams.dedupAgainstExactIndexStream(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(dir),
+        "doc_id", "text", "graft_sx")
+      Streams.runToMemory(stream2, "sx_out2", OutputMode.Append())
+      assert(spark.table("sx_out2").count() == 0L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sx_fps")
+    }
+  }
+
   test("stateful sessionization counts 30-min-gap sessions per user") {
     val dir = mkEvents()
     val events = spark.readStream.schema(Streams.eventSchema).parquet(dir).as[Streams.Event]
