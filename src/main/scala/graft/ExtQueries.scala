@@ -636,6 +636,43 @@ object ExtQueries {
       |    / CAST(len(a.s) AS DOUBLE) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Keep-best-by-key ([[graft.functions.dedup.keepBestByKey]]): one
+    * document per (source, lang) cell, the one with the most tokens
+    * (tie → smaller id) — the canonical-URL keeper rule on the columns
+    * this table has. The oracle replays the arg-max via row_number. */
+  def x66KeepBestByKey(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("key",
+      F.concat_ws("|", F.col("source"), F.col("lang")))
+    dedup.keepBestByKey(d, "doc_id", "key", text.tokenCount(F.col("text")))
+      .select(F.col("doc_id"), F.col("key"),
+        text.tokenCount(F.col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val x66Oracle =
+    """WITH d AS (SELECT doc_id, source || '|' || lang AS key,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY key
+      |    ORDER BY n_tokens DESC, doc_id) AS rn FROM d)
+      |SELECT doc_id, key, CAST(n_tokens AS BIGINT) AS n_tokens
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Exactly-n deterministic sample
+    * ([[graft.functions.sampling.deterministicSample]]): the 200 documents
+    * smallest by md5(doc_id) — the reproducible eval-set carve; md5
+    * order is engine-portable, so the oracle replays it directly. */
+  def x67DeterministicSample(s: SparkSession, dir: String): DataFrame =
+    sampling.deterministicSample(docs(s, dir), "doc_id", 200)
+      .select(F.col("doc_id"), F.col("source"))
+      .orderBy("doc_id")
+
+  private val x67Oracle =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source FROM documents
+      |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200)
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-language quantile band
     * ([[graft.functions.quality.quantileBandFilterGrouped]]): token-count
     * scores banded to each language's own [p10, p90] — a short language
@@ -2225,7 +2262,9 @@ object ExtQueries {
     "x62_indoc_line_dedup" -> (x62InDocLineDedup _),
     "x63_keep_best_dedup" -> (x63KeepBestDedup _),
     "x64_exact_index_probe" -> (x64ExactIndexProbe _),
-    "x65_containment" -> (x65Containment _))
+    "x65_containment" -> (x65Containment _),
+    "x66_keep_best_by_key" -> (x66KeepBestByKey _),
+    "x67_deterministic_sample" -> (x67DeterministicSample _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2290,5 +2329,7 @@ object ExtQueries {
     "x62_indoc_line_dedup" -> x62Oracle,
     "x63_keep_best_dedup" -> x63Oracle,
     "x64_exact_index_probe" -> x64Oracle,
-    "x65_containment" -> x65Oracle)
+    "x65_containment" -> x65Oracle,
+    "x66_keep_best_by_key" -> x66Oracle,
+    "x67_deterministic_sample" -> x67Oracle)
 }

@@ -656,6 +656,30 @@ object dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Keep the best row per exact KEY, no pair graph: for every value of
+    * `keyCol` the row maximizing `score` survives (ties → smaller id) —
+    * the canonical-URL rule "one page per normalized URL, keep the
+    * fullest copy", or one doc per (source, partition-date), etc.
+    * NULL keys form their own group (SQL GROUP BY style); NULL scores
+    * lose to any non-null score.
+    *
+    * Scale shape: one map-side-combining `min(struct(-score, id))`
+    * groupBy on the key — a hot key collapses per input partition
+    * BEFORE the shuffle — then a semi-join on the UNIQUE id, which
+    * cannot skew. The full rows never move. */
+  def keepBestByKey(df: DataFrame, idCol: String, keyCol: String,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val winners = df
+      .select(F.col(keyCol).as("_kk_k"), F.col(idCol).as("_kk_id"),
+        F.coalesce((-score).cast(DoubleType),
+          F.lit(Double.MaxValue)).as("_kk_ns"))
+      .groupBy("_kk_k")
+      .agg(F.min(F.struct(F.col("_kk_ns"), F.col("_kk_id"))).as("_kk_w"))
+      .select(F.col("_kk_w._kk_id").as("_kk_keep"))
+    df.join(winners, F.col(idCol) === F.col("_kk_keep"), "left_semi")
+  }
+
   /** Exact token-set Jaccard similarity between two token arrays —
     * deterministic integer set sizes, double division. */
   def tokenJaccard(a: Column, b: Column): Column = {

@@ -26,6 +26,37 @@ object sampling {
   def hashSample(df: DataFrame, key: String, permille: Int): DataFrame =
     df.filter(hashBucket(F.col(key)) < permille)
 
+  /** EXACTLY-n deterministic global sample: the n rows smallest by
+    * (md5(key), key) — a pure function of the keys, so the same n rows
+    * come back on any run, partitioning, cluster size, or engine
+    * (md5 order is portable; an RNG or xxhash order is not), and the
+    * hash makes membership ≈ uniform. The eval-set carve: "hold out
+    * exactly 50k documents, reproducibly".
+    *
+    * Scale shape: a bare ORDER BY hash LIMIT n is a global sort of the
+    * corpus; instead each input partition keeps its local n smallest
+    * (partition-local row_number), and only ≤ n × partitions survivors
+    * enter the single-task global ranking — the bounded two-stage
+    * top-k posture ([[graft.functions.similarity]]'s ANN ranking). For
+    * n × partitions too large for one task, cut first with
+    * [[hashSample]] at ~10× the target rate, then exact-rank the
+    * survivors. */
+  def deterministicSample(df: DataFrame, key: String, n: Int): DataFrame = {
+    require(n >= 1, s"deterministicSample: n must be >= 1 (got $n)")
+    import org.apache.spark.sql.expressions.Window
+    val h = F.md5(F.col(key).cast(StringType))
+    val local = Window.partitionBy(F.col("_ds_pid"))
+      .orderBy(F.col("_ds_h").asc, F.col(key).asc)
+    val global = Window.orderBy(F.col("_ds_h").asc, F.col(key).asc)
+    df.withColumn("_ds_h", h)
+      .withColumn("_ds_pid", F.spark_partition_id())
+      .withColumn("_ds_lr", F.row_number().over(local))
+      .filter(F.col("_ds_lr") <= n)
+      .withColumn("_ds_gr", F.row_number().over(global))
+      .filter(F.col("_ds_gr") <= n)
+      .drop("_ds_h", "_ds_pid", "_ds_lr", "_ds_gr")
+  }
+
   /** Per-stratum hash sampling: different rates per value of `strataCol`
     * (e.g. downsample the dominant language, keep the rest). */
   def stratifiedHashSample(df: DataFrame, key: String, strataCol: String,

@@ -1333,7 +1333,8 @@ class ExtensionsSpec extends SparkSpec {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       (2L, "alpha beta gamma delta epsilon"), // 3 shingles, all in doc 1
-      (3L, "unrelated words entirely disjoint from everything else here")
+      (3L, "unrelated words entirely disjoint from everything else here"),
+      (4L, null.asInstanceOf[String]) // null text: no pairs, no NPE
     ).toDF("doc_id", "text")
     val got = dedup.containmentPairs(df, "doc_id", "text", k = 3,
         sketch = 8, minC = 0.9)
@@ -1354,6 +1355,35 @@ class ExtensionsSpec extends SparkSpec {
     val uncapped = dedup.containmentPairs(boiler, "doc_id", "text", k = 3,
       sketch = 8, minC = 0.9)
     assert(uncapped.count() == 60L * 59L)
+  }
+
+  test("keepBestByKey keeps the arg-max row per key, null scores lose") {
+    val df = Seq(
+      (1L, "u1", java.lang.Long.valueOf(5L)),
+      (2L, "u1", java.lang.Long.valueOf(9L)),   // wins u1
+      (3L, "u2", null.asInstanceOf[java.lang.Long]), // null loses …
+      (4L, "u2", java.lang.Long.valueOf(1L)),   // … to any score
+      (5L, "u3", java.lang.Long.valueOf(7L)),
+      (6L, "u3", java.lang.Long.valueOf(7L)),   // tie → smaller id (5)
+      (7L, null, java.lang.Long.valueOf(2L))    // null key = own group
+    ).toDF("doc_id", "url", "score")
+    val kept = dedup.keepBestByKey(df, "doc_id", "url", F.col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 5L, 7L))
+  }
+
+  test("deterministicSample returns exactly n, stable across partitionings") {
+    val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val a = sampling.deterministicSample(df.repartition(7), "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    val b = sampling.deterministicSample(df.repartition(3), "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size == 50 && a == b)
+    // and it is the md5-order prefix (the portable contract)
+    val expect = df.select(F.col("doc_id"))
+      .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+      .limit(50).as[Long].collect().toSet
+    assert(a == expect)
   }
 
   test("dropRepeatedLines keeps first occurrences in order") {

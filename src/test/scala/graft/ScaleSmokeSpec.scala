@@ -156,6 +156,36 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(kept.filter(F.col("grp") === "mega").count() == 500L)
   }
 
+  test("containmentPairs finds 50k planted quotes in a 200k corpus under the hot-shingle cap") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    val pins0 = pinBaseline
+    // 100k unique 10-word docs, a 5-word quote of each of the first 50k,
+    // and 50k copies of one boilerplate text whose shingles are
+    // corpus-hot: with maxPosting = 1000 the boilerplate block (50k²
+    // candidate pairs) must be dropped from candidate generation while
+    // every quote still resolves to its source exactly
+    def words(c: org.apache.spark.sql.Column, n: Int) =
+      F.concat_ws(" ", (0 until n).map(i =>
+        F.concat(F.lit("w"), F.pmod(F.xxhash64(c, F.lit(i)), F.lit(30000)))): _*)
+    val base = spark.range(0, 100000).select(
+      F.col("id").as("doc_id"), words(F.col("id"), 10).as("text"))
+    val quotes = spark.range(0, 50000).select(
+      (F.col("id") + 1000000L).as("doc_id"), words(F.col("id"), 5).as("text"))
+    val boiler = spark.range(0, 50000).select(
+      (F.col("id") + 2000000L).as("doc_id"),
+      F.lit("terms and conditions apply to all content here").as("text"))
+    val corpus = base.unionByName(quotes).unionByName(boiler)
+    val pairs = dedup.containmentPairs(corpus, "doc_id", "text",
+      k = 3, sketch = 8, minC = 0.9, maxPosting = 1000)
+    val agg = pairs.agg(
+      F.sum(F.when(F.col("id_a") >= 1000000L && F.col("id_a") < 2000000L
+        && F.col("id_b") === F.col("id_a") - 1000000L, 1L).otherwise(0L)),
+      F.sum(F.when(F.col("id_a") >= 2000000L, 1L).otherwise(0L))).head()
+    assert(agg.getLong(0) == 50000L, s"quote→source pairs: ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 0L, s"boilerplate pairs leaked: ${agg.getLong(1)}")
+    assert(awaitRelease(pins0).isEmpty)
+  }
+
   test("dedupLines collapses a boilerplate line shared by 200k documents") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import spark.implicits._
