@@ -673,6 +673,73 @@ object ExtQueries {
       |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 200)
       |ORDER BY doc_id""".stripMargin
 
+  /** Containment decontamination
+    * ([[graft.functions.contamination.containmentStats]]): the x23
+    * train/bench split, plus a planted HOST document per benchmark doc
+    * (64 unique filler tokens + the benchmark text verbatim). The
+    * embedded item is a sliver of the host — the overlap fraction x23
+    * thresholds on stays low — but 100% of the benchmark document, so
+    * per-bench-doc containment must flag every host at 0.9. The oracle
+    * replays the plant and the (train × bench) intersection counts on
+    * shingle strings (≡ fingerprints absent 60-bit collisions). */
+  def x68ContainmentDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(F.col("doc_id") % 7 === 3)
+    val filler = F.concat_ws(" ", (0 until 64).map(j =>
+      F.concat(F.lit("f"), F.col("doc_id").cast(StringType),
+        F.lit(s"x$j"))): _*)
+    val hosts = bench.select(
+      (F.col("doc_id") + 3000000L).as("doc_id"),
+      F.concat(filler, F.lit(" "), F.col("text")).as("text"))
+    val train = d.filter(F.col("doc_id") % 7 =!= 3)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(hosts)
+    contamination.containmentStats(train, "doc_id", "text",
+        bench, "text", k = 8, minContain = 0.9)
+      .orderBy("doc_id")
+  }
+
+  private val x68Oracle =
+    """WITH bench AS (SELECT doc_id AS bid, text FROM documents
+      |  WHERE doc_id % 7 = 3),
+      |hosts AS (SELECT bid + 3000000 AS doc_id,
+      |    array_to_string(list_transform(generate_series(0, 63),
+      |      j -> 'f' || CAST(bid AS VARCHAR) || 'x' || j), ' ')
+      |      || ' ' || text AS text
+      |  FROM bench),
+      |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL SELECT doc_id, text FROM hosts),
+      |tsh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 7),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |        || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+      |        || toks[i+6] || ' ' || toks[i+7]) END) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |    FROM train)),
+      |bsh AS (SELECT bid, list_distinct(
+      |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 7),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |        || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' '
+      |        || toks[i+6] || ' ' || toks[i+7]) END) AS s
+      |  FROM (SELECT bid, string_split_regex(trim(text), '\s+') AS toks
+      |    FROM bench)),
+      |pairs AS (SELECT t.doc_id,
+      |    CAST(len(list_intersect(t.s, b.s)) AS DOUBLE)
+      |      / CAST(len(b.s) AS DOUBLE) AS c
+      |  FROM tsh t, bsh b WHERE len(list_intersect(t.s, b.s)) > 0),
+      |agg AS (SELECT doc_id,
+      |    SUM(CASE WHEN c >= 0.9 THEN 1 ELSE 0 END) AS n_bench_hits,
+      |    MAX(c) AS max_containment
+      |  FROM pairs GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(coalesce(a.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+      |  coalesce(a.max_containment, 0.0) AS max_containment,
+      |  coalesce(a.n_bench_hits, 0) > 0 AS contaminated
+      |FROM train t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Per-language quantile band
     * ([[graft.functions.quality.quantileBandFilterGrouped]]): token-count
     * scores banded to each language's own [p10, p90] — a short language
@@ -2264,7 +2331,8 @@ object ExtQueries {
     "x64_exact_index_probe" -> (x64ExactIndexProbe _),
     "x65_containment" -> (x65Containment _),
     "x66_keep_best_by_key" -> (x66KeepBestByKey _),
-    "x67_deterministic_sample" -> (x67DeterministicSample _))
+    "x67_deterministic_sample" -> (x67DeterministicSample _),
+    "x68_containment_decontamination" -> (x68ContainmentDecontamination _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2331,5 +2399,6 @@ object ExtQueries {
     "x64_exact_index_probe" -> x64Oracle,
     "x65_containment" -> x65Oracle,
     "x66_keep_best_by_key" -> x66Oracle,
-    "x67_deterministic_sample" -> x67Oracle)
+    "x67_deterministic_sample" -> x67Oracle,
+    "x68_containment_decontamination" -> x68Oracle)
 }

@@ -74,6 +74,67 @@ object contamination {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Per-benchmark-DOCUMENT containment against the corpus: a training
+    * document is contaminated when ANY single benchmark document has
+    * ≥ `minContain` of ITS OWN shingles inside it — the leak
+    * [[overlapStats]] structurally misses. A 20-shingle eval item
+    * pasted into a 2000-shingle page is 1% of the PAGE (invisible to
+    * the overlap fraction at any sane threshold) but 100% of the ITEM;
+    * the denominator must be the benchmark document, not the training
+    * document. Returns every training row as
+    * `(idCol, n_bench_hits, max_containment, contaminated)` —
+    * n_bench_hits counts benchmark documents at ≥ minContain,
+    * max_containment the best ratio over all of them (0.0 when no
+    * shingle overlaps at all).
+    *
+    * Scale shape: the benchmark's (fingerprint, bench-doc, set-size)
+    * triples broadcast like [[overlapStats]]' set; the corpus-side
+    * probe is a map-side INNER hash join, so only training shingles
+    * that actually hit a benchmark document are ever shuffled (keyed
+    * (train-id, bench-doc) — 16 bytes), and the zero-overlap bulk of
+    * the corpus rejoins via the final left join on the unique id. */
+  def containmentStats(train: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 8,
+      minContain: Double = 0.8, broadcastBench: Boolean = true): DataFrame = {
+    val b = bench.select(F.monotonically_increasing_id().as("_bid"),
+      shingleFps(F.col(benchTextCol), k).as("_bfps"))
+    val bPairs0 = b.select(F.col("_bid"),
+      F.size(F.col("_bfps")).cast(DoubleType).as("_nb"),
+      F.explode(F.col("_bfps")).as("h"))
+    val bPairs = if (broadcastBench) F.broadcast(bPairs0) else bPairs0
+    val perPair = train
+      .select(F.col(idCol), F.explode(shingleFps(F.col(textCol), k)).as("h"))
+      .join(bPairs, "h")
+      .groupBy(idCol, "_bid")
+      .agg(F.count(F.lit(1)).as("_inter"), F.first("_nb").as("_nb"))
+      .withColumn("_c", F.col("_inter").cast(DoubleType) / F.col("_nb"))
+    val perDoc = perPair.groupBy(idCol).agg(
+      F.sum(F.when(F.col("_c") >= minContain, 1L).otherwise(0L))
+        .as("n_bench_hits"),
+      F.max(F.col("_c")).as("max_containment"))
+    train.select(F.col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(F.col(idCol),
+        F.coalesce(F.col("n_bench_hits"), F.lit(0L)).as("n_bench_hits"),
+        F.coalesce(F.col("max_containment"), F.lit(0.0))
+          .as("max_containment"))
+      .withColumn("contaminated", F.col("n_bench_hits") > 0L)
+  }
+
+  /** The corpus minus every document some benchmark item is contained
+    * in ([[containmentStats]] ≥ `minContain`) — run it alongside
+    * [[decontaminate]]: overlap catches wholesale copies, containment
+    * catches embedded items. */
+  def decontaminateContained(train: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchTextCol: String, k: Int = 8,
+      minContain: Double = 0.8): DataFrame = {
+    val flagged = containmentStats(train, idCol, textCol, bench,
+        benchTextCol, k, minContain)
+      .filter(F.col("contaminated"))
+      .select(F.col(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** [[overlapStats]] for benchmark sets too large to broadcast as an
     * exact fingerprint set (hundreds of millions of n-grams — an exact
     * long set is gigabytes; the Bloom filter is ~1.2 bytes/item at 1%

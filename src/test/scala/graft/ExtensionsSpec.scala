@@ -685,6 +685,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept == Set(3L))
   }
 
+  test("containmentStats flags an embedded benchmark item overlapStats misses") {
+    import graft.functions.contamination
+    // a 4-token eval item pasted into a 40-token page: 2/38 ≈ 5% of the
+    // PAGE's shingles (invisible to overlapStats at any sane threshold)
+    // but 2/2 = 100% of the ITEM's — the containment denominator
+    val filler = (0 until 36).map(i => s"w$i").mkString(" ")
+    val train = Seq(
+      (1L, s"$filler alpha beta gamma delta"), // item embedded verbatim
+      (2L, "zeta eta theta iota kappa")        // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta").toDF("text")
+    val overlap = contamination.overlapStats(train, "doc_id", "text",
+        bench, "text", k = 3, minOverlap = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(overlap(1L) == false, "overlap fraction misses the embedded item")
+    val got = contamination.containmentStats(train, "doc_id", "text",
+        bench, "text", k = 3, minContain = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(1L) == ((1L, 1.0, true)))
+    assert(got(2L) == ((0L, 0.0, false)))
+    val kept = contamination.decontaminateContained(train, "doc_id", "text",
+        bench, "text", k = 3, minContain = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("tfidf top terms rank rare tokens above common ones") {
     val df = Seq(
       (1L, "common rare1 common"),
