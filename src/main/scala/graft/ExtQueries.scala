@@ -740,6 +740,120 @@ object ExtQueries {
       |FROM train t LEFT JOIN agg a ON t.doc_id = a.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** First-class k-means clustering
+    * ([[graft.functions.similarity.clusterEmbeddings]]) under an EXACT
+    * oracle: iters = 0 with `portableSeed` makes the centroids the
+    * nlist sample rows smallest by (md5(id), id) — a pure function of
+    * the input any md5-capable engine reproduces — so the nearest-
+    * centroid assignment (argmax of dot/|c|, first-index tie-break) and
+    * the per-row affinity are replayed verbatim in DuckDB. Lloyd
+    * convergence at iters > 0 is proven separately in ExtensionsSpec. */
+  def x69ClusterAssign(s: SparkSession, dir: String): DataFrame =
+    similarity.clusterEmbeddings(embs(s, dir), "vec_id", "embedding",
+        nlist = 8, iters = 0, sampleOneIn = 1L, portableSeed = true)
+      .orderBy("vec_id")
+
+  private val x69Oracle =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |scored AS (SELECT e.vec_id, sn.cell,
+      |    list_sum(list_transform(list_zip(e.v, sn.c),
+      |      x -> x[1] * x[2])) AS dt,
+      |    sn.cnrm,
+      |    sqrt(list_sum(list_transform(e.v, x -> x * x))) AS vnrm
+      |  FROM e CROSS JOIN sn),
+      |best AS (SELECT vec_id, cell, dt, cnrm, vnrm,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY dt / cnrm DESC, cell) AS rk
+      |  FROM scored)
+      |SELECT vec_id, CAST(cell AS INTEGER) AS cluster,
+      |  round(dt / vnrm / cnrm, 6) AS cluster_cos
+      |FROM best WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
+  /** Hard-negative mining
+    * ([[graft.functions.similarity.hardNegatives]]): per anchor, the 5
+    * most cosine-similar vectors with a DIFFERENT label — the x06
+    * brute-force oracle with the label exclusion folded in. */
+  def x70HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.hardNegatives(e, e.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", "label", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x70Oracle =
+    """WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+      |  list_sum(list_transform(list_zip(q.embedding, e.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos
+      |  FROM e CROSS JOIN q
+      |  WHERE e.vec_id != q.vec_id AND e.label IS DISTINCT FROM q.label)
+      |SELECT q_id, n_id, cos, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Cluster-balanced sampling
+    * ([[graft.functions.similarity.clusterBalancedSample]]): k-means
+    * assignment (x69's portable iters = 0 seeds) + temperature
+    * flattening over the CLUSTER key at alpha = 0.5 — per-cluster kept
+    * counts vs totals, the whole chain (seed order, argmax assignment,
+    * exact-integer keep rule) replayed in one DuckDB WITH-chain. */
+  def x71ClusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val totals = similarity.clusterEmbeddings(e, "vec_id", "embedding",
+        nlist = 8, iters = 0, sampleOneIn = 1L, portableSeed = true)
+      .groupBy("cluster").agg(F.count(F.lit(1)).as("n_total"))
+    val kept = similarity.clusterBalancedSample(e, "vec_id", "embedding",
+        nlist = 8, alpha = 0.5, targetRows = 2000L, iters = 0,
+        sampleOneIn = 1L, portableSeed = true)
+      .groupBy("cluster").agg(F.count(F.lit(1)).as("n_kept"))
+    totals.join(kept, Seq("cluster"), "left")
+      .select(F.col("cluster"), F.col("n_total"),
+        F.coalesce(F.col("n_kept"), F.lit(0L)).as("n_kept"))
+      .orderBy("cluster")
+  }
+
+  private val x71Oracle =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |best AS (SELECT e.vec_id, sn.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |      list_sum(list_transform(list_zip(e.v, sn.c), x -> x[1] * x[2]))
+      |        / sn.cnrm DESC, sn.cell) AS rk
+      |  FROM e CROSS JOIN sn),
+      |asg AS (SELECT vec_id, cell FROM best WHERE rk = 1),
+      |cc AS (SELECT cell, COUNT(*) AS n FROM asg GROUP BY 1),
+      |wt AS (SELECT cell, n,
+      |    CAST(ROUND(pow(CAST(n AS DOUBLE), 0.5) * 1e6) AS BIGINT) AS cw
+      |  FROM cc),
+      |tot AS (SELECT SUM(CAST(cw AS HUGEINT)) AS totw FROM wt),
+      |k AS (SELECT a.cell, COUNT(*) AS n_kept
+      |  FROM asg a JOIN wt USING (cell) CROSS JOIN tot
+      |  WHERE CAST(CAST(concat('0x', substring(md5(CAST(a.vec_id AS VARCHAR)),
+      |        1, 8)) AS BIGINT) % 10000 AS HUGEINT) * totw * n
+      |      < CAST(10000 AS HUGEINT) * 2000 * cw
+      |  GROUP BY 1)
+      |SELECT CAST(cc.cell AS INTEGER) AS cluster, cc.n AS n_total,
+      |  COALESCE(k.n_kept, 0) AS n_kept
+      |FROM cc LEFT JOIN k USING (cell) ORDER BY cluster""".stripMargin
+
   /** Per-language quantile band
     * ([[graft.functions.quality.quantileBandFilterGrouped]]): token-count
     * scores banded to each language's own [p10, p90] — a short language
@@ -2332,7 +2446,10 @@ object ExtQueries {
     "x65_containment" -> (x65Containment _),
     "x66_keep_best_by_key" -> (x66KeepBestByKey _),
     "x67_deterministic_sample" -> (x67DeterministicSample _),
-    "x68_containment_decontamination" -> (x68ContainmentDecontamination _))
+    "x68_containment_decontamination" -> (x68ContainmentDecontamination _),
+    "x69_cluster_assign" -> (x69ClusterAssign _),
+    "x70_hard_negatives" -> (x70HardNegatives _),
+    "x71_cluster_balanced_sample" -> (x71ClusterBalancedSample _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2400,5 +2517,8 @@ object ExtQueries {
     "x65_containment" -> x65Oracle,
     "x66_keep_best_by_key" -> x66Oracle,
     "x67_deterministic_sample" -> x67Oracle,
-    "x68_containment_decontamination" -> x68Oracle)
+    "x68_containment_decontamination" -> x68Oracle,
+    "x69_cluster_assign" -> x69Oracle,
+    "x70_hard_negatives" -> x70Oracle,
+    "x71_cluster_balanced_sample" -> x71Oracle)
 }

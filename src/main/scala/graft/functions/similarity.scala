@@ -126,7 +126,28 @@ object similarity {
     * norms) for [[graft.plans.CentroidTopK]]. */
   def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 5, sampleN: Int = 20000,
-      sampleOneIn: Long = 0L): Array[Double] = {
+      sampleOneIn: Long = 0L, portableSeed: Boolean = false): Array[Double] =
+    bankOf(trainIvfCentroidArrays(corpus, idCol, vecCol, nlist, iters,
+      sampleN, sampleOneIn, portableSeed))
+
+  /** The flat [[graft.plans.CentroidTopK]] bank layout: centroid rows
+    * concatenated, then the per-centroid L2 norms. */
+  private[functions] def bankOf(cs: Array[Array[Double]]): Array[Double] =
+    cs.flatten ++ cs.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  /** [[trainIvfCentroids]] returning the centroid ROWS (for operators
+    * that need the vectors themselves, e.g. [[clusterEmbeddings]]'
+    * per-cluster affinity join — driver-sized: nlist × dim doubles).
+    * `portableSeed` orders the deterministic seeding by
+    * `(md5(id), id)` instead of `(xxhash64(id), id)`: the same seeds
+    * come back from ANY engine with md5 (the [[sampling]] posture), so
+    * an iters = 0 assignment is exactly replayable in SQL — the x69
+    * oracle gate. xxhash64 stays the default only because existing
+    * persisted IVF layouts were seeded with it. */
+  private[functions] def trainIvfCentroidArrays(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, sampleN: Int,
+      sampleOneIn: Long, portableSeed: Boolean): Array[Array[Double]] = {
     require(nlist >= 1 && iters >= 0)
     // sampleOneIn > 0 skips the sizing count — at 100 TB pass the known
     // corpus-to-sample ratio instead of paying a full scan to learn it
@@ -138,12 +159,14 @@ object similarity {
       .filter(F.pmod(F.xxhash64(F.col("id")), F.lit(keepOneIn)) === 0)
       .persist()
     try {
-      val init = samp.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(nlist)
+      val seedOrd =
+        if (portableSeed) Seq(F.md5(F.col("id").cast(StringType)).asc,
+          F.col("id").asc)
+        else Seq(F.xxhash64(F.col("id")).asc, F.col("id").asc)
+      val init = samp.orderBy(seedOrd: _*).limit(nlist)
         .select("vec").collect().map(_.getSeq[Double](0).toArray)
       val dim = init.head.length
       var cents: Array[Array[Double]] = init
-      def bankOf(cs: Array[Array[Double]]): Array[Double] =
-        cs.flatten ++ cs.map(c => math.sqrt(c.map(x => x * x).sum))
       for (_ <- 0 until iters) {
         val bank = F.typedlit(bankOf(cents).toSeq)
         val assigned = samp.select(
@@ -159,7 +182,7 @@ object similarity {
           else cents(c) // empty cluster: keep the old centroid
         }
       }
-      bankOf(cents)
+      cents
     } finally { samp.unpersist(blocking = false); () }
   }
 
@@ -366,6 +389,97 @@ object similarity {
       .join(comp, Seq("id"), "left")
       .select(F.col("id").as(idCol), cid.as("component"),
         (cid === F.col("id")).as("kept"))
+  }
+
+  /** First-class k-means document clustering over an embedding column —
+    * the topic-map / mixture-design primitive (SemDeDup's quantizer
+    * exposed as its own operator). Trains `nlist` centroids with Lloyd
+    * iterations as Spark jobs ([[trainIvfCentroidArrays]]), assigns
+    * every row to its nearest centroid by cosine in ONE codegen pass
+    * against the broadcast-literal bank, and returns
+    * `(idCol, cluster, cluster_cos)` — the cluster ordinal and the
+    * row's cosine affinity to its own centroid (rounded to 6, the
+    * mislabel/drift signal per cluster).
+    *
+    * Scale shape: training touches only the hash sample; assignment is
+    * embarrassingly parallel (no shuffle — the bank rides the closure,
+    * nlist × dim doubles); the affinity join broadcasts an
+    * nlist-row centroid frame. With `iters = 0` and `portableSeed`
+    * the assignment is a pure function of the input replayable in any
+    * engine with md5 — the x69 oracle proves the full
+    * train-seed/assign/affinity machinery end-to-end. */
+  def clusterEmbeddings(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L, portableSeed: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCentroidArrays(df, idCol, vecCol, nlist, iters,
+      sampleN, sampleOneIn, portableSeed)
+    val bank = F.typedlit(bankOf(cents).toSeq)
+    val cdf = cents.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+    }.toSeq.toDF("cluster", "_ce_c", "_ce_cnrm")
+    df.select(F.col(idCol), F.col(vecCol).as("_ce_v"),
+        F.element_at(F.call_function("graft_centroid_topk",
+          F.col(vecCol), bank, F.lit(1)), 1).as("cluster"))
+      .join(F.broadcast(cdf), Seq("cluster"))
+      .select(F.col(idCol), F.col("cluster"),
+        F.round(dot(F.col("_ce_v"), F.col("_ce_c"))
+          / norm(F.col("_ce_v")) / F.col("_ce_cnrm"), 6).as("cluster_cos"))
+  }
+
+  /** Hard-negative mining for contrastive training data: for every
+    * query row, the k most cosine-similar corpus rows with a DIFFERENT
+    * `labelCol` value (the near-miss negatives that actually teach a
+    * bi-encoder; same-label rows are the positives and are excluded,
+    * as are id self-matches). Returns `(q_id, n_id, cos, rank)`,
+    * deterministic tie-break by corpus id; null labels count as their
+    * own class (null vs null is "same", excluded — null-safe
+    * comparison, never null-propagating).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the query set
+    * (anchor batch) broadcasts, the corpus is scanned once with the
+    * label filter fused map-side, and ranking is the bounded
+    * [[twoStageTopK]]. For corpus-sized anchor sets, pre-bucket both
+    * sides with [[clusterEmbeddings]] and mine within clusters. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
+      norm(F.col(vecCol)).as("n_nrm"), F.col(labelCol).as("_hn_nl"))
+    val q = queries.select(F.col(idCol).as("q_id"), F.col(vecCol).as("q_vec"),
+      norm(F.col(vecCol)).as("q_nrm"), F.col(labelCol).as("_hn_ql"))
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("n_id") =!= F.col("q_id") &&
+        !(F.col("_hn_nl") <=> F.col("_hn_ql")))
+      .select(F.col("q_id"), F.col("n_id"),
+        (dot(F.col("q_vec"), F.col("n_vec")) / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
+    twoStageTopK(scored, k)
+  }
+
+  /** Cluster-balanced corpus subsampling: k-means the embedding space
+    * ([[clusterEmbeddings]]) and temperature-sample over the CLUSTER as
+    * the source key ([[sampling.temperatureSample]] — `p(c) ∝ n_c^alpha`,
+    * alpha = 0 equalizes topics, alpha = 1 keeps natural proportions).
+    * The topic-diversity counterweight to raw web proportions: boilerplate
+    * mega-clusters are flattened toward the tail instead of dominating
+    * the training mix. Returns the kept rows with a `cluster` column.
+    *
+    * Scale shape: centroid training on the hash sample, assignment
+    * map-side against the broadcast-literal bank (no join — the cluster
+    * id is computed directly on the full frame), then the temperature
+    * filter is one literal CASE over nlist driver-computed exact-integer
+    * thresholds: the corpus is scanned once and never shuffled. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, alpha: Double, targetRows: Long, iters: Int = 5,
+      sampleN: Int = 20000, sampleOneIn: Long = 0L,
+      portableSeed: Boolean = false): DataFrame = {
+    val cents = trainIvfCentroidArrays(df, idCol, vecCol, nlist, iters,
+      sampleN, sampleOneIn, portableSeed)
+    val bank = F.typedlit(bankOf(cents).toSeq)
+    val assigned = df.withColumn("cluster",
+      F.element_at(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bank, F.lit(1)), 1))
+    sampling.temperatureSample(assigned, idCol, "cluster", alpha, targetRows)
   }
 
   /** Embedding-cosine near-duplicate pairs within blocking buckets. */

@@ -1143,6 +1143,70 @@ class ExtensionsSpec extends SparkSpec {
     assert(clustered.map(t => t._1 -> t._2).toMap.apply(21L) == 20L)
   }
 
+  test("clusterEmbeddings separates planted blobs and converges with Lloyd iterations") {
+    def v(xs: Double*) = xs.toArray
+    // two tight directional blobs; seeds land wherever md5 order puts
+    // them, so separation after training proves Lloyd moved centroids
+    val rows = (1L to 20L).map(i => (i, v(1, 0.001 * i, 0))) ++
+      (101L to 120L).map(i => (i, v(0, 0.001 * (i - 100), 1)))
+    val df = rows.toDF("id", "vec")
+    val got = similarity.clusterEmbeddings(df, "id", "vec", nlist = 2,
+        iters = 4, sampleOneIn = 1L, portableSeed = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size == 2)
+    assert(byCluster.values.toSet ==
+      Set((1L to 20L).toSet, (101L to 120L).toSet))
+    // within a tight blob, affinity to the own centroid is near 1
+    assert(got.forall(_._3 > 0.99))
+    // training never leaves pinned sample storage behind
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("hardNegatives excludes same-label and self, ranks nearest other-label first") {
+    def v(xs: Double*) = xs.toArray
+    val rows = Seq(
+      (1L, v(1, 0), "a"),   // anchor
+      (2L, v(0.99, 0.14), "a"),  // nearest overall but SAME label
+      (3L, v(0.9, 0.44), "b"),   // nearest other-label
+      (4L, v(0, 1), "b"),
+      (5L, v(0.8, 0.6), null.asInstanceOf[String])) // null label ≠ "a"
+    val df = rows.toDF("id", "vec", "lab")
+    val got = similarity.hardNegatives(df, df.filter(F.col("id") === 1L),
+        "id", "vec", "lab", k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap // n_id -> rank
+    assert(!got.contains(2L), "same-label row must be excluded")
+    assert(got(3L) == 1L && got(5L) == 2L && got(4L) == 3L)
+    // null-label anchor: null <=> null is "same", so 5 sees only a/b rows
+    val fromNull = similarity.hardNegatives(df, df.filter(F.col("id") === 5L),
+        "id", "vec", "lab", k = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(fromNull == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("clusterBalancedSample at alpha=0 flattens a dominant cluster toward the tail") {
+    def v(xs: Double*) = xs.toArray
+    val big = (1L to 900L).map(i => (i, v(1, 0.0001 * (i % 50), 0)))
+    val small = (10001L to 10100L).map(i => (i, v(0, 0.0001 * (i % 50), 1)))
+    val df = (big ++ small).toDF("id", "vec")
+    val kept = similarity.clusterBalancedSample(df, "id", "vec", nlist = 2,
+        alpha = 0.0, targetRows = 200L, iters = 3, sampleOneIn = 1L,
+        portableSeed = true)
+      .collect().map(r => r.getLong(r.fieldIndex("id")))
+    val keptBig = kept.count(_ <= 900L)
+    val keptSmall = kept.count(_ > 900L)
+    // equal per-cluster weights: the small cluster's rate clamps at 1
+    // (all 100 kept), the big one is cut to ~100 of 900
+    assert(keptSmall == 100, s"small cluster should be fully kept, got $keptSmall")
+    assert(keptBig < 250, s"dominant cluster should be flattened, got $keptBig")
+    // determinism: the sample is a pure function of ids
+    val again = similarity.clusterBalancedSample(df, "id", "vec", nlist = 2,
+        alpha = 0.0, targetRows = 200L, iters = 3, sampleOneIn = 1L,
+        portableSeed = true)
+      .collect().map(r => r.getLong(r.fieldIndex("id"))).toSet
+    assert(again == kept.toSet)
+  }
+
   test("shardAssign is a deterministic partition with a reproducible order") {
     val df = (1L to 400L).toDF("id")
     val a = sampling.shardAssign(df, "id", 8, seed = 7)
