@@ -854,6 +854,75 @@ object ExtQueries {
       |  COALESCE(k.n_kept, 0) AS n_kept
       |FROM cc LEFT JOIN k USING (cell) ORDER BY cluster""".stripMargin
 
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * ([[graft.functions.retrieval.rrfFuse]]): the x36 BM25 lexical arm
+    * and the x06 brute-force cosine arm over the same query ids
+    * (doc_id ≡ vec_id in the fixtures), fused at k0 = 60 — both arms
+    * AND the fusion replayed in one DuckDB WITH-chain. */
+  def x72HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val queries = corpus.filter(F.col("doc_id") % 250 === 0)
+      .select(F.col("doc_id").as("q_id"),
+        F.substring(F.col("text"), 1, 40).as("q_text"))
+    val lexical = graft.functions.retrieval.bm25TopK(
+      corpus, "doc_id", "text", queries, "q_id", "q_text", k = 5)
+    val e = embs(s, dir)
+    val semantic = similarity.bruteForceTopK(
+      e, e.filter(F.col("vec_id") % 250 === 0), "vec_id", "embedding", k = 5)
+    graft.functions.retrieval.rrfFuse(Seq(lexical, semantic), k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x72Oracle =
+    """WITH tk AS (SELECT doc_id,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS token
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |t AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk
+      |  WHERE length(token) > 0 GROUP BY 1, 2),
+      |len AS (SELECT doc_id, SUM(tf) AS dl FROM t GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS nd,
+      |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM len),
+      |dfreq AS (SELECT token, COUNT(*) AS dfr FROM t GROUP BY 1),
+      |q AS (SELECT doc_id AS q_id, substr(text, 1, 40) AS qt
+      |  FROM documents WHERE doc_id % 250 = 0),
+      |qt AS (SELECT DISTINCT q_id, token FROM (SELECT q_id,
+      |    unnest(string_split_regex(trim(qt), '\s+')) AS token
+      |  FROM q WHERE length(trim(qt)) > 0) WHERE length(token) > 0),
+      |sc AS (SELECT qt.q_id, t.doc_id AS n_id,
+      |    SUM(CAST(ROUND(ln((nd - dfr + 0.5) / (dfr + 0.5) + 1)
+      |      * t.tf * (1.2 + 1) /
+      |      (t.tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 7)
+      |      AS DECIMAL(28,7))) AS s
+      |  FROM qt JOIN t USING (token) JOIN dfreq USING (token)
+      |    JOIN len ON t.doc_id = len.doc_id CROSS JOIN stats
+      |  GROUP BY 1, 2),
+      |bm AS (SELECT q_id, n_id, ROW_NUMBER() OVER
+      |    (PARTITION BY q_id ORDER BY s DESC, n_id) AS rank FROM sc
+      |  QUALIFY rank <= 5),
+      |e AS (SELECT vec_id, embedding FROM embeddings),
+      |eq AS (SELECT * FROM e WHERE vec_id % 250 = 0),
+      |esc AS (SELECT eq.vec_id AS q_id, e.vec_id AS n_id,
+      |  list_sum(list_transform(list_zip(eq.embedding, e.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / sqrt(list_sum(list_transform(eq.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+      |  / sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cos
+      |  FROM e CROSS JOIN eq WHERE e.vec_id != eq.vec_id),
+      |ann AS (SELECT q_id, n_id, ROW_NUMBER() OVER
+      |    (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM esc
+      |  QUALIFY rank <= 5),
+      |contrib AS (
+      |  SELECT q_id, n_id,
+      |    CAST(ROUND(1.0 / (60 + rank), 9) AS DECIMAL(18,9)) AS c FROM bm
+      |  UNION ALL
+      |  SELECT q_id, n_id,
+      |    CAST(ROUND(1.0 / (60 + rank), 9) AS DECIMAL(18,9)) AS c FROM ann),
+      |fused AS (SELECT q_id, n_id, SUM(c) AS s FROM contrib GROUP BY 1, 2),
+      |r AS (SELECT q_id, n_id, s, ROW_NUMBER() OVER
+      |    (PARTITION BY q_id ORDER BY s DESC, n_id) AS rank FROM fused)
+      |SELECT q_id, n_id, CAST(s AS DOUBLE) AS rrf, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** Per-language quantile band
     * ([[graft.functions.quality.quantileBandFilterGrouped]]): token-count
     * scores banded to each language's own [p10, p90] — a short language
@@ -2449,7 +2518,8 @@ object ExtQueries {
     "x68_containment_decontamination" -> (x68ContainmentDecontamination _),
     "x69_cluster_assign" -> (x69ClusterAssign _),
     "x70_hard_negatives" -> (x70HardNegatives _),
-    "x71_cluster_balanced_sample" -> (x71ClusterBalancedSample _))
+    "x71_cluster_balanced_sample" -> (x71ClusterBalancedSample _),
+    "x72_hybrid_retrieval" -> (x72HybridRetrieval _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2520,5 +2590,6 @@ object ExtQueries {
     "x68_containment_decontamination" -> x68Oracle,
     "x69_cluster_assign" -> x69Oracle,
     "x70_hard_negatives" -> x70Oracle,
-    "x71_cluster_balanced_sample" -> x71Oracle)
+    "x71_cluster_balanced_sample" -> x71Oracle,
+    "x72_hybrid_retrieval" -> x72Oracle)
 }

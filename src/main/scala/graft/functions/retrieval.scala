@@ -64,4 +64,32 @@ object retrieval {
       .select(F.col("q_id"), F.col("n_id"),
         F.col("cos").cast(DoubleType).as("score"), F.col("rank"))
   }
+
+  /** Reciprocal-rank fusion of per-query rankings — the standard hybrid
+    * retrieval combiner (lexical [[bm25TopK]] + semantic
+    * [[similarity.bruteForceTopK]]/ivfTopK arms): each system
+    * contributes `1/(k0 + rank)` per (query, doc) and the fused score is
+    * the sum, so systems need no score calibration — only ranks matter.
+    * Inputs are any frames with `(q_id, n_id, rank)`; returns
+    * `(q_id, n_id, rrf, rank)` re-ranked to the fused top-k.
+    *
+    * Determinism: contributions are rounded to 9 digits and summed as
+    * DECIMAL — order-independent and engine-portable (the [[bm25TopK]]
+    * posture). Scale shape: each arm is already bounded to k rows per
+    * query, so the union + (q_id, n_id) aggregation touches ≤ arms × k
+    * rows per query, and re-ranking is the bounded two-stage top-k. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k0 >= 0, "rrfFuse: k0 must be non-negative")
+    val contrib = rankings.map(_.select(F.col("q_id"), F.col("n_id"),
+        F.round(F.lit(1.0) /
+            (F.lit(k0).cast(DoubleType) + F.col("rank").cast(DoubleType)), 9)
+          .cast(DecimalType(18, 9)).as("_rrf_c")))
+      .reduce(_ unionByName _)
+    val scored = contrib.groupBy("q_id", "n_id")
+      .agg(F.sum("_rrf_c").as("cos"))
+    similarity.twoStageTopK(scored, k)
+      .select(F.col("q_id"), F.col("n_id"),
+        F.col("cos").cast(DoubleType).as("rrf"), F.col("rank"))
+  }
 }

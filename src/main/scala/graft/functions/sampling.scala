@@ -192,8 +192,26 @@ object sampling {
       (s, ((c + d - 1) / d).min(BigInt(10000)).toLong)
     }.toSeq
     val bucket = hashBucket(F.col(key))
-    val keep = thr.foldLeft(F.lit(false)) { case (acc, (s, t)) =>
-      F.when(F.col(sourceCol) <=> F.lit(s), bucket < t).otherwise(acc)
+    // per-source threshold via a MAP-literal lookup, not an N-branch
+    // CASE: element_at evaluates `sourceCol` ONCE, where a when-chain
+    // re-inlines it per branch (when-branches are invisible to codegen
+    // subexpression elimination) — with a computed source key (e.g.
+    // [[similarity.clusterBalancedSample]]'s nearest-centroid
+    // assignment) the duplicated branches blow Janino's 64 KB method
+    // limit and the whole filter stage silently runs interpreted. An
+    // unseen source value looks up null → `bucket < null` is null →
+    // filtered out, exactly like the old fold's `false` default.
+    val nonNull = thr.filter(_._1 != null)
+    val nullThr = thr.collectFirst { case (null, t) => t }
+    val thrCol =
+      if (nonNull.isEmpty) F.lit(null).cast(LongType)
+      else F.element_at(
+        F.map(nonNull.flatMap { case (s, t) => Seq(F.lit(s), F.lit(t)) }: _*),
+        F.col(sourceCol))
+    val keep = nullThr match {
+      case Some(t) => F.when(F.col(sourceCol).isNull, bucket < t)
+        .otherwise(bucket < thrCol)
+      case None => bucket < thrCol
     }
     df.filter(keep)
   }

@@ -1207,6 +1207,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(again == kept.toSet)
   }
 
+  test("rrfFuse combines rankings by reciprocal rank, consensus wins") {
+    import graft.functions.retrieval
+    // doc 10 is rank 2 in BOTH systems; docs 11/12 are each a rank 1 in
+    // one system only: 2/(60+2) > 1/61 → consensus outranks either solo
+    val a = Seq((1L, 11L, 1L), (1L, 10L, 2L)).toDF("q_id", "n_id", "rank")
+    val b = Seq((1L, 12L, 1L), (1L, 10L, 2L)).toDF("q_id", "n_id", "rank")
+    val got = retrieval.rrfFuse(Seq(a, b), k = 3)
+      .collect().map(r => (r.getLong(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(10L, 11L, 12L))
+    assert(math.abs(got(0)._3 - 2.0 / 62) < 1e-8)
+    // ties (11 vs 12, both 1/61) break by n_id — deterministic
+    assert(got(1)._3 == got(2)._3)
+  }
+
   test("shardAssign is a deterministic partition with a reproducible order") {
     val df = (1L to 400L).toDF("id")
     val a = sampling.shardAssign(df, "id", 8, seed = 7)

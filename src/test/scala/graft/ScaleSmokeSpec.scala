@@ -304,4 +304,43 @@ class ScaleSmokeSpec extends SparkSpec {
     // a handful of coincidental base-to-base near-dups may drop more
     assert(agg.getLong(1) <= 100000L && agg.getLong(1) > 95000L)
   }
+
+  test("clusterBalancedSample flattens a 200k corpus with a dominant topic cluster") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import spark.implicits._
+    // 180k vectors in one tight "boilerplate topic" direction + 20k
+    // spread across the space: alpha = 0 must cut the dominant cluster
+    // toward parity instead of letting it keep its natural 90% share.
+    // Training sees only the hash sample; assignment + the keep filter
+    // are map-side (no shuffle beyond the nlist-row count agg).
+    val baseline = pinBaseline
+    val dominant = spark.range(0, 180000).select(F.col("id").as("vec_id"),
+      F.array((0 until 16).map(i =>
+        (F.lit(if (i == 0) 1000.0 else 0.0) +
+          F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(10)).cast("double"))
+          / 1000.0): _*).as("v"))
+    val tail = spark.range(200000, 220000).select(F.col("id").as("vec_id"),
+      F.array((0 until 16).map(i =>
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(2000)) - 1000)
+          .cast("double") / 1000.0): _*).as("v"))
+    val (counts, cgErrors) = codegenErrorsDuring {
+      val kept = similarity.clusterBalancedSample(
+        dominant.unionByName(tail), "vec_id", "v",
+        nlist = 16, alpha = 0.0, targetRows = 20000L, iters = 2,
+        sampleOneIn = 20)
+      (kept.count(), kept.filter(F.col("vec_id") < 200000L).count())
+    }
+    // the keep filter references the computed cluster key: a CASE-based
+    // threshold rule would re-inline the centroid argmax per branch and
+    // overflow Janino's 64 KB limit into silent interpreted execution
+    assert(cgErrors.isEmpty, s"codegen fell back:\n${cgErrors.mkString("\n")}")
+    val (n, nDom) = counts
+    // per-cluster equal weights: the dominant cluster's share of the
+    // kept set collapses from 90% toward its 1/nlist-ish allocation
+    assert(n > 10000L, s"kept $n rows, expected a five-figure sample")
+    assert(nDom.toDouble / n < 0.5,
+      s"dominant topic still holds ${nDom.toDouble / n} of the sample")
+    assert(awaitRelease(baseline).isEmpty,
+      "training must release its pinned sample")
+  }
 }
