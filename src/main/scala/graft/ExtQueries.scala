@@ -2445,6 +2445,186 @@ object ExtQueries {
       |    AS BIGINT) % 10000 < 9000
       |ORDER BY e.doc_id""".stripMargin
 
+  /** HTML → text extraction ([[graft.functions.text.extractHtmlText]]):
+    * each document wrapped in a fixed HTML scaffold (script/style/
+    * comment blocks, block tags, the common named entities — built
+    * identically by both engines from the row), then extracted; the
+    * whole regex chain replays verbatim in DuckDB (RE2-compatible
+    * patterns by construction). */
+  def x73HtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val html = F.concat(
+      F.lit("<html><head><title>T</title><style>body { color: red; }" +
+        "</style><script type=\"text/javascript\">var x = 1 < 2;" +
+        "</script></head><body><!-- begin content --><h1>Doc "),
+      F.col("doc_id").cast(StringType),
+      F.lit("</h1><P class=\"lead\">"), F.col("text"),
+      F.lit("</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;" +
+        "&#39;q&#39; &amp;lt;</div><br><ul><li>item one</li>" +
+        "<li>item two</li></ul></body></html>"))
+    docs(s, dir).select(F.col("doc_id"),
+        text.extractHtmlText(html).as("extracted"))
+      .withColumn("n_lines",
+        F.size(F.split(F.col("extracted"), "\n")).cast(LongType))
+      .orderBy("doc_id")
+  }
+
+  private val x73Oracle =
+    """WITH h AS (SELECT doc_id,
+      |  concat('<html><head><title>T</title><style>body { color: red; }',
+      |    '</style><script type="text/javascript">var x = 1 < 2;',
+      |    '</script></head><body><!-- begin content --><h1>Doc ',
+      |    CAST(doc_id AS VARCHAR),
+      |    '</h1><P class="lead">', text,
+      |    '</p><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;',
+      |    '&#39;q&#39; &amp;lt;</div><br><ul><li>item one</li>',
+      |    '<li>item two</li></ul></body></html>') AS html
+      |  FROM documents),
+      |x AS (SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+      |  replace(replace(replace(replace(replace(replace(replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(
+      |    html,
+      |    '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+      |    '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+      |    '(?s)<!--.*?-->', ' ', 'g'),
+      |    '(?i)</?(?:p|br|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|article|header|footer|nav|pre)\b[^>]*>', chr(10), 'g'),
+      |    '<[^>]*>', ' ', 'g'),
+      |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      |  '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+      |  '&amp;', '&'),
+      |  '[ \t\x0B\f\r]+', ' ', 'g'),
+      |  ' ?\n[ \n]*', chr(10), 'g'),
+      |  '^\n+|\n+$', '', 'g')) AS extracted
+      |FROM h)
+      |SELECT doc_id, extracted,
+      |  CAST(len(string_split(extracted, chr(10))) AS BIGINT) AS n_lines
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** Embedding-space benchmark decontamination
+    * ([[graft.functions.contamination.semanticDecontaminate]]): every
+    * 97th vector plays the benchmark set; corpus vectors within cosine
+    * 0.9 of ANY of them (the planted near-dup families, plus the bench
+    * members themselves) are dropped by a broadcast nested-loop ANTI
+    * join — zero exchanges on the corpus side. The cosine decision
+    * replays exactly in DuckDB (order-deterministic per-row folds). */
+  def x74SemanticDecontamination(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val bench = e.filter(F.col("vec_id") % 97 === 0).select(F.col("embedding"))
+    contamination.semanticDecontaminate(
+        e, "vec_id", "embedding", bench, "embedding", minCos = 0.9)
+      .select(F.col("vec_id"), F.col("label"))
+      .orderBy("vec_id")
+  }
+
+  private val x74Oracle =
+    """WITH b AS (SELECT embedding AS bv,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS bn
+      |  FROM embeddings WHERE vec_id % 97 = 0),
+      |t AS (SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS tn
+      |  FROM embeddings)
+      |SELECT vec_id, label FROM t WHERE NOT EXISTS (
+      |  SELECT 1 FROM b
+      |  WHERE list_sum(list_transform(list_zip(t.embedding, b.bv),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |    / t.tn / b.bn >= 0.9)
+      |ORDER BY vec_id""".stripMargin
+
+  /** Domain-level quality gate
+    * ([[graft.functions.quality.domainQualityFilter]]): sources whose
+    * MEAN document quality is below 0.485 are dropped wholesale (the
+    * C4/RefinedWeb domain-reputation move); output is the kept per-source
+    * document counts. The mean is a DECIMAL-summed portable aggregate and
+    * the pass rule compares sum >= minMean * n, so the whole gate replays
+    * in DuckDB. */
+  def x75DomainQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val kept = quality.domainQualityFilter(
+      docs(s, dir), "source", text.qualityScore(F.col("text")),
+      minMean = 0.485)
+    kept.groupBy("source")
+      .agg(F.count(F.lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  private val x75Oracle =
+    """WITH q AS (SELECT source,
+      |  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|in|and|is)\b')) AS DOUBLE)
+      |    / (CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) + 1.0) * 0.4
+      |  + (1.0 - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |    / (CAST(length(text) AS DOUBLE) + 1.0))) * 0.3
+      |  + LEAST(CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality
+      |  FROM documents),
+      |agg AS (SELECT source, COUNT(*) AS n,
+      |    SUM(CAST(ROUND(quality, 6) AS DECIMAL(28,6))) AS s
+      |  FROM q GROUP BY source)
+      |SELECT source, CAST(n AS BIGINT) AS n_kept FROM agg
+      |WHERE CAST(s AS DOUBLE) >= 0.485 * CAST(n AS DOUBLE)
+      |ORDER BY source""".stripMargin
+
+  /** In-engine classifier training
+    * ([[graft.functions.quality.trainHashedClassifier]]): two batch
+    * gradient-descent iterations on logistic loss, label = (lang = 'en'),
+    * over 64 hashed token buckets. Output is the trained parameter
+    * vector (bucket −1 = bias). The oracle replays BOTH iterations —
+    * sigmoids rounded to 6, exact integer-scaled gradient
+    * contributions (err6·10¹² div n), DECIMAL sums, the same
+    * fixed-order driver update — in one DuckDB WITH-chain. */
+  def x76TrainClassifier(s: SparkSession, dir: String): DataFrame = {
+    val (w, b) = quality.trainHashedClassifier(docs(s, dir), "text",
+      (F.col("lang") === "en").cast(DoubleType), dim = 64, iters = 2,
+      lr = 1.0)
+    import s.implicits._
+    (-1 until 64).map(k => (k.toLong, if (k < 0) b else w(k)))
+      .toDF("bucket", "w").orderBy("bucket")
+  }
+
+  private val x76Oracle =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS toks,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents),
+      |e1 AS (SELECT toks, CAST(len(toks) AS BIGINT) AS n,
+      |    CAST(ROUND(ROUND(0.5 - y, 6) * 1000000) AS BIGINT) AS err6 FROM t),
+      |x1 AS (SELECT CAST(CAST(concat('0x', substring(md5(tok), 1, 8))
+      |      AS BIGINT) % 64 AS INT) AS bucket,
+      |    (err6 * 1000000000000) // n AS g
+      |  FROM (SELECT unnest(toks) AS tok, n, err6 FROM e1)),
+      |g1 AS (SELECT bucket, SUM(g) AS gsum FROM x1 GROUP BY bucket),
+      |n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(err6) AS DOUBLE) AS esum FROM e1),
+      |w1 AS (SELECT gs.i AS bucket,
+      |    0.0 - 1.0 * (CAST(coalesce(g1.gsum, 0) AS DOUBLE) / 1.0e18 / n1.n) AS w
+      |  FROM (SELECT unnest(generate_series(0, 63)) AS i) gs
+      |  LEFT JOIN g1 ON g1.bucket = gs.i CROSS JOIN n1),
+      |b1 AS (SELECT 0.0 - 1.0 * (esum / 1.0e6 / n) AS b FROM n1),
+      |wl AS (SELECT list(w ORDER BY bucket) AS warr FROM w1),
+      |s2 AS (SELECT toks, y, CAST(len(toks) AS BIGINT) AS n,
+      |    list_sum(list_transform(toks, tok ->
+      |      warr[CAST(CAST(concat('0x', substring(md5(tok), 1, 8))
+      |        AS BIGINT) % 64 AS INT) + 1])) / CAST(len(toks) AS DOUBLE) AS m
+      |  FROM t CROSS JOIN wl),
+      |e2 AS (SELECT toks, n, CAST(ROUND(ROUND(
+      |      ROUND(1.0 / (1.0 + exp(-(b1.b + m))), 6) - y, 6) * 1000000)
+      |    AS BIGINT) AS err6
+      |  FROM s2 CROSS JOIN b1),
+      |x2 AS (SELECT CAST(CAST(concat('0x', substring(md5(tok), 1, 8))
+      |      AS BIGINT) % 64 AS INT) AS bucket,
+      |    (err6 * 1000000000000) // n AS g
+      |  FROM (SELECT unnest(toks) AS tok, n, err6 FROM e2)),
+      |g2 AS (SELECT bucket, SUM(g) AS gsum FROM x2 GROUP BY bucket),
+      |n2 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(err6) AS DOUBLE) AS esum FROM e2),
+      |w2 AS (SELECT w1.bucket,
+      |    w1.w - 1.0 * (CAST(coalesce(g2.gsum, 0) AS DOUBLE) / 1.0e18 / n2.n) AS w
+      |  FROM w1 LEFT JOIN g2 ON g2.bucket = w1.bucket CROSS JOIN n2),
+      |b2 AS (SELECT b1.b - 1.0 * (esum / 1.0e6 / n) AS b
+      |  FROM b1 CROSS JOIN n2)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, w FROM w2
+      |UNION ALL SELECT CAST(-1 AS BIGINT), b FROM b2
+      |ORDER BY bucket""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2519,7 +2699,11 @@ object ExtQueries {
     "x69_cluster_assign" -> (x69ClusterAssign _),
     "x70_hard_negatives" -> (x70HardNegatives _),
     "x71_cluster_balanced_sample" -> (x71ClusterBalancedSample _),
-    "x72_hybrid_retrieval" -> (x72HybridRetrieval _))
+    "x72_hybrid_retrieval" -> (x72HybridRetrieval _),
+    "x73_html_extract" -> (x73HtmlExtract _),
+    "x74_semantic_decontamination" -> (x74SemanticDecontamination _),
+    "x75_domain_quality" -> (x75DomainQualityFilter _),
+    "x76_train_classifier" -> (x76TrainClassifier _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2591,5 +2775,9 @@ object ExtQueries {
     "x69_cluster_assign" -> x69Oracle,
     "x70_hard_negatives" -> x70Oracle,
     "x71_cluster_balanced_sample" -> x71Oracle,
-    "x72_hybrid_retrieval" -> x72Oracle)
+    "x72_hybrid_retrieval" -> x72Oracle,
+    "x73_html_extract" -> x73Oracle,
+    "x74_semantic_decontamination" -> x74Oracle,
+    "x75_domain_quality" -> x75Oracle,
+    "x76_train_classifier" -> x76Oracle)
 }

@@ -204,4 +204,37 @@ object contamination {
       .select(F.col(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Embedding-space decontamination: drop training rows whose vector
+    * sits within cosine ≥ `minCos` of ANY benchmark vector — the layer
+    * that catches paraphrased or re-formatted eval leakage the n-gram
+    * fingerprints of [[decontaminate]]/[[decontaminateContained]]
+    * structurally miss (no shingle survives a paraphrase; the embedding
+    * does).
+    *
+    * Scale shape: the benchmark (thousands of vectors — eval sets, not
+    * corpora) broadcasts once with precomputed norms, and the corpus
+    * side is a broadcast nested-loop ANTI join — a pure map-side scan
+    * that short-circuits on the first contaminated hit, so the corpus
+    * is never shuffled, sorted, or persisted and the plan has ZERO
+    * exchanges on the 100 TB side. Cosines use the order-deterministic
+    * per-row fold ([[similarity.dot]]), so the decision replays exactly
+    * in the x74 DuckDB oracle. */
+  def semanticDecontaminate(train: DataFrame, idCol: String,
+      vecCol: String, bench: DataFrame, benchVecCol: String,
+      minCos: Double = 0.9): DataFrame = {
+    require(minCos > 0.0,
+      "semanticDecontaminate: minCos must be > 0 (a zero/negative " +
+        "threshold would flag effectively every row)")
+    val b = F.broadcast(bench.select(
+      F.col(benchVecCol).as("_sd_bvec"),
+      similarity.norm(F.col(benchVecCol)).as("_sd_bnrm")))
+    // train-side norm precomputed ONCE per row in a projection — inside
+    // the join condition it would re-evaluate per benchmark vector
+    val t = train.withColumn("_sd_tnrm", similarity.norm(F.col(vecCol)))
+    val contaminated =
+      similarity.dot(F.col(vecCol), F.col("_sd_bvec")) /
+        F.col("_sd_tnrm") / F.col("_sd_bnrm") >= minCos
+    t.join(b, contaminated, "left_anti").drop("_sd_tnrm")
+  }
 }

@@ -160,6 +160,48 @@ object quality {
   def filterGopher(df: DataFrame, textCol: String): DataFrame =
     df.filter(gopherRules(F.col(textCol)).getField("pass"))
 
+  /** Per-domain mean-score statistics: one row per domain with the
+    * document count and the mean of `round(score, decimals)` — summed
+    * as DECIMAL so the mean is addition-order-independent and replays
+    * exactly in any engine (the portable-aggregate posture). The
+    * aggregation combines map-side, so the shuffle carries one partial
+    * row per (task, domain), never corpus rows. */
+  def domainQualityStats(df: DataFrame, domainCol: String,
+      score: org.apache.spark.sql.Column, decimals: Int = 6): DataFrame =
+    df.groupBy(F.col(domainCol).as("domain"))
+      .agg(
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum(F.round(score, decimals).cast(DecimalType(28, decimals)))
+          .as("sum_score"))
+      .withColumn("mean_score",
+        F.round(F.col("sum_score").cast(DoubleType) /
+          F.col("n_docs").cast(DoubleType), decimals))
+
+  /** Domain-level quality gate (the C4/RefinedWeb move): drop EVERY
+    * document from a domain whose MEAN quality score falls below
+    * `minMean`, on the observation that page-level scores are noisy but
+    * spam/SEO farms are consistently bad — a per-page filter keeps a
+    * content farm's occasional fluent page, the domain gate doesn't.
+    *
+    * Scale shape: pass 1 aggregates (domain → decimal sum, count)
+    * with map-side combining — output cardinality is the domain count,
+    * not the corpus; the admitted-domain list then broadcasts back as a
+    * left-semi filter, so the corpus itself is never shuffled. The
+    * pass/fail rule compares `sum >= minMean * n` (one double multiply
+    * per DOMAIN) rather than materializing a divided mean, sidestepping
+    * engines' divergent decimal-division scale rules — the decision
+    * replays exactly in the x75 DuckDB oracle. */
+  def domainQualityFilter(df: DataFrame, domainCol: String,
+      score: org.apache.spark.sql.Column, minMean: Double,
+      decimals: Int = 6): DataFrame = {
+    val good = domainQualityStats(df, domainCol, score, decimals)
+      .filter(F.col("sum_score").cast(DoubleType) >=
+        F.lit(minMean) * F.col("n_docs").cast(DoubleType))
+      .select(F.col("domain").as("_dq_domain"))
+    df.join(F.broadcast(good),
+      F.col(domainCol) === F.col("_dq_domain"), "left_semi")
+  }
+
   /** Hashing-trick linear classifier score (the fastText-style quality
     * model every modern curation pipeline runs): tokens hash into a
     * `weights.length`-dimensional table (md5-derived — engine-portable),
@@ -182,5 +224,81 @@ object quality {
         (sampling.hashBucket(t, dim) + 1).cast(IntegerType))) /
       F.size(toks).cast(DoubleType)
     F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + mean))), 6)
+  }
+
+  /** Train the [[hashedLinearScore]] classifier IN the engine: batch
+    * gradient descent on logistic loss over hashed token buckets, the
+    * label-supervised sibling of [[similarity.trainIvfCentroids]]'s
+    * Lloyd loop. Each iteration is ONE Spark job: every document emits
+    * (bucket, contribution) entries — its tokens' weight-gradient
+    * shares plus two synthetic rows for the bias gradient and the row
+    * count — and a map-side-combined DECIMAL aggregation reduces them
+    * to `dim` + 2 rows on the driver, which applies the update. The
+    * corpus is scanned once per iteration and never shuffled (the
+    * exchange carries ≤ tasks × (dim+2) partial rows); driver state is
+    * one double[dim] — the IVF-centroid posture, so training the
+    * quality model needs no exit from the engine and no second system.
+    *
+    * Engine-portable by construction: the only float rounding in the
+    * loop is the sigmoid (6 digits — the established cross-engine
+    * grain). The gradient path is EXACT integer arithmetic: the error
+    * becomes the integer `err6 = round(err·10⁶)`, each token
+    * contributes `err6·10¹² div n` (truncating integer division —
+    * identical in every engine, unlike ROUND(double) whose tie
+    * behavior diverges), sums are DECIMAL, and the driver update
+    * `w − lr·(sum/10¹⁸/n)` is fixed-order IEEE on those exact sums —
+    * bit-equal anywhere, with no rounding of the parameters
+    * themselves. An oracle can therefore replay every iteration
+    * exactly (x76). Returns (weights, bias), ready for
+    * [[hashedLinearScore]]. */
+  def trainHashedClassifier(df: DataFrame, textCol: String,
+      label: org.apache.spark.sql.Column, dim: Int, iters: Int = 2,
+      lr: Double = 1.0): (Array[Double], Double) = {
+    require(dim >= 1 && iters >= 0 && lr > 0,
+      "quality: need dim >= 1, iters >= 0, lr > 0")
+    val dec0 = DecimalType(38, 0)
+    var w = Array.fill(dim)(0.0)
+    var b = 0.0
+    for (_ <- 0 until iters) {
+      val wLit = F.typedlit(w.toSeq)
+      val toks = graft.functions.text.tokens(F.col(textCol))
+      val mean = F.aggregate(toks, F.lit(0.0),
+        (acc, t) => acc + F.element_at(wLit,
+          (sampling.hashBucket(t, dim) + 1).cast(IntegerType))) /
+        F.size(toks).cast(DoubleType)
+      val p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(b) + mean))), 6)
+      // err6 = round(err·10⁶): exactly integer after the 6-digit round,
+      // so the cast is value-preserving. The projection is a real
+      // boundary (the mean fold is expensive and multiply-referenced,
+      // so CollapseProject keeps it); inlining err into the per-token
+      // lambda would re-run the whole fold once per token.
+      val base = df.select(toks.as("_tc_toks"),
+          F.size(toks).cast(LongType).as("_tc_n"),
+          F.round((F.round(p - label.cast(DoubleType), 6)) * 1000000L)
+            .cast(LongType).as("_tc_err6"))
+        // per-token gradient in 10⁻¹⁸ units of err/n — exact integers
+        // (|err6| ≤ 10⁶, ×10¹² < Long.MaxValue), constant per doc
+        .withColumn("_tc_gtok",
+          F.expr("_tc_err6 * 1000000000000 div _tc_n"))
+      val entries = F.concat(
+        F.array(
+          F.struct(F.lit(-2).as("bucket"), F.lit(1L).cast(dec0).as("g")),
+          F.struct(F.lit(-1).as("bucket"),
+            F.col("_tc_err6").cast(dec0).as("g"))),
+        F.transform(F.col("_tc_toks"), t => F.struct(
+          sampling.hashBucket(t, dim).cast(IntegerType).as("bucket"),
+          F.col("_tc_gtok").cast(dec0).as("g"))))
+      val sums = base.select(F.explode(entries).as("e"))
+        .groupBy(F.col("e.bucket").as("bucket"))
+        .agg(F.sum(F.col("e.g")).as("gsum"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      val n = sums(-2)
+      b = b - lr * (sums(-1) / 1.0e6 / n)
+      w = w.zipWithIndex.map { case (wk, k) =>
+        wk - lr * (sums.getOrElse(k, 0.0) / 1.0e18 / n) }
+    }
+    (w, b)
   }
 }

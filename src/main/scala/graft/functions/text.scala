@@ -183,6 +183,39 @@ object text {
       (acc, t) => F.pmod(acc * F.lit(31L) + F.pmod(F.xxhash64(t), p), p))
   }
 
+  /** Extract readable text from HTML markup — the ingest step a web
+    * corpus runs before any quality/dedup stage: script, style and
+    * comment blocks dropped whole, block-level tags turned into line
+    * breaks, every remaining tag stripped, the common named entities
+    * unescaped, whitespace collapsed. A pure regexp_replace chain over
+    * RE2-compatible patterns (no backreferences, flags inline), so the
+    * extraction replays verbatim in any RE2 engine (the x73 DuckDB
+    * oracle) and stays one shuffle-free codegen pass per row — at
+    * 100 TB the extractor IS the scan, which is exactly where it
+    * belongs. A DOM-accurate boilerplate model (trafilatura-class)
+    * is out of scope; this is the regex tier such pipelines run first. */
+  def extractHtmlText(c: Column): Column = {
+    val noScript = F.regexp_replace(c,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = F.regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = F.regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = F.regexp_replace(noComment,
+      "(?i)</?(?:p|br|div|li|h[1-6]|tr|table|ul|ol|blockquote|section|" +
+        "article|header|footer|nav|pre)\\b[^>]*>", "\n")
+    val noTags = F.regexp_replace(blocks, "<[^>]*>", " ")
+    // &amp; must unescape LAST: "&amp;lt;" is the ESCAPED "&lt;" and a
+    // single pass must yield "&lt;", not "<"
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col, (e, r)) =>
+        F.regexp_replace(col, e, r) }
+    val oneLine = F.regexp_replace(ent, "[ \\t\\x0B\\f\\r]+", " ")
+    val tidy = F.regexp_replace(oneLine, " ?\\n[ \\n]*", "\n")
+    // trim() strips only spaces; edge newlines need their own anchor
+    F.trim(F.regexp_replace(tidy, "^\\n+|\\n+$", ""))
+  }
+
   // ---- repetition / boilerplate signals (Gopher-style quality rules) ----
 
   /** zlib compression ratio of the text (compressed/raw bytes) — the

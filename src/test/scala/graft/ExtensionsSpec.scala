@@ -1707,4 +1707,82 @@ class ExtensionsSpec extends SparkSpec {
     while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
     assert(pinned == 0, s"CC frames still pinned: $pinned")
   }
+
+  test("extractHtmlText strips markup, unescapes entities, keeps structure") {
+    val html = "<html><head><style>body { color: red; }</style>" +
+      "<script>if (a < b) { alert('x</b>'); }</script></head>" +
+      "<body><!-- hidden\nnote --><h1>Title</h1>" +
+      "<P class=\"x\">Tom &amp; Jerry say &quot;hi&quot;</p>" +
+      "<ul><li>one</li><li>two</li></ul>" +
+      "<span>inline <b>bold</b> text</span><br>last &amp;lt; line" +
+      "</body></html>"
+    val got = Seq(html).toDF("h")
+      .select(text.extractHtmlText(F.col("h"))).head().getString(0)
+    // script survives its own embedded "</b>" (non-greedy to </script>),
+    // block tags break lines, inline tags just vanish, &amp;lt; unescapes
+    // ONCE (to &lt;, not <)
+    assert(got ==
+      "Title\nTom & Jerry say \"hi\"\none\ntwo\ninline bold text\nlast &lt; line",
+      s"got: ${got.replace("\n", "\\n")}")
+  }
+
+  test("semanticDecontaminate drops bench-similar vectors, shuffle-free") {
+    import graft.functions.contamination
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),   // = bench direction
+      (2L, Seq(0.98f, 0.2f, 0.0f)),  // cos ~0.98 -> dropped
+      (3L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal -> kept
+      (4L, Seq(-1.0f, 0.0f, 0.0f)),  // opposite -> kept
+      (5L, Seq(0.6f, 0.8f, 0.0f))    // cos 0.6 -> kept
+    ).toDF("vec_id", "embedding")
+    val bench = Seq(Tuple1(Seq(1.0f, 0.0f, 0.0f))).toDF("embedding")
+    val kept = contamination.semanticDecontaminate(
+      corpus, "vec_id", "embedding", bench, "embedding", minCos = 0.9)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(3L, 4L, 5L))
+    assert(kept.columns.toSeq == Seq("vec_id", "embedding"))
+    // the corpus side must never shuffle: broadcast nested-loop anti
+    // join only (string check because AQE hides subtrees)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("trainHashedClassifier learns to separate labeled vocabularies") {
+    import graft.functions.quality
+    val train = Seq(
+      (1L, "buy cheap pills now buy buy", 0.0),
+      (2L, "cheap pills cheap offer now", 0.0),
+      (3L, "the data pipeline runs the tests", 1.0),
+      (4L, "the engine plans the query well", 1.0)
+    ).toDF("id", "text", "y")
+    val (w, b) = quality.trainHashedClassifier(
+      train, "text", F.col("y"), dim = 32, iters = 4, lr = 2.0)
+    assert(w.length == 32)
+    val scored = train.select(F.col("id"),
+        quality.hashedLinearScore(F.col("text"), w, b).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every ham doc must outscore every spam doc after training
+    assert(Seq(3L, 4L).map(scored).min > Seq(1L, 2L).map(scored).max,
+      scored.toString)
+    // determinism: retraining reproduces the exact parameters
+    val (w2, b2) = quality.trainHashedClassifier(
+      train, "text", F.col("y"), dim = 32, iters = 4, lr = 2.0)
+    assert(w.sameElements(w2) && b == b2)
+  }
+
+  test("domainQualityFilter cuts whole domains by their decimal-mean score") {
+    import graft.functions.quality
+    val df = Seq(
+      (1L, "good", 0.9), (2L, "good", 0.8),  // mean 0.85
+      (3L, "farm", 0.9), (4L, "farm", 0.1),  // mean 0.40: one fluent
+      (5L, "farm", 0.2)                      // page does not save it
+    ).toDF("id", "domain", "score")
+    val kept = quality.domainQualityFilter(df, "domain", F.col("score"),
+      minMean = 0.6)
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(kept.columns.toSeq == Seq("id", "domain", "score"))
+    val stats = quality.domainQualityStats(df, "domain", F.col("score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(stats("good") == 0.85 && stats("farm") == 0.4)
+  }
 }
