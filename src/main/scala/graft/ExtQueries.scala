@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.types._
 import graft.core._
 import graft.dsl._
-import graft.functions.{contamination, dedup, multimodal, quality, sampling, similarity, text}
+import graft.functions.{contamination, dedup, joins, multimodal, quality, sampling, similarity, text}
 import graft.table.Table
 
 /** Training-data-pipeline extension queries (dedup / similarity search /
@@ -2625,6 +2625,76 @@ object ExtQueries {
       |UNION ALL SELECT CAST(-1 AS BIGINT), b FROM b2
       |ORDER BY bucket""".stripMargin
 
+  /** REAL audio decode: one tiny PCM WAV per document id, geometry
+    * derived arithmetically from the id (frames = 100 + id mod 50,
+    * rate = 8 or 16 kHz, 1 or 2 channels), samples seeded by the id,
+    * encoded by the JDK's real WAVE writer on the EXECUTORS and parsed
+    * back by [[graft.functions.multimodal.decodeAudioFeatures]]'s
+    * javax.sound path. The oracle recomputes the geometry arithmetic —
+    * the decoded frame count / rate / channel count must round-trip
+    * the container exactly (`frames` comes from the data-chunk length,
+    * so a header-only sniff could not fake it). */
+  def x77AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = docs(s, dir)
+      .select(F.col("doc_id").cast(LongType).as("doc_id"))
+      .as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val frames = 100 + (id % 50).toInt
+        val rate = 8000 * (1 + (id % 2).toInt)
+        val channels = 1 + (id % 2).toInt
+        val bytes = multimodal.syntheticWav(frames, rate, channels, seed = id)
+        multimodal.MediaRow(id, bytes, bytes.length.toLong, "WAV")
+      }
+    }(multimodal.mediaRowEnc)
+    multimodal.decodeAudioFeatures(media).toDF()
+      .select(F.col("doc_id"), F.col("sample_rate"), F.col("channels"),
+        F.col("frames"), F.col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  private val x77Oracle =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |CAST(8000 * (1 + doc_id % 2) AS INTEGER) AS sample_rate,
+      |CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+      |CAST(100 + doc_id % 50 AS BIGINT) AS frames,
+      |CAST((100 + doc_id % 50) * 1000 // (8000 * (1 + doc_id % 2))
+      |  AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Binned range join ([[graft.functions.joins.rangeJoin]]): every
+    * click within the 1-day attribution window before a purchase by
+    * the same user. The plan is ONE equi-shuffle on
+    * (user_id, day-bin) + a residual between-filter — never the
+    * cross-join-with-inequality a naive formulation produces; the
+    * oracle IS that naive inequality join in DuckDB. */
+  def x78RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsDf(s, dir)
+    val points = ev.filter(F.col("event_type") === "click")
+      .select(F.col("event_id").as("click_id"), F.col("user_id"),
+        F.col("ts"))
+    val intervals = ev.filter(F.col("event_type") === "purchase")
+      .select(F.col("event_id").as("purchase_id"), F.col("user_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).as("lo"),
+        F.col("ts").as("hi"))
+    joins.rangeJoin(points, intervals, "ts", "lo", "hi",
+        binWidth = 86400000000L, by = Seq("user_id"))
+      .select(F.col("click_id"), F.col("purchase_id_iv").as("purchase_id"),
+        F.col("user_id"))
+      .orderBy("click_id", "purchase_id")
+  }
+
+  private val x78Oracle =
+    """WITH p AS (SELECT event_id AS click_id, user_id, ts FROM events
+      |  WHERE event_type = 'click'),
+      |i AS (SELECT event_id AS purchase_id, user_id,
+      |    ts - INTERVAL 1 DAY AS lo, ts AS hi FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.click_id, i.purchase_id, p.user_id
+      |FROM p JOIN i ON p.user_id = i.user_id AND p.ts BETWEEN i.lo AND i.hi
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2703,7 +2773,9 @@ object ExtQueries {
     "x73_html_extract" -> (x73HtmlExtract _),
     "x74_semantic_decontamination" -> (x74SemanticDecontamination _),
     "x75_domain_quality" -> (x75DomainQualityFilter _),
-    "x76_train_classifier" -> (x76TrainClassifier _))
+    "x76_train_classifier" -> (x76TrainClassifier _),
+    "x77_audio_decode" -> (x77AudioDecode _),
+    "x78_range_join" -> (x78RangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2779,5 +2851,7 @@ object ExtQueries {
     "x73_html_extract" -> x73Oracle,
     "x74_semantic_decontamination" -> x74Oracle,
     "x75_domain_quality" -> x75Oracle,
-    "x76_train_classifier" -> x76Oracle)
+    "x76_train_classifier" -> x76Oracle,
+    "x77_audio_decode" -> x77Oracle,
+    "x78_range_join" -> x78Oracle)
 }

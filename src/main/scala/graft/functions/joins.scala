@@ -44,4 +44,54 @@ object joins {
     carried.filter(F.col("__side") === 0)
       .drop(("__ats" +: "__side" +: rightVals.map(n => s"__rv_$n")): _*)
   }
+
+  /** Binned point-in-interval range join: every (point, interval) pair
+    * with `lo <= pointTs <= hi` (plus optional `by` equi-keys). Naively
+    * this is a cross join with an inequality filter — quadratic and
+    * unshardable. Instead both sides are mapped onto fixed-width bins
+    * of the (numeric or timestamp) axis: a point lands in exactly ONE
+    * bin, an interval is exploded across every bin it covers, and the
+    * join becomes an EQUI-join on (by..., bin) + a residual predicate —
+    * one hash shuffle, AQE-skew-splittable, no duplicate pairs by
+    * construction (each qualifying pair meets in precisely the point's
+    * bin). `binWidth` is in the axis' native units (microseconds for
+    * timestamps) and trades replication (intervals spanning many bins)
+    * against bucket occupancy — set it near the typical interval
+    * length. Interval columns are exposed suffixed with `_iv`; clashes
+    * with point columns are rejected eagerly.
+    *
+    * Reference model: pydiverse.transform expresses this only as a
+    * cross join + filter; this is the scale-path replacement (same
+    * result set, oracled as the inequality join in x78). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointTs: String, lo: String, hi: String,
+      binWidth: Long, by: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"rangeJoin: binWidth must be > 0 (got $binWidth)")
+    import org.apache.spark.sql.types.{DataType, DateType, LongType,
+      TimestampNTZType, TimestampType}
+    // the comparable axis: microseconds for timestamps (a plain Long
+    // cast would be SECONDS and truncate), raw value for numerics
+    def axis(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => F.unix_micros(c)
+      case TimestampNTZType | DateType => F.unix_micros(c.cast(TimestampType))
+      case _ => c.cast(LongType)
+    }
+    val ivRenamed = intervals.columns.map { c =>
+      if (by.contains(c)) F.col(c) else F.col(c).as(s"${c}_iv")
+    }
+    val clash = intervals.columns.filterNot(by.contains).map(_ + "_iv")
+      .toSet.intersect(points.columns.toSet)
+    require(clash.isEmpty, s"rangeJoin: suffixed interval columns clash with point columns: $clash")
+    val pAxis = axis(F.col(pointTs), points.schema(pointTs).dataType)
+    val loAxis = axis(F.col(s"${lo}_iv"), intervals.schema(lo).dataType)
+    val hiAxis = axis(F.col(s"${hi}_iv"), intervals.schema(hi).dataType)
+    def bin(c: Column): Column = F.floor(c / binWidth)
+    val p = points.withColumn("__bin", bin(pAxis))
+    val iv = intervals.select(ivRenamed: _*)
+      .filter(loAxis <= hiAxis)
+      .withColumn("__bin", F.explode(F.sequence(bin(loAxis), bin(hiAxis))))
+    p.join(iv, by :+ "__bin")
+      .filter(pAxis.between(loAxis, hiAxis))
+      .drop("__bin")
+  }
 }

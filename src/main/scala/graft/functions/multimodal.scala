@@ -7,15 +7,17 @@ import org.apache.spark.sql.types._
   * with typed metadata, decoded/feature-extracted in partition-batched
   * typed pipelines.
   *
-  * The decode step is REAL for the formats the JDK ships codecs for
-  * (PNG, JPEG, GIF, BMP via ImageIO): `decodeFeatures` parses the
-  * payload bytes and reports true pixel dimensions and band counts.
-  * Payloads no installed reader understands (text fixtures, audio,
-  * codecs outside the JDK) fall back to deterministic byte-statistics
-  * features so the pipeline stays total — the fallback is the
-  * extension point where a container with real audio/video codecs
-  * would plug in, with the schema, encoders, mapPartitions batch shape
-  * and partition sizing unchanged.
+  * The decode step is REAL for the formats the JDK ships codecs for:
+  * images (PNG, JPEG, GIF, BMP via ImageIO — `decodeFeatures` parses
+  * the payload bytes and reports true pixel dimensions and band
+  * counts) and uncompressed audio (WAV/AIFF/AU via
+  * `javax.sound.sampled` — `decodeAudioFeatures` reports true sample
+  * rate, channel count and frame length). Payloads no installed reader
+  * understands (text fixtures, compressed codecs outside the JDK) fall
+  * back to deterministic byte-statistics features so the pipeline
+  * stays total — the fallback is the extension point where a container
+  * with real video codecs would plug in, with the schema, encoders,
+  * mapPartitions batch shape and partition sizing unchanged.
   */
 object multimodal {
 
@@ -111,6 +113,77 @@ object multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded audio features: true PCM geometry for payloads the JDK's
+    * shipped readers understand (WAV/AIFF/AU), byte-statistics fallback
+    * otherwise. `duration_ms` = frames * 1000 / sample_rate (integer
+    * floor — deterministic, oracle-friendly). */
+  final case class AudioFeatures(doc_id: Long, n_bytes: Long, magic: String,
+      sample_rate: Int, channels: Int, frames: Long, duration_ms: Long)
+
+  implicit val audioFeaturesEnc: Encoder[AudioFeatures] = Encoders.product[AudioFeatures]
+
+  /** Partition-batched audio decode — the audio sibling of
+    * [[decodeFeatures]], REAL for the containers the JDK ships parsers
+    * for (WAV/AIFF/AU via `javax.sound.sampled.AudioSystem`): sample
+    * rate, channel count and frame length come from actually parsing
+    * the payload header, never from trusted metadata. Unreadable
+    * payloads (compressed codecs outside the JDK) fall back to
+    * deterministic byte-statistics features so the pipeline stays
+    * total — the same extension-point posture as the image path. The
+    * decode is in-memory per row, init-free per partition, and emits a
+    * flat case-class row — codegen resumes immediately downstream. */
+  def decodeAudioFeatures(ds: Dataset[MediaRow]): Dataset[AudioFeatures] =
+    ds.mapPartitions { rows =>
+      rows.map { r =>
+        val parsed =
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.payload))
+            try {
+              val fmt = in.getFormat
+              val frames = in.getFrameLength
+              val sr = math.round(fmt.getSampleRate)
+              Some(AudioFeatures(r.doc_id, r.n_bytes, r.magic,
+                sample_rate = sr, channels = fmt.getChannels,
+                frames = frames,
+                duration_ms = if (sr > 0) frames * 1000L / sr else 0L))
+            } finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        parsed.getOrElse(AudioFeatures(r.doc_id, r.n_bytes, r.magic,
+          sample_rate = (8000 + r.n_bytes % 8000).toInt,
+          channels = 1 + (r.n_bytes % 2).toInt,
+          frames = r.n_bytes / 2,
+          duration_ms = 0L))
+      }
+    }
+
+  /** Deterministic PCM WAV: 16-bit signed little-endian samples derived
+    * from (seed, frame, channel), written through the JDK's real WAVE
+    * encoder — the audio fixture generator for decode tests and oracled
+    * queries (frame count / rate / channels are predictable arithmetic
+    * even though the byte stream is container-specific). */
+  def syntheticWav(frames: Int, sampleRate: Int, channels: Int,
+      seed: Long): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, channels, 2 * channels, sampleRate.toFloat,
+      false)
+    val data = new Array[Byte](frames * 2 * channels)
+    var i = 0
+    while (i < frames * channels) {
+      val v = ((seed * 2654435761L + i * 40503L) & 0xffffL).toInt - 32768
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

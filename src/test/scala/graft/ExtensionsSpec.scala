@@ -509,6 +509,57 @@ class ExtensionsSpec extends SparkSpec {
     assert(j == Seq((1L, "a"), (2L, "b"), (3L, null))) // id3: no error ≤ ts
   }
 
+  test("range join matches the inequality join; no duplicate pairs across bins") {
+    import graft.functions.joins
+    def ts(min: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val points = Seq((1L, 1L, ts(10)), (2L, 1L, ts(45)), (3L, 2L, ts(10)),
+        (4L, 1L, ts(200)))
+      .toDF("pid", "k", "ts")
+    val intervals = Seq((10L, 1L, ts(0), ts(60)), (11L, 1L, ts(40), ts(50)),
+        (12L, 2L, ts(20), ts(30)), (13L, 1L, ts(100), ts(300)))
+      .toDF("iid", "k", "lo", "hi")
+    // binWidth = 15 min: intervals span several bins — each qualifying
+    // pair must still appear exactly once (it meets only in the
+    // point's own bin)
+    val got = joins.rangeJoin(points, intervals, "ts", "lo", "hi",
+        binWidth = 15L * 60 * 1000000, by = Seq("k"))
+      .select("pid", "iid_iv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = points.as("p").join(intervals.as("i"),
+        F.col("p.k") === F.col("i.k") &&
+        F.col("p.ts").between(F.col("i.lo"), F.col("i.hi")))
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want && got == Seq((1L, 10L), (2L, 10L), (2L, 11L), (4L, 13L)))
+    // numeric axis + no by-keys + clash rejection
+    val pn = Seq((1L, 5L), (2L, 25L)).toDF("pid", "x")
+    val in = Seq((9L, 0L, 10L)).toDF("iid", "lo", "hi")
+    val gn = joins.rangeJoin(pn, in, "x", "lo", "hi", binWidth = 4L)
+      .select("pid", "iid_iv").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gn.toSeq == Seq((1L, 9L)))
+    val err = intercept[IllegalArgumentException] {
+      joins.rangeJoin(pn.withColumn("lo_iv", F.lit(0L)), in, "x", "lo", "hi", 4L)
+    }
+    assert(err.getMessage.contains("clash"))
+  }
+
+  test("audio decode round-trips the JDK WAVE encoder; non-audio falls back") {
+    import graft.functions.multimodal._
+    val rows = Seq(
+      MediaRow(1L, syntheticWav(160, 8000, 1, seed = 1L), 0L, "WAV"),
+      MediaRow(2L, syntheticWav(99, 16000, 2, seed = 2L), 0L, "WAV"),
+      MediaRow(3L, "not audio bytes".getBytes("UTF-8"), 15L, "TXT"))
+    val ds = spark.createDataset(rows)(mediaRowEnc)
+    val got = decodeAudioFeatures(ds).collect().sortBy(_.doc_id)
+    assert(got(0).sample_rate == 8000 && got(0).channels == 1 &&
+      got(0).frames == 160L && got(0).duration_ms == 20L)
+    assert(got(1).sample_rate == 16000 && got(1).channels == 2 &&
+      got(1).frames == 99L && got(1).duration_ms == 6L)
+    // fallback: deterministic byte statistics, duration 0
+    assert(got(2).sample_rate == (8000 + 15 % 8000) && got(2).duration_ms == 0L)
+  }
+
   test("curation pipeline: quality/lang filter + exact & near dedup compose") {
     import graft.functions.pipelines
     val curated = pipelines.curateDocuments(docsDf,
