@@ -2695,6 +2695,37 @@ object ExtQueries {
       |FROM p JOIN i ON p.user_id = i.user_id AND p.ts BETWEEN i.lo AND i.hi
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** Binned interval-overlap join ([[graft.functions.joins.overlapJoin]]):
+    * per user, every purchase-hour window that overlaps an error-hour
+    * window. Both sides replicate across hour bins; the residual
+    * bin-of-max(lo) rule keeps each overlapping pair exactly once —
+    * ONE equi-shuffle, no distinct. The oracle is the naive inequality
+    * join. */
+  def x79OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsDf(s, dir)
+    def win(t: String, idAs: String) = ev.filter(F.col("event_type") === t)
+      .select(F.col("event_id").as(idAs), F.col("user_id"),
+        F.col("ts").as("lo"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).as("hi"))
+    joins.overlapJoin(win("purchase", "purchase_id"), win("error", "error_id"),
+        "lo", "hi", "lo", "hi", binWidth = 3600000000L, by = Seq("user_id"))
+      .select(F.col("purchase_id"), F.col("error_id_iv").as("error_id"),
+        F.col("user_id"))
+      .orderBy("purchase_id", "error_id")
+  }
+
+  private val x79Oracle =
+    """WITH a AS (SELECT event_id AS purchase_id, user_id, ts AS lo,
+      |    ts + INTERVAL 1 HOUR AS hi FROM events
+      |  WHERE event_type = 'purchase'),
+      |b AS (SELECT event_id AS error_id, user_id, ts AS lo,
+      |    ts + INTERVAL 1 HOUR AS hi FROM events
+      |  WHERE event_type = 'error')
+      |SELECT a.purchase_id, b.error_id, a.user_id
+      |FROM a JOIN b ON a.user_id = b.user_id
+      |  AND a.lo <= b.hi AND b.lo <= a.hi
+      |ORDER BY purchase_id, error_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2775,7 +2806,8 @@ object ExtQueries {
     "x75_domain_quality" -> (x75DomainQualityFilter _),
     "x76_train_classifier" -> (x76TrainClassifier _),
     "x77_audio_decode" -> (x77AudioDecode _),
-    "x78_range_join" -> (x78RangeJoin _))
+    "x78_range_join" -> (x78RangeJoin _),
+    "x79_overlap_join" -> (x79OverlapJoin _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2853,5 +2885,6 @@ object ExtQueries {
     "x75_domain_quality" -> x75Oracle,
     "x76_train_classifier" -> x76Oracle,
     "x77_audio_decode" -> x77Oracle,
-    "x78_range_join" -> x78Oracle)
+    "x78_range_join" -> x78Oracle,
+    "x79_overlap_join" -> x79Oracle)
 }

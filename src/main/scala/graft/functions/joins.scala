@@ -94,4 +94,47 @@ object joins {
       .filter(pAxis.between(loAxis, hiAxis))
       .drop("__bin")
   }
+
+  /** Binned interval-overlap join: every (left, right) interval pair
+    * with `a.lo <= b.hi && b.lo <= a.hi` (plus optional `by`
+    * equi-keys). Both sides are exploded across the fixed-width bins
+    * they cover and equi-joined on (by..., bin) — the [[rangeJoin]]
+    * posture — but since BOTH sides replicate, an overlapping pair can
+    * now meet in many shared bins. Instead of a dedup shuffle, the
+    * residual predicate keeps the pair only in the ONE bin that
+    * contains `max(a.lo, b.lo)` (the start of the overlap, which every
+    * overlapping pair has and which lies inside both intervals'
+    * bin spans) — exactly-once by construction, no `distinct`. Right
+    * columns are exposed suffixed `_iv`, clashes rejected eagerly. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      leftLo: String, leftHi: String, rightLo: String, rightHi: String,
+      binWidth: Long, by: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"overlapJoin: binWidth must be > 0 (got $binWidth)")
+    import org.apache.spark.sql.types.{DataType, DateType, LongType,
+      TimestampNTZType, TimestampType}
+    def axis(c: Column, dt: DataType): Column = dt match {
+      case TimestampType => F.unix_micros(c)
+      case TimestampNTZType | DateType => F.unix_micros(c.cast(TimestampType))
+      case _ => c.cast(LongType)
+    }
+    val rRenamed = right.columns.map { c =>
+      if (by.contains(c)) F.col(c) else F.col(c).as(s"${c}_iv")
+    }
+    val clash = right.columns.filterNot(by.contains).map(_ + "_iv")
+      .toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"overlapJoin: suffixed right columns clash with left columns: $clash")
+    val aLo = axis(F.col(leftLo), left.schema(leftLo).dataType)
+    val aHi = axis(F.col(leftHi), left.schema(leftHi).dataType)
+    val bLo = axis(F.col(s"${rightLo}_iv"), right.schema(rightLo).dataType)
+    val bHi = axis(F.col(s"${rightHi}_iv"), right.schema(rightHi).dataType)
+    def bin(c: Column): Column = F.floor(c / binWidth)
+    val l = left.filter(aLo <= aHi)
+      .withColumn("__bin", F.explode(F.sequence(bin(aLo), bin(aHi))))
+    val r = right.select(rRenamed: _*).filter(bLo <= bHi)
+      .withColumn("__bin", F.explode(F.sequence(bin(bLo), bin(bHi))))
+    l.join(r, by :+ "__bin")
+      .filter(aLo <= bHi && bLo <= aHi &&
+        F.col("__bin") === bin(F.greatest(aLo, bLo)))
+      .drop("__bin")
+  }
 }

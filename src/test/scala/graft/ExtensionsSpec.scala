@@ -544,6 +544,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("clash"))
   }
 
+  test("overlap join matches the inequality join exactly once per pair") {
+    import graft.functions.joins
+    // axes chosen so intervals span several bins (width 4) and several
+    // pairs share multiple bins — the bin-of-max(lo) rule must emit
+    // each exactly once, including the identical-interval tie
+    val a = Seq((1L, 1L, 0L, 10L), (2L, 1L, 8L, 9L), (3L, 2L, 0L, 3L),
+        (4L, 1L, 20L, 30L))
+      .toDF("aid", "k", "lo", "hi")
+    val b = Seq((10L, 1L, 5L, 12L), (11L, 1L, 8L, 9L), (12L, 2L, 4L, 6L),
+        (13L, 1L, 29L, 40L))
+      .toDF("bid", "k", "lo", "hi")
+    val got = joins.overlapJoin(a, b, "lo", "hi", "lo", "hi",
+        binWidth = 4L, by = Seq("k"))
+      .select("aid", "bid_iv").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = a.as("a").join(b.as("b"),
+        F.col("a.k") === F.col("b.k") &&
+        F.col("a.lo") <= F.col("b.hi") && F.col("b.lo") <= F.col("a.hi"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want &&
+      got == Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (4L, 13L)))
+  }
+
   test("audio decode round-trips the JDK WAVE encoder; non-audio falls back") {
     import graft.functions.multimodal._
     val rows = Seq(
