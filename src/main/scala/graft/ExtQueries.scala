@@ -2726,6 +2726,52 @@ object ExtQueries {
       |  AND a.lo <= b.hi AND b.lo <= a.hi
       |ORDER BY purchase_id, error_id""".stripMargin
 
+  /** DSIR data selection ([[graft.functions.sampling.dsirSelect]]):
+    * the 50 documents whose hashed-unigram bag is most
+    * target-like (target = the English subset), by integer-exact
+    * importance weight. The oracle refits BOTH bag-of-words models —
+    * bucket counts, Laplace smoothing, `floor(ln·1e6 + 0.5)` log-probs
+    * (the exact `math.round` rule) — and replays the per-document
+    * Long-sum weights and the deterministic top-50. */
+  def x80DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val target = d.filter(F.col("lang") === "en")
+    sampling.dsirSelect(d, target, "doc_id", "text", n = 50, dim = 64)
+      .select(F.col("doc_id"), F.col("lang"), F.col("dsir_w6"))
+      .orderBy(F.col("dsir_w6").desc, F.col("doc_id"))
+  }
+
+  private val x80Oracle =
+    """WITH tokr AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tokt AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents WHERE lang = 'en'),
+      |br AS (SELECT CAST(CAST(concat('0x', substring(md5(tok), 1, 8))
+      |    AS BIGINT) % 64 AS INT) AS bucket FROM tokr),
+      |bt AS (SELECT CAST(CAST(concat('0x', substring(md5(tok), 1, 8))
+      |    AS BIGINT) % 64 AS INT) AS bucket FROM tokt),
+      |cr AS (SELECT bucket, COUNT(*) AS c FROM br GROUP BY bucket),
+      |ct AS (SELECT bucket, COUNT(*) AS c FROM bt GROUP BY bucket),
+      |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM br),
+      |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bt),
+      |r AS (SELECT gs.i AS bucket,
+      |    CAST(FLOOR(ln((coalesce(ct.c, 0) + 1)
+      |      / CAST(nt.n + 64 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  - CAST(FLOOR(ln((coalesce(cr.c, 0) + 1)
+      |      / CAST(nr.n + 64 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS r6
+      |  FROM (SELECT unnest(generate_series(0, 63)) AS i) gs
+      |  LEFT JOIN ct ON ct.bucket = gs.i
+      |  LEFT JOIN cr ON cr.bucket = gs.i
+      |  CROSS JOIN nt CROSS JOIN nr),
+      |rl AS (SELECT list(r6 ORDER BY bucket) AS rarr FROM r),
+      |w AS (SELECT doc_id, lang,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |      tok -> rarr[CAST(CAST(concat('0x', substring(md5(tok), 1, 8))
+      |        AS BIGINT) % 64 AS INT) + 1])) AS BIGINT) AS dsir_w6
+      |  FROM documents CROSS JOIN rl)
+      |SELECT doc_id, lang, dsir_w6 FROM w
+      |ORDER BY dsir_w6 DESC, doc_id LIMIT 50""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2807,7 +2853,8 @@ object ExtQueries {
     "x76_train_classifier" -> (x76TrainClassifier _),
     "x77_audio_decode" -> (x77AudioDecode _),
     "x78_range_join" -> (x78RangeJoin _),
-    "x79_overlap_join" -> (x79OverlapJoin _))
+    "x79_overlap_join" -> (x79OverlapJoin _),
+    "x80_dsir_select" -> (x80DsirSelect _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2886,5 +2933,6 @@ object ExtQueries {
     "x76_train_classifier" -> x76Oracle,
     "x77_audio_decode" -> x77Oracle,
     "x78_range_join" -> x78Oracle,
-    "x79_overlap_join" -> x79Oracle)
+    "x79_overlap_join" -> x79Oracle,
+    "x80_dsir_select" -> x80Oracle)
 }

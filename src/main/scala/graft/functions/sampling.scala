@@ -244,6 +244,84 @@ object sampling {
       .drop("_ep_n")
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-unigram bag is under a
+    * TARGET corpus' bag-of-words model than under the raw corpus' own —
+    * the standard "find more data that looks like my curated set" move.
+    *
+    * [[dsirLogRatios6]] fits both models: token counts over `dim` hash
+    * buckets ([[hashBucket]] — md5-derived, engine-portable), Laplace
+    * smoothing, and per-bucket log-probability ratios in integer
+    * micro-units (`round(ln((c+1)/(n+dim))·1e6)` per corpus, then an
+    * EXACT Long subtraction) so document scores are integer sums with
+    * no addition-order or accumulation divergence anywhere — only the
+    * per-bucket `ln` itself touches floating point, at the established
+    * 6-digit cross-engine grain. Scale shape: one map-side-combined
+    * token-count aggregation per corpus (shuffle carries ≤ tasks × dim
+    * partial rows); the driver holds 2 × dim Longs — the
+    * [[quality.trainHashedClassifier]] posture. */
+  def dsirLogRatios6(raw: DataFrame, target: DataFrame, textCol: String,
+      dim: Int): Array[Long] = {
+    require(dim >= 1, s"dsir: dim must be >= 1 (got $dim)")
+    def counts(df: DataFrame): (Map[Int, Long], Long) = {
+      val rows = df
+        .select(F.explode(text.tokens(F.col(textCol))).as("_t"))
+        .groupBy(hashBucket(F.col("_t"), dim).cast(IntegerType).as("b"))
+        .agg(F.count(F.lit(1)).as("c"))
+        .collect()
+      val m = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (m, m.values.sum)
+    }
+    val (ct, nt) = counts(target)
+    val (cr, nr) = counts(raw)
+    def l6(c: Long, n: Long): Long =
+      math.round(math.log((c + 1).toDouble / (n + dim).toDouble) * 1e6)
+    Array.tabulate(dim)(b =>
+      l6(ct.getOrElse(b, 0L), nt) - l6(cr.getOrElse(b, 0L), nr))
+  }
+
+  /** Per-document DSIR importance weight in 1e-6 log units: the Long
+    * sum of the document's tokens' bucket log-ratios — one shuffle-free
+    * codegen'd fold per row, ratios riding along as a plan literal. */
+  def dsirWeight6(textC: Column, ratios6: Array[Long], dim: Int): Column = {
+    require(ratios6.length == dim, "dsir: ratios6.length must equal dim")
+    val r = F.typedlit(ratios6.toSeq)
+    F.aggregate(text.tokens(textC), F.lit(0L),
+      (acc, t) => acc +
+        F.element_at(r, (hashBucket(t, dim) + 1).cast(IntegerType)))
+  }
+
+  /** Select the `n` raw documents most target-like by DSIR importance
+    * weight (ties broken by id — fully deterministic). With
+    * `gumbel = true` the selection is importance RESAMPLING as the
+    * paper frames it — Gumbel-top-k over the log weights — with the
+    * Gumbel noise hash-derived from (seed, id): `u = (bucket(id) +
+    * 0.5)/1e6`, `g = -ln(-ln(u))`, integer micro-units again, so the
+    * "randomness" is a pure function of the keys and replays in any
+    * engine. Selection is a global top-n over a codegen'd scored scan
+    * (TakeOrderedAndProject: per-partition bounded top-n, driver merges
+    * n × partitions rows — no full sort, no corpus shuffle). Output
+    * gains the `dsir_w6` score column. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, n: Int, dim: Int = 4096,
+      gumbel: Boolean = false, seed: Int = 0): DataFrame = {
+    require(n >= 1, s"dsir: n must be >= 1 (got $n)")
+    val ratios = dsirLogRatios6(raw, target, textCol, dim)
+    val w = dsirWeight6(F.col(textCol), ratios, dim)
+    val score =
+      if (!gumbel) w
+      else {
+        val u = (hashBucket(F.concat(F.lit(s"g$seed:"),
+          F.col(idCol).cast(StringType)), 1000000L).cast(DoubleType)
+          + 0.5) / 1e6
+        w + F.round(-F.log(-F.log(u)) * 1e6).cast(LongType)
+      }
+    raw.withColumn("dsir_w6", score)
+      .orderBy(F.col("dsir_w6").desc, F.col(idCol))
+      .limit(n)
+  }
+
   /** Token-budget corpus mixing: keep, per source, a deterministic
     * subset holding at most `budget(source)` whitespace tokens — training
     * mixtures are specified in tokens, not documents. Two-pass and

@@ -1297,6 +1297,43 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1)._3 == got(2)._3)
   }
 
+  test("dsirSelect ranks target-like documents first; weights are exact Long sums") {
+    val raw = Seq((1L, "apple apple banana"), (2L, "apple fruit pie"),
+        (3L, "zebra quagga yak"), (4L, "zebra zebra yak"),
+        (5L, "apple zebra"))
+      .toDF("id", "text")
+    val target = Seq((10L, "apple banana fruit"), (11L, "apple pie banana"))
+      .toDF("id", "text")
+    val dim = 32
+    val sel = sampling.dsirSelect(raw, target, "id", "text", n = 2, dim = dim)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // the zebra-only docs can never outrank the apple-vocabulary docs
+    assert(!sel.contains(3L) && !sel.contains(4L))
+    // weight of each doc = exact Long sum of its tokens' bucket ratios,
+    // recomputed on the driver with the same md5 hash core
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % dim).toInt
+    }
+    val r6 = sampling.dsirLogRatios6(raw, target, "text", dim)
+    val got = raw.select(F.col("id"),
+        sampling.dsirWeight6(F.col("text"), r6, dim).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = Map(1L -> "apple apple banana", 2L -> "apple fruit pie",
+      3L -> "zebra quagga yak", 4L -> "zebra zebra yak", 5L -> "apple zebra")
+    texts.foreach { case (id, t) =>
+      assert(got(id) == t.split("\\s+").map(tok => r6(bucket(tok))).sum)
+    }
+    // gumbel resampling: deterministic per seed, seed changes the draw
+    def gumbelIds(seed: Int) = sampling.dsirSelect(raw, target, "id", "text",
+        n = 3, dim = dim, gumbel = true, seed = seed)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(gumbelIds(7) == gumbelIds(7))
+    assert((1 to 20).exists(s => gumbelIds(s) != gumbelIds(7)))
+  }
+
   test("shardAssign is a deterministic partition with a reproducible order") {
     val df = (1L to 400L).toDF("id")
     val a = sampling.shardAssign(df, "id", 8, seed = 7)
