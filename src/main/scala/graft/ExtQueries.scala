@@ -2772,6 +2772,44 @@ object ExtQueries {
       |SELECT doc_id, lang, dsir_w6 FROM w
       |ORDER BY dsir_w6 DESC, doc_id LIMIT 50""".stripMargin
 
+  /** REAL MP4 metadata decode: one minimal-but-valid ISO-BMFF file per
+    * document id, geometry/duration derived arithmetically from the id,
+    * built by [[graft.functions.multimodal.syntheticMp4]] on the
+    * EXECUTORS and parsed back by
+    * [[graft.functions.multimodal.decodeVideoFeatures]]'s box walker.
+    * The oracle recomputes the arithmetic — duration comes from
+    * `moov/mvhd` (duration ÷ timescale) and the dimensions from the
+    * video track's 16.16 fixed-point `tkhd` fields, so a parser that
+    * misread the container could not match. */
+  def x81VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val ids = docs(s, dir)
+      .select(F.col("doc_id").cast(LongType).as("doc_id"))
+      .as(Encoders.scalaLong)
+    val media = ids.mapPartitions { it =>
+      it.map { id =>
+        val dur = 500L + (id % 100) * 10
+        val w = 320 + 16 * (id % 8).toInt
+        val h = 240 + 16 * (id % 5).toInt
+        val tracks = 1 + (id % 2).toInt
+        val bytes = multimodal.syntheticMp4(dur, w, h, tracks)
+        multimodal.MediaRow(id, bytes, bytes.length.toLong, "MP4")
+      }
+    }(multimodal.mediaRowEnc)
+    multimodal.decodeVideoFeatures(media).toDF()
+      .select(F.col("doc_id"), F.col("duration_ms"), F.col("n_tracks"),
+        F.col("width"), F.col("height"))
+      .orderBy("doc_id")
+  }
+
+  private val x81Oracle =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |CAST(500 + (doc_id % 100) * 10 AS BIGINT) AS duration_ms,
+      |CAST(1 + doc_id % 2 AS INTEGER) AS n_tracks,
+      |CAST(320 + 16 * (doc_id % 8) AS INTEGER) AS width,
+      |CAST(240 + 16 * (doc_id % 5) AS INTEGER) AS height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2854,7 +2892,8 @@ object ExtQueries {
     "x77_audio_decode" -> (x77AudioDecode _),
     "x78_range_join" -> (x78RangeJoin _),
     "x79_overlap_join" -> (x79OverlapJoin _),
-    "x80_dsir_select" -> (x80DsirSelect _))
+    "x80_dsir_select" -> (x80DsirSelect _),
+    "x81_video_decode" -> (x81VideoDecode _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2934,5 +2973,6 @@ object ExtQueries {
     "x77_audio_decode" -> x77Oracle,
     "x78_range_join" -> x78Oracle,
     "x79_overlap_join" -> x79Oracle,
-    "x80_dsir_select" -> x80Oracle)
+    "x80_dsir_select" -> x80Oracle,
+    "x81_video_decode" -> x81Oracle)
 }

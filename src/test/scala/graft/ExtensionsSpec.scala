@@ -584,6 +584,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2).sample_rate == (8000 + 15 % 8000) && got(2).duration_ms == 0L)
   }
 
+  test("mp4 decode round-trips the box writer; v1 boxes and fallback handled") {
+    import graft.functions.multimodal._
+    val rows = Seq(
+      MediaRow(1L, syntheticMp4(1500L, 640, 480, 1), 0L, "MP4"),
+      MediaRow(2L, syntheticMp4(730L, 1920, 1080, 2), 0L, "MP4"),
+      MediaRow(3L, "not an mp4".getBytes("UTF-8"), 10L, "TXT"))
+    val ds = spark.createDataset(rows)(mediaRowEnc)
+    val got = decodeVideoFeatures(ds).collect().sortBy(_.doc_id)
+    assert(got(0).duration_ms == 1500L && got(0).n_tracks == 1 &&
+      got(0).width == 640 && got(0).height == 480)
+    // audio track carries zero dims — geometry must come from track 1
+    assert(got(1).duration_ms == 730L && got(1).n_tracks == 2 &&
+      got(1).width == 1920 && got(1).height == 1080)
+    assert(got(2).duration_ms == 0L && got(2).n_tracks == 0 &&
+      got(2).width == (10 % 1920) && got(2).height == (10 % 1080))
+    // version-1 mvhd/tkhd layout (64-bit times): hand-built moov
+    def box(tpe: String, p: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(p.length + 8)
+      bb.putInt(p.length + 8).put(tpe.getBytes("ISO-8859-1")).put(p)
+      bb.array()
+    }
+    val mvhd1 = {
+      val p = java.nio.ByteBuffer.allocate(112)
+      p.putInt(0x01000000)          // version 1
+      p.putLong(0L).putLong(0L)     // creation, modification (64-bit)
+      p.putInt(90000)               // timescale
+      p.putLong(90000L * 2)         // duration (64-bit): 2 s
+      p.array()
+    }
+    val tkhd1 = {
+      val p = java.nio.ByteBuffer.allocate(96)
+      p.putInt(0x01000003)
+      p.putLong(0L).putLong(0L)     // creation, modification
+      p.putInt(1).putInt(0)         // track_ID, reserved
+      p.putLong(90000L * 2)         // duration (64-bit)
+      p.put(new Array[Byte](8))     // reserved
+      p.putShort(0).putShort(0).putShort(0).putShort(0)
+      p.put(new Array[Byte](36))    // matrix
+      p.putInt(160 << 16).putInt(90 << 16)
+      p.array()
+    }
+    val v1 = box("moov", box("mvhd", mvhd1) ++ box("trak", box("tkhd", tkhd1)))
+    val got1 = decodeVideoFeatures(
+      spark.createDataset(Seq(MediaRow(9L, v1, 0L, "MP4")))(mediaRowEnc))
+      .collect().head
+    assert(got1.duration_ms == 2000L && got1.n_tracks == 1 &&
+      got1.width == 160 && got1.height == 90)
+  }
+
   test("curation pipeline: quality/lang filter + exact & near dedup compose") {
     import graft.functions.pipelines
     val curated = pipelines.curateDocuments(docsDf,
