@@ -2810,6 +2810,32 @@ object ExtQueries {
       |CAST(240 + 16 * (doc_id % 5) AS INTEGER) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Z-order clustering key ([[graft.functions.layout.zorderKey]]):
+    * the Morton interleave of (user_id mod 256, event_id mod 256) —
+    * the multi-column clustering key [[graft.functions.layout.zorderBy]]
+    * range-partitions on so parquet min/max stats skip files for
+    * predicates on EITHER dimension. The oracle replays the bit
+    * interleave with plain integer shift/and/or arithmetic. */
+  def x82ZorderKey(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsDf(s, dir).filter(F.col("user_id").isNotNull)
+    val z = graft.functions.layout.zorderKey(
+      Seq(F.pmod(F.col("user_id"), F.lit(256L)),
+        F.pmod(F.col("event_id"), F.lit(256L))), bits = 8)
+    ev.select(F.col("event_id"), z.as("z"))
+      .orderBy("z", "event_id").limit(100)
+  }
+
+  private val x82Oracle = {
+    val terms = (for { i <- 0 until 2; b <- 0 until 8 } yield {
+      val src = if (i == 0) "u" else "e"
+      s"((($src >> $b) & 1) << ${b * 2 + i})"
+    }).mkString(" | ")
+    s"""WITH s AS (SELECT event_id, user_id % 256 AS u, event_id % 256 AS e
+       |  FROM events WHERE user_id IS NOT NULL)
+       |SELECT event_id, CAST($terms AS BIGINT) AS z FROM s
+       |ORDER BY z, event_id LIMIT 100""".stripMargin
+  }
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2893,7 +2919,8 @@ object ExtQueries {
     "x78_range_join" -> (x78RangeJoin _),
     "x79_overlap_join" -> (x79OverlapJoin _),
     "x80_dsir_select" -> (x80DsirSelect _),
-    "x81_video_decode" -> (x81VideoDecode _))
+    "x81_video_decode" -> (x81VideoDecode _),
+    "x82_zorder_key" -> (x82ZorderKey _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -2974,5 +3001,6 @@ object ExtQueries {
     "x78_range_join" -> x78Oracle,
     "x79_overlap_join" -> x79Oracle,
     "x80_dsir_select" -> x80Oracle,
-    "x81_video_decode" -> x81Oracle)
+    "x81_video_decode" -> x81Oracle,
+    "x82_zorder_key" -> x82Oracle)
 }

@@ -68,6 +68,49 @@ object layout {
       .parquet(path)
   }
 
+  /** Morton (Z-order) interleave of `cols`: bit b of column i lands at
+    * output bit `b * cols.size + i`, so rows close in EVERY dimension
+    * get close keys — the multi-column clustering key behind Z-ordered
+    * data skipping. Inputs must already be in [0, 2^bits) (pre-bucket
+    * with modulo / range mapping); `bits * cols.size` ≤ 62 keeps the
+    * key in a positive Long. Pure bit arithmetic (shift/and/or) — one
+    * codegen'd expression, replayable in any engine with integer bit
+    * ops. */
+  def zorderKey(cols: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{functions => FF}
+    val n = cols.size
+    require(n >= 1 && bits >= 1 && bits * n <= 62,
+      s"zorderKey: need >= 1 column and 1 <= bits * cols <= 62 " +
+        s"(got $n cols, $bits bits)")
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      b <- 0 until bits
+    } yield FF.shiftleft(
+      FF.shiftrightunsigned(c.cast(org.apache.spark.sql.types.LongType), b)
+        .bitwiseAND(FF.lit(1L)), b * n + i)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Cluster `df` on the Z-order curve of `cols` (each pre-mapped to
+    * [0, 2^bits)): range-partition on the interleaved key, then sort
+    * within partitions — so every output file covers a small hyper-box
+    * of the key space and a reader filtering on ANY prefix-dimension
+    * subset skips most files via parquet min/max stats. This is the
+    * write-side move for multi-column selective scans, complementing
+    * [[bucketize]] (which serves equi-joins, not range predicates).
+    * One exchange (the range partitioning, driven by a key sample);
+    * the sort is spill-safe local work. */
+  def zorderBy(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{functions => FF}
+    val zed = df.withColumn("_zo", zorderKey(cols.map(FF.col), bits))
+    val parted =
+      if (numPartitions > 0) zed.repartitionByRange(numPartitions, FF.col("_zo"))
+      else zed.repartitionByRange(FF.col("_zo"))
+    parted.sortWithinPartitions("_zo").drop("_zo")
+  }
+
   /** Read back a [[writeSharded]] corpus, optionally restricted to a set
     * of shards. The shard restriction is a PARTITION filter — Spark
     * prunes the other shard directories at file-listing time, so a

@@ -584,6 +584,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2).sample_rate == (8000 + 15 % 8000) && got(2).duration_ms == 0L)
   }
 
+  test("zorderKey is the Morton interleave; zorderBy partitions cover disjoint sorted ranges") {
+    import graft.functions.layout
+    def morton(x: Long, y: Long, bits: Int = 4): Long =
+      (0 until bits).map(b =>
+        (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (5L, 7L))
+    val df = pts.toDF("x", "y")
+    val got = df.select(F.col("x"), F.col("y"),
+        layout.zorderKey(Seq(F.col("x"), F.col("y")), 4).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got((0L, 0L)) == 0L && got((1L, 0L)) == 1L && got((0L, 1L)) == 2L)
+    assert(got((1L, 1L)) == 3L && got((2L, 3L)) == 14L && got((5L, 7L)) == 59L)
+    pts.foreach { case (x, y) => assert(got((x, y)) == morton(x, y)) }
+    // clustering: 4 range partitions on the 16x16 grid — every partition
+    // holds a contiguous, internally-sorted, pairwise-disjoint z range
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("x", "y")
+    val rows = layout.zorderBy(grid, Seq("x", "y"), bits = 4, numPartitions = 4)
+      .withColumn("pid", F.spark_partition_id())
+      .collect().map(r => (r.getInt(2), morton(r.getLong(0), r.getLong(1))))
+    val byPid = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byPid.size == 4 && rows.length == 256)
+    byPid.values.foreach(zs => assert(zs == zs.sorted))
+    val ranges = byPid.values.map(zs => (zs.min, zs.max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo)
+      case _ => ()
+    }
+    require(intercept[IllegalArgumentException] {
+      layout.zorderKey(Seq(F.col("x")), 63)
+    }.getMessage.contains("zorderKey"))
+  }
+
   test("mp4 decode round-trips the box writer; v1 boxes and fallback handled") {
     import graft.functions.multimodal._
     val rows = Seq(
