@@ -2836,6 +2836,46 @@ object ExtQueries {
        |ORDER BY z, event_id LIMIT 100""".stripMargin
   }
 
+  /** In-engine BPE merge training ([[graft.functions.bpe.trainMerges]]):
+    * the first 4 learned merges (pair + count) over the documents'
+    * lowercase-alpha word stream. The oracle replays EVERY step —
+    * word-frequency table, adjacent-pair counts, the deterministic
+    * argmax, and the greedy left-to-right merge fold as a DuckDB
+    * `list_reduce` — in one generated WITH-chain. */
+  def x83BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.functions.bpe.trainMerges(docs(s, dir), "text",
+      numMerges = 4)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1L, a, b, c) }
+      .toDF("step", "lhs", "rhs", "cnt").orderBy("step")
+  }
+
+  private val x83Oracle = {
+    val k = 4
+    val chain = (1 to k).map { i =>
+      s""",
+         |p$i AS (SELECT p[1] AS a, p[2] AS b, SUM(cnt) AS c FROM (
+         |  SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS p,
+         |    cnt FROM w${i - 1}) GROUP BY 1, 2),
+         |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS (SELECT string_split(list_reduce(syms,
+         |    (acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, '|' || m.a))
+         |        AND x = m.b
+         |      THEN acc || x ELSE acc || '|' || x END), '|') AS syms, cnt
+         |  FROM w${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }.mkString
+    val finals = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, " +
+        s"CAST(c AS BIGINT) AS cnt FROM m$i").mkString(" UNION ALL ")
+    s"""WITH w0 AS (SELECT regexp_extract_all(w, '[a-z]') AS syms, cnt FROM (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w))$chain
+       |SELECT * FROM ($finals) ORDER BY step""".stripMargin
+  }
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2920,7 +2960,8 @@ object ExtQueries {
     "x79_overlap_join" -> (x79OverlapJoin _),
     "x80_dsir_select" -> (x80DsirSelect _),
     "x81_video_decode" -> (x81VideoDecode _),
-    "x82_zorder_key" -> (x82ZorderKey _))
+    "x82_zorder_key" -> (x82ZorderKey _),
+    "x83_bpe_merges" -> (x83BpeMerges _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -3002,5 +3043,6 @@ object ExtQueries {
     "x79_overlap_join" -> x79Oracle,
     "x80_dsir_select" -> x80Oracle,
     "x81_video_decode" -> x81Oracle,
-    "x82_zorder_key" -> x82Oracle)
+    "x82_zorder_key" -> x82Oracle,
+    "x83_bpe_merges" -> x83Oracle)
 }

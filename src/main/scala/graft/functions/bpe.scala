@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.storage.StorageLevel
+
+/** In-engine BPE (byte-pair-encoding) tokenizer-vocabulary training —
+  * the learn-the-merges half of the tokenizer every LLM pipeline ships
+  * (Sennrich et al. 2016). The classic formulation is a driver-bound
+  * loop over a corpus; the scale observation (same as fastText-style
+  * classifier training, [[quality.trainHashedClassifier]]) is that BPE
+  * never needs the corpus after ONE pass: merges are a function of the
+  * WORD-FREQUENCY table, whose cardinality is the vocabulary (≤ a few
+  * million rows at any corpus size), not the corpus.
+  *
+  * Shape per merge step: one map-side-combined pair-count aggregation
+  * over the vocab table (each word explodes into ≤ |word| adjacent
+  * pairs), a driver pick of the argmax pair (count desc, then
+  * lexicographic — fully deterministic), and a narrow codegen'd fold
+  * that merges the pair greedily left-to-right inside each word. The
+  * corpus itself is scanned exactly once, for the initial word counts.
+  *
+  * Engine-portable by construction: counts are exact Longs, the argmax
+  * tie-break is total, and the greedy merge is a string fold
+  * (`acc ends-with "|" + lhs && next == rhs → concatenate`) that
+  * replays verbatim as a DuckDB `list_reduce` — the x83 oracle replays
+  * every merge step.
+  *
+  * Reference model: pydiverse.transform has no tokenizer surface; this
+  * extends graft's training-data family. Training is restricted to
+  * lowercase-alpha words (`^[a-z]+$`) so symbols never collide with
+  * the fold's `|` separator — the standard pre-tokenization move.
+  */
+object bpe {
+
+  /** Learn `numMerges` merges over the whitespace-token stream of
+    * `textCol`. Returns (lhs, rhs, pairCount) per step, in merge
+    * order; stops early if no adjacent pair remains. */
+  def trainMerges(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String, Long)] = {
+    require(numMerges >= 1, s"bpe: numMerges must be >= 1 (got $numMerges)")
+    val words = df
+      .select(F.explode(text.tokens(F.col(textCol))).as("w"))
+      .filter(F.col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(F.count(F.lit(1)).as("cnt"))
+      .select(F.regexp_extract_all(F.col("w"), F.lit("[a-z]"), F.lit(0))
+        .as("syms"), F.col("cnt"))
+    var state = words.persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      var step = 0
+      var done = false
+      while (step < numMerges && !done) {
+        val sz = F.size(F.col("syms"))
+        val top = state.select(F.explode(F.zip_with(
+              F.slice(F.col("syms"), F.lit(1), F.greatest(sz - 1, F.lit(0))),
+              F.slice(F.col("syms"), F.lit(2), F.greatest(sz - 1, F.lit(0))),
+              (a, b) => F.struct(a.as("a"), b.as("b")))).as("p"),
+            F.col("cnt"))
+          .groupBy(F.col("p.a").as("a"), F.col("p.b").as("b"))
+          .agg(F.sum("cnt").as("c"))
+          .orderBy(F.col("c").desc, F.col("a"), F.col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) done = true
+        else {
+          val (a, b, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          out += ((a, b, c))
+          // greedy left-to-right merge as a string fold: the seed-empty
+          // first step appends the first symbol bare, so the fold equals
+          // DuckDB's first-element-seeded list_reduce — the oracle
+          // replays it verbatim. A just-merged tail never re-matches as
+          // lhs in the same pass (standard BPE non-overlap rule).
+          val merged = state.select(
+            F.split(F.aggregate(F.col("syms"), F.lit(""),
+              (acc, x) => F.when(acc === "", x)
+                .otherwise(F.when(
+                  (acc === a || acc.endsWith(F.lit("|" + a))) && x === b,
+                  F.concat(acc, x))
+                  .otherwise(F.concat(acc, F.lit("|"), x)))), "\\|")
+              .as("syms"),
+            F.col("cnt"))
+          val next = merged.persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          state.unpersist(blocking = false)
+          state = next
+          step += 1
+        }
+      }
+    } finally state.unpersist(blocking = false)
+    out.toSeq
+  }
+
+  /** Apply learned merges to a token column: each lowercase-alpha token
+    * becomes its BPE symbol array (other tokens pass through as a
+    * single symbol). One codegen'd expression chain per merge — no
+    * shuffle, no UDF; the segmenter half of the tokenizer. */
+  def segment(tok: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val chars = F.regexp_extract_all(tok, F.lit("[a-z]"), F.lit(0))
+    val folded = merges.foldLeft(chars) { case (syms, (a, b)) =>
+      F.split(F.aggregate(syms, F.lit(""),
+        (acc, x) => F.when(acc === "", x)
+          .otherwise(F.when(
+            (acc === a || acc.endsWith(F.lit("|" + a))) && x === b,
+            F.concat(acc, x))
+            .otherwise(F.concat(acc, F.lit("|"), x)))), "\\|")
+    }
+    F.when(tok.rlike("^[a-z]+$"), folded).otherwise(F.array(tok))
+  }
+}

@@ -584,6 +584,70 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(2).sample_rate == (8000 + 15 % 8000) && got(2).duration_ms == 0L)
   }
 
+  test("bpe trainMerges matches a driver-side reference; segment applies merges") {
+    import graft.functions.bpe
+    // driver-side reference BPE over a word-frequency map
+    def refMerges(words: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
+      var state = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to k).flatMap { _ =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        state.foreach { case (syms, c) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + c
+            case _ => ()
+          }
+        }
+        if (counts.isEmpty) None
+        else {
+          val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          state = state.map { case (syms, cn) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += (a + b); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toVector, cn)
+          }
+          Some((a, b, c))
+        }
+      }
+    }
+    val corpus = Seq("low low lower lowest", "newer newer newest wider",
+      "aaa aaa banana", "low newer banana aaa")
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val wordFreq = corpus.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => (w, g.size.toLong) }
+    val want = refMerges(wordFreq, 5)
+    val got = bpe.trainMerges(df, "text", numMerges = 5)
+    assert(got == want)
+    // segment: applying the learned merges re-tokenizes greedily; a
+    // non-alpha token passes through whole
+    val merges = got.map(m => (m._1, m._2))
+    val seg = df.limit(1).select(
+        bpe.segment(F.lit("lowest"), merges).as("s"),
+        bpe.segment(F.lit("x42!"), merges).as("t"))
+      .collect().head
+    val refSeg = {
+      var syms = "lowest".map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    assert(seg.getSeq[String](0) == refSeg)
+    assert(seg.getSeq[String](1) == Seq("x42!"))
+  }
+
   test("zorderKey is the Morton interleave; zorderBy partitions cover disjoint sorted ranges") {
     import graft.functions.layout
     def morton(x: Long, y: Long, bits: Int = 4): Long =
