@@ -162,6 +162,21 @@ object ExtQueries {
         replayable = true)
       .orderBy("id_a", "id_b")
 
+  /** The PRODUCTION posture of x04, benched instead of the oracle
+    * variant (see [[SparkEntry.benchVariants]]): xxhash64 token
+    * fingerprints (the default; the md5-prefix `replayable` family
+    * exists only so DuckDB can replay the correctness run, and pays a
+    * per-token md5 that is noise at sf0.01 but dominates a bench) and
+    * the hot-bucket cap on (maxBucket = 1000, the [[dedup.saltOversized]]
+    * ring salt) so one boilerplate-heavy chunk bucket can never go
+    * quadratic — the caveat that the capped result is "~cap neighbours
+    * per row, ring-linked" instead of exhaustive inside overflowing
+    * buckets is proven under an oracle by x20. */
+  def x04BenchSimhash(s: SparkSession, dir: String): DataFrame =
+    dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 6,
+        maxBucket = 1000)
+      .orderBy("id_a", "id_b")
+
   private val x04Oracle =
     """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
       |  FROM documents),
@@ -1914,14 +1929,22 @@ object ExtQueries {
   /** BM25 retrieval: every 250th document's 40-char prefix is a query;
     * top-5 corpus matches each, via the relational inverted index —
     * [[graft.functions.retrieval.bm25TopK]]. Self-match at rank 1 is the
-    * built-in sanity check. */
+    * built-in sanity check. Runs WITH the production stopword cut
+    * (`maxDfFrac`), and the oracle replays the cut exactly. The
+    * threshold is 0.78 rather than a conventional 0.1–0.5 because the
+    * synthetic corpus has a FLAT 31-term vocabulary with every term in
+    * 75–80% of documents — 0.78 prunes the handful of hottest terms
+    * (the scale-killers whose postings lists a real stopword cut
+    * exists to bound) while the rest still exercise scoring; any
+    * conventional threshold would prune all 31 and gate nothing. */
   def x36Bm25TopK(s: SparkSession, dir: String): DataFrame = {
     val corpus = docs(s, dir)
     val queries = corpus.filter(F.col("doc_id") % 250 === 0)
       .select(F.col("doc_id").as("q_id"),
         F.substring(F.col("text"), 1, 40).as("q_text"))
     graft.functions.retrieval.bm25TopK(
-        corpus, "doc_id", "text", queries, "q_id", "q_text", k = 5)
+        corpus, "doc_id", "text", queries, "q_id", "q_text", k = 5,
+        maxDfFrac = 0.78)
       .orderBy("q_id", "rank")
   }
 
@@ -1948,6 +1971,7 @@ object ExtQueries {
       |      AS DECIMAL(28,7))) AS s
       |  FROM qt JOIN t USING (token) JOIN dfreq USING (token)
       |    JOIN len ON t.doc_id = len.doc_id CROSS JOIN stats
+      |  WHERE CAST(dfr AS DOUBLE) <= CAST(0.78 AS DOUBLE) * CAST(nd AS DOUBLE)
       |  GROUP BY 1, 2),
       |r AS (SELECT q_id, n_id, s, ROW_NUMBER() OVER
       |    (PARTITION BY q_id ORDER BY s DESC, n_id) AS rank FROM sc)
@@ -2962,6 +2986,11 @@ object ExtQueries {
     "x81_video_decode" -> (x81VideoDecode _),
     "x82_zorder_key" -> (x82ZorderKey _),
     "x83_bpe_merges" -> (x83BpeMerges _))
+
+  /** Production-posture substitutes benched under the same key — see
+    * [[SparkEntry.benchVariants]] for the contract. */
+  val benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x04_dedup_simhash" -> (x04BenchSimhash _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,

@@ -881,7 +881,13 @@ object Queries {
         "mx_u16" -> C("u16").max(),
         "n_neg" -> C("neg").count(), // all negative → all null → 0
         "sum_u32" -> C("u32").sum(),
-        "sum_u64" -> C("u64").sum(),
+        // the UInt64 aggregate dissolves to Decimal(20,0) and Spark's SUM
+        // widens it to Decimal(30,0) — value-equal to DuckDB's but not
+        // representation-stable under the driver's hasher (decimal scale/
+        // canonicalization differs across engines), so the OUTPUT column
+        // is cast to DOUBLE on both sides (exact here: sums ≪ 2^53); the
+        // UInt64 cast + aggregate machinery is still exercised in full
+        "sum_u64" -> C("u64").sum().cast(DoubleType),
         "mx_plus" -> C("u8_plus").max())
       .arrange(C("o_orderstatus"))
       .toDF
@@ -903,7 +909,7 @@ object Queries {
       |MAX(u16) AS mx_u16,
       |CAST(COUNT(neg) AS BIGINT) AS n_neg,
       |CAST(SUM(u32) AS BIGINT) AS sum_u32,
-      |CAST(SUM(u64) AS DECIMAL(30,0)) AS sum_u64,
+      |CAST(SUM(u64) AS DOUBLE) AS sum_u64,
       |MAX(CAST(u8 AS BIGINT) + 1) AS mx_plus
       |FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Sparse lexical retrieval for data selection: BM25 in relational form.
@@ -25,39 +26,65 @@ object retrieval {
 
   /** Top-k BM25 matches per query row: `(q_id, n_id, score, rank)`.
     * `k1`/`b` are the standard Robertson parameters; idf is the
-    * BM25+ always-positive form `ln((N - df + 0.5)/(df + 0.5) + 1)`. */
+    * BM25+ always-positive form `ln((N - df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * `maxDfFrac` < 1 drops terms whose document frequency exceeds
+    * `maxDfFrac · N` from scoring — classic stopword pruning. At corpus
+    * scale a stopword's postings list is O(N), so its probe-join fan-out
+    * alone dominates the query; since such terms carry near-zero idf,
+    * the recall cost of pruning them is negligible while the join cost
+    * they impose is unbounded. The comparison runs in DOUBLE on both
+    * engines (`CAST(dfr AS DOUBLE) <= maxDfFrac * CAST(nd AS DOUBLE)`)
+    * so an oracle replays the cut bit-identically.
+    *
+    * Plan shape (cache-free, one linear pipeline): `dl` rides along with
+    * the token explode (it is a pure function of the document), `dfr`
+    * comes from a count window over the token partitioning — which the
+    * subsequent query-token equi-join then reuses — and corpus stats
+    * (N, avgdl) are one tiny map-side-combined scan broadcast to every
+    * posting. Nothing is persisted and nothing is recomputed, so the
+    * cost is identical run-to-run regardless of the caller's cache
+    * lifecycle. */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // tf feeds four consumers (lens, stats, dfreq, the probe join) —
-    // without a cache Catalyst re-runs the explode+aggregate per
-    // consumer. Lifecycle: dedup's auto-release listener unpersists
-    // after the consuming query completes.
-    val tf = dedup.cached(corpus.select(F.col(idCol),
-        F.explode(text.tokens(F.col(textCol))).as("token"))
-      .filter(F.length(F.col("token")) > 0)
-      .groupBy(idCol, "token").agg(F.count(F.lit(1)).as("tf")))
-    val lens = dedup.cached(tf.groupBy(idCol).agg(F.sum("tf").as("dl")))
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    val toks = F.filter(text.tokens(F.col(textCol)),
+      t => F.length(t) > 0)
+    // (id, dl, token) -> tf: dl is functionally dependent on the id, so
+    // carrying it as a grouping key costs nothing and saves the lens join
+    val tf = corpus
+      .select(F.col(idCol), F.size(toks).as("dl"),
+        F.explode(toks).as("token"))
+      .groupBy(idCol, "dl", "token").agg(F.count(F.lit(1)).as("tf"))
+    val withDf = tf.withColumn("dfr",
+      F.count(F.lit(1)).over(Window.partitionBy("token")))
     // exact-integer division: deterministic regardless of doc order
-    val stats = lens.agg(F.count(F.lit(1)).as("nd"),
-      (F.sum("dl").cast(DoubleType) /
-        F.count(F.lit(1)).cast(DoubleType)).as("avgdl"))
-    val dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).as("dfr"))
+    val stats = corpus.select(F.size(toks).as("dl"))
+      .filter(F.col("dl") > 0)
+      .agg(F.count(F.lit(1)).as("nd"),
+        (F.sum("dl").cast(DoubleType) /
+          F.count(F.lit(1)).cast(DoubleType)).as("avgdl"))
     val qTok = queries.select(F.col(qIdCol).as("q_id"),
         F.explode(text.tokens(F.col(qTextCol))).as("token"))
       .filter(F.length(F.col("token")) > 0)
       .distinct()
+    val postings = withDf.crossJoin(F.broadcast(stats))
+    // prune stopword-grade postings BEFORE the query-token join: the cut
+    // happens where the rows are, never after the hot-token fan-out
+    val pruned =
+      if (maxDfFrac < 1.0)
+        postings.filter(F.col("dfr").cast(DoubleType) <=
+          F.lit(maxDfFrac) * F.col("nd").cast(DoubleType))
+      else postings
     val termScore = F.round(
       F.log((F.col("nd") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5) + 1) *
         F.col("tf") * (k1 + 1) /
         (F.col("tf") +
           F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))),
       7).cast(DecimalType(28, 7))
-    val scored = qTok
-      .join(tf, "token")
-      .join(dfreq, "token")
-      .join(lens, idCol)
-      .crossJoin(F.broadcast(stats))
+    val scored = pruned
+      .join(F.broadcast(qTok), "token")
       .groupBy(F.col("q_id"), F.col(idCol).as("n_id"))
       .agg(F.sum(termScore).as("cos"))
     similarity.twoStageTopK(scored, k)
