@@ -37,14 +37,20 @@ object retrieval {
     * engines (`CAST(dfr AS DOUBLE) <= maxDfFrac * CAST(nd AS DOUBLE)`)
     * so an oracle replays the cut bit-identically.
     *
-    * Plan shape (cache-free, one linear pipeline): `dl` rides along with
-    * the token explode (it is a pure function of the document), `dfr`
-    * comes from a count window over the token partitioning — which the
-    * subsequent query-token equi-join then reuses — and corpus stats
-    * (N, avgdl) are one tiny map-side-combined scan broadcast to every
-    * posting. Nothing is persisted and nothing is recomputed, so the
-    * cost is identical run-to-run regardless of the caller's cache
-    * lifecycle. */
+    * Plan shape (cache-free, skew-free, ONE corpus scan): the token
+    * explode + `(id, dl, token)` aggregate (`tf`) is the only pass over
+    * the corpus; `dfreq` and the corpus stats (N, avgdl) are both
+    * derived FROM `tf`, so Catalyst's `ReuseExchange` collapses the
+    * three uses onto a single physical shuffle — the corpus is scanned,
+    * exploded and aggregated exactly once. `dfreq` is attached back by
+    * an equi-join rather than a `count() over (partition by token)`
+    * window: the window would drag a hot token's entire postings list
+    * through ONE task (the per-key skew a stopword creates at corpus
+    * scale), whereas the aggregate is map-side-combined down to one row
+    * per token and the join's small side (vocabulary-sized) broadcasts
+    * at runtime via AQE. Nothing is persisted and nothing is recomputed,
+    * so the cost is identical run-to-run regardless of the caller's
+    * cache lifecycle. */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
@@ -57,11 +63,14 @@ object retrieval {
       .select(F.col(idCol), F.size(toks).as("dl"),
         F.explode(toks).as("token"))
       .groupBy(idCol, "dl", "token").agg(F.count(F.lit(1)).as("tf"))
-    val withDf = tf.withColumn("dfr",
-      F.count(F.lit(1)).over(Window.partitionBy("token")))
-    // exact-integer division: deterministic regardless of doc order
-    val stats = corpus.select(F.size(toks).as("dl"))
-      .filter(F.col("dl") > 0)
+    // one row per token, map-side combined; no broadcast HINT — at a
+    // 100M-term vocabulary forcing a broadcast would OOM the driver, so
+    // the runtime (AQE) picks broadcast when the actual size allows
+    val dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).as("dfr"))
+    // exact-integer division: deterministic regardless of doc order.
+    // nd counts docs with >= 1 token (empty docs produce no explode
+    // rows), matching the oracle's len-table semantics.
+    val stats = tf.groupBy(F.col(idCol), F.col("dl")).agg(F.count(F.lit(1)))
       .agg(F.count(F.lit(1)).as("nd"),
         (F.sum("dl").cast(DoubleType) /
           F.count(F.lit(1)).cast(DoubleType)).as("avgdl"))
@@ -69,7 +78,7 @@ object retrieval {
         F.explode(text.tokens(F.col(qTextCol))).as("token"))
       .filter(F.length(F.col("token")) > 0)
       .distinct()
-    val postings = withDf.crossJoin(F.broadcast(stats))
+    val postings = tf.join(dfreq, "token").crossJoin(F.broadcast(stats))
     // prune stopword-grade postings BEFORE the query-token join: the cut
     // happens where the rows are, never after the hot-token fan-out
     val pruned =
