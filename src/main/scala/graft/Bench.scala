@@ -96,15 +96,20 @@ object Bench {
     val totalCold = results.map(_._2).sum
     val json = s"""{"metric":"total_warm","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cold_total":$totalCold,"queries_cold":$qsCold,"sf":"$sfDir","cpus":$cpus}"""
-    // The JSON line must actually REACH the harness parsing stdout: print
-    // it immediately (flushed) on BOTH streams, write the file artifact,
-    // then print it once more AFTER spark.stop() so it is also the last
-    // non-log line — whichever end of the captured stream survives
-    // truncation or log interleaving carries a complete copy.
+    // The full line (117 queries × cold+warm) is ~8 KB — larger than the
+    // harness's captured tail window, so a full copy printed last gets
+    // truncated from the front and never parses. Print the full line
+    // first (flushed, both streams) for log readers, write the file
+    // artifact, and reserve the FINAL post-stop line for a compact
+    // totals-only JSON that fits any tail window; per-query detail lives
+    // in bench_out.json (committed each round).
     println(json)
     System.out.flush()
     System.err.println(json)
     System.err.flush()
+    val compact = s"""{"metric":"total_warm","value":$total,"unit":"sec",""" +
+      s""""cold_total":$totalCold,"n_queries":${results.size},""" +
+      s""""sf":"$sfDir","cpus":$cpus,"detail":"bench_out.json"}"""
     // The file is the always-parseable artifact (cold + warm medians per
     // query) that round-over-round comparisons ingest. Default
     // bench_out.json in the working directory; override with
@@ -117,7 +122,7 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
-    println(json)
+    println(compact)
     System.out.flush()
   }
 }

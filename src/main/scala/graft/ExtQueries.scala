@@ -171,10 +171,20 @@ object ExtQueries {
     * ring salt) so one boilerplate-heavy chunk bucket can never go
     * quadratic — the caveat that the capped result is "~cap neighbours
     * per row, ring-linked" instead of exhaustive inside overflowing
-    * buckets is proven under an oracle by x20. */
+    * buckets is proven under an oracle by x20.
+    *
+    * `pairBlocking = false`: at maxDist = 6 BOTH blockings are exact by
+    * pigeonhole (7 chunks → one clean chunk; 8 chunks → one clean pair),
+    * so the choice is purely a cost trade. Pair keys are ~18 bits wide
+    * vs ~9, which shrinks buckets — but cost C(8,2) = 28 block keys per
+    * doc vs 7, a 4× explode whose surviving candidate duplicates all
+    * meet again in the closing `.distinct()`. With the ring-salt cap
+    * already bounding any hot single-chunk bucket, the narrower keys buy
+    * nothing the cap doesn't, so the production bench posture takes the
+    * 7-key side of the trade. */
   def x04BenchSimhash(s: SparkSession, dir: String): DataFrame =
     dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxDist = 6,
-        maxBucket = 1000)
+        maxBucket = 1000, pairBlocking = false)
       .orderBy("id_a", "id_b")
 
   private val x04Oracle =
@@ -320,12 +330,50 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rank <= 6 ORDER BY q_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN — engine-native hyperplane hashing, rows-only. */
+  /** LSH-bucketed ANN at the REAL bucketing setting (nPlanes = 4), under
+    * a full oracle: the hyperplane bank is driver-computed ±1 literals
+    * ([[similarity.lshBucket]]), so the generated oracle SQL inlines the
+    * exact sign vectors and recomputes every vector's sign-bit bucket,
+    * the bucket-equijoin candidate set, and the in-bucket exact cosine
+    * top-k — nothing degenerate about the setting (x61 keeps the
+    * single-bucket nPlanes = 0 variant that proves the pipeline equals
+    * brute force). Projection sums replay as DuckDB `list_sum`, the
+    * same form x06/x61 already hash-match for the cosine itself. */
   def x07AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     similarity.lshTopK(e, e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
         k = 5, dim = 64, nPlanes = 4)
       .orderBy("q_id", "rank")
+  }
+
+  private val x07Oracle = {
+    val dim = 64; val nPlanes = 4; val seed = 42
+    // the SAME pinned hyperplane bank as similarity.lshBucket — ±1 signs
+    // from MurmurHash3.productHash((seed, plane, dim))
+    def planeSigns(j: Int): Seq[String] = (0 until dim).map { i =>
+      val h: Int = (scala.util.hashing.MurmurHash3.productHash((seed, j, i)): @scala.annotation.nowarn("cat=deprecation"))
+      if ((h & 1) == 0) "1.0" else "-1.0"
+    }
+    val bucket = (0 until nPlanes).map { j =>
+      val arr = planeSigns(j).mkString("[", ",", "]")
+      s"""(CASE WHEN list_sum(list_transform(list_zip(v, $arr),
+         |    x -> x[1] * x[2])) >= 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucket AS bucket FROM e),
+       |q AS (SELECT * FROM b WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |  list_sum(list_transform(list_zip(q.v, c.v), x -> x[1] * x[2]))
+       |  / sqrt(list_sum(list_transform(q.v, x -> x * x)))
+       |  / sqrt(list_sum(list_transform(c.v, x -> x * x))) AS cos
+       |  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id != q.vec_id)
+       |SELECT q_id, n_id, cos, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, n_id) AS BIGINT) AS rank FROM scored)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
   /** The LSH ANN pipeline under an EXACT oracle: nPlanes = 0 puts every
@@ -873,14 +921,19 @@ object ExtQueries {
     * ([[graft.functions.retrieval.rrfFuse]]): the x36 BM25 lexical arm
     * and the x06 brute-force cosine arm over the same query ids
     * (doc_id ≡ vec_id in the fixtures), fused at k0 = 60 — both arms
-    * AND the fusion replayed in one DuckDB WITH-chain. */
+    * AND the fusion replayed in one DuckDB WITH-chain. The lexical arm
+    * runs WITH the production stopword cut (`maxDfFrac = 0.78`, the x36
+    * posture — see [[x36Bm25TopK]] for why 0.78 on this flat synthetic
+    * vocabulary): an unpruned arm joins stopword-grade postings lists,
+    * whose O(N) fan-out is exactly the scale-killer the cut exists for. */
   def x72HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
     val corpus = docs(s, dir)
     val queries = corpus.filter(F.col("doc_id") % 250 === 0)
       .select(F.col("doc_id").as("q_id"),
         F.substring(F.col("text"), 1, 40).as("q_text"))
     val lexical = graft.functions.retrieval.bm25TopK(
-      corpus, "doc_id", "text", queries, "q_id", "q_text", k = 5)
+      corpus, "doc_id", "text", queries, "q_id", "q_text", k = 5,
+      maxDfFrac = 0.78)
     val e = embs(s, dir)
     val semantic = similarity.bruteForceTopK(
       e, e.filter(F.col("vec_id") % 250 === 0), "vec_id", "embedding", k = 5)
@@ -911,6 +964,7 @@ object ExtQueries {
       |      AS DECIMAL(28,7))) AS s
       |  FROM qt JOIN t USING (token) JOIN dfreq USING (token)
       |    JOIN len ON t.doc_id = len.doc_id CROSS JOIN stats
+      |  WHERE CAST(dfr AS DOUBLE) <= CAST(0.78 AS DOUBLE) * CAST(nd AS DOUBLE)
       |  GROUP BY 1, 2),
       |bm AS (SELECT q_id, n_id, ROW_NUMBER() OVER
       |    (PARTITION BY q_id ORDER BY s DESC, n_id) AS rank FROM sc
@@ -2999,6 +3053,7 @@ object ExtQueries {
     "x04_dedup_simhash" -> x04Oracle,
     "x05_dedup_embedding_cosine" -> x05Oracle,
     "x06_ann_brute_force_topk" -> x06Oracle,
+    "x07_ann_lsh_topk" -> x07Oracle,
     "x08_text_token_stats" -> x08Oracle,
     "x09_text_quality_score" -> x09Oracle,
     "x10_text_language_id" -> x10Oracle,

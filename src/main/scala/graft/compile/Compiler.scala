@@ -559,6 +559,11 @@ object ExprCompiler {
           F.size(F.collect_set(compile(args.head, ctx)).over(ws)).cast(LongType)
         case None => F.count_distinct(compile(args.head, ctx))
       }
+      // median/quantile are EXACT (the reference's semantics demand it):
+      // Spark's percentile aggregate buffers every group value in the
+      // aggregation buffer — the one aggregate here that does not stream
+      // at scale. Billion-row groups should use approx_quantile-style
+      // sketches instead; exactness is the contract these two keep.
       case "median" => fin(F.median(arg(0)).cast(DoubleType))
       case "quantile" =>
         val p = args(1) match {

@@ -12,12 +12,17 @@ import org.apache.spark.storage.StorageLevel
   * WORD-FREQUENCY table, whose cardinality is the vocabulary (≤ a few
   * million rows at any corpus size), not the corpus.
   *
-  * Shape per merge step: one map-side-combined pair-count aggregation
-  * over the vocab table (each word explodes into ≤ |word| adjacent
-  * pairs), a driver pick of the argmax pair (count desc, then
-  * lexicographic — fully deterministic), and a narrow codegen'd fold
-  * that merges the pair greedily left-to-right inside each word. The
-  * corpus itself is scanned exactly once, for the initial word counts.
+  * Shape: ONE distributed pass builds the word-frequency table (explode
+  * + map-side-combined count), which is then collected and the whole
+  * merge loop runs driver-local — pair counting, the deterministic
+  * argmax (count desc, then lexicographic), and the greedy
+  * left-to-right merge are all in-memory array walks over vocab-bounded
+  * state, so `numMerges` costs zero further Spark jobs. The driver
+  * state is the same class as k-means centroids or a collected Bloom
+  * filter: bounded by the VOCABULARY (a few million (word, count) rows
+  * at any corpus size), never by the corpus. `distributedLoop = true`
+  * keeps every merge step on the cluster (two jobs per merge) for the
+  * adversarial case of a vocabulary too large to collect.
   *
   * Engine-portable by construction: counts are exact Longs, the argmax
   * tie-break is total, and the greedy merge is a string fold
@@ -35,8 +40,8 @@ object bpe {
   /** Learn `numMerges` merges over the whitespace-token stream of
     * `textCol`. Returns (lhs, rhs, pairCount) per step, in merge
     * order; stops early if no adjacent pair remains. */
-  def trainMerges(df: DataFrame, textCol: String,
-      numMerges: Int): Seq[(String, String, Long)] = {
+  def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
+      distributedLoop: Boolean = false): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"bpe: numMerges must be >= 1 (got $numMerges)")
     val words = df
       .select(F.explode(text.tokens(F.col(textCol))).as("w"))
@@ -44,6 +49,72 @@ object bpe {
       .groupBy("w").agg(F.count(F.lit(1)).as("cnt"))
       .select(F.regexp_extract_all(F.col("w"), F.lit("[a-z]"), F.lit(0))
         .as("syms"), F.col("cnt"))
+    if (!distributedLoop) trainMergesLocal(words, numMerges)
+    else trainMergesDistributed(words, numMerges)
+  }
+
+  /** Driver-local merge loop over the collected word-frequency table.
+    * Exactly the distributed loop's semantics: pair counts are exact
+    * Long sums; argmax is (count desc, lhs asc, rhs asc); the merge is
+    * greedy left-to-right and a just-merged tail never re-matches as
+    * lhs in the same pass (tail == lhs is checked against the WHOLE
+    * current tail symbol, which after a merge is lhs+rhs ≠ lhs). */
+  private def trainMergesLocal(words: DataFrame,
+      numMerges: Int): Seq[(String, String, Long)] = {
+    // vocab-bounded collect: (symbol array, count) per distinct word
+    val vocab: Array[(Array[String], Long)] = words.collect().map { r =>
+      (r.getSeq[String](0).toArray, r.getLong(1))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((a, b, c))
+        var w = 0
+        while (w < vocab.length) {
+          val (syms, cnt) = vocab(w)
+          // fast containment probe before allocating the merged array
+          var hit = false
+          var i = 0
+          while (!hit && i < syms.length - 1) {
+            if (syms(i) == a && syms(i + 1) == b) hit = true
+            i += 1
+          }
+          if (hit) {
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (merged.nonEmpty && merged.last == a && syms(j) == b)
+                merged(merged.length - 1) = a + b
+              else merged += syms(j)
+              j += 1
+            }
+            vocab(w) = (merged.toArray, cnt)
+          }
+          w += 1
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The all-on-cluster merge loop (two Spark jobs per merge): only for
+    * vocabularies too large to collect to the driver. */
+  private def trainMergesDistributed(words: DataFrame,
+      numMerges: Int): Seq[(String, String, Long)] = {
     var state = words.persist(StorageLevel.MEMORY_AND_DISK)
     state.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Sparse lexical retrieval for data selection: BM25 in relational form.
@@ -37,40 +36,70 @@ object retrieval {
     * engines (`CAST(dfr AS DOUBLE) <= maxDfFrac * CAST(nd AS DOUBLE)`)
     * so an oracle replays the cut bit-identically.
     *
-    * Plan shape (cache-free, skew-free, ONE corpus scan): the token
-    * explode + `(id, dl, token)` aggregate (`tf`) is the only pass over
-    * the corpus; `dfreq` and the corpus stats (N, avgdl) are both
-    * derived FROM `tf`, so Catalyst's `ReuseExchange` collapses the
-    * three uses onto a single physical shuffle — the corpus is scanned,
-    * exploded and aggregated exactly once. `dfreq` is attached back by
-    * an equi-join rather than a `count() over (partition by token)`
-    * window: the window would drag a hot token's entire postings list
-    * through ONE task (the per-key skew a stopword creates at corpus
-    * scale), whereas the aggregate is map-side-combined down to one row
-    * per token and the join's small side (vocabulary-sized) broadcasts
-    * at runtime via AQE. Nothing is persisted and nothing is recomputed,
-    * so the cost is identical run-to-run regardless of the caller's
-    * cache lifecycle. */
+    * Plan shape (cache-free, skew-free, ONE token-grain shuffle): the
+    * corpus text column is scanned three times, but each derived input
+    * is computed at the cheapest possible grain rather than re-running
+    * the inverted-index aggregate —
+    *
+    *  - `tf` (the `(id, dl, token)` postings relation) is the only
+    *    token-grain shuffle in the plan;
+    *  - `dfreq` explodes `array_distinct(tokens)` and counts per token:
+    *    the map-side combine collapses every task's output to at most
+    *    vocabulary-many rows, so its shuffle is vocabulary-sized, never
+    *    corpus-sized;
+    *  - the corpus stats (N, avgdl) need no explode at all — `dl` is
+    *    `size(tokens)` per corpus ROW, so they are a scan-level scalar
+    *    aggregate (one partial row per task).
+    *
+    * Why not share one pass? Exchange reuse cannot unify consumers of a
+    * common `tf` subtree — column pruning drops the count column from
+    * the derived branches, so their partial aggregates never
+    * canonicalize equal — and persisting `tf` for the query's duration
+    * was measured SLOWER than recompute (columnar cache serialization of
+    * the whole postings relation costs more than re-tokenizing), besides
+    * pinning corpus-scale executor storage at 100 TB. Three cheap scans
+    * with one bounded shuffle is the shape that survives scale-up; a
+    * caller issuing repeated query batches over the same corpus should
+    * build the persistent index once ([[graft.functions.index]]) instead
+    * of re-deriving it per call. `dfreq` is attached back by an
+    * equi-join rather than a `count() over (partition by token)` window:
+    * the window would drag a hot token's entire postings list through
+    * ONE task (the per-key skew a stopword creates at corpus scale),
+    * whereas the join's small side (vocabulary-sized) broadcasts at
+    * runtime via AQE.
+    *
+    * Corpus rows are assumed to carry distinct `idCol` values (it is a
+    * document id): `nd`/`avgdl`/`dfr` count corpus ROWS, while the `tf`
+    * aggregate merges duplicate ids — input with duplicate ids is
+    * invalid and would score inconsistently between the two grains. */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       maxDfFrac: Double = 1.0): DataFrame = {
-    val toks = F.filter(text.tokens(F.col(textCol)),
-      t => F.length(t) > 0)
+    // lambda-free empty-token drop: split on the trimmed text only ever
+    // yields "" for the all-whitespace input, and array_remove — unlike a
+    // higher-order F.filter lambda — stays fully codegen'd and
+    // canonicalizable
+    val toks = F.array_remove(text.tokens(F.col(textCol)), "")
     // (id, dl, token) -> tf: dl is functionally dependent on the id, so
     // carrying it as a grouping key costs nothing and saves the lens join
     val tf = corpus
       .select(F.col(idCol), F.size(toks).as("dl"),
         F.explode(toks).as("token"))
       .groupBy(idCol, "dl", "token").agg(F.count(F.lit(1)).as("tf"))
-    // one row per token, map-side combined; no broadcast HINT — at a
-    // 100M-term vocabulary forcing a broadcast would OOM the driver, so
-    // the runtime (AQE) picks broadcast when the actual size allows
-    val dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).as("dfr"))
-    // exact-integer division: deterministic regardless of doc order.
-    // nd counts docs with >= 1 token (empty docs produce no explode
-    // rows), matching the oracle's len-table semantics.
-    val stats = tf.groupBy(F.col(idCol), F.col("dl")).agg(F.count(F.lit(1)))
+    // doc frequency straight off the corpus row (distinct tokens per
+    // doc), one count per token after map-side combine; no broadcast
+    // HINT — at a 100M-term vocabulary forcing a broadcast would OOM
+    // the driver, so the runtime (AQE) picks broadcast when the actual
+    // size allows
+    val dfreq = corpus
+      .select(F.explode(F.array_distinct(toks)).as("token"))
+      .groupBy("token").agg(F.count(F.lit(1)).as("dfr"))
+    // nd counts docs with >= 1 token (dl = size(tokens) per corpus row,
+    // no explode), matching the oracle's len-table semantics; avg is
+    // computed as sum/count in DOUBLE, deterministic vs doc order
+    val stats = corpus.select(F.size(toks).as("dl"))
+      .filter(F.col("dl") > 0)
       .agg(F.count(F.lit(1)).as("nd"),
         (F.sum("dl").cast(DoubleType) /
           F.count(F.lit(1)).cast(DoubleType)).as("avgdl"))

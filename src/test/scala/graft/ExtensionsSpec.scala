@@ -646,6 +646,11 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(seg.getSeq[String](0) == refSeg)
     assert(seg.getSeq[String](1) == Seq("x42!"))
+    // the flag-gated all-on-cluster loop is merge-for-merge identical to
+    // the default driver-local loop
+    val gotDist = bpe.trainMerges(df, "text", numMerges = 5,
+      distributedLoop = true)
+    assert(gotDist == want)
   }
 
   test("zorderKey is the Morton interleave; zorderBy partitions cover disjoint sorted ranges") {

@@ -350,6 +350,59 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout prunes files/row-groups on a 2-D box scan") {
+    import graft.functions.layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
+    val zOut = new java.io.File(dir, "z").getAbsolutePath
+    val rOut = new java.io.File(dir, "r").getAbsolutePath
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 100k uniform points on [0,1024)^2 — deterministic
+      val rnd = new scala.util.Random(11)
+      val pts = (0 until 100000).map(i =>
+        (i.toLong, rnd.nextInt(1024), rnd.nextInt(1024)))
+      val df = pts.toDF("id", "x", "y")
+      // same data, two layouts: z-ordered (16 files, each a z-range =
+      // small hyper-box, so per-file/row-group x,y min/max are TIGHT)
+      // vs round-robin (every file's min/max spans the whole space)
+      layout.zorderBy(df, Seq("x", "y"), bits = 10, numPartitions = 16)
+        .write.parquet(zOut)
+      df.repartition(16).write.parquet(rOut)
+      def boxScanRows(path: String): (Long, Long) = {
+        val q = spark.read.parquet(path)
+          .filter(F.col("x").between(100, 131) && F.col("y").between(200, 231))
+        val scan = q.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.head
+        // min/max skipping needs the predicate at the reader
+        assert(scan.metadata("PushedFilters").contains("GreaterThanOrEqual(x,100"),
+          scan.metadata("PushedFilters"))
+        // execute THIS plan instance (count() would plan a separate
+        // query and leave our scan node's metrics untouched)
+        val n = q.collect().length.toLong
+        (n, scan.metrics("numOutputRows").value)
+      }
+      val (zMatch, zScanned) = boxScanRows(zOut)
+      val (rMatch, rScanned) = boxScanRows(rOut)
+      // both layouts return the identical result...
+      assert(zMatch == rMatch && zMatch > 0)
+      // ...but the z-ordered scan emits only the row groups whose
+      // min/max boxes intersect the query box: the 32x32 box hits a
+      // handful of the 16 z-range files, while the round-robin layout
+      // can skip nothing
+      assert(rScanned >= 90000L, s"baseline unexpectedly pruned: $rScanned")
+      assert(zScanned <= 25000L,
+        s"z-ordered scan read $zScanned rows — no data skipping payoff")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("near-dup index: capped probe bounds hot buckets and loses no pairs") {
     import graft.functions.index
     // 60 copies of one boilerplate doc in the index: its band buckets
