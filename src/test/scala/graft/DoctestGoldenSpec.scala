@@ -206,4 +206,118 @@ class DoctestGoldenSpec extends SparkSpec {
       .mutate("b" -> C("a").cast(IntegerType))
     assert(col(t, "b") == Seq(Seq(3), Seq(10), Seq(-434), Seq(0)))
   }
+
+  // ---------------- verb doctests (pipe/verbs.py) ----------------
+
+  test("arrange: multi-key with null placement and descending (verbs.py:707-743)") {
+    val t = tbl(Seq[(java.lang.Long, String, java.lang.Double)](
+        (2L, "l", 0.655), (7L, "o", -4.33), (3L, "a", null),
+        (2L, "c", 143.6), (6L, "s", 0.0), (null, "---", 1.0),
+        (4L, "3", 4.5))
+      .toDF("r", "s", "p"))
+    assert(rows(t.arrange(C("r").nullsFirst, C("p")).select(C("s"))) ==
+      Seq(Seq("---"), Seq("l"), Seq("c"), Seq("a"), Seq("3"), Seq("s"), Seq("o")))
+    assert(rows(t.arrange(C("p").desc.nullsLast, C("s")).select(C("s"))) ==
+      Seq(Seq("c"), Seq("3"), Seq("---"), Seq("l"), Seq("s"), Seq("o"), Seq("a")))
+  }
+
+  test("slice_head selects n rows from an offset (verbs.py:968-984)") {
+    val t = tbl(Seq((1L, 65L, "l"), (2L, 5L, "r"), (3L, 312L, "srq"),
+        (4L, -55L, "---"), (5L, 0L, " "))
+      .toDF("_i", "a", "b"))
+      .arrange(C("_i")).sliceHead(3, offset = 1)
+    assert(col(t, "a", "b") == Seq(
+      Seq(5L, "r"), Seq(312L, "srq"), Seq(-55L, "---")))
+  }
+
+  test("left join keeps unmatched left rows, suffixes clashing right columns (verbs.py:1073-1092)") {
+    val t1 = tbl(Seq(3L, 1L, 4L, 1L, 5L, 9L, 4L).toDF("a"), "t1")
+    val t2 = tbl(Seq((4L, "f"), (4L, "g"), (1L, "h"), (7L, "i"))
+      .toDF("a", "b"), "t2")
+    val j = t1.leftJoin(t2, t1.col("a") === t2.col("a"))
+    // the doctest prints `b` as `b_t2`, but the reference's own rename
+    // rule (verbs.py:1201-1204) suffixes ONLY clashing columns when
+    // nothing except join columns clashes — the printed frame predates
+    // that rule; we match the implemented semantics
+    assert(j.columns == Seq("a", "a_t2", "b"))
+    val got = rows(j).map(r => (r(0), r(1), r(2)))
+      .sortBy(x => (x._1.asInstanceOf[Long],
+        Option(x._3).map(_.toString).getOrElse("")))
+    assert(got == Seq(
+      (1L, 1L, "h"), (1L, 1L, "h"), (3L, null, null),
+      (4L, 4L, "f"), (4L, 4L, "f"), (4L, 4L, "g"), (4L, 4L, "g"),
+      (5L, null, null), (9L, null, null)))
+  }
+
+  test("union concatenates matching-schema tables (verbs.py:1445-1462)") {
+    val t1 = tbl(Seq((1L, 4L), (2L, 5L), (3L, 6L)).toDF("a", "b"), "t1")
+    val t2 = tbl(Seq((7L, 9L), (8L, 10L)).toDF("a", "b"), "t2")
+    val u = t1.union(t2)
+    assert(rows(u.arrange(C("a"))) == Seq(
+      Seq(1L, 4L), Seq(2L, 5L), Seq(3L, 6L), Seq(7L, 9L), Seq(8L, 10L)))
+  }
+
+  test("alias enables a self join; suffix disambiguates (verbs.py:120-147)") {
+    val t = tbl(Seq((4L, "l"), (2L, "g"), (1L, "uu"), (4L, "--   r"))
+      .toDF("a", "b"), "t")
+    val s = t.alias("s")
+    val j = t.innerJoin(s, t.col("a") === s.col("a"),
+      suffix = Some("_right"))
+    assert(j.columns == Seq("a", "b", "a_right", "b_right"))
+    val got = rows(j).map(r => (r(0), r(1), r(3)))
+      .sortBy(x => (x._1.asInstanceOf[Long], x._2.toString, x._3.toString))
+    assert(got == Seq(
+      (1L, "uu", "uu"), (2L, "g", "g"),
+      (4L, "--   r", "--   r"), (4L, "--   r", "l"),
+      (4L, "l", "--   r"), (4L, "l", "l")))
+  }
+
+  test("grouped mutate broadcasts per-group aggregates (verbs.py:818-845)") {
+    val t = tbl(Seq[(Long, Double, String, java.lang.Boolean, Long)](
+        (1L, 1.2, "a  ", true, 4L), (2L, 5.077, "transform", false, 4L),
+        (3L, -2.29, "pipedag", null, 2L), (4L, -0.0, "cdegh", null, 0L),
+        (5L, 3.0, "  -ade ", true, 1L), (6L, -7.7, "  pq", true, 0L))
+      .toDF("_i", "a", "b", "c", "d"))
+      .groupBy(C("c"))
+      .mutate(
+        "u" -> (C("b").str.len.max() + C("a").min()),
+        "v" -> C("d").mean(filter = C("a") >= lit(0.0)))
+      .ungroup
+    def r6(vs: Seq[Seq[Any]]): Seq[Seq[Any]] = vs.map(_.map {
+      case d: Double => math.rint(d * 1e6) / 1e6
+      case v => v
+    })
+    assert(r6(col(t, "u")) == Seq(Seq(-0.7), Seq(14.077), Seq(4.71),
+      Seq(4.71), Seq(-0.7), Seq(-0.7)))
+    assert(r6(col(t, "v")) == Seq(Seq(2.5), Seq(4.0), Seq(0.0),
+      Seq(0.0), Seq(2.5), Seq(2.5)))
+  }
+
+  test("summarize: grouped aggregates with filter kwarg (verbs.py:881-907)") {
+    val t = tbl(Seq[(Long, Double, String, java.lang.Boolean)](
+        (1L, 1.2, "a  ", true), (2L, 5.077, "transform", false),
+        (3L, -2.29, "pipedag", null), (4L, -0.0, "cdegh", null),
+        (5L, 3.0, "  -ade ", true), (6L, -7.7, "  pq", true))
+      .toDF("_i", "a", "b", "c"))
+      .groupBy(C("c"))
+      .summarize(
+        "u" -> C("b").str.len.mean(),
+        "v" -> C("a").sum(filter = C("a") >= lit(0.0)))
+    val got = rows(t).map(r => (r(0),
+      math.rint(r(1).asInstanceOf[Double] * 1e6) / 1e6,
+      math.rint(r(2).asInstanceOf[Double] * 1e6) / 1e6)).toSet
+    assert(got == Set(
+      (true, 4.666667, 4.2), (null, 6.0, 0.0), (false, 9.0, 5.077)))
+  }
+
+  test("collect materializes mid-pipeline; downstream verbs still apply (verbs.py:113-137)") {
+    val t = tbl(Seq((1L, 4L, "l"), (2L, 2L, "g"), (3L, 1L, "uu"),
+        (4L, 4L, "--   r"))
+      .toDF("_i", "a", "b"))
+      .mutate("z" -> (C("a") + C("b").str.len))
+      .collectNow()
+      .arrange(C("z"), C("a"), C("_i"))
+    assert(rows(t.select(C("a"), C("z"))) == Seq(
+      Seq(1L, 3L), Seq(2L, 3L), Seq(4L, 5L), Seq(4L, 10L)))
+  }
 }
