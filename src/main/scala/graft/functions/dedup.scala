@@ -559,9 +559,21 @@ object dedup {
     * is tracked by the same auto-release listener the signature caches
     * use — executor storage does not outlive the consuming query.
     * Convergence is detected by an (edge-count, xxhash64-sum) checksum
-    * — the same aggregate job that materializes the round's cache. */
+    * — the same aggregate job that materializes the round's cache.
+    *
+    * Driver-local shortcut: the first settle job already counts the
+    * deduplicated edge set; when it is at most `localEdgeThreshold`
+    * rows of Long ids, ONE collect + an in-memory union-find replaces
+    * the whole O(log n) round loop — the result is identical (component
+    * = min reachable id) and the per-round fixed job cost disappears.
+    * The bound makes the driver state explicit: 2M edges ≈ 32 MB, the
+    * same class as a collected centroid bank. Pair generators upstream
+    * are capped (saltOversized), but a 100 TB corpus still yields far
+    * more than 2M candidate pairs — those runs take the distributed
+    * loop, which remains the scale path. Pass 0 to force it. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 64): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 64,
+      localEdgeThreshold: Long = 2000000L): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
     // orient (large, small), drop self-loops and duplicates
@@ -599,6 +611,30 @@ object dedup {
     }
     var (edges, sum) = settle(canon(
       pairs.select(F.col(aCol).as("u"), F.col(bCol).as("v"))))
+    // Long-typed ids only: the shortcut's output schema must equal the
+    // distributed path's (every graft generator emits Long ids)
+    if (sum._1 > 0L && sum._1 <= localEdgeThreshold &&
+        edges.schema.fields.forall(_.dataType == LongType)) {
+      val collected = edges.collect()
+      edges.unpersist(blocking = false)
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      collected.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("id", "component")
+    }
     var it = 0
     var done = sum._1 == 0L
     while (!done && it < maxIter) {

@@ -826,35 +826,47 @@ class ExtensionsSpec extends SparkSpec {
     nodes.map(k => k -> minOf(find(k))).toMap
   }
 
-  test("connected components resolve a known graph to component minima") {
+  test("connected components resolve a known graph to component minima (both paths)") {
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 6L), (3L, 2L), (9L, 9L))
       .toDF("id_a", "id_b")
-    val got = dedup.connectedComponents(pairs).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
     // (9,9) is a self-loop: dropped; 9 never appears
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L)
+    val local = dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == want)
+    // localEdgeThreshold = 0 forces the distributed star loop
+    val dist = dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == want)
   }
 
   test("connected components collapse a 10k-node path in logarithmic rounds") {
     // the exact shape saltOversized's ring chaining produces for a hot
     // bucket: a long path. Min-propagation would need 10k rounds; the
     // star algorithm's maxIter=64 bound only holds if rounds are ~log n.
+    // Force the distributed loop — the star algorithm is what's on trial
     val edges = spark.range(0, 9999)
       .select(F.col("id").as("id_a"), (F.col("id") + 1).as("id_b"))
-    val got = dedup.connectedComponents(edges, maxIter = 40)
+    val got = dedup.connectedComponents(edges, maxIter = 40,
+      localEdgeThreshold = 0L)
     assert(got.count() == 10000)
     assert(got.agg(F.countDistinct("component")).head().getLong(0) == 1L)
     assert(got.agg(F.max("component")).head().getLong(0) == 0L)
   }
 
-  test("connected components match a driver union-find on a random graph") {
+  test("connected components match a driver union-find on a random graph (both paths)") {
     val rnd = new scala.util.Random(19)
     val pairs = (0 until 400).map(_ =>
       (rnd.nextInt(500).toLong, rnd.nextInt(500).toLong))
       .filter { case (a, b) => a != b }
-    val got = dedup.connectedComponents(pairs.toDF("id_a", "id_b")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == componentsOf(pairs))
+    val want = componentsOf(pairs)
+    val local = dedup.connectedComponents(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == want)
+    val dist = dedup.connectedComponents(pairs.toDF("id_a", "id_b"),
+        localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == want)
   }
 
   test("keepCanonical keeps the component minimum and every unpaired row") {
