@@ -69,8 +69,10 @@ class ScaleSmokeSpec extends SparkSpec {
       (F.lit(2000000L) + grp * 5 + 1 + F.pmod(F.col("id"), F.lit(4)))
         .cast("long").as("id_a"),
       (F.lit(2000000L) + grp * 5).cast("long").as("id_b"))
+    // the 1.4M-edge set fits the driver-local union-find threshold, but
+    // the star loop's log-round bound is what this smoke exists to prove
     val comp = graft.functions.dedup.connectedComponents(
-      path.unionByName(cliques))
+      path.unionByName(cliques), localEdgeThreshold = 0L)
     val agg = comp.agg(
       F.count(F.lit(1)), F.countDistinct("component"),
       F.sum(F.when(F.col("component") === 0L, 1L).otherwise(0L))).head()
