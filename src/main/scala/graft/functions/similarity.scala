@@ -30,28 +30,25 @@ object similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
 
-  /** Two-stage exact top-k per query over a `(q_id, n_id, cos)` scored
-    * frame — the scale-safe replacement for a single
-    * `row_number().over(partitionBy(q_id))` window, which sorts the
-    * ENTIRE scored corpus for one query inside one task. Stage 1 keeps
-    * the k best candidates per (q_id, input partition) — each sort is
-    * bounded by one partition's rows; stage 2 merges the ≤ k × P
-    * survivors per query. Exact: any global top-k row is also in the
-    * top-k of its own partition (anything that beats it locally beats it
-    * globally), and `(cos DESC, n_id ASC)` is a strict total order, so
-    * ranks are identical to the single-window plan. */
+  /** Exact top-k per query over a `(q_id, n_id, cos)` scored frame via
+    * the bounded-heap aggregate [[graft.plans.BoundedTopK]] — the
+    * scale-right replacement for `row_number().over(partitionBy(q_id))`:
+    * the window must shuffle EVERY scored candidate to its query's task
+    * and sort there, while the aggregate map-side-combines, so each
+    * input task contributes at most k pairs per query to the one
+    * shuffle, and no task ever sorts more than k elements. Exact and
+    * deterministic: `(cos DESC, n_id ASC)` is a strict total order
+    * evaluated in the score's own type (Double, or exact Decimal for
+    * the BM25/RRF decimal scores), so ranks are identical to the
+    * window plan an oracle replays with ROW_NUMBER. */
   private[functions] def twoStageTopK(scored: DataFrame, k: Int): DataFrame = {
-    val local = Window.partitionBy(F.col("q_id"), F.col("_pid"))
-      .orderBy(F.col("cos").desc, F.col("n_id").asc)
-    val global = Window.partitionBy(F.col("q_id"))
-      .orderBy(F.col("cos").desc, F.col("n_id").asc)
-    scored
-      .withColumn("_pid", F.spark_partition_id())
-      .withColumn("_lr", F.row_number().over(local))
-      .filter(F.col("_lr") <= k)
-      .withColumn("rank", F.row_number().over(global).cast(LongType))
-      .filter(F.col("rank") <= k)
-      .select("q_id", "n_id", "cos", "rank")
+    scored.groupBy("q_id")
+      .agg(F.call_function("graft_topk",
+        F.col("cos"), F.col("n_id"), F.lit(k)).as("_tk"))
+      .select(F.col("q_id"), F.posexplode(F.col("_tk")).as(Seq("_pos", "_s")))
+      .select(F.col("q_id"), F.col("_s.n_id").as("n_id"),
+        F.col("_s.cos").as("cos"),
+        (F.col("_pos") + 1).cast(LongType).as("rank"))
   }
 
   /** Brute-force cosine top-k: for every row of `queries`, the k nearest

@@ -1336,6 +1336,149 @@ case class LongArrayBloomCount(child: Expression, bfBytes: Array[Byte])
 /** Session extensions registering graft's native functions; install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
   * entry points do). */
+/** Bounded-heap top-k aggregate: keeps the k best `(score, id)` pairs
+  * under the total order (score DESC, id ASC) and returns them as a
+  * sorted array of structs — rank = array position + 1.
+  *
+  * This is the scale-right replacement for ranking a scored candidate
+  * stream with `row_number() OVER (PARTITION BY q_id ...)`: a window
+  * must shuffle EVERY scored candidate to its query's tasks before any
+  * can be discarded, while an aggregate map-side-combines — each
+  * partial buffer holds at most k pairs, so the shuffle carries k rows
+  * per (query, input task) no matter how many candidates a query
+  * accumulates. Null scores are skipped (they cannot outrank anything).
+  *
+  * The score's own type ordering is used (Double or exact Decimal), so
+  * rank ties resolve identically to the SQL `ORDER BY score DESC, id`
+  * an oracle replays. Partial buffers serialize through an
+  * UnsafeProjection of (score, id), making the aggregate usable at any
+  * grouping cardinality. */
+case class BoundedTopK(score: Expression, id: Expression, k: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[BoundedTopK.Buffer] {
+
+  private lazy val kVal: Int = k.eval().asInstanceOf[Number].intValue()
+  private lazy val ord: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(score.dataType)
+
+  override def children: Seq[Expression] = Seq(score, id, k)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(score = newChildren(0), id = newChildren(1), k = newChildren(2))
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopK =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cos", score.dataType), StructField("n_id", LongType))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (!RowOrdering.isOrderable(score.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_topk: score type ${score.dataType} is not orderable")
+    else if (id.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure("graft_topk: id must be BIGINT")
+    else if (k.dataType != IntegerType || !k.foldable)
+      TypeCheckResult.TypeCheckFailure("graft_topk: k must be a literal INT")
+    else if (k.eval().asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure("graft_topk: k must be >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): BoundedTopK.Buffer =
+    new BoundedTopK.Buffer(kVal, ord)
+
+  override def update(buf: BoundedTopK.Buffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): BoundedTopK.Buffer = {
+    val s = score.eval(input)
+    if (s != null) {
+      val i = id.eval(input)
+      if (i != null) buf.insert(s, i.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(buf: BoundedTopK.Buffer,
+      other: BoundedTopK.Buffer): BoundedTopK.Buffer = {
+    other.heap.foreach { case (s, i) => buf.insert(s, i) }
+    buf
+  }
+
+  override def eval(buf: BoundedTopK.Buffer): Any = {
+    // best-first: score desc, id asc
+    val sorted = buf.heap.toArray.sortWith { (a, b) =>
+      val c = ord.compare(a._1, b._1)
+      if (c != 0) c > 0 else a._2 < b._2
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sorted.map { case (s, i) =>
+        org.apache.spark.sql.catalyst.InternalRow(s, i)
+      }.toArray[Any])
+  }
+
+  // per-task-instance projection: serialize runs once per (group,
+  // partial buffer); regenerating the projection there would dominate
+  @transient private lazy val serProj =
+    UnsafeProjection.create(Array[DataType](score.dataType, LongType))
+
+  override def serialize(buf: BoundedTopK.Buffer): Array[Byte] = {
+    val proj = serProj
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.heap.size)
+    buf.heap.foreach { case (s, i) =>
+      val row = proj.apply(org.apache.spark.sql.catalyst.InternalRow(s, i))
+      out.writeInt(row.getSizeInBytes)
+      out.write(row.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BoundedTopK.Buffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var j = 0
+    while (j < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(2)
+      row.pointTo(rowBytes, len)
+      buf.insert(row.get(0, score.dataType), row.getLong(1))
+      j += 1
+    }
+    buf
+  }
+
+  override def prettyName: String = "graft_topk"
+}
+
+object BoundedTopK {
+  /** Max-heap whose HEAD is the worst kept pair (lowest score, then
+    * largest id) — a candidate beats the head or is dropped in O(1). */
+  final class Buffer(k: Int, ord: Ordering[Any]) {
+    private val worstFirst: Ordering[(Any, Long)] = new Ordering[(Any, Long)] {
+      def compare(a: (Any, Long), b: (Any, Long)): Int = {
+        val c = ord.compare(a._1, b._1)
+        if (c != 0) -c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val heap: scala.collection.mutable.PriorityQueue[(Any, Long)] =
+      scala.collection.mutable.PriorityQueue.empty[(Any, Long)](worstFirst)
+    def insert(s: Any, i: Long): Unit = {
+      if (heap.size < k) heap.enqueue((s, i))
+      else if (worstFirst.compare((s, i), heap.head) < 0) {
+        heap.dequeue(); heap.enqueue((s, i))
+      }
+    }
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -1410,5 +1553,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_quantize_int8"),
       new ExpressionInfo(classOf[Int8QuantizeExpr].getName, "graft_quantize_int8"),
       (children: Seq[Expression]) => Int8QuantizeExpr(children(0))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk"),
+      (children: Seq[Expression]) =>
+        BoundedTopK(children(0), children(1), children(2))))
   }
 }

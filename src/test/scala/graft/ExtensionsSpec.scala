@@ -356,7 +356,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(m((1L, 2L)) == 0.0 && m((1L, 3L)) == 1.0)
   }
 
-  test("two-stage top-k equals a driver-side exact sort (and uses two bounded windows)") {
+  test("top-k equals a driver-side exact sort (via the heap aggregate, no windows)") {
     val rnd = new scala.util.Random(11)
     val corpus = (0 until 60).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
     val queries = corpus.take(5)
@@ -379,11 +379,12 @@ class ExtensionsSpec extends SparkSpec {
     val rows = got.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(rows == expected)
-    // plan shape: a bounded local window + a survivors-only global window,
-    // never one full-corpus sort per q_id
-    val windows = got.queryExecution.executedPlan.toString
-      .linesIterator.count(_.contains("Window"))
-    assert(windows >= 2)
+    // plan shape: ranking is the map-side-combining graft_topk aggregate
+    // — no window operator, so no full-candidate shuffle-and-sort per
+    // q_id anywhere in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_topk"), plan)
+    assert(!plan.linesIterator.exists(_.contains("Window")), plan)
   }
 
   test("packed-sign hyperplane buckets equal the literal-plane lshBucket per table") {
@@ -400,6 +401,41 @@ class ExtensionsSpec extends SparkSpec {
     v.select(viaExpr.as("a"), viaLiterals.as("b")).collect().foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
     }
+  }
+
+  test("graft_topk bounded-heap aggregate equals the window ranking, Double and Decimal") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(23)
+    // 2000 scored candidates over 7 queries, with forced score TIES so
+    // the (cos desc, n_id asc) tie-break is actually exercised; one
+    // query has fewer candidates than k
+    val rows = (0 until 2000).map { i =>
+      (rnd.nextInt(7).toLong, i.toLong, rnd.nextInt(40) / 10.0)
+    } ++ Seq((99L, 1L, 0.5), (99L, 2L, 0.5))
+    val scored = rows.toDF("q_id", "n_id", "cos")
+    def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) = df.groupBy("q_id")
+      .agg(F.call_function("graft_topk", F.col("cos"), F.col("n_id"), F.lit(k)).as("tk"))
+      .select(F.col("q_id"), F.posexplode(F.col("tk")).as(Seq("p", "s")))
+      .select(F.col("q_id"), F.col("s.n_id").as("n_id"), F.col("s.cos").as("cos"),
+        (F.col("p") + 1).cast("long").as("rank"))
+    def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) = df
+      .withColumn("rank", F.row_number().over(Window.partitionBy("q_id")
+        .orderBy(F.col("cos").desc, F.col("n_id").asc)).cast("long"))
+      .filter(F.col("rank") <= k)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString, r.getLong(3))).toSet
+    assert(key(viaAgg(scored, 5)) == key(viaWindow(scored, 5)))
+    // k larger than any query's candidate count: ALL rows come back
+    assert(key(viaAgg(scored, 5000)) == key(viaWindow(scored, 5000)))
+    // exact Decimal scores (the BM25/RRF posture) order by decimal value
+    val dec = scored.select(F.col("q_id"), F.col("n_id"),
+      F.col("cos").cast(org.apache.spark.sql.types.DecimalType(28, 7)).as("cos"))
+    assert(key(viaAgg(dec, 3)) == key(viaWindow(dec, 3)))
+    // null scores are skipped, never ranked
+    val withNull = scored.unionByName(
+      Seq((0L, 999777L)).toDF("q_id", "n_id").withColumn("cos",
+        F.lit(null).cast("double")).select("q_id", "n_id", "cos"))
+    assert(!viaAgg(withNull, 5000).collect().exists(_.getLong(1) == 999777L))
   }
 
   test("IVF top-k: full probing equals brute force; partial probing keeps recall") {
