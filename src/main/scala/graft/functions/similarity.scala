@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, functions => F}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Similarity search over embedding columns (Array[Float]).
@@ -36,11 +35,17 @@ object similarity {
     * the window must shuffle EVERY scored candidate to its query's task
     * and sort there, while the aggregate map-side-combines, so each
     * input task contributes at most k pairs per query to the one
-    * shuffle, and no task ever sorts more than k elements. Exact and
+    * shuffle, and no task ever sorts more than k kept elements per
+    * group (past ObjectHashAggregate's fallback threshold of distinct
+    * groups per task, the partial sorts its input BY GROUP KEY — the
+    * k-bounded buffers and shuffle volume hold regardless). Exact and
     * deterministic: `(cos DESC, n_id ASC)` is a strict total order
     * evaluated in the score's own type (Double, or exact Decimal for
     * the BM25/RRF decimal scores), so ranks are identical to the
-    * window plan an oracle replays with ROW_NUMBER. */
+    * window plan an oracle replays with ROW_NUMBER — for non-null
+    * scores. Null scores are EXCLUDED from the ranking (a window would
+    * rank them last; no graft scorer produces null: dot/norm of
+    * non-null vectors and DECIMAL term sums are always defined). */
   private[functions] def twoStageTopK(scored: DataFrame, k: Int): DataFrame = {
     scored.groupBy("q_id")
       .agg(F.call_function("graft_topk",

@@ -1333,9 +1333,6 @@ case class LongArrayBloomCount(child: Expression, bfBytes: Array[Byte])
     copy(child = newChild)
 }
 
-/** Session extensions registering graft's native functions; install with
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
-  * entry points do). */
 /** Bounded-heap top-k aggregate: keeps the k best `(score, id)` pairs
   * under the total order (score DESC, id ASC) and returns them as a
   * sorted array of structs — rank = array position + 1.
@@ -1352,7 +1349,9 @@ case class LongArrayBloomCount(child: Expression, bfBytes: Array[Byte])
   * rank ties resolve identically to the SQL `ORDER BY score DESC, id`
   * an oracle replays. Partial buffers serialize through an
   * UnsafeProjection of (score, id), making the aggregate usable at any
-  * grouping cardinality. */
+  * grouping cardinality (beyond ObjectHashAggregate's per-task distinct
+  * -group fallback threshold the partial switches to sort-BY-KEY
+  * aggregation — shuffle volume stays k per group per task either way). */
 case class BoundedTopK(score: Expression, id: Expression, k: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[BoundedTopK.Buffer] {
@@ -1381,7 +1380,7 @@ case class BoundedTopK(score: Expression, id: Expression, k: Expression,
         s"graft_topk: score type ${score.dataType} is not orderable")
     else if (id.dataType != LongType)
       TypeCheckResult.TypeCheckFailure("graft_topk: id must be BIGINT")
-    else if (k.dataType != IntegerType || !k.foldable)
+    else if (k.dataType != IntegerType || !k.foldable || k.eval() == null)
       TypeCheckResult.TypeCheckFailure("graft_topk: k must be a literal INT")
     else if (k.eval().asInstanceOf[Number].intValue() < 1)
       TypeCheckResult.TypeCheckFailure("graft_topk: k must be >= 1")
@@ -1396,7 +1395,12 @@ case class BoundedTopK(score: Expression, id: Expression, k: Expression,
     val s = score.eval(input)
     if (s != null) {
       val i = id.eval(input)
-      if (i != null) buf.insert(s, i.asInstanceOf[Long])
+      // copyValue: a buffer-backed score (UTF8String/struct slices point
+      // into the scan's reused row buffer) must not mutate after it is
+      // kept; for Double/Decimal this is a no-op reference return
+      if (i != null && buf.mightKeep(s))
+        buf.insert(org.apache.spark.sql.catalyst.InternalRow.copyValue(s),
+          i.asInstanceOf[Long])
     }
     buf
   }
@@ -1470,6 +1474,14 @@ object BoundedTopK {
     }
     val heap: scala.collection.mutable.PriorityQueue[(Any, Long)] =
       scala.collection.mutable.PriorityQueue.empty[(Any, Long)](worstFirst)
+    /** Allocation-free pre-check for the hot path: can (s, _) still
+      * enter the heap? False only when the heap is full and s scores
+      * strictly below the worst kept pair — the overwhelming majority
+      * of candidates on a corpus scan. Ties return true conservatively
+      * (insert resolves them by id). Lets callers skip value-copying
+      * and tuple allocation for sure losers. */
+    def mightKeep(s: Any): Boolean =
+      heap.size < k || ord.compare(s, heap.head._1) >= 0
     def insert(s: Any, i: Long): Unit = {
       if (heap.size < k) heap.enqueue((s, i))
       else if (worstFirst.compare((s, i), heap.head) < 0) {
@@ -1479,6 +1491,9 @@ object BoundedTopK {
   }
 }
 
+/** Session extensions registering graft's native functions; install with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
+  * entry points do). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
