@@ -348,12 +348,10 @@ object ExtQueries {
 
   private val x07Oracle = {
     val dim = 64; val nPlanes = 4; val seed = 42
-    // the SAME pinned hyperplane bank as similarity.lshBucket — ±1 signs
-    // from MurmurHash3.productHash((seed, plane, dim))
-    def planeSigns(j: Int): Seq[String] = (0 until dim).map { i =>
-      val h: Int = (scala.util.hashing.MurmurHash3.productHash((seed, j, i)): @scala.annotation.nowarn("cat=deprecation"))
-      if ((h & 1) == 0) "1.0" else "-1.0"
-    }
+    // literals rendered from the engine's own pinned bank — the single
+    // source of truth, so engine and oracle cannot drift
+    def planeSigns(j: Int): Seq[String] = (0 until dim).map(i =>
+      if (similarity.planeSignPositive(seed, j, i)) "1.0" else "-1.0")
     val bucket = (0 until nPlanes).map { j =>
       val arr = planeSigns(j).mkString("[", ",", "]")
       s"""(CASE WHEN list_sum(list_transform(list_zip(v, $arr),

@@ -19,10 +19,11 @@ import org.apache.spark.storage.StorageLevel
   * left-to-right merge are all in-memory array walks over vocab-bounded
   * state, so `numMerges` costs zero further Spark jobs. The driver
   * state is the same class as k-means centroids or a collected Bloom
-  * filter: bounded by the VOCABULARY (a few million (word, count) rows
-  * at any corpus size), never by the corpus. `distributedLoop = true`
-  * keeps every merge step on the cluster (two jobs per merge) for the
-  * adversarial case of a vocabulary too large to collect.
+  * filter: bounded by the VOCABULARY, never by the corpus — and the
+  * bound is ENFORCED by a measured count, not assumed: a vocabulary
+  * over `localVocabThreshold` (or `distributedLoop = true`) runs every
+  * merge step on the cluster (two jobs per merge) instead of
+  * collecting.
   *
   * Engine-portable by construction: counts are exact Longs, the argmax
   * tie-break is total, and the greedy merge is a string fold
@@ -39,9 +40,18 @@ object bpe {
 
   /** Learn `numMerges` merges over the whitespace-token stream of
     * `textCol`. Returns (lhs, rhs, pairCount) per step, in merge
-    * order; stops early if no adjacent pair remains. */
+    * order; stops early if no adjacent pair remains.
+    *
+    * The choice of loop is gated on the MEASURED vocabulary size, not
+    * on caller faith: the word-frequency table is persisted and counted
+    * (the one corpus pass both loops need anyway), and only a vocabulary
+    * at or under `localVocabThreshold` distinct words is collected for
+    * the driver-local loop — a larger one (or `distributedLoop = true`)
+    * runs every merge on the cluster. The default 1M words ≈ a few
+    * hundred MB of collected symbol arrays. */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
-      distributedLoop: Boolean = false): Seq[(String, String, Long)] = {
+      distributedLoop: Boolean = false,
+      localVocabThreshold: Long = 1000000L): Seq[(String, String, Long)] = {
     require(numMerges >= 1, s"bpe: numMerges must be >= 1 (got $numMerges)")
     val words = df
       .select(F.explode(text.tokens(F.col(textCol))).as("w"))
@@ -49,8 +59,13 @@ object bpe {
       .groupBy("w").agg(F.count(F.lit(1)).as("cnt"))
       .select(F.regexp_extract_all(F.col("w"), F.lit("[a-z]"), F.lit(0))
         .as("syms"), F.col("cnt"))
-    if (!distributedLoop) trainMergesLocal(words, numMerges)
-    else trainMergesDistributed(words, numMerges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vocabSize = words.count()
+      if (!distributedLoop && vocabSize <= localVocabThreshold)
+        trainMergesLocal(words, numMerges)
+      else trainMergesDistributed(words, numMerges)
+    } finally words.unpersist(blocking = false)
   }
 
   /** Driver-local merge loop over the collected word-frequency table.

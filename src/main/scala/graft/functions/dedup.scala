@@ -566,11 +566,14 @@ object dedup {
     * rows of Long ids, ONE collect + an in-memory union-find replaces
     * the whole O(log n) round loop — the result is identical (component
     * = min reachable id) and the per-round fixed job cost disappears.
-    * The bound makes the driver state explicit: 2M edges ≈ 32 MB, the
-    * same class as a collected centroid bank. Pair generators upstream
-    * are capped (saltOversized), but a 100 TB corpus still yields far
-    * more than 2M candidate pairs — those runs take the distributed
-    * loop, which remains the scale path. Pass 0 to force it. */
+    * The bound makes the driver state explicit: at the 2M-edge default
+    * the collected rows, parent map and result rows peak at a few
+    * hundred MB of transient driver allocation — the same class as a
+    * large collected aggregate; the result ships back as a parallelized
+    * RDD, never a plan-embedded literal. Pair generators upstream are
+    * capped (saltOversized), but a 100 TB corpus still yields far more
+    * than 2M candidate pairs — those runs take the distributed loop,
+    * which remains the scale path. Pass 0 to force it. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 64,
       localEdgeThreshold: Long = 2000000L): DataFrame = {
@@ -631,9 +634,22 @@ object dedup {
         val ru = find(u); val rv = find(v)
         if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
       }
-      import spark.implicits._
-      return parent.keys.toSeq.map(id => (id, find(id)))
-        .toDF("id", "component")
+      // ship the result as a parallelized RDD: keepCanonical/keepBest
+      // JOIN this frame, and a node-count LocalRelation embedded in
+      // their plans would ride along with every task binary
+      val out = new Array[org.apache.spark.sql.Row](parent.size)
+      var idx = 0
+      val it = parent.keysIterator
+      while (it.hasNext) {
+        val node = it.next()
+        out(idx) = org.apache.spark.sql.Row(node, find(node))
+        idx += 1
+      }
+      val schema = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("component", LongType, nullable = false)))
+      return spark.createDataFrame(spark.sparkContext.parallelize(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)), schema)
     }
     var it = 0
     var done = sum._1 == 0L

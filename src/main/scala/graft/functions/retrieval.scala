@@ -71,7 +71,10 @@ object retrieval {
     * Corpus rows are assumed to carry distinct `idCol` values (it is a
     * document id): `nd`/`avgdl`/`dfr` count corpus ROWS, while the `tf`
     * aggregate merges duplicate ids — input with duplicate ids is
-    * invalid and would score inconsistently between the two grains. */
+    * invalid and would score inconsistently between the two grains.
+    * The precondition is deliberately NOT checked (a check would cost
+    * its own corpus pass); callers with uncertain provenance should
+    * dedup ids first (e.g. [[dedup.keepBestByKey]]). */
   def bm25TopK(corpus: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qIdCol: String, qTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,

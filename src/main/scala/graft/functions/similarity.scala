@@ -74,20 +74,28 @@ object similarity {
     twoStageTopK(scored, k)
   }
 
+  /** The pinned hyperplane sign bank, SINGLE source of truth: true =
+    * +1 for plane `j`, dimension `i` under `seed`. Every consumer
+    * (literal planes in [[lshBucket]], the packed words of
+    * [[packedPlaneSigns]], the generated x07 oracle SQL) derives its
+    * signs from here, so the bank cannot drift between engine and
+    * oracle. productHash is pinned deliberately: the bank must stay
+    * bit-identical across Scala releases or every persisted LSH bucket
+    * assignment silently shifts. */
+  private[graft] def planeSignPositive(seed: Int, j: Int, i: Int): Boolean = {
+    val h: Int = (scala.util.hashing.MurmurHash3.productHash((seed, j, i)): @scala.annotation.nowarn("cat=deprecation"))
+    (h & 1) == 0
+  }
+
   /** Random-hyperplane sign bucket: `nPlanes` sign bits of dot products
-    * with deterministic ±1 hyperplanes (seeded, driver-computed). Plane
-    * projections go through the codegen'd graft_dot — identical double
-    * accumulation to the portable zip_with/aggregate form, ~6× faster. */
+    * with deterministic ±1 hyperplanes (seeded, driver-computed,
+    * [[planeSignPositive]]). Plane projections go through the codegen'd
+    * graft_dot — identical double accumulation to the portable
+    * zip_with/aggregate form, ~6× faster. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column = {
     require(nPlanes >= 0 && nPlanes <= 62, "similarity: nPlanes must be in [0, 62]")
-    // productHash is pinned deliberately: the hyperplane bank must stay
-    // bit-identical across Scala releases or every persisted LSH bucket
-    // assignment silently shifts
     def planeSigns(j: Int): Seq[Double] =
-      (0 until dim).map { i =>
-        val h: Int = (scala.util.hashing.MurmurHash3.productHash((seed, j, i)): @scala.annotation.nowarn("cat=deprecation"))
-        if ((h & 1) == 0) 1.0 else -1.0
-      }
+      (0 until dim).map(i => if (planeSignPositive(seed, j, i)) 1.0 else -1.0)
     // nPlanes = 0 → one global bucket: the LSH machinery degenerates to
     // an exact scan, which lets an oracle prove the bucketed pipeline
     // end-to-end (x61), mirroring IVF's nprobe = nlist trick (x21)
@@ -227,11 +235,9 @@ object similarity {
       seed: Int): Array[Long] = {
     val words = (dim + 63) >> 6
     val out = new Array[Long](nTables * nPlanes * words)
-    // pinned like lshBucket's planeSigns: cross-release bit stability
-    for (t <- 0 until nTables; j <- 0 until nPlanes; i <- 0 until dim) {
-      val h: Int = (scala.util.hashing.MurmurHash3.productHash((seed + 7919 * t, j, i)): @scala.annotation.nowarn("cat=deprecation"))
-      if ((h & 1) == 0) out((t * nPlanes + j) * words + (i >> 6)) |= 1L << (i & 63)
-    }
+    for (t <- 0 until nTables; j <- 0 until nPlanes; i <- 0 until dim)
+      if (planeSignPositive(seed + 7919 * t, j, i))
+        out((t * nPlanes + j) * words + (i >> 6)) |= 1L << (i & 63)
     out
   }
 
