@@ -687,6 +687,11 @@ class ExtensionsSpec extends SparkSpec {
     val gotDist = bpe.trainMerges(df, "text", numMerges = 5,
       distributedLoop = true)
     assert(gotDist == want)
+    // the measured-vocab gate routes automatically: a threshold below
+    // the vocabulary size must take the distributed loop (same result)
+    val gotAuto = bpe.trainMerges(df, "text", numMerges = 5,
+      localVocabThreshold = 1L)
+    assert(gotAuto == want)
   }
 
   test("zorderKey is the Morton interleave; zorderBy partitions cover disjoint sorted ranges") {
