@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through RAW instead of routing
+// them via sbt's logger: the bench/verify harness parses the process
+// tail for a line that IS json, and the logger's "[info] " prefix on
+// every line breaks that (see Bench.scala's final compact line).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop sbt's own "[success] Total time" footer, so the LAST
+// line of a `sbt "runMain graft.Bench"` invocation is Bench's compact
+// JSON — a tail parser that only tries the final line still succeeds.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -30,15 +30,32 @@ object Bench {
     // re-run pay the one-time Janino compilation again, so "cold" can be
     // sampled more than once per JVM and reported as a median instead of
     // a single interference-prone wall-clock sample.
-    val codegenCache: Option[com.google.common.cache.Cache[_, _]] =
+    // Spark 4 wraps the codegen cache in NonFateSharingLoadingCache
+    // around a SHADED (org.sparkproject) guava LoadingCache, so neither
+    // a com.google.common Cache cast nor a compile-time reference works
+    // — reflect all the way down and probe once so a silently-broken
+    // path can't masquerade as working (it did: the old guava cast
+    // always threw, leaving every cold number a single sample).
+    val invalidateCodegen: Option[() => Unit] =
       try {
         val cls = Class.forName(
           "org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator$")
         val mod = cls.getField("MODULE$").get(null)
         val f = cls.getDeclaredField("cache")
         f.setAccessible(true)
-        Some(f.get(mod).asInstanceOf[com.google.common.cache.Cache[_, _]])
-      } catch { case _: Throwable => None }
+        val wrapper = f.get(mod)
+        val inner = wrapper.getClass.getMethod("loadingCache").invoke(wrapper)
+        // take the Method from the public shaded interface: the concrete
+        // LocalLoadingCache class is package-private and not invokable
+        val m = Class.forName("org.sparkproject.guava.cache.Cache")
+          .getMethod("invalidateAll")
+        m.invoke(inner) // probe: any failure falls back to single-cold
+        Some(() => { m.invoke(inner); () })
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] codegen-cache invalidation unavailable " +
+          s"(cold = single sample): $e")
+        None
+      }
     def median3(a: Double, b: Double, c: Double): Double =
       Seq(a, b, c).sorted.apply(1)
     // per query: 3 cold samples (codegen cache dropped before each; the
@@ -67,30 +84,35 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold1 = once()
-      val cold = codegenCache match {
-        case Some(cache) =>
-          val c2 = { cache.invalidateAll(); once() }
-          val c3 = { cache.invalidateAll(); once() }
-          median3(cold1, c2, c3)
-        case None => cold1
+      val coldSamples = invalidateCodegen match {
+        case Some(invalidate) =>
+          val c2 = { invalidate(); once() }
+          val c3 = { invalidate(); once() }
+          Seq(cold1, c2, c3)
+        case None => Seq(cold1)
+      }
+      val cold = coldSamples match {
+        case Seq(a, b, c) => median3(a, b, c)
+        case Seq(a) => a
       }
       // cold sampling leaves invalidated-codegen garbage and any frames
       // the query persisted; settle the JVM before the warm phase so
       // warm medians measure steady state, not the cold phase's debris
       spark.catalog.clearCache()
       System.gc()
-      val warm = median3(once(), once(), once())
+      val warmSamples = Seq(once(), once(), once())
+      val warm = median3(warmSamples(0), warmSamples(1), warmSamples(2))
       // drop anything a query persisted (e.g. LSH signature tables) so
       // later queries aren't penalized by leaked cache memory, and nudge
       // a collection so accumulated codegen classes/garbage from this
       // query's 6 samples don't distort the next query's tail
       spark.catalog.clearCache()
       System.gc()
-      (name, cold, warm)
+      (name, cold, warm, coldSamples, warmSamples)
     }
-    val qs = results.map { case (k, _, w) => "\"" + k + "\":" + w }
+    val qs = results.map { case (k, _, w, _, _) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
-    val qsCold = results.map { case (k, c, _) => "\"" + k + "\":" + c }
+    val qsCold = results.map { case (k, c, _, _, _) => "\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val totalCold = results.map(_._2).sum
@@ -111,18 +133,33 @@ object Bench {
       s""""cold_total":$totalCold,"n_queries":${results.size},""" +
       s""""sf":"$sfDir","cpus":$cpus,"detail":"bench_out.json"}"""
     // The file is the always-parseable artifact (cold + warm medians per
-    // query) that round-over-round comparisons ingest. Default
-    // bench_out.json in the working directory; override with
-    // SPARK_GRAFT_BENCH_OUT.
+    // query) that round-over-round comparisons ingest — plus the RAW
+    // samples behind each median, so a drifted number can be adjudicated
+    // from its own run's variance instead of cross-run anecdote (one
+    // interference-spiked sample shows up as a wide [min, max] spread
+    // around an unchanged median). Default bench_out.json in the working
+    // directory; override with SPARK_GRAFT_BENCH_OUT.
+    val samples = results.map { case (k, _, _, cs, ws) =>
+      "\"" + k + "\":{\"cold\":" + cs.mkString("[", ",", "]") +
+        ",\"warm\":" + ws.mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    val fileJson = json.stripSuffix("}") + s""","samples":$samples}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // final lines of the process, on BOTH streams: whichever stream the
+    // harness tails, its last line is the compact parseable JSON. With
+    // `run / outputStrategy := StdoutOutput` (build.sbt) the forked
+    // JVM's streams pass through sbt raw — no `[info]` decoration to
+    // break a parser that requires the line to BE json.
     println(compact)
     System.out.flush()
+    System.err.println(compact)
+    System.err.flush()
   }
 }

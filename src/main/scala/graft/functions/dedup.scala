@@ -562,22 +562,31 @@ object dedup {
     * — the same aggregate job that materializes the round's cache.
     *
     * Driver-local shortcut: the first settle job already counts the
-    * deduplicated edge set; when it is at most `localEdgeThreshold`
+    * deduplicated edge set; when it is at most the local-edge threshold
     * rows of Long ids, ONE collect + an in-memory union-find replaces
     * the whole O(log n) round loop — the result is identical (component
     * = min reachable id) and the per-round fixed job cost disappears.
-    * The bound makes the driver state explicit: at the 2M-edge default
-    * the collected rows, parent map and result rows peak at a few
-    * hundred MB of transient driver allocation — the same class as a
-    * large collected aggregate; the result ships back as a parallelized
-    * RDD, never a plan-embedded literal. Pair generators upstream are
-    * capped (saltOversized), but a 100 TB corpus still yields far more
-    * than 2M candidate pairs — those runs take the distributed loop,
-    * which remains the scale path. Pass 0 to force it. */
+    * The threshold is cluster-tunable: `localEdgeThreshold < 0` (the
+    * default) reads `spark.graft.cc.localEdgeThreshold` from the
+    * session conf (default 1,000,000 edges), so every caller
+    * (semanticDedup, keepCanonical, keepBest) follows one knob without
+    * plumbing a parameter; an explicit non-negative argument overrides
+    * the conf, and 0 forces the distributed loop. DRIVER MEMORY: the
+    * collected rows, parent map and result rows are transient driver
+    * allocation of roughly 100–150 bytes per edge — ≈150 MB at the 1M
+    * default, so size the threshold to the driver heap (a default 1g
+    * driver should stay ≤1M; raise the conf only alongside
+    * `spark.driver.memory`). Pair generators upstream are capped
+    * (saltOversized), but a 100 TB corpus still yields far more
+    * candidate pairs than any sane threshold — those runs take the
+    * distributed loop, which remains the scale path. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 64,
-      localEdgeThreshold: Long = 2000000L): DataFrame = {
+      localEdgeThreshold: Long = -1L): DataFrame = {
     val spark = pairs.sparkSession
+    val localEdgeCap: Long =
+      if (localEdgeThreshold >= 0L) localEdgeThreshold
+      else spark.conf.get("spark.graft.cc.localEdgeThreshold", "1000000").toLong
     import org.apache.spark.storage.StorageLevel
     // orient (large, small), drop self-loops and duplicates
     def canon(e: DataFrame): DataFrame = e
@@ -616,7 +625,7 @@ object dedup {
       pairs.select(F.col(aCol).as("u"), F.col(bCol).as("v"))))
     // Long-typed ids only: the shortcut's output schema must equal the
     // distributed path's (every graft generator emits Long ids)
-    if (sum._1 > 0L && sum._1 <= localEdgeThreshold &&
+    if (sum._1 > 0L && sum._1 <= localEdgeCap &&
         edges.schema.fields.forall(_.dataType == LongType)) {
       val collected = edges.collect()
       edges.unpersist(blocking = false)

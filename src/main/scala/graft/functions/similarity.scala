@@ -51,8 +51,8 @@ object similarity {
       .agg(F.call_function("graft_topk",
         F.col("cos"), F.col("n_id"), F.lit(k)).as("_tk"))
       .select(F.col("q_id"), F.posexplode(F.col("_tk")).as(Seq("_pos", "_s")))
-      .select(F.col("q_id"), F.col("_s.n_id").as("n_id"),
-        F.col("_s.cos").as("cos"),
+      .select(F.col("q_id"), F.col("_s.id").as("n_id"),
+        F.col("_s.score").as("cos"),
         (F.col("_pos") + 1).cast(LongType).as("rank"))
   }
 

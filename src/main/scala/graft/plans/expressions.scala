@@ -1370,8 +1370,11 @@ case class BoundedTopK(score: Expression, id: Expression, k: Expression,
     copy(inputAggBufferOffset = newOffset)
 
   override def nullable: Boolean = false
+  // neutral field names: the aggregate is registered as a general
+  // `graft_topk` SQL function, so the struct must not leak the
+  // similarity caller's vocabulary (consumers re-alias as needed)
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("cos", score.dataType), StructField("n_id", LongType))),
+    StructField("score", score.dataType), StructField("id", LongType))),
     containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -1570,8 +1573,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => Int8QuantizeExpr(children(0))))
     e.injectFunction((
       new FunctionIdentifier("graft_topk"),
-      new ExpressionInfo(classOf[BoundedTopK].getName, "graft_topk"),
-      (children: Seq[Expression]) =>
-        BoundedTopK(children(0), children(1), children(2))))
+      new ExpressionInfo(classOf[BoundedTopK].getName, null, "graft_topk",
+        "graft_topk(score, id, k) - Aggregate: the k best (score, id) " +
+          "pairs ordered (score DESC, id ASC), as a sorted " +
+          "array<struct<score,id>> (rank = position + 1). Equivalent to " +
+          "keeping ROW_NUMBER() OVER (ORDER BY score DESC, id) <= k, " +
+          "EXCEPT that rows with a NULL score are excluded from the " +
+          "ranking entirely (a window would order them last). k must be " +
+          "a literal INT >= 1; id must be BIGINT.", null),
+      (children: Seq[Expression]) => {
+        // arity-check before indexing: a wrong-arity SQL call must be
+        // an analysis error, not an IndexOutOfBoundsException
+        if (children.size != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+              "functionName" -> "`graft_topk`", "expectedNum" -> "3",
+              "actualNum" -> children.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        BoundedTopK(children(0), children(1), children(2))
+      }))
   }
 }

@@ -416,7 +416,7 @@ class ExtensionsSpec extends SparkSpec {
     def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) = df.groupBy("q_id")
       .agg(F.call_function("graft_topk", F.col("cos"), F.col("n_id"), F.lit(k)).as("tk"))
       .select(F.col("q_id"), F.posexplode(F.col("tk")).as(Seq("p", "s")))
-      .select(F.col("q_id"), F.col("s.n_id").as("n_id"), F.col("s.cos").as("cos"),
+      .select(F.col("q_id"), F.col("s.id").as("n_id"), F.col("s.score").as("cos"),
         (F.col("p") + 1).cast("long").as("rank"))
     def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) = df
       .withColumn("rank", F.row_number().over(Window.partitionBy("q_id")
@@ -436,6 +436,30 @@ class ExtensionsSpec extends SparkSpec {
       Seq((0L, 999777L)).toDF("q_id", "n_id").withColumn("cos",
         F.lit(null).cast("double")).select("q_id", "n_id", "cos"))
     assert(!viaAgg(withNull, 5000).collect().exists(_.getLong(1) == 999777L))
+  }
+
+  test("graft_topk: neutral struct field names, analysis error on wrong arity") {
+    val rows = Seq((1L, 10L, 0.5), (1L, 11L, 0.9)).toDF("q_id", "n_id", "cos")
+    rows.createOrReplaceTempView("topk_in")
+    // registered as a GENERAL function: struct fields must be the
+    // neutral score/id, not any caller's vocabulary
+    val out = spark.sql(
+      "SELECT graft_topk(cos, n_id, 2) AS tk FROM topk_in GROUP BY q_id")
+    val elem = out.schema("tk").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(elem.fieldNames.toSeq == Seq("score", "id"))
+    assert(out.selectExpr("tk[0].id", "tk[0].score").head().getLong(0) == 11L)
+    // wrong arity is an AnalysisException with the function name in the
+    // message, not an IndexOutOfBoundsException from the builder
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_topk(cos, n_id) FROM topk_in GROUP BY q_id")
+    }
+    assert(e.getMessage.contains("graft_topk"), e.getMessage)
+    // the registered usage string documents the null-score exclusion
+    val usage = spark.sql("DESCRIBE FUNCTION EXTENDED graft_topk")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(usage.contains("NULL score are excluded"), usage)
   }
 
   test("IVF top-k: full probing equals brute force; partial probing keeps recall") {
@@ -879,6 +903,15 @@ class ExtensionsSpec extends SparkSpec {
     val dist = dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(dist == want)
+    // the default threshold reads the cluster-wide session conf: a 0
+    // conf value routes the SAME default-arg call to the distributed
+    // loop (same result either way — assert the knob is actually read)
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    try {
+      val viaConf = dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaConf == want)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
   }
 
   test("connected components collapse a 10k-node path in logarithmic rounds") {
