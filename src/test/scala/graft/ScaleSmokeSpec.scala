@@ -307,6 +307,92 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(agg.getLong(1) <= 100000L && agg.getLong(1) > 95000L)
   }
 
+  test("graft_topk bounds the ranking shuffle to one partial buffer per (query, task)") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    // The claim behind replacing row_number() windows with the
+    // BoundedTopK aggregate, asserted on the plan's OWN SQLMetrics
+    // (the LayoutSpec z-order-payoff pattern): a window must shuffle
+    // EVERY scored candidate to its query's task, so its exchange
+    // carries ~|corpus|×|queries| records; the aggregate map-side
+    // combines, so its exchange carries at most one k-bounded partial
+    // buffer per (query, input task) — records ≤ tasks × queries,
+    // independent of corpus size. 200k vectors = 100× the sf0.1
+    // embeddings table.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val nCorpus = 200000L
+    val nQueries = 40L
+    val k = 10
+    val vecs = spark.range(0, nCorpus).select(
+      F.col("id").as("vec_id"),
+      F.array((0 until 16).map(i =>
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(2000)) - 1000)
+          .cast("double") / 1000.0): _*).as("embedding"))
+    val queries = vecs.filter(F.col("vec_id") < nQueries)
+    // AQE re-plans mid-flight and hides the exchange's write metrics
+    // behind query-stage reuse — pin the static plan for the audit
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
+        df.queryExecution.executedPlan.collect {
+          case s: ShuffleExchangeExec => s.metrics("shuffleRecordsWritten").value
+        }.sum
+      }
+      val bounded = similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k)
+      // execute THIS plan instance — a separate count() would leave
+      // these exchange nodes' metrics untouched
+      assert(bounded.collect().length.toLong == nQueries * k)
+      val tasks = vecs.rdd.getNumPartitions.toLong
+      val aggRecords = shuffleRecords(bounded)
+      assert(aggRecords > 0L, "expected one ranking exchange in the plan")
+      assert(aggRecords <= tasks * nQueries,
+        s"graft_topk shuffled $aggRecords records — expected ≤ tasks×queries = ${tasks * nQueries}")
+      // the window formulation of the SAME ranking, for contrast. Two
+      // regimes: (a) Spark ≥ 3.5's InferWindowGroupLimit recognizes the
+      // literal `row_number() <= k` filter and inserts a partial group
+      // limit below the exchange — records = tasks × queries × k, also
+      // corpus-independent but k× looser than the aggregate's one
+      // buffer per (query, task); (b) whenever that rewrite does not
+      // fire (rank compared to a non-literal, rank kept as a column,
+      // threshold disabled), the exchange carries EVERY scored
+      // candidate. Measure both.
+      import org.apache.spark.sql.expressions.Window
+      def windowed = {
+        val scored = vecs.select(F.col("vec_id").as("n_id"), F.col("embedding").as("n_vec"),
+            similarity.norm(F.col("embedding")).as("n_nrm"))
+          .crossJoin(F.broadcast(queries.select(F.col("vec_id").as("q_id"),
+            F.col("embedding").as("q_vec"), similarity.norm(F.col("embedding")).as("q_nrm"))))
+          .filter(F.col("n_id") =!= F.col("q_id"))
+          .select(F.col("q_id"), F.col("n_id"),
+            (similarity.dot(F.col("q_vec"), F.col("n_vec")) / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
+        scored
+          .withColumn("rank", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.col("cos").desc, F.col("n_id"))))
+          .filter(F.col("rank") <= k)
+      }
+      val optimized = windowed
+      assert(optimized.collect().length.toLong == nQueries * k)
+      val winOptRecords = shuffleRecords(optimized)
+      assert(winOptRecords >= tasks * nQueries * k / 2,
+        s"group-limited window shuffled $winOptRecords — expected ~tasks×queries×k")
+      assert(aggRecords * k <= winOptRecords * 2,
+        s"agg=$aggRecords buffers should be ~k× fewer records than the " +
+          s"group-limited window's $winOptRecords rows")
+      spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+      val general = windowed
+      assert(general.collect().length.toLong == nQueries * k)
+      val winFullRecords = shuffleRecords(general)
+      val candidates = nQueries * (nCorpus - 1)
+      assert(winFullRecords >= candidates,
+        s"un-limited window shuffled $winFullRecords — expected the full $candidates candidates")
+      // the whole point, in one inequality: corpus-growth-proof vs not
+      assert(aggRecords * 1000 < winFullRecords,
+        s"agg=$aggRecords vs window=$winFullRecords — bound not materially tighter")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.optimizer.windowGroupLimitThreshold")
+    }
+  }
+
   test("clusterBalancedSample flattens a 200k corpus with a dominant topic cluster") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import spark.implicits._
