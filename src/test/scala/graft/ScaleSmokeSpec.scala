@@ -45,15 +45,147 @@ class ScaleSmokeSpec extends SparkSpec {
       F.col("id").as("doc_id"),
       F.lit("terms of service apply to all content on this site").as("text"))
     val corpus = distinctDocs.unionByName(boiler)
-    val pairs = dedup.jaccardPairsLsh(corpus, "doc_id", "text",
-      k = 3, numPerm = 32, bands = 16, minJ = 0.9, maxBucket = 100)
-    val n = pairs.count()
-    // every surviving pair is within the boilerplate cluster (distinct
-    // docs share ~no 3-shingles at J ≥ 0.9), and the cap keeps each
-    // row's candidate fan-out ~cap per band instead of cluster-sized
-    assert(n > 0, "boilerplate cluster must produce near-dup pairs")
-    val ids = pairs.agg(F.min("id_a"), F.max("id_b")).head()
-    assert(ids.getLong(0) >= 280000L && ids.getLong(1) < 300000L)
+    // AQE off so join-node SQLMetrics are readable on the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = dedup.jaccardPairsLsh(corpus, "doc_id", "text",
+        k = 3, numPerm = 32, bands = 16, minJ = 0.9, maxBucket = 100)
+      val n = pairs.queryExecution.toRdd.count() // execute THIS plan instance
+      // every surviving pair is within the boilerplate cluster (distinct
+      // docs share ~no 3-shingles at J ≥ 0.9), and the cap keeps each
+      // row's candidate fan-out ~cap per band instead of cluster-sized
+      assert(n > 0, "boilerplate cluster must produce near-dup pairs")
+      // the cap's own receipt, on the executed plan's SQLMetrics: the
+      // 20k-row boilerplate bucket splits into ~200 ring-chained
+      // sub-buckets of ~cap, so bucket-local pairing emits
+      // ~200·(cap+1)²/2 ≈ 1M rows per band ≈ 16M total — the UNCAPPED
+      // self-join would emit 16 bands × 20k²/2 = 3.2e9 from the
+      // boilerplate bucket alone. Sum across every join in the plan
+      // (candidate self-join + the two verification joins, each ≤ the
+      // pair count) and assert the linear regime.
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      val joinOut = pairs.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j.metrics("numOutputRows").value
+        case j: ShuffledHashJoinExec => j.metrics("numOutputRows").value
+        case j: BroadcastHashJoinExec => j.metrics("numOutputRows").value
+      }.sum
+      assert(joinOut > 0L, "expected join metrics on the executed plan")
+      assert(joinOut < 100000000L,
+        s"capped candidate generation emitted $joinOut join rows — the " +
+          "uncapped boilerplate bucket alone would emit 3.2e9")
+      val ids = pairs.agg(F.min("id_a"), F.max("id_b")).head()
+      assert(ids.getLong(0) >= 280000L && ids.getLong(1) < 300000L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("asofBackward ships each row exactly once through one shuffle") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.functions.joins
+    // The claim behind the union+window as-of plan (joins.scala:24):
+    // tag, union, ONE shuffle+sort on the by-key, linear carry — so the
+    // exchange writes exactly |L| + |R| records, corpus-linear, with no
+    // range explosion. A range-join formulation's shuffle grows with
+    // key density (candidate pairs), not corpus size. 1M left rows ×
+    // 1000 keys, 200k right quotes at every 5th tick.
+    val nL = 1000000L; val nR = 200000L
+    // long / int is a DOUBLE divide in Spark — floor back to the tick
+    val tick = F.floor(F.col("id") / 1000).cast("long")
+    val left = spark.range(0, nL).select(
+      (F.col("id") % 1000).as("key"), tick.as("lts"))
+    val right = spark.range(0, nR).select(
+      (F.col("id") % 1000).as("key"),
+      (tick * 5).as("rts"), (tick * 5).as("rv"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = joins.asofBackward(left, right, "lts", "rts",
+        by = Seq("key"), rightVals = Seq("rv"))
+      assert(out.queryExecution.toRdd.count() == nL) // left-join: every left row
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.metrics("shuffleRecordsWritten").value
+      }
+      assert(exchanges.length == 1,
+        s"as-of must plan exactly ONE shuffle, found ${exchanges.length}")
+      assert(exchanges.head == nL + nR,
+        s"as-of shuffled ${exchanges.head} records — expected |L|+|R| = ${nL + nR}")
+      // value correctness on the planted design: the latest quote at or
+      // before lts is the greatest multiple of 5 ≤ lts, for every row
+      val bad = out.filter(F.col("rv") =!= F.col("lts") - F.col("lts") % 5).count()
+      assert(bad == 0L, s"$bad rows carried the wrong as-of value")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("rangeJoin meets each qualifying pair in one bin with a corpus-linear shuffle") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.functions.joins
+    // The claim behind binning (joins.scala:66): the quadratic
+    // point-in-interval cross join becomes an equi-join on the bin —
+    // each point shuffles ONCE, each interval once per covered bin
+    // (here: exactly one), so the exchanges carry |P| + |I| records
+    // where the cross join's candidate grid is |P|×|I| = 1e11.
+    val nP = 1000000L; val nI = 100000L
+    val points = spark.range(0, nP).select(F.col("id").as("pid"),
+      F.pmod(F.col("id") * 97, F.lit(nI * 1000)).as("ts"))
+    val intervals = spark.range(0, nI).select(F.col("id").as("iid"),
+      (F.col("id") * 1000).as("lo"), (F.col("id") * 1000 + 999).as("hi"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the shuffled-join posture (the 100 TB shape): a broadcast
+    // election at smoke scale would hide the bound being proven
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = joins.rangeJoin(points, intervals, "ts", "lo", "hi",
+        binWidth = 1000L)
+      // bins tile the axis and every point's bin holds exactly one
+      // interval ⇒ every point matches exactly once
+      assert(out.queryExecution.toRdd.count() == nP)
+      val shuffled = out.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.metrics("shuffleRecordsWritten").value
+      }
+      assert(shuffled.length == 2, s"expected the two equi-join exchanges, found ${shuffled.length}")
+      assert(shuffled.sum == nP + nI,
+        s"range join shuffled ${shuffled.sum} records — expected |P|+|I| = ${nP + nI} " +
+          "(each interval spans exactly one bin here)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("overlapJoin emits every overlapping pair exactly once without a dedup shuffle") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.functions.joins
+    import spark.implicits._
+    // Exactly-once by construction (joins.scala:98): a pair overlapping
+    // in many shared bins is kept only in the bin containing
+    // max(a.lo, b.lo) — no `distinct`, so the plan's only exchanges are
+    // the two equi-join sides at (bins per interval) × rows. Left
+    // interval i = [100i, 100i+99], right i = [100i+50, 100i+149]:
+    // right i overlaps left i AND left i+1 ⇒ exactly 2n−1 pairs.
+    val n = 200000L
+    val left = spark.range(0, n).select(F.col("id").as("lid"),
+      (F.col("id") * 100).as("llo"), (F.col("id") * 100 + 99).as("lhi"))
+    val right = spark.range(0, n).select(F.col("id").as("rid"),
+      (F.col("id") * 100 + 50).as("rlo"), (F.col("id") * 100 + 149).as("rhi"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = joins.overlapJoin(left, right, "llo", "lhi", "rlo", "rhi",
+        binWidth = 100L)
+      assert(out.queryExecution.toRdd.count() == 2 * n - 1,
+        "each right interval overlaps exactly two left intervals (one at the edge)")
+      val shuffled = out.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.metrics("shuffleRecordsWritten").value
+      }
+      // left intervals span 1 bin, right intervals 2 ⇒ |L| + 2|R|
+      assert(shuffled.length == 2, s"expected the two equi-join exchanges, found ${shuffled.length}")
+      assert(shuffled.sum == n + 2 * n,
+        s"overlap join shuffled ${shuffled.sum} records — expected |L|+2|R| = ${3 * n}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("connected components resolve a 1M-node path plus 100k cliques in log rounds") {
