@@ -309,7 +309,9 @@ object dedup {
     val sigExpr =
       if (replayable) minhashReplayable(shingleFp64(F.col(textCol), k), numPerm)
       else minhashSignature(F.col(textCol), k, numPerm)
-    val sigs = cached(df.select(F.col(idCol).as("id"), sigExpr.as("sig")))
+    // under-split inputs serialize the signature pass — fan out first
+    val sigs = cached(skew.rebalanceUnderSplit(df)
+      .select(F.col(idCol).as("id"), sigExpr.as("sig")))
     // signatures ride along through the explode: no join-back needed
     val buckets = saltOversized(sigs
       .select(F.col("id"), F.col("sig"),

@@ -84,9 +84,12 @@ object retrieval {
     // higher-order F.filter lambda — stays fully codegen'd and
     // canonicalizable
     val toks = F.array_remove(text.tokens(F.col(textCol)), "")
+    // an under-split corpus serializes all three tokenizing scans — fan
+    // out once; the rebalance exchange is reused by every branch
+    val src = skew.rebalanceUnderSplit(corpus)
     // (id, dl, token) -> tf: dl is functionally dependent on the id, so
     // carrying it as a grouping key costs nothing and saves the lens join
-    val tf = corpus
+    val tf = src
       .select(F.col(idCol), F.size(toks).as("dl"),
         F.explode(toks).as("token"))
       .groupBy(idCol, "dl", "token").agg(F.count(F.lit(1)).as("tf"))
@@ -95,13 +98,13 @@ object retrieval {
     // HINT — at a 100M-term vocabulary forcing a broadcast would OOM
     // the driver, so the runtime (AQE) picks broadcast when the actual
     // size allows
-    val dfreq = corpus
+    val dfreq = src
       .select(F.explode(F.array_distinct(toks)).as("token"))
       .groupBy("token").agg(F.count(F.lit(1)).as("dfr"))
     // nd counts docs with >= 1 token (dl = size(tokens) per corpus row,
     // no explode), matching the oracle's len-table semantics; avg is
     // computed as sum/count in DOUBLE, deterministic vs doc order
-    val stats = corpus.select(F.size(toks).as("dl"))
+    val stats = src.select(F.size(toks).as("dl"))
       .filter(F.col("dl") > 0)
       .agg(F.count(F.lit(1)).as("nd"),
         (F.sum("dl").cast(DoubleType) /

@@ -269,8 +269,11 @@ object similarity {
     val signs = F.typedlit(packedPlaneSigns(dim, nPlanes, nTables, seed).toSeq)
     val buckets = F.call_function("graft_hyperplane_buckets",
       F.col(vecCol), signs, F.lit(nPlanes))
+    // an under-split input serializes the bucket/norm pass and both
+    // verification scans — fan out once (no-op on multi-split inputs)
+    val src = skew.rebalanceUnderSplit(df)
     // light stream: no vector payload on the explode or either shuffle
-    val light = df.select(F.col(idCol).as("id"), norm(F.col(vecCol)).as("nrm"),
+    val light = src.select(F.col(idCol).as("id"), norm(F.col(vecCol)).as("nrm"),
       F.posexplode(buckets).as(Seq("tbl", "bucket")))
     val cand = light.as("a").join(light.as("b"),
         F.col("a.tbl") === F.col("b.tbl") &&
@@ -279,8 +282,8 @@ object similarity {
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         F.col("a.nrm").as("nrm_a"), F.col("b.nrm").as("nrm_b"))
       .dropDuplicates("id_a", "id_b")
-    val va = df.select(F.col(idCol).as("_ia"), F.col(vecCol).as("vec_a"))
-    val vb = df.select(F.col(idCol).as("_ib"), F.col(vecCol).as("vec_b"))
+    val va = src.select(F.col(idCol).as("_ia"), F.col(vecCol).as("vec_a"))
+    val vb = src.select(F.col(idCol).as("_ib"), F.col(vecCol).as("vec_b"))
     cand.join(va, F.col("id_a") === F.col("_ia"))
       .join(vb, F.col("id_b") === F.col("_ib"))
       .select(F.col("id_a"), F.col("id_b"),

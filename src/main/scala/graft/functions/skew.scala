@@ -9,6 +9,40 @@ import org.apache.spark.sql.types._
   * single task cannot hold them. */
 object skew {
 
+  /** Rebalance a DRASTICALLY under-split input before a compute-heavy
+    * scan. The inverse of the hot-key problem: a corpus that arrives as
+    * fewer splits than the cluster has cores (one monolithic parquet
+    * row group, one giant gzip member, a single kafka partition)
+    * serializes every downstream per-row pass — tokenization, shingle
+    * hashing, signature folds — onto a handful of cores no matter how
+    * wide the cluster is, and Spark cannot split below a row-group
+    * boundary on its own. The gate is MEASURED, not assumed: only when
+    * the scan's actual split count is below `minFrac` of
+    * `defaultParallelism` does the input pay one round-robin shuffle to
+    * fan out; a production-scale corpus arrives thousands-of-splits
+    * wide and passes through untouched, so the extra exchange exists
+    * only in exactly the runs that need it.
+    *
+    * The split probe (`df.rdd.getNumPartitions`) is only safe at source
+    * grain: under AQE, materializing the RDD of a plan that already
+    * contains exchanges would eagerly run those stages at call time. An
+    * input whose optimized plan already shuffles (join, aggregate,
+    * window, sort, repartition — including a frame this function
+    * already rebalanced) is returned untouched: its partitioning was
+    * decided by that shuffle, not by the source layout. */
+  def rebalanceUnderSplit(df: DataFrame, minFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffles = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort => true
+      case _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
+    }
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (!shuffles && df.rdd.getNumPartitions < math.max(1.0, target * minFrac))
+      df.repartition(target)
+    else df
+  }
+
   /** Salted equi-join: left rows get a uniform salt in [0, factor), the
     * right side is replicated `factor` times, and the join key becomes
     * (keys…, salt) — spreading each hot key over `factor` tasks at the
