@@ -35,4 +35,28 @@ class SkewSpec extends SparkSpec {
       .orderBy("k").collect().map(_.toSeq).toSeq
     assert(salted == plain)
   }
+
+  test("rebalanceUnderSplit fans out an under-split scan and nothing else") {
+    val target = spark.sparkContext.defaultParallelism
+    // a 1-split parquet scan: the gate fires and fans out to the cores
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebal_").toString
+    spark.range(0, 1000).coalesce(1).write.mode("overwrite").parquet(dir)
+    val one = spark.read.parquet(dir)
+    assert(one.rdd.getNumPartitions == 1)
+    val fanned = skew.rebalanceUnderSplit(one)
+    assert(fanned.rdd.getNumPartitions == target,
+      s"gate must fan a 1-split scan out to defaultParallelism=$target")
+    assert(fanned.count() == 1000L)
+    // a well-split input passes through IDENTICALLY (no added exchange)
+    val wide = spark.range(0, 1000, 1, numPartitions = target).toDF()
+    assert(skew.rebalanceUnderSplit(wide) eq wide,
+      "multi-split inputs must pass through untouched") // eq: same frame, no wrap
+    // an input whose plan already shuffles is returned untouched even at
+    // 1 partition — probing its RDD would eagerly run AQE stages, and
+    // its partitioning was decided by that shuffle, not the source
+    val shuffled = one.groupBy((F.col("id") % 10).as("g"))
+      .agg(F.count(F.lit(1)).as("n"))
+    assert(skew.rebalanceUnderSplit(shuffled) eq shuffled,
+      "shuffled inputs must pass through untouched")
+  }
 }
