@@ -525,6 +525,64 @@ class ScaleSmokeSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK shuffles at most token grain on a 50k-doc file corpus") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.retrieval
+    // The retrieval.scala:39 claim, measured on the production posture
+    // (parquet-backed corpus — a synthetic Range corpus lets Catalyst
+    // propagate distinct keys and broadcast the whole postings relation,
+    // proving nothing — and AQE ON, so dfreq's broadcast election is the
+    // real one): total shuffle volume of the whole query is bounded by
+    // the ONE token-grain postings shuffle — dfreq collapses map-side to
+    // vocabulary-many rows per task, corpus stats are scan-level scalar
+    // partials, ranking is k-bounded. 50k docs × 12 tokens from a 5k
+    // vocabulary = 600k token instances. AQE hides per-exchange plan
+    // metrics behind query-stage reuse, so shuffle records are summed
+    // from stage-completion task metrics instead.
+    val nDocs = 50000L; val vocab = 5000L; val perDoc = 12; val k = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_smoke_").toString
+    spark.range(0, nDocs).select(
+        F.col("id").as("doc_id"),
+        F.concat_ws(" ", (0 until perDoc).map(i =>
+          F.concat(F.lit("w"), F.pmod(F.xxhash64(F.col("id"), F.lit(i)),
+            F.lit(vocab)))): _*).as("text"))
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val queries = corpus.filter(F.col("doc_id") < 20)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffled.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def measure(): Long = {
+      shuffled.set(0)
+      val out = retrieval.bm25TopK(corpus, "doc_id", "text",
+        queries, "doc_id", "text", k = k)
+      assert(out.queryExecution.toRdd.count() == 20L * k)
+      // stage-completion events arrive on the bus thread — drain
+      Thread.sleep(1500)
+      shuffled.get()
+    }
+    val tokenInstances = nDocs * perDoc
+    try {
+      // the whole query's shuffle volume is ~1 record per token instance
+      // (the postings shuffle; in-doc repeats collapse map-side) plus
+      // the vocabulary-sized dfreq partials and k-bounded ranking rows.
+      // Below T/2 would mean this corpus isn't being measured at token
+      // grain; above 1.5×T would mean a SECOND corpus-grain shuffle
+      // (e.g. the dfreq attachment degrading from broadcast to
+      // sort-merge, or a window dragging postings by token).
+      val full = measure()
+      assert(full > tokenInstances / 2,
+        s"shuffled only $full — not the token-grain postings relation?")
+      assert(full <= (tokenInstances * 3) / 2,
+        s"shuffled $full records over $tokenInstances token instances — " +
+          "a second corpus-grain shuffle appeared")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("clusterBalancedSample flattens a 200k corpus with a dominant topic cluster") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import spark.implicits._
