@@ -948,7 +948,9 @@ object Queries {
       graft.fuzz.DiffFuzz.query(s, dir)),
     "q31_enum_cast" -> (q31Enum _),
     "q32_time_type" -> (q32Time _),
-    "q33_uint_types" -> (q33UInt _))
+    "q33_uint_types" -> (q33UInt _),
+    "q34_window_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.windowQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -984,5 +986,6 @@ object Queries {
     "q30_diff_fuzz_battery" -> graft.fuzz.DiffFuzz.oracle,
     "q31_enum_cast" -> q31Oracle,
     "q32_time_type" -> q32Oracle,
-    "q33_uint_types" -> q33Oracle)
+    "q33_uint_types" -> q33Oracle,
+    "q34_window_fuzz_battery" -> graft.fuzz.DiffFuzz.windowOracle)
 }

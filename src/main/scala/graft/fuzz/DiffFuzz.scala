@@ -216,4 +216,110 @@ object DiffFuzz {
     val cols = battery.map { case (n, ge) => s"${ge.d} AS $n" }
     s"SELECT n_nationkey,\n${cols.mkString(",\n")}\nFROM nation ORDER BY n_nationkey"
   }
+
+  // -------------------------------------------------------------------
+  // Window fuzz battery (q34): the window assembly is where engines
+  // diverge most — default null ordering (Spark: NULLS FIRST on ASC;
+  // DuckDB: NULLS LAST), frame defaults, rank typing — so every
+  // generated window pairs the DSL markers with SQL that spells the
+  // ordering out explicitly (ASC/DESC + NULLS FIRST/LAST), exactly what
+  // the graft compiler promises (`Ord.of` defaults to NULLS LAST, the
+  // reference's semantics, NOT Spark's). Orderings always end with the
+  // unique c_custkey tiebreak so ROWS frames, LAG/LEAD and row_number
+  // are total-order deterministic; double sums go through DECIMAL.
+  // -------------------------------------------------------------------
+
+  val WinN = 48
+  val WinSeed = 20260814L
+
+  /** (DSL order markers, SQL ORDER BY text — explicit NULLS). */
+  private type OrdPair = (Seq[ColExpr], String)
+
+  private final class WinGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+    private val D18 = DecimalType(18, 4)
+
+    private val parts: IndexedSeq[(Seq[ColExpr], String)] = IndexedSeq(
+      (Seq(C("c_nationkey")), "PARTITION BY c_nationkey"),
+      (Seq(C("c_mktsegment")), "PARTITION BY c_mktsegment"),
+      (Seq(C("c_nationkey"), C("key7")), "PARTITION BY c_nationkey, key7"),
+      (Seq(C("key7")), "PARTITION BY key7"))
+
+    private val orders: IndexedSeq[OrdPair] = IndexedSeq(
+      (Seq(C("bal_n").asc.nullsFirst, C("c_custkey")),
+        "ORDER BY bal_n ASC NULLS FIRST, c_custkey ASC NULLS LAST"),
+      (Seq(C("bal_n").asc.nullsLast, C("c_custkey")),
+        "ORDER BY bal_n ASC NULLS LAST, c_custkey ASC NULLS LAST"),
+      (Seq(C("bal_n").desc.nullsFirst, C("c_custkey")),
+        "ORDER BY bal_n DESC NULLS FIRST, c_custkey ASC NULLS LAST"),
+      (Seq(C("bal_n").desc.nullsLast, C("c_custkey")),
+        "ORDER BY bal_n DESC NULLS LAST, c_custkey ASC NULLS LAST"),
+      (Seq(C("c_name").desc, C("c_custkey")),
+        "ORDER BY c_name DESC NULLS LAST, c_custkey ASC NULLS LAST"),
+      (Seq(C("c_acctbal").asc, C("c_custkey")),
+        "ORDER BY c_acctbal ASC NULLS LAST, c_custkey ASC NULLS LAST"))
+
+    private def over(p: (Seq[ColExpr], String), o: OrdPair, frame: String = ""): String =
+      s"OVER (${p._2} ${o._2}$frame)"
+    private val rowsFrame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+    def next(): GE = {
+      val p = pick(parts); val o = pick(orders)
+      pick(IndexedSeq[() => GE](
+        () => GE(rowNumber(arrange = o._1, partitionBy = p._1),
+          s"CAST(ROW_NUMBER() ${over(p, o)} AS BIGINT)"),
+        () => GE(rank(arrange = o._1, partitionBy = p._1),
+          s"CAST(RANK() ${over(p, o)} AS BIGINT)"),
+        () => GE(denseRank(arrange = o._1, partitionBy = p._1),
+          s"CAST(DENSE_RANK() ${over(p, o)} AS BIGINT)"),
+        () => { val n = 1 + rnd.nextInt(3)
+          GE(C("c_acctbal").shift(n, partitionBy = p._1, arrange = o._1),
+            s"LAG(c_acctbal, $n) ${over(p, o)}") },
+        () => { val n = 1 + rnd.nextInt(2)
+          GE(C("bal_n").shift(-n, partitionBy = p._1, arrange = o._1),
+            s"LEAD(bal_n, $n) ${over(p, o)}") },
+        () => GE(C("c_acctbal").cast(D18)
+            .cumSum(partitionBy = p._1, arrange = o._1).cast(DoubleType),
+          s"CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) ${over(p, o, rowsFrame)} AS DOUBLE)"),
+        () => GE(C("c_acctbal").cast(D18).sum(partitionBy = p._1).cast(DoubleType),
+          s"CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (${p._2}) AS DOUBLE)"),
+        () => GE(C("bal_n").min(partitionBy = p._1),
+          s"MIN(bal_n) OVER (${p._2})"),
+        () => GE(C("bal_n").max(partitionBy = p._1),
+          s"MAX(bal_n) OVER (${p._2})"),
+        () => GE(count(partitionBy = p._1),
+          s"COUNT(*) OVER (${p._2})")))()
+    }
+  }
+
+  lazy val windowBattery: Seq[(String, GE)] = {
+    val g = new WinGen(new scala.util.Random(WinSeed))
+    (0 until WinN).map(i => (f"wf$i%02d", g.next()))
+  }
+
+  /** One projection over `customer` carrying all fuzzed window columns;
+    * `bal_n` (nulled every 7th row) exercises NULLS FIRST/LAST, `key7`
+    * gives a partition key independent of the ordering columns. */
+  def windowQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = windowBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "customer")
+      .mutate(
+        "bal_n" -> when(C("c_custkey") % lit(7L) === lit(0L)).then_(lit(null))
+          .otherwise(C("c_acctbal")),
+        "key7" -> C("c_custkey") % lit(7L))
+      .mutate(defs: _*)
+      .select(C("c_custkey") +: windowBattery.map(b => C(b._1): ColExpr): _*)
+      .arrange(C("c_custkey"))
+      .toDF
+  }
+
+  def windowOracle: String = {
+    val cols = windowBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"""WITH c AS (SELECT *,
+       |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal_n,
+       |  c_custkey % 7 AS key7 FROM customer)
+       |SELECT c_custkey,
+       |${cols.mkString(",\n")}
+       |FROM c ORDER BY c_custkey""".stripMargin
+  }
 }
