@@ -950,7 +950,9 @@ object Queries {
     "q32_time_type" -> (q32Time _),
     "q33_uint_types" -> (q33UInt _),
     "q34_window_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.windowQuery(s, dir)))
+      graft.fuzz.DiffFuzz.windowQuery(s, dir)),
+    "q35_agg_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.aggQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -987,5 +989,6 @@ object Queries {
     "q31_enum_cast" -> q31Oracle,
     "q32_time_type" -> q32Oracle,
     "q33_uint_types" -> q33Oracle,
-    "q34_window_fuzz_battery" -> graft.fuzz.DiffFuzz.windowOracle)
+    "q34_window_fuzz_battery" -> graft.fuzz.DiffFuzz.windowOracle,
+    "q35_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.aggOracle)
 }

@@ -322,4 +322,88 @@ object DiffFuzz {
        |${cols.mkString(",\n")}
        |FROM c ORDER BY c_custkey""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Grouped-aggregation fuzz battery (q35): summarize semantics under a
+  // NULLABLE group key (both engines group all-null keys together — the
+  // reference's semantics, unlike e.g. pandas dropping them), random
+  // `filter=` kwargs on every aggregate family, aggregation over a
+  // nullable operand (sum/min/max/mean ignore nulls; count(*) does
+  // not), BOOL_OR/AND, COUNT(DISTINCT) and DECIMAL-exact double sums.
+  // -------------------------------------------------------------------
+
+  val AggN = 40
+  val AggSeed = 20260815L
+
+  private final class AggGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+    private val D18 = DecimalType(18, 4)
+
+    /** (DSL filter or null, SQL FILTER suffix). */
+    private val filters: IndexedSeq[(ColExpr, String)] = IndexedSeq(
+      (null, ""),
+      (C("c_acctbal") > lit(3000.0), " FILTER (WHERE c_acctbal > 3000.0)"),
+      (C("c_custkey") % lit(3L) === lit(0L), " FILTER (WHERE c_custkey % 3 = 0)"),
+      (C("bal_n").isNull, " FILTER (WHERE bal_n IS NULL)"),
+      (C("c_name").str.contains("1"), " FILTER (WHERE contains(c_name, '1'))"))
+
+    def next(): GE = {
+      val (f, fd) = pick(filters)
+      pick(IndexedSeq[() => GE](
+        () => GE(C("c_acctbal").cast(D18).sum(filter = f).cast(DoubleType),
+          s"CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))$fd AS DOUBLE)"),
+        () => GE(C("bal_n").cast(D18).sum(filter = f).cast(DoubleType),
+          s"CAST(SUM(CAST(bal_n AS DECIMAL(18,4)))$fd AS DOUBLE)"),
+        () => GE(count(filter = f), s"COUNT(*)$fd"),
+        () => GE(C("bal_n").min(filter = f), s"MIN(bal_n)$fd"),
+        () => GE(C("bal_n").max(filter = f), s"MAX(bal_n)$fd"),
+        () => GE(C("c_name").min(filter = f), s"MIN(c_name)$fd"),
+        () => GE(C("c_name").max(filter = f), s"MAX(c_name)$fd"),
+        // integer means: the double sum of integer-valued doubles is
+        // order-independent (exact in IEEE), so AVG is hash-stable
+        () => GE(C("c_custkey").mean(filter = f),
+          s"AVG(CAST(c_custkey AS DOUBLE))$fd"),
+        () => GE((C("c_acctbal") > lit(1000.0)).any(filter = f),
+          s"BOOL_OR(c_acctbal > 1000.0)$fd"),
+        () => GE((C("c_acctbal") > lit(-1000.0)).all(filter = f),
+          s"BOOL_AND(c_acctbal > -1000.0)$fd"),
+        () => GE(C("key7").nUnique(), "COUNT(DISTINCT key7)"),
+        () => GE(C("c_mktsegment").nUnique(), "COUNT(DISTINCT c_mktsegment)")))()
+    }
+  }
+
+  lazy val aggBattery: Seq[(String, GE)] = {
+    val g = new AggGen(new scala.util.Random(AggSeed))
+    (0 until AggN).map(i => (f"af$i%02d", g.next()))
+  }
+
+  /** One summarize over customer grouped by (c_nationkey, seg_n) — the
+    * second key NULL on every 5th row, so null-key grouping is under
+    * the hash; `bal_n` (null every 7th row) is the nullable operand. */
+  def aggQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = aggBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "customer")
+      .mutate(
+        "seg_n" -> when(C("c_custkey") % lit(5L) === lit(0L)).then_(lit(null))
+          .otherwise(C("c_mktsegment")),
+        "bal_n" -> when(C("c_custkey") % lit(7L) === lit(0L)).then_(lit(null))
+          .otherwise(C("c_acctbal")),
+        "key7" -> C("c_custkey") % lit(7L))
+      .groupBy(C("c_nationkey"), C("seg_n"))
+      .summarize(defs: _*)
+      .arrange(C("c_nationkey"), C("seg_n"))
+      .toDF
+  }
+
+  def aggOracle: String = {
+    val cols = aggBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"""WITH c AS (SELECT *,
+       |  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg_n,
+       |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal_n,
+       |  c_custkey % 7 AS key7 FROM customer)
+       |SELECT c_nationkey, seg_n,
+       |${cols.mkString(",\n")}
+       |FROM c GROUP BY c_nationkey, seg_n
+       |ORDER BY c_nationkey, seg_n NULLS LAST""".stripMargin
+  }
 }
