@@ -952,7 +952,9 @@ object Queries {
     "q34_window_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.windowQuery(s, dir)),
     "q35_agg_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.aggQuery(s, dir)))
+      graft.fuzz.DiffFuzz.aggQuery(s, dir)),
+    "q36_join_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.joinQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -990,5 +992,6 @@ object Queries {
     "q32_time_type" -> q32Oracle,
     "q33_uint_types" -> q33Oracle,
     "q34_window_fuzz_battery" -> graft.fuzz.DiffFuzz.windowOracle,
-    "q35_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.aggOracle)
+    "q35_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.aggOracle,
+    "q36_join_fuzz_battery" -> graft.fuzz.DiffFuzz.joinOracle)
 }

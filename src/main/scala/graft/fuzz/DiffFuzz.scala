@@ -406,4 +406,85 @@ object DiffFuzz {
        |FROM c GROUP BY c_nationkey, seg_n
        |ORDER BY c_nationkey, seg_n NULLS LAST""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Join fuzz battery (q36): every join type × a spread of on-conditions
+  // (plain equi, equi + left-side / right-side / both-side residuals,
+  // arithmetic keys, many-to-many modulo keys), each join's FULL result
+  // compressed into portable aggregates — row multiplicity, key sums
+  // with COALESCE(-1) so unmatched-side nulls are pinned, and per-side
+  // null counts. Any divergence in outer-join null rows, residual
+  // placement (ON vs WHERE matters for outer joins!) or duplicate
+  // multiplicity moves a sum or a count and breaks the hash.
+  // -------------------------------------------------------------------
+
+  /** Condition catalog: (tag, DSL builder against a right-table
+    * instance, SQL). The builder takes the instance because column
+    * identity is by uuid — a condition built on one `nation` Table
+    * would not resolve against another. */
+  private val joinConds: Seq[(String, graft.table.Table => ColExpr, String)] = Seq(
+    ("eq", n => C("c_nationkey") === n.col("n_nationkey"),
+      "c_nationkey = n_nationkey"),
+    ("eq_lres", n => C("c_nationkey") === n.col("n_nationkey") &&
+      C("c_acctbal") > lit(5000.0),
+      "c_nationkey = n_nationkey AND c_acctbal > 5000.0"),
+    ("eq_rres", n => C("c_nationkey") === n.col("n_nationkey") &&
+      n.col("n_regionkey") === lit(2L),
+      "c_nationkey = n_nationkey AND n_regionkey = 2"),
+    ("arith", n => C("c_nationkey") + lit(1L) === n.col("n_nationkey"),
+      "c_nationkey + 1 = n_nationkey"),
+    ("m2m", n => C("c_custkey") % lit(25L) === n.col("n_nationkey"),
+      "c_custkey % 25 = n_nationkey"),
+    ("eq_2res", n => C("c_nationkey") === n.col("n_nationkey") &&
+      C("c_custkey") % lit(2L) === lit(0L) &&
+      n.col("n_name").str.contains("A"),
+      "c_nationkey = n_nationkey AND c_custkey % 2 = 0 AND contains(n_name, 'A')"))
+  private val joinHows = Seq("inner", "left", "full")
+
+  /** 18 joins, each reduced to one row of portable aggregates, unioned. */
+  def joinQuery(s: SparkSession, dir: String): DataFrame = {
+    val parts = for {
+      how <- joinHows
+      (ctag, mkCond, _) <- joinConds
+    } yield {
+        val tag = s"${how}_$ctag"
+        val c = Table.source(s, dir, "customer")
+        val n = Table.source(s, dir, "nation")
+        val cond = mkCond(n)
+        val j = how match {
+          case "inner" => c.innerJoin(n, cond)
+          case "left" => c.leftJoin(n, cond)
+          case "full" => c.fullJoin(n, cond)
+        }
+        j.summarize(
+            "n_rows" -> count(),
+            "lk_sum" -> C("c_custkey").fillNull(lit(-1L)).sum(),
+            "rk_sum" -> C("n_nationkey").fillNull(lit(-1L)).sum(),
+            "l_nulls" -> count(filter = C("c_custkey").isNull),
+            "r_nulls" -> count(filter = C("n_nationkey").isNull))
+          .mutate("tag" -> lit(tag))
+          .select(C("tag"), C("n_rows"), C("lk_sum"), C("rk_sum"),
+            C("l_nulls"), C("r_nulls"))
+    }
+    parts.reduce(_ union _).arrange(C("tag")).toDF
+  }
+
+  def joinOracle: String = {
+    val parts = for {
+      how <- joinHows
+      (ctag, _, cd) <- joinConds
+    } yield {
+      val tag = s"${how}_$ctag"
+      val jt = how match {
+        case "inner" => "JOIN"; case "left" => "LEFT JOIN"; case "full" => "FULL JOIN"
+      }
+      s"""SELECT '$tag' AS tag, COUNT(*) AS n_rows,
+         |  CAST(SUM(COALESCE(c_custkey, -1)) AS BIGINT) AS lk_sum,
+         |  CAST(SUM(COALESCE(n_nationkey, -1)) AS BIGINT) AS rk_sum,
+         |  COUNT(*) FILTER (WHERE c_custkey IS NULL) AS l_nulls,
+         |  COUNT(*) FILTER (WHERE n_nationkey IS NULL) AS r_nulls
+         |FROM customer $jt nation ON $cd""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY tag")
+  }
 }
