@@ -263,8 +263,20 @@ object DiffFuzz {
       s"OVER (${p._2} ${o._2}$frame)"
     private val rowsFrame = " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
 
+    // every DISTINCT (partition, order) spec costs its own sequential
+    // exchange+sort in the plan, so specs are drawn from a fixed pool
+    // that still covers every ordering (all four NULLS x ASC/DESC
+    // marker combos) and every partition shape at least once — spec
+    // COVERAGE stays complete while the window chain stays short
+    private val specPool: IndexedSeq[((Seq[ColExpr], String), OrdPair)] =
+      orders.zipWithIndex.map { case (o, i) => (parts(i % parts.length), o) }
+    // partition-only aggregates reuse two partition shapes (each
+    // distinct partitioning is another exchange)
+    private val aggParts = IndexedSeq(parts(0), parts(2))
+
     def next(): GE = {
-      val p = pick(parts); val o = pick(orders)
+      val (p, o) = pick(specPool)
+      val ap = pick(aggParts)
       pick(IndexedSeq[() => GE](
         () => GE(rowNumber(arrange = o._1, partitionBy = p._1),
           s"CAST(ROW_NUMBER() ${over(p, o)} AS BIGINT)"),
@@ -281,14 +293,14 @@ object DiffFuzz {
         () => GE(C("c_acctbal").cast(D18)
             .cumSum(partitionBy = p._1, arrange = o._1).cast(DoubleType),
           s"CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) ${over(p, o, rowsFrame)} AS DOUBLE)"),
-        () => GE(C("c_acctbal").cast(D18).sum(partitionBy = p._1).cast(DoubleType),
-          s"CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (${p._2}) AS DOUBLE)"),
-        () => GE(C("bal_n").min(partitionBy = p._1),
-          s"MIN(bal_n) OVER (${p._2})"),
-        () => GE(C("bal_n").max(partitionBy = p._1),
-          s"MAX(bal_n) OVER (${p._2})"),
-        () => GE(count(partitionBy = p._1),
-          s"COUNT(*) OVER (${p._2})")))()
+        () => GE(C("c_acctbal").cast(D18).sum(partitionBy = ap._1).cast(DoubleType),
+          s"CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (${ap._2}) AS DOUBLE)"),
+        () => GE(C("bal_n").min(partitionBy = ap._1),
+          s"MIN(bal_n) OVER (${ap._2})"),
+        () => GE(C("bal_n").max(partitionBy = ap._1),
+          s"MAX(bal_n) OVER (${ap._2})"),
+        () => GE(count(partitionBy = ap._1),
+          s"COUNT(*) OVER (${ap._2})")))()
     }
   }
 

@@ -80,32 +80,60 @@ class PipelineFuzzSpec extends SparkSpec {
   private def arrangeAll(t: Table): Table =
     t.arrange(t.columns.map(n => C(n): ColExpr): _*)
 
-  private val iterations = sys.env.getOrElse("GRAFT_PIPE_FUZZ_N", "40").toInt
+  private val iterations = sys.env.getOrElse("GRAFT_PIPE_FUZZ_N", "60").toInt
 
   test(s"fuzz: $iterations random verb pipelines — SQL text == DataFrame compiler") {
     (0 until iterations).foreach { i =>
       val r = new Random(1000 + i)
       var t: Table = Table.source(spark, dir, "orders").drop(C("o_orderdate"))
       var summarized = false
-      val steps = 2 + r.nextInt(3)
+      var joined = false
+      // determinism invariant: original source columns are never dropped,
+      // so rows stay unique on the surviving key columns and every
+      // arrangeAll is a total order EXCEPT across union-duplicated rows —
+      // which are identical in every column, so slice boundaries and
+      // row_number ties cannot change the collected multiset
+      val steps = 2 + r.nextInt(4)
       (0 until steps).foreach { s =>
         val cols = colsOf(t)
-        r.nextInt(if (summarized) 3 else 4) match {
-          case 0 => t = t.filter(rndExpr(r, cols, TBool, 2))
-          case 1 =>
-            val ty = pick(r, Seq[Ty](TLong, TDouble, TBool, TStr))
-            t = t.mutate(s"m$s" -> rndExpr(r, cols, ty, 2))
-          case 2 =>
-            t = arrangeAll(t).sliceHead(5 + r.nextInt(40), offset = r.nextInt(4))
-          case _ =>
-            val key = pick(r, cols.getOrElse(TStr, Nil) ++ cols.getOrElse(TLong, Nil))
-            val aggs = Seq(
-              "n" -> count(),
-              "mx" -> C(pick(r, cols(TLong))).max(),
-              "sl" -> C(pick(r, cols(TLong))).sum())
-            t = t.groupBy(C(key)).summarize(aggs: _*)
-            summarized = true
-        }
+        val choices = Seq.newBuilder[() => Unit]
+        choices += (() => t = t.filter(rndExpr(r, cols, TBool, 2)))
+        choices += (() => {
+          val ty = pick(r, Seq[Ty](TLong, TDouble, TBool, TStr))
+          t = t.mutate(s"m$s" -> rndExpr(r, cols, ty, 2))
+        })
+        choices += (() =>
+          t = arrangeAll(t).sliceHead(5 + r.nextInt(40), offset = r.nextInt(4)))
+        // rename a random column (uuid identity: old refs keep working)
+        choices += (() => t = t.rename(Map(pick(r, t.columns) -> s"rn$s")))
+        // window over a total order, partitioned by a random key
+        if (cols.contains(TLong)) choices += (() => {
+          val key = pick(r, cols.getOrElse(TStr, Nil) ++ cols(TLong))
+          t = t.mutate(s"w$s" -> rowNumber(
+            arrange = t.columns.map(n => C(n): ColExpr),
+            partitionBy = Seq(C(key))))
+        })
+        // union with a filtered copy of itself (duplicates are identical
+        // rows — harmless for determinism, see invariant above)
+        choices += (() => t = t.union(
+          t.filter(rndExpr(r, cols, TBool, 2)), distinct = r.nextBoolean()))
+        if (!joined && cols.contains(TLong)) choices += (() => {
+          val n = Table.source(spark, dir, "nation")
+          val on = C(pick(r, cols(TLong))) % lit(25L) === n.col("n_nationkey")
+          t = if (r.nextBoolean()) t.innerJoin(n, on) else t.leftJoin(n, on)
+          joined = true
+        })
+        if (!summarized && cols.contains(TLong)) choices += (() => {
+          val key = pick(r, cols.getOrElse(TStr, Nil) ++ cols(TLong))
+          val aggs = Seq(
+            "n" -> count(),
+            "mx" -> C(pick(r, cols(TLong))).max(),
+            "sl" -> C(pick(r, cols(TLong))).sum())
+          t = t.groupBy(C(key)).summarize(aggs: _*)
+          summarized = true
+        })
+        val cs = choices.result()
+        cs(r.nextInt(cs.length))()
       }
       t = arrangeAll(t)
       val sql = t.buildQuerySql
