@@ -954,7 +954,9 @@ object Queries {
     "q35_agg_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.aggQuery(s, dir)),
     "q36_join_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.joinQuery(s, dir)))
+      graft.fuzz.DiffFuzz.joinQuery(s, dir)),
+    "q37_pipeline_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.pipelineQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -993,5 +995,6 @@ object Queries {
     "q33_uint_types" -> q33Oracle,
     "q34_window_fuzz_battery" -> graft.fuzz.DiffFuzz.windowOracle,
     "q35_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.aggOracle,
-    "q36_join_fuzz_battery" -> graft.fuzz.DiffFuzz.joinOracle)
+    "q36_join_fuzz_battery" -> graft.fuzz.DiffFuzz.joinOracle,
+    "q37_pipeline_fuzz_battery" -> graft.fuzz.DiffFuzz.pipelineOracle)
 }

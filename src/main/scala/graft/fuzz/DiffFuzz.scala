@@ -499,4 +499,239 @@ object DiffFuzz {
     }
     parts.mkString("", "\nUNION ALL\n", "\nORDER BY tag")
   }
+
+  // -------------------------------------------------------------------
+  // Verb-pipeline fuzz battery (q37): random CHAINS of
+  // filter/mutate/arrange+slice/union/join/summarize, each pipeline
+  // generated as a paired (DSL fold, DuckDB-SQL fold) and reduced to a
+  // fixed row of portable aggregates, all pipelines unioned into one
+  // oracled query. This is the cross-engine complement of
+  // PipelineFuzzSpec (which proves SQL-text ≡ DataFrame WITHIN graft):
+  // here verb COMPOSITION itself — slice-after-union multiplicity,
+  // outer-join null rows flowing through later mutates and group keys,
+  // filter Kleene semantics mid-chain — is checked against DuckDB,
+  // which none of the single-surface batteries (q30/q34/q35/q36) do.
+  //
+  // Domain discipline: integer modulo only sees ABS'd dividends; the
+  // only double column is base c_acctbal (never an arithmetic result),
+  // summed through DECIMAL(18,4) at the reduction; string order/
+  // equality stays within ASCII TPC-H values (binary collation in both
+  // engines); every slice follows an explicit ORDER BY over ALL columns
+  // (ASC NULLS LAST on both sides) so the sliced multiset is
+  // deterministic — union-duplicated rows are identical in every
+  // column, so ties cannot move the boundary.
+  // -------------------------------------------------------------------
+
+  val PipeN = 16
+  val PipeSeed = 20260816L
+
+  private sealed trait PStep
+  private final case class PFilter(cond: ColExpr, sql: String) extends PStep
+  private final case class PMutate(name: String, e: ColExpr, sql: String) extends PStep
+  private final case class PSlice(n: Int, off: Int, orderCols: Seq[String]) extends PStep
+  private final case class PUnion(cond: ColExpr, sql: String, distinct: Boolean) extends PStep
+  private final case class PJoin(leftKey: String, how: String) extends PStep
+  private final case class PSummarize(key: String, aggCol: String) extends PStep
+
+  /** One pipeline: the step list plus the FINAL column census the
+    * reduction aggregates over (maintained by the generator in lockstep
+    * with both folds). */
+  private final case class Pipeline(tag: String, steps: Seq[PStep],
+      longs: Seq[String], dbls: Seq[String], strs: Seq[String])
+
+  private final class PipeGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    private var longs = Vector("c_custkey", "c_nationkey")
+    private var dbls = Vector("c_acctbal")
+    private var strs = Vector("c_mktsegment", "c_name")
+    private var joined = false
+    private var summarized = false
+
+    private def allCols: Seq[String] = longs ++ dbls ++ strs
+
+    /** A paired boolean condition over the CURRENT columns. */
+    private def cond(depth: Int): (ColExpr, String) = {
+      def leaf(): (ColExpr, String) = {
+        val arms = IndexedSeq.newBuilder[() => (ColExpr, String)]
+        arms += (() => {
+          val l = pick(longs); val k = 2 + rnd.nextInt(5); val r = rnd.nextInt(k)
+          (C(l).abs % lit(k.toLong) === lit(r.toLong), s"(ABS($l) % $k = $r)")
+        })
+        if (dbls.nonEmpty) arms += (() => {
+          val d = pick(dbls); val v = pick(IndexedSeq(0.0, 2500.5, 7000.25))
+          (C(d) > lit(v), s"($d > $v)")
+        })
+        if (strs.nonEmpty) arms += (() => {
+          val sc = pick(strs); val sub = pick(IndexedSeq("1", "a", "A", "0"))
+          (C(sc).str.contains(sub, allowRegex = false), s"contains($sc, '$sub')")
+        })
+        pick(arms.result())()
+      }
+      if (depth <= 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => val (a, as) = cond(depth - 1); val (b, bs) = cond(depth - 1)
+          (a && b, s"($as AND $bs)")
+        case 1 => val (a, as) = cond(depth - 1); val (b, bs) = cond(depth - 1)
+          (a || b, s"($as OR $bs)")
+        case 2 => val (a, as) = cond(depth - 1); (!a, s"(NOT $as)")
+        case _ => leaf()
+      }
+    }
+
+    /** A paired BIGINT-valued expression over the current long columns. */
+    private def longExpr(): (ColExpr, String) = {
+      val a = pick(longs); val b = pick(longs)
+      rnd.nextInt(5) match {
+        case 0 => (C(a) + C(b), s"($a + $b)")
+        case 1 => (C(a) - C(b), s"($a - $b)")
+        case 2 => val k = 2 + rnd.nextInt(9)
+          (C(a).abs % lit(k.toLong), s"(ABS($a) % $k)")
+        case 3 => val k = 2 + rnd.nextInt(2)
+          (C(a) * lit(k.toLong), s"($a * $k)")
+        case _ => val (c, cs) = cond(1)
+          (when(c).then_(C(a)).otherwise(C(b)),
+            s"(CASE WHEN $cs THEN $a ELSE $b END)")
+      }
+    }
+
+    def next(tag: String): Pipeline = {
+      longs = Vector("c_custkey", "c_nationkey")
+      dbls = Vector("c_acctbal")
+      strs = Vector("c_mktsegment", "c_name")
+      joined = false; summarized = false
+      val nSteps = 2 + rnd.nextInt(3)
+      val steps = (0 until nSteps).map { i =>
+        val arms = IndexedSeq.newBuilder[() => PStep]
+        arms += (() => { val (c, cs) = cond(1); PFilter(c, cs) })
+        arms += (() => { val (e, es) = longExpr()
+          val n = s"m$i"; longs :+= n; PMutate(n, e, es) })
+        arms += (() =>
+          PSlice(200 + rnd.nextInt(800), rnd.nextInt(5), allCols))
+        arms += (() => { val (c, cs) = cond(1)
+          PUnion(c, cs, distinct = rnd.nextBoolean()) })
+        if (!joined && !summarized) arms += (() => {
+          val lk = pick(longs)
+          joined = true
+          longs ++= Vector("n_nationkey", "n_regionkey"); strs :+= "n_name"
+          PJoin(lk, pick(IndexedSeq("inner", "left", "full")))
+        })
+        if (!summarized) arms += (() => {
+          val key = pick(longs); val agg = pick(longs)
+          summarized = true
+          longs = Vector(key, "n", "sl", "mx"); dbls = Vector(); strs = Vector()
+          PSummarize(key, agg)
+        })
+        val a = arms.result()
+        a(rnd.nextInt(a.length))()
+      }
+      Pipeline(tag, steps, longs, dbls, strs)
+    }
+  }
+
+  private lazy val pipeBattery: Seq[Pipeline] = {
+    val g = new PipeGen(new scala.util.Random(PipeSeed))
+    (0 until PipeN).map(i => g.next(f"p$i%02d"))
+  }
+
+  /** DSL fold of one pipeline + its fixed-schema reduction. */
+  private def pipeTable(s: SparkSession, dir: String, p: Pipeline): Table = {
+    val base = Table.source(s, dir, "customer").select(
+      C("c_custkey"), C("c_nationkey"), C("c_acctbal"),
+      C("c_mktsegment"), C("c_name"))
+    val t = p.steps.foldLeft(base) { (t, step) => step match {
+      case PFilter(c, _) => t.filter(c)
+      case PMutate(n, e, _) => t.mutate(n -> e)
+      case PSlice(n, off, cols) =>
+        t.arrange(cols.map(c => C(c).asc.nullsLast: ColExpr): _*)
+          .sliceHead(n, offset = off)
+      case PUnion(c, _, distinct) => t.union(t.filter(c), distinct = distinct)
+      case PJoin(lk, how) =>
+        val n = Table.source(s, dir, "nation")
+          .select(C("n_nationkey"), C("n_regionkey"), C("n_name"))
+        val on = C(lk).abs % lit(25L) === n.col("n_nationkey")
+        how match {
+          case "inner" => t.innerJoin(n, on)
+          case "left" => t.leftJoin(n, on)
+          case "full" => t.fullJoin(n, on)
+        }
+      case PSummarize(key, agg) =>
+        t.groupBy(C(key)).summarize(
+          "n" -> count(),
+          "sl" -> C(agg).fillNull(lit(-1L)).sum(),
+          "mx" -> C(agg).fillNull(lit(-1L)).max())
+    }}
+    val D18 = DecimalType(18, 4)
+    val lsum = p.longs.map(l => C(l).fillNull(lit(-1L)): ColExpr).reduce(_ + _)
+    val aggs = Seq.newBuilder[(String, ColExpr)]
+    aggs += ("n_rows" -> count())
+    aggs += ("lsum" -> lsum.sum())
+    if (p.dbls.nonEmpty)
+      aggs += ("dsum" -> p.dbls.map(d => C(d).cast(D18): ColExpr)
+        .reduce(_ + _).sum().cast(DoubleType))
+    if (p.strs.nonEmpty) {
+      val scat = p.strs.map(sc => C(sc).fillNull(lit("_")): ColExpr).reduce(_ + _)
+      aggs += ("smin" -> scat.min())
+      aggs += ("smax" -> scat.max())
+    }
+    var red = t.summarize(aggs.result(): _*).mutate("tag" -> lit(p.tag))
+    if (p.dbls.isEmpty) red = red.mutate("dsum" -> lit(null).cast(DoubleType))
+    if (p.strs.isEmpty) red = red.mutate(
+      "smin" -> lit(null).cast(StringType), "smax" -> lit(null).cast(StringType))
+    red.select(C("tag"), C("n_rows"), C("lsum"), C("dsum"), C("smin"), C("smax"))
+  }
+
+  /** SQL fold of one pipeline (DuckDB dialect) + the same reduction. */
+  private def pipeSql(p: Pipeline): String = {
+    var i = 0
+    val body = p.steps.foldLeft(
+      "SELECT c_custkey, c_nationkey, c_acctbal, c_mktsegment, c_name FROM customer") {
+      (prev, step) =>
+        i += 1
+        step match {
+          case PFilter(_, cs) => s"SELECT * FROM ($prev) t$i WHERE $cs"
+          case PMutate(n, _, es) => s"SELECT *, $es AS $n FROM ($prev) t$i"
+          case PSlice(n, off, cols) =>
+            val ord = cols.map(c => s"$c ASC NULLS LAST").mkString(", ")
+            s"SELECT * FROM ($prev) t$i ORDER BY $ord LIMIT $n OFFSET $off"
+          case PUnion(_, cs, distinct) =>
+            val u = if (distinct) "UNION" else "UNION ALL"
+            s"SELECT * FROM ($prev) u$i $u SELECT * FROM ($prev) v$i WHERE $cs"
+          case PJoin(lk, how) =>
+            val jt = how match {
+              case "inner" => "JOIN"; case "left" => "LEFT JOIN"
+              case "full" => "FULL JOIN"
+            }
+            s"SELECT * FROM ($prev) a$i $jt (SELECT n_nationkey, n_regionkey, " +
+              s"n_name FROM nation) b$i ON (ABS($lk) % 25) = n_nationkey"
+          case PSummarize(key, agg) =>
+            s"SELECT $key, COUNT(*) AS n, " +
+              s"CAST(SUM(COALESCE($agg, -1)) AS BIGINT) AS sl, " +
+              s"MAX(COALESCE($agg, -1)) AS mx FROM ($prev) t$i GROUP BY $key"
+        }
+    }
+    val lsum = p.longs.map(l => s"COALESCE($l, -1)").mkString("(", " + ", ")")
+    val dsum =
+      if (p.dbls.isEmpty) "CAST(NULL AS DOUBLE)"
+      else "CAST(SUM(" + p.dbls.map(d => s"CAST($d AS DECIMAL(18,4))")
+        .mkString("(", " + ", ")") + ") AS DOUBLE)"
+    val (smin, smax) =
+      if (p.strs.isEmpty) ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      else {
+        val scat = p.strs.map(sc => s"COALESCE($sc, '_')").mkString("(", " || ", ")")
+        (s"MIN($scat)", s"MAX($scat)")
+      }
+    s"""SELECT '${p.tag}' AS tag, COUNT(*) AS n_rows,
+       |  CAST(SUM($lsum) AS BIGINT) AS lsum,
+       |  $dsum AS dsum, $smin AS smin, $smax AS smax
+       |FROM ($body) fin""".stripMargin
+  }
+
+  /** All pipelines unioned, one row each, ordered by tag. */
+  def pipelineQuery(s: SparkSession, dir: String): DataFrame =
+    pipeBattery.map(p => pipeTable(s, dir, p))
+      .reduce(_ union _).arrange(C("tag")).toDF
+
+  def pipelineOracle: String =
+    pipeBattery.map(pipeSql).mkString("", "\nUNION ALL\n", "\nORDER BY tag")
 }
