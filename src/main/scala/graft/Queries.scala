@@ -956,7 +956,9 @@ object Queries {
     "q36_join_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.joinQuery(s, dir)),
     "q37_pipeline_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.pipelineQuery(s, dir)))
+      graft.fuzz.DiffFuzz.pipelineQuery(s, dir)),
+    "q38_datetime_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.dtQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -996,5 +998,6 @@ object Queries {
     "q34_window_fuzz_battery" -> graft.fuzz.DiffFuzz.windowOracle,
     "q35_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.aggOracle,
     "q36_join_fuzz_battery" -> graft.fuzz.DiffFuzz.joinOracle,
-    "q37_pipeline_fuzz_battery" -> graft.fuzz.DiffFuzz.pipelineOracle)
+    "q37_pipeline_fuzz_battery" -> graft.fuzz.DiffFuzz.pipelineOracle,
+    "q38_datetime_fuzz_battery" -> graft.fuzz.DiffFuzz.dtOracle)
 }

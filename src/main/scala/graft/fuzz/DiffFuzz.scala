@@ -734,4 +734,123 @@ object DiffFuzz {
 
   def pipelineOracle: String =
     pipeBattery.map(pipeSql).mkString("", "\nUNION ALL\n", "\nORDER BY tag")
+
+  // -------------------------------------------------------------------
+  // Datetime/duration fuzz battery (q38): random timestamp-VALUED trees
+  // (CASE / COALESCE over a nullable µs-precision column + literals) fed
+  // into every datetime extractor and every duration extractor over
+  // random timestamp differences. Calendar semantics are where engines
+  // drift (ISO vs US day-of-week numbering, second() on subsecond
+  // timestamps, ms/µs cumulative-vs-part extraction, trunc-toward-zero
+  // on NEGATIVE durations — exercised here on purpose: ts pairs come in
+  // both orders); the SQL side spells DuckDB's semantics with the
+  // idioms the fixed queries (q15/q16/x17) proved — ISODOW,
+  // millisecond()%1000, DATE_DIFF('microsecond')/TRUNC — so any
+  // divergence in the graft compiler's mapping breaks the hash.
+  // Session TZ is UTC on both engines and events.ts is TimestampNTZ.
+  // -------------------------------------------------------------------
+
+  val DtN = 36
+  val DtSeed = 20260817L
+
+  private final class DtGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    private val tsLits = IndexedSeq(
+      "2024-03-01 00:00:00", "2024-06-15 12:34:56.789012",
+      "2023-12-31 23:59:59.999999", "2024-01-01 06:30:00")
+
+    private def tsLeaf(): GE = pick(IndexedSeq(
+      () => GE(C("ts"), "ts"),
+      () => GE(C("ts_n"), "ts_n"),
+      () => { val v = pick(tsLits)
+        GE(timestamp(v), s"TIMESTAMP '$v'") }))()
+
+    def boolE(d: Int): GE =
+      if (d <= 0) GE(C("event_id") % lit(3L) === lit(0L), "(event_id % 3 = 0)")
+      else pick(IndexedSeq[() => GE](
+        () => { val a = tsE(d - 1); val b = tsE(d - 1)
+          GE(a.e < b.e, s"(${a.d} < ${b.d})") },
+        () => { val a = tsE(d - 1); val v = pick(tsLits)
+          GE(a.e >= timestamp(v), s"(${a.d} >= TIMESTAMP '$v')") },
+        () => { val k = 2 + rnd.nextInt(5); val r = rnd.nextInt(k)
+          GE(C("event_id") % lit(k.toLong) === lit(r.toLong),
+            s"(event_id % $k = $r)") },
+        () => { val a = boolE(d - 1); val b = boolE(d - 1)
+          GE(a.e && b.e, s"(${a.d} AND ${b.d})") },
+        () => { val a = tsE(d - 1); GE(a.e.isNull, s"(${a.d} IS NULL)") }))()
+
+    def tsE(d: Int): GE =
+      if (d <= 0) tsLeaf()
+      else pick(IndexedSeq[() => GE](
+        () => tsLeaf(),
+        () => { val c = boolE(d - 1); val a = tsE(d - 1); val b = tsE(d - 1)
+          GE(when(c.e).then_(a.e).otherwise(b.e),
+            s"(CASE WHEN ${c.d} THEN ${a.d} ELSE ${b.d} END)") },
+        () => { val a = tsE(d - 1); val b = tsE(d - 1)
+          GE(coalesce(a.e, b.e), s"COALESCE(${a.d}, ${b.d})") }))()
+
+    /** One battery column: a datetime extractor over a random timestamp
+      * tree, or a duration extractor over a random (possibly negative)
+      * timestamp difference. */
+    def next(): GE = {
+      if (rnd.nextInt(8) < 5) {
+        val a = tsE(2)
+        pick(IndexedSeq[GE => GE](
+          t => GE(t.e.dt.year, s"CAST(YEAR(${t.d}) AS BIGINT)"),
+          t => GE(t.e.dt.month, s"CAST(MONTH(${t.d}) AS BIGINT)"),
+          t => GE(t.e.dt.day, s"CAST(DAY(${t.d}) AS BIGINT)"),
+          t => GE(t.e.dt.hour, s"CAST(HOUR(${t.d}) AS BIGINT)"),
+          t => GE(t.e.dt.minute, s"CAST(MINUTE(${t.d}) AS BIGINT)"),
+          t => GE(t.e.dt.second, s"CAST(SECOND(${t.d}) AS BIGINT)"),
+          t => GE(t.e.dt.millisecond, s"CAST(MILLISECOND(${t.d}) % 1000 AS BIGINT)"),
+          t => GE(t.e.dt.microsecond, s"CAST(MICROSECOND(${t.d}) % 1000000 AS BIGINT)"),
+          t => GE(t.e.dt.dayOfWeek, s"CAST(ISODOW(${t.d}) AS BIGINT)"),
+          t => GE(t.e.dt.dayOfYear, s"CAST(DAYOFYEAR(${t.d}) AS BIGINT)")))(a)
+      } else {
+        val a = tsE(1); val b = tsE(1)
+        val diffD = s"CAST(DATE_DIFF('microsecond', ${b.d}, ${a.d}) AS DOUBLE)"
+        val diffE = a.e - b.e
+        def trunc(divUs: Long): String =
+          s"CAST(TRUNC($diffD / $divUs) AS BIGINT)"
+        pick(IndexedSeq[() => GE](
+          () => GE(diffE, s"DATE_DIFF('microsecond', ${b.d}, ${a.d})"),
+          () => GE(diffE.dur.days, trunc(86400000000L)),
+          () => GE(diffE.dur.hours, trunc(3600000000L)),
+          () => GE(diffE.dur.minutes, trunc(60000000L)),
+          () => GE(diffE.dur.seconds, trunc(1000000L)),
+          () => GE(diffE.dur.milliseconds, trunc(1000L)),
+          () => GE(diffE.dur.microseconds,
+            s"DATE_DIFF('microsecond', ${b.d}, ${a.d})")))()
+      }
+    }
+  }
+
+  lazy val dtBattery: Seq[(String, GE)] = {
+    val g = new DtGen(new scala.util.Random(DtSeed))
+    (0 until DtN).map(i => (f"df$i%02d", g.next()))
+  }
+
+  /** One projection over `events` carrying all fuzzed datetime columns;
+    * `ts_n` (nulled every 7th row) drives NULL propagation through
+    * extractors, CASE and COALESCE. */
+  def dtQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = dtBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "events")
+      .mutate("ts_n" -> when(C("event_id") % lit(7L) === lit(0L))
+        .then_(lit(null)).otherwise(C("ts")))
+      .mutate(defs: _*)
+      .select(C("event_id") +: dtBattery.map(b => C(b._1): ColExpr): _*)
+      .arrange(C("event_id"))
+      .toDF
+  }
+
+  def dtOracle: String = {
+    val cols = dtBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"""WITH e AS (SELECT *,
+       |  CASE WHEN event_id % 7 = 0 THEN NULL ELSE ts END AS ts_n FROM events)
+       |SELECT event_id,
+       |${cols.mkString(",\n")}
+       |FROM e ORDER BY event_id""".stripMargin
+  }
 }
