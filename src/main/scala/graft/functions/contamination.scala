@@ -163,7 +163,25 @@ object contamination {
       .select(F.explode(shingleFps(F.col(benchTextCol), k)).as("h"))
       .distinct())
     val items = if (expectedItems > 0L) expectedItems else bFps.count()
-    val bf = bFps.stat.bloomFilter("h", math.max(items, 1L), fpp)
+    // empty benchmark: Spark's bloomFilter aggregate returns a null
+    // buffer for zero input rows (NPE in readFrom), and the right answer
+    // needs no filter at all — every train row is provably clean. The
+    // NPE catch also covers a caller passing expectedItems > 0 for a
+    // bench that turns out empty (the sizing-count skip is a 100 TB
+    // path; being lied to should degrade to correct, not crash).
+    val bfOpt =
+      if (items == 0L) None
+      else try Some(bFps.stat.bloomFilter("h", items, fpp))
+      catch { case _: NullPointerException => None }
+    if (bfOpt.isEmpty) {
+      val out = train.select(F.col(idCol),
+          F.size(shingleFps(F.col(textCol), k)).cast(LongType).as("n_shingles"),
+          F.lit(0L).as("n_overlap"))
+        .withColumn("contaminated", F.lit(false))
+      dedup.releaseWhenConsumed(bFps, out)
+      return out
+    }
+    val bf = bfOpt.get
     val bfBytes = {
       val os = new java.io.ByteArrayOutputStream()
       bf.writeTo(os); os.toByteArray

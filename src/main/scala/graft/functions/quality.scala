@@ -294,6 +294,10 @@ object quality {
         .agg(F.sum(F.col("e.g")).as("gsum"))
         .collect()
         .map(r => r.getInt(0) -> r.getDecimal(1).doubleValue()).toMap
+      // empty corpus: no gradient rows at all — the model stays as-is
+      // (the zero model on the first iteration) instead of crashing on
+      // the missing doc-count bucket
+      if (sums.isEmpty) return (w, b)
       val n = sums(-2)
       b = b - lr * (sums(-1) / 1.0e6 / n)
       w = w.zipWithIndex.map { case (wk, k) =>

@@ -175,6 +175,10 @@ object similarity {
         else Seq(F.xxhash64(F.col("id")).asc, F.col("id").asc)
       val init = samp.orderBy(seedOrd: _*).limit(nlist)
         .select("vec").collect().map(_.getSeq[Double](0).toArray)
+      // empty corpus (an empty shard, a drained filter): no centroids —
+      // bankOf(empty) is the empty bank, which CentroidTopK resolves to
+      // an empty cell list, so every downstream consumer yields 0 rows
+      if (init.isEmpty) return Array.empty[Array[Double]]
       val dim = init.head.length
       var cents: Array[Array[Double]] = init
       for (_ <- 0 until iters) {
