@@ -502,7 +502,7 @@ object DiffFuzz {
 
   // -------------------------------------------------------------------
   // Verb-pipeline fuzz battery (q37): random CHAINS of
-  // filter/mutate/arrange+slice/union/join/summarize, each pipeline
+  // filter/mutate/arrange+slice/union/join/window/summarize, each pipeline
   // generated as a paired (DSL fold, DuckDB-SQL fold) and reduced to a
   // fixed row of portable aggregates, all pipelines unioned into one
   // oracled query. This is the cross-engine complement of
@@ -532,6 +532,8 @@ object DiffFuzz {
   private final case class PUnion(cond: ColExpr, sql: String, distinct: Boolean) extends PStep
   private final case class PJoin(leftKey: String, how: String) extends PStep
   private final case class PSummarize(key: String, aggCol: String) extends PStep
+  private final case class PWindow(name: String, key: String,
+      orderCols: Seq[String]) extends PStep
 
   /** One pipeline: the step list plus the FINAL column census the
     * reduction aggregates over (maintained by the generator in lockstep
@@ -610,6 +612,11 @@ object DiffFuzz {
           PSlice(200 + rnd.nextInt(800), rnd.nextInt(5), allCols))
         arms += (() => { val (c, cs) = cond(1)
           PUnion(c, cs, distinct = rnd.nextBoolean()) })
+        // row_number over a total order (all columns): union-duplicated
+        // rows are identical, so the assigned rank multiset is
+        // deterministic even across ties
+        arms += (() => { val key = pick(longs); val cols = allCols
+          val n = s"w$i"; longs :+= n; PWindow(n, key, cols) })
         if (!joined && !summarized) arms += (() => {
           val lk = pick(longs)
           joined = true
@@ -660,6 +667,10 @@ object DiffFuzz {
           "n" -> count(),
           "sl" -> C(agg).fillNull(lit(-1L)).sum(),
           "mx" -> C(agg).fillNull(lit(-1L)).max())
+      case PWindow(name, key, cols) =>
+        t.mutate(name -> rowNumber(
+          arrange = cols.map(c => C(c).asc.nullsLast: ColExpr),
+          partitionBy = Seq(C(key))))
     }}
     val D18 = DecimalType(18, 4)
     val lsum = p.longs.map(l => C(l).fillNull(lit(-1L)): ColExpr).reduce(_ + _)
@@ -708,6 +719,10 @@ object DiffFuzz {
             s"SELECT $key, COUNT(*) AS n, " +
               s"CAST(SUM(COALESCE($agg, -1)) AS BIGINT) AS sl, " +
               s"MAX(COALESCE($agg, -1)) AS mx FROM ($prev) t$i GROUP BY $key"
+          case PWindow(name, key, cols) =>
+            val ord = cols.map(c => s"$c ASC NULLS LAST").mkString(", ")
+            s"SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY $key " +
+              s"ORDER BY $ord) AS BIGINT) AS $name FROM ($prev) t$i"
         }
     }
     val lsum = p.longs.map(l => s"COALESCE($l, -1)").mkString("(", " + ", ")")
