@@ -450,10 +450,26 @@ object DiffFuzz {
     ("eq_2res", n => C("c_nationkey") === n.col("n_nationkey") &&
       C("c_custkey") % lit(2L) === lit(0L) &&
       n.col("n_name").str.contains("A"),
-      "c_nationkey = n_nationkey AND c_custkey % 2 = 0 AND contains(n_name, 'A')"))
+      "c_nationkey = n_nationkey AND c_custkey % 2 = 0 AND contains(n_name, 'A')"),
+    // NULL left key on every 9th row: never matches (inner/left emit the
+    // row unmatched or not at all; full join surfaces it as left-only) —
+    // the classic outer-join null-key divergence spot
+    ("eq_nullkey", n => when(C("c_custkey") % lit(9L) === lit(0L))
+      .then_(lit(null)).otherwise(C("c_nationkey")) === n.col("n_nationkey"),
+      "(CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_nationkey END) = n_nationkey"),
+    // NULL-vs-NULL: both sides nullable — `=` is never true on NULLs in
+    // either engine, so null-keyed rows pair with nothing even when both
+    // sides hold NULL
+    ("null_both", n => when(C("c_custkey") % lit(4L) === lit(0L))
+      .then_(lit(null)).otherwise(C("c_nationkey")) ===
+      when(n.col("n_regionkey") === lit(2L)).then_(lit(null))
+        .otherwise(n.col("n_nationkey")),
+      "(CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_nationkey END) = " +
+        "(CASE WHEN n_regionkey = 2 THEN NULL ELSE n_nationkey END)"))
   private val joinHows = Seq("inner", "left", "full")
 
-  /** 18 joins, each reduced to one row of portable aggregates, unioned. */
+  /** 24 joins (3 types × 8 conditions), each reduced to one row of
+    * portable aggregates, unioned. */
   def joinQuery(s: SparkSession, dir: String): DataFrame = {
     val parts = for {
       how <- joinHows
