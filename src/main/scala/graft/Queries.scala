@@ -958,7 +958,9 @@ object Queries {
     "q37_pipeline_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.pipelineQuery(s, dir)),
     "q38_datetime_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.dtQuery(s, dir)))
+      graft.fuzz.DiffFuzz.dtQuery(s, dir)),
+    "q39_ordered_agg_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.oaQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -999,5 +1001,6 @@ object Queries {
     "q35_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.aggOracle,
     "q36_join_fuzz_battery" -> graft.fuzz.DiffFuzz.joinOracle,
     "q37_pipeline_fuzz_battery" -> graft.fuzz.DiffFuzz.pipelineOracle,
-    "q38_datetime_fuzz_battery" -> graft.fuzz.DiffFuzz.dtOracle)
+    "q38_datetime_fuzz_battery" -> graft.fuzz.DiffFuzz.dtOracle,
+    "q39_ordered_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.oaOracle)
 }

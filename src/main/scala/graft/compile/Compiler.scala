@@ -573,7 +573,15 @@ object ExprCompiler {
         fin(F.percentile(arg(0), F.lit(p)).cast(DoubleType))
       case "approx_n_unique" => fin(F.approx_count_distinct(arg(0)))
       case "str.join" =>
-        F.array_join(orderedCollect(arg(0), arrange, ctx, fin), litStr(args(1)))
+        // reference semantics = STRING_AGG (backend/sql.py:892-894): null
+        // values don't contribute, and a group with NO non-null values
+        // (empty, all-null, or emptied by filter=) yields NULL — while
+        // array_join over an empty collect would yield '' (found by the
+        // q39 ordered-agg fuzz battery)
+        val vals = F.filter(orderedCollect(arg(0), arrange, ctx, fin),
+          v => v.isNotNull)
+        F.when(F.size(vals) === 0, F.lit(null).cast(StringType))
+          .otherwise(F.array_join(vals, litStr(args(1))))
       case "list.agg" => orderedCollect(arg(0), arrange, ctx, fin)
       case other => throw new GraftError(s"no compile rule for aggregate op $other")
     }

@@ -884,4 +884,102 @@ object DiffFuzz {
        |${cols.mkString(",\n")}
        |FROM e ORDER BY event_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Ordered-aggregation fuzz battery (q39): str.join under random
+  // (value, delimiter, ordering-marker combo, filter=) draws — the
+  // trickiest aggregate surface, where element ORDER inside the
+  // aggregate (a sort the engine must thread through partial
+  // aggregation), NULL placement of the ordering key, NULL skipping of
+  // the aggregated value, and the filter= kwarg all interact. Every
+  // ordering ends with the unique c_custkey tiebreak so the
+  // concatenation is total-order deterministic; the oracle spells the
+  // same ordering into STRING_AGG(... ORDER BY ... NULLS ...) with
+  // FILTER (WHERE ...). A filter that empties a group must yield NULL
+  // (the reference's empty-aggregate rule) in both engines.
+  // -------------------------------------------------------------------
+
+  val OaN = 20
+  val OaSeed = 20260819L
+
+  private final class OaGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    /** (DSL value expr, SQL) — seg_n is NULL every 5th row, so null
+      * skipping of the aggregated VALUE is under the hash too. */
+    private val values: IndexedSeq[(ColExpr, String)] = IndexedSeq(
+      (C("c_name"), "c_name"),
+      (C("c_custkey").cast(StringType), "CAST(c_custkey AS VARCHAR)"),
+      (C("c_mktsegment"), "c_mktsegment"),
+      (C("seg_n"), "seg_n"))
+
+    private val delims = IndexedSeq(",", "|", "")
+
+    /** (DSL markers, SQL ORDER BY body) — all four NULLS×direction
+      * combos on the nullable bal_n, plus plain keys; every variant
+      * ends with the unique tiebreak. */
+    private val orders: IndexedSeq[(Seq[ColExpr], String)] = IndexedSeq(
+      (Seq(C("bal_n").asc.nullsFirst, C("c_custkey")),
+        "bal_n ASC NULLS FIRST, c_custkey ASC NULLS LAST"),
+      (Seq(C("bal_n").asc.nullsLast, C("c_custkey")),
+        "bal_n ASC NULLS LAST, c_custkey ASC NULLS LAST"),
+      (Seq(C("bal_n").desc.nullsFirst, C("c_custkey")),
+        "bal_n DESC NULLS FIRST, c_custkey ASC NULLS LAST"),
+      (Seq(C("bal_n").desc.nullsLast, C("c_custkey")),
+        "bal_n DESC NULLS LAST, c_custkey ASC NULLS LAST"),
+      (Seq(C("c_name").desc, C("c_custkey")),
+        "c_name DESC NULLS LAST, c_custkey ASC NULLS LAST"),
+      (Seq(C("c_acctbal").asc, C("c_custkey")),
+        "c_acctbal ASC NULLS LAST, c_custkey ASC NULLS LAST"),
+      (Seq(C("c_custkey").desc, C("c_custkey")),
+        "c_custkey DESC NULLS LAST, c_custkey ASC NULLS LAST"))
+
+    private val filters: IndexedSeq[(ColExpr, String)] = IndexedSeq(
+      (null, ""),
+      (C("c_acctbal") > lit(3000.0), " FILTER (WHERE c_acctbal > 3000.0)"),
+      (C("c_custkey") % lit(3L) === lit(0L),
+        " FILTER (WHERE c_custkey % 3 = 0)"),
+      // empties some groups entirely: the NULL-result rule under hash
+      (C("c_acctbal") > lit(9990.0), " FILTER (WHERE c_acctbal > 9990.0)"))
+
+    def next(): GE = {
+      val (v, vd) = pick(values)
+      val d = pick(delims)
+      val (o, od) = pick(orders)
+      val (f, fd) = pick(filters)
+      GE(v.str.join(d, arrange = o, filter = f),
+        s"STRING_AGG($vd, '$d' ORDER BY $od)$fd")
+    }
+  }
+
+  lazy val oaBattery: Seq[(String, GE)] = {
+    val g = new OaGen(new scala.util.Random(OaSeed))
+    (0 until OaN).map(i => (f"oa$i%02d", g.next()))
+  }
+
+  /** One summarize over customer grouped by c_nationkey (25 groups). */
+  def oaQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = oaBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "customer")
+      .mutate(
+        "seg_n" -> when(C("c_custkey") % lit(5L) === lit(0L)).then_(lit(null))
+          .otherwise(C("c_mktsegment")),
+        "bal_n" -> when(C("c_custkey") % lit(7L) === lit(0L)).then_(lit(null))
+          .otherwise(C("c_acctbal")))
+      .groupBy(C("c_nationkey"))
+      .summarize(defs: _*)
+      .arrange(C("c_nationkey"))
+      .toDF
+  }
+
+  def oaOracle: String = {
+    val cols = oaBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"""WITH c AS (SELECT *,
+       |  CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg_n,
+       |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal_n
+       |  FROM customer)
+       |SELECT c_nationkey,
+       |${cols.mkString(",\n")}
+       |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  }
 }
