@@ -168,6 +168,17 @@ object SqlGen {
           case Some(c) => s"COUNT(CASE WHEN ${go(c)} THEN 1 END)"
           case None => "COUNT(*)"
         }
+        // Spark 4 LISTAGG: skips nulls and returns NULL on an empty
+        // group — exactly the compiler's STRING_AGG-parity semantics.
+        // Without arrange= the SQL text has no row-id surrogate to pin
+        // the element order (the DataFrame compiler sorts by one), so
+        // only the ordered form is expressible deterministically.
+        case "str.join" =>
+          if (arrange.isEmpty)
+            throw new GraftError("sqlgen: str.join without arrange= has no " +
+              "deterministic SQL rendering; pass arrange=")
+          s"LISTAGG($a0, ${go(args(1))}) WITHIN GROUP " +
+            s"(ORDER BY ${arrange.map(ordSql).mkString(", ")})"
         case other => throw new GraftError(s"sqlgen: no SQL rule for aggregate `$other`")
       }
       mode match {

@@ -81,6 +81,32 @@ class SqlGenSpec extends SparkSpec {
       .arrange(C("id")))
   }
 
+  test("ordered str.join emits LISTAGG WITHIN GROUP") {
+    assertSqlEq(nation
+      .groupBy(C("n_regionkey"))
+      .summarize(
+        "names" -> C("n_name").str.join(",", arrange = Seq(C("n_name"))),
+        "keys_desc" -> C("n_nationkey").cast(StringType)
+          .str.join("|", arrange = Seq(C("n_nationkey").desc)),
+        // filter that empties some groups: LISTAGG must yield NULL,
+        // matching the compiler's STRING_AGG-parity semantics
+        "big" -> C("n_name").str.join(",", arrange = Seq(C("n_name")),
+          filter = C("n_nationkey") > lit(20L)))
+      .arrange(C("n_regionkey")))
+  }
+
+  test("str.join without arrange degrades to non-SQL-expressible") {
+    // no row-id surrogate exists in SQL text to pin the element order,
+    // so the unordered form must degrade (not silently emit
+    // nondeterministic SQL)
+    val e = intercept[GraftError] {
+      nation.groupBy(C("n_regionkey"))
+        .summarize("names" -> C("n_name").str.join(","))
+        .buildQuerySql
+    }
+    assert(e.getMessage.contains("build_query"))
+  }
+
   test("non-SQL-expressible pipelines raise a clear error") {
     val e = intercept[GraftError] {
       tbl(spark.range(3).toDF("x"), "r").buildQuerySql // non-parquet source
