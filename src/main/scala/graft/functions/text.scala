@@ -10,11 +10,21 @@ import org.apache.spark.sql.types._
   */
 object text {
 
-  def tokens(c: Column): Column = F.split(F.trim(c), "\\s+")
+  /** ALL leading/trailing whitespace removed. Spark's `trim` strips only
+    * ASCII spaces, so a tab- or newline-edged document (routine in web
+    * text) would otherwise produce phantom "" tokens at the edges —
+    * found by PathologicalTextSpec (a "\t\r\n" document counted 2
+    * tokens). The regex trim matches the `\s` class the splitter uses.
+    * Oracle-safe: the driver fixtures have no tab/newline-edged
+    * documents, so every trim-replaying oracle hashes identically. */
+  private[graft] def wsTrim(c: Column): Column =
+    F.regexp_replace(c, "^\\s+|\\s+$", "")
+
+  def tokens(c: Column): Column = F.split(wsTrim(c), "\\s+")
 
   /** whitespace-separated token count. */
   def tokenCount(c: Column): Column =
-    F.when(F.length(F.trim(c)) === 0, F.lit(0L))
+    F.when(F.length(wsTrim(c)) === 0, F.lit(0L))
       .otherwise(F.size(tokens(c)).cast(LongType))
 
   def charCount(c: Column): Column = F.length(c).cast(LongType)
@@ -162,7 +172,7 @@ object text {
     * fuzzy-matching stage (dedup keys, blocklists, contamination
     * n-grams) should share so "Café  Noir" and "cafe noir" collide. */
   def foldedText(c: Column): Column =
-    F.regexp_replace(F.trim(F.lower(stripAccents(normalizeUnicode(c, "NFC")))),
+    F.regexp_replace(wsTrim(F.lower(stripAccents(normalizeUnicode(c, "NFC")))),
       "\\s+", " ")
 
   def fingerprintMd5(c: Column): Column = F.md5(c)

@@ -14,6 +14,23 @@ import org.apache.spark.sql.types._
   * sequential in index order with a double accumulator — deterministic
   * and identical to the DuckDB oracle's list_sum convention.
   */
+/** The engine-wide tokenizer trim: ALL leading/trailing whitespace (the
+  * `\\s` class the splitter uses), not SQL TRIM's spaces-only — a tab- or
+  * newline-edged document must not produce phantom "" edge tokens.
+  * Mirrors [[graft.functions.text.wsTrim]]; every native tokenizing
+  * expression and the portable built-ins pipeline share this convention
+  * (PathologicalTextSpec pins it). */
+private[plans] object Tok {
+  def wsTrim(s: String): String = {
+    @inline def isWs(c: Char) =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var i = 0; var j = s.length
+    while (i < j && isWs(s.charAt(i))) i += 1
+    while (j > i && isWs(s.charAt(j - 1))) j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+}
+
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -165,10 +182,9 @@ case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
   * `transform`/`slice`/`concat_ws` lambdas that re-evaluated the
   * tokenizing split four times per row (the dominant cost of every LSH
   * dedup query). Bit-identical to the built-ins pipeline
-  * ([[graft.functions.dedup.shingleHashesPortable]]): SQL TRIM (spaces
-  * only, via UTF8String.trim), `split(_, "\\s+", -1)` (Java Pattern
-  * semantics, leading empty field included when the trimmed text starts
-  * with non-space whitespace), shingle string = tokens joined by a single
+  * ([[graft.functions.dedup.shingleHashesPortable]]): full-whitespace
+  * trim ([[Tok.wsTrim]], matching `text.tokens`' regex trim),
+  * `split(_, "\\s+", -1)`, shingle string = tokens joined by a single
   * space (all tokens when fewer than k), hash = xxhash64(utf8, seed 42),
   * then distinct + signed-ascending sort. k must be a literal ≥ 1. */
 case class ShingleHashesExpr(text: Expression, k: Expression)
@@ -205,8 +221,7 @@ object ShingleHashesExpr {
 
   /** static so generated code can call it directly (one invoke per row). */
   def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
-    // UTF8String.trim = SQL TRIM: strips ' ' only (NOT Java trim's ≤0x20)
-    val toks = ws.split(text.trim.toString, -1)
+    val toks = ws.split(Tok.wsTrim(text.toString), -1)
     val n = toks.length
     val hashes =
       if (n < k) Array(hashShingle(toks, 0, n))
@@ -274,7 +289,7 @@ object ShingleStringsExpr {
 
   /** static so generated code can call it directly (one invoke per row). */
   def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
-    val toks = ws.split(text.trim.toString, -1)
+    val toks = ws.split(Tok.wsTrim(text.toString), -1)
     val n = toks.length
     def shingle(start: Int, len: Int): org.apache.spark.unsafe.types.UTF8String = {
       val sb = new java.lang.StringBuilder
@@ -331,7 +346,7 @@ object TopNgramShareExpr {
 
   /** static so generated code can call it directly (one invoke per row). */
   def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): Double = {
-    val toks = ws.split(text.trim.toString, -1)
+    val toks = ws.split(Tok.wsTrim(text.toString), -1)
     val n = toks.length
     val total = if (n < k) 1 else n - k + 1
     val counts = new java.util.HashMap[String, Int](total * 2)
@@ -399,10 +414,9 @@ object GopherStatsExpr {
   /** static so generated code can call it directly (one invoke per row). */
   def compute(text: org.apache.spark.unsafe.types.UTF8String)
       : org.apache.spark.sql.catalyst.InternalRow = {
-    // words over trim(s) — UTF8String.trim strips spaces only, matching
-    // SQL trim; split keeps trailing/leading empties (limit -1) exactly
-    // like Spark's split()
-    val trimmed = text.trim.toString
+    // words over the full-whitespace trim (the engine-wide token
+    // convention, Tok.wsTrim)
+    val trimmed = Tok.wsTrim(text.toString)
     var nWords = 0L; var sumLen = 0L; var nAlpha = 0L
     if (trimmed.nonEmpty) {
       val words = ws.split(trimmed, -1)
@@ -493,7 +507,7 @@ object ShingleFp64Expr {
 
   /** static so generated code can call it directly (one invoke per row). */
   def compute(text: org.apache.spark.unsafe.types.UTF8String, k: Int): ArrayData = {
-    val toks = ws.split(text.trim.toString, -1)
+    val toks = ws.split(Tok.wsTrim(text.toString), -1)
     val n = toks.length
     val fps =
       if (n < k) Array(fpShingle(toks, 0, n))

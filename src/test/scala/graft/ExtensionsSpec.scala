@@ -203,8 +203,8 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("native shingle hashing equals the portable built-ins pipeline") {
-    // fixture + whitespace edge cases: tabs inside (leading empty token
-    // after space-only TRIM), repeated separators, short docs (< k)
+    // fixture + whitespace edge cases: tab/space edges (full-whitespace
+    // trim, no phantom edge tokens), repeated separators, short docs (< k)
     import spark.implicits._
     val texts = docsDf.select(F.col("text")).as[String].collect().toSeq ++
       Seq("  \ta b\tc  ", "one", "a  b", "", " ", "x y z w")
