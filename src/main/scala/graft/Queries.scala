@@ -960,7 +960,9 @@ object Queries {
     "q38_datetime_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.dtQuery(s, dir)),
     "q39_ordered_agg_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.oaQuery(s, dir)))
+      graft.fuzz.DiffFuzz.oaQuery(s, dir)),
+    "q40_special_double_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.spQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -1002,5 +1004,6 @@ object Queries {
     "q36_join_fuzz_battery" -> graft.fuzz.DiffFuzz.joinOracle,
     "q37_pipeline_fuzz_battery" -> graft.fuzz.DiffFuzz.pipelineOracle,
     "q38_datetime_fuzz_battery" -> graft.fuzz.DiffFuzz.dtOracle,
-    "q39_ordered_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.oaOracle)
+    "q39_ordered_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.oaOracle,
+    "q40_special_double_battery" -> graft.fuzz.DiffFuzz.spOracle)
 }

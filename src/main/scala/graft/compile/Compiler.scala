@@ -425,7 +425,11 @@ object ExprCompiler {
       case "acos" => F.acos(a0)
       case "atan" => F.atan(a0)
       case "is_inf" => a0 === Double.PositiveInfinity || a0 === Double.NegativeInfinity
-      case "is_nan" => F.isnan(a0)
+      // null-propagating like the reference (duckdb.py:101-103 isnan,
+      // polars.py:714-716 is_nan): Spark's IsNaN alone returns FALSE for
+      // NULL input (the expression is non-nullable), which would diverge
+      case "is_nan" =>
+        F.when(a0.isNull, F.lit(null)).otherwise(F.isnan(a0))
       case "rand" => F.rand()
       case "eq" => a0 === a1
       case "ne" => a0 =!= a1

@@ -982,4 +982,153 @@ object DiffFuzz {
        |${cols.mkString(",\n")}
        |FROM c GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Special-double fuzz battery (q40): NaN / ±Infinity / NULL woven
+  // through random arithmetic, comparisons, Kleene logic, GREATEST/
+  // LEAST, COALESCE, partition aggregates and ordering. Both engines
+  // deliberately depart from raw IEEE the SAME way (NaN = NaN is TRUE,
+  // NaN sorts greater than everything) — this battery pins graft's
+  // compilation to that shared convention. Raw NaN/Inf cells would be
+  // weakly checked by the hash gate (NaN normalizes to NULL in the
+  // compare), so every double-valued arm ENCODES specials to sentinel
+  // finite doubles on both sides; boolean arms and rank positions carry
+  // the semantics directly. Arithmetic stays un-rounded: IEEE +,*,/ are
+  // bit-deterministic, and x/0 → NULL in both engines (non-ANSI Spark,
+  // DuckDB default; inf/inf and 0*inf still produce NaN for the
+  // encoder to catch). The nullable leaf also locks in the
+  // null-PROPAGATING is_nan the reference prescribes (duckdb.py:101,
+  // polars.py:714) — Spark's bare ISNAN would return FALSE for NULL.
+  // -------------------------------------------------------------------
+
+  val SpN = 28
+  val SpSeed = 20260820L
+
+  private final class SpGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    private def leaf(): GE = pick(IndexedSeq(
+      () => GE(C("v"), "v"),
+      () => GE(C("w"), "w"),
+      () => GE(C("value"), "value"),
+      () => GE(lit(Double.NaN), "'nan'::DOUBLE"),
+      () => GE(lit(Double.PositiveInfinity), "'infinity'::DOUBLE"),
+      () => GE(lit(Double.NegativeInfinity), "'-infinity'::DOUBLE"),
+      () => GE(lit(1.5), "1.5"),
+      () => GE(lit(-2.0), "-2.0")))()
+
+    def dblE(d: Int): GE =
+      if (d <= 0) leaf()
+      else pick(IndexedSeq[() => GE](
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e + b.e, s"(${a.d} + ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e * b.e, s"(${a.d} * ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e / b.e, s"(CAST(${a.d} AS DOUBLE) / ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(hmax(a.e, b.e), s"GREATEST(${a.d}, ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(hmin(a.e, b.e), s"LEAST(${a.d}, ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(coalesce(a.e, b.e), s"COALESCE(${a.d}, ${b.d})") },
+        () => { val c = boolE(d - 1); val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(when(c.e).then_(a.e).otherwise(b.e),
+            s"(CASE WHEN ${c.d} THEN ${a.d} ELSE ${b.d} END)") }))()
+
+    def boolE(d: Int): GE =
+      if (d <= 0) GE(C("event_id") % lit(2L) === lit(0L), "(event_id % 2 = 0)")
+      else pick(IndexedSeq[() => GE](
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e < b.e, s"(${a.d} < ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e >= b.e, s"(${a.d} >= ${b.d})") },
+        () => { val a = dblE(d - 1); val b = dblE(d - 1)
+          GE(a.e === b.e, s"(${a.d} = ${b.d})") },
+        () => { val a = dblE(d - 1); GE(a.e.isNan, s"isnan(${a.d})") },
+        () => { val a = dblE(d - 1)
+          GE(a.e.isInf,
+            s"(${a.d} = 'infinity'::DOUBLE OR ${a.d} = '-infinity'::DOUBLE)") },
+        () => { val a = dblE(d - 1); GE(a.e.isNull, s"(${a.d} IS NULL)") },
+        () => { val a = boolE(d - 1); val b = boolE(d - 1)
+          GE(a.e && b.e, s"(${a.d} AND ${b.d})") }))()
+
+    /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
+    private def enc(g: GE): GE = GE(
+      when(g.e.isNan).then_(lit(-999999.25))
+        .when(g.e === lit(Double.PositiveInfinity)).then_(lit(999999.5))
+        .when(g.e === lit(Double.NegativeInfinity)).then_(lit(-999999.75))
+        .otherwise(g.e),
+      s"(CASE WHEN isnan(${g.d}) THEN -999999.25 " +
+        s"WHEN ${g.d} = 'infinity'::DOUBLE THEN 999999.5 " +
+        s"WHEN ${g.d} = '-infinity'::DOUBLE THEN -999999.75 " +
+        s"ELSE ${g.d} END)")
+
+    def next(): GE = rnd.nextInt(7) match {
+      case 0 | 1 | 2 => boolE(2)
+      case 3 | 4 => enc(dblE(2))
+      case 5 => // partition aggregate over specials (min/max/count)
+        val a = dblE(1)
+        pick(IndexedSeq[() => GE](
+          () => enc(GE(a.e.min(partitionBy = Seq(C("event_type"))),
+            s"MIN(${a.d}) OVER (PARTITION BY event_type)")),
+          () => enc(GE(a.e.max(partitionBy = Seq(C("event_type"))),
+            s"MAX(${a.d}) OVER (PARTITION BY event_type)")),
+          () => GE(count(partitionBy = Seq(C("event_type"))),
+            "COUNT(*) OVER (PARTITION BY event_type)")))()
+      case _ => // NaN/Inf/NULL placement under ordering
+        val a = dblE(1)
+        GE(rowNumber(
+          arrange = Seq(a.e.asc.nullsLast, C("event_id")),
+          partitionBy = Seq(C("event_type"))),
+          s"CAST(ROW_NUMBER() OVER (PARTITION BY event_type " +
+            s"ORDER BY ${a.d} ASC NULLS LAST, event_id ASC NULLS LAST) AS BIGINT)")
+    }
+  }
+
+  lazy val spBattery: Seq[(String, GE)] = {
+    val g = new SpGen(new scala.util.Random(SpSeed))
+    (0 until SpN).map(i => (f"sp$i%02d", g.next()))
+  }
+
+  def spQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = spBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "events")
+      .mutate(
+        "v" -> when(C("event_id") % lit(11L) === lit(0L)).then_(lit(Double.NaN))
+          .when(C("event_id") % lit(11L) === lit(1L))
+          .then_(lit(Double.PositiveInfinity))
+          .when(C("event_id") % lit(11L) === lit(2L))
+          .then_(lit(Double.NegativeInfinity))
+          .when(C("event_id") % lit(11L) === lit(3L)).then_(lit(null))
+          .otherwise(C("value")),
+        "w" -> when((C("event_id") + lit(3L)) % lit(7L) === lit(0L))
+          .then_(lit(Double.NaN))
+          .when((C("event_id") + lit(3L)) % lit(7L) === lit(1L))
+          .then_(lit(Double.PositiveInfinity))
+          .when((C("event_id") + lit(3L)) % lit(7L) === lit(2L)).then_(lit(null))
+          .otherwise(C("value") * lit(0.5)))
+      .mutate(defs: _*)
+      .select(C("event_id") +: spBattery.map(b => C(b._1): ColExpr): _*)
+      .arrange(C("event_id"))
+      .toDF
+  }
+
+  def spOracle: String = {
+    val cols = spBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"""WITH e AS (SELECT *,
+       |  CASE WHEN event_id % 11 = 0 THEN 'nan'::DOUBLE
+       |       WHEN event_id % 11 = 1 THEN 'infinity'::DOUBLE
+       |       WHEN event_id % 11 = 2 THEN '-infinity'::DOUBLE
+       |       WHEN event_id % 11 = 3 THEN NULL
+       |       ELSE value END AS v,
+       |  CASE WHEN (event_id + 3) % 7 = 0 THEN 'nan'::DOUBLE
+       |       WHEN (event_id + 3) % 7 = 1 THEN 'infinity'::DOUBLE
+       |       WHEN (event_id + 3) % 7 = 2 THEN NULL
+       |       ELSE value * 0.5 END AS w
+       |  FROM events)
+       |SELECT event_id,
+       |${cols.mkString(",\n")}
+       |FROM e ORDER BY event_id""".stripMargin
+  }
 }

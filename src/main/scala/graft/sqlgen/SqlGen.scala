@@ -252,7 +252,10 @@ object SqlGen {
       case "acos" => s"ACOS(${a(0)})"
       case "atan" => s"ATAN(${a(0)})"
       case "round" => s"ROUND(${a(0)}, ${raw(1) match { case Lit(i: Int, _) => i; case _ => 0 }})"
-      case "is_nan" => s"ISNAN(${a(0)})"
+      // null-propagating, matching the compiler (Spark's ISNAN alone is
+      // false for NULL input)
+      case "is_nan" =>
+        s"(CASE WHEN ${a(0)} IS NULL THEN NULL ELSE ISNAN(${a(0)}) END)"
       case "is_inf" =>
         s"(${a(0)} = double('inf') OR ${a(0)} = double('-inf'))"
       case "eq" => s"(${a(0)} = ${a(1)})"
