@@ -47,7 +47,14 @@ object similarity {
     * rank them last; no graft scorer produces null: dot/norm of
     * non-null vectors and DECIMAL term sums are always defined). */
   private[functions] def twoStageTopK(scored: DataFrame, k: Int): DataFrame = {
-    scored.groupBy("q_id")
+    // NaN guard: a NaN score (a NaN-component embedding survives the
+    // norm as NaN; zero-norm vectors already become NULL via Spark's
+    // null-on-zero-divisor division) would OUTRANK every real match —
+    // double ordering puts NaN greatest — so a single corrupt vector
+    // would own a top-k slot of every query. NULL scores are skipped by
+    // the aggregate itself (see BoundedTopK); NaN must be dropped here.
+    scored.filter(!F.isnan(F.col("cos")))
+      .groupBy("q_id")
       .agg(F.call_function("graft_topk",
         F.col("cos"), F.col("n_id"), F.lit(k)).as("_tk"))
       .select(F.col("q_id"), F.posexplode(F.col("_tk")).as(Seq("_pos", "_s")))
@@ -322,14 +329,24 @@ object similarity {
 
   /** Built-ins-only form with identical semantics (cross-checked in
     * ExtensionsSpec; recomputes array_min/array_max per element when
-    * interpreted — not for hot paths). */
+    * interpreted — not for hot paths). Non-finite policy matches the
+    * native expression: range over finite elements only, NaN → null,
+    * ±Infinity clamp to ±127. */
   private[graft] def quantizeInt8Portable(vec: Column): Column = {
-    val mn = F.array_min(vec).cast(DoubleType)
-    val mx = F.array_max(vec).cast(DoubleType)
-    F.transform(vec, x =>
-      F.when(mx === mn, F.lit(0))
-        .otherwise(F.round((x.cast(DoubleType) - mn) / (mx - mn) * 254, 0)
-          .cast(IntegerType) - 127))
+    val finite = F.filter(vec.cast(ArrayType(DoubleType)),
+      x => !F.isnan(x) && x =!= Double.PositiveInfinity &&
+        x =!= Double.NegativeInfinity)
+    val mn = F.array_min(finite)
+    val mx = F.array_max(finite)
+    F.transform(vec, x0 => {
+      val x = x0.cast(DoubleType)
+      F.when(F.isnan(x), F.lit(null))
+        .when(x === Double.PositiveInfinity, F.lit(127))
+        .when(x === Double.NegativeInfinity, F.lit(-127))
+        .when(mx === mn, F.lit(0))
+        .otherwise(F.round((x - mn) / (mx - mn) * 254, 0)
+          .cast(IntegerType) - 127)
+    })
   }
 
   /** Per-group embedding centroid affinity: for every row, the cosine

@@ -896,6 +896,11 @@ case class CentroidTopK(vec: Expression, bank: Expression, nprobe: Expression)
         if (!used(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
         j += 1
       }
+      // a NaN-component vector scores NaN against every centroid (and
+      // `NaN > x` is false), leaving best = -1 — fall back to the first
+      // unused cell so corrupt vectors get a deterministic assignment
+      // instead of used[-1] (PathologicalVectorSpec)
+      if (best < 0) { best = 0; while (used(best)) best += 1 }
       used(best) = true
       out(r) = best
       r += 1
@@ -932,6 +937,8 @@ case class CentroidTopK(vec: Expression, bank: Expression, nprobe: Expression)
          |  for (int $j = 0; $j < $nlist; $j++) {
          |    if (!$used[$j] && $scores[$j] > $bestScore) { $best = $j; $bestScore = $scores[$j]; }
          |  }
+         |  // all-NaN scores leave best = -1: first unused cell (see interpreted)
+         |  if ($best < 0) { $best = 0; while ($used[$best]) $best++; }
          |  $used[$best] = true;
          |  $out[$r] = $best;
          |}
@@ -1200,18 +1207,23 @@ case class Int8QuantizeExpr(child: Expression) extends UnaryExpression {
 }
 
 object Int8QuantizeExpr {
+  /** Non-finite policy (PathologicalVectorSpec; mirrored by the portable
+    * form): the affine range is computed over FINITE elements only, a
+    * NaN element quantizes to null (it carries no information),
+    * ±Infinity clamp to ±127. Without the policy a single NaN component
+    * crashed the row (BigDecimal.valueOf(NaN)). */
   def compute(a: ArrayData, isFloat: Boolean): ArrayData = {
     val n = a.numElements()
     var mn = Double.PositiveInfinity
     var mx = Double.NegativeInfinity
-    var any = false
     var i = 0
     while (i < n) {
       if (!a.isNullAt(i)) {
         val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        if (v < mn) mn = v
-        if (v > mx) mx = v
-        any = true
+        if (!v.isNaN && !v.isInfinite) {
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
       }
       i += 1
     }
@@ -1221,7 +1233,10 @@ object Int8QuantizeExpr {
       if (!a.isNullAt(i)) {
         val v = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
         out(i) =
-          if (any && mx == mn) 0
+          if (v.isNaN) null
+          else if (v == Double.PositiveInfinity) 127
+          else if (v == Double.NegativeInfinity) -127
+          else if (mx == mn) 0
           else java.math.BigDecimal.valueOf((v - mn) / (mx - mn) * 254.0)
             .setScale(0, java.math.RoundingMode.HALF_UP).intValue() - 127
       }
