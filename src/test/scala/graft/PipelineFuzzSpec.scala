@@ -125,11 +125,17 @@ class PipelineFuzzSpec extends SparkSpec {
         })
         if (!summarized && cols.contains(TLong)) choices += (() => {
           val key = pick(r, cols.getOrElse(TStr, Nil) ++ cols(TLong))
-          val aggs = Seq(
-            "n" -> count(),
-            "mx" -> C(pick(r, cols(TLong))).max(),
-            "sl" -> C(pick(r, cols(TLong))).sum())
-          t = t.groupBy(C(key)).summarize(aggs: _*)
+          val aggs = Seq.newBuilder[(String, ColExpr)]
+          aggs += ("n" -> count())
+          aggs += ("mx" -> C(pick(r, cols(TLong))).max())
+          aggs += ("sl" -> C(pick(r, cols(TLong))).sum())
+          // ordered string aggregation (LISTAGG WITHIN GROUP in the SQL
+          // text): arrange over ALL columns is total up to identical
+          // union-duplicated rows, whose contributions are equal
+          if (cols.contains(TStr)) aggs += ("sj" ->
+            C(pick(r, cols(TStr))).str.join("|",
+              arrange = t.columns.map(n => C(n): ColExpr)))
+          t = t.groupBy(C(key)).summarize(aggs.result(): _*)
           summarized = true
         })
         val cs = choices.result()
