@@ -1,0 +1,74 @@
+package graft
+
+import scala.concurrent.{Await, Future, ExecutionContext}
+import scala.concurrent.duration._
+import org.apache.spark.sql.{functions => F}
+import graft.core._
+import graft.dsl._
+import graft.table.Table
+import graft.functions._
+
+/** Thread-safety of the shared-session surface: a service embedding
+  * graft runs verb pipelines and extension operators from many threads
+  * against ONE SparkSession. The auto-release cache listener
+  * (dedup.releaseWhenConsumed), column-uuid generation, session
+  * function registration and the compiler must all hold up — every
+  * thread must get exactly the single-threaded answer. Unpersisting a
+  * frame another thread still reads is allowed (Spark recomputes);
+  * wrong rows are not. */
+class ConcurrencySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(8))
+
+  test("concurrent verb pipelines return the single-threaded answer") {
+    def run(): Seq[Seq[Any]] =
+      Table.source(spark, dir, "orders")
+        .filter(C("o_totalprice") > lit(100000.0))
+        .mutate("bucket" -> C("o_orderkey") % lit(7L))
+        .groupBy(C("bucket"))
+        .summarize("n" -> count(),
+          "sp" -> C("o_totalprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 4)).sum())
+        .arrange(C("bucket"))
+        .collect().map(_.toSeq).toSeq
+    val expected = run()
+    val rounds = Future.sequence((1 to 12).map(_ => Future(run())))
+    Await.result(rounds, 5.minutes).foreach(r => assert(r == expected))
+  }
+
+  test("concurrent LSH dedup (cached signature frames) stays correct") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def run(): Set[(Long, Long)] =
+      dedup.jaccardPairsLsh(docs, "doc_id", "text",
+          k = 3, numPerm = 32, bands = 16, minJ = 0.8)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = run()
+    // 8 concurrent runs all persist + auto-release signature caches
+    // through the shared listener; results must be identical even when
+    // one run's release races another's read
+    val rounds = Future.sequence((1 to 8).map(_ => Future(run())))
+    Await.result(rounds, 5.minutes).foreach(s => assert(s == expected))
+    dedup.unpersistAll()
+  }
+
+  test("concurrent ANN + quality scoring across threads") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = emb.limit(4)
+    def ann(): Seq[(Long, Long, Long)] =
+      similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 3)
+        .select("q_id", "n_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    def quality(): Long =
+      docs.select(text.qualityScore(F.col("text")).as("q"))
+        .filter(F.col("q") > 0.5).count()
+    val expAnn = ann(); val expQ = quality()
+    val mixed = Future.sequence(
+      (1 to 4).map(_ => Future(assert(ann() == expAnn))) ++
+      (1 to 4).map(_ => Future(assert(quality() == expQ))))
+    Await.result(mixed, 5.minutes)
+  }
+}
