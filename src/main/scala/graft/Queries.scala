@@ -962,7 +962,9 @@ object Queries {
     "q39_ordered_agg_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.oaQuery(s, dir)),
     "q40_special_double_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.spQuery(s, dir)))
+      graft.fuzz.DiffFuzz.spQuery(s, dir)),
+    "q41_decimal_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.decQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -1005,5 +1007,6 @@ object Queries {
     "q37_pipeline_fuzz_battery" -> graft.fuzz.DiffFuzz.pipelineOracle,
     "q38_datetime_fuzz_battery" -> graft.fuzz.DiffFuzz.dtOracle,
     "q39_ordered_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.oaOracle,
-    "q40_special_double_battery" -> graft.fuzz.DiffFuzz.spOracle)
+    "q40_special_double_battery" -> graft.fuzz.DiffFuzz.spOracle,
+    "q41_decimal_fuzz_battery" -> graft.fuzz.DiffFuzz.decOracle)
 }

@@ -1114,6 +1114,111 @@ object DiffFuzz {
       .toDF
   }
 
+  // -------------------------------------------------------------------
+  // Decimal fuzz battery (q41): random exact-decimal trees over a
+  // NEGATIVE-capable 2dp column cast to a spread of (precision, scale)
+  // types, composed with +/-/* (scale-widening only — both engines
+  // derive result scale as max(s1,s2) for ± and s1+s2 for ×, so no
+  // rounding ever occurs), unary minus/abs, CASE lca mixing, NULL
+  // weaving, comparisons, and partition sum/min/max. DIVISION is
+  // deliberately absent: result-scale formulas genuinely differ between
+  // engines there (the reference inherits each backend's). Every
+  // decimal output is rendered AS VARCHAR so the engines' scale
+  // agreement is pinned by the hash, not coerced by the compare.
+  // Multiplication only ever joins two leaf casts — nesting products
+  // could exceed precision 38, where Spark starts rounding.
+  // -------------------------------------------------------------------
+
+  val DecN = 24
+  val DecSeed = 20260821L
+
+  private final class DecGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    // base columns minted in the query: d2 (12,2), d3 (14,3), d4 (16,4),
+    // dn (nullable (12,2))
+    private def leaf(): GE = pick(IndexedSeq(
+      () => GE(C("d2"), "d2"),
+      () => GE(C("d3"), "d3"),
+      () => GE(C("d4"), "d4"),
+      () => GE(C("dn"), "dn"),
+      () => GE(lit("-7.25").cast(DecimalType(10, 2)),
+        "CAST('-7.25' AS DECIMAL(10,2))"),
+      () => GE(lit("1234.5678").cast(DecimalType(12, 4)),
+        "CAST('1234.5678' AS DECIMAL(12,4))")))()
+
+    def decE(d: Int): GE =
+      if (d <= 0) leaf()
+      else pick(IndexedSeq[() => GE](
+        () => { val a = decE(d - 1); val b = decE(d - 1)
+          GE(a.e + b.e, s"(${a.d} + ${b.d})") },
+        () => { val a = decE(d - 1); val b = decE(d - 1)
+          GE(a.e - b.e, s"(${a.d} - ${b.d})") },
+        () => { val a = leaf(); val b = leaf()
+          GE(a.e * b.e, s"(${a.d} * ${b.d})") },
+        () => { val a = decE(d - 1); GE(-a.e, s"(- ${a.d})") },
+        () => { val a = decE(d - 1); GE(a.e.abs, s"ABS(${a.d})") },
+        () => { val a = decE(d - 1); val b = decE(d - 1)
+          GE(coalesce(a.e, b.e), s"COALESCE(${a.d}, ${b.d})") },
+        () => { val k = 2 + rnd.nextInt(4)
+          val a = decE(d - 1); val b = decE(d - 1)
+          GE(when(C("c_custkey") % lit(k.toLong) === lit(0L))
+            .then_(a.e).otherwise(b.e),
+            s"(CASE WHEN c_custkey % $k = 0 THEN ${a.d} ELSE ${b.d} END)") }))()
+
+    def next(): GE = rnd.nextInt(6) match {
+      case 0 => val a = decE(2); val b = decE(2)
+        GE(a.e < b.e, s"(${a.d} < ${b.d})")
+      case 1 => val a = decE(2); val b = decE(2)
+        GE(a.e >= b.e, s"(${a.d} >= ${b.d})")
+      case 2 => val a = decE(1)
+        pick(IndexedSeq[() => GE](
+          () => GE(a.e.sum(partitionBy = Seq(C("c_nationkey"))).cast(StringType),
+            s"CAST(SUM(${a.d}) OVER (PARTITION BY c_nationkey) AS VARCHAR)"),
+          () => GE(a.e.min(partitionBy = Seq(C("c_nationkey"))).cast(StringType),
+            s"CAST(MIN(${a.d}) OVER (PARTITION BY c_nationkey) AS VARCHAR)"),
+          () => GE(a.e.max(partitionBy = Seq(C("c_nationkey"))).cast(StringType),
+            s"CAST(MAX(${a.d}) OVER (PARTITION BY c_nationkey) AS VARCHAR)")))()
+      case _ =>
+        val a = decE(2)
+        GE(a.e.cast(StringType), s"CAST(${a.d} AS VARCHAR)")
+    }
+  }
+
+  lazy val decBattery: Seq[(String, GE)] = {
+    val g = new DecGen(new scala.util.Random(DecSeed))
+    (0 until DecN).map(i => (f"dc$i%02d", g.next()))
+  }
+
+  def decQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = decBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "customer")
+      .mutate(
+        "d2" -> C("c_acctbal").cast(DecimalType(12, 2)),
+        "d3" -> C("c_acctbal").cast(DecimalType(14, 3)),
+        "d4" -> C("c_acctbal").cast(DecimalType(16, 4)))
+      .mutate("dn" -> when(C("c_custkey") % lit(7L) === lit(0L))
+        .then_(lit(null)).otherwise(C("d2")))
+      .mutate(defs: _*)
+      .select(C("c_custkey") +: decBattery.map(b => C(b._1): ColExpr): _*)
+      .arrange(C("c_custkey"))
+      .toDF
+  }
+
+  def decOracle: String = {
+    val cols = decBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"""WITH c AS (SELECT *,
+       |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+       |       ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS dn
+       |  FROM (SELECT *,
+       |    CAST(c_acctbal AS DECIMAL(12,2)) AS d2,
+       |    CAST(c_acctbal AS DECIMAL(14,3)) AS d3,
+       |    CAST(c_acctbal AS DECIMAL(16,4)) AS d4 FROM customer))
+       |SELECT c_custkey,
+       |${cols.mkString(",\n")}
+       |FROM c ORDER BY c_custkey""".stripMargin
+  }
+
   def spOracle: String = {
     val cols = spBattery.map { case (n, ge) => s"${ge.d} AS $n" }
     s"""WITH e AS (SELECT *,
