@@ -964,7 +964,9 @@ object Queries {
     "q40_special_double_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.spQuery(s, dir)),
     "q41_decimal_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.decQuery(s, dir)))
+      graft.fuzz.DiffFuzz.decQuery(s, dir)),
+    "q42_cast_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.castQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -1008,5 +1010,6 @@ object Queries {
     "q38_datetime_fuzz_battery" -> graft.fuzz.DiffFuzz.dtOracle,
     "q39_ordered_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.oaOracle,
     "q40_special_double_battery" -> graft.fuzz.DiffFuzz.spOracle,
-    "q41_decimal_fuzz_battery" -> graft.fuzz.DiffFuzz.decOracle)
+    "q41_decimal_fuzz_battery" -> graft.fuzz.DiffFuzz.decOracle,
+    "q42_cast_fuzz_battery" -> graft.fuzz.DiffFuzz.castOracle)
 }

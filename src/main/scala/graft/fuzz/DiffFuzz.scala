@@ -1205,6 +1205,134 @@ object DiffFuzz {
       .toDF
   }
 
+  // -------------------------------------------------------------------
+  // Cast fuzz battery (q42): random conversions through every
+  // cast/try_cast edge the engines disagree on, with the oracle
+  // COMPENSATED to graft's committed semantics where DuckDB's native
+  // cast differs (the q17 precedent):
+  //   - float/decimal → int TRUNCATES toward zero (DuckDB rounds):
+  //     oracle wraps in TRUNC
+  //   - string → int parses INTEGRAL strings only, whitespace-tolerant
+  //     (DuckDB parses '12.5' → 13 and '1e2' → 100): oracle gates on an
+  //     integral regex
+  //   - double → string stays in the |x| < 1e7 plain-notation domain
+  //     (the engines' scientific-notation thresholds differ)
+  // Fallible conversions go through try_cast (garbage → NULL in both);
+  // infallible ones through plain cast.
+  // -------------------------------------------------------------------
+
+  val CastN = 24
+  val CastSeed = 20260822L
+
+  private final class CastGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    // string sources minted in the query: si (integral-or-garbage),
+    // sf (fractional-or-garbage), sb (boolean-ish)
+    private def strLeaf(): GE = pick(IndexedSeq(
+      () => GE(C("si"), "si"),
+      () => GE(C("sf"), "sf"),
+      () => GE(C("sb"), "sb")))()
+
+    private def dblLeaf(): GE = pick(IndexedSeq(
+      () => GE(C("c_acctbal"), "c_acctbal"),
+      () => GE(C("c_acctbal") * lit(0.31), "(c_acctbal * 0.31)"),
+      () => GE(-C("c_acctbal"), "(- c_acctbal)")))()
+
+    private def longLeaf(): GE = pick(IndexedSeq(
+      () => GE(C("c_custkey"), "c_custkey"),
+      () => GE(C("c_custkey") - lit(750L), "(c_custkey - 750)"),
+      () => GE(C("c_nationkey"), "c_nationkey")))()
+
+    private val intRegex = "'^[+-]?[0-9]+$'"
+
+    def nextKind(): Int = rnd.nextInt(10)
+
+    /** `kind` selects the arm — the battery forces one of each for the
+      * first ten columns so no conversion family is left to seed luck. */
+    def next(kind: Int): GE = kind match {
+      case 0 => // string -> long: integral-only, whitespace-tolerant
+        val a = strLeaf()
+        GE(a.e.tryCast(LongType),
+          s"(CASE WHEN regexp_matches(trim(${a.d}), $intRegex) " +
+            s"THEN TRY_CAST(${a.d} AS BIGINT) END)")
+      case 1 => // string -> double: both parse the same numeric forms
+        val a = strLeaf()
+        GE(a.e.tryCast(DoubleType), s"TRY_CAST(${a.d} AS DOUBLE)")
+      case 2 => // double -> long: trunc toward zero (oracle TRUNC)
+        val a = dblLeaf()
+        GE(a.e.cast(LongType), s"CAST(TRUNC(${a.d}) AS BIGINT)")
+      case 3 => // decimal -> long: trunc toward zero (oracle TRUNC)
+        val a = dblLeaf()
+        GE(a.e.cast(DecimalType(14, 2)).cast(LongType),
+          s"CAST(TRUNC(CAST(${a.d} AS DECIMAL(14,2))) AS BIGINT)")
+      case 4 => // long -> double, exact
+        val a = longLeaf()
+        GE(a.e.cast(DoubleType), s"CAST(${a.d} AS DOUBLE)")
+      case 5 => // long -> string
+        val a = longLeaf()
+        GE(a.e.cast(StringType), s"CAST(${a.d} AS VARCHAR)")
+      case 6 => // double -> string, |x| < 1e7 plain-notation domain
+        GE(C("c_acctbal").cast(StringType), "CAST(c_acctbal AS VARCHAR)")
+      case 7 => // string -> boolean via try_cast
+        val a = strLeaf()
+        GE(a.e.tryCast(BooleanType), s"TRY_CAST(${a.d} AS BOOLEAN)")
+      case 8 => // boolean -> long and back through a comparison
+        val a = longLeaf()
+        GE((a.e % lit(3L) === lit(0L)).cast(LongType),
+          s"CAST((${a.d} % 3 = 0) AS BIGINT)")
+      case _ => // round-trip: long -> string -> long (identity)
+        val a = longLeaf()
+        GE(a.e.cast(StringType).tryCast(LongType),
+          s"TRY_CAST(CAST(${a.d} AS VARCHAR) AS BIGINT)")
+    }
+  }
+
+  lazy val castBattery: Seq[(String, GE)] = {
+    val g = new CastGen(new scala.util.Random(CastSeed))
+    (0 until CastN).map(i =>
+      (f"ct$i%02d", g.next(if (i < 10) i else g.nextKind())))
+  }
+
+  def castQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = castBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "customer")
+      .mutate(
+        "si" -> when(C("c_custkey") % lit(4L) === lit(0L)).then_(lit("abc"))
+          .when(C("c_custkey") % lit(4L) === lit(1L)).then_(lit(""))
+          .when(C("c_custkey") % lit(4L) === lit(2L)).then_(lit(" 42 "))
+          .otherwise(C("c_custkey").cast(StringType)),
+        "sf" -> when(C("c_custkey") % lit(3L) === lit(0L)).then_(lit("12.5"))
+          .when(C("c_custkey") % lit(3L) === lit(1L)).then_(lit("1e2"))
+          .otherwise(lit("-7.25")),
+        "sb" -> when(C("c_custkey") % lit(3L) === lit(0L)).then_(lit("true"))
+          .when(C("c_custkey") % lit(3L) === lit(1L)).then_(lit("false"))
+          .otherwise(lit("nope")))
+      .mutate(defs: _*)
+      .select(C("c_custkey") +: castBattery.map(b => C(b._1): ColExpr): _*)
+      .arrange(C("c_custkey"))
+      .toDF
+  }
+
+  def castOracle: String = {
+    val cols = castBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"""WITH c AS (SELECT *,
+       |  CASE WHEN c_custkey % 4 = 0 THEN 'abc'
+       |       WHEN c_custkey % 4 = 1 THEN ''
+       |       WHEN c_custkey % 4 = 2 THEN ' 42 '
+       |       ELSE CAST(c_custkey AS VARCHAR) END AS si,
+       |  CASE WHEN c_custkey % 3 = 0 THEN '12.5'
+       |       WHEN c_custkey % 3 = 1 THEN '1e2'
+       |       ELSE '-7.25' END AS sf,
+       |  CASE WHEN c_custkey % 3 = 0 THEN 'true'
+       |       WHEN c_custkey % 3 = 1 THEN 'false'
+       |       ELSE 'nope' END AS sb
+       |  FROM customer)
+       |SELECT c_custkey,
+       |${cols.mkString(",\n")}
+       |FROM c ORDER BY c_custkey""".stripMargin
+  }
+
   def decOracle: String = {
     val cols = decBattery.map { case (n, ge) => s"${ge.d} AS $n" }
     s"""WITH c AS (SELECT *,
