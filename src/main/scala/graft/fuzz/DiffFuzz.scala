@@ -21,7 +21,15 @@ import graft.table.Table
   * (DuckDB `//` floors, Spark DIV truncates — equal on non-negatives);
   * no transcendentals (1-ulp libm differences) and no `round` (HALF_UP
   * vs banker's edge cases) — those are covered by q23/q24/q28 with
-  * rounding applied on both sides.
+  * rounding applied on both sides; every double-typed OUTPUT is
+  * canonicalized `+ 0.0` on both sides (see [[canonZero]]) because the
+  * engines produce IEEE signed zero differently while consuming it
+  * identically.
+  *
+  * Seed-rotation rule (round-8 postmortem): a seed bump is a
+  * behavior-visible change. Rotate ONLY after `tools/check.py` (which
+  * is bit-strict on doubles, like the driver's hash gate) passes at
+  * BOTH sf0.001 and sf0.01, and cite that run in the commit message.
   */
 object DiffFuzz {
 
@@ -190,13 +198,28 @@ object DiffFuzz {
             s"(CASE WHEN ${c.d} THEN ${a.d} ELSE ${b.d} END)") }))()
   }
 
+  /** Canonicalize IEEE signed zero at the battery boundary: `x + 0.0`
+    * is the identity for every finite/NaN double EXCEPT `-0.0`, which it
+    * folds to `+0.0` — on both engines. Needed because the engines
+    * legitimately disagree on zero-sign PRODUCTION (Spark preserves the
+    * sign through UnaryMinus and picks GREATEST/LEAST/MIN/MAX by total
+    * order where -0.0 < 0.0; DuckDB folds some constant paths and keeps
+    * first-of-equals), while agreeing on every zero-sign CONSUMPTION
+    * the battery can express (comparisons, x/±0.0 → NULL, arithmetic).
+    * So the sign can only surface at the output cell — where the
+    * driver's hash is bit-strict. Seed 20260824 drew exactly this
+    * hazard (f053 = -ABS(-0.0), f217); the wrap keeps the catch while
+    * fixing the domain, without disturbing the draw sequence. */
+  private def canonZero(g: GE): GE =
+    GE(g.e + lit(0.0), s"(${g.d} + CAST(0.0 AS DOUBLE))")
+
   /** The deterministic battery: (column name, paired tree). */
   lazy val battery: Seq[(String, GE)] = {
     val g = new Gen(new scala.util.Random(Seed))
     (0 until N).map { i =>
       val ge = (i % 4) match {
         case 0 => g.longE(Depth)
-        case 1 => g.dblE(Depth)
+        case 1 => canonZero(g.dblE(Depth))
         case 2 => g.boolE(Depth)
         case 3 => g.strE(Depth)
       }
