@@ -1009,9 +1009,9 @@ object DiffFuzz {
   }
 
   // -------------------------------------------------------------------
-  // Special-double fuzz battery (q40): NaN / ±Infinity / NULL woven
-  // through random arithmetic, comparisons, Kleene logic, GREATEST/
-  // LEAST, COALESCE, partition aggregates and ordering. Both engines
+  // Special-double fuzz battery (q40): NaN / ±Infinity / NULL / ±0.0
+  // woven through random arithmetic, comparisons, Kleene logic,
+  // GREATEST/LEAST, COALESCE, partition aggregates and ordering. Both engines
   // deliberately depart from raw IEEE the SAME way (NaN = NaN is TRUE,
   // NaN sorts greater than everything) — this battery pins graft's
   // compilation to that shared convention. Raw NaN/Inf cells would be
@@ -1029,6 +1029,17 @@ object DiffFuzz {
   val SpN = 28
   val SpSeed = 20260820L
 
+  /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
+  private def enc0(g: GE): GE = GE(
+    when(g.e.isNan).then_(lit(-999999.25))
+      .when(g.e === lit(Double.PositiveInfinity)).then_(lit(999999.5))
+      .when(g.e === lit(Double.NegativeInfinity)).then_(lit(-999999.75))
+      .otherwise(g.e),
+    s"(CASE WHEN isnan(${g.d}) THEN -999999.25 " +
+      s"WHEN ${g.d} = 'infinity'::DOUBLE THEN 999999.5 " +
+      s"WHEN ${g.d} = '-infinity'::DOUBLE THEN -999999.75 " +
+      s"ELSE ${g.d} END)")
+
   private final class SpGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
 
@@ -1040,7 +1051,17 @@ object DiffFuzz {
       () => GE(lit(Double.PositiveInfinity), "'infinity'::DOUBLE"),
       () => GE(lit(Double.NegativeInfinity), "'-infinity'::DOUBLE"),
       () => GE(lit(1.5), "1.5"),
-      () => GE(lit(-2.0), "-2.0")))()
+      () => GE(lit(-2.0), "-2.0"),
+      // IEEE signed zero is a DELIBERATE domain (round-9): the engines
+      // produce it differently (Spark total-orders -0.0 < 0.0 in
+      // GREATEST/LEAST/MIN/MAX; DuckDB keeps first-of-equals) but
+      // consume it identically (-0.0 = 0.0 in comparisons, x/±0.0 →
+      // NULL in both) — so ties are generated freely and every escape
+      // route to an output cell is canonicalized (canonZero on double
+      // arms, +0.0 on sort keys). '-0.0'::DOUBLE keeps the sign in
+      // DuckDB; CAST(-0.0 AS DOUBLE) would fold it to +0.0.
+      () => GE(lit(-0.0), "'-0.0'::DOUBLE"),
+      () => GE(lit(0.0), "'0.0'::DOUBLE")))()
 
     def dblE(d: Int): GE =
       if (d <= 0) leaf()
@@ -1078,42 +1099,65 @@ object DiffFuzz {
         () => { val a = boolE(d - 1); val b = boolE(d - 1)
           GE(a.e && b.e, s"(${a.d} AND ${b.d})") }))()
 
-    /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
-    private def enc(g: GE): GE = GE(
-      when(g.e.isNan).then_(lit(-999999.25))
-        .when(g.e === lit(Double.PositiveInfinity)).then_(lit(999999.5))
-        .when(g.e === lit(Double.NegativeInfinity)).then_(lit(-999999.75))
-        .otherwise(g.e),
-      s"(CASE WHEN isnan(${g.d}) THEN -999999.25 " +
-        s"WHEN ${g.d} = 'infinity'::DOUBLE THEN 999999.5 " +
-        s"WHEN ${g.d} = '-infinity'::DOUBLE THEN -999999.75 " +
-        s"ELSE ${g.d} END)")
+    private def enc(g: GE): GE = enc0(g)
 
     def next(): GE = rnd.nextInt(7) match {
       case 0 | 1 | 2 => boolE(2)
-      case 3 | 4 => enc(dblE(2))
-      case 5 => // partition aggregate over specials (min/max/count)
+      case 3 | 4 => canonZero(enc(dblE(2)))
+      case 5 => // partition aggregate over specials (min/max/count);
+        // Spark MIN/MAX pick ±0.0 by total order, DuckDB by first-of-
+        // equals — canonZero makes the output cell engine-neutral
         val a = dblE(1)
         pick(IndexedSeq[() => GE](
-          () => enc(GE(a.e.min(partitionBy = Seq(C("event_type"))),
-            s"MIN(${a.d}) OVER (PARTITION BY event_type)")),
-          () => enc(GE(a.e.max(partitionBy = Seq(C("event_type"))),
-            s"MAX(${a.d}) OVER (PARTITION BY event_type)")),
+          () => canonZero(enc(GE(a.e.min(partitionBy = Seq(C("event_type"))),
+            s"MIN(${a.d}) OVER (PARTITION BY event_type)"))),
+          () => canonZero(enc(GE(a.e.max(partitionBy = Seq(C("event_type"))),
+            s"MAX(${a.d}) OVER (PARTITION BY event_type)"))),
           () => GE(count(partitionBy = Seq(C("event_type"))),
             "COUNT(*) OVER (PARTITION BY event_type)")))()
-      case _ => // NaN/Inf/NULL placement under ordering
+      case _ => // NaN/Inf/NULL placement under ordering; the sort key is
+        // canonicalized +0.0 because Spark's physical sort total-orders
+        // -0.0 BEFORE 0.0 while DuckDB's ORDER BY treats them equal
+        // (then the event_id tiebreak decides) — different row_numbers
         val a = dblE(1)
         GE(rowNumber(
-          arrange = Seq(a.e.asc.nullsLast, C("event_id")),
+          arrange = Seq((a.e + lit(0.0)).asc.nullsLast, C("event_id")),
           partitionBy = Seq(C("event_type"))),
           s"CAST(ROW_NUMBER() OVER (PARTITION BY event_type " +
-            s"ORDER BY ${a.d} ASC NULLS LAST, event_id ASC NULLS LAST) AS BIGINT)")
+            s"ORDER BY (${a.d} + CAST(0.0 AS DOUBLE)) ASC NULLS LAST, " +
+            s"event_id ASC NULLS LAST) AS BIGINT)")
     }
   }
 
+  /** Forced signed-zero draws — one per proven divergence route, so the
+    * ±0.0 domain is covered by DESIGN at any seed (the round-8 red was
+    * only ever caught by seed luck). sp28 replays the exact f053 shape
+    * that shipped red (`-ABS(-0.0)`). */
+  private lazy val spForced: Seq[GE] = Seq(
+    canonZero(GE(-(lit(-0.0).abs), "(- ABS('-0.0'::DOUBLE))")),
+    canonZero(GE(hmax(lit(-0.0), lit(0.0)),
+      "GREATEST('-0.0'::DOUBLE, '0.0'::DOUBLE)")),
+    canonZero(GE(hmin(lit(0.0), lit(-0.0)),
+      "LEAST('0.0'::DOUBLE, '-0.0'::DOUBLE)")),
+    GE(lit(-0.0) === lit(0.0), "('-0.0'::DOUBLE = '0.0'::DOUBLE)"),
+    GE(lit(-0.0) < lit(0.0), "('-0.0'::DOUBLE < '0.0'::DOUBLE)"),
+    // v * 0.0 mints ±0.0 per row sign (NaN for specials — enc'd);
+    // MIN picks among the zero ties differently per engine
+    canonZero(enc0(GE((C("v") * lit(0.0)).min(partitionBy = Seq(C("event_type"))),
+      "MIN((v * '0.0'::DOUBLE)) OVER (PARTITION BY event_type)"))),
+    // ±0.0 in a sort key: canonicalized, then the event_id tiebreak
+    // is what decides — identical row_numbers in both engines
+    GE(rowNumber(
+      arrange = Seq((C("v") * lit(0.0) + lit(0.0)).asc.nullsLast, C("event_id")),
+      partitionBy = Seq(C("event_type"))),
+      "CAST(ROW_NUMBER() OVER (PARTITION BY event_type " +
+        "ORDER BY (v * '0.0'::DOUBLE + CAST(0.0 AS DOUBLE)) ASC NULLS LAST, " +
+        "event_id ASC NULLS LAST) AS BIGINT)"))
+
   lazy val spBattery: Seq[(String, GE)] = {
     val g = new SpGen(new scala.util.Random(SpSeed))
-    (0 until SpN).map(i => (f"sp$i%02d", g.next()))
+    (0 until SpN).map(i => (f"sp$i%02d", g.next())) ++
+      spForced.zipWithIndex.map { case (ge, i) => (f"sp${SpN + i}%02d", ge) }
   }
 
   def spQuery(s: SparkSession, dir: String): DataFrame = {
