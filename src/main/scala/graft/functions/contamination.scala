@@ -174,7 +174,14 @@ object contamination {
       else try Some(bFps.stat.bloomFilter("h", items, fpp))
       catch { case _: NullPointerException => None }
     if (bfOpt.isEmpty) {
-      val out = train.select(F.col(idCol),
+      // NULL-text rows are dropped here to match the normal path (a
+      // null `_fps` fails both suspect filters there) and
+      // [[overlapStats]] (explode of a null array). Non-null text
+      // always has ≥ 1 shingle (texts shorter than k tokens yield the
+      // whole text as one shingle), so n_shingles = 0 cannot occur and
+      // `contaminated` is uniformly false, never 0/0.
+      val out = train.filter(F.col(textCol).isNotNull)
+        .select(F.col(idCol),
           F.size(shingleFps(F.col(textCol), k)).cast(LongType).as("n_shingles"),
           F.lit(0L).as("n_overlap"))
         .withColumn("contaminated", F.lit(false))

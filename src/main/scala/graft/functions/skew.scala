@@ -25,20 +25,25 @@ object skew {
     *
     * The split probe (`df.rdd.getNumPartitions`) is only safe at source
     * grain: under AQE, materializing the RDD of a plan that already
-    * contains exchanges would eagerly run those stages at call time. An
-    * input whose optimized plan already shuffles (join, aggregate,
-    * window, sort, repartition — including a frame this function
-    * already rebalanced) is returned untouched: its partitioning was
-    * decided by that shuffle, not by the source layout. */
+    * contains exchanges would eagerly run those stages at call time.
+    * The gate is therefore an ALLOWLIST — the probe runs only when the
+    * optimized plan is a pure scan/project/filter/generate tree, whose
+    * partitioning is decided by the source layout and whose RDD costs
+    * nothing to build. Anything else (joins, aggregates, windows,
+    * repartitions — and equally the typed-API operators a blocklist
+    * would forget: MapGroups, CoGroup, FlatMapGroupsIn*, REBALANCE
+    * hints) is returned untouched: its partitioning was decided by its
+    * own operators, not by the source, and probing it could eagerly
+    * submit upstream shuffle stages. */
   def rebalanceUnderSplit(df: DataFrame, minFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
-    val shuffles = df.queryExecution.optimizedPlan.exists {
-      case _: Join | _: Aggregate | _: Window | _: Sort => true
-      case _: RepartitionOperation | _: GlobalLimit => true
-      case _ => false
+    val sourceGrain = !df.queryExecution.optimizedPlan.exists {
+      case _: LeafNode | _: Project | _: Filter | _: Generate |
+           _: SubqueryAlias => false
+      case _ => true
     }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (!shuffles && df.rdd.getNumPartitions < math.max(1.0, target * minFrac))
+    if (sourceGrain && df.rdd.getNumPartitions < math.max(1.0, target * minFrac))
       df.repartition(target)
     else df
   }

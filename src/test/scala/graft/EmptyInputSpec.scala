@@ -151,6 +151,32 @@ class EmptyInputSpec extends SparkSpec {
       "semanticDecontaminate empty bench keeps everything")
   }
 
+  test("overlapStatsBloom treats NULL-text train rows the same with an " +
+      "empty and a non-empty benchmark") {
+    // a corpus where some texts are NULL: the normal (bloom-built) path
+    // silently drops them (null fingerprints fail both suspect
+    // filters); the empty-benchmark fallback must agree, not resurrect
+    // them with null n_shingles
+    val nulled = docsSmall.withColumn("text",
+      F.when(F.col("doc_id") % 3 === 0, F.lit(null)).otherwise(F.col("text")))
+    val nNonNull = nulled.filter(F.col("text").isNotNull).count()
+    assert(nulled.count() > nNonNull, "fixture must contain NULL texts")
+    val vsEmpty = contamination.overlapStatsBloom(nulled, "doc_id", "text",
+      docs0, "text")
+    val vsLive = contamination.overlapStatsBloom(nulled, "doc_id", "text",
+      docsSmall.limit(3), "text")
+    assert(vsEmpty.count() == nNonNull,
+      "empty-bench path must drop NULL-text rows")
+    assert(vsLive.count() == nNonNull,
+      "bloom path must drop NULL-text rows")
+    val idsEmpty = vsEmpty.select("doc_id").collect().map(_.getLong(0)).sorted
+    val idsLive = vsLive.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(idsEmpty.sameElements(idsLive),
+      "both paths must emit the same train-row set for the same corpus")
+    assert(vsEmpty.filter(F.col("n_shingles").isNull).count() == 0L,
+      "no null n_shingles may escape the fallback")
+  }
+
   // ---------------- quality ----------------
 
   test("quality scoring, quantile bands and classifier training on empty input") {

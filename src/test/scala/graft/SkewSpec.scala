@@ -58,5 +58,22 @@ class SkewSpec extends SparkSpec {
       .agg(F.count(F.lit(1)).as("n"))
     assert(skew.rebalanceUnderSplit(shuffled) eq shuffled,
       "shuffled inputs must pass through untouched")
+    // scan + filter + project stays ELIGIBLE (the allowlist's point is
+    // to keep exactly these source-grain shapes probeable)
+    val narrowed = one.filter(F.col("id") > 10).select(F.col("id"))
+    assert(skew.rebalanceUnderSplit(narrowed).rdd.getNumPartitions == target,
+      "a filtered/projected 1-split scan must still fan out")
+    // typed-API plans (MapGroups etc.) are exactly what a shuffle-node
+    // BLOCKLIST forgot: the allowlist must leave them untouched rather
+    // than probe them (probing would eagerly submit the groupByKey
+    // shuffle as real jobs under AQE)
+    val sp = spark; import sp.implicits._
+    val typed = one.as[Long].groupByKey(_ % 10)
+      .mapGroups((k, it) => (k, it.size)).toDF("g", "n")
+    assert(skew.rebalanceUnderSplit(typed) eq typed,
+      "typed mapGroups plans must pass through untouched")
+    val hinted = one.hint("rebalance")
+    assert(skew.rebalanceUnderSplit(hinted) eq hinted,
+      "REBALANCE-hinted plans must pass through untouched")
   }
 }
