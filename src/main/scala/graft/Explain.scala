@@ -18,7 +18,15 @@ object Explain {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.timeType.enabled", "true") // Spark 4 TIME — graft Time type
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.adaptive.enabled", "true")
+      // A/B knobs for overhead diagnosis: AQE's per-stage materialization
+      // and its coalesce-to-one-task on sub-MB shuffles are suspects for
+      // many-tiny-subplan fixtures
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -493,9 +493,49 @@ object DiffFuzz {
         "(CASE WHEN n_regionkey = 2 THEN NULL ELSE n_nationkey END)"))
   private val joinHows = Seq("inner", "left", "full")
 
+  /** Session clone tuned for the two many-subplan batteries (q36/q37),
+    * whose cost profile is the OPPOSITE of a production query: dozens
+    * of unique tiny subplans that each run exactly once over ~15k rows.
+    * Two measured fixes (Explain -j census, sf0.1):
+    *
+    *  - whole-stage codegen OFF: every subplan's generated source is
+    *    unique and runs once, so each stage paid ~0.25 s of Janino
+    *    compilation to scan 15k rows — q36 warm taskTime 10.0 → 1.7 s,
+    *    wall 2.1 → 1.4 s. Expression-CODEGEN coverage is not lost:
+    *    the scalar batteries (q30/q34/q35/q40-q42) run with codegen on;
+    *    q36/q37 check verb composition, which is plan-level.
+    *  - AQE coalescing floor 1 MB → 64k/256k: these shuffles carry well
+    *    under a megabyte, so the default floor coalesced every
+    *    post-shuffle stage to ONE task and serialized each pipeline's
+    *    sort/window chain — q37 cold 8.5 → 3.5 s, warm 4.1 → 3.0 s;
+    *    finer than this loses (per-task fixed costs dominate).
+    *
+    * A clone (`newSession`: same SparkContext, same extensions, same
+    * builder conf, fresh SQLConf) keeps both tunings OFF every real
+    * query — production-scale shuffles want codegen and the 1 MB
+    * floor. SPARK_GRAFT_FIXTURE_CODEGEN=true re-enables codegen for
+    * A/B diagnosis. */
+  private def fixtureSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    // newSession inherits only BUILDER-time conf; carry over the
+    // caller's runtime conf too (PlanAuditSpec pins AQE off this way —
+    // without the copy the clone would re-enable it and hide the
+    // exchanges behind an AdaptiveSparkPlanExec root). Static confs
+    // refuse runtime set; skip them.
+    s.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v) catch { case _: Exception => () }
+    }
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+    s2.conf.set("spark.sql.codegen.wholeStage",
+      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_CODEGEN", "false"))
+    s2
+  }
+
   /** 24 joins (3 types × 8 conditions), each reduced to one row of
     * portable aggregates, unioned. */
-  def joinQuery(s: SparkSession, dir: String): DataFrame = {
+  def joinQuery(s0: SparkSession, dir: String): DataFrame = {
+    val s = fixtureSession(s0)
     val parts = for {
       how <- joinHows
       (ctag, mkCond, _) <- joinConds
@@ -784,9 +824,11 @@ object DiffFuzz {
   }
 
   /** All pipelines unioned, one row each, ordered by tag. */
-  def pipelineQuery(s: SparkSession, dir: String): DataFrame =
+  def pipelineQuery(s0: SparkSession, dir: String): DataFrame = {
+    val s = fixtureSession(s0)
     pipeBattery.map(p => pipeTable(s, dir, p))
       .reduce(_ union _).arrange(C("tag")).toDF
+  }
 
   def pipelineOracle: String =
     pipeBattery.map(pipeSql).mkString("", "\nUNION ALL\n", "\nORDER BY tag")
