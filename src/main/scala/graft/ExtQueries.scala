@@ -2442,17 +2442,33 @@ object ExtQueries {
       |FROM p LEFT JOIN agg USING (doc_id) ORDER BY p.doc_id""".stripMargin
 
   /** Compression-ratio redundancy scoring (Gopher-family quality
-    * signal) — [[graft.functions.text.compressionRatio]] over raw,
-    * doubled (boilerplate-like), and sorted-token variants of each
-    * document. Engine-native deflate: rows-only check (DuckDB has no
-    * zlib), but the per-doc ORDERING invariants (doubling a text drops
-    * its ratio) are asserted in ExtensionsSpec. */
-  def x49CompressionRatio(s: SparkSession, dir: String): DataFrame =
+    * signal) — [[graft.functions.text.compressionRatio]] over raw and
+    * doubled (boilerplate-like) variants of each document. DuckDB has
+    * no zlib, so the raw ratios cannot be value-oracled; instead the
+    * query HASHES the per-document INVARIANTS the signal must satisfy —
+    * ratio ∈ (0, 1.1] (prose compresses; the 1.1 headroom covers zlib
+    * header overhead on short texts) and doubling strictly drops the
+    * ratio (the redundancy direction the Gopher rule depends on) — as
+    * boolean columns whose oracle is constant TRUE. A single violated
+    * invariant on any document breaks the driver's hash, upgrading the
+    * old rows-only check to a property oracle (measured margins at
+    * sf0.01: ratio ∈ [0.40, 1.02], doubled max 0.56 < ratio min 0.40).
+    * Raw-ratio ORDERING specifics stay in ExtensionsSpec. */
+  def x49CompressionRatio(s: SparkSession, dir: String): DataFrame = {
+    val ratio = text.compressionRatio(F.col("text"))
+    val doubled = text.compressionRatio(
+      F.concat(F.col("text"), F.lit(" "), F.col("text")))
     docs(s, dir).select(F.col("doc_id"),
-        text.compressionRatio(F.col("text")).as("ratio"),
-        text.compressionRatio(F.concat(F.col("text"), F.lit(" "),
-          F.col("text"))).as("ratio_doubled"))
+        (ratio > 0.0 && ratio <= 1.1).as("ratio_in_unit"),
+        (doubled > 0.0 && doubled <= 1.1).as("doubled_in_unit"),
+        (doubled < ratio).as("doubling_drops_ratio"))
       .orderBy("doc_id")
+  }
+
+  private val x49Oracle =
+    """SELECT doc_id, TRUE AS ratio_in_unit, TRUE AS doubled_in_unit,
+      |  TRUE AS doubling_drops_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** The END-TO-END curation composite under a full oracle: quality
     * filter → language allow-list → exact dedup (keep-min) → LSH-fed
@@ -3093,6 +3109,7 @@ object ExtQueries {
     "x46_quality_classifier" -> x46Oracle,
     "x47_bigram_nll" -> x47Oracle,
     "x48_credit_cards" -> x48Oracle,
+    "x49_compression_ratio" -> x49Oracle,
     "x50_curation_pipeline" -> x50Oracle,
     "x51_image_decode" -> x51Oracle,
     "x52_unicode_fold" -> x52Oracle,
