@@ -3053,7 +3053,8 @@ object ExtQueries {
     "x80_dsir_select" -> (x80DsirSelect _),
     "x81_video_decode" -> (x81VideoDecode _),
     "x82_zorder_key" -> (x82ZorderKey _),
-    "x83_bpe_merges" -> (x83BpeMerges _))
+    "x83_bpe_merges" -> (x83BpeMerges _),
+    "x84_temporal_join_fuzz_battery" -> (graft.fuzz.DiffFuzz.temporalJoinQuery _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3143,5 +3144,6 @@ object ExtQueries {
     "x80_dsir_select" -> x80Oracle,
     "x81_video_decode" -> x81Oracle,
     "x82_zorder_key" -> x82Oracle,
-    "x83_bpe_merges" -> x83Oracle)
+    "x83_bpe_merges" -> x83Oracle,
+    "x84_temporal_join_fuzz_battery" -> graft.fuzz.DiffFuzz.temporalJoinOracle)
 }

@@ -1475,4 +1475,175 @@ object DiffFuzz {
        |${cols.mkString(",\n")}
        |FROM e ORDER BY event_id""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // Temporal-join fuzz battery (x84): random draws over the THREE
+  // extension temporal joins — as-of (union+window carry plan), binned
+  // point-in-interval range join, binned interval-overlap join — each
+  // reduced to one row of portable aggregates and unioned. The oracles
+  // are structurally DIFFERENT implementations: DuckDB's native ASOF
+  // LEFT JOIN for as-of, and the naive inequality joins the binned
+  // plans exist to replace. Two design axes the fixed queries
+  // (x16/x78/x79) cannot cover:
+  //  - binWidth INVARIANCE: every range/overlap draw picks a random
+  //    bin width from 1 min to 1 day while its oracle never mentions
+  //    bins — any pair duplicated or dropped by the explode/residual
+  //    logic at any width breaks the hash;
+  //  - parameter spread: by-key arity/type (none, bigint mod-class,
+  //    string), asymmetric interval lengths, mod-disjoint left/right
+  //    samples (unmatched as-of rows pinned via COALESCE(-1) sums).
+  // Domain discipline: event timestamps are globally unique and
+  // null-free (verified at both SFs), so as-of right rows are unique
+  // per (key, ts) — enforced anyway by a MIN(event_id) group — and
+  // window-partition NULL grouping vs SQL NULL-key semantics never
+  // diverges. Widths stay >= 17 min and interval arms <= ~1 h per side
+  // so the worst interval explodes to <= 8 bins, bounding the
+  // fixture's explode volume (solo-benched before landing).
+  // -------------------------------------------------------------------
+
+  val TjN = 18
+  val TjSeed = 20260825L
+
+  private final case class TjSpec(tag: String,
+      mk: (SparkSession, String) => DataFrame, sql: String)
+
+  private lazy val tjSpecs: Seq[TjSpec] = {
+    import org.apache.spark.sql.{functions => F, Column}
+    import graft.functions.joins
+    val rnd = new scala.util.Random(TjSeed)
+    def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+    // bin widths in micros: 17 min, 1 h, 6 h, 1 day — floor chosen so
+    // the worst interval (~2 h) explodes to <= 8 bins at fixture scale
+    val widths = IndexedSeq(1020000000L, 3600000000L,
+      21600000000L, 86400000000L)
+    (0 until TjN).map { i =>
+      (i % 3) match {
+        case 0 => // ---- as-of vs DuckDB ASOF LEFT JOIN ----
+          val r0 = rnd.nextInt(5); val r1 = rnd.nextInt(7)
+          val (kSql, kCol) = pick(IndexedSeq[(String, Column)](
+            ("user_id % 5", F.col("user_id") % 5),
+            ("user_id % 11", F.col("user_id") % 11),
+            ("user_id % 23", F.col("user_id") % 23),
+            ("event_type", F.col("event_type"))))
+          val tag = f"asof_$i%02d"
+          TjSpec(tag,
+            (s, dir) => {
+              val ev = s.read.parquet(s"$dir/events.parquet")
+              val l = ev.filter(F.col("event_id") % 5 === r0)
+                .select(F.col("event_id").as("l_id"), kCol.as("k"), F.col("ts"))
+              val r = ev.filter(F.col("event_id") % 7 === r1)
+                .groupBy(kCol.as("k"), F.col("ts"))
+                .agg(F.min("event_id").as("rv"))
+              joins.asofBackward(l, r, "ts", "ts", Seq("k"), Seq("rv"))
+                .agg(F.count(F.lit(1)).as("n_rows"),
+                  F.sum("l_id").as("l_sum"),
+                  F.sum(F.coalesce(F.col("rv"), F.lit(-1L))).as("r_sum"),
+                  F.count(F.when(F.col("rv").isNull, 1)).as("n_null"))
+                .withColumn("tag", F.lit(tag))
+                .select("tag", "n_rows", "l_sum", "r_sum", "n_null")
+            },
+            s"""SELECT '$tag' AS tag, COUNT(*) AS n_rows,
+               |  CAST(SUM(l_id) AS BIGINT) AS l_sum,
+               |  CAST(SUM(COALESCE(rv, -1)) AS BIGINT) AS r_sum,
+               |  COUNT(*) FILTER (WHERE rv IS NULL) AS n_null
+               |FROM (SELECT l.l_id, r.rv
+               |  FROM (SELECT event_id AS l_id, $kSql AS k, ts FROM events
+               |        WHERE event_id % 5 = $r0) l
+               |  ASOF LEFT JOIN (SELECT $kSql AS k, ts, MIN(event_id) AS rv
+               |        FROM events WHERE event_id % 7 = $r1 GROUP BY 1, 2) r
+               |  ON l.k = r.k AND l.ts >= r.ts) j""".stripMargin)
+        case 1 => // ---- binned range join vs naive BETWEEN join ----
+          val r0 = rnd.nextInt(7); val r2 = rnd.nextInt(23)
+          val aMin = 5 + rnd.nextInt(56); val bMin = 5 + rnd.nextInt(56)
+          val width = pick(widths)
+          val useBy = rnd.nextBoolean()
+          val tag = f"range_$i%02d"
+          val byDsl = if (useBy) Seq("user_id") else Nil
+          val bySql = if (useBy) "p.user_id = i.user_id AND " else ""
+          TjSpec(tag,
+            (s, dir) => {
+              val ev = s.read.parquet(s"$dir/events.parquet")
+              val pCols = Seq(F.col("event_id").as("p_id"), F.col("ts")) ++
+                (if (useBy) Seq(F.col("user_id")) else Nil)
+              val iCols = Seq(F.col("event_id").as("iv_id"),
+                (F.col("ts") - F.expr(s"INTERVAL $aMin MINUTES")).as("lo"),
+                (F.col("ts") + F.expr(s"INTERVAL $bMin MINUTES")).as("hi")) ++
+                (if (useBy) Seq(F.col("user_id")) else Nil)
+              val p = ev.filter(F.col("event_id") % 7 === r0).select(pCols: _*)
+              val iv = ev.filter(F.col("event_id") % 23 === r2).select(iCols: _*)
+              joins.rangeJoin(p, iv, "ts", "lo", "hi", width, byDsl)
+                .agg(F.count(F.lit(1)).as("n_rows"),
+                  F.sum("p_id").as("l_sum"),
+                  F.sum("iv_id_iv").as("r_sum"))
+                .withColumn("tag", F.lit(tag))
+                .select("tag", "n_rows", "l_sum", "r_sum")
+            },
+            s"""SELECT '$tag' AS tag, COUNT(*) AS n_rows,
+               |  CAST(SUM(p.event_id) AS BIGINT) AS l_sum,
+               |  CAST(SUM(i.event_id) AS BIGINT) AS r_sum
+               |FROM (SELECT * FROM events WHERE event_id % 7 = $r0) p
+               |JOIN (SELECT event_id, user_id,
+               |        ts - INTERVAL $aMin MINUTE AS lo,
+               |        ts + INTERVAL $bMin MINUTE AS hi
+               |      FROM events WHERE event_id % 23 = $r2) i
+               |ON ${bySql}p.ts BETWEEN i.lo AND i.hi""".stripMargin)
+        case _ => // ---- binned overlap join vs naive inequality join ----
+          val r0 = rnd.nextInt(13); val r2 = rnd.nextInt(17)
+          val aMin = 5 + rnd.nextInt(56); val bMin = 5 + rnd.nextInt(56)
+          val width = pick(widths)
+          val (byDsl, bySql) = pick(IndexedSeq[(Seq[String], String)](
+            (Nil, ""),
+            (Seq("user_id"), "a.user_id = b.user_id AND "),
+            (Seq("event_type"), "a.event_type = b.event_type AND ")))
+          val tag = f"overlap_$i%02d"
+          TjSpec(tag,
+            (s, dir) => {
+              val ev = s.read.parquet(s"$dir/events.parquet")
+              def win(m: Int, idAs: String, flt: Column) =
+                ev.filter(flt).select(
+                  Seq(F.col("event_id").as(idAs), F.col("ts").as("lo"),
+                    (F.col("ts") + F.expr(s"INTERVAL $m MINUTES")).as("hi")) ++
+                    byDsl.map(F.col): _*)
+              val l = win(aMin, "a_id", F.col("event_id") % 13 === r0)
+              val r = win(bMin, "b_id", F.col("event_id") % 17 === r2)
+              joins.overlapJoin(l, r, "lo", "hi", "lo", "hi", width, byDsl)
+                .agg(F.count(F.lit(1)).as("n_rows"),
+                  F.sum("a_id").as("l_sum"),
+                  F.sum("b_id_iv").as("r_sum"))
+                .withColumn("tag", F.lit(tag))
+                .select("tag", "n_rows", "l_sum", "r_sum")
+            },
+            s"""SELECT '$tag' AS tag, COUNT(*) AS n_rows,
+               |  CAST(SUM(a.event_id) AS BIGINT) AS l_sum,
+               |  CAST(SUM(b.event_id) AS BIGINT) AS r_sum
+               |FROM (SELECT event_id, user_id, event_type, ts AS lo,
+               |        ts + INTERVAL $aMin MINUTE AS hi
+               |      FROM events WHERE event_id % 13 = $r0) a
+               |JOIN (SELECT event_id, user_id, event_type, ts AS lo,
+               |        ts + INTERVAL $bMin MINUTE AS hi
+               |      FROM events WHERE event_id % 17 = $r2) b
+               |ON ${bySql}a.lo <= b.hi AND b.lo <= a.hi""".stripMargin)
+      }
+    }
+  }
+
+  /** All temporal-join draws unioned, one row each, ordered by tag.
+    * `n_null` only exists on as-of draws (left-join unmatched count);
+    * range/overlap draws pin it to 0 (inner joins emit no nulls) so
+    * the union schema is uniform. */
+  def temporalJoinQuery(s0: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.{functions => F}
+    val s = fixtureSession(s0)
+    tjSpecs.map { spec =>
+      val df = spec.mk(s, dir)
+      if (df.columns.contains("n_null")) df
+      else df.withColumn("n_null", F.lit(0L))
+    }.reduce(_ unionByName _).orderBy("tag")
+  }
+
+  def temporalJoinOracle: String =
+    tjSpecs.map { spec =>
+      if (spec.sql.contains("n_null")) spec.sql
+      else s"SELECT *, CAST(0 AS BIGINT) AS n_null FROM (\n${spec.sql}\n) z"
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY tag")
 }
