@@ -255,7 +255,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val WinN = 48
-  val WinSeed = 20260814L
+  val WinSeed = 20260901L
 
   /** (DSL order markers, SQL ORDER BY text — explicit NULLS). */
   private type OrdPair = (Seq[ColExpr], String)
@@ -370,7 +370,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val AggN = 40
-  val AggSeed = 20260815L
+  val AggSeed = 20260902L
 
   private final class AggGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -604,7 +604,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val PipeN = 16
-  val PipeSeed = 20260816L
+  val PipeSeed = 20260903L
 
   private sealed trait PStep
   private final case class PFilter(cond: ColExpr, sql: String) extends PStep
@@ -849,7 +849,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DtN = 36
-  val DtSeed = 20260817L
+  val DtSeed = 20260904L
 
   private final class DtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -967,7 +967,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val OaN = 20
-  val OaSeed = 20260819L
+  val OaSeed = 20260905L
 
   private final class OaGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1241,7 +1241,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DecN = 24
-  val DecSeed = 20260821L
+  val DecSeed = 20260906L
 
   private final class DecGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1333,7 +1333,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val CastN = 24
-  val CastSeed = 20260822L
+  val CastSeed = 20260907L
 
   private final class CastGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
