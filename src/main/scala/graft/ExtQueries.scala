@@ -2968,6 +2968,73 @@ object ExtQueries {
        |SELECT * FROM ($finals) ORDER BY step""".stripMargin
   }
 
+  /** Structured-Streaming windowed aggregation driven to completion and
+    * hash-verified against the batch oracle — the first ORACLED
+    * streaming row (the rest of streaming/ is spec-asserted). The query
+    * builder runs the real streaming machinery — file source →
+    * watermark → stateful windowed aggregation → memory sink — via
+    * `processAllAvailable`, then returns the sink table. Complete
+    * output mode so windows still inside the watermark horizon are
+    * emitted too: the sink then holds exactly the batch GROUP BY, and
+    * DuckDB's `time_bucket` replays Spark's epoch-aligned 5-minute
+    * windows (both origins are :00-aligned). Single-file source = one
+    * micro-batch = deterministic. */
+  def x85StreamingWindow(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = "x85_stream_sink"
+    s.catalog.dropTempView(name)
+    // the file streaming source requires a DIRECTORY base path; point
+    // it at the sf dir and glob-filter to the events table
+    val stream = Streams.windowedCounts(
+      s.readStream.schema(Streams.eventSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    Streams.runToMemory(stream, name, OutputMode.Complete())
+    s.table(name).orderBy("window_start", "event_type")
+  }
+
+  private val x85Oracle =
+    """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Streaming mapGroupsWithState sessionization, hash-verified against
+    * a windowed SQL replay. Uses the NoTimeout fold
+    * ([[graft.streaming.Streams.sessionStatsUnbounded]]) so a bounded
+    * single-batch run emits exactly one row per user (the production
+    * [[graft.streaming.Streams.sessionStats]] adds event-time eviction,
+    * whose timeout re-emissions are spec-asserted, not oracleable in a
+    * finite run). The oracle replays the EXACT fold arithmetic: session
+    * breaks on strictly-greater-than-30-min gaps over MILLISECOND
+    * timestamps (java.sql.Timestamp.getTime floors micros to ms, so the
+    * oracle compares epoch_ms diffs, not raw interval arithmetic) with
+    * the same (ms, event_id) ordering tiebreak. */
+  def x86StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = "x86_stream_sessions"
+    s.catalog.dropTempView(name)
+    val events = s.readStream.schema(Streams.eventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .as[Streams.Event](Streams.eventEnc)
+    val stats = Streams.sessionStatsUnbounded(events)
+    val q = stats.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    s.table(name).orderBy("user_id")
+  }
+
+  private val x86Oracle =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id FROM events),
+      |g AS (SELECT user_id,
+      |    CASE WHEN (ms - lag(ms) OVER (PARTITION BY user_id
+      |        ORDER BY ms, event_id)) > 1800000 THEN 1 ELSE 0 END AS brk
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(1 + SUM(brk) AS BIGINT) AS n_sessions
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3054,7 +3121,9 @@ object ExtQueries {
     "x81_video_decode" -> (x81VideoDecode _),
     "x82_zorder_key" -> (x82ZorderKey _),
     "x83_bpe_merges" -> (x83BpeMerges _),
-    "x84_temporal_join_fuzz_battery" -> (graft.fuzz.DiffFuzz.temporalJoinQuery _))
+    "x84_temporal_join_fuzz_battery" -> (graft.fuzz.DiffFuzz.temporalJoinQuery _),
+    "x85_streaming_windowed_counts" -> (x85StreamingWindow _),
+    "x86_streaming_sessionization" -> (x86StreamingSessions _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3145,5 +3214,7 @@ object ExtQueries {
     "x81_video_decode" -> x81Oracle,
     "x82_zorder_key" -> x82Oracle,
     "x83_bpe_merges" -> x83Oracle,
-    "x84_temporal_join_fuzz_battery" -> graft.fuzz.DiffFuzz.temporalJoinOracle)
+    "x84_temporal_join_fuzz_battery" -> graft.fuzz.DiffFuzz.temporalJoinOracle,
+    "x85_streaming_windowed_counts" -> x85Oracle,
+    "x86_streaming_sessionization" -> x86Oracle)
 }
