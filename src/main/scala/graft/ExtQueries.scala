@@ -2982,16 +2982,22 @@ object ExtQueries {
   def x85StreamingWindow(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Streams
     import org.apache.spark.sql.streaming.OutputMode
-    val name = "x85_stream_sink"
-    s.catalog.dropTempView(name)
+    // unique per call: concurrent callers on a shared session must not
+    // collide on the sink's temp-view name; the name is dropped once
+    // the DataFrame is resolved (the plan holds the sink directly)
+    val name = s"x85_stream_sink_${streamSinkIds.incrementAndGet()}"
     // the file streaming source requires a DIRECTORY base path; point
     // it at the sf dir and glob-filter to the events table
     val stream = Streams.windowedCounts(
       s.readStream.schema(Streams.eventSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
     Streams.runToMemory(stream, name, OutputMode.Complete())
-    s.table(name).orderBy("window_start", "event_type")
+    val out = s.table(name).orderBy("window_start", "event_type")
+    s.catalog.dropTempView(name)
+    out
   }
+
+  private val streamSinkIds = new java.util.concurrent.atomic.AtomicLong()
 
   private val x85Oracle =
     """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
@@ -3013,8 +3019,7 @@ object ExtQueries {
   def x86StreamingSessions(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Streams
     import org.apache.spark.sql.streaming.OutputMode
-    val name = "x86_stream_sessions"
-    s.catalog.dropTempView(name)
+    val name = s"x86_stream_sessions_${streamSinkIds.incrementAndGet()}"
     val events = s.readStream.schema(Streams.eventSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .as[Streams.Event](Streams.eventEnc)
@@ -3022,7 +3027,9 @@ object ExtQueries {
     val q = stats.writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
-    s.table(name).orderBy("user_id")
+    val out = s.table(name).orderBy("user_id")
+    s.catalog.dropTempView(name)
+    out
   }
 
   private val x86Oracle =
