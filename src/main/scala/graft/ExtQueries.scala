@@ -27,7 +27,7 @@ object ExtQueries {
     * (legacy.parquet.nanosAsLong) and convert to μs TimestampNTZ, the
     * same truncation DuckDB applies on read. Exact integer division via
     * a decimal intermediate (ns epochs exceed double precision). */
-  private def eventsDf(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsDf(s: SparkSession, dir: String): DataFrame = {
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType =>
@@ -2986,6 +2986,7 @@ object ExtQueries {
     // collide on the sink's temp-view name; the name is dropped once
     // the DataFrame is resolved (the plan holds the sink directly)
     val name = s"x85_stream_sink_${streamSinkIds.incrementAndGet()}"
+    requireMicrosEvents(s, dir)
     // the file streaming source requires a DIRECTORY base path; point
     // it at the sf dir and glob-filter to the events table
     val stream = Streams.windowedCounts(
@@ -2998,6 +2999,18 @@ object ExtQueries {
   }
 
   private val streamSinkIds = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The streaming queries declare a static TimestampType schema; a
+    * TIMESTAMP(NANOS) events fixture (which batch queries route through
+    * [[eventsDf]]'s Long-nanos shim) would silently misread it. Fail
+    * fast with a pointer instead. */
+  private def requireMicrosEvents(s: SparkSession, dir: String): Unit =
+    require(
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType != LongType,
+      s"$dir/events.parquet carries TIMESTAMP(NANOS) (read as Long under " +
+        "legacy.parquet.nanosAsLong): the streaming queries' static " +
+        "TimestampType schema cannot express it — extend them with the " +
+        "eventsDf shim before running on this fixture")
 
   private val x85Oracle =
     """SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, event_type,
@@ -3020,6 +3033,7 @@ object ExtQueries {
     import graft.streaming.Streams
     import org.apache.spark.sql.streaming.OutputMode
     val name = s"x86_stream_sessions_${streamSinkIds.incrementAndGet()}"
+    requireMicrosEvents(s, dir)
     val events = s.readStream.schema(Streams.eventSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .as[Streams.Event](Streams.eventEnc)

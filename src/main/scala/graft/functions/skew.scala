@@ -37,9 +37,16 @@ object skew {
     * submit upstream shuffle stages. */
   def rebalanceUnderSplit(df: DataFrame, minFrac: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // allowlist = every shuffle-free narrow shape: scans, row-local
+    // operators, unions of scans, samples, and the typed-API narrow
+    // trio (a Dataset .map/.filter desugars to Deserialize/Map*/
+    // Serialize). Anything not listed may plan an exchange, so it is
+    // returned untouched rather than probed.
     val sourceGrain = !df.queryExecution.optimizedPlan.exists {
       case _: LeafNode | _: Project | _: Filter | _: Generate |
-           _: SubqueryAlias => false
+           _: SubqueryAlias | _: Union | _: Sample => false
+      case _: DeserializeToObject | _: SerializeFromObject |
+           _: MapElements | _: TypedFilter => false
       case _ => true
     }
     val target = df.sparkSession.sparkContext.defaultParallelism

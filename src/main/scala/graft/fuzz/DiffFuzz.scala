@@ -515,22 +515,33 @@ object DiffFuzz {
     * query — production-scale shuffles want codegen and the 1 MB
     * floor. SPARK_GRAFT_FIXTURE_CODEGEN=true re-enables codegen for
     * A/B diagnosis. */
-  private def fixtureSession(s: SparkSession): SparkSession = {
-    val s2 = s.newSession()
-    // newSession inherits only BUILDER-time conf; carry over the
-    // caller's runtime conf too (PlanAuditSpec pins AQE off this way —
-    // without the copy the clone would re-enable it and hide the
-    // exchanges behind an AdaptiveSparkPlanExec root). Static confs
-    // refuse runtime set; skip them.
-    s.conf.getAll.foreach { case (k, v) =>
-      try s2.conf.set(k, v) catch { case _: Exception => () }
+  // one clone per parent session (weak keys: a clone must not outlive
+  // its parent), not per battery call — a bench run samples each
+  // battery 6 times and must not accumulate SessionStates
+  private val fixtureSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def fixtureSession(s: SparkSession): SparkSession =
+    fixtureSessions.synchronized {
+      val s2 = Option(fixtureSessions.get(s)).getOrElse {
+        val n = s.newSession(); fixtureSessions.put(s, n); n
+      }
+      // refresh the caller's runtime conf on EVERY call, not just at
+      // clone creation: PlanAuditSpec pins AQE off at runtime and
+      // resets it after — a stale cached conf would either hide the
+      // exchanges behind an AdaptiveSparkPlanExec root (audit sees 0)
+      // or leak AQE-off into bench runs. Static confs refuse runtime
+      // set; skip them. The copy is map writes only — the expensive
+      // part (SessionState) is what the cache avoids re-allocating.
+      s.conf.getAll.foreach { case (k, v) =>
+        try s2.conf.set(k, v) catch { case _: Exception => () }
+      }
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      s2.conf.set("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("SPARK_GRAFT_FIXTURE_CODEGEN", "false"))
+      s2
     }
-    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
-    s2.conf.set("spark.sql.codegen.wholeStage",
-      sys.env.getOrElse("SPARK_GRAFT_FIXTURE_CODEGEN", "false"))
-    s2
-  }
 
   /** 24 joins (3 types × 8 conditions), each reduced to one row of
     * portable aggregates, unioned. */
@@ -1528,7 +1539,7 @@ object DiffFuzz {
           val tag = f"asof_$i%02d"
           TjSpec(tag,
             (s, dir) => {
-              val ev = s.read.parquet(s"$dir/events.parquet")
+              val ev = graft.ExtQueries.eventsDf(s, dir)
               val l = ev.filter(F.col("event_id") % 5 === r0)
                 .select(F.col("event_id").as("l_id"), kCol.as("k"), F.col("ts"))
               val r = ev.filter(F.col("event_id") % 7 === r1)
@@ -1562,7 +1573,7 @@ object DiffFuzz {
           val bySql = if (useBy) "p.user_id = i.user_id AND " else ""
           TjSpec(tag,
             (s, dir) => {
-              val ev = s.read.parquet(s"$dir/events.parquet")
+              val ev = graft.ExtQueries.eventsDf(s, dir)
               val pCols = Seq(F.col("event_id").as("p_id"), F.col("ts")) ++
                 (if (useBy) Seq(F.col("user_id")) else Nil)
               val iCols = Seq(F.col("event_id").as("iv_id"),
@@ -1598,7 +1609,7 @@ object DiffFuzz {
           val tag = f"overlap_$i%02d"
           TjSpec(tag,
             (s, dir) => {
-              val ev = s.read.parquet(s"$dir/events.parquet")
+              val ev = graft.ExtQueries.eventsDf(s, dir)
               def win(m: Int, idAs: String, flt: Column) =
                 ev.filter(flt).select(
                   Seq(F.col("event_id").as(idAs), F.col("ts").as("lo"),

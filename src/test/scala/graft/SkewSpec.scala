@@ -75,5 +75,17 @@ class SkewSpec extends SparkSpec {
     val hinted = one.hint("rebalance")
     assert(skew.rebalanceUnderSplit(hinted) eq hinted,
       "REBALANCE-hinted plans must pass through untouched")
+    // shuffle-free narrow shapes beyond plain scans stay ELIGIBLE:
+    // a union of two 1-split scans and a typed .map over a scan are
+    // exactly the corpus shapes dedup/retrieval callers hand over
+    // 2 union branches = 2 splits, exactly AT the default 0.5 threshold
+    // (not under it) — raise minFrac to prove the shape is ELIGIBLE
+    val unioned = one.union(one)
+    assert(skew.rebalanceUnderSplit(unioned, minFrac = 1.0)
+      .rdd.getNumPartitions == target,
+      "a union of under-split scans must fan out")
+    val typedMap = one.as[Long].map(_ + 1L).toDF("id")
+    assert(skew.rebalanceUnderSplit(typedMap).rdd.getNumPartitions == target,
+      "a typed narrow map over an under-split scan must fan out")
   }
 }

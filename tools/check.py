@@ -39,9 +39,13 @@ def cells_eq(x, y):
             return x == y
         return struct.pack('>d', x) == struct.pack('>d', y)
     if xf != yf:
-        # mixed numeric types (e.g. int col vs float col): value compare,
-        # but NaN on one side can never equal a non-float
+        # mixed float/non-float (an int column drifting to double, a
+        # dropped CAST on a SUM): the driver's typed gate would fail
+        # this, so bit-strict mode fails it too; --loose keeps the old
+        # value compare for triage
         if (xf and math.isnan(x)) or (yf and math.isnan(y)):
+            return False
+        if not LOOSE:
             return False
         try:
             return float(x) == float(y)
@@ -64,8 +68,14 @@ def main(sf_dir, out_dir):
     n_ok = 0
     for name, sql in sorted(oracles.items()):
         try:
-            cur = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ours_sel = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            # DB-API description collapses types to NUMBER; DESCRIBE
+            # gives the real DuckDB column types for the dtype warn
+            ours_t = dict((r[0], r[1]) for r in
+                          con.execute(f"DESCRIBE {ours_sel}").fetchall())
+            theirs_t = dict((r[0], r[1]) for r in
+                            con.execute(f"DESCRIBE {sql}").fetchall())
+            cur = con.execute(ours_sel)
             ours_cols = [d[0] for d in cur.description]
             ours_rows = cur.fetchall()
             cur = con.execute(sql)
@@ -82,6 +92,10 @@ def main(sf_dir, out_dir):
         if o_names != t_names:
             print(f"FAIL {name}: columns {o_names} vs {t_names}")
             continue
+        dt_bad = [c for c in o_names if str(ours_t[c]) != str(theirs_t[c])]
+        if dt_bad:
+            print(f"WARN {name}: dtypes differ on {dt_bad}: "
+                  f"{[(c, str(ours_t[c]), str(theirs_t[c])) for c in dt_bad]}")
         if len(ours_rows) != len(theirs_rows):
             print(f"FAIL {name}: rows {len(ours_rows)} vs {len(theirs_rows)}")
             continue
