@@ -913,6 +913,41 @@ object Queries {
       |MAX(CAST(u8 AS BIGINT) + 1) AS mx_plus
       |FROM b GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** rand() and approx_n_unique are the two expression ops whose VALUES
+    * are inherently unoracleable (nondeterministic; HLL-estimated) —
+    * spec-only for eight rounds. Like x49, this hashes their CONTRACTS
+    * as constant-TRUE booleans instead: every rand draw lies in [0,1),
+    * the draws are collision-free at fixture scale (~1500 doubles vs
+    * 2^53 values) with a mean well inside 0.35..0.65 (>6 sigma at n=150),
+    * and the HLL estimate of a 25-value column is exact (dense mode),
+    * bounded here at 3x the default 5% rsd. Any violated bound flips a
+    * hashed cell. rand()'s seed is fixed at expression creation, so
+    * re-executions of the same plan are deterministic. */
+  private def q43RandApprox(s: SparkSession, dir: String): DataFrame =
+    Table.source(s, dir, "customer")
+      .mutate("r" -> rand())
+      .summarize(
+        "in_unit" -> ((C("r") >= lit(0.0)) && (C("r") < lit(1.0))).all(),
+        "n" -> count(),
+        "nr" -> C("r").nUnique(),
+        "mr" -> C("r").mean(),
+        "ex" -> C("c_nationkey").nUnique(),
+        "ap" -> C("c_nationkey").approxNUnique())
+      .mutate(
+        "rand_in_unit" -> C("in_unit"),
+        "rand_collision_free" -> (C("nr") === C("n")),
+        "rand_mean_centered" -> ((C("mr") > lit(0.35)) && (C("mr") < lit(0.65))),
+        "approx_within_rsd" ->
+          ((C("ap").cast(DoubleType) / C("ex").cast(DoubleType) > lit(0.85)) &&
+            (C("ap").cast(DoubleType) / C("ex").cast(DoubleType) < lit(1.15))))
+      .select(C("rand_in_unit"), C("rand_collision_free"),
+        C("rand_mean_centered"), C("approx_within_rsd"))
+      .toDF
+
+  private val q43Oracle =
+    """SELECT TRUE AS rand_in_unit, TRUE AS rand_collision_free,
+      |  TRUE AS rand_mean_centered, TRUE AS approx_within_rsd""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summarize_flagship" -> (q1Agg _),
     "q02_select_mutate_arith" -> (q2Mutate _),
@@ -966,7 +1001,8 @@ object Queries {
     "q41_decimal_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.decQuery(s, dir)),
     "q42_cast_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.castQuery(s, dir)))
+      graft.fuzz.DiffFuzz.castQuery(s, dir)),
+    "q43_rand_approx_properties" -> (q43RandApprox _))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -1011,5 +1047,6 @@ object Queries {
     "q39_ordered_agg_fuzz_battery" -> graft.fuzz.DiffFuzz.oaOracle,
     "q40_special_double_battery" -> graft.fuzz.DiffFuzz.spOracle,
     "q41_decimal_fuzz_battery" -> graft.fuzz.DiffFuzz.decOracle,
-    "q42_cast_fuzz_battery" -> graft.fuzz.DiffFuzz.castOracle)
+    "q42_cast_fuzz_battery" -> graft.fuzz.DiffFuzz.castOracle,
+    "q43_rand_approx_properties" -> q43Oracle)
 }

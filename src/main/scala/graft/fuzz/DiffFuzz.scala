@@ -493,39 +493,47 @@ object DiffFuzz {
         "(CASE WHEN n_regionkey = 2 THEN NULL ELSE n_nationkey END)"))
   private val joinHows = Seq("inner", "left", "full")
 
-  /** Session clone tuned for the two many-subplan batteries (q36/q37),
+  /** Session clone tuned for the many-subplan batteries (q36/q37/x84),
     * whose cost profile is the OPPOSITE of a production query: dozens
     * of unique tiny subplans that each run exactly once over ~15k rows.
-    * Two measured fixes (Explain -j census, sf0.1):
+    * Two measured knobs (Explain -j census, sf0.1):
     *
-    *  - whole-stage codegen OFF: every subplan's generated source is
-    *    unique and runs once, so each stage paid ~0.25 s of Janino
-    *    compilation to scan 15k rows — q36 warm taskTime 10.0 → 1.7 s,
-    *    wall 2.1 → 1.4 s. Expression-CODEGEN coverage is not lost:
-    *    the scalar batteries (q30/q34/q35/q40-q42) run with codegen on;
-    *    q36/q37 check verb composition, which is plan-level.
+    *  - whole-stage codegen PER BATTERY: every subplan's generated
+    *    source is unique and runs once, so a stage can pay ~0.25 s of
+    *    Janino compilation to scan 15k rows. Codegen OFF wins for q36
+    *    (warm taskTime 10.8 → 3.7 s) and x84 (2.9 vs 3.1 s); it LOSES
+    *    for q37's draw mix, whose per-row work (wide sorts, windows
+    *    over union-doubled rows) outweighs the compile cost (warm 3.9 s
+    *    codegen'd vs 5.2 s interpreted) — so each battery passes its
+    *    measured choice. Expression-CODEGEN coverage is not lost: the
+    *    scalar batteries (q30/q34/q35/q40-q42) run codegen'd on the
+    *    parent session; q36/x84 check verb/join composition, which is
+    *    plan-level.
     *  - AQE coalescing floor 1 MB → 64k/256k: these shuffles carry well
     *    under a megabyte, so the default floor coalesced every
     *    post-shuffle stage to ONE task and serialized each pipeline's
-    *    sort/window chain — q37 cold 8.5 → 3.5 s, warm 4.1 → 3.0 s;
-    *    finer than this loses (per-task fixed costs dominate).
+    *    sort/window chain — q37 cold 8.5 → 3.5 s; finer than this
+    *    loses (per-task fixed costs dominate).
     *
     * A clone (`newSession`: same SparkContext, same extensions, same
     * builder conf, fresh SQLConf) keeps both tunings OFF every real
     * query — production-scale shuffles want codegen and the 1 MB
-    * floor. SPARK_GRAFT_FIXTURE_CODEGEN=true re-enables codegen for
-    * A/B diagnosis. */
-  // one clone per parent session (weak keys: a clone must not outlive
-  // its parent), not per battery call — a bench run samples each
-  // battery 6 times and must not accumulate SessionStates
+    * floor. SPARK_GRAFT_FIXTURE_CODEGEN overrides the per-battery
+    * codegen choice for A/B diagnosis. */
+  // one clone per (parent session, codegen flag) — weak keys: a clone
+  // must not outlive its parent; NOT per battery call, a bench run
+  // samples each battery 6 times and must not accumulate SessionStates
   private val fixtureSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, Array[SparkSession]]()
 
-  private def fixtureSession(s: SparkSession): SparkSession =
+  private def fixtureSession(s: SparkSession, codegen: Boolean): SparkSession =
     fixtureSessions.synchronized {
-      val s2 = Option(fixtureSessions.get(s)).getOrElse {
-        val n = s.newSession(); fixtureSessions.put(s, n); n
+      val slot = if (codegen) 1 else 0
+      val arr = Option(fixtureSessions.get(s)).getOrElse {
+        val a = new Array[SparkSession](2); fixtureSessions.put(s, a); a
       }
+      if (arr(slot) == null) arr(slot) = s.newSession()
+      val s2 = arr(slot)
       // refresh the caller's runtime conf on EVERY call, not just at
       // clone creation: PlanAuditSpec pins AQE off at runtime and
       // resets it after — a stale cached conf would either hide the
@@ -539,14 +547,14 @@ object DiffFuzz {
       s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
       s2.conf.set("spark.sql.codegen.wholeStage",
-        sys.env.getOrElse("SPARK_GRAFT_FIXTURE_CODEGEN", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_FIXTURE_CODEGEN", codegen.toString))
       s2
     }
 
   /** 24 joins (3 types × 8 conditions), each reduced to one row of
     * portable aggregates, unioned. */
   def joinQuery(s0: SparkSession, dir: String): DataFrame = {
-    val s = fixtureSession(s0)
+    val s = fixtureSession(s0, codegen = false)
     val parts = for {
       how <- joinHows
       (ctag, mkCond, _) <- joinConds
@@ -836,7 +844,7 @@ object DiffFuzz {
 
   /** All pipelines unioned, one row each, ordered by tag. */
   def pipelineQuery(s0: SparkSession, dir: String): DataFrame = {
-    val s = fixtureSession(s0)
+    val s = fixtureSession(s0, codegen = true)
     pipeBattery.map(p => pipeTable(s, dir, p))
       .reduce(_ union _).arrange(C("tag")).toDF
   }
@@ -1644,7 +1652,7 @@ object DiffFuzz {
     * the union schema is uniform. */
   def temporalJoinQuery(s0: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
-    val s = fixtureSession(s0)
+    val s = fixtureSession(s0, codegen = false)
     tjSpecs.map { spec =>
       val df = spec.mk(s, dir)
       if (df.columns.contains("n_null")) df
