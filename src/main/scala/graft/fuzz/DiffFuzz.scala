@@ -1643,7 +1643,96 @@ object DiffFuzz {
                |      FROM events WHERE event_id % 17 = $r2) b
                |ON ${bySql}a.lo <= b.hi AND b.lo <= a.hi""".stripMargin)
       }
-    }
+    } ++ tjForced
+  }
+
+  /** Forced degenerate draws — the edge classes PathologicalTemporalSpec
+    * asserts in-engine, pinned here CROSS-engine at any seed:
+    * an as-of where every left row has an exact-timestamp right match
+    * (the >= tie must be taken, not the predecessor), a range join of
+    * zero-width intervals (matches only exact-ts points — boundary
+    * inclusivity on both ends at once), and an overlap join of a sample
+    * against itself (self-pairs plus fully-degenerate identical-window
+    * ties through the exactly-once residual). */
+  private def tjForced: Seq[TjSpec] = {
+    import org.apache.spark.sql.{functions => F}
+    import graft.functions.joins
+    Seq(
+      TjSpec("forced_asof_all_ties",
+        (s, dir) => {
+          val ev = graft.ExtQueries.eventsDf(s, dir)
+          val l = ev.filter(F.col("event_id") % 4 === 1)
+            .select(F.col("event_id").as("l_id"),
+              F.col("event_type").as("k"), F.col("ts"))
+          val r = ev.filter(F.col("event_id") % 4 === 1)
+            .groupBy(F.col("event_type").as("k"), F.col("ts"))
+            .agg(F.min("event_id").as("rv"))
+          joins.asofBackward(l, r, "ts", "ts", Seq("k"), Seq("rv"))
+            .agg(F.count(F.lit(1)).as("n_rows"),
+              F.sum("l_id").as("l_sum"),
+              F.sum(F.coalesce(F.col("rv"), F.lit(-1L))).as("r_sum"),
+              F.count(F.when(F.col("rv").isNull, 1)).as("n_null"))
+            .withColumn("tag", F.lit("forced_asof_all_ties"))
+            .select("tag", "n_rows", "l_sum", "r_sum", "n_null")
+        },
+        """SELECT 'forced_asof_all_ties' AS tag, COUNT(*) AS n_rows,
+          |  CAST(SUM(l_id) AS BIGINT) AS l_sum,
+          |  CAST(SUM(COALESCE(rv, -1)) AS BIGINT) AS r_sum,
+          |  COUNT(*) FILTER (WHERE rv IS NULL) AS n_null
+          |FROM (SELECT l.l_id, r.rv
+          |  FROM (SELECT event_id AS l_id, event_type AS k, ts FROM events
+          |        WHERE event_id % 4 = 1) l
+          |  ASOF LEFT JOIN (SELECT event_type AS k, ts, MIN(event_id) AS rv
+          |        FROM events WHERE event_id % 4 = 1 GROUP BY 1, 2) r
+          |  ON l.k = r.k AND l.ts >= r.ts) j""".stripMargin),
+      TjSpec("forced_range_zero_width",
+        (s, dir) => {
+          val ev = graft.ExtQueries.eventsDf(s, dir)
+          val p = ev.filter(F.col("event_id") % 2 === 0)
+            .select(F.col("event_id").as("p_id"), F.col("ts"))
+          val iv = ev.filter(F.col("event_id") % 3 === 0)
+            .select(F.col("event_id").as("iv_id"),
+              F.col("ts").as("lo"), F.col("ts").as("hi"))
+          joins.rangeJoin(p, iv, "ts", "lo", "hi", 3600000000L, Nil)
+            .agg(F.count(F.lit(1)).as("n_rows"),
+              F.sum("p_id").as("l_sum"),
+              F.sum("iv_id_iv").as("r_sum"))
+            .withColumn("tag", F.lit("forced_range_zero_width"))
+            .select("tag", "n_rows", "l_sum", "r_sum")
+        },
+        """SELECT 'forced_range_zero_width' AS tag, COUNT(*) AS n_rows,
+          |  CAST(SUM(p.event_id) AS BIGINT) AS l_sum,
+          |  CAST(SUM(i.event_id) AS BIGINT) AS r_sum
+          |FROM (SELECT * FROM events WHERE event_id % 2 = 0) p
+          |JOIN (SELECT event_id, ts AS lo, ts AS hi
+          |      FROM events WHERE event_id % 3 = 0) i
+          |ON p.ts BETWEEN i.lo AND i.hi""".stripMargin),
+      TjSpec("forced_overlap_self",
+        (s, dir) => {
+          val ev = graft.ExtQueries.eventsDf(s, dir)
+          def win(idAs: String) = ev.filter(F.col("event_id") % 5 === 2)
+            .select(F.col("event_id").as(idAs), F.col("user_id"),
+              F.col("ts").as("lo"),
+              (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).as("hi"))
+          joins.overlapJoin(win("a_id"), win("b_id"),
+              "lo", "hi", "lo", "hi", 1020000000L, Seq("user_id"))
+            .agg(F.count(F.lit(1)).as("n_rows"),
+              F.sum("a_id").as("l_sum"),
+              F.sum("b_id_iv").as("r_sum"))
+            .withColumn("tag", F.lit("forced_overlap_self"))
+            .select("tag", "n_rows", "l_sum", "r_sum")
+        },
+        """SELECT 'forced_overlap_self' AS tag, COUNT(*) AS n_rows,
+          |  CAST(SUM(a.event_id) AS BIGINT) AS l_sum,
+          |  CAST(SUM(b.event_id) AS BIGINT) AS r_sum
+          |FROM (SELECT event_id, user_id, ts AS lo,
+          |        ts + INTERVAL 45 MINUTE AS hi
+          |      FROM events WHERE event_id % 5 = 2) a
+          |JOIN (SELECT event_id, user_id, ts AS lo,
+          |        ts + INTERVAL 45 MINUTE AS hi
+          |      FROM events WHERE event_id % 5 = 2) b
+          |ON a.user_id = b.user_id AND a.lo <= b.hi AND b.lo <= a.hi"""
+          .stripMargin))
   }
 
   /** All temporal-join draws unioned, one row each, ordered by tag.
