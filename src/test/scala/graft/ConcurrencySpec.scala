@@ -71,4 +71,16 @@ class ConcurrencySpec extends SparkSpec {
       (1 to 4).map(_ => Future(assert(quality() == expQ))))
     Await.result(mixed, 5.minutes)
   }
+
+  test("concurrent fixture-session battery builds stay correct") {
+    // q36/q37/x84 share memoized per-(session, codegen) clones whose
+    // conf is refreshed on every call — concurrent builders must not
+    // corrupt each other through the shared SessionState
+    def run(): Seq[Seq[Any]] =
+      graft.fuzz.DiffFuzz.joinQuery(spark, dir)
+        .collect().map(_.toSeq).toSeq
+    val expected = run()
+    val rounds = Future.sequence((1 to 6).map(_ => Future(run())))
+    Await.result(rounds, 5.minutes).foreach(r => assert(r == expected))
+  }
 }
