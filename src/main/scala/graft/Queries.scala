@@ -1002,7 +1002,9 @@ object Queries {
       graft.fuzz.DiffFuzz.decQuery(s, dir)),
     "q42_cast_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.castQuery(s, dir)),
-    "q43_rand_approx_properties" -> (q43RandApprox _))
+    "q43_rand_approx_properties" -> (q43RandApprox _),
+    "q44_quantile_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.quantileQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -1048,5 +1050,6 @@ object Queries {
     "q40_special_double_battery" -> graft.fuzz.DiffFuzz.spOracle,
     "q41_decimal_fuzz_battery" -> graft.fuzz.DiffFuzz.decOracle,
     "q42_cast_fuzz_battery" -> graft.fuzz.DiffFuzz.castOracle,
-    "q43_rand_approx_properties" -> q43Oracle)
+    "q43_rand_approx_properties" -> q43Oracle,
+    "q44_quantile_fuzz_battery" -> graft.fuzz.DiffFuzz.quantileOracle)
 }

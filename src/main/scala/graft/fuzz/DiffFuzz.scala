@@ -445,6 +445,87 @@ object DiffFuzz {
   }
 
   // -------------------------------------------------------------------
+  // Quantile/median fuzz battery (q44): exact-percentile interpolation
+  // is a classic cross-engine divergence spot (position formula,
+  // interpolation arithmetic, NULL skipping, tiny groups). graft
+  // compiles median/quantile to Spark's EXACT percentile aggregate;
+  // DuckDB's MEDIAN/QUANTILE_CONT replays it. Draws sweep random p in
+  // [0.05, 0.95] (2dp), nullable and integer-valued operands, FILTER
+  // kwargs (including filters that drain a group empty → NULL both
+  // sides), over a modulo grouping whose group sizes shrink to a
+  // handful of rows at sf0.001. Both sides round(6) — the q23/q24
+  // transcendental precedent — because the engines' interpolation
+  // `lo + (pos-floor(pos))*(hi-lo)` can differ by 1 ulp.
+  // -------------------------------------------------------------------
+
+  val QtN = 24
+  val QtSeed = 20260908L
+
+  private final class QtGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    private val filters: IndexedSeq[(ColExpr, String)] = IndexedSeq(
+      (null, ""),
+      (C("o_totalprice") > lit(150000.0), " FILTER (WHERE o_totalprice > 150000.0)"),
+      (C("o_orderkey") % lit(2L) === lit(0L), " FILTER (WHERE o_orderkey % 2 = 0)"),
+      // drains most groups empty: empty-group quantile must be NULL
+      (C("o_orderpriority") === lit("1-URGENT"),
+        " FILTER (WHERE o_orderpriority = '1-URGENT')"))
+
+    /** (DSL operand, SQL operand) — doubles, nullable doubles, ints. */
+    private val operands: IndexedSeq[(ColExpr, String)] = IndexedSeq(
+      (C("o_totalprice"), "o_totalprice"),
+      (C("price_n"), "price_n"),
+      (C("o_custkey").cast(DoubleType), "CAST(o_custkey AS DOUBLE)"))
+
+    def next(): GE = {
+      val (f, fd) = pick(filters)
+      val (c, cd) = pick(operands)
+      rnd.nextInt(3) match {
+        case 0 =>
+          GE(c.median(filter = f).round(6),
+            s"ROUND(CAST(MEDIAN($cd)$fd AS DOUBLE), 6)")
+        case _ =>
+          val p = (5 + rnd.nextInt(91)) / 100.0 // 0.05..0.95, 2dp
+          GE(c.quantile(p, filter = f).round(6),
+            s"ROUND(CAST(QUANTILE_CONT($cd, $p)$fd AS DOUBLE), 6)")
+      }
+    }
+  }
+
+  lazy val qtBattery: Seq[(String, GE)] = {
+    val g = new QtGen(new scala.util.Random(QtSeed))
+    (0 until QtN).map(i => (f"qt$i%02d", g.next()))
+  }
+
+  /** One summarize over orders grouped by a 23-way modulo key — ~65
+    * rows per group at sf0.01, ~7 at sf0.001, so interpolation lands
+    * between neighbors at every p; `price_n` (null every 6th row) puts
+    * NULL skipping under the hash. */
+  def quantileQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = qtBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "orders")
+      .mutate(
+        "g" -> C("o_orderkey") % lit(23L),
+        "price_n" -> when(C("o_orderkey") % lit(6L) === lit(0L))
+          .then_(lit(null)).otherwise(C("o_totalprice")))
+      .groupBy(C("g"))
+      .summarize(defs: _*)
+      .arrange(C("g"))
+      .toDF
+  }
+
+  def quantileOracle: String = {
+    val cols = qtBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"""WITH o AS (SELECT *, o_orderkey % 23 AS g,
+       |  CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_totalprice END
+       |    AS price_n FROM orders)
+       |SELECT g,
+       |${cols.mkString(",\n")}
+       |FROM o GROUP BY g ORDER BY g""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // Join fuzz battery (q36): every join type × a spread of on-conditions
   // (plain equi, equi + left-side / right-side / both-side residuals,
   // arithmetic keys, many-to-many modulo keys), each join's FULL result
