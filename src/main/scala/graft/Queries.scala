@@ -1004,7 +1004,9 @@ object Queries {
       graft.fuzz.DiffFuzz.castQuery(s, dir)),
     "q43_rand_approx_properties" -> (q43RandApprox _),
     "q44_quantile_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.quantileQuery(s, dir)))
+      graft.fuzz.DiffFuzz.quantileQuery(s, dir)),
+    "q45_string_fuzz_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.strQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -1051,5 +1053,6 @@ object Queries {
     "q41_decimal_fuzz_battery" -> graft.fuzz.DiffFuzz.decOracle,
     "q42_cast_fuzz_battery" -> graft.fuzz.DiffFuzz.castOracle,
     "q43_rand_approx_properties" -> q43Oracle,
-    "q44_quantile_fuzz_battery" -> graft.fuzz.DiffFuzz.quantileOracle)
+    "q44_quantile_fuzz_battery" -> graft.fuzz.DiffFuzz.quantileOracle,
+    "q45_string_fuzz_battery" -> graft.fuzz.DiffFuzz.strOracle)
 }

@@ -1835,4 +1835,168 @@ object DiffFuzz {
       if (spec.sql.contains("n_null")) spec.sql
       else s"SELECT *, CAST(0 AS BIGINT) AS n_null FROM (\n${spec.sql}\n) z"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tag")
+
+  // -------------------------------------------------------------------
+  // String fuzz battery (q45): the string surface over REAL document
+  // text plus multibyte/emoji/Cyrillic literal content — the q30
+  // battery only ever sees ASCII `n_name`. Covers codepoint-counted
+  // length, multibyte-safe slicing, case mapping, literal replacement,
+  // prefix/suffix/containment, a safe regex subset, and string→date/
+  // timestamp parsing (junk → NULL under non-ANSI, TRY_CAST in the
+  // oracle).
+  //
+  // Domain discipline (probed in DuckDB 1.x before the arm catalog was
+  // chosen):
+  //  - NO full/contextual case mappings: Spark (JVM Locale.ROOT) maps
+  //    ß→SS, ﬁ→FI, lower(İ)→i+U+0307 and final-sigma σ/ς; DuckDB
+  //    (utf8proc) maps ß→ẞ, keeps ligatures, lower(İ)→i, and never
+  //    emits final sigma. The literal pool therefore carries only
+  //    1:1-mapped scripts (accented Latin, Cyrillic, CJK, emoji) and
+  //    NO ß/ﬁ/İ/Σ class characters.
+  //  - slice offsets stay >= 0: DuckDB's SUBSTRING extends position 0
+  //    leftward, Spark's substr(0,..) clamps — they diverge below 1.
+  //  - replace search patterns are never-empty literals (both engines
+  //    no-op on '' but it is not worth betting the hash on).
+  //  - regexes use the Java∩RE2 common subset (char classes, anchors,
+  //    alternation, '.', '+'); no backrefs, no lookaround, no \b.
+  //  - string comparisons are safe unguarded: both engines compare
+  //    binary UTF-8, and UTF-8 byte order equals codepoint order.
+  // -------------------------------------------------------------------
+
+  val StrN = 220
+  val StrSeed = 20260826L
+  val StrDepth = 3
+
+  private final class StrGen(rnd: scala.util.Random) {
+    private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
+
+    // 1:1-case-mapped scripts only (see domain discipline above);
+    // no apostrophes (SQL literal safety)
+    private val uniLits = IndexedSeq(
+      "héllo wörld", "Ünïcödé", "中文数据", "😀ok", "кот и пёс",
+      "", "  pad  ", "a-b_c.d", "ñandú")
+
+    def strLeaf(): GE = pick(IndexedSeq(
+      () => { val o = pick(IndexedSeq(0, 3, 7, 15, 31, 63))
+        GE(C("text").str.slice(lit(o.toLong), lit(12L)),
+          s"SUBSTRING(text, ${o + 1}, 12)") },
+      () => GE(C("lang"), "lang"),
+      () => GE(C("source"), "source"),
+      () => { val v = pick(uniLits); GE(lit(v), s"'$v'") },
+      () => { val v = pick(uniLits)
+        GE(when(C("doc_id") % lit(7L) === lit(0L)).then_(lit(null))
+          .otherwise(lit(v) + C("lang")),
+          s"(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE '$v' || lang END)") }))()
+
+    def strE(d: Int): GE =
+      if (d <= 0) strLeaf()
+      else pick(IndexedSeq[() => GE](
+        () => { val a = strE(d - 1); GE(a.e.str.upper, s"UPPER(${a.d})") },
+        () => { val a = strE(d - 1); GE(a.e.str.lower, s"LOWER(${a.d})") },
+        () => { val a = strE(d - 1); GE(a.e.str.strip, s"TRIM(${a.d})") },
+        () => { val a = strE(d - 1); val b = strE(d - 1)
+          GE(a.e + b.e, s"(${a.d} || ${b.d})") },
+        () => { val a = strE(d - 1)
+          val (f, r) = pick(IndexedSeq(
+            ("the", "THE"), ("a", "à"), ("batch", ""), (" ", "_"),
+            ("aa", "b"), ("ö", "oe")))
+          GE(a.e.str.replaceAll(f, r), s"REPLACE(${a.d}, '$f', '$r')") },
+        () => { val a = strE(d - 1)
+          val o = rnd.nextInt(9); val n = rnd.nextInt(11)
+          GE(a.e.str.slice(lit(o.toLong), lit(n.toLong)),
+            s"SUBSTRING(${a.d}, ${o + 1}, $n)") },
+        () => { val a = strE(d - 1); val b = strE(d - 1)
+          GE(a.e.fillNull(b.e), s"COALESCE(${a.d}, ${b.d})") },
+        () => { val c = boolE(d - 1); val a = strE(d - 1); val b = strE(d - 1)
+          GE(when(c.e).then_(a.e).otherwise(b.e),
+            s"(CASE WHEN ${c.d} THEN ${a.d} ELSE ${b.d} END)") }))()
+
+    def longE(d: Int): GE =
+      if (d <= 0) {
+        val a = strLeaf(); GE(a.e.str.len, s"CAST(LENGTH(${a.d}) AS BIGINT)")
+      } else pick(IndexedSeq[() => GE](
+        () => { val a = strE(d - 1)
+          GE(a.e.str.len, s"CAST(LENGTH(${a.d}) AS BIGINT)") },
+        () => { val a = longE(d - 1); val b = longE(d - 1)
+          GE(a.e + b.e, s"(${a.d} + ${b.d})") },
+        () => { val a = longE(d - 1); val b = longE(d - 1)
+          GE(hmax(a.e, b.e), s"GREATEST(${a.d}, ${b.d})") },
+        () => { val c = boolE(d - 1); val a = longE(d - 1); val b = longE(d - 1)
+          GE(when(c.e).then_(a.e).otherwise(b.e),
+            s"(CASE WHEN ${c.d} THEN ${a.d} ELSE ${b.d} END)") }))()
+
+    private val regexes = IndexedSeq(
+      "[a-z]+k", "^the", "w$", "[0-9]", "b.t", "(sort|merge)", "s+p")
+
+    def boolE(d: Int): GE =
+      if (d <= 0) GE(C("doc_id") % lit(3L) === lit(0L), "(doc_id % 3 = 0)")
+      else pick(IndexedSeq[() => GE](
+        () => { val a = strE(d - 1); val p = pick(IndexedSeq("the", "s", "", "é", "中"))
+          GE(a.e.str.startsWith(p), s"starts_with(${a.d}, '$p')") },
+        () => { val a = strE(d - 1); val p = pick(IndexedSeq("ch", "k", "", "п"))
+          GE(a.e.str.endsWith(p), s"ends_with(${a.d}, '$p')") },
+        () => { val a = strE(d - 1); val p = pick(IndexedSeq("an", "数", "", "o"))
+          GE(a.e.str.contains(p, allowRegex = false), s"contains(${a.d}, '$p')") },
+        () => { val a = strE(d - 1); val p = pick(regexes)
+          GE(a.e.str.contains(p, allowRegex = true),
+            s"regexp_matches(${a.d}, '$p')") },
+        () => { val a = strE(d - 1); val b = strE(d - 1)
+          GE(a.e < b.e, s"(${a.d} < ${b.d})") },
+        () => { val a = strE(d - 1); val b = strE(d - 1)
+          GE(a.e === b.e, s"(${a.d} = ${b.d})") },
+        () => { val a = strE(d - 1); GE(a.e.isNull, s"(${a.d} IS NULL)") },
+        () => { val a = boolE(d - 1); val b = boolE(d - 1)
+          GE(a.e && b.e, s"(${a.d} AND ${b.d})") },
+        () => { val a = boolE(d - 1); GE(!a.e, s"(NOT ${a.d})") }))()
+
+    /** String→date/timestamp parse arm: a CASE over doc_id selects
+      * among valid ISO strings, a junk string, and NULL, then parses.
+      * Non-ANSI Spark to_date/to_timestamp ≡ DuckDB TRY_CAST. */
+    def parseE(): GE = {
+      val k = 2 + rnd.nextInt(4)
+      val good = pick(IndexedSeq("2024-03-15", "1999-12-31", "2007-06-01"))
+      val goodTs = pick(IndexedSeq(
+        "2024-03-15 10:20:30", "1999-12-31 23:59:59"))
+      val junk = pick(IndexedSeq("not a date", "2024-13-40", "20240315x"))
+      val src = GE(
+        when(C("doc_id") % lit(k.toLong) === lit(0L)).then_(lit(good))
+          .when(C("doc_id") % lit(k.toLong) === lit(1L)).then_(lit(junk))
+          .when(C("doc_id") % lit(k.toLong) === lit(2L)).then_(lit(null))
+          .otherwise(lit(goodTs)),
+        s"(CASE WHEN doc_id % $k = 0 THEN '$good' " +
+          s"WHEN doc_id % $k = 1 THEN '$junk' " +
+          s"WHEN doc_id % $k = 2 THEN NULL ELSE '$goodTs' END)")
+      if (rnd.nextBoolean())
+        GE(src.e.str.toDate, s"TRY_CAST(${src.d} AS DATE)")
+      else
+        GE(src.e.str.toDatetime, s"TRY_CAST(${src.d} AS TIMESTAMP)")
+    }
+  }
+
+  lazy val strBattery: Seq[(String, GE)] = {
+    val g = new StrGen(new scala.util.Random(StrSeed))
+    (0 until StrN).map { i =>
+      val ge = (i % 8) match {
+        case 0 | 1 | 2 => g.strE(StrDepth)
+        case 3 | 4 => g.boolE(StrDepth)
+        case 5 | 6 => g.longE(StrDepth)
+        case _ => g.parseE()
+      }
+      (f"s$i%03d", ge)
+    }
+  }
+
+  def strQuery(s: SparkSession, dir: String): DataFrame = {
+    val defs = strBattery.map { case (n, ge) => n -> (ge.e: ColExpr) }
+    Table.source(s, dir, "documents")
+      .mutate(defs: _*)
+      .select(C("doc_id") +: strBattery.map(b => C(b._1): ColExpr): _*)
+      .arrange(C("doc_id"))
+      .toDF
+  }
+
+  def strOracle: String = {
+    val cols = strBattery.map { case (n, ge) => s"${ge.d} AS $n" }
+    s"SELECT doc_id,\n${cols.mkString(",\n")}\nFROM documents ORDER BY doc_id"
+  }
 }
