@@ -3056,6 +3056,72 @@ object ExtQueries {
       |  CAST(1 + SUM(brk) AS BIGINT) AS n_sessions
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Streaming exact dedup ([[graft.streaming.Streams.dedupeStream]],
+    * `dropDuplicatesWithinWatermark`) driven to completion and
+    * hash-verified. WHICH physical row survives per key is
+    * implementation-defined, so the query projects the dedup key alone
+    * — the emitted KEY SET is deterministic and equals the batch
+    * DISTINCT — exercising the watermark + dedup state machinery
+    * end-to-end in one micro-batch. */
+  def x87StreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x87_stream_dedup_${streamSinkIds.incrementAndGet()}"
+    requireMicrosEvents(s, dir)
+    val ev = s.readStream.schema(Streams.eventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ukey",
+        F.concat_ws(":", F.col("user_id"), F.col("event_type")))
+    val deduped = Streams.dedupeStream(ev, "ukey").select("ukey")
+    Streams.runToMemory(deduped, name, OutputMode.Append())
+    val out = s.table(name).orderBy("ukey")
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  private val x87Oracle =
+    """SELECT DISTINCT user_id || ':' || event_type AS ukey
+      |FROM events ORDER BY ukey""".stripMargin
+
+  /** Stream-static enrichment ([[graft.streaming.Streams.enrichStream]])
+    * hash-verified: each micro-batch broadcast-LEFT-joins a static
+    * user→segment dimension built batch-side from the same fixture
+    * (every third user only, so unmatched stream rows exercise the
+    * left-preserving arm), then a Complete-mode streaming aggregation
+    * compresses to per-segment rows whose event_id sums pin row-level
+    * join correctness — a misjoined single row breaks the hash. */
+  def x88StreamingEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x88_stream_enrich_${streamSinkIds.incrementAndGet()}"
+    requireMicrosEvents(s, dir)
+    val dim = s.read.parquet(s"$dir/events.parquet")
+      .select(F.col("user_id")).distinct()
+      .filter(F.col("user_id") % 3 === 0)
+      .withColumn("segment", F.col("user_id") % 7)
+    val ev = s.readStream.schema(Streams.eventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val enriched = Streams.enrichStream(ev, dim, "user_id")
+      .groupBy(F.coalesce(F.col("segment"), F.lit(-1L)).as("segment"))
+      .agg(F.count(F.lit(1)).as("n_rows"),
+        F.sum("event_id").as("id_sum"),
+        F.sum(F.col("value").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("value_sum"))
+    Streams.runToMemory(enriched, name, OutputMode.Complete())
+    val out = s.table(name).orderBy("segment")
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  private val x88Oracle =
+    """SELECT COALESCE(d.segment, -1) AS segment, COUNT(*) AS n_rows,
+      |  CAST(SUM(e.event_id) AS BIGINT) AS id_sum,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+      |FROM events e LEFT JOIN (
+      |  SELECT DISTINCT user_id, user_id % 7 AS segment FROM events
+      |  WHERE user_id % 3 = 0) d USING (user_id)
+      |GROUP BY 1 ORDER BY segment""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3144,7 +3210,9 @@ object ExtQueries {
     "x83_bpe_merges" -> (x83BpeMerges _),
     "x84_temporal_join_fuzz_battery" -> (graft.fuzz.DiffFuzz.temporalJoinQuery _),
     "x85_streaming_windowed_counts" -> (x85StreamingWindow _),
-    "x86_streaming_sessionization" -> (x86StreamingSessions _))
+    "x86_streaming_sessionization" -> (x86StreamingSessions _),
+    "x87_streaming_dedup" -> (x87StreamingDedup _),
+    "x88_streaming_enrichment" -> (x88StreamingEnrich _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3237,5 +3305,7 @@ object ExtQueries {
     "x83_bpe_merges" -> x83Oracle,
     "x84_temporal_join_fuzz_battery" -> graft.fuzz.DiffFuzz.temporalJoinOracle,
     "x85_streaming_windowed_counts" -> x85Oracle,
-    "x86_streaming_sessionization" -> x86Oracle)
+    "x86_streaming_sessionization" -> x86Oracle,
+    "x87_streaming_dedup" -> x87Oracle,
+    "x88_streaming_enrichment" -> x88Oracle)
 }
