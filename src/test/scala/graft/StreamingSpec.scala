@@ -98,6 +98,71 @@ class StreamingSpec extends SparkSpec {
       == Seq(1L, 2L))
   }
 
+  test("streaming dedup carries state across micro-batches, re-admits after expiry, drops late rows") {
+    val dir = Files.createTempDirectory("graft_dedup_mb").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def write(evs: Streams.Event*): Unit =
+      evs.toSeq.toDS().write.mode("append").parquet(dir)
+    write(Streams.Event(1L, ts(0), 1L, "click", 1.0),
+      Streams.Event(2L, ts(1), 1L, "view", 2.0))
+    val deduped = Streams.dedupeStream(Streams.readEventStream(spark, dir), "event_id")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_mb").start()
+    q.processAllAvailable()
+    // batch 2: the duplicate must hit batch-1 STATE, not within-batch pairs
+    write(Streams.Event(1L, ts(2), 1L, "click", 1.0),
+      Streams.Event(3L, ts(3), 2L, "view", 3.0))
+    q.processAllAvailable()
+    val afterB2 = spark.table("dedup_mb").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(afterB2 == Seq(1L, 2L, 3L), s"cross-batch dup not dropped: $afterB2")
+    // batch 3: jump event time far ahead — the watermark (max ts − 10 min)
+    // passes every earlier key's expiry, so their dedup state is evicted
+    write(Streams.Event(4L, ts(600), 7L, "click", 4.0))
+    q.processAllAvailable()
+    // batch 4: key 1 re-appears AFTER its state expired → re-admitted
+    // (within-watermark dedup, not dedup-forever); a row behind the
+    // watermark is late data → dropped entirely, never re-opens state
+    write(Streams.Event(1L, ts(601), 1L, "click", 1.0),
+      Streams.Event(5L, ts(100), 9L, "view", 5.0))
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("dedup_mb").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(fin == Seq(1L, 1L, 2L, 3L, 4L),
+      s"expected id 1 re-admitted post-expiry and late id 5 dropped: $fin")
+  }
+
+  test("windowed counts in append mode finalize on watermark advance and drop late rows") {
+    val dir = Files.createTempDirectory("graft_late_win").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def write(evs: Streams.Event*): Unit =
+      evs.toSeq.toDS().write.mode("append").parquet(dir)
+    write(Streams.Event(1L, ts(1), 1L, "click", 1.0),
+      Streams.Event(2L, ts(2), 1L, "click", 2.0))
+    val stream = Streams.windowedCounts(Streams.readEventStream(spark, dir))
+    val q = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_win").start()
+    q.processAllAvailable()
+    // append mode: the [00:00, 00:05) window is still open (watermark
+    // has not passed its end), so nothing is final yet
+    assert(spark.table("late_win").count() == 0L)
+    // advance event time so the watermark (max ts − 10 min) passes 00:05
+    write(Streams.Event(3L, ts(40), 2L, "view", 3.0))
+    q.processAllAvailable()
+    // a LATE click for the now-closed window: dropped before aggregation
+    // — the finalized count must NOT include it, and the window must not
+    // be re-emitted
+    write(Streams.Event(4L, ts(3), 3L, "click", 9.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("late_win")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq(("2024-01-01 00:00:00.0", "click", 2L, 3.0)),
+      s"expected exactly the on-time finalized window: $rows")
+  }
+
   test("streaming probe against the persistent exact index drops seen docs") {
     import graft.functions.index
     val history = Seq(
