@@ -1006,7 +1006,9 @@ object Queries {
     "q44_quantile_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.quantileQuery(s, dir)),
     "q45_string_fuzz_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.strQuery(s, dir)))
+      graft.fuzz.DiffFuzz.strQuery(s, dir)),
+    "q46_special_key_battery" -> ((s: SparkSession, dir: String) =>
+      graft.fuzz.DiffFuzz.specialKeyQuery(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -1054,5 +1056,6 @@ object Queries {
     "q42_cast_fuzz_battery" -> graft.fuzz.DiffFuzz.castOracle,
     "q43_rand_approx_properties" -> q43Oracle,
     "q44_quantile_fuzz_battery" -> graft.fuzz.DiffFuzz.quantileOracle,
-    "q45_string_fuzz_battery" -> graft.fuzz.DiffFuzz.strOracle)
+    "q45_string_fuzz_battery" -> graft.fuzz.DiffFuzz.strOracle,
+    "q46_special_key_battery" -> graft.fuzz.DiffFuzz.specialKeyOracle)
 }

@@ -1999,4 +1999,217 @@ object DiffFuzz {
     val cols = strBattery.map { case (n, ge) => s"${ge.d} AS $n" }
     s"SELECT doc_id,\n${cols.mkString(",\n")}\nFROM documents ORDER BY doc_id"
   }
+
+  // -------------------------------------------------------------------
+  // Special-double KEY battery (q46): GROUP BY / COUNT(DISTINCT) /
+  // equi-JOIN on double keys carrying NaN, ±0.0, ±Infinity and NULL.
+  // Both engines MERGE these classes identically (NaN groups with NaN
+  // and NaN = NaN joins TRUE; -0.0 merges with 0.0; NULL forms one
+  // group but never matches a join) while getting there by different
+  // machinery — Spark rewrites float keys through
+  // NormalizeFloatingNumbers before hash partitioning, DuckDB
+  // normalizes inside its hash table — so a lost normalization on
+  // either side splits a group or drops join rows and breaks the hash.
+  // q40 pins these values flowing through EXPRESSIONS; this battery
+  // pins them as KEYS. Group keys are never emitted as raw doubles:
+  // every group row carries an exact BIGINT label derived from the key
+  // (sentinel per special class, 4k for the quarter-valued finites),
+  // sidestepping the NaN→NULL hash normalization and the ±0.0
+  // representative question at the output cell.
+  // -------------------------------------------------------------------
+
+  val SkN = 12
+  val SkSeed = 20260827L
+
+  private final case class SkSpec(tag: String,
+      mk: (SparkSession, String) => DataFrame, sql: String)
+
+  /** A paired special-double key over `events`: residues of
+    * `event_id % m` map to NaN / -0.0 / 0.0 (always) and NULL / ±Inf
+    * (per-draw), the rest to exact quarter-valued finites. */
+  private final case class SkKey(e: ColExpr, d: String)
+
+  private def skKey(rnd: scala.util.Random): SkKey = {
+    val m = IndexedSeq(7L, 11L)(rnd.nextInt(2))
+    val useNull = rnd.nextBoolean()
+    val useInf = rnd.nextBoolean()
+    val fin = 5L + rnd.nextInt(5)
+    def mod(r: Long): ColExpr = C("event_id") % lit(m) === lit(r)
+    var e: CaseE =
+      when(mod(0)).then_(lit(Double.NaN))
+        .when(mod(1)).then_(lit(-0.0))
+        .when(mod(2)).then_(lit(0.0))
+    var d = s"(CASE WHEN event_id % $m = 0 THEN 'nan'::DOUBLE " +
+      s"WHEN event_id % $m = 1 THEN '-0.0'::DOUBLE " +
+      s"WHEN event_id % $m = 2 THEN '0.0'::DOUBLE "
+    if (useNull) { e = e.when(mod(3)).then_(lit(null))
+      d += s"WHEN event_id % $m = 3 THEN NULL " }
+    if (useInf) {
+      e = e.when(mod(4)).then_(lit(Double.PositiveInfinity))
+        .when(mod(5)).then_(lit(Double.NegativeInfinity))
+      d += s"WHEN event_id % $m = 4 THEN 'infinity'::DOUBLE " +
+        s"WHEN event_id % $m = 5 THEN '-infinity'::DOUBLE "
+    }
+    val fe = e.otherwise(
+      (C("event_id") % lit(fin)).cast(DoubleType) / lit(4.0))
+    d += s"ELSE CAST(event_id % $fin AS DOUBLE) / CAST(4.0 AS DOUBLE) END)"
+    SkKey(fe, d)
+  }
+
+  /** Exact BIGINT label for a key column named `k` (both dialects):
+    * NULL→-100, NaN→-200, +Inf→-300, -Inf→-400, finite quarters→4k. */
+  private def skLabel: ColExpr =
+    when(C("k").isNull).then_(lit(-100L))
+      .when(C("k").isNan).then_(lit(-200L))
+      .when(C("k") === lit(Double.PositiveInfinity)).then_(lit(-300L))
+      .when(C("k") === lit(Double.NegativeInfinity)).then_(lit(-400L))
+      .otherwise((C("k") * lit(4.0)).cast(LongType))
+  private def skLabelSql(k: String): String =
+    s"CAST((CASE WHEN $k IS NULL THEN -100 WHEN isnan($k) THEN -200 " +
+      s"WHEN $k = 'infinity'::DOUBLE THEN -300 " +
+      s"WHEN $k = '-infinity'::DOUBLE THEN -400 " +
+      s"ELSE CAST($k * 4 AS BIGINT) END) AS BIGINT)"
+
+  private lazy val skSpecs: Seq[SkSpec] = {
+    val rnd = new scala.util.Random(SkSeed)
+    (0 until SkN).map { i =>
+      val key = skKey(rnd)
+      (i % 3) match {
+        case 0 => // ---- GROUP BY the special key ----
+          val ms = IndexedSeq(3L, 5L)(rnd.nextInt(2)); val r = rnd.nextInt(3).toLong
+          val tag = f"grp_$i%02d"
+          SkSpec(tag,
+            (s, dir) => Table.source(s, dir, "events")
+              .filter(C("event_id") % lit(ms) === lit(r))
+              .mutate("k" -> key.e)
+              .groupBy(C("k"))
+              .summarize("n" -> count(), "s" -> C("event_id").sum())
+              .mutate("lbl" -> skLabel, "tag" -> lit(tag))
+              .select(C("tag"), C("lbl"), C("n"), C("s"))
+              .toDF,
+            s"""SELECT '$tag' AS tag, ${skLabelSql("k")} AS lbl,
+               |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS s
+               |FROM (SELECT ${key.d} AS k, event_id FROM events
+               |      WHERE event_id % $ms = $r) GROUP BY k""".stripMargin)
+        case 1 => // ---- COUNT(DISTINCT) over the special key ----
+          val ms = IndexedSeq(3L, 7L)(rnd.nextInt(2)); val r = rnd.nextInt(3).toLong
+          val tag = f"uni_$i%02d"
+          SkSpec(tag,
+            (s, dir) => Table.source(s, dir, "events")
+              .filter(C("event_id") % lit(ms) === lit(r))
+              .mutate("k" -> key.e)
+              .summarize("n" -> C("k").nUnique(),
+                "s" -> count(filter = !C("k").isNull))
+              .mutate("tag" -> lit(tag), "lbl" -> lit(-1L))
+              .select(C("tag"), C("lbl"), C("n"), C("s"))
+              .toDF,
+            s"""SELECT '$tag' AS tag, CAST(-1 AS BIGINT) AS lbl,
+               |  COUNT(DISTINCT k) AS n, COUNT(k) AS s
+               |FROM (SELECT ${key.d} AS k FROM events
+               |      WHERE event_id % $ms = $r)""".stripMargin)
+        case _ => // ---- equi-join ON the special key (same key map both
+          // sides, mod-disjoint samples), grouped by key class ----
+          val rl = rnd.nextInt(31).toLong; val rr = rnd.nextInt(37).toLong
+          val tag = f"jn_$i%02d"
+          SkSpec(tag,
+            (s, dir) => {
+              val l = Table.source(s, dir, "events")
+                .filter(C("event_id") % lit(31L) === lit(rl))
+                .mutate("k" -> key.e).select(C("k"), C("event_id"))
+              val r = Table.source(s, dir, "events")
+                .filter(C("event_id") % lit(37L) === lit(rr))
+                .mutate("k" -> key.e).select(C("k"), C("event_id"))
+              l.innerJoin(r, C("k") === r.col("k"), suffix = Some("_r"))
+                .groupBy(C("k"))
+                .summarize("n" -> count(),
+                  "s" -> (C("event_id") + C("event_id_r")).sum())
+                .mutate("lbl" -> skLabel, "tag" -> lit(tag))
+                .select(C("tag"), C("lbl"), C("n"), C("s"))
+                .toDF
+            },
+            s"""SELECT '$tag' AS tag, ${skLabelSql("a.k")} AS lbl,
+               |  COUNT(*) AS n,
+               |  CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS s
+               |FROM (SELECT ${key.d} AS k, event_id FROM events
+               |      WHERE event_id % 31 = $rl) a
+               |JOIN (SELECT ${key.d} AS k, event_id FROM events
+               |      WHERE event_id % 37 = $rr) b ON a.k = b.k
+               |GROUP BY a.k""".stripMargin)
+      }
+    } ++ skForced
+  }
+
+  /** Forced degenerate draws — one per merge hazard, present at any
+    * seed: an all-NaN×all-NaN join (the normalization-dependent case: a
+    * bits-compared NaN key would drop every pair), a ±0.0-only GROUP BY
+    * (exactly ONE group or the normalization is lost), and an all-NULL
+    * key (one group in GROUP BY, zero in COUNT(DISTINCT)). */
+  private def skForced: Seq[SkSpec] = Seq(
+    SkSpec("forced_nan_join",
+      (s, dir) => {
+        val l = Table.source(s, dir, "events")
+          .filter(C("event_id") % lit(101L) === lit(0L))
+          .mutate("k" -> (lit(Double.NaN): ColExpr))
+          .select(C("k"), C("event_id"))
+        val r = Table.source(s, dir, "events")
+          .filter(C("event_id") % lit(103L) === lit(0L))
+          .mutate("k" -> (lit(Double.NaN): ColExpr))
+          .select(C("k"), C("event_id"))
+        l.innerJoin(r, C("k") === r.col("k"), suffix = Some("_r"))
+          .groupBy(C("k"))
+          .summarize("n" -> count(),
+            "s" -> (C("event_id") + C("event_id_r")).sum())
+          .mutate("lbl" -> skLabel, "tag" -> lit("forced_nan_join"))
+          .select(C("tag"), C("lbl"), C("n"), C("s"))
+          .toDF
+      },
+      """SELECT 'forced_nan_join' AS tag, CAST(-200 AS BIGINT) AS lbl,
+        |  COUNT(*) AS n, CAST(SUM(a.event_id + b.event_id) AS BIGINT) AS s
+        |FROM (SELECT 'nan'::DOUBLE AS k, event_id FROM events
+        |      WHERE event_id % 101 = 0) a
+        |JOIN (SELECT 'nan'::DOUBLE AS k, event_id FROM events
+        |      WHERE event_id % 103 = 0) b ON a.k = b.k
+        |GROUP BY a.k""".stripMargin),
+    SkSpec("forced_zero_group",
+      (s, dir) => Table.source(s, dir, "events")
+        .filter(C("event_id") % lit(5L) === lit(1L))
+        .mutate("k" -> when(C("event_id") % lit(2L) === lit(0L))
+          .then_(lit(-0.0)).otherwise(lit(0.0)))
+        .groupBy(C("k"))
+        .summarize("n" -> count(), "s" -> C("event_id").sum())
+        .mutate("lbl" -> skLabel, "tag" -> lit("forced_zero_group"))
+        .select(C("tag"), C("lbl"), C("n"), C("s"))
+        .toDF,
+      """SELECT 'forced_zero_group' AS tag, CAST(0 AS BIGINT) AS lbl,
+        |  COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS s
+        |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN '-0.0'::DOUBLE
+        |        ELSE '0.0'::DOUBLE END AS k, event_id FROM events
+        |      WHERE event_id % 5 = 1) GROUP BY k""".stripMargin),
+    SkSpec("forced_null_key",
+      (s, dir) => Table.source(s, dir, "events")
+        .filter(C("event_id") % lit(7L) === lit(2L))
+        .mutate("k" -> when(C("event_id") < lit(0L)).then_(lit(0.0))
+          .otherwise(lit(null)))
+        .groupBy(C("k"))
+        .summarize("n" -> count(), "s" -> C("k").nUnique())
+        .mutate("lbl" -> skLabel, "tag" -> lit("forced_null_key"))
+        .select(C("tag"), C("lbl"), C("n"), C("s"))
+        .toDF,
+      """SELECT 'forced_null_key' AS tag, CAST(-100 AS BIGINT) AS lbl,
+        |  COUNT(*) AS n, COUNT(DISTINCT k) AS s
+        |FROM (SELECT CASE WHEN event_id < 0 THEN '0.0'::DOUBLE
+        |        ELSE NULL END AS k, event_id FROM events
+        |      WHERE event_id % 7 = 2) GROUP BY k""".stripMargin))
+
+  /** All special-key draws unioned, one row per key class, ordered by
+    * (tag, lbl). Runs under the many-subplan fixture session (codegen
+    * off — unique run-once subplans). */
+  def specialKeyQuery(s0: SparkSession, dir: String): DataFrame = {
+    val s = fixtureSession(s0, codegen = false)
+    skSpecs.map(_.mk(s, dir)).reduce(_ unionByName _)
+      .orderBy("tag", "lbl")
+  }
+
+  def specialKeyOracle: String =
+    skSpecs.map(_.sql).mkString("", "\nUNION ALL\n", "\nORDER BY tag, lbl")
 }
