@@ -39,7 +39,7 @@ object DiffFuzz {
   val N = 300
   // bumped each round after a local two-SF verify: fresh random trees
   // through the same hash gate (round 8: 20260812 -> 20260824)
-  val Seed = 20260824L
+  val Seed = 20260831L
   val Depth = 3
 
   private final class Gen(rnd: scala.util.Random) {
@@ -255,7 +255,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val WinN = 48
-  val WinSeed = 20260901L
+  val WinSeed = 20260911L
 
   /** (DSL order markers, SQL ORDER BY text — explicit NULLS). */
   private type OrdPair = (Seq[ColExpr], String)
@@ -370,7 +370,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val AggN = 40
-  val AggSeed = 20260902L
+  val AggSeed = 20260912L
 
   private final class AggGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -459,7 +459,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val QtN = 24
-  val QtSeed = 20260908L
+  val QtSeed = 20260918L
 
   private final class QtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -949,7 +949,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DtN = 36
-  val DtSeed = 20260904L
+  val DtSeed = 20260914L
 
   private final class DtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1067,7 +1067,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val OaN = 20
-  val OaSeed = 20260905L
+  val OaSeed = 20260915L
 
   private final class OaGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1169,7 +1169,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SpN = 28
-  val SpSeed = 20260820L
+  val SpSeed = 20260830L
 
   /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
   private def enc0(g: GE): GE = GE(
@@ -1341,7 +1341,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DecN = 24
-  val DecSeed = 20260906L
+  val DecSeed = 20260916L
 
   private final class DecGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1433,7 +1433,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val CastN = 24
-  val CastSeed = 20260907L
+  val CastSeed = 20260917L
 
   private final class CastGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
