@@ -948,6 +948,91 @@ object Queries {
     """SELECT TRUE AS rand_in_unit, TRUE AS rand_collision_free,
       |  TRUE AS rand_mean_centered, TRUE AS approx_within_rsd""".stripMargin
 
+  // ---------------------------------------------------------------
+  // q47 — union LCA widening, one arm per promotion class. The union
+  // verb routes mismatched branch types through the lca lattice
+  // (core/types.scala:91-133); q41 pins the lattice via CASE mixing,
+  // this pins it through the UNION path where the oracle spells out
+  // the EXPECTED lca type with explicit casts — so a drifted
+  // promotion changes the values, not just the schema. Arms:
+  //   a1  int32 ∪ int64           → int64
+  //   a2  int64 ∪ double          → double (exact: keys < 2^53)
+  //   a3  date ∪ timestamp        → timestamp (documented delta:
+  //       dates widen to MIDNIGHT timestamps, README "Deltas")
+  //   a4  decimal(12,2) ∪ (9,4)   → decimal(14,4) (carry int part,
+  //       max scale); rendering pinned via VARCHAR like q41
+  //   a5  int64 ∪ decimal(10,2)   → decimal(22,2) (long enters as
+  //       decimal(20,0))
+  // Each arm reduces to one aggregate row; arms cross-join to the
+  // single output row (1×1 joins, no data movement).
+  // ---------------------------------------------------------------
+  private def q47UnionLca(s: SparkSession, dir: String): DataFrame = {
+    val D286 = DecimalType(28, 6)
+    val a1 = src(s, dir, "lineitem").select(C("l_linenumber")).rename(Map("l_linenumber" -> "v"))
+      .union(src(s, dir, "lineitem").select(C("l_orderkey")).rename(Map("l_orderkey" -> "v")))
+      .summarize("a1_n" -> count(), "a1_s" -> C("v").sum(),
+        "a1_mn" -> C("v").min(), "a1_mx" -> C("v").max())
+    val a2 = src(s, dir, "orders").select(C("o_orderkey")).rename(Map("o_orderkey" -> "v"))
+      .union(src(s, dir, "orders").select(C("o_totalprice")).rename(Map("o_totalprice" -> "v")))
+      .summarize("a2_n" -> count(),
+        "a2_s" -> C("v").cast(D286).sum().cast(DoubleType),
+        "a2_mn" -> C("v").min(), "a2_mx" -> C("v").max())
+    val a3 = src(s, dir, "lineitem")
+      .mutate("v" -> C("l_shipdate").cast(DateType)).select(C("v"))
+      .union(src(s, dir, "orders").select(C("o_orderdate")).rename(Map("o_orderdate" -> "v")))
+      .summarize("a3_n" -> count(), "a3_mn" -> C("v").min(), "a3_mx" -> C("v").max())
+    val a4 = src(s, dir, "lineitem")
+      .mutate("v" -> C("l_quantity").cast(DecimalType(12, 2))).select(C("v"))
+      .union(src(s, dir, "lineitem")
+        .mutate("v" -> C("l_discount").cast(DecimalType(9, 4))).select(C("v")))
+      .summarize("a4_n" -> count(),
+        "a4_s" -> C("v").sum().cast(DecimalType(28, 4)).cast(StringType),
+        "a4_mn" -> C("v").min().cast(StringType),
+        "a4_mx" -> C("v").max().cast(StringType))
+    val a5 = src(s, dir, "orders").select(C("o_custkey")).rename(Map("o_custkey" -> "v"))
+      .union(src(s, dir, "lineitem")
+        .mutate("v" -> C("l_quantity").cast(DecimalType(10, 2))).select(C("v")))
+      .summarize("a5_n" -> count(),
+        "a5_mn" -> C("v").min().cast(StringType),
+        "a5_mx" -> C("v").max().cast(StringType))
+    a1.crossJoin(a2).crossJoin(a3).crossJoin(a4).crossJoin(a5).toDF
+  }
+
+  private val q47Oracle =
+    """SELECT * FROM
+      |(SELECT COUNT(*) AS a1_n, CAST(SUM(v) AS BIGINT) AS a1_s,
+      |   MIN(v) AS a1_mn, MAX(v) AS a1_mx FROM (
+      |   SELECT CAST(l_linenumber AS BIGINT) AS v FROM lineitem
+      |   UNION ALL SELECT l_orderkey FROM lineitem))
+      |CROSS JOIN
+      |(SELECT COUNT(*) AS a2_n,
+      |   CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS a2_s,
+      |   MIN(v) AS a2_mn, MAX(v) AS a2_mx FROM (
+      |   SELECT CAST(o_orderkey AS DOUBLE) AS v FROM orders
+      |   UNION ALL SELECT o_totalprice FROM orders))
+      |CROSS JOIN
+      |(SELECT COUNT(*) AS a3_n, MIN(v) AS a3_mn, MAX(v) AS a3_mx FROM (
+      |   SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS v FROM lineitem
+      |   UNION ALL SELECT o_orderdate FROM orders))
+      |CROSS JOIN
+      |(SELECT COUNT(*) AS a4_n,
+      |   CAST(CAST(SUM(v) AS DECIMAL(28,4)) AS VARCHAR) AS a4_s,
+      |   CAST(MIN(v) AS VARCHAR) AS a4_mn, CAST(MAX(v) AS VARCHAR) AS a4_mx
+      | FROM (
+      |   SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(14,4)) AS v
+      |   FROM lineitem
+      |   UNION ALL
+      |   SELECT CAST(CAST(l_discount AS DECIMAL(9,4)) AS DECIMAL(14,4))
+      |   FROM lineitem))
+      |CROSS JOIN
+      |(SELECT COUNT(*) AS a5_n,
+      |   CAST(MIN(v) AS VARCHAR) AS a5_mn, CAST(MAX(v) AS VARCHAR) AS a5_mx
+      | FROM (
+      |   SELECT CAST(o_custkey AS DECIMAL(22,2)) AS v FROM orders
+      |   UNION ALL
+      |   SELECT CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(22,2)) AS v
+      |   FROM lineitem))""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_summarize_flagship" -> (q1Agg _),
     "q02_select_mutate_arith" -> (q2Mutate _),
@@ -1008,7 +1093,8 @@ object Queries {
     "q45_string_fuzz_battery" -> ((s: SparkSession, dir: String) =>
       graft.fuzz.DiffFuzz.strQuery(s, dir)),
     "q46_special_key_battery" -> ((s: SparkSession, dir: String) =>
-      graft.fuzz.DiffFuzz.specialKeyQuery(s, dir)))
+      graft.fuzz.DiffFuzz.specialKeyQuery(s, dir)),
+    "q47_union_lca" -> (q47UnionLca _))
 
   val oracles: Map[String, String] = Map(
     "q01_summarize_flagship" -> q1Oracle,
@@ -1057,5 +1143,6 @@ object Queries {
     "q43_rand_approx_properties" -> q43Oracle,
     "q44_quantile_fuzz_battery" -> graft.fuzz.DiffFuzz.quantileOracle,
     "q45_string_fuzz_battery" -> graft.fuzz.DiffFuzz.strOracle,
-    "q46_special_key_battery" -> graft.fuzz.DiffFuzz.specialKeyOracle)
+    "q46_special_key_battery" -> graft.fuzz.DiffFuzz.specialKeyOracle,
+    "q47_union_lca" -> q47Oracle)
 }
