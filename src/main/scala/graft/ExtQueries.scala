@@ -3122,6 +3122,81 @@ object ExtQueries {
       |  WHERE user_id % 3 = 0) d USING (user_id)
       |GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** Stream-stream interval join driven through the real micro-batch
+    * machinery: view events matched to click events of the same user
+    * within 30 minutes, both sides watermarked so the join's state
+    * buffers are eviction-bounded (the unbounded-stream contract; the
+    * bounded replay here delivers the file in one batch, so no matched
+    * pair can be watermark-dropped and the DuckDB range-join replay is
+    * exact). Complements x88 (stream-STATIC enrich): this is the join
+    * class where BOTH sides are unbounded. */
+  def x90StreamingIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x90_stream_ijoin_${streamSinkIds.incrementAndGet()}"
+    requireMicrosEvents(s, dir)
+    // replay on 8 partitions: the join materializes FOUR state stores
+    // per shuffle partition, and store init/commit (not data) dominates
+    // a bounded replay at 32 — see Streams.replaySession
+    val ss = Streams.replaySession(s, partitions = 8)
+    def ev(tpe: String) = ss.readStream.schema(Streams.eventSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .where(F.col("event_type") === tpe)
+    val joined = Streams
+      .intervalJoinStreams(ev("view"), ev("click"), "user_id")
+      .select(F.col("l.event_id").as("view_id"),
+        F.col("r.event_id").as("click_id"),
+        F.col("l.user_id").as("user_id"),
+        (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts")))
+          .as("lag_us"))
+    Streams.runToMemory(joined, name, OutputMode.Append())
+    val out = ss.table(name).orderBy("view_id", "click_id")
+    ss.catalog.dropTempView(name)
+    out
+  }
+
+  private val x90Oracle =
+    """SELECT a.event_id AS view_id, b.event_id AS click_id, a.user_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE a.event_type = 'view' AND b.event_type = 'click'
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id, click_id""".stripMargin
+
+  /** Edit-distance blocked fuzzy-dup pairs over the real corpus — the
+    * character-level dedup family (typos / re-crawl noise) that shingle
+    * Jaccard dilutes. The oracle replays the EXACT pipeline: same
+    * ASCII-first normalization (strip-then-lower, so unicode lowercase
+    * table differences never enter), same (prefix, length-band)
+    * blocking, same Levenshtein threshold — DuckDB's byte-based
+    * levenshtein equals Spark's codepoint-based one on the
+    * printable-ASCII key domain (the unicode divergence itself is
+    * pinned in ExtensionsSpec). maxDist=6 catches both exact-prefix
+    * pairs (dist 0) and the corpus's near-miss family (dist 4). The
+    * maxBlock=1000 cap is live code but a no-op at these SFs (largest
+    * real block is ~200 keys at sf0.1), so the oracle need not replay
+    * it; the cap's own semantics are spec-pinned. */
+  def x89EditDistDedup(s: SparkSession, dir: String): DataFrame =
+    dedup.editDistancePairs(docs(s, dir), "doc_id", "text",
+        maxDist = 6, prefixLen = 2, lenBand = 8, keyLen = 64,
+        maxBlock = 1000)
+      .orderBy("id_a", "id_b")
+
+  private val x89Oracle =
+    """WITH nk AS (SELECT doc_id,
+      |  substr(trim(regexp_replace(lower(regexp_replace(text,
+      |    '[^ -~]', '', 'g')), '\s+', ' ', 'g')), 1, 64) AS k
+      |  FROM documents),
+      |b AS (SELECT doc_id, k, substr(k,1,2) AS pfx,
+      |    CAST(floor(length(k)/8) AS BIGINT) AS lb
+      |  FROM nk WHERE length(k) > 0)
+      |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+      |  CAST(levenshtein(a.k, b2.k) AS INT) AS dist
+      |FROM b a JOIN b b2 ON a.pfx = b2.pfx AND a.lb = b2.lb
+      |  AND a.doc_id < b2.doc_id
+      |WHERE levenshtein(a.k, b2.k) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ---------------- registry ----------------
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3212,7 +3287,9 @@ object ExtQueries {
     "x85_streaming_windowed_counts" -> (x85StreamingWindow _),
     "x86_streaming_sessionization" -> (x86StreamingSessions _),
     "x87_streaming_dedup" -> (x87StreamingDedup _),
-    "x88_streaming_enrichment" -> (x88StreamingEnrich _))
+    "x88_streaming_enrichment" -> (x88StreamingEnrich _),
+    "x89_edit_distance_dedup" -> (x89EditDistDedup _),
+    "x90_streaming_interval_join" -> (x90StreamingIntervalJoin _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3307,5 +3384,7 @@ object ExtQueries {
     "x85_streaming_windowed_counts" -> x85Oracle,
     "x86_streaming_sessionization" -> x86Oracle,
     "x87_streaming_dedup" -> x87Oracle,
-    "x88_streaming_enrichment" -> x88Oracle)
+    "x88_streaming_enrichment" -> x88Oracle,
+    "x89_edit_distance_dedup" -> x89Oracle,
+    "x90_streaming_interval_join" -> x90Oracle)
 }

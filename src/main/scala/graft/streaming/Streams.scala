@@ -251,6 +251,52 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner interval join: left rows matched to right rows
+    * of the same `keyCol` with `right.ts` in `[left.ts, left.ts +
+    * horizon]` — the streaming face of the batch binned range join
+    * (functions/joins.scala). BOTH sides carry the watermark and the
+    * join condition carries the time range, so Spark derives state
+    * eviction for both buffers: a left row ages out once the watermark
+    * passes its `ts + horizon`, a right row once the watermark passes
+    * its `ts`. State is O(events inside the horizon window), never
+    * O(stream) — the property that makes this run forever on an
+    * unbounded stream. Operational note: the GLOBAL watermark is the
+    * MINIMUM across both sides, so a quiet side stalls eviction of
+    * BOTH buffers (spec-pinned) — at scale, keep event time advancing
+    * on both inputs (heartbeat records on sparse streams), or state
+    * grows with the quiet side's lag. Inner-join only here: outer
+    * interval joins emit
+    * null-padded rows at watermark expiry, which a bounded replay can't
+    * oracle deterministically (spec territory). Output keeps the two
+    * sides' columns under `l.`/`r.` aliases for the caller to project. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      keyCol: String, horizon: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      F.col(s"l.$keyCol") === F.col(s"r.$keyCol") &&
+        F.col("r.ts") >= F.col("l.ts") &&
+        F.col("r.ts") <= F.col("l.ts") + F.expr(s"INTERVAL $horizon"))
+  }
+
+  /** Session clone for bounded streaming REPLAYS (oracle/bench runs):
+    * stateful execution creates one state store per shuffle partition
+    * per stateful operator — a stream-stream join carries four per
+    * partition — so a fixture-sized replay on 32 partitions pays
+    * ~128 store init/commit cycles of pure overhead per run.
+    * `partitions` sizes that to the replay; production streams size
+    * `spark.sql.shuffle.partitions` to throughput instead. Runtime
+    * conf is copied from the caller so session-level pins survive. */
+  def replaySession(s: SparkSession, partitions: Int): SparkSession = {
+    val c = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try c.conf.set(k, v) catch { case _: org.apache.spark.sql.AnalysisException => }
+    }
+    c.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    c
+  }
+
   /** Drive a stream synchronously to a memory sink (testing/smoke). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

@@ -2134,4 +2134,40 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(stats("good") == 0.85 && stats("farm") == 0.4)
   }
+
+  test("editDistancePairs: blocking, threshold exit, cap, unicode pin") {
+    import graft.functions.dedup
+    val df = Seq(
+      (1L, "The quick brown fox jumps"),   // block mates, dist 2
+      (2L, "the quick browny fox jump"),
+      (3L, "the quick BROWN fox jumps"),   // dist 0 to 1 after fold
+      (4L, "thx totally different text here padded long"), // same pfx, other band
+      (5L, "zz unrelated")
+    ).toDF("doc_id", "text")
+    val pairs = dedup.editDistancePairs(df, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 2), (1L, 3L, 0), (2L, 3L, 2)), pairs.toString)
+
+    // the maxBlock cap keeps the smallest ids deterministically: with
+    // cap 2 only ids 1,2 survive the shared block, so (1,3)/(2,3) vanish
+    val capped = dedup.editDistancePairs(df, "doc_id", "text", maxDist = 3,
+        maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), capped.toString)
+
+    // unicode pin: Spark's levenshtein counts CODEPOINTS (café→cafe is
+    // one edit; DuckDB's byte-based levenshtein says 2) — which is why
+    // the oracle domain strips to printable ASCII before comparing
+    val lev = df.sparkSession.range(1)
+      .select(F.levenshtein(F.lit("café"), F.lit("cafe")).as("d"))
+      .head().getInt(0)
+    assert(lev == 1)
+
+    // normalization strips non-ASCII BEFORE lower-casing: a doc whose
+    // key survives only via its ASCII chars still pairs exactly
+    val uni = Seq((10L, "Straße A1"), (11L, "strae a1")).toDF("doc_id", "text")
+    val upairs = dedup.editDistancePairs(uni, "doc_id", "text", maxDist = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(upairs == Set((10L, 11L, 0)), upairs.toString)
+  }
 }

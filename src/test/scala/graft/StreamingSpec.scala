@@ -266,4 +266,56 @@ class StreamingSpec extends SparkSpec {
     val ests = spark.table("neardup").select("est").collect().map(_.getDouble(0))
     assert(ests.forall(e => e >= 0.5 && e <= 1.0))
   }
+
+  test("stream-stream interval join matches across batches, evicts on watermark") {
+    val dir = Files.createTempDirectory("graft_ijoin_mb").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    def write(evs: Streams.Event*): Unit =
+      evs.toSeq.toDS().write.mode("append").parquet(dir)
+    def side(tpe: String) = Streams.readEventStream(spark, dir)
+      .where(F.col("event_type") === tpe)
+    write(Streams.Event(1L, ts(0), 1L, "view", 1.0),
+      Streams.Event(2L, ts(5), 1L, "click", 1.0))
+    val joined = Streams
+      .intervalJoinStreams(side("view"), side("click"), "user_id",
+        horizon = "30 minutes", watermark = "10 minutes")
+      .select(F.col("l.event_id").as("vid"), F.col("r.event_id").as("cid"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ijoin_mb").start()
+    q.processAllAvailable()
+    def pairs() = spark.table("ijoin_mb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs() == Set((1L, 2L)), s"batch-1 pair: ${pairs()}")
+    // batch 2: a click 20 min after the batch-1 view must hit the view's
+    // BUFFERED state (still inside the 30-min horizon) — and a click for
+    // a different user must not match anything
+    write(Streams.Event(3L, ts(20), 1L, "click", 1.0),
+      Streams.Event(4L, ts(21), 2L, "click", 1.0))
+    q.processAllAvailable()
+    assert(pairs() == Set((1L, 2L), (1L, 3L)), s"cross-batch pair: ${pairs()}")
+    // batches 3+4: jump event time far ahead, then run one more batch —
+    // the watermark advances with a one-batch lag (batch N's max event
+    // time becomes batch N+1's watermark) and join-state EVICTION runs
+    // at the END of a batch, after that batch's join. Two batches make
+    // the eviction observable: batch 4 starts at watermark ts(990),
+    // which passes every buffered row's expiry (view: ts + 30-min
+    // horizon; click: ts), so both buffers are emptied at its end.
+    // (the global watermark is the MIN across both sides' watermarks,
+    // so the jump must advance view AND click event time — a
+    // high-ts batch on one side alone evicts nothing)
+    write(Streams.Event(5L, ts(1000), 99L, "view", 1.0),
+      Streams.Event(6L, ts(1000), 98L, "click", 1.0))
+    q.processAllAvailable()
+    write(Streams.Event(8L, ts(1001), 97L, "view", 1.0),
+      Streams.Event(9L, ts(1001), 96L, "click", 1.0))
+    q.processAllAvailable()
+    // batch 5: a click inside the old view's horizon arrives LATE
+    // (behind the watermark) — the view's state is gone, so no pair
+    // may appear (the eviction contract that bounds state at scale)
+    write(Streams.Event(7L, ts(25), 1L, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    assert(pairs() == Set((1L, 2L), (1L, 3L)),
+      s"late click must not resurrect evicted state: ${pairs()}")
+  }
 }
