@@ -2988,13 +2988,16 @@ object ExtQueries {
     val name = s"x85_stream_sink_${streamSinkIds.incrementAndGet()}"
     requireMicrosEvents(s, dir)
     // the file streaming source requires a DIRECTORY base path; point
-    // it at the sf dir and glob-filter to the events table
+    // it at the sf dir and glob-filter to the events table.
+    // 8-partition replay clone: one state store per shuffle partition
+    // dominates a bounded replay at 32 (Streams.replaySession)
+    val ss = Streams.replaySession(s, partitions = 8)
     val stream = Streams.windowedCounts(
-      s.readStream.schema(Streams.eventSchema)
+      ss.readStream.schema(Streams.eventSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir))
     Streams.runToMemory(stream, name, OutputMode.Complete())
-    val out = s.table(name).orderBy("window_start", "event_type")
-    s.catalog.dropTempView(name)
+    val out = ss.table(name).orderBy("window_start", "event_type")
+    ss.catalog.dropTempView(name)
     out
   }
 
@@ -3034,15 +3037,16 @@ object ExtQueries {
     import org.apache.spark.sql.streaming.OutputMode
     val name = s"x86_stream_sessions_${streamSinkIds.incrementAndGet()}"
     requireMicrosEvents(s, dir)
-    val events = s.readStream.schema(Streams.eventSchema)
+    val ss = Streams.replaySession(s, partitions = 8)
+    val events = ss.readStream.schema(Streams.eventSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .as[Streams.Event](Streams.eventEnc)
     val stats = Streams.sessionStatsUnbounded(events)
     val q = stats.writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
-    val out = s.table(name).orderBy("user_id")
-    s.catalog.dropTempView(name)
+    val out = ss.table(name).orderBy("user_id")
+    ss.catalog.dropTempView(name)
     out
   }
 
@@ -3068,14 +3072,15 @@ object ExtQueries {
     import org.apache.spark.sql.streaming.OutputMode
     val name = s"x87_stream_dedup_${streamSinkIds.incrementAndGet()}"
     requireMicrosEvents(s, dir)
-    val ev = s.readStream.schema(Streams.eventSchema)
+    val ss = Streams.replaySession(s, partitions = 8)
+    val ev = ss.readStream.schema(Streams.eventSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .withColumn("ukey",
         F.concat_ws(":", F.col("user_id"), F.col("event_type")))
     val deduped = Streams.dedupeStream(ev, "ukey").select("ukey")
     Streams.runToMemory(deduped, name, OutputMode.Append())
-    val out = s.table(name).orderBy("ukey")
-    s.catalog.dropTempView(name)
+    val out = ss.table(name).orderBy("ukey")
+    ss.catalog.dropTempView(name)
     out
   }
 
@@ -3095,11 +3100,12 @@ object ExtQueries {
     import org.apache.spark.sql.streaming.OutputMode
     val name = s"x88_stream_enrich_${streamSinkIds.incrementAndGet()}"
     requireMicrosEvents(s, dir)
-    val dim = s.read.parquet(s"$dir/events.parquet")
+    val ss = Streams.replaySession(s, partitions = 8)
+    val dim = ss.read.parquet(s"$dir/events.parquet")
       .select(F.col("user_id")).distinct()
       .filter(F.col("user_id") % 3 === 0)
       .withColumn("segment", F.col("user_id") % 7)
-    val ev = s.readStream.schema(Streams.eventSchema)
+    val ev = ss.readStream.schema(Streams.eventSchema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val enriched = Streams.enrichStream(ev, dim, "user_id")
       .groupBy(F.coalesce(F.col("segment"), F.lit(-1L)).as("segment"))
@@ -3108,8 +3114,8 @@ object ExtQueries {
         F.sum(F.col("value").cast(DecimalType(18, 4)))
           .cast(DoubleType).as("value_sum"))
     Streams.runToMemory(enriched, name, OutputMode.Complete())
-    val out = s.table(name).orderBy("segment")
-    s.catalog.dropTempView(name)
+    val out = ss.table(name).orderBy("segment")
+    ss.catalog.dropTempView(name)
     out
   }
 
