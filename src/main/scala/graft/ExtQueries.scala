@@ -3169,6 +3169,64 @@ object ExtQueries {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       |ORDER BY view_id, click_id""".stripMargin
 
+  /** Corpus profile over ROLLUP grouping sets — the one-pass
+    * detail/subtotal/total report a curation dashboard reads (per
+    * (source, lang), per source, whole corpus). Exercises Spark's
+    * grouping-sets surface (`rollup` + `grouping_id`), otherwise
+    * untouched by the suite; DuckDB's GROUPING carries the same
+    * bit convention (leftmost column = MSB, 1 = rolled up), probed
+    * before wiring. One shuffle: Spark expands the grouping sets
+    * map-side and aggregates all three levels in a single pass —
+    * exactly how the 100 TB report should run (no per-level rescans). */
+  def x91RollupProfile(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .rollup("source", "lang")
+      .agg(F.grouping_id().as("gid"),
+        F.count(F.lit(1)).as("n_docs"),
+        F.sum("n_chars").as("chars"),
+        F.max("n_chars").as("max_chars"))
+      .orderBy(F.col("gid"), F.asc_nulls_first("source"),
+        F.asc_nulls_first("lang"))
+      .select("source", "lang", "gid", "n_docs", "chars", "max_chars")
+
+  private val x91Oracle =
+    """SELECT source, lang, CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY ROLLUP(source, lang)
+      |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
+  /** Sliding (hopping) event windows — 10-minute windows every 5
+    * minutes via `F.window`'s slide parameter (the tumbling case is
+    * x13): each event lands in exactly width/slide = 2 windows,
+    * expanded MAP-SIDE before one aggregation shuffle (the expansion
+    * factor, not the data, bounds the cost — the scale-correct shape
+    * for overlapping-window telemetry). Window starts exit as epoch
+    * µs like x13, sidestepping cross-engine timestamp rendering; the
+    * oracle replays the expansion with an UNNEST([0,1]) offset join. */
+  def x92SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .groupBy(F.window(F.col("ts"), "10 minutes", "5 minutes"),
+        F.col("event_type"))
+      .agg(F.count(F.lit(1)).as("n"),
+        F.sum(F.col("value").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("total_value"))
+      .select(
+        F.unix_micros(F.col("window.start").cast(TimestampType))
+          .as("win_start_us"),
+        F.col("event_type"), F.col("n"), F.col("total_value"))
+      .orderBy("win_start_us", "event_type")
+
+  private val x92Oracle =
+    """SELECT win_start_us, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM (
+      |  SELECT epoch_us(ts) - epoch_us(ts) % 300000000
+      |           - 300000000 * k.k AS win_start_us,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k)
+      |GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
   /** Edit-distance blocked fuzzy-dup pairs over the real corpus — the
     * character-level dedup family (typos / re-crawl noise) that shingle
     * Jaccard dilutes. The oracle replays the EXACT pipeline: same
@@ -3295,7 +3353,9 @@ object ExtQueries {
     "x87_streaming_dedup" -> (x87StreamingDedup _),
     "x88_streaming_enrichment" -> (x88StreamingEnrich _),
     "x89_edit_distance_dedup" -> (x89EditDistDedup _),
-    "x90_streaming_interval_join" -> (x90StreamingIntervalJoin _))
+    "x90_streaming_interval_join" -> (x90StreamingIntervalJoin _),
+    "x91_rollup_profile" -> (x91RollupProfile _),
+    "x92_sliding_window" -> (x92SlidingWindow _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3392,5 +3452,7 @@ object ExtQueries {
     "x87_streaming_dedup" -> x87Oracle,
     "x88_streaming_enrichment" -> x88Oracle,
     "x89_edit_distance_dedup" -> x89Oracle,
-    "x90_streaming_interval_join" -> x90Oracle)
+    "x90_streaming_interval_join" -> x90Oracle,
+    "x91_rollup_profile" -> x91Oracle,
+    "x92_sliding_window" -> x92Oracle)
 }
