@@ -974,7 +974,11 @@ object dedup {
     * key); the quadratic pair expansion is bounded by `maxBlock`
     * (deterministic smallest-id winners, same rule as the LSH hot-bucket
     * cap) so a degenerate corpus (a million identical titles) costs
-    * maxBlock² per block, not corpus². Recall bounds are the usual
+    * maxBlock² per block, not corpus². The row_number cap compiles to
+    * Spark's WindowGroupLimit with a PARTIAL pre-shuffle phase, so each
+    * map partition ships at most maxBlock rows per block — the hot
+    * block never crosses the wire uncapped, and the self-join reuses
+    * the same exchange (both SQLMetrics-proven in ScaleSmokeSpec). Recall bounds are the usual
     * blocking trade: pairs whose keys differ in the first `prefixLen`
     * chars or straddle a length band are missed — tighten with more
     * passes at different prefixes if needed.

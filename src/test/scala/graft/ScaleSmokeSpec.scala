@@ -290,6 +290,41 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(kept.filter(F.col("grp") === "mega").count() == 500L)
   }
 
+  test("editDistancePairs caps a 100k-copy hot block to cap-bounded join inputs") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // The claim behind the maxBlock cap (dedup.scala editDistancePairs):
+    // a degenerate corpus — here 100k identical copies of each of two
+    // titles — would put 100k keys in ONE block and the self-join would
+    // emit C(100k,2) ≈ 5e9 pairs per block. The cap bounds that to
+    // blocks×C(cap,2) — and the PLAN is even better than the operator
+    // promises: the row_number cap compiles to WindowGroupLimit with a
+    // PARTIAL phase before the exchange, so every map partition keeps
+    // ≤ cap rows per block and the corpus is NEVER fully shuffled
+    // (≤ parts×blocks×cap records, not 2n); the join then REUSES that
+    // one exchange for its other side. Metrics-proven.
+    val n = 100000L; val cap = 500
+    val df = spark.range(0, 2 * n).select(F.col("id").as("doc_id"),
+      F.when(F.col("id") < n, "alpha alpha alpha alpha alpha alpha")
+        .otherwise("bravo bravo bravo bravo bravo bravo").as("text"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.functions.dedup.editDistancePairs(
+        df, "doc_id", "text", maxDist = 6, maxBlock = cap)
+      val expected = 2L * (cap.toLong * (cap - 1) / 2)
+      assert(out.queryExecution.toRdd.count() == expected)
+      val parts = df.rdd.getNumPartitions
+      val exchanges = out.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.metrics("shuffleRecordsWritten").value
+      }
+      assert(exchanges.length == 1,
+        s"expected ONE shuffle (cap window, reused by the join): $exchanges")
+      assert(exchanges.head <= parts.toLong * 2 * cap,
+        s"partial WindowGroupLimit must cap map-side: ${exchanges.head} " +
+          s"records shuffled, bound ${parts * 2 * cap}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("containmentPairs finds 50k planted quotes in a 200k corpus under the hot-shingle cap") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     val pins0 = pinBaseline
