@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.types._
 import graft.core._
 import graft.dsl._
@@ -1750,20 +1750,25 @@ object ExtQueries {
     * text), then count and redact each category —
     * [[graft.functions.text.redactPii]]. Linear codegen'd expressions,
     * no shuffle: the 100 TB scrub-pass shape. */
+  /** The x32/x93 planted-PII formula: emails, IPs and phone numbers
+    * derived from doc_id so the DuckDB oracle regenerates them. */
+  private def plantPii(d: Column, text: Column): Column = F.concat(
+    text,
+    F.lit(" contact user"), d.cast(StringType),
+    F.lit("@mail.example.com"),
+    F.when(d % 5 === 0,
+      F.concat(F.lit(" cc admin"), d.cast(StringType),
+        F.lit("@example.org"))).otherwise(F.lit("")),
+    F.lit(" from 10."), (d % 256).cast(StringType),
+    F.lit(".0."), (d % 100).cast(StringType),
+    F.when(d % 2 === 0,
+      F.concat(F.lit(" tel 555-01"), (d % 10).cast(StringType),
+        F.lit("-4567"))).otherwise(F.lit("")))
+
   def x32PiiRedaction(s: SparkSession, dir: String): DataFrame = {
     val d = F.col("doc_id")
-    val planted = docs(s, dir).select(d, F.concat(
-        F.col("text"),
-        F.lit(" contact user"), d.cast(StringType),
-        F.lit("@mail.example.com"),
-        F.when(d % 5 === 0,
-          F.concat(F.lit(" cc admin"), d.cast(StringType),
-            F.lit("@example.org"))).otherwise(F.lit("")),
-        F.lit(" from 10."), (d % 256).cast(StringType),
-        F.lit(".0."), (d % 100).cast(StringType),
-        F.when(d % 2 === 0,
-          F.concat(F.lit(" tel 555-01"), (d % 10).cast(StringType),
-            F.lit("-4567"))).otherwise(F.lit(""))).as("text"))
+    val planted = docs(s, dir)
+      .select(d, plantPii(d, F.col("text")).as("text"))
     val t = F.col("text")
     planted.select(d +: (text.piiCounts(t).map { case (n, c) => c.as(n) } :+
         text.redactPii(t).as("redacted")): _*)
@@ -3169,6 +3174,51 @@ object ExtQueries {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
       |ORDER BY view_id, click_id""".stripMargin
 
+  /** Streaming PII scrub oracled end-to-end: the x32 planted-PII corpus
+    * streamed through [[graft.streaming.Streams.scrubStream]] (stateless
+    * per-micro-batch redaction at ingest — scrubbing BEFORE the corpus
+    * lands is the compliance-correct order) and hash-matched against the
+    * batch redaction replay. Pins that the streaming path applies
+    * byte-identical redaction to the batch path x32 already oracles. */
+  def x93StreamingScrub(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x93_stream_scrub_${streamSinkIds.incrementAndGet()}"
+    val ss = Streams.replaySession(s, partitions = 8)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val d = F.col("doc_id")
+    val stream = ss.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(d, plantPii(d, F.col("text")).as("text"))
+    val scrubbed = Streams.scrubStream(stream, "text")
+      .select(d, F.col("text").as("redacted"))
+    Streams.runToMemory(scrubbed, name, OutputMode.Append())
+    val out = ss.table(name).orderBy("doc_id")
+    ss.catalog.dropTempView(name)
+    out
+  }
+
+  private val x93Oracle =
+    """WITH p AS (SELECT doc_id,
+      |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+      |      '@mail.example.com',
+      |      CASE WHEN doc_id % 5 = 0 THEN concat(' cc admin',
+      |        CAST(doc_id AS VARCHAR), '@example.org') ELSE '' END,
+      |      ' from 10.', CAST(doc_id % 256 AS VARCHAR),
+      |      '.0.', CAST(doc_id % 100 AS VARCHAR),
+      |      CASE WHEN doc_id % 2 = 0 THEN concat(' tel 555-01',
+      |        CAST(doc_id % 10 AS VARCHAR), '-4567') ELSE '' END) AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+      |    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+      |FROM p ORDER BY doc_id""".stripMargin
+
   /** Corpus profile over ROLLUP grouping sets — the one-pass
     * detail/subtotal/total report a curation dashboard reads (per
     * (source, lang), per source, whole corpus). Exercises Spark's
@@ -3355,7 +3405,8 @@ object ExtQueries {
     "x89_edit_distance_dedup" -> (x89EditDistDedup _),
     "x90_streaming_interval_join" -> (x90StreamingIntervalJoin _),
     "x91_rollup_profile" -> (x91RollupProfile _),
-    "x92_sliding_window" -> (x92SlidingWindow _))
+    "x92_sliding_window" -> (x92SlidingWindow _),
+    "x93_streaming_scrub" -> (x93StreamingScrub _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3454,5 +3505,6 @@ object ExtQueries {
     "x89_edit_distance_dedup" -> x89Oracle,
     "x90_streaming_interval_join" -> x90Oracle,
     "x91_rollup_profile" -> x91Oracle,
-    "x92_sliding_window" -> x92Oracle)
+    "x92_sliding_window" -> x92Oracle,
+    "x93_streaming_scrub" -> x93Oracle)
 }
