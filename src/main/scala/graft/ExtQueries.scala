@@ -1072,14 +1072,19 @@ object ExtQueries {
     * symbol-to-word ratio, word-count / mean-length / alpha-word /
     * stopword bounds) flips on a real subset. The oracle replays the
     * mangles and every rational-arithmetic rule in DuckDB. */
-  def x58GopherRules(s: SparkSession, dir: String): DataFrame = {
-    val page = F.when(F.col("doc_id") % 4 === 0, F.col("text"))
+  /** The x58/x94 page variants: every fourth doc gets a bullet-list,
+    * ellipsis-heavy or symbol-spam shape so each Gopher rule fires. */
+  private def gopherPage: Column =
+    F.when(F.col("doc_id") % 4 === 0, F.col("text"))
       .when(F.col("doc_id") % 4 === 1,
         F.concat(F.lit("- "), F.col("text"),
           F.lit("\n- item two\n- item three")))
       .when(F.col("doc_id") % 4 === 2,
         F.concat(F.col("text"), F.lit("...\nsecond line...\nthird line")))
       .otherwise(F.concat(F.lit("### "), F.col("text"), F.lit(" # # # # #")))
+
+  def x58GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val page = gopherPage
     // Materialize the struct in its own projection: extracting the 8
     // fields straight off the struct EXPRESSION would inline the whole
     // rule battery (splits + a dozen regex passes) once per field.
@@ -3180,17 +3185,19 @@ object ExtQueries {
     * lands is the compliance-correct order) and hash-matched against the
     * batch redaction replay. Pins that the streaming path applies
     * byte-identical redaction to the batch path x32 already oracles. */
+  /** Static schema for streaming over the `documents` table. */
+  private val docStreamSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   def x93StreamingScrub(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Streams
     import org.apache.spark.sql.streaming.OutputMode
     val name = s"x93_stream_scrub_${streamSinkIds.incrementAndGet()}"
     val ss = Streams.replaySession(s, partitions = 8)
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val d = F.col("doc_id")
-    val stream = ss.readStream.schema(docSchema)
+    val stream = ss.readStream.schema(docStreamSchema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .select(d, plantPii(d, F.col("text")).as("text"))
     val scrubbed = Streams.scrubStream(stream, "text")
@@ -3218,6 +3225,56 @@ object ExtQueries {
       |    '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
       |    '\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Streaming Gopher quality gate oracled end-to-end: the x58 page
+    * variants streamed through
+    * [[graft.streaming.Streams.qualityGateStream]] — stateless
+    * per-micro-batch rule battery at ingest, so rejected pages never
+    * land — and hash-matched against the batch rule replay filtered to
+    * passing rows. Pins streaming ≡ batch for the whole metric struct,
+    * not just the pass bit. The plain arm gets a stopword-rich suffix:
+    * the synthetic corpus contains no English stopwords, so without it
+    * `n_stop >= 2` rejects EVERY page and the kept arm would be empty
+    * at all SFs (probed: ~18% pass with the suffix). */
+  def x94StreamingQualityGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x94_stream_qgate_${streamSinkIds.incrementAndGet()}"
+    val ss = Streams.replaySession(s, partitions = 8)
+    val page = F.when(F.col("doc_id") % 4 === 0,
+        F.concat(F.col("text"), F.lit(x94StopSuffix)))
+      .otherwise(gopherPage)
+    val stream = ss.readStream.schema(docStreamSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(F.col("doc_id"), page.as("text"))
+    val gated = Streams.qualityGateStream(stream, "text", "_g")
+      .select(
+        F.col("doc_id"),
+        F.col("_g.n_words").as("n_words"),
+        F.col("_g.mean_word_len").as("mean_word_len"),
+        F.col("_g.symbol_ratio").as("symbol_ratio"),
+        F.col("_g.bullet_frac").as("bullet_frac"),
+        F.col("_g.ellipsis_frac").as("ellipsis_frac"),
+        F.col("_g.alpha_frac").as("alpha_frac"),
+        F.col("_g.n_stop").as("n_stop"))
+    Streams.runToMemory(gated, name, OutputMode.Append())
+    val out = ss.table(name).orderBy("doc_id")
+    ss.catalog.dropTempView(name)
+    out
+  }
+
+  // the batch replay (x58Oracle) with the suffixed plain arm,
+  // restricted to passing rows; the pass bit itself is implied by the
+  // filter, so it is not re-emitted
+  private val x94StopSuffix =
+    " the cat and the dog have been to the house with some of that"
+  private val x94Oracle: String =
+    s"""SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       |  ellipsis_frac, alpha_frac, n_stop FROM (
+       |${x58Oracle
+            .replace("WHEN 0 THEN text\n", s"WHEN 0 THEN text || '$x94StopSuffix'\n")
+            .replace("FROM r ORDER BY doc_id", "FROM r")}
+       |) WHERE pass ORDER BY doc_id""".stripMargin
 
   /** Corpus profile over ROLLUP grouping sets — the one-pass
     * detail/subtotal/total report a curation dashboard reads (per
@@ -3406,7 +3463,8 @@ object ExtQueries {
     "x90_streaming_interval_join" -> (x90StreamingIntervalJoin _),
     "x91_rollup_profile" -> (x91RollupProfile _),
     "x92_sliding_window" -> (x92SlidingWindow _),
-    "x93_streaming_scrub" -> (x93StreamingScrub _))
+    "x93_streaming_scrub" -> (x93StreamingScrub _),
+    "x94_streaming_quality_gate" -> (x94StreamingQualityGate _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3506,5 +3564,6 @@ object ExtQueries {
     "x90_streaming_interval_join" -> x90Oracle,
     "x91_rollup_profile" -> x91Oracle,
     "x92_sliding_window" -> x92Oracle,
-    "x93_streaming_scrub" -> x93Oracle)
+    "x93_streaming_scrub" -> x93Oracle,
+    "x94_streaming_quality_gate" -> x94Oracle)
 }
