@@ -3276,6 +3276,78 @@ object ExtQueries {
             .replace("FROM r ORDER BY doc_id", "FROM r")}
        |) WHERE pass ORDER BY doc_id""".stripMargin
 
+  /** Streaming MinHash-LSH near-dup detection oracled end-to-end: the
+    * documents streamed (with a synthesized event time DELIBERATELY out
+    * of id order, so hit orientation by (event-time, id) is exercised)
+    * through [[graft.streaming.Streams.nearDupCandidatesStream]] with
+    * the md5 `replayable` signature family. In a bounded single-batch
+    * run the bucket-state fold reduces to "each doc vs every
+    * (ts,id)-earlier co-bucket member", which DuckDB replays exactly:
+    * same signatures, same band buckets, one hit per matching band
+    * (the stream does not dedupe cross-band hits — neither does the
+    * oracle). Estimates are eq/32 — exact binary doubles. */
+  def x95StreamingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x95_stream_neardup_${streamSinkIds.incrementAndGet()}"
+    val ss = Streams.replaySession(s, partitions = 8)
+    val d = F.col("doc_id")
+    val stream = ss.readStream.schema(docStreamSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(d,
+        F.timestamp_millis(F.lit(1704067200000L) + (d % 97) * 60000L).as("ts"),
+        F.col("text"))
+    val hits = Streams.nearDupCandidatesStream(stream, "doc_id", "ts", "text",
+      k = 3, numPerm = 32, bands = 8, minEst = 0.5, replayable = true)
+    Streams.runToMemory(hits.toDF, name, OutputMode.Append())
+    val out = ss.table(name).orderBy("doc_id", "dup_of", "est")
+    ss.catalog.dropTempView(name)
+    out
+  }
+
+  private val x95Oracle = {
+    val (as, bs) = graft.plans.MinHashPortableExpr.coeffs(32)
+    val aList = as.mkString("[", ",", "]")
+    val bList = bs.mkString("[", ",", "]")
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_transform(generate_series(1, len(toks) - 2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+       |  FROM tk),
+       |fp AS (SELECT doc_id, list_transform(s,
+       |    u -> CAST(concat('0x', substring(md5(u), 1, 15)) AS BIGINT)) AS hs
+       |  FROM sh),
+       |sig AS (SELECT doc_id, list_transform(generate_series(1, 32), i ->
+       |    CAST(list_min(list_transform(hs, h ->
+       |      CAST(($aList[i]::HUGEINT * h + $bList[i])
+       |        % 2305843009213693951 AS BIGINT))) AS BIGINT)) AS sig
+       |  FROM fp),
+       |tsd AS (SELECT doc_id,
+       |    1704067200000 + (doc_id % 97) * 60000 AS ts_ms FROM documents),
+       |bk AS (SELECT doc_id, sig, b,
+       |    array_to_string(sig[(b*4+1):(b*4+4)], ',') AS key
+       |  FROM sig, range(0, 8) t(b)),
+       |hits AS (SELECT a.doc_id AS ida, c.doc_id AS idb,
+       |    CAST(len(list_filter(generate_series(1, 32),
+       |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est
+       |  FROM bk a JOIN bk c ON a.b = c.b AND a.key = c.key
+       |    AND a.doc_id < c.doc_id
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = c.doc_id)
+       |SELECT
+       |  CASE WHEN (da.ts_ms, h.ida) < (db.ts_ms, h.idb)
+       |    THEN h.idb ELSE h.ida END AS doc_id,
+       |  CASE WHEN (da.ts_ms, h.ida) < (db.ts_ms, h.idb)
+       |    THEN h.ida ELSE h.idb END AS dup_of,
+       |  est
+       |FROM hits h JOIN tsd da ON da.doc_id = h.ida
+       |            JOIN tsd db ON db.doc_id = h.idb
+       |WHERE est >= 0.5
+       |ORDER BY doc_id, dup_of, est""".stripMargin
+  }
+
   /** Corpus profile over ROLLUP grouping sets — the one-pass
     * detail/subtotal/total report a curation dashboard reads (per
     * (source, lang), per source, whole corpus). Exercises Spark's
@@ -3464,7 +3536,8 @@ object ExtQueries {
     "x91_rollup_profile" -> (x91RollupProfile _),
     "x92_sliding_window" -> (x92SlidingWindow _),
     "x93_streaming_scrub" -> (x93StreamingScrub _),
-    "x94_streaming_quality_gate" -> (x94StreamingQualityGate _))
+    "x94_streaming_quality_gate" -> (x94StreamingQualityGate _),
+    "x95_streaming_near_dup" -> (x95StreamingNearDup _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3565,5 +3638,6 @@ object ExtQueries {
     "x91_rollup_profile" -> x91Oracle,
     "x92_sliding_window" -> x92Oracle,
     "x93_streaming_scrub" -> x93Oracle,
-    "x94_streaming_quality_gate" -> x94Oracle)
+    "x94_streaming_quality_gate" -> x94Oracle,
+    "x95_streaming_near_dup" -> x95Oracle)
 }

@@ -196,16 +196,23 @@ object Streams {
   def nearDupCandidatesStream(docs: DataFrame, idCol: String, tsCol: String,
       textCol: String, k: Int = 3, numPerm: Int = 32, bands: Int = 8,
       minEst: Double = 0.5, watermark: String = "30 minutes",
-      horizonMs: Long = 1800000L, maxEntries: Int = 1000): Dataset[NearDupHit] = {
+      horizonMs: Long = 1800000L, maxEntries: Int = 1000,
+      replayable: Boolean = false): Dataset[NearDupHit] = {
     import graft.functions.dedup
     require(bands >= 1 && numPerm % bands == 0,
       "nearDupCandidatesStream: numPerm must be a positive multiple of bands")
     require(maxEntries >= 1, "nearDupCandidatesStream: maxEntries must be >= 1")
     val rowsPerBand = numPerm / bands
+    // `replayable` runs the md5-based signature family (same switch as
+    // batch minhashPairs) so an external engine can replay the hits
+    val sigExpr =
+      if (replayable)
+        dedup.minhashReplayable(dedup.shingleFp64(F.col(textCol), k), numPerm)
+      else dedup.minhashSignature(F.col(textCol), k, numPerm)
     val banded = docs
       .withWatermark(tsCol, watermark)
       .select(F.col(idCol).cast(LongType).as("id"), F.col(tsCol).as("ts"),
-        dedup.minhashSignature(F.col(textCol), k, numPerm).as("sig"))
+        sigExpr.as("sig"))
       .select(F.col("id"), F.col("ts"), F.col("sig"),
         F.posexplode(dedup.lshBandKeys(F.col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bkey")))
