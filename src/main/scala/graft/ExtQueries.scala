@@ -3348,6 +3348,42 @@ object ExtQueries {
        |ORDER BY doc_id, dup_of, est""".stripMargin
   }
 
+  /** Streaming probe of the PERSISTENT exact index oracled end-to-end:
+    * the index is built batch-side from the even-doc_id half (x64's
+    * build), then the WHOLE corpus streams through
+    * [[graft.streaming.Streams.dedupAgainstExactIndexStream]] — a
+    * stateless per-batch anti-join against the stored fingerprint fold,
+    * the incremental-crawl admission gate. Admitted = streamed docs
+    * whose md5 fingerprint is not indexed; dup families crossing the
+    * parity split are the interesting rows (an odd doc with an indexed
+    * even twin must be dropped), and the oracle replays exactly that
+    * anti-join. */
+  def x96StreamingIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x96_stream_ixprobe_${streamSinkIds.incrementAndGet()}"
+    graft.functions.index.buildExactIndex(
+      docs(s, dir).filter(F.col("doc_id") % 2 === 0),
+      "doc_id", "text", "x96_exact")
+    val ss = Streams.replaySession(s, partitions = 8)
+    val stream = ss.readStream.schema(docStreamSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(F.col("doc_id"), F.col("text"))
+    val admitted = Streams
+      .dedupAgainstExactIndexStream(stream, "doc_id", "text", "x96_exact")
+      .select(F.col("doc_id"))
+    Streams.runToMemory(admitted, name, OutputMode.Append())
+    val out = ss.table(name).orderBy("doc_id")
+    ss.catalog.dropTempView(name)
+    out
+  }
+
+  private val x96Oracle =
+    """SELECT b.doc_id FROM documents b
+      |WHERE NOT EXISTS (SELECT 1 FROM documents a
+      |  WHERE a.doc_id % 2 = 0 AND md5(a.text) = md5(b.text))
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus profile over ROLLUP grouping sets — the one-pass
     * detail/subtotal/total report a curation dashboard reads (per
     * (source, lang), per source, whole corpus). Exercises Spark's
@@ -3537,7 +3573,8 @@ object ExtQueries {
     "x92_sliding_window" -> (x92SlidingWindow _),
     "x93_streaming_scrub" -> (x93StreamingScrub _),
     "x94_streaming_quality_gate" -> (x94StreamingQualityGate _),
-    "x95_streaming_near_dup" -> (x95StreamingNearDup _))
+    "x95_streaming_near_dup" -> (x95StreamingNearDup _),
+    "x96_streaming_index_probe" -> (x96StreamingIndexProbe _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3639,5 +3676,6 @@ object ExtQueries {
     "x92_sliding_window" -> x92Oracle,
     "x93_streaming_scrub" -> x93Oracle,
     "x94_streaming_quality_gate" -> x94Oracle,
-    "x95_streaming_near_dup" -> x95Oracle)
+    "x95_streaming_near_dup" -> x95Oracle,
+    "x96_streaming_index_probe" -> x96Oracle)
 }
