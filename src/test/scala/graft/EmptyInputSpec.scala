@@ -36,6 +36,23 @@ class EmptyInputSpec extends SparkSpec {
     assertEmpty(dedup.dedupSpans(docs0, "doc_id", "text", n = 4), "dedupSpans")
   }
 
+  test("edit-distance pairs on empty, all-non-ASCII and capped-degenerate corpora") {
+    import spark.implicits._
+    assertEmpty(dedup.editDistancePairs(docs0, "doc_id", "text", maxDist = 3),
+      "editDistancePairs empty")
+    // a corpus whose every near-dup key normalizes to EMPTY (no
+    // printable ASCII) must drop out of blocking, not pair everything
+    val nonAscii = Seq((1L, "привет мир"), (2L, "привет мир"), (3L, "  "))
+      .toDF("doc_id", "text")
+    assertEmpty(dedup.editDistancePairs(nonAscii, "doc_id", "text", maxDist = 6),
+      "editDistancePairs all-non-ASCII")
+    // cap 1 on identical keys: no block retains two members → no pairs
+    val same = Seq((1L, "same title"), (2L, "same title"), (3L, "same title"))
+      .toDF("doc_id", "text")
+    assertEmpty(dedup.editDistancePairs(same, "doc_id", "text", maxDist = 0,
+      maxBlock = 1), "editDistancePairs cap=1")
+  }
+
   test("minhash / jaccard-LSH / simhash pair generation on an empty corpus") {
     assertEmpty(dedup.minhashPairs(docs0, "doc_id", "text"), "minhashPairs")
     assertEmpty(dedup.jaccardPairsLsh(docs0, "doc_id", "text",
