@@ -290,6 +290,66 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(kept.filter(F.col("grp") === "mega").count() == 500L)
   }
 
+  test("stream-stream interval join holds state O(horizon), not O(stream), over 20 batches") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.Streams
+    // The eviction contract at scale: 200k events delivered in 20
+    // chronological micro-batches (maxFilesPerTrigger=1), event time
+    // advancing 1 s/event — ~55 h of stream against a 30-min join
+    // horizon + 10-min watermark. If eviction works, the join buffers
+    // hold only the rows inside the watermark-lagged horizon
+    // (~2400/side + the in-flight batch); if it does not, state grows
+    // to O(200k) by the last batch. Assert the per-batch max, read from
+    // the query's own progress metrics.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ijoin_scale").toString
+    val t0 = 1704067200000L
+    val perFile = 10000L; val files = 20
+    (0 until files).foreach { f =>
+      spark.range(f * perFile, (f + 1) * perFile).select(
+        F.col("id").as("event_id"),
+        F.timestamp_millis(F.lit(t0) + F.col("id") * 1000L).as("ts"),
+        F.pmod(F.col("id"), F.lit(500)).as("user_id"),
+        F.when(F.col("id") % 2 === 0, "view").otherwise("click").as("event_type"),
+        F.lit(1.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    def side(tpe: String) = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .where(F.col("event_type") === tpe)
+    val joined = Streams
+      .intervalJoinStreams(side("view"), side("click"), "user_id",
+        horizon = "30 minutes", watermark = "10 minutes")
+      .select(F.col("l.event_id").as("vid"), F.col("r.event_id").as("cid"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ijoin_scale").start()
+    q.processAllAvailable(); q.stop()
+    val stateMax = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    // horizon+watermark ≈ 40 min ≈ 2400 events/side; the two in-flight
+    // 10k batches (one per source) enter state before eviction runs, so
+    // bound by 2 batches + horizon with slack — far below O(stream)
+    val bound = 2 * perFile + 4 * 2400L
+    assert(stateMax <= bound,
+      s"join state grew to $stateMax rows (bound $bound) — eviction broken")
+    assert(stateMax > 0, "no state observed — the join never buffered")
+    // and the output is the exact batch answer (DuckDB-free replay):
+    // every view pairs with the clicks of the same user in the next
+    // 30 min — count it relationally on the same data
+    val ev = spark.read.parquet(dir)
+    val expected = ev.where($"event_type" === "view").as("l")
+      .join(ev.where($"event_type" === "click").as("r"),
+        $"l.user_id" === $"r.user_id" &&
+          $"r.ts" >= $"l.ts" && $"r.ts" <= $"l.ts" + F.expr("INTERVAL 30 minutes"))
+      .count()
+    val got = spark.table("ijoin_scale").count()
+    // chronological single-file batches never drop a MATCHED pair: a
+    // click joins views ≤ 30 min older, all still inside the 40-min
+    // watermark+horizon envelope when it arrives
+    assert(got == expected, s"stream emitted $got pairs, batch answer $expected")
+  }
+
   test("editDistancePairs caps a 100k-copy hot block to cap-bounded join inputs") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
