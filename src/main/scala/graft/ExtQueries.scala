@@ -3384,6 +3384,50 @@ object ExtQueries {
       |  WHERE a.doc_id % 2 = 0 AND md5(a.text) = md5(b.text))
       |ORDER BY doc_id""".stripMargin
 
+  /** Persistent NEAR-DUP index probe oracled end-to-end: the Jaccard
+    * LSH index is built from the even-doc_id half (managed bucketed
+    * tables: band buckets + stats + shingle sets), then the odd half
+    * plus planted copies of every tenth even doc probe it — the
+    * daily-crawl lifecycle where the 100 TB history never reshuffles.
+    * The probe verifies LSH candidates with EXACT token Jaccard, so the
+    * oracle is the all-pairs cross scan (the x02 precedent: at
+    * numPerm=64 bands=32 the band recall at J ≥ 0.8 is exhaustive on
+    * this corpus, and a missed candidate would break the hash). */
+  def x97JaccardIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.index.buildJaccardIndex(
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x97_jaccard")
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(
+        (F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    graft.functions.index.probeJaccardIndex(s, batch, "doc_id", "text",
+        "x97_jaccard", minJ = 0.8)
+      .orderBy("id_new", "id_indexed")
+  }
+
+  private val x97Oracle =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk),
+      |idx AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0),
+      |batch AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, s FROM sh WHERE doc_id % 10 = 0)
+      |SELECT b.doc_id AS id_new, a.doc_id AS id_indexed,
+      |  CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+      |  (CAST(len(b.s) AS DOUBLE) + CAST(len(a.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)) AS jaccard
+      |FROM batch b JOIN idx a ON
+      |  CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+      |  (CAST(len(b.s) AS DOUBLE) + CAST(len(a.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)) >= 0.8
+      |ORDER BY id_new, id_indexed""".stripMargin
+
   /** Corpus profile over ROLLUP grouping sets — the one-pass
     * detail/subtotal/total report a curation dashboard reads (per
     * (source, lang), per source, whole corpus). Exercises Spark's
@@ -3574,7 +3618,8 @@ object ExtQueries {
     "x93_streaming_scrub" -> (x93StreamingScrub _),
     "x94_streaming_quality_gate" -> (x94StreamingQualityGate _),
     "x95_streaming_near_dup" -> (x95StreamingNearDup _),
-    "x96_streaming_index_probe" -> (x96StreamingIndexProbe _))
+    "x96_streaming_index_probe" -> (x96StreamingIndexProbe _),
+    "x97_jaccard_index_probe" -> (x97JaccardIndexProbe _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3677,5 +3722,6 @@ object ExtQueries {
     "x93_streaming_scrub" -> x93Oracle,
     "x94_streaming_quality_gate" -> x94Oracle,
     "x95_streaming_near_dup" -> x95Oracle,
-    "x96_streaming_index_probe" -> x96Oracle)
+    "x96_streaming_index_probe" -> x96Oracle,
+    "x97_jaccard_index_probe" -> x97Oracle)
 }
