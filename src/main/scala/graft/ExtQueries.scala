@@ -3428,6 +3428,124 @@ object ExtQueries {
       |   - CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)) >= 0.8
       |ORDER BY id_new, id_indexed""".stripMargin
 
+  /** The INCREMENTAL index lifecycle x97 only gestures at, oracled over
+    * three "days": day 1 (doc_id ≡ 0 mod 3) builds the Jaccard index;
+    * day 2 (≡ 1) probes it and its NOVEL documents (no J ≥ 0.8 partner
+    * in the index) are APPENDed — today's survivors become tomorrow's
+    * index, the exact daily-crawl contract of
+    * [[graft.functions.index.buildJaccardIndex]]'s Append mode; day 3
+    * (≡ 2, plus planted copies of day-2 docs) probes the GROWN index.
+    * The planted copies must hit their day-2 originals, so the hash gate
+    * pins that appended rows are live in all three tables (buckets,
+    * stats, sigs) — an append that missed any table would change the
+    * output. The oracle replays novelty and both probes with exact
+    * all-pairs Jaccard (the x02/x97 recall precedent at numPerm=64,
+    * bands=32, J ≥ 0.8). */
+  def x98IncrementalIndexLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    // even half of the corpus, split into three "days" by doc_id mod 6:
+    // near-dup verify work grows with the SQUARE of family sizes, and
+    // the half corpus already exercises every lifecycle path (bench
+    // adjudication in BENCH_NOTES: full-corpus draft cost ~12 s warm,
+    // all exact-Jaccard verification)
+    val d = docs(s, dir).filter(F.col("doc_id") % 2 === 0)
+    val day1 = d.filter(F.col("doc_id") % 6 === 0)
+    val day2 = d.filter(F.col("doc_id") % 6 === 2)
+      .select(F.col("doc_id"), F.col("text"))
+    val day3 = d.filter(F.col("doc_id") % 6 === 4)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(day2.filter(F.col("doc_id") % 20 === 2).select(
+        (F.col("doc_id") + 2000000L).as("doc_id"), F.col("text")))
+    graft.functions.index.buildJaccardIndex(day1, "doc_id", "text", "x98_idx")
+    val hits2 = graft.functions.index.probeJaccardIndex(s, day2, "doc_id",
+      "text", "x98_idx", minJ = 0.8)
+    val novel2 = day2.join(hits2.select(F.col("id_new").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    graft.functions.index.buildJaccardIndex(novel2, "doc_id", "text",
+      "x98_idx", mode = SaveMode.Append)
+    graft.functions.index.probeJaccardIndex(s, day3, "doc_id", "text",
+        "x98_idx", minJ = 0.8)
+      .orderBy("id_new", "id_indexed")
+  }
+
+  private val x98Oracle =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk),
+      |day1 AS (SELECT doc_id, s FROM sh WHERE doc_id % 6 = 0),
+      |day2 AS (SELECT doc_id, s FROM sh WHERE doc_id % 6 = 2),
+      |novel2 AS (SELECT b.doc_id, b.s FROM day2 b WHERE NOT EXISTS (
+      |  SELECT 1 FROM day1 a WHERE
+      |    CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+      |    (CAST(len(b.s) AS DOUBLE) + CAST(len(a.s) AS DOUBLE)
+      |     - CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)) >= 0.8)),
+      |idx AS (SELECT doc_id, s FROM day1
+      |  UNION ALL SELECT doc_id, s FROM novel2),
+      |day3 AS (SELECT doc_id, s FROM sh WHERE doc_id % 6 = 4
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, s FROM sh
+      |  WHERE doc_id % 6 = 2 AND doc_id % 20 = 2)
+      |SELECT b.doc_id AS id_new, a.doc_id AS id_indexed,
+      |  CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+      |  (CAST(len(b.s) AS DOUBLE) + CAST(len(a.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)) AS jaccard
+      |FROM day3 b JOIN idx a ON
+      |  CAST(len(list_intersect(b.s, a.s)) AS DOUBLE) /
+      |  (CAST(len(b.s) AS DOUBLE) + CAST(len(a.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)) >= 0.8
+      |ORDER BY id_new, id_indexed""".stripMargin
+
+  /** Snapshot diff (CDC over re-crawls): today's crawl is yesterday's
+    * with every 11th doc dropped, every 7th doc's text revised, every
+    * 5th doc's lang re-detected and every 13th doc freshly discovered
+    * (id + 3000000) — [[graft.functions.layout.snapshotDiff]] must emit
+    * exactly the added/removed/changed classification and NOTHING for
+    * the unchanged bulk. The operator compares 16-byte map-side
+    * fingerprints (the join never carries text); the oracle compares
+    * the actual columns with IS DISTINCT FROM — semantic equivalence,
+    * not shared code. Overlap classes are real (a doc can be both
+    * revised and re-detected; a revised doc can be dropped — removal
+    * wins). */
+  def x99SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nw = d.filter(F.col("doc_id") % 11 =!= 3)
+      .select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 7 === 0,
+          F.concat(F.col("text"), F.lit(" rev2")))
+          .otherwise(F.col("text")).as("text"),
+        F.when(F.col("doc_id") % 5 === 2, F.lit("xx"))
+          .otherwise(F.col("lang")).as("lang"))
+      .unionByName(d.filter(F.col("doc_id") % 13 === 1).select(
+        (F.col("doc_id") + 3000000L).as("doc_id"),
+        F.col("text"), F.col("lang")))
+    graft.functions.layout.snapshotDiff(d, nw, "doc_id", Seq("text", "lang"))
+      .orderBy("doc_id")
+  }
+
+  private val x99Oracle =
+    """WITH newt AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text,
+      |    CASE WHEN doc_id % 5 = 2 THEN 'xx' ELSE lang END AS lang
+      |  FROM documents WHERE doc_id % 11 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text, lang FROM documents
+      |  WHERE doc_id % 13 = 1)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN (o.text IS DISTINCT FROM n.text)
+      |         OR (o.lang IS DISTINCT FROM n.lang) THEN 'changed' END AS change
+      |FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+      |   OR (o.text IS DISTINCT FROM n.text)
+      |   OR (o.lang IS DISTINCT FROM n.lang)
+      |ORDER BY doc_id""".stripMargin
+
   /** Corpus profile over ROLLUP grouping sets — the one-pass
     * detail/subtotal/total report a curation dashboard reads (per
     * (source, lang), per source, whole corpus). Exercises Spark's
@@ -3619,7 +3737,9 @@ object ExtQueries {
     "x94_streaming_quality_gate" -> (x94StreamingQualityGate _),
     "x95_streaming_near_dup" -> (x95StreamingNearDup _),
     "x96_streaming_index_probe" -> (x96StreamingIndexProbe _),
-    "x97_jaccard_index_probe" -> (x97JaccardIndexProbe _))
+    "x97_jaccard_index_probe" -> (x97JaccardIndexProbe _),
+    "x98_incremental_index_lifecycle" -> (x98IncrementalIndexLifecycle _),
+    "x99_snapshot_diff" -> (x99SnapshotDiff _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3723,5 +3843,7 @@ object ExtQueries {
     "x94_streaming_quality_gate" -> x94Oracle,
     "x95_streaming_near_dup" -> x95Oracle,
     "x96_streaming_index_probe" -> x96Oracle,
-    "x97_jaccard_index_probe" -> x97Oracle)
+    "x97_jaccard_index_probe" -> x97Oracle,
+    "x98_incremental_index_lifecycle" -> x98Oracle,
+    "x99_snapshot_diff" -> x99Oracle)
 }

@@ -9,13 +9,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * reading pre-placed data. */
 object layout {
 
-  /** Persist `df` hash-bucketed (and bucket-sorted) by `keys`. */
-  def bucketize(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
-    df.write.mode(SaveMode.Overwrite)
+  /** Persist `df` hash-bucketed (and bucket-sorted) by `keys`. The
+    * pre-write repartition puts each bucket's rows in exactly one task
+    * (repartition and the bucket spec share the pmod(murmur3)
+    * placement), so the table gets one file per bucket instead of one
+    * per (task × bucket) — without it a 32-task write of a 64-bucket
+    * table emits up to 2048 near-empty files, and at cluster scale
+    * every write litters the filesystem with tasks × buckets files. */
+  def bucketize(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
+    import org.apache.spark.sql.{functions => FF}
+    df.repartition(buckets, keys.map(FF.col): _*)
+      .write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two tables previously bucketized on the same keys with the same
     * bucket count: Catalyst sees the matching output partitioning and
@@ -109,6 +118,36 @@ object layout {
       if (numPartitions > 0) zed.repartitionByRange(numPartitions, FF.col("_zo"))
       else zed.repartitionByRange(FF.col("_zo"))
     parted.sortWithinPartitions("_zo").drop("_zo")
+  }
+
+  /** Classify a new crawl snapshot against the previous one, emitting
+    * ONLY what moved: `added` (key only in new), `removed` (key only in
+    * old), `changed` (key in both, any compared column differs).
+    * Unchanged rows — the overwhelming bulk of a 100 TB re-crawl — are
+    * dropped, so downstream incremental work (index appends,
+    * re-embedding, cache invalidation) is sized by the diff, not the
+    * corpus. The compared columns are reduced MAP-SIDE to a 16-byte md5
+    * of their JSON struct encoding (injective per column order: null
+    * fields are omitted, strings escaped), so the full-outer join
+    * carries (key, 16 bytes) per row, never the documents; one shuffle
+    * per side on the key, or ZERO when both snapshots are
+    * [[bucketize]]d on it. Keys must be unique per snapshot (a crawl
+    * primary key); fingerprints are only ever compared within a key, so
+    * cross-key md5 collisions are irrelevant. */
+  def snapshotDiff(old: DataFrame, nw: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: need >= 1 compare column")
+    import org.apache.spark.sql.{functions => FF}
+    def fp(df: DataFrame, as: String): DataFrame =
+      df.select(FF.col(keyCol),
+        FF.md5(FF.to_json(FF.struct(compareCols.map(FF.col): _*))).as(as))
+    fp(old, "_fp_old").join(fp(nw, "_fp_new"), Seq(keyCol), "full_outer")
+      .withColumn("change",
+        FF.when(FF.col("_fp_old").isNull, "added")
+          .when(FF.col("_fp_new").isNull, "removed")
+          .when(FF.col("_fp_old") =!= FF.col("_fp_new"), "changed"))
+      .filter(FF.col("change").isNotNull)
+      .select(FF.col(keyCol), FF.col("change"))
   }
 
   /** Read back a [[writeSharded]] corpus, optionally restricted to a set

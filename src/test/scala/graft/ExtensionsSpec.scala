@@ -7,6 +7,23 @@ import graft.functions.{dedup, multimodal, sampling, similarity, text}
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Cache-hygiene assertions are DELTA-based against a baseline taken
+    * at test start: operators whose caches auto-release on the
+    * CONSUMING query's completion (dedup.cached) may legitimately leave
+    * frames pinned when an earlier suite in the same JVM built query
+    * plans it never ran (PlanAuditSpec) — only frames pinned by THIS
+    * test's work must drain. */
+  private def pinnedBaseline: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def assertNoNewPinned(baseline: Set[Int], what: String): Unit = {
+    // the QueryExecutionListener fires asynchronously — poll briefly
+    val deadline = System.nanoTime() + 10000000000L
+    def extra = spark.sparkContext.getPersistentRDDs.keySet.toSet.diff(baseline)
+    while (extra.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(extra.isEmpty, s"$what still pinned: ${extra.size}")
+  }
+
   private def docsDf = Seq(
     (1L, "the quick brown fox jumps over the lazy dog", "s1"),
     (2L, "the quick brown fox jumps over the lazy cat", "s1"),
@@ -55,16 +72,13 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("signature caches auto-release after the consuming query completes") {
+    val baseline = pinnedBaseline
     dedup.minhashPairs(docsDf, "doc_id", "text",
       k = 2, numPerm = 32, bands = 16, threshold = 0.3).collect()
     dedup.jaccardPairsLsh(docsDf, "doc_id", "text",
       k = 2, numPerm = 64, bands = 32, minJ = 0.5).collect()
-    // the QueryExecutionListener fires asynchronously — poll briefly
-    val deadline = System.nanoTime() + 10000000000L
-    def pinned = spark.sparkContext.getPersistentRDDs.size
-    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(pinned == 0,
-      s"signature frames still pinned after materialization: $pinned")
+    assertNoNewPinned(baseline,
+      "signature frames after materialization")
   }
 
   test("simhash multi-index blocking equals the all-pairs Hamming scan") {
@@ -463,6 +477,7 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("IVF top-k: full probing equals brute force; partial probing keeps recall") {
+    val baseline = pinnedBaseline
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(F.col("vec_id") < 6)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
@@ -481,7 +496,7 @@ class ExtensionsSpec extends SparkSpec {
     val recall = (bruteIds & partIds).size.toDouble / bruteIds.size
     assert(recall >= 0.5, s"recall@5 with nprobe=3/8 was $recall")
     // centroid training never leaves pinned sample storage behind
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assertNoNewPinned(baseline, "centroid-training sample storage")
   }
 
   test("brute-force top-k returns k neighbors ranked by cosine") {
@@ -1456,6 +1471,7 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("clusterEmbeddings separates planted blobs and converges with Lloyd iterations") {
+    val baseline = pinnedBaseline
     def v(xs: Double*) = xs.toArray
     // two tight directional blobs; seeds land wherever md5 order puts
     // them, so separation after training proves Lloyd moved centroids
@@ -1472,7 +1488,7 @@ class ExtensionsSpec extends SparkSpec {
     // within a tight blob, affinity to the own centroid is near 1
     assert(got.forall(_._3 > 0.99))
     // training never leaves pinned sample storage behind
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assertNoNewPinned(baseline, "k-means training sample storage")
   }
 
   test("hardNegatives excludes same-label and self, ranks nearest other-label first") {
@@ -2049,12 +2065,10 @@ class ExtensionsSpec extends SparkSpec {
   }
 
   test("connected components release their iteration caches") {
+    val baseline = pinnedBaseline
     val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L)).toDF("id_a", "id_b")
     dedup.connectedComponents(pairs).collect()
-    val deadline = System.nanoTime() + 10000000000L
-    def pinned = spark.sparkContext.getPersistentRDDs.size
-    while (pinned > 0 && System.nanoTime() < deadline) Thread.sleep(100)
-    assert(pinned == 0, s"CC frames still pinned: $pinned")
+    assertNoNewPinned(baseline, "CC frames")
   }
 
   test("extractHtmlText strips markup, unescapes entities, keeps structure") {

@@ -403,6 +403,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged and null-tricky rows behave") {
+    val old = Seq[(java.lang.Long, String, String)](
+      (1L, "stable text", "en"),       // unchanged → absent from the diff
+      (2L, "old text", "en"),          // text revised → changed
+      (3L, "gone", "de"),              // dropped → removed
+      (4L, null, null),                // both null, unchanged → absent
+      (5L, null, "fr"),                // null text → value (changed)
+      (6L, "x", null),                 // value/null SWAPPED across columns:
+      (7L, "keep", "en")               //   field omission must stay injective
+    ).toDF("doc_id", "text", "lang")
+    val nw = Seq[(java.lang.Long, String, String)](
+      (1L, "stable text", "en"),
+      (2L, "new text", "en"),
+      (4L, null, null),
+      (5L, "found", "fr"),
+      (6L, null, "x"),                 // {"text":"x"} vs {"lang":"x"} ≠
+      (7L, "keep", "en"),
+      (8L, "fresh", "en")              // new key → added
+    ).toDF("doc_id", "text", "lang")
+    val got = layout.snapshotDiff(old, nw, "doc_id", Seq("text", "lang"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq(2L -> "changed", 3L -> "removed",
+      5L -> "changed", 6L -> "changed", 8L -> "added"))
+  }
+
   test("near-dup index: capped probe bounds hot buckets and loses no pairs") {
     import graft.functions.index
     // 60 copies of one boilerplate doc in the index: its band buckets
