@@ -3546,6 +3546,60 @@ object ExtQueries {
       |   OR (o.lang IS DISTINCT FROM n.lang)
       |ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe train/val/test splits over a corpus with planted
+    * cross-cutting duplicate families (every ninth-residue doc
+    * re-crawled at id + 30000): the split group is the near-dup
+    * CONNECTED COMPONENT, so a family must land wholly in one split no
+    * matter where its members' own ids would hash. The oracle replays
+    * the whole chain — exact all-pairs Jaccard graph (the x02/x22 LSH
+    * recall precedent), recursive-CTE min-label components, md5
+    * permille hash of the component, 9000/500/500 cut points — so the
+    * hash gate pins both the grouping AND the assignment. */
+  def x100LeakageSafeSplits(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(F.col("doc_id"), F.col("text"))
+    val corpus = d.unionByName(d.filter(F.col("doc_id") % 9 === 4)
+      .select((F.col("doc_id") + 30000L).as("doc_id"), F.col("text")))
+    graft.functions.sampling.leakageSafeSplits(corpus, "doc_id", "text",
+        Seq("train" -> 9000, "val" -> 500, "test" -> 500))
+      .select(F.col("doc_id"), F.col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val x100Oracle =
+    """WITH RECURSIVE
+      |corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 30000, text FROM documents
+      |  WHERE doc_id % 9 = 4),
+      |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM corpus),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk),
+      |near AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |     - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.8),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM near
+      |  UNION SELECT id_b AS u, id_a AS v FROM near),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      |grp AS (SELECT c.doc_id, COALESCE(mp.component, c.doc_id) AS g
+      |  FROM corpus c LEFT JOIN comp mp ON c.doc_id = mp.id),
+      |bkt AS (SELECT doc_id,
+      |  CAST(concat('0x', substring(md5(CAST(g AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 10000 AS b FROM grp)
+      |SELECT doc_id,
+      |  CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM bkt ORDER BY doc_id""".stripMargin
+
   /** Corpus profile over ROLLUP grouping sets — the one-pass
     * detail/subtotal/total report a curation dashboard reads (per
     * (source, lang), per source, whole corpus). Exercises Spark's
@@ -3739,7 +3793,8 @@ object ExtQueries {
     "x96_streaming_index_probe" -> (x96StreamingIndexProbe _),
     "x97_jaccard_index_probe" -> (x97JaccardIndexProbe _),
     "x98_incremental_index_lifecycle" -> (x98IncrementalIndexLifecycle _),
-    "x99_snapshot_diff" -> (x99SnapshotDiff _))
+    "x99_snapshot_diff" -> (x99SnapshotDiff _),
+    "x100_leakage_safe_splits" -> (x100LeakageSafeSplits _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3845,5 +3900,6 @@ object ExtQueries {
     "x96_streaming_index_probe" -> x96Oracle,
     "x97_jaccard_index_probe" -> x97Oracle,
     "x98_incremental_index_lifecycle" -> x98Oracle,
-    "x99_snapshot_diff" -> x99Oracle)
+    "x99_snapshot_diff" -> x99Oracle,
+    "x100_leakage_safe_splits" -> x100Oracle)
 }

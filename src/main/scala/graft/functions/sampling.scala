@@ -136,6 +136,33 @@ object sampling {
     df.withColumn("split", expr)
   }
 
+  /** Near-dup-leakage-free dataset splitting: the split group is the
+    * CONNECTED COMPONENT of the near-duplicate graph
+    * ([[dedup.jaccardPairsLsh]] at `minJ`, exact-Jaccard-verified), so
+    * no family of near-duplicates — including exact re-crawls, which
+    * sit at J = 1 — can straddle train/validation/test. This is the
+    * leak [[splitByGroup]] on a metadata column (domain, source)
+    * cannot see: a benchmark answer paraphrased across two sources
+    * still lands wholly in ONE split. Documents with no near-dup
+    * partner are singleton groups keyed by their own id. Cost shape at
+    * 100 TB: one LSH banding pass + the large/small-star CC loop +
+    * an id-keyed join of the (sparse — only docs that HAVE a partner)
+    * component map back onto the corpus + the codegen'd permille hash;
+    * the corpus is never collected or broadcast. */
+  def leakageSafeSplits(df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Int)], k: Int = 3, numPerm: Int = 64,
+      bands: Int = 32, minJ: Double = 0.8,
+      maxBucket: Int = 0): DataFrame = {
+    val pairs = dedup.jaccardPairsLsh(df, idCol, textCol, k, numPerm,
+      bands, minJ, maxBucket)
+    val comps = dedup.connectedComponents(pairs)
+      .select(F.col("id").as("_ls_id"), F.col("component").as("_ls_comp"))
+    val grouped = df.join(comps, F.col(idCol) === F.col("_ls_id"), "left")
+      .withColumn("_ls_grp", F.coalesce(F.col("_ls_comp"), F.col(idCol)))
+      .drop("_ls_id", "_ls_comp")
+    splitByGroup(grouped, "_ls_grp", splits).drop("_ls_grp")
+  }
+
   /** Deterministic training-shard assignment: `shard` in [0, nShards)
     * and a `shard_order` sort key, both pure functions of (seed, row
     * key) — the final global shuffle before writing training shards.

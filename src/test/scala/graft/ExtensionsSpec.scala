@@ -1377,6 +1377,36 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("leakageSafeSplits: near-dup families never straddle splits") {
+    import graft.functions.sampling
+    // three exact/near-dup families whose member ids hash to DIFFERENT
+    // permille buckets individually, plus singletons
+    val fam = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (10L, "large language models train on deduplicated corpora mostly"),
+      (11L, "large language models train on deduplicated corpora mostly"),
+      (20L, "completely unrelated singleton document number twenty here"),
+      (21L, "another singleton with its own unmistakable vocabulary set")
+    ).toDF("doc_id", "text")
+    val out = sampling.leakageSafeSplits(fam, "doc_id", "text",
+      Seq("train" -> 5000, "val" -> 2500, "test" -> 2500), minJ = 0.7)
+    val got = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 20L, 21L))
+    // family purity: 1,2,3 share one split; 10,11 share one split
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(got(10L) == got(11L))
+    // without the component grouping, ids 1/2/3 WOULD split apart —
+    // prove the hazard is real, not vacuously absent
+    val naive = sampling.splitByGroup(
+      fam.withColumn("g", F.col("doc_id")), "g",
+      Seq("train" -> 5000, "val" -> 2500, "test" -> 2500))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(Set(naive(1L), naive(2L), naive(3L), naive(10L), naive(11L)).size > 1)
+  }
+
   test("span dedup cuts windows seen earlier and keeps the first occurrence") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
