@@ -3600,6 +3600,34 @@ object ExtQueries {
       |       ELSE 'test' END AS split
       |FROM bkt ORDER BY doc_id""".stripMargin
 
+  private val embStreamSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming similarity search against the persistent IVF index,
+    * oracled end-to-end: the index is built batch-side over the whole
+    * embeddings table, then the x56 query set arrives as a STREAM and
+    * every micro-batch probes the pre-placed cells via
+    * [[graft.streaming.Streams.annProbeStream]] (foreachBatch → batch
+    * probe → managed-table append). nprobe = nlist makes the result
+    * provably exact, so the oracle is x56's brute-force cosine top-k
+    * replay — the streaming execution path itself is what's under
+    * test (the x61 ≡ x06 and x96 precedents). */
+  def x101StreamingAnnProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    val e = embs(s, dir)
+    graft.functions.index.buildIvfIndex(e, "vec_id", "embedding",
+      "x101_ivf", nlist = 16, iters = 2)
+    val ss = Streams.replaySession(s, partitions = 8)
+    val stream = ss.readStream.schema(embStreamSchema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .filter(F.col("vec_id") < 12)
+    Streams.annProbeStream(stream, "vec_id", "embedding", "x101_ivf",
+      k = 6, nprobe = 16, sinkTable = "x101_ann_hits")
+    ss.table("x101_ann_hits").orderBy("q_id", "rank")
+  }
+
   /** Corpus profile over ROLLUP grouping sets — the one-pass
     * detail/subtotal/total report a curation dashboard reads (per
     * (source, lang), per source, whole corpus). Exercises Spark's
@@ -3794,7 +3822,8 @@ object ExtQueries {
     "x97_jaccard_index_probe" -> (x97JaccardIndexProbe _),
     "x98_incremental_index_lifecycle" -> (x98IncrementalIndexLifecycle _),
     "x99_snapshot_diff" -> (x99SnapshotDiff _),
-    "x100_leakage_safe_splits" -> (x100LeakageSafeSplits _))
+    "x100_leakage_safe_splits" -> (x100LeakageSafeSplits _),
+    "x101_streaming_ann_probe" -> (x101StreamingAnnProbe _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3901,5 +3930,6 @@ object ExtQueries {
     "x97_jaccard_index_probe" -> x97Oracle,
     "x98_incremental_index_lifecycle" -> x98Oracle,
     "x99_snapshot_diff" -> x99Oracle,
-    "x100_leakage_safe_splits" -> x100Oracle)
+    "x100_leakage_safe_splits" -> x100Oracle,
+    "x101_streaming_ann_probe" -> x56Oracle)
 }

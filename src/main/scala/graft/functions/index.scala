@@ -35,7 +35,7 @@ object index {
     * catalog refuses `saveAsTable` onto an existing managed location —
     * LOCATION_ALREADY_EXISTS). A daily index rebuild must not depend on
     * the previous builder's metastore surviving. */
-  private def resetManagedTable(spark: SparkSession, table: String): Unit = {
+  private[graft] def resetManagedTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)

@@ -304,6 +304,34 @@ object Streams {
     c
   }
 
+  /** Streaming similarity search: every micro-batch of query vectors
+    * probes the persistent IVF index
+    * ([[graft.functions.index.buildIvfIndex]]) with the BATCH probe —
+    * cell-pruned scan of the pre-placed cell directories, broadcast
+    * queries, k-bounded heap top-k — and appends the hits to the
+    * managed table `sinkTable`. foreachBatch is the right vehicle, not
+    * a stream-static join: the probe's driver-side cell pruning and
+    * its rank assignment are batch constructs, and a micro-batch IS a
+    * batch. Stateless; the corpus lives in the index tables and never
+    * reshuffles — the continuous-retrieval posture (a query firehose
+    * against a 100 TB embedded corpus) at any scale. Synchronous:
+    * drains the available input, then stops. */
+  def annProbeStream(queries: DataFrame, idCol: String, vecCol: String,
+      indexName: String, k: Int, nprobe: Int, sinkTable: String): Unit = {
+    graft.functions.index.resetManagedTable(queries.sparkSession, sinkTable)
+    val q = queries.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.functions.index.probeIvfIndex(batch.sparkSession, batch.toDF(),
+            idCol, vecCol, indexName, k, nprobe)
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .format("parquet").saveAsTable(sinkTable)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Drive a stream synchronously to a memory sink (testing/smoke). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

@@ -318,4 +318,43 @@ class StreamingSpec extends SparkSpec {
     assert(pairs() == Set((1L, 2L), (1L, 3L)),
       s"late click must not resurrect evicted state: ${pairs()}")
   }
+
+  test("streaming ANN probe accumulates exact top-k across micro-batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_annstream").toString
+    // 12 corpus vectors spread on a circle; index built batch-side
+    def vec(i: Int): Array[Float] = {
+      val a = i * 0.5
+      Array(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+    val corpus = (0L until 12L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    graft.functions.index.buildIvfIndex(corpus, "vec_id", "embedding",
+      "graft_ann_stream_ix", nlist = 4, iters = 2)
+    // two query FILES → maxFilesPerTrigger=1 forces two micro-batches
+    Seq((100L, vec(0))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((101L, vec(6))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    Streams.annProbeStream(stream, "vec_id", "embedding",
+      "graft_ann_stream_ix", k = 3, nprobe = 4, sinkTable = "graft_ann_hits")
+    val got = spark.table("graft_ann_hits").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_id")))
+    // both batches answered, each with exactly k=3 exact neighbors
+    // (nprobe = nlist): nearest on the circle by angular distance
+    assert(got.count(_._1 == 100L) == 3 && got.count(_._1 == 101L) == 3)
+    val top100 = got.filter(_._1 == 100L).sortBy(_._2).map(_._3).toSeq
+    val top101 = got.filter(_._1 == 101L).sortBy(_._2).map(_._3).toSeq
+    // q100 == vec(0): its id-0 twin first (cos 1), then angular
+    // neighbors 1 (0.5 rad) and 11 (0.78 rad effective)
+    assert(top100 == Seq(0L, 1L, 11L), s"q100 got $top100")
+    // q101 == vec(6): twin 6 first, then 5 and 7 (±0.5 rad — float
+    // rounding decides the tie, so assert the SET)
+    assert(top101.head == 6L && top101.toSet == Set(6L, 5L, 7L),
+      s"q101 got $top101")
+  }
 }
