@@ -716,4 +716,56 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(awaitRelease(baseline).isEmpty,
       "training must release its pinned sample")
   }
+
+  test("snapshotDiff shuffles fingerprints, never the documents") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import spark.implicits._
+    // two 400k-row snapshots of ~500-byte docs (≈ 200 MB text per
+    // side): the diff's full-outer join must ship (key, 16-byte md5)
+    // per row, so total shuffle WRITE bytes stay far below the text
+    // volume — the property that makes a 100 TB re-crawl diff sized by
+    // keys, not corpus. Byte metrics summed from stage-completion task
+    // metrics (AQE-proof, the bm25 pattern).
+    val n = 400000L
+    val filler = "x" * 460
+    def snap(rev: org.apache.spark.sql.Column) = spark.range(0, n).select(
+      F.col("id").as("doc_id"),
+      F.concat(F.lit(filler), F.col("id").cast("string"), rev).as("text"))
+    val old = snap(F.lit(""))
+    val nw = snap(F.when(F.pmod(F.col("id"), F.lit(100)) === 0, F.lit("v2"))
+        .otherwise(F.lit("")))
+      .filter(F.pmod(F.col("doc_id"), F.lit(101)) =!= 1)
+    val shuffledBytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffledBytes.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      shuffledBytes.set(0)
+      val diff = graft.functions.layout
+        .snapshotDiff(old, nw, "doc_id", Seq("text"))
+      val byChange = diff.groupBy("change").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // listener delivery is async — settle until the byte count stops
+      // moving (the listener bus itself is private[spark])
+      var prev = -1L
+      var settles = 0
+      while (settles < 3 && prev != shuffledBytes.get()) {
+        prev = shuffledBytes.get(); Thread.sleep(300)
+        if (prev == shuffledBytes.get()) settles += 1 else settles = 0
+      }
+      assert(byChange.getOrElse("removed", 0L) == (n + 100) / 101)
+      // changed = %100==0 rows surviving the %101 removal
+      assert(byChange.getOrElse("changed", 0L) > 3000L)
+      assert(byChange.getOrElse("added", 0L) == 0L)
+      val textBytes = 2 * n * 470 // ≈ both snapshots' text volume
+      assert(shuffledBytes.get() > 0L, "expected shuffle write metrics")
+      assert(shuffledBytes.get() < textBytes / 4,
+        s"snapshotDiff shuffled ${shuffledBytes.get()} bytes — the " +
+          s"fingerprint join must stay far below the $textBytes-byte corpus")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
