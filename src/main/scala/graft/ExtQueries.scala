@@ -3600,6 +3600,65 @@ object ExtQueries {
       |       ELSE 'test' END AS split
       |FROM bkt ORDER BY doc_id""".stripMargin
 
+  /** Sharded training-corpus export ROUND-TRIP under the hash gate: the
+    * documents table is written as 8 deterministic hash shards
+    * ([[graft.functions.layout.writeSharded]] — the layout downstream
+    * trainers consume), then shards {0,3,5} are read back with
+    * partition-listing pruning ([[graft.functions.layout.readSharded]]).
+    * The oracle recomputes the md5 permille shard assignment and the
+    * subset filter — shard membership is a pure function of the key, so
+    * the whole export/claim lifecycle replays cross-engine. */
+  def x102ShardedExportRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_x102_shards_").toString
+    graft.functions.layout.writeSharded(d, out, "doc_id", nShards = 8,
+      maxRecordsPerFile = 200, sortCols = Seq("doc_id"))
+    graft.functions.layout.readSharded(s, out, shards = Seq(0, 3, 5))
+      .select(F.col("doc_id"), F.col("shard"), F.col("lang"))
+      .orderBy("doc_id")
+  }
+
+  private val x102Oracle =
+    """SELECT doc_id,
+      |  CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 8 AS INTEGER) AS shard, lang
+      |FROM documents
+      |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |    AS BIGINT) % 8 IN (0, 3, 5)
+      |ORDER BY doc_id""".stripMargin
+
+  /** The skew remedies under the hash gate: a salted fact-dim join
+    * (events × per-user tier dim, right side replicated `factor` ways)
+    * feeding a salted two-level aggregation — byte-identical to the
+    * plain join + GROUP BY the oracle runs, which is the remedies'
+    * entire contract (SkewSpec asserts it in-engine; this pins it
+    * cross-engine). Double sums go through the DECIMAL(18,4) corridor
+    * on both sides; min/max/count are order-free. */
+  def x103SaltedSkewPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.skew
+    val ev = eventsDf(s, dir)
+    val dim = ev.select(F.col("user_id")).distinct()
+      .withColumn("tier", F.pmod(F.col("user_id"), F.lit(5)))
+    val joined = skew.saltedJoin(ev, dim, Seq("user_id"), factor = 8)
+      .withColumn("v_dec", F.col("value").cast(DecimalType(18, 4)))
+    skew.saltedAgg(joined, Seq("event_type", "tier"), factor = 8,
+        Seq(("n", "event_id", "count"), ("total_dec", "v_dec", "sum"),
+          ("v_min", "value", "min"), ("v_max", "value", "max")))
+      .select(F.col("event_type"), F.col("tier"), F.col("n"),
+        F.col("total_dec").cast(DoubleType).as("total_value"),
+        F.col("v_min"), F.col("v_max"))
+      .orderBy("event_type", "tier")
+  }
+
+  private val x103Oracle =
+    """WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier FROM events)
+      |SELECT e.event_type, d.tier, COUNT(e.event_id) AS n,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  MIN(e.value) AS v_min, MAX(e.value) AS v_max
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin
+
   private val embStreamSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
@@ -3823,7 +3882,9 @@ object ExtQueries {
     "x98_incremental_index_lifecycle" -> (x98IncrementalIndexLifecycle _),
     "x99_snapshot_diff" -> (x99SnapshotDiff _),
     "x100_leakage_safe_splits" -> (x100LeakageSafeSplits _),
-    "x101_streaming_ann_probe" -> (x101StreamingAnnProbe _))
+    "x101_streaming_ann_probe" -> (x101StreamingAnnProbe _),
+    "x102_sharded_export_roundtrip" -> (x102ShardedExportRoundtrip _),
+    "x103_salted_skew_pipeline" -> (x103SaltedSkewPipeline _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3931,5 +3992,7 @@ object ExtQueries {
     "x98_incremental_index_lifecycle" -> x98Oracle,
     "x99_snapshot_diff" -> x99Oracle,
     "x100_leakage_safe_splits" -> x100Oracle,
-    "x101_streaming_ann_probe" -> x56Oracle)
+    "x101_streaming_ann_probe" -> x56Oracle,
+    "x102_sharded_export_roundtrip" -> x102Oracle,
+    "x103_salted_skew_pipeline" -> x103Oracle)
 }
