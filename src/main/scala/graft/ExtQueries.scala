@@ -3659,6 +3659,42 @@ object ExtQueries {
       |FROM events e JOIN dim d ON e.user_id = d.user_id
       |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin
 
+  /** The bucketed CO-LOCATED join lifecycle under the hash gate — the
+    * 100 TB join posture: orders and lineitem are bucketized on the
+    * join key once at write time ([[graft.functions.layout.bucketize]],
+    * one file per bucket after the small-file fix), then the join AND
+    * the same-key aggregation both run with ZERO shuffle exchanges
+    * (plan budget pins it: the only exchange in this query's returned
+    * plan is the final presentation sort). The oracle is the plain
+    * join + GROUP BY — co-location is a physical property, invisible
+    * in the values. */
+  def x104ColocatedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{index, layout}
+    index.resetManagedTable(s, "x104_orders_b")
+    index.resetManagedTable(s, "x104_lineitem_b")
+    val o = s.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = s.read.parquet(s"$dir/lineitem.parquet")
+      .select(F.col("l_orderkey").as("o_orderkey"), F.col("l_quantity"))
+    layout.bucketize(o, "x104_orders_b", Seq("o_orderkey"), buckets = 16)
+    layout.bucketize(l, "x104_lineitem_b", Seq("o_orderkey"), buckets = 16)
+    layout.coLocatedJoin(s, "x104_orders_b", "x104_lineitem_b",
+        Seq("o_orderkey"), forceMerge = true)
+      .groupBy("o_orderkey")
+      .agg(F.count(F.lit(1)).as("n_items"),
+        F.sum(F.col("l_quantity").cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_qty"),
+        F.max("o_totalprice").as("total_price"))
+      .orderBy("o_orderkey")
+  }
+
+  private val x104Oracle =
+    """SELECT o.o_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  MAX(o.o_totalprice) AS total_price
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
+
   private val embStreamSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
@@ -3884,7 +3920,8 @@ object ExtQueries {
     "x100_leakage_safe_splits" -> (x100LeakageSafeSplits _),
     "x101_streaming_ann_probe" -> (x101StreamingAnnProbe _),
     "x102_sharded_export_roundtrip" -> (x102ShardedExportRoundtrip _),
-    "x103_salted_skew_pipeline" -> (x103SaltedSkewPipeline _))
+    "x103_salted_skew_pipeline" -> (x103SaltedSkewPipeline _),
+    "x104_colocated_join" -> (x104ColocatedJoin _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -3994,5 +4031,6 @@ object ExtQueries {
     "x100_leakage_safe_splits" -> x100Oracle,
     "x101_streaming_ann_probe" -> x56Oracle,
     "x102_sharded_export_roundtrip" -> x102Oracle,
-    "x103_salted_skew_pipeline" -> x103Oracle)
+    "x103_salted_skew_pipeline" -> x103Oracle,
+    "x104_colocated_join" -> x104Oracle)
 }

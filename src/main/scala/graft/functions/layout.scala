@@ -28,10 +28,18 @@ object layout {
 
   /** Join two tables previously bucketized on the same keys with the same
     * bucket count: Catalyst sees the matching output partitioning and
-    * plans a shuffle-free sort-merge join. */
+    * plans a shuffle-free sort-merge join. `forceMerge` adds the MERGE
+    * hint — at small test scale the optimizer would otherwise pick a
+    * broadcast join (fine, but it hides the co-location), while at
+    * production scale neither side broadcasts and the hint is what the
+    * planner does anyway. */
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-      keys: Seq[String], how: String = "inner"): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), keys, how)
+      keys: Seq[String], how: String = "inner",
+      forceMerge: Boolean = false): DataFrame = {
+    val left = spark.table(leftTable)
+    val l = if (forceMerge) left.hint("merge") else left
+    l.join(spark.table(rightTable), keys, how)
+  }
 
   /** Count shuffle exchanges in a plan (diagnostic for tests/tuning). */
   def shuffleCount(df: DataFrame): Int =
