@@ -269,6 +269,35 @@ class EmptyInputSpec extends SparkSpec {
       distributedLoop = true).isEmpty, "trainMerges distributed path")
   }
 
+  test("snapshotDiff with each side empty, leakage splits and co-located join on empty") {
+    val oldS = docsSmall.select("doc_id", "text")
+    val new0 = docs0.select("doc_id", "text")
+    // empty new snapshot: everything is `removed`; empty old: `added`
+    val allRemoved = layout.snapshotDiff(oldS, new0, "doc_id", Seq("text"))
+    assert(allRemoved.count() == 20 &&
+      allRemoved.where(F.col("change") =!= "removed").count() == 0,
+      "snapshotDiff empty-new must classify every old row removed")
+    val allAdded = layout.snapshotDiff(new0, oldS, "doc_id", Seq("text"))
+    assert(allAdded.count() == 20 &&
+      allAdded.where(F.col("change") =!= "added").count() == 0,
+      "snapshotDiff empty-old must classify every new row added")
+    assertEmpty(layout.snapshotDiff(new0, new0, "doc_id", Seq("text")),
+      "snapshotDiff both empty")
+    assertEmpty(sampling.leakageSafeSplits(docs0, "doc_id", "text",
+      Seq("train" -> 9000, "test" -> 1000)), "leakageSafeSplits")
+    dedup.unpersistAll()
+  }
+
+  test("IVF index probe with an empty query batch (the streaming ANN empty micro-batch)") {
+    graft.functions.index.buildIvfIndex(embSmall, "vec_id", "embedding",
+      "graft_empty_ivf", nlist = 4, iters = 1)
+    assertEmpty(graft.functions.index.probeIvfIndex(spark,
+      emb0, "vec_id", "embedding", "graft_empty_ivf", k = 3, nprobe = 4),
+      "probeIvfIndex empty batch")
+    spark.sql("DROP TABLE IF EXISTS graft_empty_ivf_cells")
+    spark.sql("DROP TABLE IF EXISTS graft_empty_ivf_centroids")
+  }
+
   test("layout, profile and the curation composite on an empty corpus") {
     assertEmpty(layout.zorderBy(docs0.withColumn("a", F.lit(1L))
       .withColumn("b", F.lit(2L)), Seq("a", "b")), "zorderBy")
