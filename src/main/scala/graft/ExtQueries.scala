@@ -3695,6 +3695,90 @@ object ExtQueries {
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
 
+  /** EXACT set-similarity join via global-frequency prefix filtering
+    * ([[graft.functions.dedup.similarityJoinPrefix]]) — the complete
+    * counterpart to x02's LSH candidates: every 3-shingle-Jaccard ≥ 0.6
+    * pair, guaranteed (prefix filtering is lossless), no quadratic
+    * scan. The oracle IS the quadratic scan — at sf the engine must
+    * reproduce it exactly, candidate pruning and all. Jaccard is one
+    * IEEE division of exact small integers, so the doubles hash-match
+    * cross-engine without rounding (the x02 precedent). */
+  def x105SimilarityJoinPrefix(s: SparkSession, dir: String): DataFrame =
+    dedup.similarityJoinPrefix(docs(s, dir), "doc_id", "text",
+        k = 3, minJ = 0.6)
+      .orderBy("id_a", "id_b")
+
+  private val x105Oracle =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |  (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |  (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |   - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.6
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Corpus heavy hitters via the mergeable Misra–Gries sketch
+    * aggregate ([[graft.plans.HeavyHitters]], exposed as
+    * [[graft.functions.text.heavyHitters]]): top-30 3-shingles by
+    * occurrence count. The corpus vocabulary (31 base tokens → ≤ 29 791
+    * distinct 3-shingles) stays below the 65 536-counter capacity, so
+    * the sketch is provably EXACT here and the oracle is the plain
+    * GROUP BY count — while the PLAN is the scale shape: partial
+    * sketch buffers bounded at `capacity` per task, no item-grain
+    * shuffle. The approximate regime (capacity < distinct) is pinned
+    * by HeavyHittersSpec's error-bound checks. */
+  def x106HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val items = docs(s, dir).select(
+      F.explode(dedup.shingleStrings(F.col("text"), 3)).as("item"))
+    text.heavyHitters(items, "item", capacity = 65536, topK = 30)
+      .orderBy("rank")
+  }
+
+  private val x106Oracle =
+    """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |sh AS (SELECT CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS s
+      |  FROM tk),
+      |it AS (SELECT unnest(s) AS item FROM sh),
+      |cn AS (SELECT item, COUNT(*) AS cnt FROM it GROUP BY item)
+      |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, item) AS BIGINT)
+      |    AS rank, item, cnt
+      |FROM cn ORDER BY cnt DESC, item LIMIT 30""".stripMargin
+
+  /** Weighted sampling without replacement
+    * ([[graft.functions.sampling.weightedSample]], Efraimidis–Spirakis
+    * exponential race): 100 documents drawn with probability
+    * proportional to n_chars. u = (md5-52-bit + 1)/2^52 is bit-exact
+    * cross-engine (mantissa-sized integer over a power of two), so the
+    * oracle replays the full selection ORDER BY −ln(u)/w; only ids and
+    * carried columns are emitted (the key itself is transcendental). */
+  def x107WeightedSample(s: SparkSession, dir: String): DataFrame =
+    sampling.weightedSample(docs(s, dir), "doc_id", "n_chars", 100)
+      .select(F.col("doc_id"), F.col("source"), F.col("n_chars"))
+      .orderBy("doc_id")
+
+  private val x107Oracle =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars > 0
+      |  ORDER BY -ln((CAST(concat('0x',
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+      |      + 1) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) ASC,
+      |    doc_id ASC
+      |  LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   private val embStreamSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
@@ -3921,7 +4005,10 @@ object ExtQueries {
     "x101_streaming_ann_probe" -> (x101StreamingAnnProbe _),
     "x102_sharded_export_roundtrip" -> (x102ShardedExportRoundtrip _),
     "x103_salted_skew_pipeline" -> (x103SaltedSkewPipeline _),
-    "x104_colocated_join" -> (x104ColocatedJoin _))
+    "x104_colocated_join" -> (x104ColocatedJoin _),
+    "x105_similarity_join_prefix" -> (x105SimilarityJoinPrefix _),
+    "x106_heavy_hitters" -> (x106HeavyHitters _),
+    "x107_weighted_sample" -> (x107WeightedSample _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4032,5 +4119,8 @@ object ExtQueries {
     "x101_streaming_ann_probe" -> x56Oracle,
     "x102_sharded_export_roundtrip" -> x102Oracle,
     "x103_salted_skew_pipeline" -> x103Oracle,
-    "x104_colocated_join" -> x104Oracle)
+    "x104_colocated_join" -> x104Oracle,
+    "x105_similarity_join_prefix" -> x105Oracle,
+    "x106_heavy_hitters" -> x106Oracle,
+    "x107_weighted_sample" -> x107Oracle)
 }

@@ -378,4 +378,47 @@ object sampling {
     withB.join(F.broadcast(kept), Seq(sourceCol, "_tb_bucket"))
       .drop("_tb_bucket")
   }
+
+  /** WEIGHTED sampling without replacement — n rows where a row's
+    * inclusion odds are proportional to `weightCol` (e.g. sample
+    * documents by token count so the sample's token mass mirrors the
+    * corpus). The public Efraimidis–Spirakis exponential-race scheme
+    * (IPL 2006): each row draws key = −ln(u)/w and the n SMALLEST keys
+    * win, which is distributionally identical to sequential
+    * weighted draws without replacement.
+    *
+    * Determinism/portability: u is not RNG but md5-derived — the first
+    * 13 hex digits (52 bits, exactly a double mantissa) of md5(key),
+    * so u = (h+1)/2^52 ∈ (0,1] is bit-exact in any engine with md5:
+    * the integer fits the mantissa and the divisor is a power of two,
+    * so no rounding occurs before the single ln. An oracle replays the
+    * selection with `ORDER BY -ln((CAST(concat('0x', substring(md5(x),
+    * 1, 13)) AS BIGINT) + 1) / 4503599627370496.0) / w LIMIT n`.
+    *
+    * Scale: the same no-global-sort shape as [[deterministicSample]] —
+    * partition-local top-n (a bounded per-partition window), then a
+    * global rank over the ≤ n·partitions survivors; the full corpus is
+    * never sorted or shuffled whole. Rows with NULL or non-positive
+    * weight are excluded (their inclusion probability is 0; −ln(u)/w
+    * would be negative or undefined). */
+  def weightedSample(df: DataFrame, key: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"weightedSample: n must be >= 1 (got $n)")
+    import org.apache.spark.sql.expressions.Window
+    val h = F.conv(F.substring(F.md5(F.col(key).cast(StringType)), 1, 13),
+      16, 10).cast(LongType)
+    val u = (h + 1).cast(DoubleType) / F.lit(4503599627370496.0) // 2^52
+    val es = -F.log(u) / F.col(weightCol).cast(DoubleType)
+    val local = Window.partitionBy(F.col("_ws_pid"))
+      .orderBy(F.col("_ws_k").asc, F.col(key).asc)
+    val global = Window.orderBy(F.col("_ws_k").asc, F.col(key).asc)
+    df.filter(F.col(weightCol).isNotNull && F.col(weightCol) > 0)
+      .withColumn("_ws_k", es)
+      .withColumn("_ws_pid", F.spark_partition_id())
+      .withColumn("_ws_lr", F.row_number().over(local))
+      .filter(F.col("_ws_lr") <= n)
+      .withColumn("_ws_gr", F.row_number().over(global))
+      .filter(F.col("_ws_gr") <= n)
+      .drop("_ws_k", "_ws_pid", "_ws_lr", "_ws_gr")
+  }
 }

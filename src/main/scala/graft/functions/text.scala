@@ -502,4 +502,29 @@ object text {
         F.round(F.sum(F.col("tf").cast(DecimalType(9, 0)) * F.col("_nll"))
           .cast(DoubleType) / F.sum("tf").cast(DoubleType), 5).as("nll"))
   }
+
+  /** Corpus-wide heavy hitters over an item-grain column (one row per
+    * token/domain/shingle occurrence) via the Misra–Gries sketch
+    * aggregate [[graft.plans.HeavyHitters]]. Returns
+    * `(rank, item, cnt)` — the `topK` largest surviving counters,
+    * rank 1 = most frequent, ties broken by item ascending.
+    *
+    * Scale: the plan is a single global aggregate whose PARTIAL buffers
+    * are bounded at `capacity` counters, so the shuffle moves
+    * ≤ capacity rows per input task — a `GROUP BY item ... LIMIT k`
+    * would shuffle the full distinct vocabulary instead. Counts are
+    * exact while the corpus' distinct-item count stays ≤ capacity
+    * (the oracle regime) and otherwise are lower bounds within
+    * N/(capacity+1), with every item above that frequency guaranteed
+    * present. */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, itemCol: String,
+      capacity: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(capacity >= 1 && topK >= 1,
+      s"heavyHitters: capacity and topK must be >= 1 (got $capacity, $topK)")
+    df.agg(F.call_function("graft_heavy_hitters",
+        F.col(itemCol), F.lit(capacity), F.lit(topK)).as("_hh"))
+      .select(F.posexplode(F.col("_hh")).as(Seq("_pos", "_e")))
+      .select((F.col("_pos") + 1).cast(LongType).as("rank"),
+        F.col("_e.item").as("item"), F.col("_e.cnt").as("cnt"))
+  }
 }

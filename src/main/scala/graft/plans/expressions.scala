@@ -1523,6 +1523,199 @@ object BoundedTopK {
   }
 }
 
+/** Misra–Gries heavy-hitters sketch as a mergeable
+  * `TypedImperativeAggregate` — `graft_heavy_hitters(item, capacity, k)`
+  * returns the k largest surviving counters as a sorted
+  * `array<struct<item string, cnt bigint>>` (order: cnt DESC, item ASC
+  * by binary string compare — the tie order a SQL
+  * `ORDER BY cnt DESC, item` replays).
+  *
+  * Why an aggregate and not `GROUP BY item ORDER BY count DESC LIMIT k`:
+  * the group-by shuffles at ITEM grain — every distinct token of a
+  * 100 TB corpus crosses the wire once per map partition. The sketch
+  * map-side-combines into a buffer of at most `capacity` counters, so
+  * the shuffle carries ≤ capacity rows per input task regardless of
+  * corpus vocabulary, and the final merge is one bounded reduce.
+  *
+  * Guarantees (the public Misra–Gries 1982 bounds; merge rule after
+  * Agarwal et al., "Mergeable Summaries", PODS 2012): every reported
+  * count is a LOWER bound on the true frequency, within N/(capacity+1)
+  * of it (N = total items); any item with true frequency >
+  * N/(capacity+1) survives the sketch. When the number of distinct
+  * items never exceeds `capacity` no counter is ever decremented and
+  * the result is EXACT — the regime the cross-engine oracle runs in;
+  * the approximate regime is pinned by HeavyHittersSpec. NULL items are
+  * skipped. `capacity` and `k` must be literal INTs >= 1.
+  */
+case class HeavyHitters(item: Expression, capacity: Expression, k: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[HeavyHitters.Buffer] {
+
+  private lazy val capVal: Int = capacity.eval().asInstanceOf[Number].intValue()
+  private lazy val kVal: Int = k.eval().asInstanceOf[Number].intValue()
+
+  override def children: Seq[Expression] = Seq(item, capacity, k)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(item = newChildren(0), capacity = newChildren(1), k = newChildren(2))
+  override def withNewMutableAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HeavyHitters =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType), StructField("cnt", LongType))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (item.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("graft_heavy_hitters: item must be STRING")
+    else if (capacity.dataType != IntegerType || !capacity.foldable ||
+        capacity.eval() == null ||
+        capacity.eval().asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_heavy_hitters: capacity must be a literal INT >= 1")
+    else if (k.dataType != IntegerType || !k.foldable || k.eval() == null ||
+        k.eval().asInstanceOf[Number].intValue() < 1)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_heavy_hitters: k must be a literal INT >= 1")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def createAggregationBuffer(): HeavyHitters.Buffer =
+    new HeavyHitters.Buffer(capVal)
+
+  override def update(buf: HeavyHitters.Buffer,
+      input: org.apache.spark.sql.catalyst.InternalRow): HeavyHitters.Buffer = {
+    val it = item.eval(input)
+    // the UTF8String is buffer-backed; Buffer.add clones only on first
+    // insert (the common hit path increments an existing counter)
+    if (it != null) buf.add(it.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    buf
+  }
+
+  override def merge(buf: HeavyHitters.Buffer,
+      other: HeavyHitters.Buffer): HeavyHitters.Buffer = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  override def eval(buf: HeavyHitters.Buffer): Any = {
+    val sorted = buf.entries.sortWith { (a, b) =>
+      if (a._2 != b._2) a._2 > b._2 else a._1.compareTo(b._1) < 0
+    }.take(kVal)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sorted.map { case (s, c) =>
+        org.apache.spark.sql.catalyst.InternalRow(s, c)
+      }.toArray[Any])
+  }
+
+  override def serialize(buf: HeavyHitters.Buffer): Array[Byte] = {
+    val es = buf.entries
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(es.length)
+    es.foreach { case (s, c) =>
+      val bytes = s.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(c)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): HeavyHitters.Buffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var j = 0
+    while (j < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.put(org.apache.spark.unsafe.types.UTF8String.fromBytes(b), in.readLong())
+      j += 1
+    }
+    buf
+  }
+
+  override def prettyName: String = "graft_heavy_hitters"
+}
+
+object HeavyHitters {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** At most `cap` (item → count) counters. Hits increment; misses
+    * insert while room remains, else decrement EVERY counter by one and
+    * drop zeros (the arriving item is not inserted) — the classic
+    * Misra–Gries step. Each decrement sweep costs O(cap) but consumes
+    * cap+1 units of arrived count, so total update work is O(N). */
+  final class Buffer(cap: Int) {
+    private val map = new java.util.HashMap[UTF8String, java.lang.Long]()
+
+    def add(s: UTF8String): Unit = {
+      val cur = map.get(s)
+      if (cur ne null) map.put(s, java.lang.Long.valueOf(cur.longValue + 1L))
+      else if (map.size < cap) map.put(s.clone(), java.lang.Long.valueOf(1L))
+      else decrementAll()
+    }
+
+    /** raw insert for merge/deserialize (s already owned by caller). */
+    def put(s: UTF8String, c: Long): Unit = {
+      val cur = map.get(s)
+      val v = if (cur ne null) cur.longValue + c else c
+      map.put(s, java.lang.Long.valueOf(v))
+    }
+
+    private def decrementAll(): Unit = {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue.longValue
+        if (v <= 1L) it.remove()
+        else e.setValue(java.lang.Long.valueOf(v - 1L))
+      }
+    }
+
+    /** Mergeable-summaries combine: sum counters, then if over capacity
+      * subtract the (cap+1)-th largest count from all and drop <= 0 —
+      * restores size <= cap while keeping the N/(cap+1) error bound. */
+    def mergeFrom(other: Buffer): Unit = {
+      other.map.forEach((s, c) => put(s, c.longValue))
+      if (map.size > cap) {
+        val counts = new Array[Long](map.size)
+        var i = 0
+        val vi = map.values().iterator()
+        while (vi.hasNext) { counts(i) = vi.next().longValue; i += 1 }
+        java.util.Arrays.sort(counts)
+        // (cap+1)-th largest = counts[size - cap - 1] ascending
+        val sub = counts(counts.length - cap - 1)
+        val it = map.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val v = e.getValue.longValue
+          if (v <= sub) it.remove()
+          else e.setValue(java.lang.Long.valueOf(v - sub))
+        }
+      }
+    }
+
+    def entries: Array[(UTF8String, Long)] = {
+      val out = new Array[(UTF8String, Long)](map.size)
+      var i = 0
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        out(i) = (e.getKey, e.getValue.longValue)
+        i += 1
+      }
+      out
+    }
+  }
+}
+
 /** Session extensions registering graft's native functions; install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` (all graft
   * entry points do). */
@@ -1620,6 +1813,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               "actualNum" -> children.size.toString,
               "docroot" -> "https://spark.apache.org/docs/latest"))
         BoundedTopK(children(0), children(1), children(2))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, null, "graft_heavy_hitters",
+        "graft_heavy_hitters(item, capacity, k) - Aggregate: Misra-Gries " +
+          "heavy-hitters sketch over STRING items with at most `capacity` " +
+          "counters; returns the k largest surviving counters as a sorted " +
+          "array<struct<item,cnt>> (cnt DESC, item ASC). Counts are lower " +
+          "bounds within N/(capacity+1) of true frequency; exact when the " +
+          "distinct-item count never exceeds capacity. NULL items are " +
+          "skipped. capacity and k must be literal INTs >= 1.", null),
+      (children: Seq[Expression]) => {
+        if (children.size != 3)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", Map(
+              "functionName" -> "`graft_heavy_hitters`", "expectedNum" -> "3",
+              "actualNum" -> children.size.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        HeavyHitters(children(0), children(1), children(2))
       }))
   }
 }

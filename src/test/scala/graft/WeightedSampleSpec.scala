@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.functions.sampling
+
+/** [[graft.functions.sampling.weightedSample]] — Efraimidis–Spirakis
+  * weighted sampling without replacement over deterministic md5 draws:
+  * equivalence to the brute-force global sort, weight monotonicity,
+  * hygiene on degenerate weights, and partitioning invariance. */
+class WeightedSampleSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+
+  /** the ES key exactly as the operator computes it */
+  private def esKey(key: String, w: String) = {
+    val h = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 13),
+      16, 10).cast("long")
+    -F.log((h + 1).cast("double") / F.lit(4503599627370496.0)) /
+      F.col(w).cast("double")
+  }
+
+  test("equals the brute-force global ORDER BY key LIMIT n") {
+    val got = sampling.weightedSample(docs, "doc_id", "n_chars", 150)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.filter(F.col("n_chars") > 0)
+      .withColumn("_k", esKey("doc_id", "n_chars"))
+      .orderBy(F.col("_k").asc, F.col("doc_id").asc)
+      .limit(150).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"selection diverges from the global sort " +
+      s"(sym diff ${(got -- want) ++ (want -- got)})")
+  }
+
+  test("partitioning does not change the sample") {
+    val a = sampling.weightedSample(docs.repartition(17), "doc_id", "n_chars", 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = sampling.weightedSample(docs.coalesce(1), "doc_id", "n_chars", 80)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("weights drive inclusion odds: the heavy stratum dominates") {
+    import spark.implicits._
+    // 1000 rows, half weight 9, half weight 1 — a 200-row sample should
+    // hold ~9x more heavy rows than light (deterministic given md5;
+    // binomial fluctuation bounds are loose on purpose)
+    val df = (0L until 1000L)
+      .map(i => (i, if (i % 2 == 0) 9L else 1L)).toDF("id", "w")
+    val sample = sampling.weightedSample(df, "id", "w", 200).collect()
+    val heavy = sample.count(_.getLong(1) == 9L)
+    assert(heavy > 140 && heavy < 200,
+      s"heavy stratum got $heavy of 200 — expected ~90% under 9:1 weights")
+    // a single overwhelming weight is effectively always selected
+    val spiked = df.union(Seq((100000L, 1000000000L)).toDF("id", "w"))
+    val top = sampling.weightedSample(spiked, "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(top.contains(100000L), "the 1e9-weight row must be sampled")
+  }
+
+  test("null and non-positive weights are excluded; n > corpus returns all eligible") {
+    import spark.implicits._
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)),
+      (5L, Some(1L))).toDF("id", "w")
+    val got = sampling.weightedSample(df, "id", "w", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 5L))
+    assert(sampling.weightedSample(df.where(F.lit(false)), "id", "w", 10)
+      .count() == 0L)
+  }
+}
