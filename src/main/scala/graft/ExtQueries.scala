@@ -3779,6 +3779,35 @@ object ExtQueries {
       |  LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  /** x106's heavy-hitter report computed by the STREAMING path
+    * ([[graft.streaming.Streams.heavyHittersStream]]): the documents
+    * table arrives as a file stream, 3-shingles explode map-side and
+    * fold into per-partition Misra–Gries state buffers (bounded at the
+    * 65 536-counter capacity, exact in this vocabulary), and the
+    * Complete-mode sink emits the final sketch — which must equal the
+    * batch GROUP BY, so the oracle is x106's. What's under test is the
+    * real micro-batch machinery maintaining sketch state, not a
+    * re-derivation (the x85/x96/x101 precedent). */
+  def x108StreamingHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x108_stream_sink_${streamSinkIds.incrementAndGet()}"
+    val ss = Streams.replaySession(s, partitions = 8)
+    val items = ss.readStream.schema(docStreamSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .select(F.explode(dedup.shingleStrings(F.col("text"), 3)).as("item"))
+    val sketch = Streams.heavyHittersStream(items, "item",
+      capacity = 65536, topK = 30)
+    Streams.runToMemory(sketch, name, OutputMode.Complete())
+    val out = ss.table(name)
+      .select(F.posexplode(F.col("hh")).as(Seq("_pos", "_e")))
+      .select((F.col("_pos") + 1).cast(LongType).as("rank"),
+        F.col("_e.item").as("item"), F.col("_e.cnt").as("cnt"))
+      .orderBy("rank")
+    ss.catalog.dropTempView(name)
+    out
+  }
+
   private val embStreamSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),
@@ -4008,7 +4037,8 @@ object ExtQueries {
     "x104_colocated_join" -> (x104ColocatedJoin _),
     "x105_similarity_join_prefix" -> (x105SimilarityJoinPrefix _),
     "x106_heavy_hitters" -> (x106HeavyHitters _),
-    "x107_weighted_sample" -> (x107WeightedSample _))
+    "x107_weighted_sample" -> (x107WeightedSample _),
+    "x108_streaming_heavy_hitters" -> (x108StreamingHeavyHitters _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4122,5 +4152,6 @@ object ExtQueries {
     "x104_colocated_join" -> x104Oracle,
     "x105_similarity_join_prefix" -> x105Oracle,
     "x106_heavy_hitters" -> x106Oracle,
-    "x107_weighted_sample" -> x107Oracle)
+    "x107_weighted_sample" -> x107Oracle,
+    "x108_streaming_heavy_hitters" -> x106Oracle)
 }

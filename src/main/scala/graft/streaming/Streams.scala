@@ -332,6 +332,27 @@ object Streams {
     q.stop()
   }
 
+  /** Streaming heavy hitters: the Misra–Gries sketch aggregate
+    * ([[graft.plans.HeavyHitters]]) as a Complete-mode streaming
+    * aggregation over an item-grain stream (tokens, domains,
+    * shingles). State per shuffle partition is ONE serialized sketch
+    * buffer — at most `capacity` counters — regardless of how many
+    * distinct items the stream has carried, so the state store stays
+    * bounded forever where a streaming `GROUP BY item` would grow with
+    * the live vocabulary. Each micro-batch's partial sketches merge
+    * into the stored buffer through the aggregate's own merge rule,
+    * preserving the N/(capacity+1) error bound cumulatively (exact
+    * while cumulative distinct ≤ capacity). Emits the single-row
+    * sketch array; explode it batch-side (see
+    * [[graft.functions.text.heavyHitters]] for the batch shape). */
+  def heavyHittersStream(items: DataFrame, itemCol: String,
+      capacity: Int, topK: Int): DataFrame = {
+    require(capacity >= 1 && topK >= 1,
+      s"heavyHittersStream: capacity and topK must be >= 1 (got $capacity, $topK)")
+    items.agg(F.call_function("graft_heavy_hitters",
+      F.col(itemCol), F.lit(capacity), F.lit(topK)).as("hh"))
+  }
+
   /** Drive a stream synchronously to a memory sink (testing/smoke). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

@@ -768,4 +768,56 @@ class ScaleSmokeSpec extends SparkSpec {
           s"fingerprint join must stay far below the $textBytes-byte corpus")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("similarityJoinPrefix resolves 20k planted dups in a 170k corpus under the posting cap") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val pins0 = pinBaseline
+    // 100k unique 10-word docs (30000-word vocab), an exact copy of
+    // each of the first 20k, and 50k copies of one boilerplate sentence
+    // over a DISJOINT vocabulary. Uncapped, the boilerplate's prefix
+    // postings alone would emit 3 × C(50k,2) ≈ 3.7e9 candidate rows;
+    // maxPosting = 1000 keeps each posting's smallest-id members, so
+    // the candidate join and its distinct stay around C(1000,2) ≈ 5e5
+    // while every planted (i, copy-of-i) pair still resolves at J = 1.
+    def words(c: org.apache.spark.sql.Column, n: Int) =
+      F.concat_ws(" ", (0 until n).map(i =>
+        F.concat(F.lit("w"), F.pmod(F.xxhash64(c, F.lit(i)), F.lit(30000)))): _*)
+    val cap = 1000
+    val base = spark.range(0, 100000).select(
+      F.col("id").as("doc_id"), words(F.col("id"), 10).as("text"))
+    val copies = spark.range(0, 20000).select(
+      (F.col("id") + 1000000L).as("doc_id"), words(F.col("id"), 10).as("text"))
+    val boiler = spark.range(0, 50000).select(
+      (F.col("id") + 2000000L).as("doc_id"),
+      F.lit("bz0 bz1 bz2 bz3 bz4 bz5 bz6 bz7 bz8 bz9").as("text"))
+    val corpus = base.unionByName(copies).unionByName(boiler)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = dedup.similarityJoinPrefix(corpus, "doc_id", "text",
+        k = 1, minJ = 0.8, maxPosting = cap)
+      val agg = pairs.agg(
+        F.sum(F.when(F.col("id_a") < 1000000L && F.col("id_b") >= 1000000L
+          && F.col("id_b") < 2000000L
+          && F.col("id_b") === F.col("id_a") + 1000000L, 1L).otherwise(0L)),
+        F.sum(F.when(F.col("id_a") >= 2000000L, 1L).otherwise(0L)))
+      val qe = agg.queryExecution
+      val row = agg.head()
+      assert(row.getLong(0) == 20000L,
+        s"planted copy pairs resolved: ${row.getLong(0)} of 20000")
+      assert(row.getLong(1) == cap.toLong * (cap - 1) / 2,
+        s"boilerplate pairs must be exactly C(cap,2): ${row.getLong(1)}")
+      // the cap's bound, metrics-proven: no exchange anywhere in the
+      // plan moves more than a few multiples of the token grain
+      // (1.7M token rows) — uncapped the candidate distinct alone
+      // would shuffle ~1.2e9 pair rows
+      val exchanges = qe.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.metrics("shuffleRecordsWritten").value
+      }
+      val bound = 6000000L
+      exchanges.foreach(r => assert(r <= bound,
+        s"an exchange moved $r records (> $bound) — posting cap not bounding: $exchanges"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(awaitRelease(pins0).isEmpty)
+  }
 }

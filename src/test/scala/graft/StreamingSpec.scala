@@ -357,4 +357,30 @@ class StreamingSpec extends SparkSpec {
     assert(top101.head == 6L && top101.toSet == Set(6L, 5L, 7L),
       s"q101 got $top101")
   }
+
+  test("streaming heavy hitters merge sketch state across micro-batches") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_hhstream").toString
+    // two FILES → maxFilesPerTrigger=1 forces two micro-batches whose
+    // counts only agree with batch if the stored sketch buffer merges
+    // (batch 1 alone would report a=2,b=1; batch 2 flips the order)
+    Seq("a", "a", "b").toDF("item").coalesce(1)
+      .write.mode("append").parquet(dir)
+    Seq("b", "b", "b", "c").toDF("item").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val schema = StructType(Seq(StructField("item", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val name = "graft_hh_stream_sink"
+    Streams.runToMemory(
+      Streams.heavyHittersStream(stream, "item", capacity = 16, topK = 3),
+      name, OutputMode.Complete())
+    val got = spark.table(name)
+      .select(F.explode(F.col("hh")).as("e"))
+      .select(F.col("e.item"), F.col("e.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    spark.catalog.dropTempView(name)
+    assert(got == Seq(("b", 4L), ("a", 2L), ("c", 1L)),
+      s"cumulative sketch after two batches: $got")
+  }
 }
