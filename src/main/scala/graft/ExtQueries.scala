@@ -3779,6 +3779,64 @@ object ExtQueries {
       |  LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  /** Product-quantization ADC top-k
+    * ([[graft.functions.similarity.pqTopK]], Jégou et al.'s PQ): 64-d
+    * float vectors compressed to 8 codeword ints (8 subspaces × 16
+    * codewords), queries ranked by asymmetric-distance table lookups
+    * against the CODES — the memory layout that fits billion-vector
+    * ANN in RAM. Unlike IVF's nprobe = nlist trick the ADC ranking is
+    * approximate BY CONSTRUCTION, so the oracle replays the entire
+    * machinery — md5-ordered seeding (iters = 0, sample = whole corpus
+    * at this sf), per-subspace argmin encoding with smallest-index
+    * ties, index-order distance-table sums — rather than comparing to
+    * brute force; every arithmetic step is an index-order double fold
+    * both engines compute bit-identically. Recall vs brute force and
+    * the lossless-codebook exactness case are pinned in PqAnnSpec. */
+  def x109PqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.pqTopK(e, e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        m = 8, ksub = 16, k = 5, iters = 0, portableSeed = true)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x109Oracle =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |seeds AS (
+      |  SELECT embedding, ROW_NUMBER() OVER (
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+      |  FROM e QUALIFY c <= 16),
+      |cb AS (
+      |  SELECT t.s, seeds.c - 1 AS c,
+      |    list_transform(seeds.embedding[t.s*8+1 : t.s*8+8],
+      |      x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM seeds CROSS JOIN generate_series(0, 7) AS t(s)),
+      |enc0 AS (
+      |  SELECT e.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(list_zip(e.embedding[cb.s*8+1 : cb.s*8+8], cb.cv),
+      |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) AS d2
+      |  FROM e CROSS JOIN cb),
+      |codes AS (
+      |  SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+      |    FROM enc0) WHERE rn = 1 GROUP BY vec_id),
+      |q AS (SELECT vec_id, embedding FROM e WHERE vec_id < 8),
+      |dt0 AS (
+      |  SELECT q.vec_id AS q_id, cb.s, cb.c,
+      |    list_sum(list_transform(list_zip(q.embedding[cb.s*8+1 : cb.s*8+8], cb.cv),
+      |      p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))) AS d2
+      |  FROM q CROSS JOIN cb),
+      |dtl AS (SELECT q_id, list(d2 ORDER BY s, c) AS dt FROM dt0 GROUP BY q_id),
+      |scored AS (
+      |  SELECT dtl.q_id, codes.vec_id AS n_id,
+      |    list_sum(list_transform(generate_series(0, 7),
+      |      s -> dt[s*16 + codes[s+1] + 1])) AS adc_dist
+      |  FROM codes CROSS JOIN dtl WHERE codes.vec_id != dtl.q_id)
+      |SELECT q_id, n_id, adc_dist, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist ASC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** x106's heavy-hitter report computed by the STREAMING path
     * ([[graft.streaming.Streams.heavyHittersStream]]): the documents
     * table arrives as a file stream, 3-shingles explode map-side and
@@ -4038,7 +4096,8 @@ object ExtQueries {
     "x105_similarity_join_prefix" -> (x105SimilarityJoinPrefix _),
     "x106_heavy_hitters" -> (x106HeavyHitters _),
     "x107_weighted_sample" -> (x107WeightedSample _),
-    "x108_streaming_heavy_hitters" -> (x108StreamingHeavyHitters _))
+    "x108_streaming_heavy_hitters" -> (x108StreamingHeavyHitters _),
+    "x109_pq_adc_topk" -> (x109PqAdcTopK _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4153,5 +4212,6 @@ object ExtQueries {
     "x105_similarity_join_prefix" -> x105Oracle,
     "x106_heavy_hitters" -> x106Oracle,
     "x107_weighted_sample" -> x107Oracle,
-    "x108_streaming_heavy_hitters" -> x106Oracle)
+    "x108_streaming_heavy_hitters" -> x106Oracle,
+    "x109_pq_adc_topk" -> x109Oracle)
 }

@@ -514,6 +514,150 @@ object similarity {
     sampling.temperatureSample(assigned, idCol, "cluster", alpha, targetRows)
   }
 
+  /** Train product-quantization codebooks (the public PQ scheme of
+    * Jégou et al., TPAMI 2011): the vector space is split into `m`
+    * contiguous subspaces of dim/m components and each gets its own
+    * `ksub`-codeword codebook, trained by Lloyd iterations over a
+    * deterministic hash sample. Returns the flat bank consumed by
+    * [[graft.plans.PqEncodeExpr]]/[[graft.plans.PqDistTableExpr]]:
+    * entry ((s,c),d) at `(s*ksub + c)*dsub + d`.
+    *
+    * Scale/determinism posture mirrors [[trainIvfCentroidArrays]]: the
+    * corpus is hash-FILTERED (never sorted) down to ≤ `sampleN` rows,
+    * only the sample is ordered for seeding (`portableSeed` = the
+    * md5 order any engine replays — with iters = 0 the codebooks are
+    * therefore EXACTLY the first ksub sample vectors sliced per
+    * subspace, the x109 oracle gate). Lloyd runs DRIVER-side over the
+    * collected sample — bounded at sampleN × dim doubles (the same
+    * driver-state class as the IVF centroid matrix; 20k × 64 ≈ 10 MB),
+    * never over the corpus; codeword ties keep the smallest index and
+    * empty cells keep their previous codeword, so training is
+    * deterministic for a fixed sample. */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 0, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L, portableSeed: Boolean = false): Array[Double] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0)
+    val keepOneIn =
+      if (sampleOneIn > 0) sampleOneIn
+      else math.max(1L, corpus.count() / math.max(1L, sampleN.toLong))
+    val samp = corpus.select(F.col(idCol).as("id"),
+        F.col(vecCol).cast(ArrayType(DoubleType)).as("vec"))
+      .filter(F.pmod(F.xxhash64(F.col("id")), F.lit(keepOneIn)) === 0)
+    val seedOrd =
+      if (portableSeed) Seq(F.md5(F.col("id").cast(StringType)).asc,
+        F.col("id").asc)
+      else Seq(F.xxhash64(F.col("id")).asc, F.col("id").asc)
+    if (iters == 0) {
+      val seeds = samp.orderBy(seedOrd: _*).limit(ksub)
+        .select("vec").collect().map(_.getSeq[Double](0).toArray)
+      if (seeds.isEmpty) return Array.empty[Double]
+      val dim = seeds.head.length
+      require(dim % m == 0, s"trainPqCodebooks: m=$m must divide dim=$dim")
+      val dsub = dim / m
+      // fewer seeds than ksub (a tiny corpus) trains a smaller, still
+      // valid codebook — consumers infer ksub from the bank length
+      val kEff = seeds.length
+      val out = new Array[Double](m * kEff * dsub)
+      for (s <- 0 until m; c <- 0 until kEff; d <- 0 until dsub)
+        out((s * kEff + c) * dsub + d) = seeds(c)(s * dsub + d)
+      out
+    } else {
+      // sample collected once (bounded); Lloyd per subspace on the driver
+      val rows = samp.orderBy(seedOrd: _*).limit(math.max(sampleN, ksub))
+        .select("vec").collect().map(_.getSeq[Double](0).toArray)
+      if (rows.isEmpty) return Array.empty[Double]
+      val dim = rows.head.length
+      require(dim % m == 0, s"trainPqCodebooks: m=$m must divide dim=$dim")
+      val dsub = dim / m
+      val kEff = math.min(ksub, rows.length)
+      val out = new Array[Double](m * kEff * dsub)
+      for (s <- 0 until m) {
+        var cents = Array.tabulate(kEff, dsub)((c, d) => rows(c)(s * dsub + d))
+        for (_ <- 0 until iters) {
+          val sums = Array.fill(kEff, dsub)(0.0)
+          val counts = new Array[Long](kEff)
+          rows.foreach { x =>
+            var best = -1; var bestD = Double.PositiveInfinity
+            for (c <- 0 until kEff) {
+              var d2 = 0.0
+              for (d <- 0 until dsub) {
+                val diff = x(s * dsub + d) - cents(c)(d); d2 += diff * diff
+              }
+              if (d2 < bestD) { best = c; bestD = d2 }
+            }
+            if (best < 0) best = 0
+            counts(best) += 1
+            for (d <- 0 until dsub) sums(best)(d) += x(s * dsub + d)
+          }
+          cents = Array.tabulate(kEff, dsub)((c, d) =>
+            if (counts(c) > 0) sums(c)(d) / counts(c) else cents(c)(d))
+        }
+        for (c <- 0 until kEff; d <- 0 until dsub)
+          out((s * kEff + c) * dsub + d) = cents(c)(d)
+      }
+      out
+    }
+  }
+
+  /** PQ-compressed corpus: `(id, codes)` where codes is the m-int
+    * [[graft.plans.PqEncodeExpr]] encoding against `cbFlat`. The
+    * persisted form of a 100 TB ANN corpus — m bytes/ints per vector
+    * instead of dim floats; encoding is embarrassingly parallel
+    * (broadcast-literal codebook, no shuffle). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      cbFlat: Array[Double], m: Int): DataFrame =
+    corpus.select(F.col(idCol).as("id"),
+      F.call_function("graft_pq_encode", F.col(vecCol),
+        F.typedlit(cbFlat.toSeq), F.lit(m)).as("codes"))
+
+  /** PQ-ADC approximate top-k: codebooks trained on the corpus, corpus
+    * encoded to m-int codes, and each query ranked against the CODES —
+    * one [[graft.plans.PqDistTableExpr]] distance table per query, one
+    * m-lookup [[graft.plans.PqAdcExpr]] sum per candidate — smallest
+    * approximate squared-L2 wins, ties by id. The asymmetric-distance
+    * PQ probe: the corpus is scanned as integers (m ints/row), never
+    * as float vectors.
+    *
+    * Scale: encoding and scoring are map-side against broadcast
+    * literals/queries; the only shuffle is [[twoStageTopK]]'s bounded
+    * k-per-(query, task) aggregate. Unlike IVF at nprobe = nlist, the
+    * ADC ranking is approximate BY CONSTRUCTION (quantization error),
+    * so its oracle replays the whole machinery — seeding, codebooks,
+    * encoding argmins, table sums — rather than comparing against
+    * brute force; recall against brute force is asserted separately in
+    * PqAnnSpec. Compose with IVF cells for the full IVF-PQ layout. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, m: Int, ksub: Int, k: Int,
+      iters: Int = 0, sampleN: Int = 20000, sampleOneIn: Long = 0L,
+      portableSeed: Boolean = false): DataFrame = {
+    require(k >= 1)
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters,
+      sampleN, sampleOneIn, portableSeed)
+    if (cb.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(F.lit(0L).as("q_id"), F.lit(0L).as("n_id"),
+          F.lit(0.0).as("adc_dist"), F.lit(0L).as("rank"))
+        .where(F.lit(false))
+    val cbLit = F.typedlit(cb.toSeq)
+    val enc = corpus.select(F.col(idCol).as("n_id"),
+      F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(m))
+        .as("codes"))
+    val qdt = queries.select(F.col(idCol).as("q_id"),
+      F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
+        .as("dt"))
+    val scored = enc.crossJoin(F.broadcast(qdt))
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      // negate: twoStageTopK keeps the LARGEST scores; smallest ADC
+      // distance must win. -0.0 cannot arise into the output (dist is
+      // re-negated below only for presentation)
+      .select(F.col("q_id"), F.col("n_id"),
+        (-F.call_function("graft_pq_adc", F.col("codes"), F.col("dt")))
+          .as("cos"))
+    twoStageTopK(scored, k)
+      .select(F.col("q_id"), F.col("n_id"),
+        (-F.col("cos")).as("adc_dist"), F.col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocking buckets. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, minCos: Double): DataFrame = {

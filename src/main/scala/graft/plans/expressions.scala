@@ -951,6 +951,269 @@ case class CentroidTopK(vec: Expression, bank: Expression, nprobe: Expression)
     copy(vec = newFirst, bank = newSecond, nprobe = newThird)
 }
 
+/** Product-quantization encode (the public PQ scheme of Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+  * the vector is split into `m` contiguous subvectors of dim/m
+  * components and each subvector is replaced by the index of its
+  * nearest (squared-L2) codeword in that subspace's codebook — 64
+  * floats become m small ints (bytes at ksub ≤ 256), the memory step
+  * that makes billion-vector ANN fit RAM. `cb` is the flat codebook
+  * bank: entry ((s,c),d) at `(s*ksub + c)*dsub + d`, ksub inferred
+  * from the bank length. Ties keep the SMALLEST codeword index
+  * (strict `<` scan, the `ROW_NUMBER ... ORDER BY d2, c` order an
+  * oracle replays); an all-NaN subvector deterministically takes
+  * codeword 0 (the CentroidTopK convention). */
+case class PqEncodeExpr(vec: Expression, cb: Expression, m: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = cb
+  override def third: Expression = m
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cb.dataType, m.dataType) match {
+      case (ArrayType(vt, _), ArrayType(DoubleType, _), IntegerType)
+          if vt == FloatType || vt == DoubleType =>
+        if (m.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_pq_encode: m must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode expects (array<float|double>, array<double>, int), got " +
+          s"${vec.dataType} / ${cb.dataType} / ${m.dataType}")
+    }
+
+  private def isFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any, b: Any, mm: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val bk = b.asInstanceOf[ArrayData]
+    val mv = mm.asInstanceOf[Int]
+    val dim = x.numElements()
+    val dsub = dim / mv
+    val ksub = bk.numElements() / (mv * dsub)
+    val out = new Array[Int](mv)
+    var s = 0
+    while (s < mv) {
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        var d2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val xv = if (isFloat) x.getFloat(s * dsub + d).toDouble
+            else x.getDouble(s * dsub + d)
+          val diff = xv - bk.getDouble((s * ksub + c) * dsub + d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { best = c; bestD = d2 }
+        c += 1
+      }
+      out(s) = if (best < 0) 0 else best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b, mm) => {
+      val dim = ctx.freshName("dim"); val dsub = ctx.freshName("dsub")
+      val ksub = ctx.freshName("ksub"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val d2 = ctx.freshName("d2"); val diff = ctx.freshName("diff")
+      val getV = if (isFloat) s"(double) $v.getFloat($s * $dsub + $d)"
+        else s"$v.getDouble($s * $dsub + $d)"
+      s"""
+         |int $dim = $v.numElements();
+         |int $dsub = $dim / $mm;
+         |int $ksub = $b.numElements() / ($mm * $dsub);
+         |int[] $out = new int[$mm];
+         |for (int $s = 0; $s < $mm; $s++) {
+         |  int $best = -1; double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $d2 = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      double $diff = $getV - $b.getDouble(($s * $ksub + $c) * $dsub + $d);
+         |      $d2 += $diff * $diff;
+         |    }
+         |    if ($d2 < $bestD) { $best = $c; $bestD = $d2; }
+         |  }
+         |  $out[$s] = ($best < 0) ? 0 : $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, cb = newSecond, m = newThird)
+}
+
+/** The ADC distance table for one query vector: `out[s*ksub + c]` =
+  * squared L2 distance between the query's s-th subvector and codeword
+  * (s,c) of the flat codebook bank (same layout as [[PqEncodeExpr]]).
+  * Computed ONCE per query; the per-candidate ADC score is then m table
+  * lookups ([[PqAdcExpr]]) instead of a dim-length float scan —
+  * asymmetric distance computation, the PQ probe's whole point. */
+case class PqDistTableExpr(vec: Expression, cb: Expression, m: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = cb
+  override def third: Expression = m
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cb.dataType, m.dataType) match {
+      case (ArrayType(vt, _), ArrayType(DoubleType, _), IntegerType)
+          if vt == FloatType || vt == DoubleType =>
+        if (m.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure("graft_pq_dists: m must be a literal")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_pq_dists expects (array<float|double>, array<double>, int), got " +
+          s"${vec.dataType} / ${cb.dataType} / ${m.dataType}")
+    }
+
+  private def isFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any, b: Any, mm: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val bk = b.asInstanceOf[ArrayData]
+    val mv = mm.asInstanceOf[Int]
+    val dim = x.numElements()
+    val dsub = dim / mv
+    val ksub = bk.numElements() / (mv * dsub)
+    val out = new Array[Double](mv * ksub)
+    var s = 0
+    while (s < mv) {
+      var c = 0
+      while (c < ksub) {
+        var d2 = 0.0
+        var d = 0
+        while (d < dsub) {
+          val xv = if (isFloat) x.getFloat(s * dsub + d).toDouble
+            else x.getDouble(s * dsub + d)
+          val diff = xv - bk.getDouble((s * ksub + c) * dsub + d)
+          d2 += diff * diff
+          d += 1
+        }
+        out(s * ksub + c) = d2
+        c += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, b, mm) => {
+      val dim = ctx.freshName("dim"); val dsub = ctx.freshName("dsub")
+      val ksub = ctx.freshName("ksub"); val out = ctx.freshName("out")
+      val s = ctx.freshName("s"); val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val d2 = ctx.freshName("d2"); val diff = ctx.freshName("diff")
+      val getV = if (isFloat) s"(double) $v.getFloat($s * $dsub + $d)"
+        else s"$v.getDouble($s * $dsub + $d)"
+      s"""
+         |int $dim = $v.numElements();
+         |int $dsub = $dim / $mm;
+         |int $ksub = $b.numElements() / ($mm * $dsub);
+         |double[] $out = new double[$mm * $ksub];
+         |for (int $s = 0; $s < $mm; $s++) {
+         |  for (int $c = 0; $c < $ksub; $c++) {
+         |    double $d2 = 0.0;
+         |    for (int $d = 0; $d < $dsub; $d++) {
+         |      double $diff = $getV - $b.getDouble(($s * $ksub + $c) * $dsub + $d);
+         |      $d2 += $diff * $diff;
+         |    }
+         |    $out[$s * $ksub + $c] = $d2;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, cb = newSecond, m = newThird)
+}
+
+/** The per-candidate ADC score: Σ_s dt[s*ksub + codes[s]] — m array
+  * lookups summed left-to-right in subspace order (the index-order
+  * fold every replaying engine agrees on). `codes` is a candidate's
+  * [[PqEncodeExpr]] output, `dt` a query's [[PqDistTableExpr]] table;
+  * ksub is inferred as dt.length / codes.length. Out-of-range codes
+  * are clamped into [0, ksub) so a malformed input row cannot crash
+  * generated code. This is the probe's hot path — corpus × queries
+  * evaluations — hence codegen'd. */
+case class PqAdcExpr(codes: Expression, dt: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = dt
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, dt.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_pq_adc expects (array<int>, array<double>), got " +
+          s"${codes.dataType} / ${dt.dataType}")
+    }
+
+  override protected def nullSafeEval(cv: Any, dv: Any): Any = {
+    val cs = cv.asInstanceOf[ArrayData]
+    val tbl = dv.asInstanceOf[ArrayData]
+    val mv = cs.numElements()
+    if (mv == 0) return 0.0
+    val ksub = tbl.numElements() / mv
+    var acc = 0.0
+    var s = 0
+    while (s < mv) {
+      var c = cs.getInt(s)
+      if (c < 0) c = 0 else if (c >= ksub) c = ksub - 1
+      acc += tbl.getDouble(s * ksub + c)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cv, dv) => {
+      val mv = ctx.freshName("mv"); val ksub = ctx.freshName("ksub")
+      val acc = ctx.freshName("acc"); val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      s"""
+         |int $mv = $cv.numElements();
+         |double $acc = 0.0;
+         |if ($mv > 0) {
+         |  int $ksub = $dv.numElements() / $mv;
+         |  for (int $s = 0; $s < $mv; $s++) {
+         |    int $c = $cv.getInt($s);
+         |    if ($c < 0) $c = 0; else if ($c >= $ksub) $c = $ksub - 1;
+         |    $acc += $dv.getDouble($s * $ksub + $c);
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, dt = newRight)
+}
+
 /** Deflate (zlib raw, level 6) compression ratio of the UTF-8 text:
   * compressed bytes / raw bytes — the Gopher-family redundancy signal
   * (repetitive boilerplate compresses far below natural prose; random
@@ -1769,6 +2032,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hyperplane_buckets"),
       new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
       (children: Seq[Expression]) => HyperplaneBuckets(children(0), children(1), children(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => PqEncodeExpr(children(0), children(1), children(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_pq_dists"),
+      new ExpressionInfo(classOf[PqDistTableExpr].getName, "graft_pq_dists"),
+      (children: Seq[Expression]) => PqDistTableExpr(children(0), children(1), children(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => PqAdcExpr(children(0), children(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "graft_deflate_ratio"),

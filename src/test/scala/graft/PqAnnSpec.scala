@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.functions.similarity
+
+/** Product-quantization ANN ([[graft.functions.similarity.pqTopK]] and
+  * the graft_pq_* expressions): encoding well-formedness, the
+  * lossless-codebook exactness case (codebook ⊇ corpus ⇒ ADC distance
+  * IS squared L2, so PQ top-k equals brute force), recall sanity on the
+  * real embeddings, and hygiene. */
+class PqAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("codes are m ints in [0, ksub); native encode matches a driver replay") {
+    val m = 8; val ksub = 16
+    val cb = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
+      m, ksub, iters = 0, portableSeed = true)
+    val dsub = cb.length / (m * ksub)
+    assert(dsub == 64 / m, s"bank layout: dsub = $dsub")
+    val got = similarity.pqEncode(embs, "vec_id", "embedding", cb, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(got.values.forall(cs => cs.length == m && cs.forall(c => c >= 0 && c < ksub)))
+    // driver replay of the argmin on a handful of vectors
+    val vecs = embs.limit(5).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    vecs.foreach { case (id, x) =>
+      val expect = Array.tabulate(m) { s =>
+        (0 until ksub).minBy { c =>
+          val d2 = (0 until dsub).map { d =>
+            val diff = x(s * dsub + d) - cb((s * ksub + c) * dsub + d)
+            diff * diff
+          }.sum
+          (d2, c)
+        }
+      }
+      assert(got(id).toSeq == expect.toSeq, s"vec $id codes diverge")
+    }
+  }
+
+  test("lossless codebook: PQ top-k equals exact L2 brute force") {
+    // 16 distinct vectors, ksub = 16, sample = all ⇒ every vector is a
+    // codeword, encoding is lossless and ADC distance = true squared L2
+    val corpus = embs.filter(F.col("vec_id") < 16)
+    val got = similarity.pqTopK(corpus, corpus, "vec_id", "embedding",
+        m = 8, ksub = 16, k = 3, iters = 0, portableSeed = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(3)), r.getLong(1))).toMap
+    val vecs = corpus.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.keys.foreach { q =>
+      val want = vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(3)
+      val gotq = (1 to 3).map(r => got((q, r.toLong)))
+      assert(gotq == want, s"query $q: PQ $gotq vs exact $want")
+    }
+  }
+
+  test("recall sanity on the real corpus: trained codebooks beat raw seeds") {
+    val queries = embs.filter(F.col("vec_id") < 20)
+    def recall(iters: Int): Int = {
+      val pq = similarity.pqTopK(embs, queries, "vec_id", "embedding",
+          m = 8, ksub = 16, k = 10, iters = iters, portableSeed = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._2).toSet }
+      val vecs = embs.collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray).toMap
+      def l2(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      (0L until 20L).map { q =>
+        val exact = vecs.keys.filter(_ != q).toSeq
+          .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(10).toSet
+        (pq(q) & exact).size
+      }.sum
+    }
+    val seeded = recall(0)
+    val trained = recall(5)
+    // 8 subspaces x 16 codewords over near-isotropic 64-d synthetic
+    // vectors is a deliberately coarse quantizer — assert the TRAINING
+    // SIGNAL (Lloyd improves over raw seeds) plus a conservative floor,
+    // not a tuned benchmark number
+    assert(trained > seeded,
+      s"Lloyd must improve recall: trained $trained vs seeded $seeded / 200")
+    assert(trained >= 40, s"trained recall@10 too low: $trained / 200")
+  }
+
+  test("hygiene: empty corpus yields empty result; m must divide dim") {
+    val empty = embs.where(F.lit(false))
+    assert(similarity.pqTopK(empty, embs.limit(2), "vec_id", "embedding",
+      m = 8, ksub = 16, k = 3).count() == 0L)
+    intercept[IllegalArgumentException] {
+      similarity.trainPqCodebooks(embs, "vec_id", "embedding",
+        m = 7, ksub = 4, iters = 0)
+    }
+  }
+
+  test("Lloyd iterations refine codebooks deterministically") {
+    val a = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 3, portableSeed = true)
+    val b = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 3, portableSeed = true)
+    assert(a.toSeq == b.toSeq, "training must be deterministic")
+    // refined codebooks should quantize no worse than the raw seeds:
+    // mean encoding distortion must not increase
+    def distortion(cb: Array[Double]): Double = {
+      val m = 4; val ksub = 8; val dsub = cb.length / (m * ksub)
+      val vecs = embs.collect().map(r =>
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)
+      vecs.map { x =>
+        (0 until m).map { s =>
+          (0 until ksub).map { c =>
+            (0 until dsub).map { d =>
+              val diff = x(s * dsub + d) - cb((s * ksub + c) * dsub + d)
+              diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum / vecs.length
+    }
+    val seeds = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 0, portableSeed = true)
+    assert(distortion(a) <= distortion(seeds) + 1e-12,
+      s"Lloyd increased distortion: ${distortion(a)} vs ${distortion(seeds)}")
+  }
+}
