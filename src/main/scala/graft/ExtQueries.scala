@@ -3837,6 +3837,22 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** The full IVF-PQ probe ([[graft.functions.similarity.ivfPqTopK]]):
+    * IVF cells prune the scan, PQ codes score the candidates. Codes
+    * quantize raw vectors against global codebooks, so at
+    * nprobe = nlist the cell machinery (real 2-iteration k-means, cell
+    * assignment, the cell equi-join) is fully exercised while the
+    * result is provably x109's — the same exactness trick as IVF's
+    * x21, layered on PQ's replay oracle. Partial-nprobe recall is
+    * pinned in PqAnnSpec. */
+  def x110IvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.ivfPqTopK(e, e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 16, m = 8, ksub = 16,
+        pqIters = 0, ivfIters = 2, portableSeed = true)
+      .orderBy("q_id", "rank")
+  }
+
   /** x106's heavy-hitter report computed by the STREAMING path
     * ([[graft.streaming.Streams.heavyHittersStream]]): the documents
     * table arrives as a file stream, 3-shingles explode map-side and
@@ -4097,7 +4113,8 @@ object ExtQueries {
     "x106_heavy_hitters" -> (x106HeavyHitters _),
     "x107_weighted_sample" -> (x107WeightedSample _),
     "x108_streaming_heavy_hitters" -> (x108StreamingHeavyHitters _),
-    "x109_pq_adc_topk" -> (x109PqAdcTopK _))
+    "x109_pq_adc_topk" -> (x109PqAdcTopK _),
+    "x110_ivfpq_topk" -> (x110IvfPqTopK _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4213,5 +4230,6 @@ object ExtQueries {
     "x106_heavy_hitters" -> x106Oracle,
     "x107_weighted_sample" -> x107Oracle,
     "x108_streaming_heavy_hitters" -> x106Oracle,
-    "x109_pq_adc_topk" -> x109Oracle)
+    "x109_pq_adc_topk" -> x109Oracle,
+    "x110_ivfpq_topk" -> x109Oracle)
 }

@@ -658,6 +658,55 @@ object similarity {
         (-F.col("cos")).as("adc_dist"), F.col("rank"))
   }
 
+  /** The full IVF-PQ probe — the production billion-vector ANN layout:
+    * IVF cells prune WHICH corpus rows are scanned (cost ∝
+    * nprobe/nlist), PQ codes decide HOW each candidate is scored (m
+    * table lookups on ints, never a float scan). Corpus rows carry
+    * (cell, codes); queries explode to their nprobe nearest cells with
+    * a precomputed ADC table; candidates meet in ONE cell equi-join
+    * (the [[ivfTopK]] shape) and rank through the bounded
+    * [[twoStageTopK]]. Codes quantize the RAW vectors against global
+    * codebooks (not per-cell residuals), so with nprobe = nlist the
+    * cell pruning is a no-op and the result is EXACTLY [[pqTopK]] —
+    * the oracle gate (x110), same family as IVF's nprobe = nlist
+    * trick; partial-nprobe recall is a spec property. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int = 0, ivfIters: Int = 2,
+      sampleN: Int = 20000, sampleOneIn: Long = 0L,
+      portableSeed: Boolean = false): DataFrame = {
+    require(k >= 1 && nprobe >= 1)
+    val cents = trainIvfCentroidArrays(corpus, idCol, vecCol, nlist,
+      ivfIters, sampleN, sampleOneIn, portableSeed)
+    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, pqIters,
+      sampleN, sampleOneIn, portableSeed)
+    if (cents.isEmpty || cb.isEmpty)
+      return corpus.sparkSession.emptyDataFrame
+        .select(F.lit(0L).as("q_id"), F.lit(0L).as("n_id"),
+          F.lit(0.0).as("adc_dist"), F.lit(0L).as("rank"))
+        .where(F.lit(false))
+    val bank = F.typedlit(bankOf(cents).toSeq)
+    val cbLit = F.typedlit(cb.toSeq)
+    val enc = corpus.select(F.col(idCol).as("n_id"),
+      F.element_at(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bank, F.lit(1)), 1).as("cell"),
+      F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(m))
+        .as("codes"))
+    val qs = queries.select(F.col(idCol).as("q_id"),
+      F.explode(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bank, F.lit(nprobe))).as("cell"),
+      F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
+        .as("dt"))
+    val scored = enc.join(F.broadcast(qs), "cell")
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("n_id"),
+        (-F.call_function("graft_pq_adc", F.col("codes"), F.col("dt")))
+          .as("cos"))
+    twoStageTopK(scored, k)
+      .select(F.col("q_id"), F.col("n_id"),
+        (-F.col("cos")).as("adc_dist"), F.col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocking buckets. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
       bucketCol: String, minCos: Double): DataFrame = {

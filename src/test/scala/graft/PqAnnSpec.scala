@@ -88,6 +88,31 @@ class PqAnnSpec extends SparkSpec {
     assert(trained >= 40, s"trained recall@10 too low: $trained / 200")
   }
 
+  test("IVF-PQ at nprobe = nlist equals the flat PQ scan; partial nprobe is a subset") {
+    val queries = embs.filter(F.col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    val flat = rows(similarity.pqTopK(embs, queries, "vec_id", "embedding",
+      m = 8, ksub = 16, k = 4, iters = 0, portableSeed = true))
+    val full = rows(similarity.ivfPqTopK(embs, queries, "vec_id", "embedding",
+      k = 4, nlist = 8, nprobe = 8, m = 8, ksub = 16,
+      pqIters = 0, ivfIters = 2, portableSeed = true))
+    assert(full == flat, "nprobe = nlist must reproduce the flat PQ ranking")
+    // partial probe: every returned candidate must also rank in the
+    // flat scan's candidate order (same ADC distances, fewer candidates)
+    val partial = similarity.ivfPqTopK(embs, queries, "vec_id", "embedding",
+        k = 4, nlist = 8, nprobe = 2, m = 8, ksub = 16,
+        pqIters = 0, ivfIters = 2, portableSeed = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val flatDists = flat.map { case (q, n, d, _) => (q, n) -> d }.toMap
+    partial.foreach { case (key, d) =>
+      flatDists.get(key).foreach(fd =>
+        assert(fd == d, s"partial-probe ADC distance diverged for $key"))
+    }
+    assert(partial.nonEmpty, "partial probe returned nothing")
+  }
+
   test("hygiene: empty corpus yields empty result; m must divide dim") {
     val empty = embs.where(F.lit(false))
     assert(similarity.pqTopK(empty, embs.limit(2), "vec_id", "embedding",
