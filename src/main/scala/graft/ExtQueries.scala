@@ -3837,6 +3837,28 @@ object ExtQueries {
       |  FROM scored)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  /** Per-group weighted sampling
+    * ([[graft.functions.sampling.weightedSampleByGroup]]): 40 documents
+    * per source, odds ∝ n_chars within the source — one window pass
+    * whose `row_number ≤ n` compiles to the map-side-capped
+    * WindowGroupLimit. Same bit-exact md5 uniform as x107, so the
+    * oracle replays the full per-group race. */
+  def x111WeightedSampleByGroup(s: SparkSession, dir: String): DataFrame =
+    sampling.weightedSampleByGroup(docs(s, dir), "doc_id", "n_chars",
+        "source", 40)
+      .select(F.col("doc_id"), F.col("source"), F.col("n_chars"))
+      .orderBy("doc_id")
+
+  private val x111Oracle =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars, ROW_NUMBER() OVER (
+      |    PARTITION BY source ORDER BY -ln((CAST(concat('0x',
+      |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+      |      + 1) / 4503599627370496.0) / CAST(n_chars AS DOUBLE) ASC,
+      |    doc_id ASC) AS rn
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+      |WHERE rn <= 40 ORDER BY doc_id""".stripMargin
+
   /** The full IVF-PQ probe ([[graft.functions.similarity.ivfPqTopK]]):
     * IVF cells prune the scan, PQ codes score the candidates. Codes
     * quantize raw vectors against global codebooks, so at
@@ -3850,6 +3872,24 @@ object ExtQueries {
     similarity.ivfPqTopK(e, e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
         k = 5, nlist = 16, nprobe = 16, m = 8, ksub = 16,
         pqIters = 0, ivfIters = 2, portableSeed = true)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Persistent PQ index lifecycle under the exactness trick
+    * ([[graft.functions.index.buildPqIndex]] /
+    * [[graft.functions.index.probePqIndex]]): banks trained and
+    * persisted, the corpus stored as cell-partitioned CODES (floats
+    * never persisted), the probe reading codes from the probed cell
+    * directories. nprobe = nlist ⇒ provably x109's flat PQ replay,
+    * like x56's relationship to x21. */
+  def x112PqIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildPqIndex(e, "vec_id", "embedding", "x112_pq",
+      nlist = 16, m = 8, ksub = 16, ivfIters = 2, pqIters = 0,
+      portableSeed = true)
+    graft.functions.index.probePqIndex(s,
+        e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        "x112_pq", k = 5, nprobe = 16)
       .orderBy("q_id", "rank")
   }
 
@@ -4114,7 +4154,9 @@ object ExtQueries {
     "x107_weighted_sample" -> (x107WeightedSample _),
     "x108_streaming_heavy_hitters" -> (x108StreamingHeavyHitters _),
     "x109_pq_adc_topk" -> (x109PqAdcTopK _),
-    "x110_ivfpq_topk" -> (x110IvfPqTopK _))
+    "x110_ivfpq_topk" -> (x110IvfPqTopK _),
+    "x111_weighted_sample_by_group" -> (x111WeightedSampleByGroup _),
+    "x112_pq_index_probe" -> (x112PqIndexProbe _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4231,5 +4273,7 @@ object ExtQueries {
     "x107_weighted_sample" -> x107Oracle,
     "x108_streaming_heavy_hitters" -> x106Oracle,
     "x109_pq_adc_topk" -> x109Oracle,
-    "x110_ivfpq_topk" -> x109Oracle)
+    "x110_ivfpq_topk" -> x109Oracle,
+    "x111_weighted_sample_by_group" -> x111Oracle,
+    "x112_pq_index_probe" -> x109Oracle)
 }

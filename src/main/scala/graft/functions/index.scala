@@ -409,4 +409,112 @@ object index {
           / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
     similarity.twoStageTopK(scored, k)
   }
+
+  /** Persistent IVF-PQ index — the disk layout of billion-vector ANN:
+    * `<name>_pqcells` stores each corpus vector as its IVF cell plus m
+    * PQ codeword ints (8 ints for a 64-float vector — the vectors
+    * themselves are NOT persisted), partitioned by cell so a probe
+    * reads only its nprobe directories; `<name>_pqbank` stores both
+    * trained banks (the IVF centroid bank and the flat PQ codebook).
+    * Append re-reads the stored banks, so daily batches encode against
+    * the SAME quantizers and land in stable cells — the
+    * [[buildIvfIndex]] lifecycle, at m-int-per-row storage cost. */
+  def buildPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      name: String, nlist: Int = 64, m: Int = 8, ksub: Int = 16,
+      ivfIters: Int = 2, pqIters: Int = 0, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L, portableSeed: Boolean = false,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(nlist >= 1 && m >= 1 && ksub >= 1)
+    val spark = df.sparkSession
+    val dim = df.select(F.size(F.col(vecCol))).head().getInt(0)
+    val appending =
+      mode == SaveMode.Append && spark.catalog.tableExists(s"${name}_pqcells")
+    if (!appending)
+      Seq(s"${name}_pqcells", s"${name}_pqbank")
+        .foreach(resetManagedTable(spark, _))
+    val (bank, cb) =
+      if (appending) {
+        val storedDim = readPqProp(spark, name, "graft.dim").toInt
+        require(storedDim == dim,
+          s"index: append dim $dim does not match the build's $storedDim")
+        (readPqBank(spark, name, "ivf"), readPqBank(spark, name, "cb"))
+      } else (
+        similarity.trainIvfCentroids(df, idCol, vecCol, nlist, ivfIters,
+          sampleN, sampleOneIn, portableSeed),
+        similarity.trainPqCodebooks(df, idCol, vecCol, m, ksub, pqIters,
+          sampleN, sampleOneIn, portableSeed))
+    val mEff = if (appending) readPqProp(spark, name, "graft.m").toInt else m
+    val bankLit = F.typedlit(bank.toSeq)
+    val cbLit = F.typedlit(cb.toSeq)
+    val cells = df.select(
+      F.col(idCol).cast(LongType).as("n_id"),
+      F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(mEff))
+        .as("codes"),
+      F.element_at(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bankLit, F.lit(1)), 1).as("cell"))
+    // one file per cell per append, not per (task × cell) — see
+    // [[buildIvfIndex]]'s small-file note
+    cells.repartition(F.col("cell"))
+      .write.mode(mode).partitionBy("cell")
+      .format("parquet").saveAsTable(s"${name}_pqcells")
+    if (!appending) {
+      import spark.implicits._
+      val rows = bank.zipWithIndex.map { case (v, i) => ("ivf", i, v) } ++
+        cb.zipWithIndex.map { case (v, i) => ("cb", i, v) }
+      rows.toSeq.toDF("kind", "pos", "v").coalesce(1)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_pqbank")
+      spark.sql(s"ALTER TABLE ${name}_pqcells SET TBLPROPERTIES(" +
+        s"'graft.dim'='$dim', 'graft.m'='$m')")
+    }
+  }
+
+  private def readPqBank(spark: SparkSession, name: String,
+      kind: String): Array[Double] =
+    spark.table(s"${name}_pqbank").filter(F.col("kind") === kind)
+      .orderBy("pos").select("v").collect().map(_.getDouble(0))
+
+  private def readPqProp(spark: SparkSession, name: String,
+      key: String): String = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_pqcells").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.getOrElse(key, throw new IllegalArgumentException(
+      s"index: table ${name}_pqcells has no '$key' property — " +
+        "not built by buildPqIndex?"))
+  }
+
+  /** Probe the PQ index: ADC top-k of each query over the stored CODES
+    * of its `nprobe` nearest cells — the scan reads only the probed
+    * cell directories (same static partition filter as
+    * [[probeIvfIndex]]) and only (n_id, codes) columns; the floats of
+    * the corpus are never touched, or even stored. Output
+    * `(q_id, n_id, adc_dist, rank)`, smallest approximate squared L2
+    * first, ties by id. */
+  def probePqIndex(spark: SparkSession, queries: DataFrame,
+      idCol: String, vecCol: String, name: String, k: Int,
+      nprobe: Int = 8, broadcastQueries: Boolean = true): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "index: k and nprobe must be >= 1")
+    val bankLit = F.typedlit(readPqBank(spark, name, "ivf").toSeq)
+    val cbLit = F.typedlit(readPqBank(spark, name, "cb").toSeq)
+    val m = readPqProp(spark, name, "graft.m").toInt
+    val q0 = queries.select(F.col(idCol).cast(LongType).as("q_id"),
+      F.explode(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bankLit, F.lit(nprobe))).as("cell"),
+      F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
+        .as("dt"))
+    val q = if (broadcastQueries) F.broadcast(q0) else q0
+    val c0 = spark.table(s"${name}_pqcells")
+    val c = if (broadcastQueries) {
+      val cells = q0.select("cell").distinct().collect().map(_.getInt(0))
+      c0.filter(F.col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))
+    } else c0
+    val scored = c.join(q, "cell")
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("n_id"),
+        (-F.call_function("graft_pq_adc", F.col("codes"), F.col("dt")))
+          .as("cos"))
+    similarity.twoStageTopK(scored, k)
+      .select(F.col("q_id"), F.col("n_id"),
+        (-F.col("cos")).as("adc_dist"), F.col("rank"))
+  }
 }

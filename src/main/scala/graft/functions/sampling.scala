@@ -401,14 +401,22 @@ object sampling {
     * never sorted or shuffled whole. Rows with NULL or non-positive
     * weight are excluded (their inclusion probability is 0; −ln(u)/w
     * would be negative or undefined). */
+  /** The Efraimidis–Spirakis race key −ln(u)/w over the md5-derived
+    * 52-bit uniform (u = (h+1)/2^52 is bit-exact in any engine with
+    * md5: a mantissa-sized integer over a power of two). Smallest key
+    * wins; shared by [[weightedSample]]/[[weightedSampleByGroup]]. */
+  private def esKey(key: String, weightCol: String): Column = {
+    val h = F.conv(F.substring(F.md5(F.col(key).cast(StringType)), 1, 13),
+      16, 10).cast(LongType)
+    val u = (h + 1).cast(DoubleType) / F.lit(4503599627370496.0) // 2^52
+    -F.log(u) / F.col(weightCol).cast(DoubleType)
+  }
+
   def weightedSample(df: DataFrame, key: String, weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"weightedSample: n must be >= 1 (got $n)")
     import org.apache.spark.sql.expressions.Window
-    val h = F.conv(F.substring(F.md5(F.col(key).cast(StringType)), 1, 13),
-      16, 10).cast(LongType)
-    val u = (h + 1).cast(DoubleType) / F.lit(4503599627370496.0) // 2^52
-    val es = -F.log(u) / F.col(weightCol).cast(DoubleType)
+    val es = esKey(key, weightCol)
     val local = Window.partitionBy(F.col("_ws_pid"))
       .orderBy(F.col("_ws_k").asc, F.col(key).asc)
     val global = Window.orderBy(F.col("_ws_k").asc, F.col(key).asc)
@@ -420,5 +428,31 @@ object sampling {
       .withColumn("_ws_gr", F.row_number().over(global))
       .filter(F.col("_ws_gr") <= n)
       .drop("_ws_k", "_ws_pid", "_ws_lr", "_ws_gr")
+  }
+
+  /** [[weightedSample]] per group: `nPerGroup` rows from every value of
+    * `groupCol`, inclusion odds ∝ `weightCol` within the group — the
+    * per-source/per-language carve (an eval set of 1 000 docs per
+    * language, sampled by token mass) done in one pass.
+    *
+    * Scale: ONE shuffle on the group key; the `row_number ≤ n` filter
+    * compiles to Spark's WindowGroupLimit with a PARTIAL pre-shuffle
+    * phase, so each map partition ships at most nPerGroup rows per
+    * group — a mega-group never crosses the wire whole (the
+    * editDistancePairs block-cap plan shape, asserted in
+    * WeightedSampleSpec). Null-group rows form their own group, the
+    * usual window convention; null/non-positive weights are excluded. */
+  def weightedSampleByGroup(df: DataFrame, key: String, weightCol: String,
+      groupCol: String, nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1,
+      s"weightedSampleByGroup: nPerGroup must be >= 1 (got $nPerGroup)")
+    import org.apache.spark.sql.expressions.Window
+    df.filter(F.col(weightCol).isNotNull && F.col(weightCol) > 0)
+      .withColumn("_wg_k", esKey(key, weightCol))
+      .withColumn("_wg_rn", F.row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(F.col("_wg_k").asc, F.col(key).asc)))
+      .filter(F.col("_wg_rn") <= nPerGroup)
+      .drop("_wg_k", "_wg_rn")
   }
 }

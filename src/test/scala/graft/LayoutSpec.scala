@@ -221,6 +221,88 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("PQ index: codes-only storage, append lifecycle, pruned probe scan") {
+    import graft.functions.{index, similarity}
+    import org.apache.spark.sql.SaveMode
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 60L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val all = rows.toDF("id", "v")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      index.buildPqIndex(all, "id", "v",
+        "graft_pq_t", nlist = 4, m = 4, ksub = 8, ivfIters = 2,
+        pqIters = 0, portableSeed = true)
+      // the corpus floats are NOT persisted — only (n_id, codes, cell)
+      assert(spark.table("graft_pq_t_pqcells").schema.fieldNames.toSet ==
+        Set("n_id", "codes", "cell"))
+      val queries = all.filter(F.col("id") < 5)
+      val got = index.probePqIndex(spark, queries, "id", "v",
+        "graft_pq_t", k = 3, nprobe = 4)
+      // probe-all-cells equals the direct IVF-PQ scan — both train on
+      // the same corpus with the same portable seed, so both sides
+      // quantize identically; IVF cell noise is irrelevant at
+      // nprobe = nlist
+      val want = similarity.ivfPqTopK(all, queries, "id", "v",
+        k = 3, nlist = 4, nprobe = 4, m = 4, ksub = 8,
+        pqIters = 0, ivfIters = 2, portableSeed = true)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(key(got) == key(want))
+      // index side never reshuffled; a 1-cell probe prunes the scan
+      assert(reshuffledIndexScans(got.queryExecution.executedPlan,
+        "graft_pq_t") == 0, got.queryExecution.executedPlan.toString)
+      val narrow = index.probePqIndex(spark, queries, "id", "v",
+        "graft_pq_t", k = 3, nprobe = 1)
+      val scans = narrow.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.tableIdentifier.exists(_.table == "graft_pq_t_pqcells") => s
+      }
+      def prunes(s: org.apache.spark.sql.execution.FileSourceScanExec) =
+        s.partitionFilters.exists(f =>
+          f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.In] ||
+          f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.InSet] ||
+          f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.EqualTo])
+      assert(scans.nonEmpty && scans.forall(prunes),
+        narrow.queryExecution.executedPlan.toString)
+      // append lifecycle: day-1 build on ids <= 40, day-2 append of the
+      // rest. Appended rows must be encoded against the STORED day-1
+      // banks — prove it by re-encoding them with the banks read back
+      // from the bank table and comparing code-for-code.
+      index.buildPqIndex(all.filter(F.col("id") <= 40), "id", "v",
+        "graft_pq_a", nlist = 4, m = 4, ksub = 8, ivfIters = 2,
+        pqIters = 0, portableSeed = true)
+      index.buildPqIndex(all.filter(F.col("id") > 40), "id", "v",
+        "graft_pq_a", mode = SaveMode.Append)
+      val bankT = spark.table("graft_pq_a_pqbank")
+      def bank(kind: String) = bankT.filter(F.col("kind") === kind)
+        .orderBy("pos").select("v").collect().map(_.getDouble(0)).toSeq
+      val day2 = all.filter(F.col("id") > 40).select(
+        F.col("id").cast("long").as("n_id"),
+        F.call_function("graft_pq_encode", F.col("v"),
+          F.typedlit(bank("cb")), F.lit(4)).as("codes"),
+        F.element_at(F.call_function("graft_centroid_topk",
+          F.col("v"), F.typedlit(bank("ivf")), F.lit(1)), 1).as("cell"))
+      def enc(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getInt(2))).toSet
+      assert(enc(spark.table("graft_pq_a_pqcells")
+        .filter(F.col("n_id") > 40).select("n_id", "codes", "cell")) ==
+        enc(day2))
+      assert(spark.table("graft_pq_a_pqcells").count() == 60)
+      // appending a different dimension must be refused
+      val bad = Seq((99L, Seq.fill(9)(0.5f))).toDF("id", "v")
+      val err = intercept[IllegalArgumentException] {
+        index.buildPqIndex(bad, "id", "v", "graft_pq_a",
+          mode = SaveMode.Append)
+      }
+      assert(err.getMessage.contains("dim"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Seq("graft_pq_t_pqcells", "graft_pq_t_pqbank",
+        "graft_pq_a_pqcells", "graft_pq_a_pqbank")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("writeSharded emits stable hash shards with bounded files and sorted rows") {
     import graft.functions.layout
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toFile

@@ -57,6 +57,31 @@ class WeightedSampleSpec extends SparkSpec {
     assert(top.contains(100000L), "the 1e9-weight row must be sampled")
   }
 
+  test("per-group sampling: n per group, brute-force agreement, map-side cap plan") {
+    val got = sampling.weightedSampleByGroup(docs, "doc_id", "n_chars",
+      "source", 25)
+    val bySource = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.filter(F.col("n_chars") > 0).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(bySource(src) == math.min(25L, n), s"$src: got ${bySource(src)}")
+    }
+    // equals the per-group brute-force window
+    import org.apache.spark.sql.expressions.Window
+    val want = docs.filter(F.col("n_chars") > 0)
+      .withColumn("_k", esKey("doc_id", "n_chars"))
+      .withColumn("_rn", F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("_k").asc, F.col("doc_id").asc)))
+      .filter(F.col("_rn") <= 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.select("doc_id").collect().map(_.getLong(0)).toSet == want)
+    // the rank filter must compile to the map-side-capped WindowGroupLimit
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected a WindowGroupLimit partial phase in:\n$plan")
+  }
+
   test("null and non-positive weights are excluded; n > corpus returns all eligible") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)),
