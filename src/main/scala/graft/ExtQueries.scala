@@ -3893,6 +3893,85 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact Hamming top-k over sign-bit binary codes
+    * ([[graft.functions.similarity.binaryQuantize]]/`hammingTopK`):
+    * 64-float embeddings become two 32-bit words, queries ranked by
+    * xor + popcount against the broadcast query codes — the 32×-cheaper
+    * prefilter tier under cosine rescoring. Codes use 32 bits per long
+    * so every value and every xor stays in [0, 2³²) and the oracle
+    * replays them bit-identically (no engine shift/sign semantics in
+    * play). */
+  def x113HammingTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.hammingTopK(e, e.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, dim = 64)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x113Oracle =
+    """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding
+      |           FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+      |    list_sum(list_transform(generate_series(0, 31), i ->
+      |      CASE WHEN CAST(embedding[w*32 + i + 1] AS DOUBLE) > 0
+      |        THEN (1::BIGINT << i) ELSE 0 END))) AS code
+      |  FROM e),
+      |q AS (SELECT * FROM codes WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    CAST(bit_count(xor(q.code[1], c.code[1]))
+      |       + bit_count(xor(q.code[2], c.code[2])) AS BIGINT) AS hamming_dist
+      |  FROM q CROSS JOIN codes c WHERE c.vec_id != q.vec_id)
+      |SELECT q_id, n_id, hamming_dist, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY hamming_dist ASC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** EXACT Hamming radius self-join by pigeonhole banding
+    * ([[graft.functions.similarity.hammingPairs]]): all pairs within
+    * code distance 3, found via radius + 1 = 4 disjoint 16-bit bands —
+    * two codes differing in ≤ 3 positions must agree on ≥ 1 band, so
+    * one band equi-join generates every candidate (a GUARANTEE, unlike
+    * MinHash). Near-dup mass planted x05-style: a perturbed copy of
+    * each embedding whose near-zero components flip sign. The oracle
+    * replays the all-pairs truth — exactness means the banded plan must
+    * reproduce it verbatim. */
+  def x114HammingPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).select(F.col("vec_id").cast(LongType).as("vec_id"),
+      F.transform(F.col("embedding"), _.cast(DoubleType)).as("v"))
+    val pattern = F.typedlit((0 until 64).map(i => 0.004 * ((i % 5) - 2)))
+    val pert = base.select((F.col("vec_id") + F.lit(1000000L)).as("vec_id"),
+      F.zip_with(F.col("v"), pattern, (x, p) => x + p).as("v"))
+    similarity.hammingPairs(base.unionByName(pert), "vec_id", "v",
+        dim = 64, radius = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val x114Oracle =
+    """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pert AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, list_transform(generate_series(0, 63),
+      |      i -> 0.004 * ((i % 5) - 2))), p -> p[1] + p[2]) AS v
+      |  FROM base),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+      |codes AS (
+      |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+      |    list_sum(list_transform(generate_series(0, 31), i ->
+      |      CASE WHEN v[w*32 + i + 1] > 0
+      |        THEN (1::BIGINT << i) ELSE 0 END))) AS code
+      |  FROM allv)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  CAST(bit_count(xor(a.code[1], b.code[1]))
+      |     + bit_count(xor(a.code[2], b.code[2])) AS BIGINT) AS hamming_dist
+      |FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+      |WHERE bit_count(xor(a.code[1], b.code[1]))
+      |    + bit_count(xor(a.code[2], b.code[2])) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** x106's heavy-hitter report computed by the STREAMING path
     * ([[graft.streaming.Streams.heavyHittersStream]]): the documents
     * table arrives as a file stream, 3-shingles explode map-side and
@@ -4156,7 +4235,9 @@ object ExtQueries {
     "x109_pq_adc_topk" -> (x109PqAdcTopK _),
     "x110_ivfpq_topk" -> (x110IvfPqTopK _),
     "x111_weighted_sample_by_group" -> (x111WeightedSampleByGroup _),
-    "x112_pq_index_probe" -> (x112PqIndexProbe _))
+    "x112_pq_index_probe" -> (x112PqIndexProbe _),
+    "x113_hamming_topk" -> (x113HammingTopK _),
+    "x114_hamming_pairs" -> (x114HammingPairs _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4275,5 +4356,7 @@ object ExtQueries {
     "x109_pq_adc_topk" -> x109Oracle,
     "x110_ivfpq_topk" -> x109Oracle,
     "x111_weighted_sample_by_group" -> x111Oracle,
-    "x112_pq_index_probe" -> x109Oracle)
+    "x112_pq_index_probe" -> x109Oracle,
+    "x113_hamming_topk" -> x113Oracle,
+    "x114_hamming_pairs" -> x114Oracle)
 }
