@@ -3972,6 +3972,35 @@ object ExtQueries {
       |    + bit_count(xor(a.code[2], b.code[2])) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** x107's weighted sample computed by the STREAMING path
+    * ([[graft.streaming.Streams.weightedSampleStream]]): documents
+    * arrive as a file stream and the global 100-row
+    * Efraimidis–Spirakis sample is maintained as ONE k-bounded heap
+    * aggregate in Complete mode — the deterministic md5 race key makes
+    * the sample of the union a mergeable reduction, so the final
+    * micro-batch's state must equal the batch sample and the oracle is
+    * x107's full ORDER BY replay. Sampled ids are joined back against
+    * the batch table for payload columns (the id-then-fetch shape a
+    * store probe uses). */
+  def x115StreamingWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"x115_stream_sink_${streamSinkIds.incrementAndGet()}"
+    val ss = Streams.replaySession(s, partitions = 8)
+    val stream = ss.readStream.schema(docStreamSchema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val tk = Streams.weightedSampleStream(stream, "doc_id", "n_chars", 100)
+    Streams.runToMemory(tk, name, OutputMode.Complete())
+    val ids = ss.table(name)
+      .select(F.explode(F.col("_tk")).as("_s"))
+      .select(F.col("_s.id").as("doc_id"))
+    val out = ids.join(docs(ss, dir), "doc_id")
+      .select(F.col("doc_id"), F.col("source"), F.col("n_chars"))
+      .orderBy("doc_id")
+    ss.catalog.dropTempView(name)
+    out
+  }
+
   /** x106's heavy-hitter report computed by the STREAMING path
     * ([[graft.streaming.Streams.heavyHittersStream]]): the documents
     * table arrives as a file stream, 3-shingles explode map-side and
@@ -4237,7 +4266,8 @@ object ExtQueries {
     "x111_weighted_sample_by_group" -> (x111WeightedSampleByGroup _),
     "x112_pq_index_probe" -> (x112PqIndexProbe _),
     "x113_hamming_topk" -> (x113HammingTopK _),
-    "x114_hamming_pairs" -> (x114HammingPairs _))
+    "x114_hamming_pairs" -> (x114HammingPairs _),
+    "x115_streaming_weighted_sample" -> (x115StreamingWeightedSample _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4358,5 +4388,6 @@ object ExtQueries {
     "x111_weighted_sample_by_group" -> x111Oracle,
     "x112_pq_index_probe" -> x109Oracle,
     "x113_hamming_topk" -> x113Oracle,
-    "x114_hamming_pairs" -> x114Oracle)
+    "x114_hamming_pairs" -> x114Oracle,
+    "x115_streaming_weighted_sample" -> x107Oracle)
 }

@@ -405,7 +405,7 @@ object sampling {
     * 52-bit uniform (u = (h+1)/2^52 is bit-exact in any engine with
     * md5: a mantissa-sized integer over a power of two). Smallest key
     * wins; shared by [[weightedSample]]/[[weightedSampleByGroup]]. */
-  private def esKey(key: String, weightCol: String): Column = {
+  private[graft] def esKey(key: String, weightCol: String): Column = {
     val h = F.conv(F.substring(F.md5(F.col(key).cast(StringType)), 1, 13),
       16, 10).cast(LongType)
     val u = (h + 1).cast(DoubleType) / F.lit(4503599627370496.0) // 2^52

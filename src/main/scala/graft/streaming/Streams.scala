@@ -353,6 +353,29 @@ object Streams {
       F.col(itemCol), F.lit(capacity), F.lit(topK)).as("hh"))
   }
 
+  /** Streaming weighted sampling without replacement: the global n-row
+    * Efraimidis–Spirakis sample of EVERYTHING seen so far, emitted in
+    * Complete mode after every micro-batch. The race key −ln(u)/w is a
+    * pure deterministic function of each row
+    * ([[graft.functions.sampling.esKey]]'s md5 draw), so "sample of the
+    * union" = "smallest n keys of the union" — an associative,
+    * mergeable reduction the k-bounded [[graft.plans.BoundedTopK]] heap
+    * computes as ONE streaming aggregate. State is O(n) structs total
+    * (not per key, not per batch); no watermark needed because the
+    * reduction never grows. Same convention as the batch
+    * [[graft.functions.sampling.weightedSample]]: null/non-positive
+    * weights are excluded. Output: one row with `_tk` = array of
+    * (score, id), best (smallest key) first — explode and join ids
+    * back against the store for payload columns. */
+  def weightedSampleStream(rows: DataFrame, keyCol: String,
+      weightCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"weightedSampleStream: n must be >= 1 (got $n)")
+    rows.filter(F.col(weightCol).isNotNull && F.col(weightCol) > 0)
+      .agg(F.call_function("graft_topk",
+        -graft.functions.sampling.esKey(keyCol, weightCol),
+        F.col(keyCol).cast(LongType), F.lit(n)).as("_tk"))
+  }
+
   /** Drive a stream synchronously to a memory sink (testing/smoke). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
     val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()

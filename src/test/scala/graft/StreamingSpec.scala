@@ -98,6 +98,44 @@ class StreamingSpec extends SparkSpec {
       == Seq(1L, 2L))
   }
 
+  test("streaming weighted sample: heap state merges across micro-batches, tracks the batch sample") {
+    import graft.functions.sampling
+    val dir = Files.createTempDirectory("graft_ws_mb").toString
+    val schema = "doc_id BIGINT, n_chars BIGINT"
+    def write(rows: (Long, java.lang.Long)*): Unit =
+      rows.toSeq.toDF("doc_id", "n_chars")
+        .write.mode("append").parquet(dir)
+    write((1L, 10L), (2L, 500L), (3L, 3L), (4L, null), (5L, 0L))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val tk = Streams.weightedSampleStream(stream, "doc_id", "n_chars", 4)
+    val q = tk.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("ws_mb").start()
+    def latest(): Seq[Long] = {
+      val arr = spark.table("ws_mb").collect().last
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(arr.length <= 4, "state must stay k-bounded")
+      arr.map(_.getLong(1))
+    }
+    def batchWant(): Seq[Long] = sampling.weightedSample(
+        spark.read.parquet(dir), "doc_id", "n_chars", 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    q.processAllAvailable()
+    assert(latest().sorted == batchWant(),
+      "batch 1: stream sample must equal the batch sample")
+    // batch 2: a heavier newcomer must be able to evict an incumbent —
+    // the final sample is over the UNION, which only works if the heap
+    // state actually merges (Complete re-aggregation of state + delta)
+    write((6L, 100000L), (7L, 1L), (8L, 2000L))
+    q.processAllAvailable()
+    assert(latest().sorted == batchWant(),
+      "batch 2: stream sample must track the union")
+    // batch 3: all-ineligible rows change nothing
+    write((9L, null), (10L, -5L))
+    q.processAllAvailable(); q.stop()
+    assert(latest().sorted == batchWant(),
+      "batch 3: ineligible rows must not perturb the sample")
+  }
+
   test("streaming dedup carries state across micro-batches, re-admits after expiry, drops late rows") {
     val dir = Files.createTempDirectory("graft_dedup_mb").toString
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
