@@ -3972,6 +3972,50 @@ object ExtQueries {
       |    + bit_count(xor(a.code[2], b.code[2])) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Exact-total stratified carve
+    * ([[graft.functions.sampling.weightedSampleQuota]]): exactly 137
+    * documents overall, allocated across sources in proportion to
+    * character mass by the largest-remainder (Hamilton) method — floor
+    * quotas from exact integer division, deficit topped up by largest
+    * remainder with ties on the source name — then drawn per source by
+    * the md5 Efraimidis–Spirakis race. Every step is integer-exact or
+    * the bit-exact md5 draw, so DuckDB replays the whole allocation
+    * (HUGEINT `//`/`%` mirror the engine's DECIMAL(38,0) div/mod). */
+  def x116QuotaSample(s: SparkSession, dir: String): DataFrame =
+    sampling.weightedSampleQuota(docs(s, dir), "doc_id", "n_chars",
+        "source", 137)
+      .select(F.col("doc_id"), F.col("source"), F.col("n_chars"))
+      .orderBy("doc_id")
+
+  private val x116Oracle =
+    """WITH elig AS (
+      |  SELECT doc_id, source, n_chars FROM documents
+      |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |masses AS (
+      |  SELECT source, CAST(sum(n_chars) AS HUGEINT) AS m
+      |  FROM elig GROUP BY source),
+      |tot AS (SELECT CAST(sum(m) AS HUGEINT) AS mm FROM masses),
+      |quota AS (
+      |  SELECT source, (m * 137) // mm AS fl, (m * 137) % mm AS rem
+      |  FROM masses CROSS JOIN tot),
+      |alloc AS (
+      |  SELECT source, fl,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rr,
+      |    137 - (SELECT sum(fl) FROM quota) AS deficit
+      |  FROM quota),
+      |n_g AS (SELECT source,
+      |  CAST(fl + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT) AS n
+      |  FROM alloc),
+      |ranked AS (
+      |  SELECT e.doc_id, e.source, e.n_chars, n_g.n, ROW_NUMBER() OVER (
+      |    PARTITION BY e.source ORDER BY -ln((CAST(concat('0x',
+      |        substring(md5(CAST(e.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+      |      + 1) / 4503599627370496.0) / CAST(e.n_chars AS DOUBLE) ASC,
+      |    e.doc_id ASC) AS rn
+      |  FROM elig e JOIN n_g ON e.source = n_g.source)
+      |SELECT doc_id, source, n_chars FROM ranked
+      |WHERE rn <= n ORDER BY doc_id""".stripMargin
+
   /** x107's weighted sample computed by the STREAMING path
     * ([[graft.streaming.Streams.weightedSampleStream]]): documents
     * arrive as a file stream and the global 100-row
@@ -4267,7 +4311,8 @@ object ExtQueries {
     "x112_pq_index_probe" -> (x112PqIndexProbe _),
     "x113_hamming_topk" -> (x113HammingTopK _),
     "x114_hamming_pairs" -> (x114HammingPairs _),
-    "x115_streaming_weighted_sample" -> (x115StreamingWeightedSample _))
+    "x115_streaming_weighted_sample" -> (x115StreamingWeightedSample _),
+    "x116_quota_sample" -> (x116QuotaSample _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4389,5 +4434,6 @@ object ExtQueries {
     "x112_pq_index_probe" -> x109Oracle,
     "x113_hamming_topk" -> x113Oracle,
     "x114_hamming_pairs" -> x114Oracle,
-    "x115_streaming_weighted_sample" -> x107Oracle)
+    "x115_streaming_weighted_sample" -> x107Oracle,
+    "x116_quota_sample" -> x116Oracle)
 }

@@ -455,4 +455,67 @@ object sampling {
       .filter(F.col("_wg_rn") <= nPerGroup)
       .drop("_wg_k", "_wg_rn")
   }
+
+  /** Exact-total stratified carve: sample EXACTLY `total` rows overall
+    * (fewer only if a stratum runs dry), allocated across the values of
+    * `groupCol` in proportion to each group's total `weightCol` mass by
+    * the largest-remainder (Hamilton) method, then drawn within each
+    * group by the same deterministic Efraimidis–Spirakis race as
+    * [[weightedSample]]. "500k eval documents, split across languages
+    * by token mass, exact to the row" in one call.
+    *
+    * Exactness: quotas are computed in integer arithmetic only —
+    * floor((mass_g × total) div M) via DECIMAL(38,0) products (a
+    * 100 TB corpus's token mass times any total stays under 10³⁸
+    * where int64 would overflow), remainders compared exactly, ties
+    * broken by group value — so the allocation replays bit-identically
+    * in any engine with exact integer division. ⌊·⌋ quotas sum to
+    * ≤ total and the deficit is < #groups, so topping up the largest
+    * remainders lands the sum EXACTLY on `total`. A group smaller than
+    * its quota contributes everything it has and the shortfall is NOT
+    * redistributed (re-running Hamilton on the residue would change
+    * every group's draw; callers who need backfill can re-carve the
+    * complement).
+    *
+    * Scale: one corpus-grain aggregate for the masses (#groups rows
+    * out), one corpus-grain group window whose FIXED `total` cap
+    * compiles to the map-side WindowGroupLimit (so ≤ total rows per
+    * group per map partition cross the wire), then the per-group
+    * quota — a column, which WindowGroupLimit cannot cap by — is
+    * applied by re-ranking the ≤ total×#groups survivors against the
+    * broadcast quota table. The variable-limit filter touches only the
+    * tiny intermediate, never the corpus. */
+  def weightedSampleQuota(df: DataFrame, key: String, weightCol: String,
+      groupCol: String, total: Int): DataFrame = {
+    require(total >= 1,
+      s"weightedSampleQuota: total must be >= 1 (got $total)")
+    import org.apache.spark.sql.expressions.Window
+    val w = F.col(weightCol)
+    val elig = df.filter(w.isNotNull && w > 0)
+    val masses = elig.groupBy(F.col(groupCol).as("_qg"))
+      .agg(F.sum(w.cast(DecimalType(28, 0))).as("_m"))
+    val all = Window.partitionBy() // #groups rows: one tiny partition
+    val byRem = Window.partitionBy()
+      .orderBy(F.col("_rem").desc, F.col("_qg").asc)
+    val quotas = masses
+      .withColumn("_prod", F.col("_m") * F.lit(total).cast(DecimalType(10, 0)))
+      .withColumn("_M", F.sum("_m").over(all))
+      .withColumn("_fl", F.expr("_prod div _M"))
+      .withColumn("_rem", F.expr("_prod % _M"))
+      .withColumn("_deficit", F.lit(total.toLong) - F.sum("_fl").over(all))
+      .withColumn("_rr", F.row_number().over(byRem))
+      .select(F.col("_qg"), (F.col("_fl") +
+        F.when(F.col("_rr") <= F.col("_deficit"), 1L).otherwise(0L)).as("_n"))
+    // phase 1: fixed-limit pass — no group needs more than `total`
+    // rows, and the literal cap is what lets WindowGroupLimit bound
+    // the shuffle. phase 2 re-ranks the survivors (same key order, so
+    // ranks are preserved) and applies the per-group quota column.
+    weightedSampleByGroup(elig, key, weightCol, groupCol, total)
+      .join(F.broadcast(quotas), F.col(groupCol) <=> F.col("_qg"))
+      .withColumn("_wq_rn", F.row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(esKey(key, weightCol).asc, F.col(key).asc)))
+      .filter(F.col("_wq_rn") <= F.col("_n"))
+      .drop("_qg", "_n", "_wq_rn")
+  }
 }

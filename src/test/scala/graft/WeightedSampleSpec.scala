@@ -82,6 +82,51 @@ class WeightedSampleSpec extends SparkSpec {
       s"expected a WindowGroupLimit partial phase in:\n$plan")
   }
 
+  test("quota sampling: Hamilton allocation exact, total exact, saturation not redistributed") {
+    val got = sampling.weightedSampleQuota(docs, "doc_id", "n_chars",
+      "source", 137)
+    assert(got.count() == 137, "no stratum is dry, so the total is exact")
+    // per-group counts must equal the largest-remainder allocation
+    // recomputed independently with BigInt arithmetic
+    val masses = docs.filter(F.col("n_chars") > 0)
+      .groupBy("source").agg(F.sum("n_chars").as("m")).collect()
+      .map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+    val mm = masses.values.sum
+    val fl = masses.map { case (g, m) => g -> (m * 137 / mm) }
+    val deficit = (137 - fl.values.sum).toInt
+    val topped = masses.toSeq
+      .map { case (g, m) => (g, m * 137 % mm) }
+      .sortBy { case (g, r) => (-r, g) }.take(deficit).map(_._1).toSet
+    val want = fl.map { case (g, f) =>
+      g -> (f + (if (topped(g)) 1 else 0)).toLong }
+    val byGroup = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGroup == want.filter(_._2 > 0L))
+    // WITHIN each group the draw is the same race as the per-group
+    // sampler, so the quota sample is a prefix of it
+    val perGroup = sampling.weightedSampleByGroup(docs, "doc_id", "n_chars",
+      "source", 137).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.select("doc_id").collect().map(_.getLong(0))
+      .foreach(id => assert(perGroup.contains(id)))
+    // saturation: one two-row group with overwhelming mass gets capped
+    // at its size; the shortfall is NOT redistributed
+    import spark.implicits._
+    val skewed = Seq(
+      (1L, "tiny", 1000000L), (2L, "tiny", 1000000L),
+      (3L, "big", 1L), (4L, "big", 1L), (5L, "big", 1L),
+      (6L, "big", 1L), (7L, "big", 1L), (8L, "big", 1L))
+      .toDF("id", "grp", "w")
+    val sk = sampling.weightedSampleQuota(skewed, "id", "w", "grp", 6)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tiny's quota is ~6 but it only has 2 rows; big keeps its own
+    // quota (0 after flooring+remainder — mass share ~3e-6), so the
+    // result undershoots the total instead of silently re-carving
+    assert(sk.getOrElse("tiny", 0L) == 2L, sk.toString)
+    assert(sk.values.sum < 6, s"shortfall must not be redistributed: $sk")
+  }
+
   test("null and non-positive weights are excluded; n > corpus returns all eligible") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)),
