@@ -769,6 +769,54 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("hammingPairs resolves 20k planted flips in a 220k-code corpus at band grain") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val pins0 = pinBaseline
+    // 200k random ±1 sign vectors (64-d, xxhash64-derived) + 20k copies
+    // of the first 20k with ≤ 3 sign flips each. Random codes sit ~32
+    // bits apart (P(≤3 of 64) ≈ 2e-15), so the radius-3 join must
+    // return EXACTLY the 20k planted pairs; pigeonhole (4 bands, ≤ 3
+    // flips) guarantees each is found. The shuffle is band grain —
+    // rows × 4 band keys — never pair grain.
+    def sign(id: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      F.when(F.pmod(F.xxhash64(id, i), F.lit(2)) === 0, 1.0).otherwise(-1.0)
+    val base = spark.range(0, 200000).select(F.col("id"),
+      F.transform(F.sequence(F.lit(0), F.lit(63)),
+        i => sign(F.col("id"), i)).as("v"))
+    // flip positions pmod-derived per copy; collisions only shrink the
+    // distance, which stays ≤ 3 — the pair is found either way
+    val copies = spark.range(0, 20000).select((F.col("id") + 1000000L).as("id"),
+      F.transform(F.sequence(F.lit(0), F.lit(63)), i => {
+        val flipped = (0 until 3).map(j =>
+          F.pmod(F.xxhash64(F.col("id") - 1000000L, F.lit(100 + j)), F.lit(64)) === i)
+          .reduce(_ || _)
+        F.when(flipped, -sign(F.col("id") - 1000000L, i))
+          .otherwise(sign(F.col("id") - 1000000L, i))
+      }).as("v"))
+    val corpus = base.unionByName(copies)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = similarity.hammingPairs(corpus, "id", "v", dim = 64, radius = 3)
+      val agg = pairs.agg(F.count(F.lit(1)),
+        F.sum(F.when(F.col("id_b") === F.col("id_a") + 1000000L, 1L).otherwise(0L)))
+      val qe = agg.queryExecution
+      val row = agg.head()
+      assert(row.getLong(0) == 20000L,
+        s"expected exactly the 20k planted pairs, got ${row.getLong(0)}")
+      assert(row.getLong(1) == 20000L, "every pair must be (i, i + 1M)")
+      // band grain, metrics-proven: each side explodes rows × 4 band
+      // keys (880k records); no exchange may approach pair grain
+      val exchanges = qe.executedPlan.collect {
+        case s: ShuffleExchangeExec => s.metrics("shuffleRecordsWritten").value
+      }
+      val bound = 2000000L
+      exchanges.foreach(r => assert(r <= bound,
+        s"an exchange moved $r records (> $bound): $exchanges"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(awaitRelease(pins0).isEmpty)
+  }
+
   test("similarityJoinPrefix resolves 20k planted dups in a 170k corpus under the posting cap") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
