@@ -228,6 +228,41 @@ class EmptyInputSpec extends SparkSpec {
       Map("en" -> 2.5)), "epochExpand")
     assertEmpty(sampling.shardAssign(docs0, "doc_id", nShards = 8),
       "shardAssign")
+    assertEmpty(sampling.weightedSample(docs0, "doc_id", "n_chars", 10),
+      "weightedSample")
+    assertEmpty(sampling.weightedSampleByGroup(docs0, "doc_id", "n_chars",
+      "source", 10), "weightedSampleByGroup")
+    // quota path exercises the masses aggregate, the Hamilton windows
+    // and the broadcast join on zero groups — all must degrade to empty
+    assertEmpty(sampling.weightedSampleQuota(docs0, "doc_id", "n_chars",
+      "source", 10), "weightedSampleQuota")
+    // all-ineligible (weights null/non-positive) is the same contract
+    assertEmpty(sampling.weightedSampleQuota(
+      docsAll.withColumn("n_chars", F.lit(0L)), "doc_id", "n_chars",
+      "source", 10), "weightedSampleQuota all-ineligible")
+  }
+
+  test("quota sampling pathological shapes: one group, quota-zero strata, total=1") {
+    import spark.implicits._
+    // one group: the whole total lands on it
+    val one = Seq((1L, "g", 5L), (2L, "g", 7L), (3L, "g", 9L))
+      .toDF("id", "grp", "w")
+    assert(sampling.weightedSampleQuota(one, "id", "w", "grp", 2).count() == 2)
+    // total = 1 with many groups: exactly one group (largest remainder,
+    // ties by name) contributes the single row
+    val many = (1 to 12).map(i => (i.toLong, s"g${i % 4}", 10L))
+      .toDF("id", "grp", "w")
+    val got = sampling.weightedSampleQuota(many, "id", "w", "grp", 1)
+    assert(got.count() == 1)
+    // equal masses -> equal remainders -> the tie goes to the smallest
+    // group name, deterministically
+    assert(got.select("grp").head().getString(0) == "g0")
+    // a stratum with negligible mass gets quota 0 and vanishes
+    val skew = (Seq((1L, "heavy", 1000000L), (2L, "heavy", 1000000L)) ++
+      Seq((3L, "light", 1L))).toDF("id", "grp", "w")
+    val sk = sampling.weightedSampleQuota(skew, "id", "w", "grp", 2)
+    assert(sk.select("grp").collect().map(_.getString(0)).toSeq ==
+      Seq("heavy", "heavy"))
   }
 
   // ---------------- joins ----------------
