@@ -4000,7 +4000,7 @@ object ExtQueries {
       |  FROM masses CROSS JOIN tot),
       |alloc AS (
       |  SELECT source, fl,
-      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rr,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC NULLS FIRST) AS rr,
       |    137 - (SELECT sum(fl) FROM quota) AS deficit
       |  FROM quota),
       |n_g AS (SELECT source,
@@ -4012,7 +4012,7 @@ object ExtQueries {
       |        substring(md5(CAST(e.doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
       |      + 1) / 4503599627370496.0) / CAST(e.n_chars AS DOUBLE) ASC,
       |    e.doc_id ASC) AS rn
-      |  FROM elig e JOIN n_g ON e.source = n_g.source)
+      |  FROM elig e JOIN n_g ON e.source IS NOT DISTINCT FROM n_g.source)
       |SELECT doc_id, source, n_chars FROM ranked
       |WHERE rn <= n ORDER BY doc_id""".stripMargin
 

@@ -418,7 +418,15 @@ object index {
     * trained banks (the IVF centroid bank and the flat PQ codebook).
     * Append re-reads the stored banks, so daily batches encode against
     * the SAME quantizers and land in stable cells — the
-    * [[buildIvfIndex]] lifecycle, at m-int-per-row storage cost. */
+    * [[buildIvfIndex]] lifecycle, at m-int-per-row storage cost.
+    * On append the STORED parameters govern: the training arguments
+    * (nlist, m, ksub, iters, sample, seed) are ignored in favor of the
+    * banks persisted at build time — passing different values is not an
+    * error, because re-deriving quantizers mid-lifecycle would split
+    * the index into incompatible code spaces. An empty append batch is
+    * a no-op (a zero-vector day must not crash the daily job); an
+    * empty FRESH build is refused, since quantizers cannot be trained
+    * on nothing. */
   def buildPqIndex(df: DataFrame, idCol: String, vecCol: String,
       name: String, nlist: Int = 64, m: Int = 8, ksub: Int = 16,
       ivfIters: Int = 2, pqIters: Int = 0, sampleN: Int = 20000,
@@ -426,9 +434,16 @@ object index {
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(nlist >= 1 && m >= 1 && ksub >= 1)
     val spark = df.sparkSession
-    val dim = df.select(F.size(F.col(vecCol))).head().getInt(0)
     val appending =
       mode == SaveMode.Append && spark.catalog.tableExists(s"${name}_pqcells")
+    val dimRow = df.select(F.size(F.col(vecCol))).head(1)
+    if (dimRow.isEmpty) {
+      require(appending,
+        "index: cannot build a PQ index from an empty corpus " +
+          "(quantizers need training data); empty APPEND batches no-op")
+      return
+    }
+    val dim = dimRow.head.getInt(0)
     if (!appending)
       Seq(s"${name}_pqcells", s"${name}_pqbank")
         .foreach(resetManagedTable(spark, _))

@@ -379,6 +379,17 @@ object sampling {
       .drop("_tb_bucket")
   }
 
+  /** The Efraimidis–Spirakis race key −ln(u)/w over the md5-derived
+    * 52-bit uniform (u = (h+1)/2^52 is bit-exact in any engine with
+    * md5: a mantissa-sized integer over a power of two). Smallest key
+    * wins; shared by [[weightedSample]]/[[weightedSampleByGroup]]. */
+  private[graft] def esKey(key: String, weightCol: String): Column = {
+    val h = F.conv(F.substring(F.md5(F.col(key).cast(StringType)), 1, 13),
+      16, 10).cast(LongType)
+    val u = (h + 1).cast(DoubleType) / F.lit(4503599627370496.0) // 2^52
+    -F.log(u) / F.col(weightCol).cast(DoubleType)
+  }
+
   /** WEIGHTED sampling without replacement — n rows where a row's
     * inclusion odds are proportional to `weightCol` (e.g. sample
     * documents by token count so the sample's token mass mirrors the
@@ -401,17 +412,6 @@ object sampling {
     * never sorted or shuffled whole. Rows with NULL or non-positive
     * weight are excluded (their inclusion probability is 0; −ln(u)/w
     * would be negative or undefined). */
-  /** The Efraimidis–Spirakis race key −ln(u)/w over the md5-derived
-    * 52-bit uniform (u = (h+1)/2^52 is bit-exact in any engine with
-    * md5: a mantissa-sized integer over a power of two). Smallest key
-    * wins; shared by [[weightedSample]]/[[weightedSampleByGroup]]. */
-  private[graft] def esKey(key: String, weightCol: String): Column = {
-    val h = F.conv(F.substring(F.md5(F.col(key).cast(StringType)), 1, 13),
-      16, 10).cast(LongType)
-    val u = (h + 1).cast(DoubleType) / F.lit(4503599627370496.0) // 2^52
-    -F.log(u) / F.col(weightCol).cast(DoubleType)
-  }
-
   def weightedSample(df: DataFrame, key: String, weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"weightedSample: n must be >= 1 (got $n)")
@@ -442,10 +442,13 @@ object sampling {
     * editDistancePairs block-cap plan shape, asserted in
     * WeightedSampleSpec). Null-group rows form their own group, the
     * usual window convention; null/non-positive weights are excluded. */
-  def weightedSampleByGroup(df: DataFrame, key: String, weightCol: String,
+  /** [[weightedSampleByGroup]]'s ranked core: eligible rows with their
+    * per-group race rank in `_wg_rn`, capped at the LITERAL `nPerGroup`
+    * so the filter compiles to the map-side WindowGroupLimit. Kept
+    * separate so [[weightedSampleQuota]] can reuse the rank instead of
+    * paying a second window. */
+  private def rankedByGroup(df: DataFrame, key: String, weightCol: String,
       groupCol: String, nPerGroup: Int): DataFrame = {
-    require(nPerGroup >= 1,
-      s"weightedSampleByGroup: nPerGroup must be >= 1 (got $nPerGroup)")
     import org.apache.spark.sql.expressions.Window
     df.filter(F.col(weightCol).isNotNull && F.col(weightCol) > 0)
       .withColumn("_wg_k", esKey(key, weightCol))
@@ -453,7 +456,14 @@ object sampling {
         Window.partitionBy(groupCol)
           .orderBy(F.col("_wg_k").asc, F.col(key).asc)))
       .filter(F.col("_wg_rn") <= nPerGroup)
-      .drop("_wg_k", "_wg_rn")
+      .drop("_wg_k")
+  }
+
+  def weightedSampleByGroup(df: DataFrame, key: String, weightCol: String,
+      groupCol: String, nPerGroup: Int): DataFrame = {
+    require(nPerGroup >= 1,
+      s"weightedSampleByGroup: nPerGroup must be >= 1 (got $nPerGroup)")
+    rankedByGroup(df, key, weightCol, groupCol, nPerGroup).drop("_wg_rn")
   }
 
   /** Exact-total stratified carve: sample EXACTLY `total` rows overall
@@ -464,18 +474,19 @@ object sampling {
     * [[weightedSample]]. "500k eval documents, split across languages
     * by token mass, exact to the row" in one call.
     *
-    * Exactness: quotas are computed in integer arithmetic only —
-    * floor((mass_g × total) div M) via DECIMAL(38,0) products (a
-    * 100 TB corpus's token mass times any total stays under 10³⁸
-    * where int64 would overflow), remainders compared exactly, ties
-    * broken by group value — so the allocation replays bit-identically
-    * in any engine with exact integer division. ⌊·⌋ quotas sum to
-    * ≤ total and the deficit is < #groups, so topping up the largest
-    * remainders lands the sum EXACTLY on `total`. A group smaller than
-    * its quota contributes everything it has and the shortfall is NOT
-    * redistributed (re-running Hamilton on the residue would change
-    * every group's draw; callers who need backfill can re-carve the
-    * complement).
+    * Exactness: quotas are computed in exact decimal arithmetic —
+    * floor((mass_g × total) div M) and its remainder over
+    * DECIMAL(38,12) masses (integer weights stay integers; fractional
+    * weights are honored to 12 fractional digits; a 100 TB corpus's
+    * token mass times any total stays under 10²⁶ where int64 would
+    * overflow), ties broken by group value — so the allocation replays
+    * bit-identically in any engine with exact decimal division. ⌊·⌋
+    * quotas sum to ≤ total and the deficit is < #groups, so topping up
+    * the largest remainders lands the sum EXACTLY on `total`. A group
+    * smaller than its quota contributes everything it has and the
+    * shortfall is NOT redistributed (re-running Hamilton on the
+    * residue would change every group's draw; callers who need
+    * backfill can re-carve the complement).
     *
     * Scale: one corpus-grain aggregate for the masses (#groups rows
     * out), one corpus-grain group window whose FIXED `total` cap
@@ -492,30 +503,33 @@ object sampling {
     import org.apache.spark.sql.expressions.Window
     val w = F.col(weightCol)
     val elig = df.filter(w.isNotNull && w > 0)
+    // scale 12 honors fractional weights (weightedSample's contract is
+    // double weights) while staying exact BigDecimal arithmetic; the
+    // div/% pair below is exact integer floor/remainder at any scale
     val masses = elig.groupBy(F.col(groupCol).as("_qg"))
-      .agg(F.sum(w.cast(DecimalType(28, 0))).as("_m"))
+      .agg(F.sum(w.cast(DecimalType(38, 12))).as("_m"))
     val all = Window.partitionBy() // #groups rows: one tiny partition
     val byRem = Window.partitionBy()
       .orderBy(F.col("_rem").desc, F.col("_qg").asc)
     val quotas = masses
       .withColumn("_prod", F.col("_m") * F.lit(total).cast(DecimalType(10, 0)))
       .withColumn("_M", F.sum("_m").over(all))
+      // sub-10⁻¹² weights can round a group's mass (even the whole
+      // corpus's) to 0 — degrade to "no quota" rather than divide-by-0
+      .filter(F.col("_M") > 0)
       .withColumn("_fl", F.expr("_prod div _M"))
       .withColumn("_rem", F.expr("_prod % _M"))
       .withColumn("_deficit", F.lit(total.toLong) - F.sum("_fl").over(all))
       .withColumn("_rr", F.row_number().over(byRem))
       .select(F.col("_qg"), (F.col("_fl") +
         F.when(F.col("_rr") <= F.col("_deficit"), 1L).otherwise(0L)).as("_n"))
-    // phase 1: fixed-limit pass — no group needs more than `total`
-    // rows, and the literal cap is what lets WindowGroupLimit bound
-    // the shuffle. phase 2 re-ranks the survivors (same key order, so
-    // ranks are preserved) and applies the per-group quota column.
-    weightedSampleByGroup(elig, key, weightCol, groupCol, total)
+    // phase 1: fixed-limit ranked pass — no group needs more than
+    // `total` rows, and the literal cap is what lets WindowGroupLimit
+    // bound the shuffle. phase 2 applies the per-group quota column to
+    // the already-computed ranks of the ≤ total×#groups survivors.
+    rankedByGroup(elig, key, weightCol, groupCol, total)
       .join(F.broadcast(quotas), F.col(groupCol) <=> F.col("_qg"))
-      .withColumn("_wq_rn", F.row_number().over(
-        Window.partitionBy(groupCol)
-          .orderBy(esKey(key, weightCol).asc, F.col(key).asc)))
-      .filter(F.col("_wq_rn") <= F.col("_n"))
-      .drop("_qg", "_n", "_wq_rn")
+      .filter(F.col("_wg_rn") <= F.col("_n"))
+      .drop("_qg", "_n", "_wg_rn")
   }
 }

@@ -746,9 +746,15 @@ object similarity {
     * (task, query). Output `(q_id, n_id, hamming_dist, rank)`. */
   def hammingTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
-    val c = corpus.select(F.col(idCol).cast(LongType).as("n_id"),
+    // NULL / wrong-size vectors are excluded, not ranked: they would
+    // quantize to the all-zero code, whose distance to a sparse query
+    // is tiny — one corrupt row would own a top-k slot of every such
+    // query (the twoStageTopK NaN-guard hazard, in Hamming form)
+    def clean(df: DataFrame) =
+      df.filter(F.col(vecCol).isNotNull && F.size(F.col(vecCol)) === dim)
+    val c = clean(corpus).select(F.col(idCol).cast(LongType).as("n_id"),
       binaryQuantize(F.col(vecCol), dim).as("n_code"))
-    val q = queries.select(F.col(idCol).cast(LongType).as("q_id"),
+    val q = clean(queries).select(F.col(idCol).cast(LongType).as("q_id"),
       binaryQuantize(F.col(vecCol), dim).as("q_code"))
     val scored = c.crossJoin(F.broadcast(q))
       .filter(F.col("n_id") =!= F.col("q_id"))
@@ -783,13 +789,19 @@ object similarity {
     require(radius >= 0 && radius < dim,
       s"similarity: radius must be in [0, dim) (got $radius, dim $dim)")
     val b = radius + 1
-    val bits = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), i =>
-      F.when(F.element_at(F.col(vecCol), i + 1).cast(DoubleType) > F.lit(0d),
-        F.lit("1")).otherwise(F.lit("0")))
+    // band key = the band's sign bits packed 32-per-long, same
+    // convention as the full code — integer equi-join keys (1-2 longs
+    // per band at embedding dims), no string materialization
+    def packBits(from: Int, until: Int): Column =
+      F.transform(F.sequence(F.lit(0), F.lit((until - from + 31) / 32 - 1)), w =>
+        F.aggregate(F.sequence(F.lit(0), F.lit(31)), F.lit(0L), (acc, i) => {
+          val pos = w * 32 + i
+          acc + F.when(pos < F.lit(until - from) &&
+              F.element_at(F.col(vecCol), pos + from + 1).cast(DoubleType) > F.lit(0d),
+            F.call_function("shiftleft", F.lit(1L), i)).otherwise(F.lit(0L))
+        }))
     val bands = F.array((0 until b).map { j =>
-      val from = j * dim / b
-      val until = (j + 1) * dim / b
-      F.array_join(F.slice(bits, from + 1, until - from), "")
+      packBits(j * dim / b, (j + 1) * dim / b)
     }: _*)
     val v = df
       .filter(F.col(vecCol).isNotNull && F.size(F.col(vecCol)) === dim)

@@ -116,4 +116,20 @@ class HammingSpec extends SparkSpec {
     assert(similarity.hammingTopK(empty, empty, "id", "v", 3, 64).count() == 0)
     assert(similarity.hammingPairs(empty, "id", "v", 64, 3).count() == 0)
   }
+
+  test("hammingTopK excludes NULL and wrong-size corpus rows from the ranking") {
+    // an all-negative query has an all-zero code; a NULL/short corpus
+    // row would also quantize all-zero (distance 0) and steal rank 1
+    val clean = (1L to 6L).map(i =>
+      (i, (0 until 64).map(j => if ((i + j) % 3 == 0) 1.0 else -1.0)))
+    val dirty = clean.toDF("id", "v").unionByName(Seq(
+      (90L, null.asInstanceOf[Seq[Double]]), (91L, Seq(1.0)))
+      .toDF("id", "v"))
+    val q = Seq((100L, (0 until 64).map(_ => -1.0))).toDF("id", "v")
+    val got = similarity.hammingTopK(dirty, q, "id", "v", k = 3, dim = 64)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(!got.contains(90L) && !got.contains(91L),
+      s"corrupt rows must not hold top-k slots: $got")
+    assert(got.subsetOf((1L to 6L).toSet))
+  }
 }

@@ -295,6 +295,15 @@ class LayoutSpec extends SparkSpec {
           mode = SaveMode.Append)
       }
       assert(err.getMessage.contains("dim"))
+      // a zero-vector day no-ops; an empty FRESH build is refused
+      val none = all.filter(F.lit(false))
+      index.buildPqIndex(none, "id", "v", "graft_pq_a",
+        mode = SaveMode.Append)
+      assert(spark.table("graft_pq_a_pqcells").count() == 60)
+      val err2 = intercept[IllegalArgumentException] {
+        index.buildPqIndex(none, "id", "v", "graft_pq_fresh")
+      }
+      assert(err2.getMessage.contains("empty"))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       Seq("graft_pq_t_pqcells", "graft_pq_t_pqbank",

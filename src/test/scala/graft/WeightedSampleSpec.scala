@@ -127,6 +127,23 @@ class WeightedSampleSpec extends SparkSpec {
     assert(sk.values.sum < 6, s"shortfall must not be redistributed: $sk")
   }
 
+  test("quota sampling honors fractional double weights") {
+    import spark.implicits._
+    // group f's mass is 4 x 0.25 = 1.0, group t's is 4 x 0.75 = 3.0:
+    // Hamilton on total 4 must allocate 1 and 3 — truncating the
+    // fractional weights to integers would give 0/4 (or all-zero mass)
+    val df = ((1L to 4L).map(i => (i, "f", 0.25)) ++
+      (5L to 8L).map(i => (i, "t", 0.75))).toDF("id", "grp", "w")
+    val got = sampling.weightedSampleQuota(df, "id", "w", "grp", 4)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("f" -> 1L, "t" -> 3L), got.toString)
+    // sub-10^-12 weights round to zero mass: degrade to empty, not a
+    // divide-by-null wipeout of unrelated behavior
+    val tiny = Seq((1L, "g", 1e-14), (2L, "g", 2e-14)).toDF("id", "grp", "w")
+    assert(sampling.weightedSampleQuota(tiny, "id", "w", "grp", 1).count() == 0)
+  }
+
   test("null and non-positive weights are excluded; n > corpus returns all eligible") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)),
