@@ -4016,6 +4016,110 @@ object ExtQueries {
       |SELECT doc_id, source, n_chars FROM ranked
       |WHERE rn <= n ORDER BY doc_id""".stripMargin
 
+  /** One sampling-battery draw: operator, weight family, group, size. */
+  private final case class SampDraw(tag: String, op: Int, wIdx: Int,
+      grp: String, n: Int)
+
+  /** Weight families as (engine Column, SQL double expr for the race,
+    * SQL integer expr for HUGEINT masses). Fractional weights are
+    * DYADIC (n/8, n/4) so (a) the double is binary-exact in both
+    * engines and (b) the engine's DECIMAL(38,12) mass cast is exact —
+    * and Hamilton allocation is SCALE-INVARIANT (fl = (mT) div M and
+    * the remainder ORDER survive scaling m and M by the same factor),
+    * so the oracle replays fractional masses as ×8-scaled integers. */
+  private val sampWeights: IndexedSeq[(Column => Column, String, String)] =
+    IndexedSeq(
+      (w => w, "CAST(n_chars AS DOUBLE)", "n_chars"),
+      (w => w / F.lit(8.0), "(n_chars / 8.0)", "n_chars"),
+      (w => F.pmod(w, F.lit(97L)) + F.lit(1L),
+        "CAST(n_chars % 97 + 1 AS DOUBLE)", "(n_chars % 97 + 1)"),
+      (w => w.cast(DoubleType) / F.lit(4.0), "(n_chars / 4.0)", "n_chars"))
+
+  private val sampBatterySeed = 20260915L
+  private lazy val sampBattery: Seq[SampDraw] = {
+    val rnd = new scala.util.Random(sampBatterySeed)
+    (0 until 9).map(i => SampDraw(f"d$i%02d", op = i % 3,
+      wIdx = rnd.nextInt(sampWeights.length),
+      grp = if (rnd.nextBoolean()) "source" else "lang",
+      n = 1 + rnd.nextInt(250)))
+  }
+
+  /** Sampling fuzz battery: 9 seeded draws across the whole weighted-
+    * sampling family — [[graft.functions.sampling.weightedSample]],
+    * `weightedSampleByGroup` and the Hamilton `weightedSampleQuota` —
+    * over long, modulo and FRACTIONAL dyadic weight transforms, both
+    * group columns and random sizes, every draw replayed in DuckDB
+    * (the q34-q42 battery discipline pointed at DataFrame-level
+    * operators; a battery like this would have caught the
+    * fractional-weight truncation fixed in the round-9 review). */
+  def x117SamplingBattery(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir)
+    val parts = sampBattery.map { d =>
+      val (we, _, _) = sampWeights(d.wIdx)
+      val withW = base.withColumn("_w", we(F.col("n_chars")))
+      val res = d.op match {
+        case 0 => sampling.weightedSample(withW, "doc_id", "_w", d.n)
+        case 1 => sampling.weightedSampleByGroup(withW, "doc_id", "_w",
+          d.grp, d.n)
+        case _ => sampling.weightedSampleQuota(withW, "doc_id", "_w",
+          d.grp, d.n)
+      }
+      res.select(F.lit(d.tag).as("draw"), F.col("doc_id"))
+    }
+    parts.reduce(_ unionByName _).orderBy("draw", "doc_id")
+  }
+
+  private def sampEsOrder(sqlW: String): String =
+    s"""-ln((CAST(concat('0x',
+       |        substring(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+       |      + 1) / 4503599627370496.0) / $sqlW ASC, doc_id ASC""".stripMargin
+
+  private lazy val x117Oracle: String = {
+    val selects = sampBattery.map { d =>
+      val (_, sqlW, sqlWInt) = sampWeights(d.wIdx)
+      val elig = s"n_chars IS NOT NULL AND $sqlW > 0"
+      d.op match {
+        case 0 =>
+          s"""SELECT '${d.tag}' AS draw, doc_id FROM (
+             |  SELECT doc_id FROM documents WHERE $elig
+             |  ORDER BY ${sampEsOrder(sqlW)}
+             |  LIMIT ${d.n})""".stripMargin
+        case 1 =>
+          s"""SELECT '${d.tag}' AS draw, doc_id FROM (
+             |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY ${d.grp}
+             |    ORDER BY ${sampEsOrder(sqlW)}) AS rn
+             |  FROM documents WHERE $elig)
+             |WHERE rn <= ${d.n}""".stripMargin
+        case _ =>
+          s"""SELECT '${d.tag}' AS draw, doc_id FROM (
+             |  WITH elig AS (
+             |    SELECT doc_id, ${d.grp} AS g, n_chars FROM documents
+             |    WHERE $elig),
+             |  masses AS (
+             |    SELECT g, CAST(sum($sqlWInt) AS HUGEINT) AS m
+             |    FROM elig GROUP BY g),
+             |  tot AS (SELECT CAST(sum(m) AS HUGEINT) AS mm FROM masses),
+             |  quota AS (
+             |    SELECT g, (m * ${d.n}) // mm AS fl, (m * ${d.n}) % mm AS rem
+             |    FROM masses CROSS JOIN tot),
+             |  alloc AS (
+             |    SELECT g, fl,
+             |      ROW_NUMBER() OVER (ORDER BY rem DESC, g ASC NULLS FIRST) AS rr,
+             |      ${d.n} - (SELECT sum(fl) FROM quota) AS deficit
+             |    FROM quota),
+             |  n_g AS (SELECT g,
+             |    CAST(fl + CASE WHEN rr <= deficit THEN 1 ELSE 0 END AS BIGINT) AS n
+             |    FROM alloc),
+             |  ranked AS (
+             |    SELECT e.doc_id, n_g.n, ROW_NUMBER() OVER (
+             |      PARTITION BY e.g ORDER BY ${sampEsOrder(sqlW)}) AS rn
+             |    FROM elig e JOIN n_g ON e.g IS NOT DISTINCT FROM n_g.g)
+             |  SELECT doc_id FROM ranked WHERE rn <= n)""".stripMargin
+      }
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY draw, doc_id")
+  }
+
   /** x107's weighted sample computed by the STREAMING path
     * ([[graft.streaming.Streams.weightedSampleStream]]): documents
     * arrive as a file stream and the global 100-row
@@ -4312,7 +4416,8 @@ object ExtQueries {
     "x113_hamming_topk" -> (x113HammingTopK _),
     "x114_hamming_pairs" -> (x114HammingPairs _),
     "x115_streaming_weighted_sample" -> (x115StreamingWeightedSample _),
-    "x116_quota_sample" -> (x116QuotaSample _))
+    "x116_quota_sample" -> (x116QuotaSample _),
+    "x117_sampling_battery" -> (x117SamplingBattery _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4435,5 +4540,6 @@ object ExtQueries {
     "x113_hamming_topk" -> x113Oracle,
     "x114_hamming_pairs" -> x114Oracle,
     "x115_streaming_weighted_sample" -> x107Oracle,
-    "x116_quota_sample" -> x116Oracle)
+    "x116_quota_sample" -> x116Oracle,
+    "x117_sampling_battery" -> x117Oracle)
 }
