@@ -4036,10 +4036,13 @@ object ExtQueries {
       (w => w.cast(DoubleType) / F.lit(4.0), "(n_chars / 4.0)", "n_chars"))
 
   private val sampBatterySeed = 20260915L
+  /** 12 draws = the COMPLETE operator × weight-family product (so
+    * quota × fractional — the round-9 review's bug class — is always
+    * drawn, never left to seed luck); group and size stay seeded. */
   private lazy val sampBattery: Seq[SampDraw] = {
     val rnd = new scala.util.Random(sampBatterySeed)
-    (0 until 9).map(i => SampDraw(f"d$i%02d", op = i % 3,
-      wIdx = rnd.nextInt(sampWeights.length),
+    (0 until 12).map(i => SampDraw(f"d$i%02d", op = i % 3,
+      wIdx = (i % 3 + i / 3) % sampWeights.length,
       grp = if (rnd.nextBoolean()) "source" else "lang",
       n = 1 + rnd.nextInt(250)))
   }
