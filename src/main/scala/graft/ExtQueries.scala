@@ -4123,6 +4123,101 @@ object ExtQueries {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY draw, doc_id")
   }
 
+  /** DuckDB sign-bit pack of the first `dim` entries of `vecSql`, 32
+    * bits per long word — the [[graft.functions.similarity.binaryQuantize]]
+    * convention, with the word-boundary guard live for dim % 32 != 0. */
+  private def hamPackSql(vecSql: String, dim: Int): String = {
+    val words = (dim + 31) / 32
+    s"""list_transform(generate_series(0, ${words - 1}), w ->
+       |    list_sum(list_transform(generate_series(0, 31), i ->
+       |      CASE WHEN w*32 + i < $dim AND CAST($vecSql[w*32+i+1] AS DOUBLE) > 0
+       |        THEN (1::BIGINT << i) ELSE 0 END)))""".stripMargin
+  }
+
+  private def hamDistSql(dim: Int): String =
+    if (dim <= 32) "bit_count(xor(a.code[1], b.code[1]))"
+    else "bit_count(xor(a.code[1], b.code[1])) + bit_count(xor(a.code[2], b.code[2]))"
+
+  private val hamBatterySeed = 20260920L
+  /** (tag, isTopK, dim, k-or-radius): both operators at dims 24/40/64 —
+    * 40 and 24 put the PARTIAL-word packing (only spec'd in Scala until
+    * now) under the cross-engine hash. */
+  private lazy val hamBattery: Seq[(String, Boolean, Int, Int)] = {
+    val rnd = new scala.util.Random(hamBatterySeed)
+    Seq(64, 40, 24).zipWithIndex.flatMap { case (dim, i) => Seq(
+      (f"d${2 * i}%02d", true, dim, 1 + rnd.nextInt(8)),
+      (f"d${2 * i + 1}%02d", false, dim, 2 + rnd.nextInt(4))) }
+  }
+
+  /** Hamming fuzz battery: top-k and the pigeonhole radius join at
+    * dims 64/40/24 with seeded k/radius — dim 40 and 24 exercise the
+    * 32-bit word-boundary guard in [[graft.functions.similarity.binaryQuantize]]
+    * cross-engine (x113/x114 only cover the exact-2-word case). The
+    * pairs draws run on the x114 perturbed union so near pairs always
+    * exist; slicing happens AFTER perturbation on both sides. */
+  def x118HammingBattery(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).select(F.col("vec_id").cast(LongType).as("vec_id"),
+      F.transform(F.col("embedding"), _.cast(DoubleType)).as("v"))
+    val pattern = F.typedlit((0 until 64).map(i => 0.004 * ((i % 5) - 2)))
+    val pert = base.select((F.col("vec_id") + F.lit(1000000L)).as("vec_id"),
+      F.zip_with(F.col("v"), pattern, (x, p) => x + p).as("v"))
+    val allv = base.unionByName(pert)
+    val parts = hamBattery.map { case (tag, isTopK, dim, p) =>
+      if (isTopK) {
+        val e = base.select(F.col("vec_id"),
+          F.slice(F.col("v"), 1, dim).as("v"))
+        similarity.hammingTopK(e, e.filter(F.col("vec_id") < 8),
+            "vec_id", "v", k = p, dim = dim)
+          .select(F.lit(tag).as("draw"), F.col("q_id").as("a"),
+            F.col("n_id").as("b"), F.col("hamming_dist").as("d"),
+            F.col("rank").as("r"))
+      } else {
+        val e = allv.select(F.col("vec_id"),
+          F.slice(F.col("v"), 1, dim).as("v"))
+        similarity.hammingPairs(e, "vec_id", "v", dim = dim, radius = p)
+          .select(F.lit(tag).as("draw"), F.col("id_a").as("a"),
+            F.col("id_b").as("b"), F.col("hamming_dist").as("d"),
+            F.lit(-1L).as("r"))
+      }
+    }
+    parts.reduce(_ unionByName _).orderBy("draw", "a", "b")
+  }
+
+  private lazy val x118Oracle: String = {
+    val selects = hamBattery.map { case (tag, isTopK, dim, p) =>
+      if (isTopK)
+        s"""SELECT '$tag' AS draw, a, b, d, r FROM (
+           |  WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |    FROM embeddings),
+           |  codes AS (SELECT vec_id, ${hamPackSql("v", dim)} AS code FROM e),
+           |  scored AS (
+           |    SELECT a.vec_id AS a, b.vec_id AS b,
+           |      CAST(${hamDistSql(dim)} AS BIGINT) AS d
+           |    FROM codes a CROSS JOIN codes b
+           |    WHERE a.vec_id < 8 AND b.vec_id != a.vec_id)
+           |  SELECT a, b, d, CAST(rn AS BIGINT) AS r FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY a ORDER BY d, b) AS rn
+           |    FROM scored) WHERE rn <= $p)""".stripMargin
+      else
+        s"""SELECT '$tag' AS draw, a, b, d, CAST(-1 AS BIGINT) AS r FROM (
+           |  WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |    FROM embeddings),
+           |  pert AS (SELECT vec_id + 1000000 AS vec_id,
+           |      list_transform(list_zip(v, list_transform(generate_series(0, 63),
+           |        i -> 0.004 * ((i % 5) - 2))), q -> q[1] + q[2]) AS v
+           |    FROM base),
+           |  allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+           |  codes AS (SELECT vec_id, ${hamPackSql("v", dim)} AS code FROM allv)
+           |  SELECT a.vec_id AS a, b.vec_id AS b,
+           |    CAST(${hamDistSql(dim)} AS BIGINT) AS d
+           |  FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+           |  WHERE ${hamDistSql(dim)} <= $p)""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY draw, a, b")
+  }
+
   /** x107's weighted sample computed by the STREAMING path
     * ([[graft.streaming.Streams.weightedSampleStream]]): documents
     * arrive as a file stream and the global 100-row
@@ -4420,7 +4515,8 @@ object ExtQueries {
     "x114_hamming_pairs" -> (x114HammingPairs _),
     "x115_streaming_weighted_sample" -> (x115StreamingWeightedSample _),
     "x116_quota_sample" -> (x116QuotaSample _),
-    "x117_sampling_battery" -> (x117SamplingBattery _))
+    "x117_sampling_battery" -> (x117SamplingBattery _),
+    "x118_hamming_battery" -> (x118HammingBattery _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4544,5 +4640,6 @@ object ExtQueries {
     "x114_hamming_pairs" -> x114Oracle,
     "x115_streaming_weighted_sample" -> x107Oracle,
     "x116_quota_sample" -> x116Oracle,
-    "x117_sampling_battery" -> x117Oracle)
+    "x117_sampling_battery" -> x117Oracle,
+    "x118_hamming_battery" -> x118Oracle)
 }
