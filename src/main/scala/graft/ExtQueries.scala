@@ -4218,6 +4218,24 @@ object ExtQueries {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY draw, a, b")
   }
 
+  /** Generic per-group top-k ([[graft.functions.retrieval.groupTopK]]):
+    * top 5 documents per source by character count — the k-bounded heap
+    * aggregate as a user-facing carve, vs the full ROW_NUMBER window
+    * the oracle replays. */
+  def x119GroupTopK(s: SparkSession, dir: String): DataFrame =
+    graft.functions.retrieval.groupTopK(docs(s, dir), Seq("source"),
+        "doc_id", "n_chars", k = 5)
+      .orderBy("source", "rank")
+
+  private val x119Oracle =
+    """SELECT source, id, score, rank FROM (
+      |  SELECT source, doc_id AS id, CAST(n_chars AS DOUBLE) AS score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS BIGINT)
+      |      AS rank
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
   /** x107's weighted sample computed by the STREAMING path
     * ([[graft.streaming.Streams.weightedSampleStream]]): documents
     * arrive as a file stream and the global 100-row
@@ -4516,7 +4534,8 @@ object ExtQueries {
     "x115_streaming_weighted_sample" -> (x115StreamingWeightedSample _),
     "x116_quota_sample" -> (x116QuotaSample _),
     "x117_sampling_battery" -> (x117SamplingBattery _),
-    "x118_hamming_battery" -> (x118HammingBattery _))
+    "x118_hamming_battery" -> (x118HammingBattery _),
+    "x119_group_topk" -> (x119GroupTopK _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4641,5 +4660,6 @@ object ExtQueries {
     "x115_streaming_weighted_sample" -> x107Oracle,
     "x116_quota_sample" -> x116Oracle,
     "x117_sampling_battery" -> x117Oracle,
-    "x118_hamming_battery" -> x118Oracle)
+    "x118_hamming_battery" -> x118Oracle,
+    "x119_group_topk" -> x119Oracle)
 }

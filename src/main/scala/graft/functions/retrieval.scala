@@ -163,4 +163,32 @@ object retrieval {
       .select(F.col("q_id"), F.col("n_id"),
         F.col("cos").cast(DoubleType).as("rrf"), F.col("rank"))
   }
+
+  /** Generic "top k rows per group by score" — the daily carve ("top
+    * 10 documents per domain by quality", "best k chunks per page")
+    * exposed over the k-bounded [[graft.plans.BoundedTopK]] heap
+    * aggregate: each map task contributes at most k (group, id) pairs
+    * per group to the one shuffle and no task ever sorts a group whole,
+    * where the equivalent `row_number().over(partitionBy(group))`
+    * window must ship and sort every row of every group (a mega-domain
+    * becomes one task's sort). Highest score first, ties by id
+    * ascending; NULL scores are excluded (a window would rank them —
+    * with a heap there is nothing meaningful to rank them BY).
+    * Output: groupCols + `(id, score, rank)`. */
+  def groupTopK(df: DataFrame, groupCols: Seq[String], idCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"retrieval: k must be >= 1 (got $k)")
+    require(groupCols.nonEmpty, "retrieval: need at least one group col")
+    val gs = groupCols.map(F.col)
+    df.filter(F.col(scoreCol).isNotNull &&
+        !F.isnan(F.col(scoreCol).cast(DoubleType)))
+      .groupBy(gs: _*)
+      .agg(F.call_function("graft_topk",
+        F.col(scoreCol).cast(DoubleType), F.col(idCol).cast(LongType),
+        F.lit(k)).as("_tk"))
+      .select(gs :+ F.posexplode(F.col("_tk")).as(Seq("_pos", "_s")): _*)
+      .select(gs ++ Seq(F.col("_s.id").as("id"),
+        F.col("_s.score").as("score"),
+        (F.col("_pos") + 1).cast(LongType).as("rank")): _*)
+  }
 }

@@ -1580,6 +1580,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(1)._3 == got(2)._3)
   }
 
+  test("groupTopK equals the window plan, excludes null/NaN scores, stays heap-shaped") {
+    import graft.functions.retrieval
+    val df = Seq(
+      (1L, "a", Some(5.0)), (2L, "a", Some(9.0)), (3L, "a", Some(9.0)),
+      (4L, "a", Some(1.0)), (5L, "b", Some(2.0)), (6L, "b", None),
+      (7L, "b", Some(Double.NaN)), (8L, "c", Some(4.0)))
+      .toDF("id", "grp", "score")
+    val got = retrieval.groupTopK(df, Seq("grp"), "id", "score", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    // score DESC, ties by id ASC; null and NaN scores never ranked
+    assert(got.toSeq == Seq(
+      ("a", 2L, 9.0, 1L), ("a", 3L, 9.0, 2L),
+      ("b", 5L, 2.0, 1L), ("c", 8L, 4.0, 1L)))
+    // the plan is the bounded-heap aggregate, not a rank window
+    val plan = retrieval.groupTopK(df, Seq("grp"), "id", "score", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("graft_topk") || plan.contains("BoundedTopK"), plan)
+  }
+
   test("dsirSelect ranks target-like documents first; weights are exact Long sums") {
     val raw = Seq((1L, "apple apple banana"), (2L, "apple fruit pie"),
         (3L, "zebra quagga yak"), (4L, "zebra zebra yak"),
