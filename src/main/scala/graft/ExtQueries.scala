@@ -4047,7 +4047,8 @@ object ExtQueries {
       n = 1 + rnd.nextInt(250)))
   }
 
-  /** Sampling fuzz battery: 9 seeded draws across the whole weighted-
+  /** Sampling fuzz battery: 12 draws — the COMPLETE 3-operator ×
+    * 4-weight-family product — across the whole weighted-
     * sampling family — [[graft.functions.sampling.weightedSample]],
     * `weightedSampleByGroup` and the Hamilton `weightedSampleQuota` —
     * over long, modulo and FRACTIONAL dyadic weight transforms, both

@@ -461,7 +461,10 @@ object index {
     val mEff = if (appending) readPqProp(spark, name, "graft.m").toInt else m
     val bankLit = F.typedlit(bank.toSeq)
     val cbLit = F.typedlit(cb.toSeq)
-    val cells = df.select(
+    // ragged-row hygiene (the hammingTopK posture): a vector that isn't
+    // exactly `dim` wide has no defined code — exclude it rather than
+    // persist a NULL/misaligned encoding into the index
+    val cells = similarity.cleanDim(df, vecCol, dim).select(
       F.col(idCol).cast(LongType).as("n_id"),
       F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(mEff))
         .as("codes"),
@@ -512,7 +515,11 @@ object index {
     val bankLit = F.typedlit(readPqBank(spark, name, "ivf").toSeq)
     val cbLit = F.typedlit(readPqBank(spark, name, "cb").toSeq)
     val m = readPqProp(spark, name, "graft.m").toInt
-    val q0 = queries.select(F.col(idCol).cast(LongType).as("q_id"),
+    val storedDim = readPqProp(spark, name, "graft.dim").toInt
+    // queries that don't match the index's trained width have no
+    // defined distance table — exclude, don't crash (see buildPqIndex)
+    val q0 = similarity.cleanDim(queries, vecCol, storedDim)
+      .select(F.col(idCol).cast(LongType).as("q_id"),
       F.explode(F.call_function("graft_centroid_topk",
         F.col(vecCol), bankLit, F.lit(nprobe))).as("cell"),
       F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))

@@ -512,7 +512,19 @@ object sampling {
     val byRem = Window.partitionBy()
       .orderBy(F.col("_rem").desc, F.col("_qg").asc)
     val quotas = masses
-      .withColumn("_prod", F.col("_m") * F.lit(total).cast(DecimalType(10, 0)))
+      // the product must KEEP scale 12: DECIMAL(38,12) × DECIMAL(10,0)
+      // would need precision 49, so Spark rescales the result to
+      // DECIMAL(38,6) — silently ROUNDING weights with >6 fractional
+      // digits, which can flip a floor quota or the remainder order vs
+      // the exact-decimal contract. DECIMAL(27,12) × DECIMAL(10,0) fits
+      // precision 38 exactly, so scale 12 survives. The narrower mass
+      // cast caps |Σw| per group at 10¹⁵ — a 100 TB corpus's token mass
+      // is ~10¹⁴, comfortably inside; a mass beyond it overflows to
+      // NULL (ANSI off) and the group degrades to "no quota" loudly
+      // rather than silently misallocating.
+      .withColumn("_prod",
+        F.col("_m").cast(DecimalType(27, 12)) *
+          F.lit(total).cast(DecimalType(10, 0)))
       .withColumn("_M", F.sum("_m").over(all))
       // sub-10⁻¹² weights can round a group's mass (even the whole
       // corpus's) to 0 — degrade to "no quota" rather than divide-by-0

@@ -180,17 +180,22 @@ object similarity {
         if (portableSeed) Seq(F.md5(F.col("id").cast(StringType)).asc,
           F.col("id").asc)
         else Seq(F.xxhash64(F.col("id")).asc, F.col("id").asc)
-      val init = samp.orderBy(seedOrd: _*).limit(nlist)
+      val init0 = samp.orderBy(seedOrd: _*).limit(nlist)
         .select("vec").collect().map(_.getSeq[Double](0).toArray)
       // empty corpus (an empty shard, a drained filter): no centroids —
       // bankOf(empty) is the empty bank, which CentroidTopK resolves to
       // an empty cell list, so every downstream consumer yields 0 rows
-      if (init.isEmpty) return Array.empty[Array[Double]]
+      if (init0.isEmpty) return Array.empty[Array[Double]]
+      // ragged-sample hygiene (the trainPqCodebooksDim posture): a seed
+      // of a different width would make the Lloyd mean lookup throw on
+      // a cell it solely occupies; the trained dim is the first seed's
+      val init = init0.filter(_.length == init0.head.length)
       val dim = init.head.length
+      val lloydSamp = samp.filter(F.size(F.col("vec")) === dim)
       var cents: Array[Array[Double]] = init
       for (_ <- 0 until iters) {
         val bank = F.typedlit(bankOf(cents).toSeq)
-        val assigned = samp.select(
+        val assigned = lloydSamp.select(
           F.element_at(F.call_function("graft_centroid_topk",
             F.col("vec"), bank, F.lit(1)), 1).as("cell"),
           F.posexplode(F.col("vec")).as(Seq("pos", "x")))
@@ -535,7 +540,19 @@ object similarity {
     * deterministic for a fixed sample. */
   def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int, iters: Int = 0, sampleN: Int = 20000,
-      sampleOneIn: Long = 0L, portableSeed: Boolean = false): Array[Double] = {
+      sampleOneIn: Long = 0L, portableSeed: Boolean = false): Array[Double] =
+    trainPqCodebooksDim(corpus, idCol, vecCol, m, ksub, iters, sampleN,
+      sampleOneIn, portableSeed)._1
+
+  /** [[trainPqCodebooks]] plus the trained dimension (0 for an empty
+    * corpus) — consumers use it to filter ragged rows out of the encode
+    * and probe paths (`size(vec) === dim`, the hammingTopK hygiene): a
+    * wrong-width vector has no defined code and must be excluded, not
+    * crash generated code or read misaligned codewords. */
+  private[functions] def trainPqCodebooksDim(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int = 0, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L, portableSeed: Boolean = false): (Array[Double], Int) = {
     require(m >= 1 && ksub >= 1 && iters >= 0)
     val keepOneIn =
       if (sampleOneIn > 0) sampleOneIn
@@ -548,9 +565,15 @@ object similarity {
         F.col("id").asc)
       else Seq(F.xxhash64(F.col("id")).asc, F.col("id").asc)
     if (iters == 0) {
-      val seeds = samp.orderBy(seedOrd: _*).limit(ksub)
+      // ragged rows in the SAMPLE would corrupt the bank layout (codes
+      // read as (s*ksub+c)*dsub+d offsets): keep only seeds matching
+      // the first seed's width — the trained dim. A corpus whose FIRST
+      // md5-ordered seed is itself corrupt fails the m|dim require
+      // below, loudly.
+      val seeds0 = samp.orderBy(seedOrd: _*).limit(ksub)
         .select("vec").collect().map(_.getSeq[Double](0).toArray)
-      if (seeds.isEmpty) return Array.empty[Double]
+      if (seeds0.isEmpty) return (Array.empty[Double], 0)
+      val seeds = seeds0.filter(_.length == seeds0.head.length)
       val dim = seeds.head.length
       require(dim % m == 0, s"trainPqCodebooks: m=$m must divide dim=$dim")
       val dsub = dim / m
@@ -560,12 +583,14 @@ object similarity {
       val out = new Array[Double](m * kEff * dsub)
       for (s <- 0 until m; c <- 0 until kEff; d <- 0 until dsub)
         out((s * kEff + c) * dsub + d) = seeds(c)(s * dsub + d)
-      out
+      (out, dim)
     } else {
       // sample collected once (bounded); Lloyd per subspace on the driver
-      val rows = samp.orderBy(seedOrd: _*).limit(math.max(sampleN, ksub))
+      val rows0 = samp.orderBy(seedOrd: _*).limit(math.max(sampleN, ksub))
         .select("vec").collect().map(_.getSeq[Double](0).toArray)
-      if (rows.isEmpty) return Array.empty[Double]
+      if (rows0.isEmpty) return (Array.empty[Double], 0)
+      // same ragged-sample hygiene as the iters = 0 branch
+      val rows = rows0.filter(_.length == rows0.head.length)
       val dim = rows.head.length
       require(dim % m == 0, s"trainPqCodebooks: m=$m must divide dim=$dim")
       val dsub = dim / m
@@ -595,15 +620,26 @@ object similarity {
         for (c <- 0 until kEff; d <- 0 until dsub)
           out((s * kEff + c) * dsub + d) = cents(c)(d)
       }
-      out
+      (out, dim)
     }
   }
+
+  /** Rows with a defined code under the trained geometry: non-null,
+    * exactly `dim` wide. The shared ragged-row hygiene of every PQ /
+    * Hamming path (a wrong-width vector must be excluded, not crash or
+    * alias into someone else's codewords). */
+  private[functions] def cleanDim(df: DataFrame, vecCol: String,
+      dim: Int): DataFrame =
+    df.filter(F.col(vecCol).isNotNull && F.size(F.col(vecCol)) === dim)
 
   /** PQ-compressed corpus: `(id, codes)` where codes is the m-int
     * [[graft.plans.PqEncodeExpr]] encoding against `cbFlat`. The
     * persisted form of a 100 TB ANN corpus — m bytes/ints per vector
     * instead of dim floats; encoding is embarrassingly parallel
-    * (broadcast-literal codebook, no shuffle). */
+    * (broadcast-literal codebook, no shuffle). Rows whose vector width
+    * doesn't divide into m subspaces of the codebook's dsub get NULL
+    * codes (the expression's ragged-row contract) — callers that need
+    * them dropped filter `size(vec) === dim` first ([[cleanDim]]). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       cbFlat: Array[Double], m: Int): DataFrame =
     corpus.select(F.col(idCol).as("id"),
@@ -631,18 +667,18 @@ object similarity {
       iters: Int = 0, sampleN: Int = 20000, sampleOneIn: Long = 0L,
       portableSeed: Boolean = false): DataFrame = {
     require(k >= 1)
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, iters,
-      sampleN, sampleOneIn, portableSeed)
+    val (cb, dim) = trainPqCodebooksDim(corpus, idCol, vecCol, m, ksub,
+      iters, sampleN, sampleOneIn, portableSeed)
     if (cb.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(F.lit(0L).as("q_id"), F.lit(0L).as("n_id"),
           F.lit(0.0).as("adc_dist"), F.lit(0L).as("rank"))
         .where(F.lit(false))
     val cbLit = F.typedlit(cb.toSeq)
-    val enc = corpus.select(F.col(idCol).as("n_id"),
+    val enc = cleanDim(corpus, vecCol, dim).select(F.col(idCol).as("n_id"),
       F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(m))
         .as("codes"))
-    val qdt = queries.select(F.col(idCol).as("q_id"),
+    val qdt = cleanDim(queries, vecCol, dim).select(F.col(idCol).as("q_id"),
       F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
         .as("dt"))
     val scored = enc.crossJoin(F.broadcast(qdt))
@@ -678,8 +714,8 @@ object similarity {
     require(k >= 1 && nprobe >= 1)
     val cents = trainIvfCentroidArrays(corpus, idCol, vecCol, nlist,
       ivfIters, sampleN, sampleOneIn, portableSeed)
-    val cb = trainPqCodebooks(corpus, idCol, vecCol, m, ksub, pqIters,
-      sampleN, sampleOneIn, portableSeed)
+    val (cb, dim) = trainPqCodebooksDim(corpus, idCol, vecCol, m, ksub,
+      pqIters, sampleN, sampleOneIn, portableSeed)
     if (cents.isEmpty || cb.isEmpty)
       return corpus.sparkSession.emptyDataFrame
         .select(F.lit(0L).as("q_id"), F.lit(0L).as("n_id"),
@@ -687,12 +723,12 @@ object similarity {
         .where(F.lit(false))
     val bank = F.typedlit(bankOf(cents).toSeq)
     val cbLit = F.typedlit(cb.toSeq)
-    val enc = corpus.select(F.col(idCol).as("n_id"),
+    val enc = cleanDim(corpus, vecCol, dim).select(F.col(idCol).as("n_id"),
       F.element_at(F.call_function("graft_centroid_topk",
         F.col(vecCol), bank, F.lit(1)), 1).as("cell"),
       F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(m))
         .as("codes"))
-    val qs = queries.select(F.col(idCol).as("q_id"),
+    val qs = cleanDim(queries, vecCol, dim).select(F.col(idCol).as("q_id"),
       F.explode(F.call_function("graft_centroid_topk",
         F.col(vecCol), bank, F.lit(nprobe))).as("cell"),
       F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
@@ -746,6 +782,8 @@ object similarity {
     * (task, query). Output `(q_id, n_id, hamming_dist, rank)`. */
   def hammingTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    requireIntegralId(corpus, idCol, "hammingTopK")
+    requireIntegralId(queries, idCol, "hammingTopK")
     // NULL / wrong-size vectors are excluded, not ranked: they would
     // quantize to the all-zero code, whose distance to a sparse query
     // is tiny — one corrupt row would own a top-k slot of every such
@@ -788,6 +826,7 @@ object similarity {
       dim: Int, radius: Int): DataFrame = {
     require(radius >= 0 && radius < dim,
       s"similarity: radius must be in [0, dim) (got $radius, dim $dim)")
+    requireIntegralId(df, idCol, "hammingPairs")
     val b = radius + 1
     // band key = the band's sign bits packed 32-per-long, same
     // convention as the full code — integer equi-join keys (1-2 longs
@@ -815,6 +854,23 @@ object similarity {
         hamming(F.col("a.code"), F.col("b.code")).as("hamming_dist"))
       .filter(F.col("hamming_dist") <= radius)
       .distinct()
+  }
+
+  /** Guard for operators that `cast(idCol, LongType)` internally: a
+    * string/UUID id would cast to NULL, every `n_id =!= q_id` filter
+    * would then drop the row, and the call would return an EMPTY frame
+    * instead of erroring — fail loudly at plan time instead. */
+  private[functions] def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok,
+      s"similarity.$op: id column '$idCol' must be an integral type " +
+        s"(it is cast to BIGINT internally); got $dt — map string/UUID " +
+        "ids to a surrogate key first (e.g. xxhash64)")
   }
 
   /** Embedding-cosine near-duplicate pairs within blocking buckets. */

@@ -972,6 +972,12 @@ case class PqEncodeExpr(vec: Expression, cb: Expression, m: Expression)
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  // a ragged/corrupt row (dim 0, or dim not a multiple of m) has no
+  // well-defined encoding: it returns NULL instead of throwing
+  // ArithmeticException inside generated code (one bad row must not
+  // kill a 100 TB encode job) or silently misreading codewords
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (vec.dataType, cb.dataType, m.dataType) match {
       case (ArrayType(vt, _), ArrayType(DoubleType, _), IntegerType)
@@ -993,8 +999,10 @@ case class PqEncodeExpr(vec: Expression, cb: Expression, m: Expression)
     val bk = b.asInstanceOf[ArrayData]
     val mv = mm.asInstanceOf[Int]
     val dim = x.numElements()
+    if (mv <= 0 || dim == 0 || dim % mv != 0) return null
     val dsub = dim / mv
     val ksub = bk.numElements() / (mv * dsub)
+    if (ksub == 0) return null // bank shorter than one codeword set
     val out = new Array[Int](mv)
     var s = 0
     while (s < mv) {
@@ -1031,22 +1039,26 @@ case class PqEncodeExpr(vec: Expression, cb: Expression, m: Expression)
         else s"$v.getDouble($s * $dsub + $d)"
       s"""
          |int $dim = $v.numElements();
-         |int $dsub = $dim / $mm;
-         |int $ksub = $b.numElements() / ($mm * $dsub);
-         |int[] $out = new int[$mm];
-         |for (int $s = 0; $s < $mm; $s++) {
-         |  int $best = -1; double $bestD = Double.POSITIVE_INFINITY;
-         |  for (int $c = 0; $c < $ksub; $c++) {
-         |    double $d2 = 0.0;
-         |    for (int $d = 0; $d < $dsub; $d++) {
-         |      double $diff = $getV - $b.getDouble(($s * $ksub + $c) * $dsub + $d);
-         |      $d2 += $diff * $diff;
+         |int $dsub = ($mm > 0 && $dim % $mm == 0) ? $dim / $mm : 0;
+         |int $ksub = ($dsub > 0) ? $b.numElements() / ($mm * $dsub) : 0;
+         |if ($dsub == 0 || $ksub == 0) {
+         |  ${ev.isNull} = true; // ragged row / undersized bank: see nullable
+         |} else {
+         |  int[] $out = new int[$mm];
+         |  for (int $s = 0; $s < $mm; $s++) {
+         |    int $best = -1; double $bestD = Double.POSITIVE_INFINITY;
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      double $d2 = 0.0;
+         |      for (int $d = 0; $d < $dsub; $d++) {
+         |        double $diff = $getV - $b.getDouble(($s * $ksub + $c) * $dsub + $d);
+         |        $d2 += $diff * $diff;
+         |      }
+         |      if ($d2 < $bestD) { $best = $c; $bestD = $d2; }
          |    }
-         |    if ($d2 < $bestD) { $best = $c; $bestD = $d2; }
+         |    $out[$s] = ($best < 0) ? 0 : $best;
          |  }
-         |  $out[$s] = ($best < 0) ? 0 : $best;
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
@@ -1070,6 +1082,9 @@ case class PqDistTableExpr(vec: Expression, cb: Expression, m: Expression)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // same ragged-row contract as [[PqEncodeExpr]]: NULL, never a crash
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (vec.dataType, cb.dataType, m.dataType) match {
       case (ArrayType(vt, _), ArrayType(DoubleType, _), IntegerType)
@@ -1091,8 +1106,10 @@ case class PqDistTableExpr(vec: Expression, cb: Expression, m: Expression)
     val bk = b.asInstanceOf[ArrayData]
     val mv = mm.asInstanceOf[Int]
     val dim = x.numElements()
+    if (mv <= 0 || dim == 0 || dim % mv != 0) return null
     val dsub = dim / mv
     val ksub = bk.numElements() / (mv * dsub)
+    if (ksub == 0) return null
     val out = new Array[Double](mv * ksub)
     var s = 0
     while (s < mv) {
@@ -1125,20 +1142,24 @@ case class PqDistTableExpr(vec: Expression, cb: Expression, m: Expression)
         else s"$v.getDouble($s * $dsub + $d)"
       s"""
          |int $dim = $v.numElements();
-         |int $dsub = $dim / $mm;
-         |int $ksub = $b.numElements() / ($mm * $dsub);
-         |double[] $out = new double[$mm * $ksub];
-         |for (int $s = 0; $s < $mm; $s++) {
-         |  for (int $c = 0; $c < $ksub; $c++) {
-         |    double $d2 = 0.0;
-         |    for (int $d = 0; $d < $dsub; $d++) {
-         |      double $diff = $getV - $b.getDouble(($s * $ksub + $c) * $dsub + $d);
-         |      $d2 += $diff * $diff;
+         |int $dsub = ($mm > 0 && $dim % $mm == 0) ? $dim / $mm : 0;
+         |int $ksub = ($dsub > 0) ? $b.numElements() / ($mm * $dsub) : 0;
+         |if ($dsub == 0 || $ksub == 0) {
+         |  ${ev.isNull} = true; // ragged row / undersized bank: see nullable
+         |} else {
+         |  double[] $out = new double[$mm * $ksub];
+         |  for (int $s = 0; $s < $mm; $s++) {
+         |    for (int $c = 0; $c < $ksub; $c++) {
+         |      double $d2 = 0.0;
+         |      for (int $d = 0; $d < $dsub; $d++) {
+         |        double $diff = $getV - $b.getDouble(($s * $ksub + $c) * $dsub + $d);
+         |        $d2 += $diff * $diff;
+         |      }
+         |      $out[$s * $ksub + $c] = $d2;
          |    }
-         |    $out[$s * $ksub + $c] = $d2;
          |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

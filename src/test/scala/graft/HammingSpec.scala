@@ -132,4 +132,18 @@ class HammingSpec extends SparkSpec {
       s"corrupt rows must not hold top-k slots: $got")
     assert(got.subsetOf((1L to 6L).toSet))
   }
+
+  test("non-integral id columns fail loudly instead of returning empty") {
+    // a string id would cast to NULL long, every self-match filter
+    // would drop the row, and the call would silently return nothing
+    val strId = Seq(("a", (0 until 64).map(_ => 1.0))).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      similarity.hammingTopK(strId, strId, "id", "v", 3, 64)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      similarity.hammingPairs(strId, "id", "v", 64, 3)
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
 }

@@ -123,6 +123,34 @@ class PqAnnSpec extends SparkSpec {
     }
   }
 
+  test("hygiene: ragged/corrupt vectors are excluded, never a crash") {
+    // a 3-wide row mixed into a 64-wide corpus: dim % m != 0 used to
+    // throw ArithmeticException inside generated code (dsub = 0); now
+    // the expression returns NULL and every PQ entry point filters
+    // size(vec) === trained dim (round-10 review hardening)
+    val slim = embs.select("vec_id", "embedding")
+    val ragged = slim.select(F.col("vec_id"),
+        F.slice(F.col("embedding"), 1, 3).as("embedding"))
+      .where(F.col("vec_id") === 0L)
+    val corpus = slim.where(F.col("vec_id") =!= 0L).unionByName(ragged)
+    val qs = slim.limit(3)
+    // expression contract: ragged row encodes to NULL
+    val cb = similarity.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 0, portableSeed = true)
+    val codes = similarity.pqEncode(ragged, "vec_id", "embedding", cb, 8)
+      .collect()
+    assert(codes.length == 1 && codes.head.isNullAt(1),
+      "ragged vector must encode to NULL codes")
+    // operator contract: the ragged row is absent from results; no crash
+    val top = similarity.pqTopK(corpus, qs, "vec_id", "embedding",
+      m = 8, ksub = 16, k = 3, portableSeed = true).collect()
+    assert(top.nonEmpty && top.forall(_.getLong(1) != 0L))
+    val ivf = similarity.ivfPqTopK(corpus, qs, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 4, m = 8, ksub = 16,
+      portableSeed = true).collect()
+    assert(ivf.nonEmpty && ivf.forall(_.getLong(1) != 0L))
+  }
+
   test("Lloyd iterations refine codebooks deterministically") {
     val a = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
       m = 4, ksub = 8, iters = 3, portableSeed = true)

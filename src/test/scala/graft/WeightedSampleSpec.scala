@@ -144,6 +144,26 @@ class WeightedSampleSpec extends SparkSpec {
     assert(sampling.weightedSampleQuota(tiny, "id", "w", "grp", 1).count() == 0)
   }
 
+  test("quota sampling keeps 12 fractional digits through the product (round-10 fix)") {
+    import spark.implicits._
+    // weights of 2^-12 = 0.000244140625 (exactly 12 fractional decimal
+    // digits, dyadic so the double and the DECIMAL(38,12) cast are both
+    // exact). Group a: 1 row, group b: 3 rows, total 2. Exact Hamilton:
+    // fl_a = 0, fl_b = 1, and the remainders TIE (2·1 ≡ 2·3 mod 4), so
+    // the group-value tie-break gives 'a' the top-up → (a:1, b:1).
+    // The pre-fix DECIMAL(38,6)-rescaled product perturbed the tied
+    // remainders unevenly (ε_a < 0 < ε_b) and flipped the top-up to b
+    // → (a:0, b:2).
+    val w = math.pow(2, -12)
+    val df = (Seq((1L, "a", w)) ++ (2L to 4L).map(i => (i, "b", w)))
+      .toDF("id", "grp", "w")
+    val got = sampling.weightedSampleQuota(df, "id", "w", "grp", 2)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L),
+      s"12-digit weights must allocate by exact arithmetic: $got")
+  }
+
   test("null and non-positive weights are excluded; n > corpus returns all eligible") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)),
