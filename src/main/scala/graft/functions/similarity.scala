@@ -756,6 +756,16 @@ object similarity {
     * BOTH order NaN above every real, so `NaN > 0` is true in each. */
   def binaryQuantize(vec: Column, dim: Int): Column = {
     require(dim >= 1, s"similarity: dim must be >= 1 (got $dim)")
+    F.call_function("graft_binquant", vec, F.lit(0), F.lit(dim))
+  }
+
+  /** Built-ins-only form with identical semantics (cross-checked in
+    * HammingSpec over NaN/null/short/long vectors) — the interpreted
+    * aggregate/transform chain evaluates ~dim×32 lambda closures per
+    * row; the codegen'd [[graft.plans.BinaryQuantizeExpr]] above does a
+    * word-at-a-time loop. Not for hot paths. */
+  private[graft] def binaryQuantizePortable(vec: Column, dim: Int): Column = {
+    require(dim >= 1, s"similarity: dim must be >= 1 (got $dim)")
     val words = (dim + 31) / 32
     F.transform(F.sequence(F.lit(0), F.lit(words - 1)), w =>
       F.aggregate(F.sequence(F.lit(0), F.lit(31)), F.lit(0L), (acc, i) => {
@@ -767,9 +777,14 @@ object similarity {
   }
 
   /** Hamming distance between two [[binaryQuantize]] codes: Σ popcount
-    * of the per-word xor, folded in index order (order-insensitive —
-    * it's an integer sum). */
+    * of the per-word xor (codegen'd [[graft.plans.HammingDistExpr]] —
+    * one xor + popcount per word). Unequal-length codes yield NULL. */
   def hamming(a: Column, b: Column): Column =
+    F.call_function("graft_hamming", a, b)
+
+  /** Built-ins-only form with identical semantics (cross-checked in
+    * HammingSpec; interpreted lambda fold — not for hot paths). */
+  private[graft] def hammingPortable(a: Column, b: Column): Column =
     F.aggregate(
       F.zip_with(a, b, (x, y) => F.bit_count(x.bitwiseXOR(y)).cast(LongType)),
       F.lit(0L), (acc, d) => acc + d)
@@ -830,15 +845,10 @@ object similarity {
     val b = radius + 1
     // band key = the band's sign bits packed 32-per-long, same
     // convention as the full code — integer equi-join keys (1-2 longs
-    // per band at embedding dims), no string materialization
+    // per band at embedding dims), no string materialization; the
+    // codegen'd slice form of [[graft.plans.BinaryQuantizeExpr]]
     def packBits(from: Int, until: Int): Column =
-      F.transform(F.sequence(F.lit(0), F.lit((until - from + 31) / 32 - 1)), w =>
-        F.aggregate(F.sequence(F.lit(0), F.lit(31)), F.lit(0L), (acc, i) => {
-          val pos = w * 32 + i
-          acc + F.when(pos < F.lit(until - from) &&
-              F.element_at(F.col(vecCol), pos + from + 1).cast(DoubleType) > F.lit(0d),
-            F.call_function("shiftleft", F.lit(1L), i)).otherwise(F.lit(0L))
-        }))
+      F.call_function("graft_binquant", F.col(vecCol), F.lit(from), F.lit(until))
     val bands = F.array((0 until b).map { j =>
       packBits(j * dim / b, (j + 1) * dim / b)
     }: _*)

@@ -1235,6 +1235,155 @@ case class PqAdcExpr(codes: Expression, dt: Expression)
     copy(codes = newLeft, dt = newRight)
 }
 
+/** Sign-bit binary quantization of the vector slice [from, until):
+  * ceil((until-from)/32) long words, bit i of word i>>5 set iff slice
+  * element i is "positive" under SPARK's comparison semantics — i.e.
+  * strictly > 0 OR NaN (both engines total-order NaN above every real,
+  * so `NaN > 0` is TRUE in each; Java's primitive `>` disagrees, hence
+  * the explicit isNaN arm). NULL elements and positions beyond the
+  * vector's actual length contribute 0 — exactly the portable
+  * `element_at(vec, pos+1) > 0` form this replaces
+  * ([[graft.functions.similarity.binaryQuantize]]'s interpreted
+  * aggregate/transform chain, ~dim×32 lambda closures per row). 32 bits
+  * per 64-bit word keeps every value and every xor in [0, 2³²) so the
+  * codes replay bit-identically in any engine. `from`/`until` are
+  * literals: the full code is [0, dim); [[similarity.hammingPairs]]'
+  * pigeonhole bands pack sub-slices. */
+case class BinaryQuantizeExpr(vec: Expression, from: Expression,
+    until: Expression) extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = from
+  override def third: Expression = until
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, from.dataType, until.dataType) match {
+      case (ArrayType(vt, _), IntegerType, IntegerType)
+          if vt == FloatType || vt == DoubleType =>
+        if (from.foldable && until.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_binquant: from/until must be literals")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_binquant expects (array<float|double>, int, int), got " +
+          s"${vec.dataType} / ${from.dataType} / ${until.dataType}")
+    }
+
+  private def isFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(v: Any, f: Any, u: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val lo = f.asInstanceOf[Int]
+    val hi = u.asInstanceOf[Int]
+    val n = math.max(0, hi - lo)
+    val out = new Array[Long]((n + 31) / 32)
+    val stop = math.min(n, math.max(0, x.numElements() - lo))
+    var i = 0
+    while (i < stop) {
+      if (!x.isNullAt(lo + i)) {
+        val d = if (isFloat) x.getFloat(lo + i).toDouble else x.getDouble(lo + i)
+        if (d > 0.0 || java.lang.Double.isNaN(d)) out(i >> 5) |= 1L << (i & 31)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, f, u) => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val stop = ctx.freshName("stop"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val getV = if (isFloat) s"(double) $v.getFloat($f + $i)"
+        else s"$v.getDouble($f + $i)"
+      s"""
+         |int $n = java.lang.Math.max(0, $u - $f);
+         |long[] $out = new long[($n + 31) / 32];
+         |int $stop = java.lang.Math.min($n,
+         |  java.lang.Math.max(0, $v.numElements() - $f));
+         |for (int $i = 0; $i < $stop; $i++) {
+         |  if (!$v.isNullAt($f + $i)) {
+         |    double $d = $getV;
+         |    if ($d > 0.0 || Double.isNaN($d)) {
+         |      $out[$i >> 5] |= 1L << ($i & 31);
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(vec = newFirst, from = newSecond, until = newThird)
+}
+
+/** Hamming distance between two [[BinaryQuantizeExpr]] codes: Σ popcount
+  * of the per-word xor — one xor + Long.bitCount per word instead of the
+  * interpreted zip_with/aggregate lambda chain. Contract matches the
+  * portable form exactly: codes of UNEQUAL length (or with a NULL word)
+  * yield NULL — zip_with pads the shorter side with nulls and the null
+  * poisons the fold — so a caller mixing code widths sees missing
+  * values, never a silently-truncated distance. */
+case class HammingDistExpr(a: Expression, b: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_hamming expects (array<bigint>, array<bigint>), got " +
+          s"${a.dataType} / ${b.dataType}")
+    }
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += java.lang.Long.bitCount(x.getLong(i) ^ y.getLong(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val bad = ctx.freshName("bad")
+      s"""
+         |int $n = $av.numElements();
+         |long $acc = 0L;
+         |boolean $bad = ($n != $bv.numElements());
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($av.isNullAt($i) || $bv.isNullAt($i)) { $bad = true; }
+         |  else { $acc += java.lang.Long.bitCount($av.getLong($i) ^ $bv.getLong($i)); }
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
+}
+
 /** Deflate (zlib raw, level 6) compression ratio of the UTF-8 text:
   * compressed bytes / raw bytes — the Gopher-family redundancy signal
   * (repetitive boilerplate compresses far below natural prose; random
@@ -2065,6 +2214,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
       (children: Seq[Expression]) => PqAdcExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_binquant"),
+      new ExpressionInfo(classOf[BinaryQuantizeExpr].getName, "graft_binquant"),
+      (children: Seq[Expression]) =>
+        BinaryQuantizeExpr(children(0), children(1), children(2))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDistExpr].getName, "graft_hamming"),
+      (children: Seq[Expression]) => HammingDistExpr(children(0), children(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "graft_deflate_ratio"),

@@ -133,6 +133,58 @@ class HammingSpec extends SparkSpec {
     assert(got.subsetOf((1L to 6L).toSet))
   }
 
+  test("native binquant/hamming ≡ the portable built-ins forms (round-10 codegen)") {
+    // adversarial component domain: NaN (sets its bit — Spark orders
+    // NaN above 0 even though Java's primitive > does not), ±0.0,
+    // ±Inf, NULL, denormals; plus vectors SHORTER and LONGER than dim
+    val rnd = new scala.util.Random(20260815L)
+    val vecs: Seq[Seq[java.lang.Double]] = (0 until 60).map { i =>
+      val n = Seq(40, 64, 17, 96)(i % 4) // vs dim 64: short, exact, long
+      (0 until n).map { _ =>
+        rnd.nextInt(10) match {
+          case 0 => java.lang.Double.valueOf(Double.NaN)
+          case 1 => java.lang.Double.valueOf(0.0)
+          case 2 => java.lang.Double.valueOf(-0.0)
+          case 3 => null.asInstanceOf[java.lang.Double]
+          case 4 => java.lang.Double.valueOf(Double.PositiveInfinity)
+          case 5 => java.lang.Double.valueOf(Double.NegativeInfinity)
+          case 6 => java.lang.Double.valueOf(Double.MinPositiveValue)
+          case _ => java.lang.Double.valueOf(rnd.nextGaussian())
+        }
+      }
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").cache()
+    val both = df.select(F.col("id"),
+      similarity.binaryQuantize(F.col("v"), 64).as("n"),
+      similarity.binaryQuantizePortable(F.col("v"), 64).as("p"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"native != portable code for id ${r.getLong(0)}")
+    }
+    // hamming over every pair of codes, incl. a deliberately unequal-
+    // length code pair (both forms must yield NULL)
+    val codes = df.select(F.col("id"),
+      similarity.binaryQuantize(F.col("v"), 64).as("c"))
+    val pairs = codes.as("a").crossJoin(codes.as("b"))
+      .select(similarity.hamming(F.col("a.c"), F.col("b.c")).as("n"),
+        similarity.hammingPortable(F.col("a.c"), F.col("b.c")).as("p"))
+      .collect()
+    pairs.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)))
+    }
+    val uneq = spark.sql(
+      "SELECT array(1L, 2L) AS a, array(1L) AS b")
+      .select(similarity.hamming(F.col("a"), F.col("b")).as("n"),
+        similarity.hammingPortable(F.col("a"), F.col("b")).as("p"))
+      .head()
+    assert(uneq.isNullAt(0) && uneq.isNullAt(1),
+      "unequal-length codes must yield NULL in both forms")
+    df.unpersist()
+  }
+
   test("non-integral id columns fail loudly instead of returning empty") {
     // a string id would cast to NULL long, every self-match filter
     // would drop the row, and the call would silently return nothing
