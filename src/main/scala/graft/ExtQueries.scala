@@ -4237,6 +4237,94 @@ object ExtQueries {
       |  FROM documents WHERE n_chars IS NOT NULL)
       |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
 
+  /** RESIDUAL IVF-PQ ([[graft.functions.similarity.ivfPqResidualTopK]],
+    * Jégou et al. §IV-A — codes quantize r = v − centroid(cell), the
+    * production billion-vector layout): unlike x110's nprobe = nlist
+    * bridge, this oracle replays the REAL nprobe = 3 < nlist = 8
+    * pruning — the probed cells per query are themselves a
+    * deterministic ORDER BY dot/|c| DESC LIMIT nprobe — plus the whole
+    * residual machinery: md5-ordered centroid seeds (ivfIters = 0),
+    * argmax cell assignment, exact-double residuals, residual codebook
+    * seeds (first ksub RESIDUALS in md5 order), per-subspace argmin
+    * codes, per-(query, cell) distance tables from q − centroid(cell),
+    * and index-order ADC sums. Residual-beats-global recall at equal
+    * budget is pinned in PqAnnSpec. */
+  def x120IvfPqResidualTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.ivfPqResidualTopK(e, e.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3,
+        m = 8, ksub = 16, pqIters = 0, ivfIters = 0,
+        sampleOneIn = 1L, portableSeed = true)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x120Oracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |assign AS (
+      |  SELECT vec_id, cell, c FROM (
+      |    SELECT e.vec_id, sn.cell, sn.c,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(e.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM e CROSS JOIN sn) WHERE rk = 1),
+      |resid AS (
+      |  SELECT a.vec_id, a.cell,
+      |    list_transform(list_zip(e.v, a.c), p -> p[1] - p[2]) AS r
+      |  FROM assign a JOIN e ON e.vec_id = a.vec_id),
+      |pqseeds AS (
+      |  SELECT r, ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+      |  FROM resid QUALIFY c <= 16),
+      |cb AS (
+      |  SELECT t.s, pqseeds.c - 1 AS c, pqseeds.r[t.s*8+1 : t.s*8+8] AS cv
+      |  FROM pqseeds CROSS JOIN generate_series(0, 7) AS t(s)),
+      |enc0 AS (
+      |  SELECT resid.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(list_zip(resid.r[cb.s*8+1 : cb.s*8+8], cb.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM resid CROSS JOIN cb),
+      |codes AS (
+      |  SELECT r0.vec_id, r0.cell, cl.codes FROM resid r0 JOIN (
+      |    SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+      |      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+      |      FROM enc0) WHERE rn = 1 GROUP BY vec_id) cl ON cl.vec_id = r0.vec_id),
+      |q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+      |probe AS (
+      |  SELECT vec_id AS q_id, cell, c FROM (
+      |    SELECT q.vec_id, sn.cell, sn.c,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(q.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM q CROSS JOIN sn) WHERE rk <= 3),
+      |qres AS (
+      |  SELECT p.q_id, p.cell,
+      |    list_transform(list_zip(q.v, p.c), z -> z[1] - z[2]) AS qr
+      |  FROM probe p JOIN q ON q.vec_id = p.q_id),
+      |dt0 AS (
+      |  SELECT qres.q_id, qres.cell, cb.s, cb.c,
+      |    list_sum(list_transform(list_zip(qres.qr[cb.s*8+1 : cb.s*8+8], cb.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM qres CROSS JOIN cb),
+      |dtl AS (SELECT q_id, cell, list(d2 ORDER BY s, c) AS dt
+      |  FROM dt0 GROUP BY q_id, cell),
+      |scored AS (
+      |  SELECT dtl.q_id, codes.vec_id AS n_id,
+      |    list_sum(list_transform(generate_series(0, 7),
+      |      s -> dt[s*16 + codes[s+1] + 1])) AS adc_dist
+      |  FROM codes JOIN dtl ON codes.cell = dtl.cell
+      |  WHERE codes.vec_id != dtl.q_id)
+      |SELECT q_id, n_id, adc_dist, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY adc_dist ASC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** x107's weighted sample computed by the STREAMING path
     * ([[graft.streaming.Streams.weightedSampleStream]]): documents
     * arrive as a file stream and the global 100-row
@@ -4536,7 +4624,8 @@ object ExtQueries {
     "x116_quota_sample" -> (x116QuotaSample _),
     "x117_sampling_battery" -> (x117SamplingBattery _),
     "x118_hamming_battery" -> (x118HammingBattery _),
-    "x119_group_topk" -> (x119GroupTopK _))
+    "x119_group_topk" -> (x119GroupTopK _),
+    "x120_ivfpq_residual_topk" -> (x120IvfPqResidualTopK _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4662,5 +4751,6 @@ object ExtQueries {
     "x116_quota_sample" -> x116Oracle,
     "x117_sampling_battery" -> x117Oracle,
     "x118_hamming_battery" -> x118Oracle,
-    "x119_group_topk" -> x119Oracle)
+    "x119_group_topk" -> x119Oracle,
+    "x120_ivfpq_residual_topk" -> x120Oracle)
 }

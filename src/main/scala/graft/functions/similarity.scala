@@ -743,6 +743,95 @@ object similarity {
         (-F.col("cos")).as("adc_dist"), F.col("rank"))
   }
 
+  /** RESIDUAL IVF-PQ — the production billion-vector layout (Jégou et
+    * al. TPAMI 2011 §IV-A: quantize the residual r = v − q₁(v), not the
+    * raw vector): each corpus vector is assigned to its IVF cell, the
+    * PQ codebooks are trained on (and codes computed from) the
+    * residuals v − centroid(cell), and a query probing cell c scores
+    * candidates with an ADC table built from ITS residual q − centroid(c)
+    * — one table per (query, probed cell). Residuals concentrate near
+    * the origin, so the same m × ksub code budget spends its codewords
+    * on a much smaller ball than raw-vector quantization: materially
+    * better recall at equal code size (asserted vs the global-codebook
+    * [[ivfPqTopK]] in PqAnnSpec).
+    *
+    * Scale shape: identical to [[ivfPqTopK]] — assignment and encoding
+    * are map-side against broadcast banks, the nlist-row centroid frame
+    * broadcast-joins onto both sides, candidates meet in ONE cell
+    * equi-join, ranking is the bounded [[twoStageTopK]]. The extra cost
+    * over global codebooks is one vector subtraction per corpus row
+    * (codegen'd graft_vec_sub) and nprobe distance tables per query
+    * instead of one.
+    *
+    * Determinism/oracle: every step is the [[pqTopK]] replay machinery
+    * plus exact double subtraction — with iters = 0 + `portableSeed` +
+    * `sampleOneIn = 1` the centroid seeding, cell argmax, residuals,
+    * codebook seeding (first ksub RESIDUAL vectors in md5 order),
+    * encode argmins, per-(query, cell) tables and index-order ADC sums
+    * all replay bit-strict in DuckDB (the x120 oracle — which also
+    * replays the REAL nprobe < nlist pruning, since the probed cells
+    * per query are themselves a deterministic ORDER BY ... LIMIT). */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int,
+      m: Int, ksub: Int, pqIters: Int = 0, ivfIters: Int = 2,
+      sampleN: Int = 20000, sampleOneIn: Long = 0L,
+      portableSeed: Boolean = false): DataFrame = {
+    require(k >= 1 && nprobe >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCentroidArrays(corpus, idCol, vecCol, nlist,
+      ivfIters, sampleN, sampleOneIn, portableSeed)
+    def emptyResult = corpus.sparkSession.emptyDataFrame
+      .select(F.lit(0L).as("q_id"), F.lit(0L).as("n_id"),
+        F.lit(0.0).as("adc_dist"), F.lit(0L).as("rank"))
+      .where(F.lit(false))
+    if (cents.isEmpty) return emptyResult
+    val dim = cents.head.length
+    val bank = F.typedlit(bankOf(cents).toSeq)
+    // nlist × dim doubles: driver-sized by construction, broadcast-joined
+    val cdf = F.broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "_rc_cent"))
+    // corpus residuals: one argmax + one subtraction per row, map-side
+    val resid = cleanDim(corpus, vecCol, dim)
+      .select(F.col(idCol).as("n_id"),
+        F.col(vecCol).as("_rc_v"),
+        F.element_at(F.call_function("graft_centroid_topk",
+          F.col(vecCol), bank, F.lit(1)), 1).as("cell"))
+      .join(cdf, "cell")
+      .select(F.col("n_id"), F.col("cell"),
+        F.call_function("graft_vec_sub", F.col("_rc_v"), F.col("_rc_cent"))
+          .as("_rc_r"))
+    // codebooks trained on the RESIDUALS (same sampling/seeding
+    // machinery — the sample filter and md5 order key on the id column,
+    // which the residual frame preserves)
+    val (cb, _) = trainPqCodebooksDim(resid, "n_id", "_rc_r", m, ksub,
+      pqIters, sampleN, sampleOneIn, portableSeed)
+    if (cb.isEmpty) return emptyResult
+    val cbLit = F.typedlit(cb.toSeq)
+    val enc = resid.select(F.col("n_id"), F.col("cell"),
+      F.call_function("graft_pq_encode", F.col("_rc_r"), cbLit, F.lit(m))
+        .as("codes"))
+    // queries: nprobe cells each, residualized against EACH probed
+    // cell's centroid — the per-(query, cell) ADC table
+    val qs = cleanDim(queries, vecCol, dim)
+      .select(F.col(idCol).as("q_id"), F.col(vecCol).as("_rc_qv"),
+        F.explode(F.call_function("graft_centroid_topk",
+          F.col(vecCol), bank, F.lit(nprobe))).as("cell"))
+      .join(cdf, "cell")
+      .select(F.col("q_id"), F.col("cell"),
+        F.call_function("graft_pq_dists",
+          F.call_function("graft_vec_sub", F.col("_rc_qv"), F.col("_rc_cent")),
+          cbLit, F.lit(m)).as("dt"))
+    val scored = enc.join(F.broadcast(qs), "cell")
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("n_id"),
+        (-F.call_function("graft_pq_adc", F.col("codes"), F.col("dt")))
+          .as("cos"))
+    twoStageTopK(scored, k)
+      .select(F.col("q_id"), F.col("n_id"),
+        (-F.col("cos")).as("adc_dist"), F.col("rank"))
+  }
+
   /** Sign-bit binary quantization: a dim-float embedding becomes
     * ceil(dim/32) long words, bit i of word w set iff component
     * 32·w + i is strictly positive — 32× smaller than float32 and

@@ -1235,6 +1235,83 @@ case class PqAdcExpr(codes: Expression, dt: Expression)
     copy(codes = newLeft, dt = newRight)
 }
 
+/** Elementwise vector subtraction a − b as exact double arithmetic —
+  * the residual step of residual IVF-PQ (r = v − centroid(cell), Jégou
+  * et al. TPAMI 2011 §IV-A): one codegen'd pass instead of a zip_with
+  * lambda per element. float32 inputs widen exactly to double, and
+  * IEEE subtraction is exact-deterministic, so residuals replay
+  * bit-identically in any engine. Mismatched lengths or a NULL element
+  * yield NULL (a ragged pair has no defined residual — the PQ
+  * ragged-row contract). */
+case class VecSubExpr(a: Expression, b: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = a
+  override def right: Expression = b
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(a.dataType) && ok(b.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_vec_sub expects (array<float|double>, array<float|double>), " +
+        s"got ${a.dataType} / ${b.dataType}")
+  }
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(av: Any, bv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (isFloat(a)) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (isFloat(b)) y.getFloat(i).toDouble else y.getDouble(i)
+      out(i) = xv - yv
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv) => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val bad = ctx.freshName("bad")
+      val getX = if (isFloat(a)) s"(double) $av.getFloat($i)" else s"$av.getDouble($i)"
+      val getY = if (isFloat(b)) s"(double) $bv.getFloat($i)" else s"$bv.getDouble($i)"
+      s"""
+         |int $n = $av.numElements();
+         |boolean $bad = ($n != $bv.numElements());
+         |double[] $out = $bad ? null : new double[$n];
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($av.isNullAt($i) || $bv.isNullAt($i)) { $bad = true; }
+         |  else { $out[$i] = $getX - $getY; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(a = newLeft, b = newRight)
+}
+
 /** Sign-bit binary quantization of the vector slice [from, until):
   * ceil((until-from)/32) long words, bit i of word i>>5 set iff slice
   * element i is "positive" under SPARK's comparison semantics — i.e.
@@ -2214,6 +2291,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_pq_adc"),
       new ExpressionInfo(classOf[PqAdcExpr].getName, "graft_pq_adc"),
       (children: Seq[Expression]) => PqAdcExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_vec_sub"),
+      new ExpressionInfo(classOf[VecSubExpr].getName, "graft_vec_sub"),
+      (children: Seq[Expression]) => VecSubExpr(children(0), children(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_binquant"),
       new ExpressionInfo(classOf[BinaryQuantizeExpr].getName, "graft_binquant"),

@@ -151,6 +151,59 @@ class PqAnnSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.forall(_.getLong(1) != 0L))
   }
 
+  test("residual IVF-PQ beats global codebooks at equal m/ksub/nprobe") {
+    // the round-10 headline: quantizing r = v − centroid(cell) spends
+    // the same m × ksub code budget on a smaller ball than raw-vector
+    // quantization — recall@k vs the exact L2 ranking must improve at
+    // IDENTICAL parameters. nprobe = nlist isolates quantization
+    // quality (no pruning loss in either arm).
+    val slim = embs.select("vec_id", "embedding")
+    val qs = slim.filter(F.col("vec_id") < 32)
+    val k = 10
+    // exact squared-L2 top-k ground truth, computed driver-side
+    val vecs = slim.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val truth: Map[Long, Set[Long]] = vecs.filter(_._1 < 32).map { case (q, qv) =>
+      q -> vecs.filter(_._1 != q).toSeq.map { case (n, nv) =>
+        val d2 = qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, n)
+      }.sortBy(identity).take(k).map(_._2).toSet
+    }
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / k
+      }.sum / truth.size
+    }
+    val global = recall(similarity.ivfPqTopK(slim, qs, "vec_id", "embedding",
+      k = k, nlist = 8, nprobe = 8, m = 8, ksub = 16,
+      pqIters = 3, ivfIters = 2, portableSeed = true))
+    val residual = recall(similarity.ivfPqResidualTopK(slim, qs,
+      "vec_id", "embedding", k = k, nlist = 8, nprobe = 8, m = 8, ksub = 16,
+      pqIters = 3, ivfIters = 2, portableSeed = true))
+    info(f"recall@$k: residual $residual%.4f vs global $global%.4f")
+    assert(residual > global,
+      f"residual codes must beat global at equal budget: " +
+        f"residual $residual%.4f vs global $global%.4f")
+  }
+
+  test("residual IVF-PQ hygiene: empty corpus, ragged rows") {
+    val slim = embs.select("vec_id", "embedding")
+    val empty = slim.where(F.lit(false))
+    assert(similarity.ivfPqResidualTopK(empty, slim.limit(2),
+      "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2,
+      m = 8, ksub = 8).count() == 0L)
+    val ragged = slim.select(F.col("vec_id"),
+        F.slice(F.col("embedding"), 1, 3).as("embedding"))
+      .where(F.col("vec_id") === 0L)
+    val corpus = slim.where(F.col("vec_id") =!= 0L).unionByName(ragged)
+    val got = similarity.ivfPqResidualTopK(corpus, slim.limit(3),
+      "vec_id", "embedding", k = 3, nlist = 4, nprobe = 4,
+      m = 8, ksub = 8, portableSeed = true).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(1) != 0L))
+  }
+
   test("Lloyd iterations refine codebooks deterministically") {
     val a = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
       m = 4, ksub = 8, iters = 3, portableSeed = true)
