@@ -3893,6 +3893,27 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Persistent RESIDUAL PQ index lifecycle
+    * ([[graft.functions.index.buildPqIndex]] with `residual = true` /
+    * `probePqIndex`): the index stores v − centroid(cell) codes and a
+    * 'graft.residual' property that governs appends and probes; the
+    * probe builds one ADC table per (query, probed cell) from
+    * q − centroid(cell). Trained with x120's exact parameters, so the
+    * persisted-index probe must reproduce x120's direct computation —
+    * the x112-to-x109 relationship, on the residual path (and through
+    * the REAL nprobe = 3 < nlist = 8 pruning, which here also proves
+    * the cell-partitioned scan prunes to the right directories). */
+  def x121ResidualPqIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildPqIndex(e, "vec_id", "embedding",
+      "x121_rpq", nlist = 8, m = 8, ksub = 16, ivfIters = 0, pqIters = 0,
+      sampleOneIn = 1L, portableSeed = true, residual = true)
+    graft.functions.index.probePqIndex(s,
+        e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        "x121_rpq", k = 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact Hamming top-k over sign-bit binary codes
     * ([[graft.functions.similarity.binaryQuantize]]/`hammingTopK`):
     * 64-float embeddings become two 32-bit words, queries ranked by
@@ -4625,7 +4646,8 @@ object ExtQueries {
     "x117_sampling_battery" -> (x117SamplingBattery _),
     "x118_hamming_battery" -> (x118HammingBattery _),
     "x119_group_topk" -> (x119GroupTopK _),
-    "x120_ivfpq_residual_topk" -> (x120IvfPqResidualTopK _))
+    "x120_ivfpq_residual_topk" -> (x120IvfPqResidualTopK _),
+    "x121_residual_pq_index_probe" -> (x121ResidualPqIndexProbe _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4752,5 +4774,8 @@ object ExtQueries {
     "x117_sampling_battery" -> x117Oracle,
     "x118_hamming_battery" -> x118Oracle,
     "x119_group_topk" -> x119Oracle,
-    "x120_ivfpq_residual_topk" -> x120Oracle)
+    "x120_ivfpq_residual_topk" -> x120Oracle,
+    // the persisted-index probe reproduces x120's direct computation
+    // (same trained banks, same pruning) — one oracle, two plans
+    "x121_residual_pq_index_probe" -> x120Oracle)
 }

@@ -426,12 +426,19 @@ object index {
     * the index into incompatible code spaces. An empty append batch is
     * a no-op (a zero-vector day must not crash the daily job); an
     * empty FRESH build is refused, since quantizers cannot be trained
-    * on nothing. */
+    * on nothing.
+    *
+    * `residual = true` stores RESIDUAL codes — each vector quantized as
+    * v − centroid(cell) against residual-trained codebooks (Jégou
+    * §IV-A, see [[similarity.ivfPqResidualTopK]]) — materially better
+    * recall at the same m-int storage cost; the flag persists in
+    * TBLPROPERTIES and governs appends and probes. */
   def buildPqIndex(df: DataFrame, idCol: String, vecCol: String,
       name: String, nlist: Int = 64, m: Int = 8, ksub: Int = 16,
       ivfIters: Int = 2, pqIters: Int = 0, sampleN: Int = 20000,
       sampleOneIn: Long = 0L, portableSeed: Boolean = false,
-      mode: SaveMode = SaveMode.Overwrite): Unit = {
+      mode: SaveMode = SaveMode.Overwrite,
+      residual: Boolean = false): Unit = {
     require(nlist >= 1 && m >= 1 && ksub >= 1)
     val spark = df.sparkSession
     val appending =
@@ -447,29 +454,57 @@ object index {
     if (!appending)
       Seq(s"${name}_pqcells", s"${name}_pqbank")
         .foreach(resetManagedTable(spark, _))
+    // stored parameters govern appends — including the RESIDUAL flag: a
+    // batch encoded raw into a residual index (or vice versa) would
+    // land in an incompatible code space. Indexes built before the flag
+    // existed are raw-coded by construction, hence the "false" default.
+    val resEff =
+      if (appending)
+        readPqPropOr(spark, name, "graft.residual", "false").toBoolean
+      else residual
     val (bank, cb) =
       if (appending) {
         val storedDim = readPqProp(spark, name, "graft.dim").toInt
         require(storedDim == dim,
           s"index: append dim $dim does not match the build's $storedDim")
         (readPqBank(spark, name, "ivf"), readPqBank(spark, name, "cb"))
-      } else (
-        similarity.trainIvfCentroids(df, idCol, vecCol, nlist, ivfIters,
-          sampleN, sampleOneIn, portableSeed),
-        similarity.trainPqCodebooks(df, idCol, vecCol, m, ksub, pqIters,
-          sampleN, sampleOneIn, portableSeed))
+      } else {
+        val ivf = similarity.trainIvfCentroids(df, idCol, vecCol, nlist,
+          ivfIters, sampleN, sampleOneIn, portableSeed)
+        // residual mode trains the codebooks on v − centroid(cell)
+        // (Jégou §IV-A) — the training frame mirrors the encode path
+        val cbTrain =
+          if (resEff)
+            similarity.trainPqCodebooks(
+              residualFrame(similarity.cleanDim(df, vecCol, dim),
+                idCol, vecCol, ivf, dim), "n_id", "_rc_r",
+              m, ksub, pqIters, sampleN, sampleOneIn, portableSeed)
+          else similarity.trainPqCodebooks(df, idCol, vecCol, m, ksub,
+            pqIters, sampleN, sampleOneIn, portableSeed)
+        (ivf, cbTrain)
+      }
     val mEff = if (appending) readPqProp(spark, name, "graft.m").toInt else m
-    val bankLit = F.typedlit(bank.toSeq)
     val cbLit = F.typedlit(cb.toSeq)
     // ragged-row hygiene (the hammingTopK posture): a vector that isn't
     // exactly `dim` wide has no defined code — exclude it rather than
     // persist a NULL/misaligned encoding into the index
-    val cells = similarity.cleanDim(df, vecCol, dim).select(
-      F.col(idCol).cast(LongType).as("n_id"),
-      F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(mEff))
-        .as("codes"),
-      F.element_at(F.call_function("graft_centroid_topk",
-        F.col(vecCol), bankLit, F.lit(1)), 1).as("cell"))
+    val clean = similarity.cleanDim(df, vecCol, dim)
+    val cells =
+      if (resEff)
+        residualFrame(clean, idCol, vecCol, bank, dim)
+          .select(F.col("n_id").cast(LongType).as("n_id"),
+            F.call_function("graft_pq_encode", F.col("_rc_r"), cbLit,
+              F.lit(mEff)).as("codes"),
+            F.col("cell"))
+      else {
+        val bankLit = F.typedlit(bank.toSeq)
+        clean.select(
+          F.col(idCol).cast(LongType).as("n_id"),
+          F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(mEff))
+            .as("codes"),
+          F.element_at(F.call_function("graft_centroid_topk",
+            F.col(vecCol), bankLit, F.lit(1)), 1).as("cell"))
+      }
     // one file per cell per append, not per (task × cell) — see
     // [[buildIvfIndex]]'s small-file note
     cells.repartition(F.col("cell"))
@@ -483,8 +518,33 @@ object index {
         .write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${name}_pqbank")
       spark.sql(s"ALTER TABLE ${name}_pqcells SET TBLPROPERTIES(" +
-        s"'graft.dim'='$dim', 'graft.m'='$m')")
+        s"'graft.dim'='$dim', 'graft.m'='$m', 'graft.residual'='$resEff')")
     }
+  }
+
+  /** `(n_id, cell, _rc_r = v − centroid(cell))` over a width-clean
+    * frame: the residual-encode plumbing shared by build/probe/train —
+    * one codegen'd argmax + one graft_vec_sub per row against the
+    * broadcast nlist-row centroid frame. `ivfBank` is the flat
+    * centroids-++-norms layout; centroid ROWS are sliced back out of it
+    * (nlist × dim doubles, driver-sized). */
+  private def residualFrame(clean: DataFrame, idCol: String,
+      vecCol: String, ivfBank: Array[Double], dim: Int): DataFrame = {
+    val spark = clean.sparkSession
+    import spark.implicits._
+    val nlist = ivfBank.length / (dim + 1)
+    val cents = Array.tabulate(nlist)(c =>
+      ivfBank.slice(c * dim, (c + 1) * dim))
+    val cdf = F.broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "_rc_cent"))
+    val bankLit = F.typedlit(ivfBank.toSeq)
+    clean.select(F.col(idCol).as("n_id"), F.col(vecCol).as("_rc_v"),
+        F.element_at(F.call_function("graft_centroid_topk",
+          F.col(vecCol), bankLit, F.lit(1)), 1).as("cell"))
+      .join(cdf, "cell")
+      .select(F.col("n_id"), F.col("cell"),
+        F.call_function("graft_vec_sub", F.col("_rc_v"), F.col("_rc_cent"))
+          .as("_rc_r"))
   }
 
   private def readPqBank(spark: SparkSession, name: String,
@@ -501,29 +561,62 @@ object index {
         "not built by buildPqIndex?"))
   }
 
+  private def readPqPropOr(spark: SparkSession, name: String,
+      key: String, default: String): String =
+    spark.sql(s"SHOW TBLPROPERTIES ${name}_pqcells").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .getOrElse(key, default)
+
   /** Probe the PQ index: ADC top-k of each query over the stored CODES
     * of its `nprobe` nearest cells — the scan reads only the probed
     * cell directories (same static partition filter as
     * [[probeIvfIndex]]) and only (n_id, codes) columns; the floats of
     * the corpus are never touched, or even stored. Output
     * `(q_id, n_id, adc_dist, rank)`, smallest approximate squared L2
-    * first, ties by id. */
+    * first, ties by id. A residual-coded index (see [[buildPqIndex]])
+    * is probed with one distance table per (query, probed cell), built
+    * from q − centroid(cell) — the flag comes from the index's own
+    * properties, so probe and build cannot drift. */
   def probePqIndex(spark: SparkSession, queries: DataFrame,
       idCol: String, vecCol: String, name: String, k: Int,
       nprobe: Int = 8, broadcastQueries: Boolean = true): DataFrame = {
     require(k >= 1 && nprobe >= 1, "index: k and nprobe must be >= 1")
-    val bankLit = F.typedlit(readPqBank(spark, name, "ivf").toSeq)
+    val ivfBank = readPqBank(spark, name, "ivf")
+    val bankLit = F.typedlit(ivfBank.toSeq)
     val cbLit = F.typedlit(readPqBank(spark, name, "cb").toSeq)
     val m = readPqProp(spark, name, "graft.m").toInt
     val storedDim = readPqProp(spark, name, "graft.dim").toInt
+    val residual =
+      readPqPropOr(spark, name, "graft.residual", "false").toBoolean
     // queries that don't match the index's trained width have no
     // defined distance table — exclude, don't crash (see buildPqIndex)
-    val q0 = similarity.cleanDim(queries, vecCol, storedDim)
-      .select(F.col(idCol).cast(LongType).as("q_id"),
-      F.explode(F.call_function("graft_centroid_topk",
-        F.col(vecCol), bankLit, F.lit(nprobe))).as("cell"),
-      F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
-        .as("dt"))
+    val clean = similarity.cleanDim(queries, vecCol, storedDim)
+    val q0 =
+      if (residual) {
+        // residual index: the stored codes quantize v − centroid(cell),
+        // so each probed cell gets its OWN table from q − centroid(cell)
+        import spark.implicits._
+        val nlist = ivfBank.length / (storedDim + 1)
+        val cents = Array.tabulate(nlist)(c =>
+          ivfBank.slice(c * storedDim, (c + 1) * storedDim))
+        val cdf = F.broadcast(cents.zipWithIndex
+          .map { case (c, i) => (i, c.toSeq) }.toSeq
+          .toDF("cell", "_rc_cent"))
+        clean.select(F.col(idCol).cast(LongType).as("q_id"),
+            F.col(vecCol).as("_rc_qv"),
+            F.explode(F.call_function("graft_centroid_topk",
+              F.col(vecCol), bankLit, F.lit(nprobe))).as("cell"))
+          .join(cdf, "cell")
+          .select(F.col("q_id"), F.col("cell"),
+            F.call_function("graft_pq_dists",
+              F.call_function("graft_vec_sub",
+                F.col("_rc_qv"), F.col("_rc_cent")),
+              cbLit, F.lit(m)).as("dt"))
+      } else clean.select(F.col(idCol).cast(LongType).as("q_id"),
+        F.explode(F.call_function("graft_centroid_topk",
+          F.col(vecCol), bankLit, F.lit(nprobe))).as("cell"),
+        F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
+          .as("dt"))
     val q = if (broadcastQueries) F.broadcast(q0) else q0
     val c0 = spark.table(s"${name}_pqcells")
     val c = if (broadcastQueries) {

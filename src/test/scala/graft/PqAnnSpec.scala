@@ -204,6 +204,72 @@ class PqAnnSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_.getLong(1) != 0L))
   }
 
+  test("residual PQ index: probe ≡ direct computation; append re-encodes against STORED banks") {
+    import graft.functions.index
+    import org.apache.spark.sql.SaveMode
+    val slim = embs.select("vec_id", "embedding")
+    val day1 = slim.filter(F.col("vec_id") % 5 =!= 0)
+    val day2 = slim.filter(F.col("vec_id") % 5 === 0)
+    index.buildPqIndex(day1, "vec_id", "embedding", "rpq_spec",
+      nlist = 4, m = 8, ksub = 8, ivfIters = 0, pqIters = 0,
+      sampleOneIn = 1L, portableSeed = true, residual = true)
+    // probe of the persisted index ≡ the direct residual computation
+    // trained on the same corpus with the same args
+    val qs = slim.filter(F.col("vec_id") < 4)
+    val viaIndex = index.probePqIndex(spark, qs, "vec_id", "embedding",
+      "rpq_spec", k = 3, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val direct = similarity.ivfPqResidualTopK(day1, qs, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 4, m = 8, ksub = 8,
+      pqIters = 0, ivfIters = 0, sampleOneIn = 1L, portableSeed = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaIndex == direct,
+      "persisted residual index must reproduce the direct computation")
+    // append: day2 codes must equal re-encoding day2 against the
+    // STORED banks (quantizers must not retrain mid-lifecycle), and the
+    // residual flag must persist
+    index.buildPqIndex(day2, "vec_id", "embedding", "rpq_spec",
+      mode = SaveMode.Append, residual = false /* ignored: stored governs */)
+    val stored = spark.table("rpq_spec_pqcells")
+      .collect().map(r => r.getAs[Long]("n_id") ->
+        (r.getAs[Int]("cell"), r.getSeq[Int](r.fieldIndex("codes")))).toMap
+    assert(stored.size == slim.count(),
+      "append must add exactly the new batch")
+    // recompute day2's expected codes from the stored banks directly
+    val ivfBank = spark.table("rpq_spec_pqbank")
+      .filter(F.col("kind") === "ivf").orderBy("pos")
+      .collect().map(_.getDouble(2))
+    val cb = spark.table("rpq_spec_pqbank")
+      .filter(F.col("kind") === "cb").orderBy("pos")
+      .collect().map(_.getDouble(2))
+    val nlist = ivfBank.length / 65
+    day2.collect().foreach { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      // argmax dot/|c|, tie smallest cell (the CentroidTopK contract)
+      val cell = (0 until nlist).minBy { c =>
+        val cv = ivfBank.slice(c * 64, c * 64 + 64)
+        val nrm = ivfBank(nlist * 64 + c)
+        (-v.zip(cv).map { case (a, b) => a * b }.sum / nrm, c)
+      }
+      val resid = v.zip(ivfBank.slice(cell * 64, cell * 64 + 64))
+        .map { case (a, b) => a - b }
+      val ksub = cb.length / 64
+      val codes = (0 until 8).map { s =>
+        (0 until ksub).minBy { c =>
+          val d2 = (0 until 8).map { d =>
+            val diff = resid(s * 8 + d) - cb((s * ksub + c) * 8 + d)
+            diff * diff
+          }.sum
+          (d2, c)
+        }
+      }
+      assert(stored(id) == ((cell, codes)),
+        s"appended row $id must be coded against the stored banks")
+    }
+  }
+
   test("Lloyd iterations refine codebooks deterministically") {
     val a = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
       m = 4, ksub = 8, iters = 3, portableSeed = true)
