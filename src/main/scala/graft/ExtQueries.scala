@@ -3914,6 +3914,81 @@ object ExtQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** ANN recall report ([[graft.functions.similarity.annRecallReport]]):
+    * the recall@5-vs-nprobe curve of the IVF probe against exact brute
+    * force over the same corpus — the eval harness an ANN deployment
+    * tunes nprobe with. Oracled BY CONSTRUCTION: truth is the x06
+    * brute-force replay, the probed-cell sets are the x120-style
+    * deterministic ORDER BY ... LIMIT nprobe, and every recall is one
+    * exact hits/truth_n integer division; the nprobe = nlist row must
+    * read exactly 1.0 — a self-check wired into the result. */
+  def x122AnnRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.annRecallReport(e, e.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, nlist = 8,
+        nprobes = Seq(1, 2, 4, 8), iters = 0, sampleOneIn = 1L,
+        portableSeed = true)
+      .orderBy("nprobe")
+  }
+
+  private val x122Oracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |en AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT * FROM en WHERE vec_id < 8),
+      |truth AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |          / q.nrm / c.nrm DESC, c.vec_id) AS BIGINT) AS rank
+      |    FROM en c CROSS JOIN q WHERE c.vec_id != q.vec_id)
+      |  WHERE rank <= 5),
+      |tn AS (SELECT count(*) AS truth_n FROM truth),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, sn.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(e.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM e CROSS JOIN sn) WHERE rk = 1),
+      |prerank AS (
+      |  SELECT q.vec_id AS q_id, sn.cell,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_sum(list_transform(list_zip(q.v, sn.c),
+      |        p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |  FROM q CROSS JOIN sn),
+      |arms AS (SELECT unnest([1, 2, 4, 8]) AS p),
+      |probed AS (
+      |  SELECT a.p, pr.q_id, pr.cell FROM arms a JOIN prerank pr ON pr.rk <= a.p),
+      |got AS (
+      |  SELECT p, q_id, n_id FROM (
+      |    SELECT pb.p, pb.q_id, c.vec_id AS n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY pb.p, pb.q_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.v, c.v), z -> z[1] * z[2]))
+      |          / q.nrm / c.nrm DESC, c.vec_id) AS rank
+      |    FROM probed pb
+      |    JOIN assign a2 ON a2.cell = pb.cell
+      |    JOIN en c ON c.vec_id = a2.vec_id
+      |    JOIN q ON q.vec_id = pb.q_id
+      |    WHERE c.vec_id != pb.q_id)
+      |  WHERE rank <= 5),
+      |hits AS (
+      |  SELECT arms.p, count(truth.q_id) AS h
+      |  FROM arms LEFT JOIN got ON got.p = arms.p
+      |  LEFT JOIN truth ON truth.q_id = got.q_id AND truth.n_id = got.n_id
+      |  GROUP BY arms.p)
+      |SELECT CAST(p AS INTEGER) AS nprobe, CAST(h AS BIGINT) AS hits,
+      |  CAST(truth_n AS BIGINT) AS truth_n,
+      |  CAST(h AS DOUBLE) / truth_n AS recall
+      |FROM hits CROSS JOIN tn ORDER BY nprobe""".stripMargin
+
   /** Exact Hamming top-k over sign-bit binary codes
     * ([[graft.functions.similarity.binaryQuantize]]/`hammingTopK`):
     * 64-float embeddings become two 32-bit words, queries ranked by
@@ -4647,7 +4722,8 @@ object ExtQueries {
     "x118_hamming_battery" -> (x118HammingBattery _),
     "x119_group_topk" -> (x119GroupTopK _),
     "x120_ivfpq_residual_topk" -> (x120IvfPqResidualTopK _),
-    "x121_residual_pq_index_probe" -> (x121ResidualPqIndexProbe _))
+    "x121_residual_pq_index_probe" -> (x121ResidualPqIndexProbe _),
+    "x122_ann_recall_report" -> (x122AnnRecallReport _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4777,5 +4853,6 @@ object ExtQueries {
     "x120_ivfpq_residual_topk" -> x120Oracle,
     // the persisted-index probe reproduces x120's direct computation
     // (same trained banks, same pruning) — one oracle, two plans
-    "x121_residual_pq_index_probe" -> x120Oracle)
+    "x121_residual_pq_index_probe" -> x120Oracle,
+    "x122_ann_recall_report" -> x122Oracle)
 }

@@ -743,6 +743,68 @@ object similarity {
         (-F.col("cos")).as("adc_dist"), F.col("rank"))
   }
 
+  /** ANN recall report — the eval harness every ANN deployment needs:
+    * for each `nprobe` configuration, recall@k of the IVF probe against
+    * the exact brute-force cosine top-k over the SAME corpus/queries.
+    * Returns one row per configuration:
+    * `(nprobe, hits, truth_n, recall)` where hits = |ivf@k ∩ exact@k|
+    * over all queries, truth_n = |exact@k|, recall = hits / truth_n
+    * (one exact integer division to double — engine-portable). At
+    * nprobe ≥ nlist the probe IS brute force, so the report's last row
+    * reads recall = 1.0 — a built-in self-check that the harness
+    * itself is wired right.
+    *
+    * Scale shape: the ground truth is ONE brute-force pass (the honest,
+    * unavoidable cost of measuring recall — sample the query set, not
+    * the corpus, to bound it); centroids are trained ONCE and the
+    * corpus is assigned ONCE, with the per-arm probes differing only in
+    * the query-side explode width. Intermediates are persisted for the
+    * duration of the call (this is an EAGER report — per-arm hit counts
+    * are collected; driver state is #configurations longs). */
+  def annRecallReport(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int,
+      nprobes: Seq[Int], iters: Int = 5, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L, portableSeed: Boolean = false): DataFrame = {
+    require(k >= 1 && nprobes.nonEmpty && nprobes.forall(_ >= 1))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainIvfCentroidArrays(corpus, idCol, vecCol, nlist,
+      iters, sampleN, sampleOneIn, portableSeed)
+    if (cents.isEmpty)
+      return Seq.empty[(Int, Long, Long, Double)]
+        .toDF("nprobe", "hits", "truth_n", "recall")
+    val bank = F.typedlit(bankOf(cents).toSeq)
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select("q_id", "n_id").persist()
+    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
+      norm(F.col(vecCol)).as("n_nrm"),
+      F.element_at(F.call_function("graft_centroid_topk",
+        F.col(vecCol), bank, F.lit(1)), 1).as("cell")).persist()
+    try {
+      val truthN = truth.count()
+      val rows = nprobes.map { p =>
+        val q = queries.select(F.col(idCol).as("q_id"),
+          F.col(vecCol).as("q_vec"), norm(F.col(vecCol)).as("q_nrm"),
+          F.explode(F.call_function("graft_centroid_topk",
+            F.col(vecCol), bank, F.lit(p))).as("cell"))
+        val scored = c.join(q, "cell")
+          .filter(F.col("n_id") =!= F.col("q_id"))
+          .select(F.col("q_id"), F.col("n_id"),
+            (dot(F.col("q_vec"), F.col("n_vec"))
+              / F.col("q_nrm") / F.col("n_nrm")).as("cos"))
+        val hits = twoStageTopK(scored, k).select("q_id", "n_id")
+          .join(truth, Seq("q_id", "n_id")).count()
+        (p, hits, truthN,
+          if (truthN == 0L) 0.0 else hits.toDouble / truthN)
+      }
+      rows.toDF("nprobe", "hits", "truth_n", "recall")
+    } finally {
+      truth.unpersist(blocking = false)
+      c.unpersist(blocking = false)
+      ()
+    }
+  }
+
   /** RESIDUAL IVF-PQ — the production billion-vector layout (Jégou et
     * al. TPAMI 2011 §IV-A: quantize the residual r = v − q₁(v), not the
     * raw vector): each corpus vector is assigned to its IVF cell, the

@@ -270,6 +270,26 @@ class PqAnnSpec extends SparkSpec {
     }
   }
 
+  test("annRecallReport: monotone in nprobe, exact 1.0 at nprobe = nlist, empty-safe") {
+    val slim = embs.select("vec_id", "embedding")
+    val rep = similarity.annRecallReport(slim,
+        slim.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, nlist = 8, nprobes = Seq(1, 4, 8, 12), iters = 2,
+        portableSeed = true)
+      .orderBy("nprobe").collect()
+      .map(r => r.getInt(0) -> r.getDouble(3))
+    assert(rep.map(_._1).toSeq == Seq(1, 4, 8, 12))
+    // widening the probe can only add candidates: recall is monotone
+    rep.sliding(2).foreach { case Array((pa, ra), (pb, rb)) =>
+      assert(ra <= rb, s"recall must not drop: $pa→$ra vs $pb→$rb")
+    }
+    // nprobe >= nlist probes everything — the probe IS brute force
+    assert(rep.toMap.apply(8) == 1.0 && rep.toMap.apply(12) == 1.0)
+    val empty = slim.where(F.lit(false))
+    assert(similarity.annRecallReport(empty, empty, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobes = Seq(1, 2)).count() == 0L)
+  }
+
   test("Lloyd iterations refine codebooks deterministically") {
     val a = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
       m = 4, ksub = 8, iters = 3, portableSeed = true)
