@@ -4068,6 +4068,90 @@ object ExtQueries {
       |    + bit_count(xor(a.code[2], b.code[2])) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Incremental connected components as index state
+    * ([[graft.functions.index.buildComponentMap]] /
+    * `appendComponentEdges` / `readComponentMap`) — the x98 lifecycle
+    * gap closed: three "days" of near-dup edges arrive incrementally
+    * and the persisted component map must EXACTLY equal the full
+    * recompute over every edge ever seen. Families are planted so they
+    * ASSEMBLE ACROSS DAYS: each base embedding gets two sign-perturbed
+    * copies (±the x114 pattern) at id+1M/id+2M, and day(id) = id mod 3
+    * puts the three members on three DIFFERENT days (1M ≡ 1, 2M ≡ 2 mod
+    * 3) — for the ~10% of families whose two copies are farther than
+    * the radius from each other, the day the base arrives MERGES two
+    * existing components, exercising the remap path. Day-d edges are
+    * the exact Hamming pairs (radius 3) of the visible union whose
+    * latest endpoint arrived that day, so the 3-day union is provably
+    * the all-pairs edge set the oracle closes over (x114's code replay
+    * + x100's recursive-CTE closure). */
+  def x123IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    val base = embs(s, dir).select(
+      F.col("vec_id").cast(LongType).as("vec_id"),
+      F.transform(F.col("embedding"), _.cast(DoubleType)).as("v"))
+    val pattern = F.typedlit((0 until 64).map(i => 0.004 * ((i % 5) - 2)))
+    val pa = base.select((F.col("vec_id") + F.lit(1000000L)).as("vec_id"),
+      F.zip_with(F.col("v"), pattern, (x, p) => x + p).as("v"))
+    val pb = base.select((F.col("vec_id") + F.lit(2000000L)).as("vec_id"),
+      F.zip_with(F.col("v"), pattern, (x, p) => x - p).as("v"))
+    val allv = base.unionByName(pa).unionByName(pb)
+    def dayOf(d: Int) = allv.filter(F.pmod(F.col("vec_id"), F.lit(3L)) === d)
+    def edgesOf(d: Int) =
+      similarity.hammingPairs(
+          allv.filter(F.pmod(F.col("vec_id"), F.lit(3L)) <= d),
+          "vec_id", "v", dim = 64, radius = 3)
+        .filter(F.greatest(F.pmod(F.col("id_a"), F.lit(3L)),
+          F.pmod(F.col("id_b"), F.lit(3L))) === d)
+    graft.functions.index.buildComponentMap(
+      dayOf(0), edgesOf(0), "vec_id", "x123_cm")
+    graft.functions.index.appendComponentEdges(
+      dayOf(1), edgesOf(1), "vec_id", "x123_cm")
+    graft.functions.index.appendComponentEdges(
+      dayOf(2), edgesOf(2), "vec_id", "x123_cm")
+    graft.functions.index.readComponentMap(s, "x123_cm")
+      .select(F.col("id"), F.col("component"),
+        (F.col("id") === F.col("component")).as("kept"))
+      .orderBy("id")
+  }
+
+  private val x123Oracle =
+    """WITH RECURSIVE
+      |base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pa AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, list_transform(generate_series(0, 63),
+      |      i -> 0.004 * ((i % 5) - 2))), p -> p[1] + p[2]) AS v
+      |  FROM base),
+      |pb AS (SELECT vec_id + 2000000 AS vec_id,
+      |    list_transform(list_zip(v, list_transform(generate_series(0, 63),
+      |      i -> 0.004 * ((i % 5) - 2))), p -> p[1] - p[2]) AS v
+      |  FROM base),
+      |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pa
+      |  UNION ALL SELECT * FROM pb),
+      |codes AS (
+      |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+      |    list_sum(list_transform(generate_series(0, 31), i ->
+      |      CASE WHEN v[w*32 + i + 1] > 0
+      |        THEN (1::BIGINT << i) ELSE 0 END))) AS code
+      |  FROM allv),
+      |near AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+      |  WHERE bit_count(xor(a.code[1], b.code[1]))
+      |      + bit_count(xor(a.code[2], b.code[2])) <= 3),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM near
+      |  UNION SELECT id_b AS u, id_a AS v FROM near),
+      |enodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM enodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      |SELECT a.vec_id AS id,
+      |  COALESCE(c.component, a.vec_id) AS component,
+      |  COALESCE(c.component, a.vec_id) = a.vec_id AS kept
+      |FROM allv a LEFT JOIN comp c ON c.id = a.vec_id
+      |ORDER BY id""".stripMargin
+
   /** Exact-total stratified carve
     * ([[graft.functions.sampling.weightedSampleQuota]]): exactly 137
     * documents overall, allocated across sources in proportion to
@@ -4723,7 +4807,8 @@ object ExtQueries {
     "x119_group_topk" -> (x119GroupTopK _),
     "x120_ivfpq_residual_topk" -> (x120IvfPqResidualTopK _),
     "x121_residual_pq_index_probe" -> (x121ResidualPqIndexProbe _),
-    "x122_ann_recall_report" -> (x122AnnRecallReport _))
+    "x122_ann_recall_report" -> (x122AnnRecallReport _),
+    "x123_incremental_components" -> (x123IncrementalComponents _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4854,5 +4939,6 @@ object ExtQueries {
     // the persisted-index probe reproduces x120's direct computation
     // (same trained banks, same pruning) — one oracle, two plans
     "x121_residual_pq_index_probe" -> x120Oracle,
-    "x122_ann_recall_report" -> x122Oracle)
+    "x122_ann_recall_report" -> x122Oracle,
+    "x123_incremental_components" -> x123Oracle)
 }

@@ -522,6 +522,152 @@ object index {
     }
   }
 
+  /** Persistent near-dup COMPONENT MAP with incremental appends — the
+    * round-9 verdict's x98 gap: the daily lifecycle used to re-run
+    * connected components over the whole accumulated pair set; this
+    * maintains the component assignment as index state and resolves
+    * each day's edges against it, so the iterative CC work scales with
+    * the BATCH, never the corpus.
+    *
+    * Tables: `<name>_cmap` (id, rep0) is APPEND-ONLY — rep0 is the
+    * component representative (global min id, graft's keep rule) as of
+    * the row's insertion day; `<name>_cremap` (rep0, rep) is the small,
+    * FLAT remap for representatives that later merged away. The current
+    * component of any id is coalesce(remap[rep0], rep0)
+    * ([[readComponentMap]]). The remap is kept flat by construction —
+    * every append re-points existing entries through that day's
+    * changes — so resolution is ONE broadcast hash join, never a chain
+    * walk.
+    *
+    * Append-day work ([[appendComponentEdges]]): resolve the batch
+    * edges' old endpoints via one broadcast semi-join against the map
+    * (a scan, no shuffle of the corpus), CONTRACT each edge to current
+    * representatives, run [[dedup.connectedComponents]] over the
+    * contracted edges only (batch-sized — merging two million-row
+    * components costs one 2-node edge), then append the batch's rows
+    * and rewrite the small remap. Day-by-day appends provably equal
+    * the full recompute over the union of all edges — that equality IS
+    * the x123 oracle, and the batch-bounded shuffle is pinned in
+    * ScaleSmokeSpec.
+    *
+    * Contract: `nodes` ids must be NEW (never inserted before); edges
+    * may touch any already-mapped id. An edge endpoint that is neither
+    * new nor mapped joins as itself but gets no map row (document
+    * probes against an index should not invent corpus rows). */
+  def buildComponentMap(nodes: DataFrame, pairs: DataFrame, idCol: String,
+      name: String): Unit = {
+    val spark = nodes.sparkSession
+    Seq(s"${name}_cmap", s"${name}_cremap").foreach(resetManagedTable(spark, _))
+    val comp = dedup.connectedComponents(pairs)
+    nodes.select(F.col(idCol).cast(LongType).as("id"))
+      .join(comp.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
+      .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_cmap")
+    spark.emptyDataFrame
+      .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep")).where(F.lit(false))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_cremap")
+  }
+
+  /** One incremental day: insert `nodes` (new ids) and connect `pairs`
+    * (edges touching new and/or mapped ids). See [[buildComponentMap]]
+    * for the state layout and scale contract. */
+  def appendComponentEdges(nodes: DataFrame, pairs: DataFrame,
+      idCol: String, name: String): Unit = {
+    val spark = nodes.sparkSession
+    val cmap = spark.table(s"${name}_cmap")
+    val remap = spark.table(s"${name}_cremap")
+    val e = pairs.select(F.col("id_a").cast(LongType).as("id_a"),
+      F.col("id_b").cast(LongType).as("id_b"))
+    val newIds = nodes.select(F.col(idCol).cast(LongType).as("id"))
+    // current rep of every OLD endpoint: one broadcast semi-join into
+    // the map scan + one broadcast hash join with the small remap —
+    // the corpus is read, never shuffled
+    val ends = e.select(F.explode(F.array(F.col("id_a"), F.col("id_b")))
+      .as("id")).distinct()
+    val oldRes = cmap.join(F.broadcast(ends), Seq("id"), "left_semi")
+      .join(F.broadcast(remap), Seq("rep0"), "left")
+      .select(F.col("id"), F.coalesce(F.col("rep"), F.col("rep0")).as("_cm_r"))
+    // contract edges to current representatives (new ids stand for
+    // themselves); the contracted graph is batch-sized by construction
+    val contracted = e
+      .join(oldRes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("_cm_r", "_cm_ra"), Seq("id_a"), "left")
+      .join(oldRes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("_cm_r", "_cm_rb"), Seq("id_b"), "left")
+      .select(F.coalesce(F.col("_cm_ra"), F.col("id_a")).as("id_a"),
+        F.coalesce(F.col("_cm_rb"), F.col("id_b")).as("id_b"))
+      .filter(F.col("id_a") =!= F.col("id_b"))
+    val comp = dedup.cached(dedup.connectedComponents(contracted))
+    try {
+      // new rows: each batch id's rep0 is its component in the
+      // contracted graph (current-rep values ARE global min ids, so the
+      // min over a merged set is the true global min — the keep rule
+      // stays stable across days)
+      newIds
+        .join(comp.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
+        .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
+        .write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(s"${name}_cmap")
+      // remap rewrite: old reps whose component changed re-point every
+      // rep0 that currently resolves to them; existing entries are
+      // composed through today's changes so the table stays FLAT
+      val changed = comp
+        .join(F.broadcast(newIds), Seq("id"), "left_anti") // old reps only
+        .filter(F.col("component") =!= F.col("id"))
+        .select(F.col("id").as("_cm_from"), F.col("component").as("_cm_to"))
+      val newRemap = remap
+        .join(F.broadcast(changed), F.col("rep") === F.col("_cm_from"), "left")
+        .select(F.col("rep0"),
+          F.coalesce(F.col("_cm_to"), F.col("rep")).as("rep"))
+        .unionByName(changed.select(F.col("_cm_from").as("rep0"),
+          F.col("_cm_to").as("rep")))
+      // the remap table is overwritten while also being read: break the
+      // read-write cycle through a staging table (distributed — no
+      // driver materialization, whatever the merge history's size)
+      newRemap.write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cremap_stage")
+      spark.table(s"${name}_cremap_stage")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cremap")
+      resetManagedTable(spark, s"${name}_cremap_stage")
+    } finally { comp.unpersist(blocking = false); () }
+  }
+
+  /** Fold the remap back into the map: rewrite `<name>_cmap` with every
+    * rep0 resolved to its current rep and truncate `<name>_cremap`.
+    * The remap grows by the day's merged-away representatives per
+    * append; run this periodically (one corpus scan + write) to keep
+    * the broadcast-joined remap small on long-lived indexes. Read
+    * results are identical before and after — compaction only moves
+    * where the resolution happens. */
+  def compactComponentMap(spark: SparkSession, name: String): Unit = {
+    readComponentMap(spark, name)
+      .select(F.col("id"), F.col("component").as("rep0"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_cmap_stage")
+    spark.table(s"${name}_cmap_stage")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_cmap")
+    resetManagedTable(spark, s"${name}_cmap_stage")
+    spark.emptyDataFrame
+      .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep")).where(F.lit(false))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_cremap")
+  }
+
+  /** The current component assignment: `(id, component)` — component =
+    * the global min id of the near-dup family (graft's keep rule),
+    * exactly what a full [[dedup.connectedComponents]] recompute over
+    * every edge ever appended would return. One broadcast join; the map
+    * is never shuffled. */
+  def readComponentMap(spark: SparkSession, name: String): DataFrame =
+    spark.table(s"${name}_cmap")
+      .join(F.broadcast(spark.table(s"${name}_cremap")), Seq("rep0"), "left")
+      .select(F.col("id"),
+        F.coalesce(F.col("rep"), F.col("rep0")).as("component"))
+
   /** `(n_id, cell, _rc_r = v − centroid(cell))` over a width-clean
     * frame: the residual-encode plumbing shared by build/probe/train —
     * one codegen'd argmax + one graft_vec_sub per row against the

@@ -868,4 +868,64 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(awaitRelease(pins0).isEmpty)
   }
+
+  test("component-map append shuffles O(batch), never the 2M-row corpus") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.index
+    // The incremental-CC claim (index.scala buildComponentMap): a daily
+    // append resolves its edges via one broadcast semi-join into the
+    // map SCAN and contracts to current representatives before the CC
+    // loop — so across every job of the append, total shuffle-write
+    // volume is batch-proportional. The corpus map is 2M rows; the
+    // batch is 1k nodes + 1.5k edges (a third of them bridging two
+    // EXISTING components, the merge/remap path). A full recompute
+    // would shuffle the accumulated edge set, ∝ corpus.
+    val nCorpus = 2000000L
+    val nodes = spark.range(0, nCorpus).select(F.col("id"))
+    // chain edges among every 20th id: 100k two-node components
+    val pairs = spark.range(0, nCorpus / 20).select(
+      (F.col("id") * 20).as("id_a"), (F.col("id") * 20 + 1).as("id_b"))
+    index.buildComponentMap(nodes, pairs, "id", "smoke_cm")
+    val batchNodes = spark.range(nCorpus, nCorpus + 1000).select(F.col("id"))
+    // 500 edges attach new→old; 500 bridge two old components (merges);
+    // 500 connect new→new
+    val batchEdges = spark.range(0, 500).select(
+        (F.col("id") + nCorpus).as("id_a"), (F.col("id") * 40).as("id_b"))
+      .unionByName(spark.range(0, 500).select(
+        (F.col("id") * 80).as("id_a"), (F.col("id") * 80 + 20).as("id_b")))
+      .unionByName(spark.range(0, 500).select(
+        (F.col("id") + nCorpus).as("id_a"),
+        (F.col("id") + nCorpus + 500).as("id_b")))
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      index.appendComponentEdges(batchNodes, batchEdges, "id", "smoke_cm")
+      // listener events are async; settle before reading the counter
+      Thread.sleep(2000)
+      val total = shuffled.get()
+      // generous batch-proportional bound: ~2.5k batch rows explode to
+      // endpoint sets, contracted edges, CC rounds and small writes —
+      // tens of thousands of shuffled records, never the 2M map
+      val bound = 200000L
+      assert(total <= bound,
+        s"append shuffled $total records (> $bound) — corpus-scaled, not batch-scaled")
+      // and the merges actually happened: a bridged pair shares a label
+      val comp = index.readComponentMap(spark, "smoke_cm")
+        .filter(F.col("id").isin(0L, 20L, 80L, 100L))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp(0L) == 0L && comp(20L) == 0L,
+        s"bridge 0-20 must merge: $comp")
+      assert(comp(80L) == 80L && comp(100L) == 80L,
+        s"bridge 80-100 must merge: $comp")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
