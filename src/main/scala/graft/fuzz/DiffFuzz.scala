@@ -39,7 +39,7 @@ object DiffFuzz {
   val N = 300
   // bumped each round after a local two-SF verify: fresh random trees
   // through the same hash gate (round 8: 20260812 -> 20260824)
-  val Seed = 20260831L
+  val Seed = 20261001L
   val Depth = 3
 
   private final class Gen(rnd: scala.util.Random) {
@@ -255,7 +255,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val WinN = 48
-  val WinSeed = 20260911L
+  val WinSeed = 20261002L
 
   /** (DSL order markers, SQL ORDER BY text — explicit NULLS). */
   private type OrdPair = (Seq[ColExpr], String)
@@ -370,7 +370,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val AggN = 40
-  val AggSeed = 20260912L
+  val AggSeed = 20261003L
 
   private final class AggGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -459,7 +459,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val QtN = 24
-  val QtSeed = 20260918L
+  val QtSeed = 20261004L
 
   private final class QtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -704,7 +704,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val PipeN = 16
-  val PipeSeed = 20260903L
+  val PipeSeed = 20261005L
 
   private sealed trait PStep
   private final case class PFilter(cond: ColExpr, sql: String) extends PStep
@@ -923,9 +923,12 @@ object DiffFuzz {
        |FROM ($body) fin""".stripMargin
   }
 
-  /** All pipelines unioned, one row each, ordered by tag. */
+  /** All pipelines unioned, one row each, ordered by tag. Codegen
+    * re-A/B'd at the 20261005 seed: the lighter mix (17 shuffles, was
+    * 32) inverted round 9's choice back — interpreted ~3.9 s vs
+    * codegen'd ~4.3 s warm medians over 6 samples (BENCH_NOTES). */
   def pipelineQuery(s0: SparkSession, dir: String): DataFrame = {
-    val s = fixtureSession(s0, codegen = true)
+    val s = fixtureSession(s0, codegen = false)
     pipeBattery.map(p => pipeTable(s, dir, p))
       .reduce(_ union _).arrange(C("tag")).toDF
   }
@@ -949,7 +952,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DtN = 36
-  val DtSeed = 20260914L
+  val DtSeed = 20261006L
 
   private final class DtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1067,7 +1070,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val OaN = 20
-  val OaSeed = 20260915L
+  val OaSeed = 20261007L
 
   private final class OaGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1169,7 +1172,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SpN = 28
-  val SpSeed = 20260830L
+  val SpSeed = 20261008L
 
   /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
   private def enc0(g: GE): GE = GE(
@@ -1341,7 +1344,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DecN = 24
-  val DecSeed = 20260916L
+  val DecSeed = 20261009L
 
   private final class DecGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1433,7 +1436,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val CastN = 24
-  val CastSeed = 20260917L
+  val CastSeed = 20261010L
 
   private final class CastGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1602,7 +1605,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val TjN = 18
-  val TjSeed = 20260825L
+  val TjSeed = 20261011L
 
   private final case class TjSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
@@ -1822,7 +1825,10 @@ object DiffFuzz {
     * the union schema is uniform. */
   def temporalJoinQuery(s0: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
-    val s = fixtureSession(s0, codegen = false)
+    // codegen re-A/B'd at the 20261011 seed: this mix flipped TO
+    // codegen (~4.1 vs ~4.6 s warm medians over 6 samples; 3.15 vs
+    // 3.62 in the combined-battery run — BENCH_NOTES round 10)
+    val s = fixtureSession(s0, codegen = true)
     tjSpecs.map { spec =>
       val df = spec.mk(s, dir)
       if (df.columns.contains("n_null")) df
@@ -1864,7 +1870,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val StrN = 220
-  val StrSeed = 20260826L
+  val StrSeed = 20261012L
   val StrDepth = 3
 
   private final class StrGen(rnd: scala.util.Random) {
@@ -2019,7 +2025,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SkN = 12
-  val SkSeed = 20260827L
+  val SkSeed = 20261013L
 
   private final case class SkSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
