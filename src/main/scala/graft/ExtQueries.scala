@@ -3499,6 +3499,82 @@ object ExtQueries {
       |   - CAST(len(list_intersect(b.s, a.s)) AS DOUBLE)) >= 0.8
       |ORDER BY id_new, id_indexed""".stripMargin
 
+  /** The x98 daily near-dup lifecycle WIRED INTO the persistent
+    * component map ([[graft.functions.index.buildComponentMap]] family)
+    * — dedup-as-index-state end to end: each day indexes its documents
+    * ([[graft.functions.index.buildJaccardIndex]], Append), derives its
+    * edges as in-day LSH pairs plus probe hits against everything
+    * already indexed, and appends them to the component map. After
+    * three days (x98's day split on the even half-corpus, plus planted
+    * day-3 copies of day-2 documents) the map must equal the full
+    * recursive-CTE closure over the exact all-pairs Jaccard graph of
+    * everything ever ingested — in-day, cross-day and planted-copy
+    * edges all pinned by one hash. (Cross-component MERGES are pinned
+    * by x123 and ComponentMapSpec; Jaccard families here grow by
+    * accretion, which leaves the remap empty — the realistic shape.) */
+  def x124NearDupFamilyLifecycle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.SaveMode
+    val d = docs(s, dir).filter(F.col("doc_id") % 2 === 0)
+    def dayOf(r: Int) = d.filter(F.col("doc_id") % 6 === r)
+      .select(F.col("doc_id"), F.col("text"))
+    val day1 = dayOf(0)
+    val day2 = dayOf(2)
+    val day3 = dayOf(4).unionByName(day2.filter(F.col("doc_id") % 20 === 2)
+      .select((F.col("doc_id") + 2000000L).as("doc_id"), F.col("text")))
+    graft.functions.index.buildJaccardIndex(day1, "doc_id", "text",
+      "x124_idx")
+    graft.functions.index.buildComponentMap(day1,
+      dedup.jaccardPairsLsh(day1, "doc_id", "text").select("id_a", "id_b"),
+      "doc_id", "x124_cm")
+    Seq(day2, day3).foreach { dayD =>
+      val hits = graft.functions.index.probeJaccardIndex(s, dayD,
+          "doc_id", "text", "x124_idx", minJ = 0.8)
+        .select(F.col("id_new").as("id_a"), F.col("id_indexed").as("id_b"))
+      val inDay = dedup.jaccardPairsLsh(dayD, "doc_id", "text")
+        .select("id_a", "id_b")
+      graft.functions.index.appendComponentEdges(dayD,
+        hits.unionByName(inDay), "doc_id", "x124_cm")
+      graft.functions.index.buildJaccardIndex(dayD, "doc_id", "text",
+        "x124_idx", mode = SaveMode.Append)
+    }
+    graft.functions.index.readComponentMap(s, "x124_cm")
+      .select(F.col("id").as("doc_id"), F.col("component"),
+        (F.col("id") === F.col("component")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  private val x124Oracle =
+    """WITH RECURSIVE
+      |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents
+      |  WHERE doc_id % 6 = 2 AND doc_id % 20 = 2),
+      |tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM corpus),
+      |sh AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END) AS s
+      |  FROM tk),
+      |near AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    (CAST(len(a.s) AS DOUBLE) + CAST(len(b.s) AS DOUBLE)
+      |     - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)) >= 0.8),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM near
+      |  UNION SELECT id_b AS u, id_a AS v FROM near),
+      |enodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM enodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      |SELECT s0.doc_id,
+      |  COALESCE(c.component, s0.doc_id) AS component,
+      |  COALESCE(c.component, s0.doc_id) = s0.doc_id AS kept
+      |FROM sh s0 LEFT JOIN comp c ON c.id = s0.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Snapshot diff (CDC over re-crawls): today's crawl is yesterday's
     * with every 11th doc dropped, every 7th doc's text revised, every
     * 5th doc's lang re-detected and every 13th doc freshly discovered
@@ -4808,7 +4884,8 @@ object ExtQueries {
     "x120_ivfpq_residual_topk" -> (x120IvfPqResidualTopK _),
     "x121_residual_pq_index_probe" -> (x121ResidualPqIndexProbe _),
     "x122_ann_recall_report" -> (x122AnnRecallReport _),
-    "x123_incremental_components" -> (x123IncrementalComponents _))
+    "x123_incremental_components" -> (x123IncrementalComponents _),
+    "x124_neardup_family_lifecycle" -> (x124NearDupFamilyLifecycle _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -4940,5 +5017,6 @@ object ExtQueries {
     // (same trained banks, same pruning) — one oracle, two plans
     "x121_residual_pq_index_probe" -> x120Oracle,
     "x122_ann_recall_report" -> x122Oracle,
-    "x123_incremental_components" -> x123Oracle)
+    "x123_incremental_components" -> x123Oracle,
+    "x124_neardup_family_lifecycle" -> x124Oracle)
 }
