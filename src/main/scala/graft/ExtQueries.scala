@@ -4144,6 +4144,53 @@ object ExtQueries {
       |    + bit_count(xor(a.code[2], b.code[2])) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** INT8 quantized-rescore ANN
+    * ([[graft.functions.similarity.int8TopK]]): both sides stored as
+    * per-vector affine int8 codes + (mn, range/254), ranked by the
+    * cosine of the dequantized vectors computed via the expanded-dot
+    * identity — the per-pair work is ONE integer dot over shifted
+    * codes plus four flops, never a dequantized float scan. Every term
+    * is an exact integer sum or a fixed-parenthesization double op, so
+    * the oracle replays the ENTIRE ranking (x27's quantization replay
+    * + the algebraic identity, term by term) bit-strict. */
+  def x125Int8TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    similarity.int8TopK(e, e.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x125Oracle =
+    """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |p0 AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+      |  FROM e),
+      |qz AS (SELECT vec_id,
+      |    CAST(len(v) AS DOUBLE) AS n, mn, (mx - mn) / 254.0 AS s,
+      |    list_transform(v, x -> CASE WHEN mx = mn THEN 127.0
+      |      ELSE CAST(CAST(round((x - mn) / (mx - mn) * 254, 0) AS INT)
+      |        - 127 + 127 AS DOUBLE) END) AS sq
+      |  FROM p0),
+      |pp AS (SELECT vec_id, n, mn, s, sq,
+      |    list_sum(sq) AS t,
+      |    n * mn * mn + mn * s * list_sum(sq) + mn * s * list_sum(sq)
+      |      + s * s * list_sum(list_transform(sq, x -> x * x)) AS dself
+      |  FROM qz),
+      |q AS (SELECT * FROM pp WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    (c.n * c.mn * q.mn + c.mn * q.s * q.t + q.mn * c.s * c.t
+      |      + c.s * q.s * list_sum(list_transform(list_zip(c.sq, q.sq),
+      |          z -> z[1] * z[2])))
+      |      / sqrt(c.dself) / sqrt(q.dself) AS cos8
+      |  FROM pp c CROSS JOIN q WHERE c.vec_id != q.vec_id)
+      |SELECT q_id, n_id, cos8, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cos8 DESC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   /** Incremental connected components as index state
     * ([[graft.functions.index.buildComponentMap]] /
     * `appendComponentEdges` / `readComponentMap`) — the x98 lifecycle
@@ -4885,7 +4932,8 @@ object ExtQueries {
     "x121_residual_pq_index_probe" -> (x121ResidualPqIndexProbe _),
     "x122_ann_recall_report" -> (x122AnnRecallReport _),
     "x123_incremental_components" -> (x123IncrementalComponents _),
-    "x124_neardup_family_lifecycle" -> (x124NearDupFamilyLifecycle _))
+    "x124_neardup_family_lifecycle" -> (x124NearDupFamilyLifecycle _),
+    "x125_int8_topk" -> (x125Int8TopK _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -5018,5 +5066,6 @@ object ExtQueries {
     "x121_residual_pq_index_probe" -> x120Oracle,
     "x122_ann_recall_report" -> x122Oracle,
     "x123_incremental_components" -> x123Oracle,
-    "x124_neardup_family_lifecycle" -> x124Oracle)
+    "x124_neardup_family_lifecycle" -> x124Oracle,
+    "x125_int8_topk" -> x125Oracle)
 }

@@ -894,6 +894,73 @@ object similarity {
         (-F.col("cos")).as("adc_dist"), F.col("rank"))
   }
 
+  /** INT8 quantized-rescore ANN top-k — the 4×-compression tier of the
+    * quantization ladder (float32 → int8 → PQ → binary): both sides are
+    * per-vector affine int8 codes ([[quantizeInt8]]) plus their (mn, mx)
+    * range, and ranking is the cosine of the DEQUANTIZED vectors —
+    * computed without ever materializing them. With â_i = mn_a +
+    * (q_i + 127)·s_a and s = (mx − mn)/254, the dot expands to
+    *
+    *   dot(â, b̂) = n·mn_a·mn_b + mn_a·s_b·T_b + mn_b·s_a·T_a
+    *             + s_a·s_b·D_ab
+    *
+    * where T = Σ(q_i + 127) and D_ab = Σ(q_a,i + 127)(q_b,i + 127) are
+    * EXACT integer sums precomputed per vector (T, D_aa) or computed
+    * per pair as ONE codegen'd graft_dot over small-integer-valued
+    * doubles (D_ab) — the int8 trick: the pair loop is an integer dot,
+    * the affine correction is four flops. Every term is exact integer
+    * arithmetic or IEEE-deterministic double ops in a fixed
+    * parenthesization, so the whole ranking replays bit-strict in any
+    * engine (the x125 oracle). Non-finite vectors are excluded (their
+    * quantized range is undefined); zero-range zero vectors rank as
+    * NULL and are skipped. Output `(q_id, n_id, cos8, rank)`. */
+  def int8TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    def prep(df: DataFrame, idAs: String, p: String): DataFrame = {
+      val vd = F.transform(F.col(vecCol), _.cast(DoubleType))
+      df.select(F.col(idCol).as(idAs), vd.as("_i8v"))
+        .filter(!F.exists(F.col("_i8v"), x => F.isnan(x) ||
+          x === F.lit(Double.PositiveInfinity) ||
+          x === F.lit(Double.NegativeInfinity)))
+        .select(F.col(idAs), F.col("_i8v"),
+          quantizeInt8(F.col("_i8v")).as("_i8q"))
+        // shifted codes as doubles: values in [0, 254] — exact — so the
+        // codegen'd graft_dot computes the integer pair sum exactly
+        .select(F.col(idAs),
+          F.transform(F.col("_i8q"), c => (c + F.lit(127)).cast(DoubleType))
+            .as(s"${p}sh"),
+          F.size(F.col("_i8q")).cast(DoubleType).as(s"${p}n"),
+          F.array_min(F.col("_i8v")).as(s"${p}mn"),
+          ((F.array_max(F.col("_i8v")) - F.array_min(F.col("_i8v")))
+            / F.lit(254.0)).as(s"${p}s"),
+          F.aggregate(F.col("_i8q"), F.lit(0L),
+            (a, x) => a + x + F.lit(127L)).cast(DoubleType).as(s"${p}t"))
+    }
+    // the expanded dequantized dot — FIXED left-associative shape, the
+    // exact formula the oracle replays term by term
+    def deqDot(an: Column, amn: Column, as_ : Column, at: Column,
+        bmn: Column, bs: Column, bt: Column, dab: Column): Column =
+      an * amn * bmn + amn * bs * bt + bmn * as_ * at + as_ * bs * dab
+    val c = prep(corpus, "n_id", "a")
+    val q = prep(queries, "q_id", "b")
+    val scored = c.crossJoin(F.broadcast(q))
+      .filter(F.col("n_id") =!= F.col("q_id"))
+      .select(F.col("q_id"), F.col("n_id"),
+        (deqDot(F.col("an"), F.col("amn"), F.col("as"), F.col("at"),
+          F.col("bmn"), F.col("bs"), F.col("bt"),
+          dot(F.col("ash"), F.col("bsh")))
+          / F.sqrt(deqDot(F.col("an"), F.col("amn"), F.col("as"),
+            F.col("at"), F.col("amn"), F.col("as"), F.col("at"),
+            dot(F.col("ash"), F.col("ash"))))
+          / F.sqrt(deqDot(F.col("bn"), F.col("bmn"), F.col("bs"),
+            F.col("bt"), F.col("bmn"), F.col("bs"), F.col("bt"),
+            dot(F.col("bsh"), F.col("bsh"))))).as("cos"))
+    twoStageTopK(scored, k)
+      .select(F.col("q_id"), F.col("n_id"),
+        F.col("cos").as("cos8"), F.col("rank"))
+  }
+
   /** Sign-bit binary quantization: a dim-float embedding becomes
     * ceil(dim/32) long words, bit i of word w set iff component
     * 32·w + i is strictly positive — 32× smaller than float32 and

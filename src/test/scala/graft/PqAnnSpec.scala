@@ -290,6 +290,33 @@ class PqAnnSpec extends SparkSpec {
       k = 3, nlist = 4, nprobes = Seq(1, 2)).count() == 0L)
   }
 
+  test("int8TopK: high recall vs exact cosine; corrupt vectors excluded") {
+    val slim = embs.select("vec_id", "embedding")
+    val qs = slim.filter(F.col("vec_id") < 32)
+    val k = 10
+    val got = similarity.int8TopK(slim, qs, "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val truth = similarity.bruteForceTopK(slim, qs, "vec_id", "embedding", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val recall = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / k
+    }.sum / truth.size
+    info(f"int8 recall@$k vs exact cosine: $recall%.4f")
+    // 8-bit affine quantization of 64-d embeddings loses very little:
+    // the dequantized cosine tracks the exact one closely
+    assert(recall >= 0.9, f"int8 recall collapsed: $recall%.4f")
+    // hygiene: a NaN-bearing vector has no defined quantized range —
+    // excluded from both sides, never a crash or a stolen rank
+    val dirty = slim.unionByName(spark.sql(
+      "SELECT 777777L AS vec_id, " +
+        "array_repeat(CAST('NaN' AS FLOAT), 64) AS embedding"))
+    val withDirty = similarity.int8TopK(dirty, qs.limit(2),
+      "vec_id", "embedding", 3).collect()
+    assert(withDirty.nonEmpty && withDirty.forall(_.getLong(1) != 777777L))
+  }
+
   test("Lloyd iterations refine codebooks deterministically") {
     val a = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
       m = 4, ksub = 8, iters = 3, portableSeed = true)
