@@ -4144,6 +4144,68 @@ object ExtQueries {
       |    + bit_count(xor(a.code[2], b.code[2])) <= 3
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** TAKEDOWN over the component map
+    * ([[graft.functions.index.removeComponentIds]]): x123's 3-day
+    * planted-family lifecycle, then every tenth BASE vector is removed
+    * — for the families whose two perturbed copies are farther than
+    * the radius from each other, deleting the base is deleting the
+    * BRIDGE, so the takedown must SPLIT those families back into
+    * singletons (re-solved from the persisted edge log, not a label
+    * rewrite). The oracle is the full recursive-CTE closure over the
+    * all-pairs Hamming graph RESTRICTED to surviving vectors — deleted
+    * ids gone, splits and surviving sub-families exact, one hash. */
+  def x126TakedownComponents(s: SparkSession, dir: String): DataFrame = {
+    val allv = crossDayFamilyLifecycle(s, dir, "x126_cm")
+    graft.functions.index.removeComponentIds(
+      allv.filter(F.col("vec_id") < 1000000L &&
+        F.col("vec_id") % 10 === 0).select("vec_id"),
+      "vec_id", "x126_cm")
+    graft.functions.index.readComponentMap(s, "x126_cm")
+      .select(F.col("id"), F.col("component"),
+        (F.col("id") === F.col("component")).as("kept"))
+      .orderBy("id")
+  }
+
+  private val x126Oracle =
+    """WITH RECURSIVE
+      |base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |pa AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, list_transform(generate_series(0, 63),
+      |      i -> 0.004 * ((i % 5) - 2))), p -> p[1] + p[2]) AS v
+      |  FROM base),
+      |pb AS (SELECT vec_id + 2000000 AS vec_id,
+      |    list_transform(list_zip(v, list_transform(generate_series(0, 63),
+      |      i -> 0.004 * ((i % 5) - 2))), p -> p[1] - p[2]) AS v
+      |  FROM base),
+      |surv AS (SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM pa
+      |    UNION ALL SELECT * FROM pb)
+      |  WHERE NOT (vec_id < 1000000 AND vec_id % 10 = 0)),
+      |codes AS (
+      |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+      |    list_sum(list_transform(generate_series(0, 31), i ->
+      |      CASE WHEN v[w*32 + i + 1] > 0
+      |        THEN (1::BIGINT << i) ELSE 0 END))) AS code
+      |  FROM surv),
+      |near AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM codes a JOIN codes b ON a.vec_id < b.vec_id
+      |  WHERE bit_count(xor(a.code[1], b.code[1]))
+      |      + bit_count(xor(a.code[2], b.code[2])) <= 3),
+      |edges AS (SELECT id_a AS u, id_b AS v FROM near
+      |  UNION SELECT id_b AS u, id_a AS v FROM near),
+      |enodes AS (SELECT DISTINCT u AS id FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM enodes
+      |  UNION
+      |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      |SELECT a.vec_id AS id,
+      |  COALESCE(c.component, a.vec_id) AS component,
+      |  COALESCE(c.component, a.vec_id) = a.vec_id AS kept
+      |FROM surv a LEFT JOIN comp c ON c.id = a.vec_id
+      |ORDER BY id""".stripMargin
+
   /** INT8 quantized-rescore ANN
     * ([[graft.functions.similarity.int8TopK]]): both sides stored as
     * per-vector affine int8 codes + (mn, range/254), ranked by the
@@ -4207,7 +4269,10 @@ object ExtQueries {
     * latest endpoint arrived that day, so the 3-day union is provably
     * the all-pairs edge set the oracle closes over (x114's code replay
     * + x100's recursive-CTE closure). */
-  def x123IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+  /** x123/x126 shared prelude: run the 3-day planted-family incremental
+    * lifecycle into component map `name` and return the map read. */
+  private def crossDayFamilyLifecycle(s: SparkSession, dir: String,
+      name: String): DataFrame = {
     val base = embs(s, dir).select(
       F.col("vec_id").cast(LongType).as("vec_id"),
       F.transform(F.col("embedding"), _.cast(DoubleType)).as("v"))
@@ -4225,11 +4290,16 @@ object ExtQueries {
         .filter(F.greatest(F.pmod(F.col("id_a"), F.lit(3L)),
           F.pmod(F.col("id_b"), F.lit(3L))) === d)
     graft.functions.index.buildComponentMap(
-      dayOf(0), edgesOf(0), "vec_id", "x123_cm")
+      dayOf(0), edgesOf(0), "vec_id", name)
     graft.functions.index.appendComponentEdges(
-      dayOf(1), edgesOf(1), "vec_id", "x123_cm")
+      dayOf(1), edgesOf(1), "vec_id", name)
     graft.functions.index.appendComponentEdges(
-      dayOf(2), edgesOf(2), "vec_id", "x123_cm")
+      dayOf(2), edgesOf(2), "vec_id", name)
+    allv
+  }
+
+  def x123IncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    crossDayFamilyLifecycle(s, dir, "x123_cm")
     graft.functions.index.readComponentMap(s, "x123_cm")
       .select(F.col("id"), F.col("component"),
         (F.col("id") === F.col("component")).as("kept"))
@@ -4933,7 +5003,8 @@ object ExtQueries {
     "x122_ann_recall_report" -> (x122AnnRecallReport _),
     "x123_incremental_components" -> (x123IncrementalComponents _),
     "x124_neardup_family_lifecycle" -> (x124NearDupFamilyLifecycle _),
-    "x125_int8_topk" -> (x125Int8TopK _))
+    "x125_int8_topk" -> (x125Int8TopK _),
+    "x126_takedown_components" -> (x126TakedownComponents _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -5067,5 +5138,6 @@ object ExtQueries {
     "x122_ann_recall_report" -> x122Oracle,
     "x123_incremental_components" -> x123Oracle,
     "x124_neardup_family_lifecycle" -> x124Oracle,
-    "x125_int8_topk" -> x125Oracle)
+    "x125_int8_topk" -> x125Oracle,
+    "x126_takedown_components" -> x126Oracle)
 }

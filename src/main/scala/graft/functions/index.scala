@@ -557,13 +557,29 @@ object index {
   def buildComponentMap(nodes: DataFrame, pairs: DataFrame, idCol: String,
       name: String): Unit = {
     val spark = nodes.sparkSession
-    Seq(s"${name}_cmap", s"${name}_cremap").foreach(resetManagedTable(spark, _))
-    val comp = dedup.connectedComponents(pairs)
-    nodes.select(F.col(idCol).cast(LongType).as("id"))
-      .join(comp.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
-      .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_cmap")
+    Seq(s"${name}_cmap", s"${name}_cremap", s"${name}_cedges")
+      .foreach(resetManagedTable(spark, _))
+    val e = pairs.select(F.col("id_a").cast(LongType).as("id_a"),
+      F.col("id_b").cast(LongType).as("id_b"))
+    val comp = dedup.cached(dedup.connectedComponents(e))
+    try {
+      nodes.select(F.col(idCol).cast(LongType).as("id"))
+        .join(comp.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
+        .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cmap")
+      // the edge LOG, labeled with the edge's component at insert time
+      // (same resolution invariant as cmap rows) — what makes DELETION
+      // possible: a removal re-solves only the affected components'
+      // edges, found by a broadcast filter on the label, never by
+      // re-resolving every endpoint (see removeComponentIds)
+      e.join(comp.select(F.col("id").as("id_a"),
+          F.col("component").as("_cm_c")), Seq("id_a"), "left")
+        .select(F.col("id_a"), F.col("id_b"),
+          F.coalesce(F.col("_cm_c"), F.col("id_a")).as("rep0"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cedges")
+    } finally { comp.unpersist(blocking = false); () }
     spark.emptyDataFrame
       .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep")).where(F.lit(false))
       .write.mode(SaveMode.Overwrite).format("parquet")
@@ -591,16 +607,30 @@ object index {
       .select(F.col("id"), F.coalesce(F.col("rep"), F.col("rep0")).as("_cm_r"))
     // contract edges to current representatives (new ids stand for
     // themselves); the contracted graph is batch-sized by construction
-    val contracted = e
+    val withReps = e
       .join(oldRes.withColumnRenamed("id", "id_a")
         .withColumnRenamed("_cm_r", "_cm_ra"), Seq("id_a"), "left")
       .join(oldRes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("_cm_r", "_cm_rb"), Seq("id_b"), "left")
-      .select(F.coalesce(F.col("_cm_ra"), F.col("id_a")).as("id_a"),
-        F.coalesce(F.col("_cm_rb"), F.col("id_b")).as("id_b"))
+      .select(F.col("id_a"), F.col("id_b"),
+        F.coalesce(F.col("_cm_ra"), F.col("id_a")).as("_cm_ca"),
+        F.coalesce(F.col("_cm_rb"), F.col("id_b")).as("_cm_cb"))
+    val contracted = withReps
+      .select(F.col("_cm_ca").as("id_a"), F.col("_cm_cb").as("id_b"))
       .filter(F.col("id_a") =!= F.col("id_b"))
     val comp = dedup.cached(dedup.connectedComponents(contracted))
     try {
+      // edge log: today's edges labeled with their component after
+      // today's merges (the contracted endpoint's component; a
+      // within-component edge keeps the endpoint's current rep) — see
+      // buildComponentMap / removeComponentIds
+      withReps
+        .join(comp.select(F.col("id").as("_cm_ca"),
+          F.col("component").as("_cm_c")), Seq("_cm_ca"), "left")
+        .select(F.col("id_a"), F.col("id_b"),
+          F.coalesce(F.col("_cm_c"), F.col("_cm_ca")).as("rep0"))
+        .write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(s"${name}_cedges")
       // new rows: each batch id's rep0 is its component in the
       // contracted graph (current-rep values ARE global min ids, so the
       // min over a merged set is the true global min — the keep rule
@@ -651,10 +681,115 @@ object index {
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_cmap")
     resetManagedTable(spark, s"${name}_cmap_stage")
+    // the edge log shares the rep0 resolution invariant — fold the
+    // remap into it too before truncating
+    spark.table(s"${name}_cedges")
+      .join(F.broadcast(spark.table(s"${name}_cremap")), Seq("rep0"), "left")
+      .select(F.col("id_a"), F.col("id_b"),
+        F.coalesce(F.col("rep"), F.col("rep0")).as("rep0"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_cedges_stage")
+    spark.table(s"${name}_cedges_stage")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_cedges")
+    resetManagedTable(spark, s"${name}_cedges_stage")
     spark.emptyDataFrame
       .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep")).where(F.lit(false))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_cremap")
+  }
+
+  /** TAKEDOWN — remove documents from the component map (the
+    * right-to-be-forgotten / legal-removal lifecycle op a long-lived
+    * corpus needs): deleted ids lose their rows, and their components
+    * are RE-SOLVED from the persisted edge log restricted to surviving
+    * members — a deletion can legitimately SPLIT a family (removing
+    * the bridge document separates the two halves), which no
+    * label-rewrite shortcut can express. The result equals the full
+    * recompute over every surviving edge — the x126 oracle.
+    *
+    * Scale shape: the affected-component set is batch-bounded
+    * (≤ one component per deleted id) and broadcasts; the map and the
+    * edge log are each SCANNED once with broadcast-filter semi/anti
+    * joins (never shuffled); the CC loop runs only over the affected
+    * components' surviving edges. Remap entries resolving into an
+    * affected component are dropped — their rows get fresh labels. */
+  def removeComponentIds(ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    val spark = ids.sparkSession
+    val del = ids.select(F.col(idCol).cast(LongType).as("id")).distinct()
+    val remap = spark.table(s"${name}_cremap")
+    val cmap = spark.table(s"${name}_cmap")
+    val cedges = spark.table(s"${name}_cedges")
+    def resolve(df: DataFrame): DataFrame = df
+      .join(F.broadcast(remap), Seq("rep0"), "left")
+      .withColumn("_cm_cur", F.coalesce(F.col("rep"), F.col("rep0")))
+      .drop("rep")
+    // affected components: current labels of any deleted id's row.
+    // MATERIALIZED eagerly (batch-bounded: ≤ one component per deleted
+    // id) — every later step filters by it, and some of those steps run
+    // AFTER the map table has been rewritten, so a lazy plan over the
+    // old table would silently re-read the new one.
+    import spark.implicits._
+    val affLocal: Array[Long] =
+      resolve(cmap.join(F.broadcast(del), Seq("id"), "left_semi"))
+        .select(F.col("_cm_cur")).distinct()
+        .collect().map(_.getLong(0))
+    val aff = affLocal.toSeq.toDF("_cm_aff")
+    val rc = resolve(cmap)
+    val keepRows = rc.join(F.broadcast(aff),
+        F.col("_cm_cur") === F.col("_cm_aff"), "left_anti")
+      .select("id", "rep0")
+    val affRows = rc.join(F.broadcast(aff),
+        F.col("_cm_cur") === F.col("_cm_aff"), "left_semi")
+      .select("id", "rep0")
+    val re = resolve(cedges)
+    val keepEdges = re.join(F.broadcast(aff),
+        F.col("_cm_cur") === F.col("_cm_aff"), "left_anti")
+      .select("id_a", "id_b", "rep0")
+    val survEdges = re.join(F.broadcast(aff),
+        F.col("_cm_cur") === F.col("_cm_aff"), "left_semi")
+      .join(F.broadcast(del.withColumnRenamed("id", "id_a")),
+        Seq("id_a"), "left_anti")
+      .join(F.broadcast(del.withColumnRenamed("id", "id_b")),
+        Seq("id_b"), "left_anti")
+      .select("id_a", "id_b")
+    val comp2 = dedup.cached(dedup.connectedComponents(survEdges))
+    try {
+      val survivors = affRows
+        .join(F.broadcast(del), Seq("id"), "left_anti")
+        .join(comp2.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
+        .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
+      keepRows.unionByName(survivors)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cmap_stage")
+      spark.table(s"${name}_cmap_stage")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cmap")
+      resetManagedTable(spark, s"${name}_cmap_stage")
+      val relabeled = survEdges
+        .join(comp2.select(F.col("id").as("id_a"),
+          F.col("component").as("_cm_c")), Seq("id_a"), "left")
+        .select(F.col("id_a"), F.col("id_b"),
+          F.coalesce(F.col("_cm_c"), F.col("id_a")).as("rep0"))
+      keepEdges.unionByName(relabeled)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cedges_stage")
+      spark.table(s"${name}_cedges_stage")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cedges")
+      resetManagedTable(spark, s"${name}_cedges_stage")
+      // remap entries resolving into affected components point at rows
+      // that just got fresh labels — drop them; others are untouched
+      remap.join(F.broadcast(aff),
+          F.col("rep") === F.col("_cm_aff"), "left_anti")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cremap_stage")
+      spark.table(s"${name}_cremap_stage")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_cremap")
+      resetManagedTable(spark, s"${name}_cremap_stage")
+    } finally { comp2.unpersist(blocking = false); () }
   }
 
   /** The current component assignment: `(id, component)` — component =

@@ -87,6 +87,64 @@ class ComponentMapSpec extends SparkSpec {
     nodesDf.unpersist(); edgesDf.unpersist()
   }
 
+  test("takedown: deletion equals the full recompute over surviving edges, splits included") {
+    // chain 10-11-12-13-14: removing the bridge (12) must SPLIT the
+    // family into {10,11} and {13,14} — the case no label rewrite can
+    // express; star 20-{21,22,23}: removing the hub isolates the leaves
+    val nodes = (10L to 14L) ++ (20L to 23L) ++ Seq(30L, 31L)
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (30L, 31L))
+    index.buildComponentMap(nodes.toDF("id"),
+      edges.toDF("id_a", "id_b"), "id", "cmdel")
+    index.removeComponentIds(Seq(12L, 20L).toDF("id"), "id", "cmdel")
+    val got = index.readComponentMap(spark, "cmdel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val surviving = edges.filter { case (a, b) =>
+      a != 12L && b != 12L && a != 20L && b != 20L }
+    val full = dedup.connectedComponents(surviving.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = nodes.filterNot(Seq(12L, 20L).contains)
+      .map(i => i -> full.getOrElse(i, i)).toMap
+    assert(got == want, s"$got != $want")
+    assert(got(10L) == 10L && got(11L) == 10L &&
+      got(13L) == 13L && got(14L) == 13L, "the chain must split at 12")
+    assert(got(21L) == 21L && got(22L) == 22L && got(23L) == 23L,
+      "removing the hub must isolate the star's leaves")
+    // appends keep working after a takedown: re-bridge the split chain
+    index.appendComponentEdges(Seq(40L).toDF("id"),
+      Seq((40L, 11L), (40L, 13L)).toDF("id_a", "id_b"), "id", "cmdel")
+    val re = index.readComponentMap(spark, "cmdel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(10L, 11L, 13L, 14L, 40L).foreach(i =>
+      assert(re(i) == 10L, s"re-bridged family must re-merge: $re"))
+    // a takedown of ids never inserted is a no-op
+    index.removeComponentIds(Seq(999L).toDF("id"), "id", "cmdel")
+    assert(index.readComponentMap(spark, "cmdel").count() == re.size)
+  }
+
+  test("takedown composes with merges and compaction across days") {
+    // day 1: two families {0,1} and {2,3}; day 2: 4 bridges them (one
+    // component, remap gains 2→0); then delete the bridge — the split
+    // must restore the ORIGINAL two families exactly
+    index.buildComponentMap(Seq(0L, 1L, 2L, 3L).toDF("id"),
+      Seq((0L, 1L), (2L, 3L)).toDF("id_a", "id_b"), "id", "cmdel2")
+    index.appendComponentEdges(Seq(4L).toDF("id"),
+      Seq((4L, 1L), (4L, 3L)).toDF("id_a", "id_b"), "id", "cmdel2")
+    val merged = index.readComponentMap(spark, "cmdel2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.values.toSet == Set(0L), s"bridge must merge all: $merged")
+    index.removeComponentIds(Seq(4L).toDF("id"), "id", "cmdel2")
+    val split = index.readComponentMap(spark, "cmdel2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(split == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L),
+      s"takedown of the bridge must restore the original families: $split")
+    // compaction after a takedown keeps reads identical
+    index.compactComponentMap(spark, "cmdel2")
+    val compacted = index.readComponentMap(spark, "cmdel2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compacted == split)
+  }
+
   test("empty day is a no-op; edges to unmapped ids don't invent rows") {
     index.buildComponentMap(Seq(1L, 2L).toDF("id"),
       Seq((1L, 2L)).toDF("id_a", "id_b"), "id", "cmspec2")
