@@ -926,6 +926,26 @@ class ScaleSmokeSpec extends SparkSpec {
         s"bridge 0-20 must merge: $comp")
       assert(comp(80L) == 80L && comp(100L) == 80L,
         s"bridge 80-100 must merge: $comp")
+      // TAKEDOWN on the same 2M-row map: delete 200 ids (some of them
+      // bridges) — affected set is batch-bounded, the map and edge log
+      // are broadcast-filter SCANNED, and the re-solve CC touches only
+      // the affected components' edges, so the shuffle stays O(batch)
+      shuffled.set(0L)
+      index.removeComponentIds(
+        spark.range(0, 200).select((F.col("id") * 80).as("id")),
+        "id", "smoke_cm")
+      Thread.sleep(2000)
+      val delShuffled = shuffled.get()
+      assert(delShuffled <= 200000L,
+        s"takedown shuffled $delShuffled records — corpus-scaled, not batch-scaled")
+      // the deleted hub 0 is gone and its bridged family re-solved
+      val after = index.readComponentMap(spark, "smoke_cm")
+        .filter(F.col("id").isin(0L, 1L, 20L, 21L))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(!after.contains(0L), "deleted id must lose its row")
+      assert(after(1L) == 1L, s"0's orphaned chain partner re-labels: $after")
+      assert(after(20L) == 20L && after(21L) == 20L,
+        s"the surviving sub-family keeps its own edges: $after")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
