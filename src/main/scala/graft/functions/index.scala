@@ -559,8 +559,13 @@ object index {
     val spark = nodes.sparkSession
     Seq(s"${name}_cmap", s"${name}_cremap", s"${name}_cedges")
       .foreach(resetManagedTable(spark, _))
-    val e = pairs.select(F.col("id_a").cast(LongType).as("id_a"),
-      F.col("id_b").cast(LongType).as("id_b"))
+    // the pair frame is often an expensive pipeline (an LSH pair join,
+    // a probe) and is consumed twice (CC + the edge log) — pin it for
+    // the call (cachedPinned: dedup.cached would auto-release after the
+    // FIRST consuming query; the finally block unpersists)
+    val e = dedup.cachedPinned(pairs.select(
+      F.col("id_a").cast(LongType).as("id_a"),
+      F.col("id_b").cast(LongType).as("id_b")))
     val comp = dedup.cached(dedup.connectedComponents(e))
     try {
       nodes.select(F.col(idCol).cast(LongType).as("id"))
@@ -579,7 +584,11 @@ object index {
           F.coalesce(F.col("_cm_c"), F.col("id_a")).as("rep0"))
         .write.mode(SaveMode.Overwrite).format("parquet")
         .saveAsTable(s"${name}_cedges")
-    } finally { comp.unpersist(blocking = false); () }
+    } finally {
+      comp.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      ()
+    }
     spark.emptyDataFrame
       .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep")).where(F.lit(false))
       .write.mode(SaveMode.Overwrite).format("parquet")
@@ -594,8 +603,15 @@ object index {
     val spark = nodes.sparkSession
     val cmap = spark.table(s"${name}_cmap")
     val remap = spark.table(s"${name}_cremap")
-    val e = pairs.select(F.col("id_a").cast(LongType).as("id_a"),
-      F.col("id_b").cast(LongType).as("id_b"))
+    // the batch's pair frame is typically an expensive near-dup
+    // pipeline (LSH pairs ∪ index-probe hits) and is consumed THREE
+    // times below (endpoint set, contraction/CC, the edge log) — pin
+    // it for the call instead of re-running the pipeline per consumer
+    // (cachedPinned, NOT cached: cached auto-releases after the first
+    // consuming query; the finally block unpersists)
+    val e = dedup.cachedPinned(pairs.select(
+      F.col("id_a").cast(LongType).as("id_a"),
+      F.col("id_b").cast(LongType).as("id_b")))
     val newIds = nodes.select(F.col(idCol).cast(LongType).as("id"))
     // current rep of every OLD endpoint: one broadcast semi-join into
     // the map scan + one broadcast hash join with the small remap —
@@ -647,22 +663,32 @@ object index {
         .join(F.broadcast(newIds), Seq("id"), "left_anti") // old reps only
         .filter(F.col("component") =!= F.col("id"))
         .select(F.col("id").as("_cm_from"), F.col("component").as("_cm_to"))
-      val newRemap = remap
-        .join(F.broadcast(changed), F.col("rep") === F.col("_cm_from"), "left")
-        .select(F.col("rep0"),
-          F.coalesce(F.col("_cm_to"), F.col("rep")).as("rep"))
-        .unionByName(changed.select(F.col("_cm_from").as("rep0"),
-          F.col("_cm_to").as("rep")))
-      // the remap table is overwritten while also being read: break the
-      // read-write cycle through a staging table (distributed — no
-      // driver materialization, whatever the merge history's size)
-      newRemap.write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cremap_stage")
-      spark.table(s"${name}_cremap_stage")
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cremap")
-      resetManagedTable(spark, s"${name}_cremap_stage")
-    } finally { comp.unpersist(blocking = false); () }
+      // accretion days (new docs joining existing families, no
+      // cross-component merge) change NO representative — skip the
+      // remap rewrite entirely; the emptiness probe is one tiny job
+      // over the already-cached contracted components
+      if (!changed.isEmpty) {
+        val newRemap = remap
+          .join(F.broadcast(changed), F.col("rep") === F.col("_cm_from"), "left")
+          .select(F.col("rep0"),
+            F.coalesce(F.col("_cm_to"), F.col("rep")).as("rep"))
+          .unionByName(changed.select(F.col("_cm_from").as("rep0"),
+            F.col("_cm_to").as("rep")))
+        // the remap table is overwritten while also being read: break
+        // the read-write cycle through a staging table (distributed —
+        // no driver materialization, whatever the merge history's size)
+        newRemap.write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${name}_cremap_stage")
+        spark.table(s"${name}_cremap_stage")
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${name}_cremap")
+        resetManagedTable(spark, s"${name}_cremap_stage")
+      }
+    } finally {
+      comp.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Fold the remap back into the map: rewrite `<name>_cmap` with every
