@@ -556,6 +556,7 @@ object index {
     * probes against an index should not invent corpus rows). */
   def buildComponentMap(nodes: DataFrame, pairs: DataFrame, idCol: String,
       name: String): Unit = {
+    requireComponentIds(nodes, idCol, pairs, "index.buildComponentMap")
     val spark = nodes.sparkSession
     Seq(s"${name}_cmap", s"${name}_cremap", s"${name}_cedges")
       .foreach(resetManagedTable(spark, _))
@@ -600,6 +601,7 @@ object index {
     * for the state layout and scale contract. */
   def appendComponentEdges(nodes: DataFrame, pairs: DataFrame,
       idCol: String, name: String): Unit = {
+    requireComponentIds(nodes, idCol, pairs, "index.appendComponentEdges")
     val spark = nodes.sparkSession
     val cmap = spark.table(s"${name}_cmap")
     val remap = spark.table(s"${name}_cremap")
@@ -742,6 +744,7 @@ object index {
     * affected component are dropped — their rows get fresh labels. */
   def removeComponentIds(ids: DataFrame, idCol: String,
       name: String): Unit = {
+    similarity.requireIntegralId(ids, idCol, "index.removeComponentIds")
     val spark = ids.sparkSession
     val del = ids.select(F.col(idCol).cast(LongType).as("id")).distinct()
     val remap = spark.table(s"${name}_cremap")
@@ -755,13 +758,22 @@ object index {
     // MATERIALIZED eagerly (batch-bounded: ≤ one component per deleted
     // id) — every later step filters by it, and some of those steps run
     // AFTER the map table has been rewritten, so a lazy plan over the
-    // old table would silently re-read the new one.
+    // old table would silently re-read the new one. Materialization is
+    // count-gated like connectedComponents' local shortcut: a takedown
+    // of ~100M ids would otherwise collect() ~800 MB onto the driver,
+    // so above `spark.graft.cmap.localAffectedThreshold` (default 1M
+    // labels ≈ 8 MB) the set is pinned DISTRIBUTEDLY (localCheckpoint —
+    // eager, severs the lineage from the about-to-be-rewritten table)
+    // and only ever consumed as the broadcast side of the filters.
     import spark.implicits._
-    val affLocal: Array[Long] =
-      resolve(cmap.join(F.broadcast(del), Seq("id"), "left_semi"))
-        .select(F.col("_cm_cur")).distinct()
-        .collect().map(_.getLong(0))
-    val aff = affLocal.toSeq.toDF("_cm_aff")
+    val affCap = spark.conf
+      .get("spark.graft.cmap.localAffectedThreshold", "1000000").toLong
+    val affDistinct = resolve(cmap.join(F.broadcast(del), Seq("id"), "left_semi"))
+      .select(F.col("_cm_cur").as("_cm_aff")).distinct()
+    val aff =
+      if (affDistinct.count() <= affCap)
+        affDistinct.collect().map(_.getLong(0)).toSeq.toDF("_cm_aff")
+      else affDistinct.localCheckpoint(true)
     val rc = resolve(cmap)
     val keepRows = rc.join(F.broadcast(aff),
         F.col("_cm_cur") === F.col("_cm_aff"), "left_anti")
@@ -816,6 +828,17 @@ object index {
         .saveAsTable(s"${name}_cremap")
       resetManagedTable(spark, s"${name}_cremap_stage")
     } finally { comp2.unpersist(blocking = false); () }
+  }
+
+  /** The component-map ops `cast(.., LongType)` their id columns — a
+    * string/UUID id would cast to NULL and silently corrupt the
+    * persisted map instead of failing (the hammingTopK guard, applied
+    * to both the node frame and the pair frame's endpoints). */
+  private def requireComponentIds(nodes: DataFrame, idCol: String,
+      pairs: DataFrame, op: String): Unit = {
+    similarity.requireIntegralId(nodes, idCol, op)
+    similarity.requireIntegralId(pairs, "id_a", op)
+    similarity.requireIntegralId(pairs, "id_b", op)
   }
 
   /** The current component assignment: `(id, component)` — component =

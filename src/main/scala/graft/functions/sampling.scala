@@ -520,11 +520,20 @@ object sampling {
       // precision 38 exactly, so scale 12 survives. The narrower mass
       // cast caps |Σw| per group at 10¹⁵ — a 100 TB corpus's token mass
       // is ~10¹⁴, comfortably inside; a mass beyond it overflows to
-      // NULL (ANSI off) and the group degrades to "no quota" loudly
-      // rather than silently misallocating.
+      // NULL (ANSI off), which would silently carve the group a quota
+      // of 0 — FAIL FAST instead: every eligible group has a non-null
+      // positive mass, so a null product can only be the overflow.
       .withColumn("_prod",
-        F.col("_m").cast(DecimalType(27, 12)) *
-          F.lit(total).cast(DecimalType(10, 0)))
+        F.when((F.col("_m").cast(DecimalType(27, 12)) *
+            F.lit(total).cast(DecimalType(10, 0))).isNotNull,
+          F.col("_m").cast(DecimalType(27, 12)) *
+            F.lit(total).cast(DecimalType(10, 0)))
+        .otherwise(F.raise_error(F.concat(
+          F.lit("weightedSampleQuota: group weight mass exceeds the " +
+            "exact DECIMAL(27,12) range (>= 1e15) for group "),
+          F.col("_qg").cast(StringType),
+          F.lit(" — rescale the weight column (quotas are " +
+            "scale-invariant) and retry")))))
       .withColumn("_M", F.sum("_m").over(all))
       // sub-10⁻¹² weights can round a group's mass (even the whole
       // corpus's) to 0 — degrade to "no quota" rather than divide-by-0

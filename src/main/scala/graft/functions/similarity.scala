@@ -773,17 +773,23 @@ object similarity {
     if (cents.isEmpty)
       return Seq.empty[(Int, Long, Long, Double)]
         .toDF("nprobe", "hits", "truth_n", "recall")
+    // ragged-row hygiene (the ivfPqTopK posture): a wrong-width vector
+    // would derive cell ids from its own length and silently pollute
+    // hits/truth_n — both frames are filtered to the trained width, so
+    // the nprobe = nlist self-check row stays a true 1.0
+    val corpusC = cleanDim(corpus, vecCol, cents.head.length)
+    val queriesC = cleanDim(queries, vecCol, cents.head.length)
     val bank = F.typedlit(bankOf(cents).toSeq)
-    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val truth = bruteForceTopK(corpusC, queriesC, idCol, vecCol, k)
       .select("q_id", "n_id").persist()
-    val c = corpus.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
+    val c = corpusC.select(F.col(idCol).as("n_id"), F.col(vecCol).as("n_vec"),
       norm(F.col(vecCol)).as("n_nrm"),
       F.element_at(F.call_function("graft_centroid_topk",
         F.col(vecCol), bank, F.lit(1)), 1).as("cell")).persist()
     try {
       val truthN = truth.count()
       val rows = nprobes.map { p =>
-        val q = queries.select(F.col(idCol).as("q_id"),
+        val q = queriesC.select(F.col(idCol).as("q_id"),
           F.col(vecCol).as("q_vec"), norm(F.col(vecCol)).as("q_nrm"),
           F.explode(F.call_function("graft_centroid_topk",
             F.col(vecCol), bank, F.lit(p))).as("cell"))
@@ -971,21 +977,29 @@ object similarity {
     * overflow semantics are ever exercised — the codes replay
     * bit-identically in DuckDB. NULL components quantize to 0, like
     * non-positive values; NaN quantizes to 1, because Spark and DuckDB
-    * BOTH order NaN above every real, so `NaN > 0` is true in each. */
+    * BOTH order NaN above every real, so `NaN > 0` is true in each.
+    * A NULL VECTOR yields a NULL code (there is nothing to quantize —
+    * distinct from a vector OF nulls, whose components quantize to 0);
+    * operators pre-filter NULL vectors ([[cleanDim]]), so the NULL
+    * only surfaces to direct expression users. */
   def binaryQuantize(vec: Column, dim: Int): Column = {
     require(dim >= 1, s"similarity: dim must be >= 1 (got $dim)")
     F.call_function("graft_binquant", vec, F.lit(0), F.lit(dim))
   }
 
   /** Built-ins-only form with identical semantics (cross-checked in
-    * HammingSpec over NaN/null/short/long vectors) — the interpreted
-    * aggregate/transform chain evaluates ~dim×32 lambda closures per
-    * row; the codegen'd [[graft.plans.BinaryQuantizeExpr]] above does a
-    * word-at-a-time loop. Not for hot paths. */
+    * HammingSpec over NULL/NaN-component, NULL-vector, short and long
+    * vectors) — the interpreted aggregate/transform chain evaluates
+    * ~dim×32 lambda closures per row; the codegen'd
+    * [[graft.plans.BinaryQuantizeExpr]] above does a word-at-a-time
+    * loop. Not for hot paths. */
   private[graft] def binaryQuantizePortable(vec: Column, dim: Int): Column = {
     require(dim >= 1, s"similarity: dim must be >= 1 (got $dim)")
     val words = (dim + 31) / 32
-    F.transform(F.sequence(F.lit(0), F.lit(words - 1)), w =>
+    // transform(NULL, ...) is NULL, matching the native form's
+    // nullSafeEval NULL-vector contract with no extra branch
+    F.transform(F.slice(F.sequence(F.lit(0), F.lit(words - 1)),
+        F.when(vec.isNotNull, F.lit(1)), F.lit(words)), w =>
       F.aggregate(F.sequence(F.lit(0), F.lit(31)), F.lit(0L), (acc, i) => {
         val pos = w * 32 + i
         acc + F.when(pos < F.lit(dim) &&
@@ -1015,8 +1029,8 @@ object similarity {
     * (task, query). Output `(q_id, n_id, hamming_dist, rank)`. */
   def hammingTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
-    requireIntegralId(corpus, idCol, "hammingTopK")
-    requireIntegralId(queries, idCol, "hammingTopK")
+    requireIntegralId(corpus, idCol, "similarity.hammingTopK")
+    requireIntegralId(queries, idCol, "similarity.hammingTopK")
     // NULL / wrong-size vectors are excluded, not ranked: they would
     // quantize to the all-zero code, whose distance to a sparse query
     // is tiny — one corrupt row would own a top-k slot of every such
@@ -1059,7 +1073,7 @@ object similarity {
       dim: Int, radius: Int): DataFrame = {
     require(radius >= 0 && radius < dim,
       s"similarity: radius must be in [0, dim) (got $radius, dim $dim)")
-    requireIntegralId(df, idCol, "hammingPairs")
+    requireIntegralId(df, idCol, "similarity.hammingPairs")
     val b = radius + 1
     // band key = the band's sign bits packed 32-per-long, same
     // convention as the full code — integer equi-join keys (1-2 longs
@@ -1096,7 +1110,7 @@ object similarity {
       case _ => false
     }
     require(ok,
-      s"similarity.$op: id column '$idCol' must be an integral type " +
+      s"$op: id column '$idCol' must be an integral type " +
         s"(it is cast to BIGINT internally); got $dt — map string/UUID " +
         "ids to a surrogate key first (e.g. xxhash64)")
   }

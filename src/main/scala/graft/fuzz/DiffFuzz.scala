@@ -38,7 +38,10 @@ object DiffFuzz {
 
   val N = 300
   // bumped each round after a local two-SF verify: fresh random trees
-  // through the same hash gate (round 8: 20260812 -> 20260824)
+  // through the same hash gate. Round 10 rotated every battery onto
+  // the 20261001–20261013 series (this expression seed plus the
+  // per-battery seeds below); per-battery values live at their
+  // declaration sites.
   val Seed = 20261001L
   val Depth = 3
 

@@ -145,6 +145,45 @@ class ComponentMapSpec extends SparkSpec {
     assert(compacted == split)
   }
 
+  test("takedown above the local-affected cap takes the distributed path, same result") {
+    // the affected-label set is driver-collected only below
+    // spark.graft.cmap.localAffectedThreshold; at 0 every takedown is
+    // forced onto the localCheckpoint (distributed) materialization,
+    // which must be invisible to readers — same splits, same labels
+    val nodes = (10L to 14L) ++ Seq(30L, 31L)
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (30L, 31L))
+    index.buildComponentMap(nodes.toDF("id"),
+      edges.toDF("id_a", "id_b"), "id", "cmdel3")
+    spark.conf.set("spark.graft.cmap.localAffectedThreshold", "0")
+    try index.removeComponentIds(Seq(12L).toDF("id"), "id", "cmdel3")
+    finally spark.conf.unset("spark.graft.cmap.localAffectedThreshold")
+    val got = index.readComponentMap(spark, "cmdel3").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 13L -> 13L, 14L -> 13L,
+      30L -> 30L, 31L -> 30L), s"distributed-path takedown drifted: $got")
+  }
+
+  test("non-integral ids fail loudly in every component-map entry point") {
+    val strNodes = Seq("a", "b").toDF("id")
+    val strPairs = Seq(("a", "b")).toDF("id_a", "id_b")
+    val okNodes = Seq(1L, 2L).toDF("id")
+    val okPairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    assert(intercept[IllegalArgumentException](
+      index.buildComponentMap(strNodes, strPairs, "id", "cmbad"))
+      .getMessage.contains("integral"))
+    assert(intercept[IllegalArgumentException](
+      index.buildComponentMap(okNodes, strPairs, "id", "cmbad"))
+      .getMessage.contains("integral"))
+    index.buildComponentMap(okNodes, okPairs, "id", "cmbad")
+    assert(intercept[IllegalArgumentException](
+      index.appendComponentEdges(strNodes, okPairs, "id", "cmbad"))
+      .getMessage.contains("integral"))
+    assert(intercept[IllegalArgumentException](
+      index.removeComponentIds(strNodes, "id", "cmbad"))
+      .getMessage.contains("integral"))
+  }
+
   test("empty day is a no-op; edges to unmapped ids don't invent rows") {
     index.buildComponentMap(Seq(1L, 2L).toDF("id"),
       Seq((1L, 2L)).toDF("id_a", "id_b"), "id", "cmspec2")

@@ -153,16 +153,23 @@ class HammingSpec extends SparkSpec {
         }
       }
     }
-    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    // plus an entirely-NULL vector (id 60): both forms must yield a
+    // NULL code — distinct from a vector OF nulls, which codes to 0s
+    val df = (vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+        (60L, null.asInstanceOf[Seq[java.lang.Double]]))
       .toDF("id", "v").cache()
     val both = df.select(F.col("id"),
       similarity.binaryQuantize(F.col("v"), 64).as("n"),
       similarity.binaryQuantizePortable(F.col("v"), 64).as("p"))
     val rows = both.collect()
     rows.foreach { r =>
-      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      assert(r.isNullAt(1) == r.isNullAt(2),
+        s"native/portable NULL-code disagreement for id ${r.getLong(0)}")
+      assert(r.isNullAt(1) || r.getSeq[Long](1) == r.getSeq[Long](2),
         s"native != portable code for id ${r.getLong(0)}")
     }
+    assert(rows.find(_.getLong(0) == 60L).exists(_.isNullAt(1)),
+      "a NULL vector must quantize to a NULL code in both forms")
     // hamming over every pair of codes, incl. a deliberately unequal-
     // length code pair (both forms must yield NULL)
     val codes = df.select(F.col("id"),

@@ -164,6 +164,22 @@ class WeightedSampleSpec extends SparkSpec {
       s"12-digit weights must allocate by exact arithmetic: $got")
   }
 
+  test("quota sampling fails fast when a group's mass exceeds the exact-decimal range") {
+    // Σw ≥ 1e15 overflows the DECIMAL(27,12) product to NULL (ANSI
+    // off); pre-round-11 that silently carved the group quota 0 — now
+    // the plan raises with the offending group named
+    import spark.implicits._
+    val df = Seq((1L, "big", 6e14), (2L, "big", 6e14), (3L, "ok", 1.0))
+      .toDF("id", "grp", "w")
+    val e = intercept[Exception] {
+      sampling.weightedSampleQuota(df, "id", "w", "grp", 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("weightedSampleQuota") &&
+      m.contains("big")), s"expected a loud overflow error, got: $e")
+  }
+
   test("null and non-positive weights are excluded; n > corpus returns all eligible") {
     import spark.implicits._
     val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)),
