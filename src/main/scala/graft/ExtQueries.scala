@@ -4154,6 +4154,133 @@ object ExtQueries {
     * rewrite). The oracle is the full recursive-CTE closure over the
     * all-pairs Hamming graph RESTRICTED to surviving vectors — deleted
     * ids gone, splits and surviving sub-families exact, one hash. */
+  /** A takedown oracle is its build-and-probe oracle with the deleted
+    * ids filtered off the INDEX side only — state one edit per query
+    * and fail loudly if the base oracle drifted from under it. */
+  private def oracleEdit(base: String, from: String, to: String): String = {
+    require(base.contains(from),
+      s"takedown-oracle edit pattern drifted: <$from>")
+    base.replace(from, to)
+  }
+
+  /** TAKEDOWN over the persistent Jaccard index
+    * ([[graft.functions.index.removeFromJaccardIndex]]): x97's
+    * even-half index loses every doc_id ≡ 0 (mod 4) — half its
+    * documents, including half the planted re-crawl targets — then
+    * x97's probe batch runs. Deleted documents' band keys and shingle
+    * sets are physically purged from the bucketed tables (stage
+    * rewrite + catalog rename, stats decremented by negative append),
+    * so the probe must report exactly what an index BUILT on the
+    * survivors reports — the oracle is x97's exact all-pairs Jaccard
+    * with the index side restricted to survivors. Ghost rows in ANY of
+    * the three tables would add hits and break the hash. */
+  def x127JaccardIndexTakedown(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.index.buildJaccardIndex(
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x127_jac")
+    graft.functions.index.removeFromJaccardIndex(
+      d.filter(F.col("doc_id") % 4 === 0).select("doc_id"),
+      "doc_id", "x127_jac")
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(
+        (F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    graft.functions.index.probeJaccardIndex(s, batch, "doc_id", "text",
+        "x127_jac", minJ = 0.8)
+      .orderBy("id_new", "id_indexed")
+  }
+
+  private lazy val x127Oracle = oracleEdit(x97Oracle,
+    "idx AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0)",
+    "idx AS (SELECT doc_id, s FROM sh WHERE doc_id % 2 = 0 " +
+      "AND doc_id % 4 != 0)")
+
+  /** TAKEDOWN over the persistent exact-dedup index
+    * ([[graft.functions.index.removeFromExactIndex]]): x64's even-half
+    * fingerprint index loses doc_id ≡ 0 (mod 4), then x64's batch —
+    * which plants re-crawled copies of every fifth even document, half
+    * of them now deleted — probes it. Those copies must stop matching
+    * (unless another surviving even document shares the md5), pinned by
+    * the md5 equi-join over the surviving index side. */
+  def x128ExactIndexTakedown(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.index.buildExactIndex(
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x128_exact")
+    graft.functions.index.removeFromExactIndex(
+      d.filter(F.col("doc_id") % 4 === 0).select("doc_id"),
+      "doc_id", "x128_exact")
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(
+        (F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    graft.functions.index.probeExactIndex(s, batch, "doc_id", "text",
+        "x128_exact")
+      .orderBy("id_new", "id_indexed")
+  }
+
+  private lazy val x128Oracle = oracleEdit(x64Oracle,
+    "WHERE a.doc_id % 2 = 0",
+    "WHERE a.doc_id % 2 = 0 AND a.doc_id % 4 != 0")
+
+  /** TAKEDOWN over the persistent IVF ANN index
+    * ([[graft.functions.index.removeFromIvfIndex]]): x56's index loses
+    * every fifth vector — only the affected cells' directories are
+    * rewritten (dynamic partition overwrite), the trained centroid
+    * bank is kept — then x56's probe runs at nprobe = nlist, which is
+    * provably the brute-force top-k over whatever the index still
+    * holds. The oracle is therefore x56's exact cosine ranking with
+    * the corpus side restricted to survivors, independent of where
+    * training converged; a ghost row would re-enter some query's
+    * top-6 and break the hash. Deleted vectors still WORK as queries
+    * (the probe frame is caller-supplied), which the q_id ∈ {0,5,10}
+    * rows pin. */
+  def x129IvfIndexTakedown(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildIvfIndex(e, "vec_id", "embedding",
+      "x129_ivf", nlist = 16, iters = 2)
+    graft.functions.index.removeFromIvfIndex(
+      e.filter(F.col("vec_id") % 5 === 0).select("vec_id"),
+      "vec_id", "x129_ivf")
+    graft.functions.index.probeIvfIndex(s,
+        e.filter(F.col("vec_id") < 12), "vec_id", "embedding",
+        "x129_ivf", k = 6, nprobe = 16)
+      .orderBy("q_id", "rank")
+  }
+
+  private lazy val x129Oracle = oracleEdit(x56Oracle,
+    "FROM e CROSS JOIN q WHERE e.vec_id != q.vec_id)",
+    "FROM e CROSS JOIN q WHERE e.vec_id != q.vec_id " +
+      "AND e.vec_id % 5 != 0)")
+
+  /** TAKEDOWN over the persistent RESIDUAL PQ index
+    * ([[graft.functions.index.removeFromPqIndex]]): x121's
+    * residual-coded index loses every fifth vector's CODES (cells
+    * rewritten in place, both quantizer banks kept — retraining would
+    * corrupt every surviving code), then x121's nprobe = 3 probe runs.
+    * The oracle is x120's full training-and-ADC replay with the
+    * ranking restricted to survivors while the seeds/codebooks still
+    * derive from the ORIGINAL corpus — exactly the "takedown must not
+    * retrain" contract: an implementation that rebuilt quantizers on
+    * survivors would produce different distances and break the hash,
+    * as would one that left ghost codes behind. */
+  def x130ResidualPqIndexTakedown(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildPqIndex(e, "vec_id", "embedding",
+      "x130_rpq", nlist = 8, m = 8, ksub = 16, ivfIters = 0, pqIters = 0,
+      sampleOneIn = 1L, portableSeed = true, residual = true)
+    graft.functions.index.removeFromPqIndex(
+      e.filter(F.col("vec_id") % 5 === 0).select("vec_id"),
+      "vec_id", "x130_rpq")
+    graft.functions.index.probePqIndex(s,
+        e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        "x130_rpq", k = 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private lazy val x130Oracle = oracleEdit(x120Oracle,
+    "WHERE codes.vec_id != dtl.q_id)",
+    "WHERE codes.vec_id != dtl.q_id AND codes.vec_id % 5 != 0)")
+
   def x126TakedownComponents(s: SparkSession, dir: String): DataFrame = {
     val allv = crossDayFamilyLifecycle(s, dir, "x126_cm")
     graft.functions.index.removeComponentIds(
@@ -5004,7 +5131,11 @@ object ExtQueries {
     "x123_incremental_components" -> (x123IncrementalComponents _),
     "x124_neardup_family_lifecycle" -> (x124NearDupFamilyLifecycle _),
     "x125_int8_topk" -> (x125Int8TopK _),
-    "x126_takedown_components" -> (x126TakedownComponents _))
+    "x126_takedown_components" -> (x126TakedownComponents _),
+    "x127_jaccard_index_takedown" -> (x127JaccardIndexTakedown _),
+    "x128_exact_index_takedown" -> (x128ExactIndexTakedown _),
+    "x129_ivf_index_takedown" -> (x129IvfIndexTakedown _),
+    "x130_residual_pq_index_takedown" -> (x130ResidualPqIndexTakedown _))
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
@@ -5139,5 +5270,9 @@ object ExtQueries {
     "x123_incremental_components" -> x123Oracle,
     "x124_neardup_family_lifecycle" -> x124Oracle,
     "x125_int8_topk" -> x125Oracle,
-    "x126_takedown_components" -> x126Oracle)
+    "x126_takedown_components" -> x126Oracle,
+    "x127_jaccard_index_takedown" -> x127Oracle,
+    "x128_exact_index_takedown" -> x128Oracle,
+    "x129_ivf_index_takedown" -> x129Oracle,
+    "x130_residual_pq_index_takedown" -> x130Oracle)
 }

@@ -108,6 +108,181 @@ object index {
     }
   }
 
+  // ---------------- index takedown (right-to-be-forgotten) ----------------
+
+  /** Run `body` with a session conf pinned, restoring the previous
+    * value (or unsetting) afterwards — the lifecycle ops below flip
+    * writer/scan behavior for one statement only. */
+  private def withConf[T](spark: SparkSession, key: String,
+      value: String)(body: => T): T = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The bucket count of a bucketed managed table, from the catalog —
+    * a takedown rewrite must re-place survivors on the SAME grid or
+    * every future probe's exchange-free bucket join silently breaks. */
+  private def numBuckets(spark: SparkSession, table: String): Int =
+    spark.sql(s"DESCRIBE FORMATTED $table").collect()
+      .find(_.getString(0).trim == "Num Buckets")
+      .map(_.getString(1).trim.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"index: table $table has no bucket spec — not a graft index table?"))
+
+  /** Normalized deletion set: one `_ix_del` LongType column, distinct. */
+  private def delFrame(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(F.col(idCol).cast(LongType).as("_ix_del")).distinct()
+
+  /** Rewrite bucketed index table `table` minus the rows whose
+    * `idColName` is in `del`, preserving the bucket spec and every
+    * graft.* table property. Scale shape: the table is SCANNED once
+    * with its bucket alignment forced (autoBucketedScan off → one task
+    * per bucket), the deletion set broadcast anti-joins in place, and
+    * the bucketBy write emits one file per bucket with NO exchange —
+    * the index is never shuffled. The swap is a catalog RENAME of the
+    * staged table (one directory move), not a second data copy. */
+  private def rewriteBucketedMinus(spark: SparkSession, table: String,
+      idColName: String, del: DataFrame, bucketCols: Seq[String]): Unit = {
+    val nb = numBuckets(spark, table)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter(_._1.startsWith("graft."))
+    val stage = s"${table}_takedown_stage"
+    resetManagedTable(spark, stage)
+    val survivors = spark.table(table)
+      .join(F.broadcast(del), F.col(idColName) === F.col("_ix_del"),
+        "left_anti")
+    withConf(spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false") {
+      survivors.write.mode(SaveMode.Overwrite)
+        .bucketBy(nb, bucketCols.head, bucketCols.tail: _*)
+        .format("parquet").saveAsTable(stage)
+    }
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
+        props.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
+    resetManagedTable(spark, table)
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+  }
+
+  /** Purge deleted ids from a cell-PARTITIONED index table (`_cells` /
+    * `_pqcells`): only the directories of AFFECTED cells are rewritten
+    * (dynamic partition overwrite), everything else is untouched on
+    * disk — at 100 TB a takedown batch touches its ≤ nlist cells, not
+    * the corpus. The affected-cell list is driver-sized by construction
+    * (≤ nlist ints — the same bound as the centroid bank every probe
+    * already collects). A cell whose every row was deleted is absent
+    * from the dynamic overwrite and would keep its ghost directory —
+    * those partitions are dropped explicitly. */
+  private def removeFromCellTable(spark: SparkSession, table: String,
+      del: DataFrame): Unit = {
+    val aff = spark.table(table)
+      .join(F.broadcast(del), F.col("n_id") === F.col("_ix_del"),
+        "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0))
+    if (aff.isEmpty) return
+    val affSet = aff.map(Integer.valueOf).toSeq
+    val survivors = spark.table(table)
+      .filter(F.col("cell").isin(affSet: _*))
+      .join(F.broadcast(del), F.col("n_id") === F.col("_ix_del"),
+        "left_anti")
+    // cells every one of whose rows is deleted are ABSENT from the
+    // dynamic overwrite (it only replaces partitions present in the
+    // written data) and would keep their ghost directories — find them
+    // BEFORE the write (re-evaluating this plan afterwards would read
+    // the rewritten table) and drop those partitions explicitly
+    val survivorCells = survivors
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
+      // one task per rewritten cell = one file per cell (the
+      // buildIvfIndex small-file posture)
+      survivors.repartition(F.col("cell"))
+        .write.mode(SaveMode.Overwrite).insertInto(table)
+    }
+    (aff.toSet -- survivorCells).foreach { c =>
+      spark.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (cell=$c)")
+    }
+  }
+
+  /** TAKEDOWN for the Jaccard index — the [[removeComponentIds]]
+    * lifecycle op for the `_buckets`/`_sigs`/`_stats` family: deleted
+    * documents' band keys and shingle sets are physically PURGED (a
+    * tombstone would not satisfy a legal-removal request, and a ghost
+    * row would keep matching future probes as a dup verdict). After the
+    * call, probes behave exactly as if the index had been rebuilt on
+    * the survivors — the build's hash parameters are untouched, so
+    * that equality is literal (the x127 oracle). `_stats` is never
+    * rewritten: the probe aggregates stats with SUM, so the takedown
+    * appends one NEGATIVE count row per affected bucket (computed from
+    * the same single scan posture — the corpus is never shuffled). */
+  def removeFromJaccardIndex(ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    similarity.requireIntegralId(ids, idCol, "index.removeFromJaccardIndex")
+    val spark = ids.sparkSession
+    val del = dedup.cachedPinned(delFrame(ids, idCol))
+    try {
+      // decrement BEFORE the buckets rewrite (this is a write, so the
+      // old table is fully consumed before it is swapped)
+      spark.table(s"${name}_buckets")
+        .join(F.broadcast(del), F.col("id") === F.col("_ix_del"),
+          "left_semi")
+        .groupBy("band", "band_hash")
+        .agg((-F.count(F.lit(1))).as("cnt"))
+        .write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(s"${name}_stats")
+      rewriteBucketedMinus(spark, s"${name}_buckets", "id", del,
+        Seq("band", "band_hash"))
+      rewriteBucketedMinus(spark, s"${name}_sigs", "id", del, Seq("id"))
+    } finally { del.unpersist(blocking = false); () }
+  }
+
+  /** TAKEDOWN for the exact-dedup index: deleted documents'
+    * fingerprints are physically purged from `_fps`; probes stop
+    * matching them immediately (rebuild-equality is the x128 oracle).
+    * The canonicalize property survives the rewrite. */
+  def removeFromExactIndex(ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    similarity.requireIntegralId(ids, idCol, "index.removeFromExactIndex")
+    val spark = ids.sparkSession
+    rewriteBucketedMinus(spark, s"${name}_fps", "id",
+      delFrame(ids, idCol), Seq("fp"))
+  }
+
+  /** TAKEDOWN for the IVF ANN index: deleted vectors leave `_cells`;
+    * only their cells' directories are rewritten. The trained centroid
+    * bank is deliberately KEPT — cell geometry is training state, not
+    * per-document data, and retraining would silently shift every
+    * surviving assignment (the append contract in [[buildIvfIndex]]).
+    * With nprobe = nlist a post-takedown probe is provably the brute
+    * force over survivors — the x129 oracle. */
+  def removeFromIvfIndex(ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    similarity.requireIntegralId(ids, idCol, "index.removeFromIvfIndex")
+    val spark = ids.sparkSession
+    removeFromCellTable(spark, s"${name}_cells", delFrame(ids, idCol))
+  }
+
+  /** TAKEDOWN for the PQ index (raw or residual — the stored codes are
+    * rows either way): deleted vectors' codes leave `_pqcells`; only
+    * their cells' directories are rewritten; the persisted quantizer
+    * banks are kept (see [[removeFromIvfIndex]] — and for PQ the codes
+    * of every surviving row were computed against THOSE banks, so
+    * replacing them would corrupt the survivors too). Post-takedown
+    * probes rank exactly the stored survivor codes — the x130 oracle
+    * replays the full build-time training and restricts the ranking to
+    * survivors. */
+  def removeFromPqIndex(ids: DataFrame, idCol: String,
+      name: String): Unit = {
+    similarity.requireIntegralId(ids, idCol, "index.removeFromPqIndex")
+    val spark = ids.sparkSession
+    removeFromCellTable(spark, s"${name}_pqcells", delFrame(ids, idCol))
+  }
+
   /** The hash parameters recorded at build time: (k, numPerm, bands). */
   def readParams(spark: SparkSession, name: String): (Int, Int, Int) = {
     val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_buckets").collect()

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.functions.{index, similarity}
+
+/** TAKEDOWN across every persistent index family — the
+  * right-to-be-forgotten lifecycle op: after
+  * [[graft.functions.index.removeFromJaccardIndex]] /
+  * `removeFromExactIndex` / `removeFromIvfIndex` / `removeFromPqIndex`,
+  * deleted documents must stop matching in probes EXACTLY as if the
+  * index had been built on the survivors (where training state makes
+  * that equality literal), their rows must be physically gone from the
+  * index tables, and the build-time parameters/properties/bucket grid
+  * must survive the rewrite so future appends and probes keep working. */
+class IndexTakedownSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 40 synthetic docs with planted exact/near duplicates: doc i and
+    * doc i+20 share a 12-word body (i < 10), so cross-half probes hit. */
+  private def corpus() = {
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (0 until 40).map { i =>
+      val words = (0 until 12).map(j => pool((i % 20 + j * (1 + i % 3)) % 12))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def probeHits(name: String, batch: org.apache.spark.sql.DataFrame) =
+    index.probeJaccardIndex(spark, batch, "doc_id", "text", name,
+        minJ = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("jaccard: delete-then-probe equals rebuild-on-survivors; params and grid survive") {
+    val d = corpus()
+    val del = Seq(0L, 4L, 8L, 21L).toDF("doc_id")
+    val batch = d.filter(F.col("doc_id") < 10)
+      .select((F.col("doc_id") + 1000L).as("doc_id"), F.col("text"))
+    index.buildJaccardIndex(d, "doc_id", "text", "td_jac", buckets = 8)
+    val before = probeHits("td_jac", batch)
+    assert(before.exists(p => Set(0L, 4L, 8L, 21L).contains(p._2)),
+      s"setup must plant probe hits on to-be-deleted docs: $before")
+    val paramsBefore = index.readParams(spark, "td_jac")
+    index.removeFromJaccardIndex(del, "doc_id", "td_jac")
+    val got = probeHits("td_jac", batch)
+    // the literal rebuild-equality oracle: same params, survivor corpus
+    index.buildJaccardIndex(
+      d.join(del.withColumnRenamed("doc_id", "_d"),
+        F.col("doc_id") === F.col("_d"), "left_anti"),
+      "doc_id", "text", "td_jac_rebuilt", buckets = 8)
+    val want = probeHits("td_jac_rebuilt", batch)
+    assert(got == want, s"takedown != rebuild-on-survivors: ${
+      (got diff want).take(5)} / ${(want diff got).take(5)}")
+    assert(!got.exists(p => Set(0L, 4L, 8L, 21L).contains(p._2)),
+      "deleted docs must stop matching")
+    assert(index.readParams(spark, "td_jac") == paramsBefore,
+      "hash parameters must survive the takedown rewrite")
+    // rows physically gone from every table; stats SUM to live counts
+    assert(spark.table("td_jac_buckets")
+      .filter(F.col("id").isin(0L, 4L, 8L, 21L)).count() == 0L)
+    assert(spark.table("td_jac_sigs")
+      .filter(F.col("id").isin(0L, 4L, 8L, 21L)).count() == 0L)
+    val statSums = spark.table("td_jac_stats")
+      .groupBy("band", "band_hash").agg(F.sum("cnt").as("n"))
+    val liveCounts = spark.table("td_jac_buckets")
+      .groupBy("band", "band_hash").agg(F.count(F.lit(1)).as("n"))
+    val mism = statSums.withColumnRenamed("n", "stat_n")
+      .join(liveCounts.withColumnRenamed("n", "live_n"),
+        Seq("band", "band_hash"), "full")
+      .filter(F.coalesce(F.col("stat_n"), F.lit(0L)) =!=
+        F.coalesce(F.col("live_n"), F.lit(0L)))
+      .count()
+    assert(mism == 0L, "negative-append stats must SUM to live counts")
+    // the rewrite kept the bucket grid: append after takedown works
+    // and the probe still sees both generations
+    index.buildJaccardIndex(
+      d.filter(F.col("doc_id") === 0L)
+        .select((F.col("doc_id") + 5000L).as("doc_id"), F.col("text")),
+      "doc_id", "text", "td_jac", buckets = 8,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val after = probeHits("td_jac", batch)
+    assert(after.contains((1000L, 5000L)),
+      s"append after takedown must be probe-visible: $after")
+  }
+
+  test("exact: delete-then-probe equals rebuild-on-survivors; canonicalize survives") {
+    val d = corpus()
+    index.buildExactIndex(d, "doc_id", "text", "td_ex",
+      canonicalize = true, buckets = 8)
+    val batch = d.filter(F.col("doc_id") < 10)
+      .select((F.col("doc_id") + 1000L).as("doc_id"), F.col("text"))
+    def hits(name: String) =
+      index.probeExactIndex(spark, batch, "doc_id", "text", name)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = hits("td_ex")
+    assert(before.contains((1000L, 0L)), s"setup: $before")
+    val del = Seq(0L, 2L, 21L).toDF("doc_id")
+    index.removeFromExactIndex(del, "doc_id", "td_ex")
+    val got = hits("td_ex")
+    index.buildExactIndex(
+      d.join(del.withColumnRenamed("doc_id", "_d"),
+        F.col("doc_id") === F.col("_d"), "left_anti"),
+      "doc_id", "text", "td_ex_rebuilt", canonicalize = true, buckets = 8)
+    assert(got == hits("td_ex_rebuilt"),
+      "takedown != rebuild-on-survivors")
+    assert(!got.exists(p => Set(0L, 2L, 21L).contains(p._2)))
+    // property survived — a fold-mode drift would change this key
+    val k1 = index.exactIndexKey(spark, "td_ex", F.lit("A  b")).toString
+    val k2 = index.exactIndexKey(spark, "td_ex_rebuilt", F.lit("A  b")).toString
+    assert(k1 == k2, "canonicalize property must survive the rewrite")
+  }
+
+  /** 60 deterministic 8-dim vectors in 3 well-separated clusters. */
+  private def vectors() = (0 until 60).map { i =>
+    val c = i % 3
+    val v = (0 until 8).map(j =>
+      10.0 * c + math.sin(i * 0.7 + j) * 0.5 + (if (j == c) 3.0 else 0.0))
+    (i.toLong, v)
+  }.toDF("vec_id", "v")
+
+  test("ivf: post-takedown probe at nprobe=nlist is brute force over survivors") {
+    val e = vectors()
+    index.buildIvfIndex(e, "vec_id", "v", "td_ivf", nlist = 4, iters = 2)
+    val q = e.filter(F.col("vec_id") < 6)
+    val del = Seq(1L, 7L, 13L, 19L).toDF("vec_id")
+    index.removeFromIvfIndex(del, "vec_id", "td_ivf")
+    val got = index.probeIvfIndex(spark, q, "vec_id", "v", "td_ivf",
+        k = 4, nprobe = 4)
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val surv = e.join(del.withColumnRenamed("vec_id", "_d"),
+      F.col("vec_id") === F.col("_d"), "left_anti")
+    val want = similarity.bruteForceTopK(surv, q, "vec_id", "v", 4)
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"ivf takedown != brute force over survivors: ${
+      (got diff want).take(5)} / ${(want diff got).take(5)}")
+    assert(spark.table("td_ivf_cells")
+      .filter(F.col("n_id").isin(1L, 7L, 13L, 19L)).count() == 0L,
+      "deleted rows must be physically gone")
+    // appends after takedown still encode against the stored bank
+    index.buildIvfIndex(e.filter(F.col("vec_id") === 1L)
+        .select((F.col("vec_id") + 100L).as("vec_id"), F.col("v")),
+      "vec_id", "v", "td_ivf", mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.table("td_ivf_cells")
+      .filter(F.col("n_id") === 101L).count() == 1L)
+  }
+
+  test("ivf: deleting a whole cell drops its partition directory, probes survive") {
+    val e = vectors()
+    index.buildIvfIndex(e, "vec_id", "v", "td_ivf2", nlist = 3, iters = 2)
+    val cells = spark.table("td_ivf2_cells")
+    val victim = cells.select("cell").head().getInt(0)
+    val victimIds = cells.filter(F.col("cell") === victim)
+      .select(F.col("n_id").as("vec_id"))
+    index.removeFromIvfIndex(victimIds, "vec_id", "td_ivf2")
+    val liveCells = spark.table("td_ivf2_cells")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(!liveCells.contains(victim),
+      s"emptied cell $victim must not survive (live: $liveCells)")
+    val parts = spark.sql("SHOW PARTITIONS td_ivf2_cells")
+      .collect().map(_.getString(0)).toSet
+    assert(!parts.contains(s"cell=$victim"),
+      s"emptied partition must be dropped from the catalog: $parts")
+    // probing still works and returns only survivors
+    val got = index.probeIvfIndex(spark,
+        vectors().filter(F.col("vec_id") < 3), "vec_id", "v", "td_ivf2",
+        k = 3, nprobe = 3)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    val deleted = victimIds.collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.intersect(deleted).isEmpty)
+  }
+
+  test("pq (residual): codes purged row-exactly, banks kept, probes exclude deleted") {
+    val e = vectors()
+    index.buildPqIndex(e, "vec_id", "v", "td_pq", nlist = 3, m = 4,
+      ksub = 8, ivfIters = 0, pqIters = 0, sampleOneIn = 1L,
+      portableSeed = true, residual = true)
+    val rowsBefore = spark.table("td_pq_pqcells")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    val bankBefore = spark.table("td_pq_pqbank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    val del = Seq(2L, 5L, 8L).toDF("vec_id")
+    index.removeFromPqIndex(del, "vec_id", "td_pq")
+    val rowsAfter = spark.table("td_pq_pqcells")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2))).toSet
+    assert(rowsAfter == rowsBefore.filterNot(r => Set(2L, 5L, 8L).contains(r._1)),
+      "takedown must remove exactly the deleted rows, codes untouched")
+    val bankAfter = spark.table("td_pq_pqbank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(bankAfter == bankBefore, "quantizer banks must be kept")
+    val got = index.probePqIndex(spark, e.filter(F.col("vec_id") < 4),
+        "vec_id", "v", "td_pq", k = 3, nprobe = 3)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(got.intersect(Set(2L, 5L, 8L)).isEmpty,
+      s"deleted codes must stop ranking: $got")
+    // residual flag survives (an append must keep residual-coding)
+    index.buildPqIndex(e.filter(F.col("vec_id") === 2L)
+        .select((F.col("vec_id") + 100L).as("vec_id"), F.col("v")),
+      "vec_id", "v", "td_pq", mode = org.apache.spark.sql.SaveMode.Append)
+    val reApp = spark.table("td_pq_pqcells").filter(F.col("n_id") === 102L)
+      .collect().map(r => (r.getSeq[Int](1), r.getInt(2)))
+    val orig = rowsBefore.find(_._1 == 2L).get
+    assert(reApp.length == 1 && reApp.head._1 == orig._2 &&
+      reApp.head._2 == orig._3,
+      "append after takedown must re-encode identically (residual kept)")
+  }
+
+  test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
+    val d = corpus()
+    index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)
+    val before = spark.table("td_noop_fps").count()
+    index.removeFromExactIndex(Seq(99999L).toDF("doc_id"), "doc_id",
+      "td_noop")
+    assert(spark.table("td_noop_fps").count() == before)
+    val strIds = Seq("a").toDF("doc_id")
+    Seq[(org.apache.spark.sql.DataFrame, String, String) => Unit](
+      index.removeFromJaccardIndex, index.removeFromExactIndex,
+      index.removeFromIvfIndex, index.removeFromPqIndex
+    ).foreach { op =>
+      assert(intercept[IllegalArgumentException](
+        op(strIds, "doc_id", "td_noop")).getMessage.contains("integral"))
+    }
+  }
+}
