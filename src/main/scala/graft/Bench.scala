@@ -97,7 +97,17 @@ object Bench {
     val selected =
       if (only.isEmpty) benched
       else benched.filter { case (n, _) => only.contains(n) }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // INTERLEAVED sentinels (round-10 adjudication lesson): pre/post
+    // brackets miss interference that starts and stops MID-suite — the
+    // round-10 driver run read quiet at both ends yet was uniformly
+    // ~1.18× inflated in between. One sentinel sample every ~20 queries
+    // (~0.15-0.35 s each, ~2 s total) localizes a spike to the segment
+    // of queries it actually contaminated, so adjudication can discount
+    // exactly those rows instead of the whole artifact.
+    val segSentinels =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val sorted = selected.toSeq.sortBy(_._1)
+    val results = sorted.zipWithIndex.map { case ((name, fn), qi) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -131,6 +141,8 @@ object Bench {
       // query's 6 samples don't distort the next query's tail
       spark.catalog.clearCache()
       System.gc()
+      if ((qi + 1) % 20 == 0 && qi + 1 < sorted.size)
+        segSentinels += ((name, sentinelOnce(), loadAvg()))
       (name, cold, warm, coldSamples, warmSamples)
     }
     val qs = results.map { case (k, _, w, _, _) => "\"" + k + "\":" + w }
@@ -172,9 +184,15 @@ object Bench {
     // interference that starts (or stops) mid-suite
     val sentinelPost = Seq(sentinelOnce(), sentinelOnce(), sentinelOnce())
     val loadPost = loadAvg()
+    // alphabetical query order is deterministic, so "after" names the
+    // exact 20-query segment a hot sentinel contaminates
+    val segJson = segSentinels.map { case (after, s, la) =>
+      s"""{"after":"$after","sec":$s,"loadavg":$la}"""
+    }.mkString("[", ",", "]")
     val sentinelJson =
       s""""sentinel":{"pre":${sentinelPre.mkString("[", ",", "]")},""" +
         s""""post":${sentinelPost.mkString("[", ",", "]")},""" +
+        s""""segments":$segJson,""" +
         s""""loadavg_pre":$loadPre,"loadavg_post":$loadPost,""" +
         s""""quiet_floor_note":"64M xxhash64 sum, local[$cpus]; """ +
         """~0.1-0.35 s warm on a quiet host — a sentinel well above that """ +
