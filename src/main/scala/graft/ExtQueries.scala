@@ -4281,6 +4281,213 @@ object ExtQueries {
     "WHERE codes.vec_id != dtl.q_id)",
     "WHERE codes.vec_id != dtl.q_id AND codes.vec_id % 5 != 0)")
 
+  /** Quantization-LADDER recall report
+    * ([[graft.functions.similarity.annLadderReport]]): recall@5 of
+    * every ANN storage tier — float32 brute force (the 1.0 self-check),
+    * int8 affine codes, IVF-PQ with global codebooks, IVF-PQ with
+    * RESIDUAL codebooks at the same m/ksub/nlist/nprobe budget and the
+    * same IVF geometry (isolating what residual coding buys: identical
+    * candidate sets, different scoring), and sign-bit binary Hamming —
+    * the table a deployment reads before picking its storage tier.
+    * The corpus is the embeddings table with PLANTED cluster structure
+    * (cluster c = vec_id mod 8 shifts dims j ≡ c mod 8 by +8 — the
+    * x123 planting discipline): on the raw table the oracle-replayable
+    * seed-trained codebooks leave both PQ tiers at noise level and the
+    * residual-vs-global gap is coin-flip; with real cluster geometry
+    * the report reads as deployments see it (int8 ≈ 0.9, PQ tiers
+    * differentiated with residual ≥ global, Hamming between). The
+    * ROBUST residual ≥ global assertion with real Lloyd training —
+    * which SQL cannot replay because k-means means are order-dependent
+    * double sums — lives in PqAnnSpec; this row is the ORACLED
+    * artifact: every tier's ranking is its own proven bit-strict
+    * replay (x06 truth, x125's int8 expanded-dot identity, x109's ADC
+    * restricted to x120-style deterministically probed cells, x120's
+    * residual pipeline at nprobe = 2, x113's binary codes), and each
+    * recall is one exact hits/truth_n division — the WHOLE report,
+    * counts and ratios, hashes identically. */
+  def x131QuantizationLadder(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(
+      F.col("vec_id").cast(LongType).as("vec_id"),
+      F.transform(F.col("embedding"), (x, i) =>
+        x.cast(DoubleType) + F.when(
+          i % 8 === F.pmod(F.col("vec_id"), F.lit(8L)).cast(IntegerType),
+          F.lit(8.0)).otherwise(F.lit(0.0))).as("v"))
+    similarity.annLadderReport(e, e.filter(F.col("vec_id") < 8),
+        "vec_id", "v", k = 5, dim = 64, nlist = 8, nprobe = 2,
+        m = 8, ksub = 16, pqIters = 0, ivfIters = 0, sampleOneIn = 1L,
+        portableSeed = true)
+      .orderBy("tier")
+  }
+
+  private val x131Oracle =
+    """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(list_zip(embedding, generate_series(0, 63)),
+      |      p -> CAST(p[1] AS DOUBLE)
+      |        + CASE WHEN p[2] % 8 = vec_id % 8 THEN 8.0 ELSE 0.0 END) AS v
+      |  FROM embeddings),
+      |en AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |q AS (SELECT * FROM en WHERE vec_id < 8),
+      |truth AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_sum(list_transform(list_zip(q.v, c.v), p -> p[1] * p[2]))
+      |          / q.nrm / c.nrm DESC, c.vec_id) AS BIGINT) AS rank
+      |    FROM en c CROSS JOIN q WHERE c.vec_id != q.vec_id)
+      |  WHERE rank <= 5),
+      |tn AS (SELECT count(*) AS truth_n FROM truth),
+      |p0 AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+      |  FROM e),
+      |qz AS (SELECT vec_id,
+      |    CAST(len(v) AS DOUBLE) AS n, mn, (mx - mn) / 254.0 AS s,
+      |    list_transform(v, x -> CASE WHEN mx = mn THEN 127.0
+      |      ELSE CAST(CAST(round((x - mn) / (mx - mn) * 254, 0) AS INT)
+      |        - 127 + 127 AS DOUBLE) END) AS sq
+      |  FROM p0),
+      |pp AS (SELECT vec_id, n, mn, s, sq,
+      |    list_sum(sq) AS t,
+      |    n * mn * mn + mn * s * list_sum(sq) + mn * s * list_sum(sq)
+      |      + s * s * list_sum(list_transform(sq, x -> x * x)) AS dself
+      |  FROM qz),
+      |i8q AS (SELECT * FROM pp WHERE vec_id < 8),
+      |i8top AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT i8q.vec_id AS q_id, c.vec_id AS n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY i8q.vec_id ORDER BY
+      |        (c.n * c.mn * i8q.mn + c.mn * i8q.s * i8q.t
+      |          + i8q.mn * c.s * c.t
+      |          + c.s * i8q.s * list_sum(list_transform(
+      |              list_zip(c.sq, i8q.sq), z -> z[1] * z[2])))
+      |          / sqrt(c.dself) / sqrt(i8q.dself) DESC, c.vec_id) AS rank
+      |    FROM pp c CROSS JOIN i8q WHERE c.vec_id != i8q.vec_id)
+      |  WHERE rank <= 5),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |assign AS (
+      |  SELECT vec_id, cell, c FROM (
+      |    SELECT e.vec_id, sn.cell, sn.c,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(e.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM e CROSS JOIN sn) WHERE rk = 1),
+      |probe AS (
+      |  SELECT vec_id AS q_id, cell, c FROM (
+      |    SELECT q.vec_id, sn.cell, sn.c,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(q.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM q CROSS JOIN sn) WHERE rk <= 2),
+      |gseeds AS (
+      |  SELECT v, ROW_NUMBER() OVER (
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+      |  FROM e QUALIFY c <= 16),
+      |gcb AS (
+      |  SELECT t.s, gseeds.c - 1 AS c, gseeds.v[t.s*8+1 : t.s*8+8] AS cv
+      |  FROM gseeds CROSS JOIN generate_series(0, 7) AS t(s)),
+      |genc0 AS (
+      |  SELECT e.vec_id, gcb.s, gcb.c,
+      |    list_sum(list_transform(list_zip(e.v[gcb.s*8+1 : gcb.s*8+8], gcb.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM e CROSS JOIN gcb),
+      |gcodes AS (
+      |  SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+      |    FROM genc0) WHERE rn = 1 GROUP BY vec_id),
+      |gdt0 AS (
+      |  SELECT q.vec_id AS q_id, gcb.s, gcb.c,
+      |    list_sum(list_transform(list_zip(q.v[gcb.s*8+1 : gcb.s*8+8], gcb.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM q CROSS JOIN gcb),
+      |gdtl AS (SELECT q_id, list(d2 ORDER BY s, c) AS dt
+      |  FROM gdt0 GROUP BY q_id),
+      |gtop AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT pb.q_id, a2.vec_id AS n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY pb.q_id ORDER BY
+      |        list_sum(list_transform(generate_series(0, 7),
+      |          s -> dt[s*16 + codes[s+1] + 1])) ASC, a2.vec_id) AS rank
+      |    FROM probe pb
+      |    JOIN assign a2 ON a2.cell = pb.cell
+      |    JOIN gcodes ON gcodes.vec_id = a2.vec_id
+      |    JOIN gdtl ON gdtl.q_id = pb.q_id
+      |    WHERE a2.vec_id != pb.q_id)
+      |  WHERE rank <= 5),
+      |resid AS (
+      |  SELECT a.vec_id, a.cell,
+      |    list_transform(list_zip(e.v, a.c), p -> p[1] - p[2]) AS r
+      |  FROM assign a JOIN e ON e.vec_id = a.vec_id),
+      |pqseeds AS (
+      |  SELECT r, ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+      |  FROM resid QUALIFY c <= 16),
+      |cb AS (
+      |  SELECT t.s, pqseeds.c - 1 AS c, pqseeds.r[t.s*8+1 : t.s*8+8] AS cv
+      |  FROM pqseeds CROSS JOIN generate_series(0, 7) AS t(s)),
+      |enc0 AS (
+      |  SELECT resid.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(list_zip(resid.r[cb.s*8+1 : cb.s*8+8], cb.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM resid CROSS JOIN cb),
+      |rcodes AS (
+      |  SELECT r0.vec_id, r0.cell, cl.codes FROM resid r0 JOIN (
+      |    SELECT vec_id, list(c ORDER BY s) AS codes FROM (
+      |      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+      |      FROM enc0) WHERE rn = 1 GROUP BY vec_id) cl ON cl.vec_id = r0.vec_id),
+      |qres AS (
+      |  SELECT p.q_id, p.cell,
+      |    list_transform(list_zip(q.v, p.c), z -> z[1] - z[2]) AS qr
+      |  FROM probe p JOIN q ON q.vec_id = p.q_id),
+      |dt0 AS (
+      |  SELECT qres.q_id, qres.cell, cb.s, cb.c,
+      |    list_sum(list_transform(list_zip(qres.qr[cb.s*8+1 : cb.s*8+8], cb.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM qres CROSS JOIN cb),
+      |dtl AS (SELECT q_id, cell, list(d2 ORDER BY s, c) AS dt
+      |  FROM dt0 GROUP BY q_id, cell),
+      |rtop AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT dtl.q_id, rcodes.vec_id AS n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY dtl.q_id ORDER BY
+      |        list_sum(list_transform(generate_series(0, 7),
+      |          s -> dt[s*16 + codes[s+1] + 1])) ASC, rcodes.vec_id) AS rank
+      |    FROM rcodes JOIN dtl ON rcodes.cell = dtl.cell
+      |    WHERE rcodes.vec_id != dtl.q_id)
+      |  WHERE rank <= 5),
+      |hcodes AS (
+      |  SELECT vec_id, list_transform(generate_series(0, 1), w ->
+      |    list_sum(list_transform(generate_series(0, 31), i ->
+      |      CASE WHEN v[w*32 + i + 1] > 0
+      |        THEN (1::BIGINT << i) ELSE 0 END))) AS code
+      |  FROM e),
+      |hq AS (SELECT * FROM hcodes WHERE vec_id < 8),
+      |htop AS (
+      |  SELECT q_id, n_id FROM (
+      |    SELECT hq.vec_id AS q_id, c.vec_id AS n_id,
+      |      ROW_NUMBER() OVER (PARTITION BY hq.vec_id ORDER BY
+      |        bit_count(xor(hq.code[1], c.code[1]))
+      |          + bit_count(xor(hq.code[2], c.code[2])) ASC, c.vec_id) AS rank
+      |    FROM hq CROSS JOIN hcodes c WHERE c.vec_id != hq.vec_id)
+      |  WHERE rank <= 5),
+      |report AS (
+      |  SELECT '1_brute_f32' AS tier,
+      |    (SELECT count(*) FROM truth) AS hits
+      |  UNION ALL SELECT '2_int8',
+      |    (SELECT count(*) FROM i8top JOIN truth USING (q_id, n_id))
+      |  UNION ALL SELECT '3_ivfpq_global',
+      |    (SELECT count(*) FROM gtop JOIN truth USING (q_id, n_id))
+      |  UNION ALL SELECT '4_ivfpq_residual',
+      |    (SELECT count(*) FROM rtop JOIN truth USING (q_id, n_id))
+      |  UNION ALL SELECT '5_hamming_binary',
+      |    (SELECT count(*) FROM htop JOIN truth USING (q_id, n_id)))
+      |SELECT tier, CAST(hits AS BIGINT) AS hits,
+      |  CAST(truth_n AS BIGINT) AS truth_n,
+      |  CAST(hits AS DOUBLE) / truth_n AS recall
+      |FROM report CROSS JOIN tn ORDER BY tier""".stripMargin
+
   def x126TakedownComponents(s: SparkSession, dir: String): DataFrame = {
     val allv = crossDayFamilyLifecycle(s, dir, "x126_cm")
     graft.functions.index.removeComponentIds(
@@ -5135,7 +5342,8 @@ object ExtQueries {
     "x127_jaccard_index_takedown" -> (x127JaccardIndexTakedown _),
     "x128_exact_index_takedown" -> (x128ExactIndexTakedown _),
     "x129_ivf_index_takedown" -> (x129IvfIndexTakedown _),
-    "x130_residual_pq_index_takedown" -> (x130ResidualPqIndexTakedown _))
+    "x130_residual_pq_index_takedown" -> (x130ResidualPqIndexTakedown _),
+    "x131_quantization_ladder" -> (x131QuantizationLadder _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -5379,5 +5587,6 @@ object ExtQueries {
     "x127_jaccard_index_takedown" -> x127Oracle,
     "x128_exact_index_takedown" -> x128Oracle,
     "x129_ivf_index_takedown" -> x129Oracle,
-    "x130_residual_pq_index_takedown" -> x130Oracle)
+    "x130_residual_pq_index_takedown" -> x130Oracle,
+    "x131_quantization_ladder" -> x131Oracle)
 }

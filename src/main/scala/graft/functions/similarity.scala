@@ -811,6 +811,68 @@ object similarity {
     }
   }
 
+  /** Quantization-LADDER recall report — [[annRecallReport]]'s sibling
+    * across STORAGE TIERS instead of probe widths: recall@k of every
+    * ANN tier the library ships, at equal k over the same
+    * corpus/queries, against exact float32 brute force. One row per
+    * tier, `(tier, hits, truth_n, recall)`:
+    *
+    *  - `1_brute_f32` — the truth itself (recall = 1.0, the wired-in
+    *    self-check that the harness compares like with like);
+    *  - `2_int8` — [[int8TopK]]: 4× smaller, exact integer-dot rescore;
+    *  - `3_ivfpq_global` / `4_ivfpq_residual` — [[ivfPqTopK]] /
+    *    [[ivfPqResidualTopK]] at the SAME m/ksub/nlist/nprobe budget
+    *    and the same IVF geometry, so the pair isolates what residual
+    *    coding buys: identical candidate sets, different scoring.
+    *    With TRAINED codebooks on clustered data residual ≥ global at
+    *    equal budget (Jégou §IV-A — asserted with real Lloyd
+    *    iterations in PqAnnSpec); with degenerate seed-only training
+    *    on unstructured data both tiers sit at noise level and the gap
+    *    is not meaningful — this report is how a deployment finds that
+    *    out before committing to a layout;
+    *  - `5_hamming_binary` — [[hammingTopK]]: 32× smaller sign-bit
+    *    codes, the cheap prefilter tier.
+    *
+    * This is the table an ANN deployment reads before picking its
+    * storage tier — storage cost per tier is static (32/8/m/m/1 bits
+    * per dim ÷ by nothing), recall is what must be measured. Scale
+    * shape: truth is ONE brute-force pass (sample the query set to
+    * bound it); each tier is its operator's own bounded plan; hit
+    * counting is k·|queries|-row joins. Eager like [[annRecallReport]]
+    * (driver state = 5 longs). */
+  def annLadderReport(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int, nlist: Int,
+      nprobe: Int, m: Int, ksub: Int, pqIters: Int = 0,
+      ivfIters: Int = 0, sampleN: Int = 20000, sampleOneIn: Long = 0L,
+      portableSeed: Boolean = false): DataFrame = {
+    require(k >= 1 && dim >= 1 && nlist >= 1 && nprobe >= 1)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select("q_id", "n_id").persist()
+    try {
+      val truthN = truth.count()
+      val tiers: Seq[(String, DataFrame)] = Seq(
+        ("1_brute_f32", truth),
+        ("2_int8", int8TopK(corpus, queries, idCol, vecCol, k)),
+        ("3_ivfpq_global", ivfPqTopK(corpus, queries, idCol, vecCol, k,
+          nlist, nprobe, m, ksub, pqIters, ivfIters, sampleN,
+          sampleOneIn, portableSeed)),
+        ("4_ivfpq_residual", ivfPqResidualTopK(corpus, queries, idCol,
+          vecCol, k, nlist, nprobe, m, ksub, pqIters, ivfIters, sampleN,
+          sampleOneIn, portableSeed)),
+        ("5_hamming_binary", hammingTopK(corpus, queries, idCol, vecCol,
+          k, dim)))
+      val rows = tiers.map { case (tier, df) =>
+        val hits = df.select("q_id", "n_id")
+          .join(truth, Seq("q_id", "n_id")).count()
+        (tier, hits, truthN,
+          if (truthN == 0L) 0.0 else hits.toDouble / truthN)
+      }
+      rows.toDF("tier", "hits", "truth_n", "recall")
+    } finally { truth.unpersist(blocking = false); () }
+  }
+
   /** RESIDUAL IVF-PQ — the production billion-vector layout (Jégou et
     * al. TPAMI 2011 §IV-A: quantize the residual r = v − q₁(v), not the
     * raw vector): each corpus vector is assigned to its IVF cell, the

@@ -290,6 +290,37 @@ class PqAnnSpec extends SparkSpec {
       k = 3, nlist = 4, nprobes = Seq(1, 2)).count() == 0L)
   }
 
+  test("annLadderReport: self-check row reads 1.0; residual ≥ global with trained codebooks") {
+    // the storage-tier sibling of annRecallReport: one row per ANN
+    // tier at equal k. With REAL Lloyd training (pqIters = 3 — the
+    // oracle-replayable x131 row can't use it, because k-means means
+    // are order-dependent double sums) the residual tier must not lose
+    // to global codebooks at the same budget, and the brute-force row
+    // is the wired-in 1.0 self-check.
+    val slim = embs.select("vec_id", "embedding")
+    val got = similarity.annLadderReport(slim,
+        slim.filter(F.col("vec_id") < 16), "vec_id", "embedding",
+        k = 5, dim = 64, nlist = 8, nprobe = 8, m = 8, ksub = 16,
+        pqIters = 3, ivfIters = 2, portableSeed = true)
+      .orderBy("tier").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == Set("1_brute_f32", "2_int8", "3_ivfpq_global",
+      "4_ivfpq_residual", "5_hamming_binary"))
+    assert(got("1_brute_f32") == 1.0,
+      s"brute-force self-check row must read exactly 1.0: $got")
+    assert(got.values.forall(r => r >= 0.0 && r <= 1.0))
+    info(got.toSeq.sorted.map { case (t, r) => f"$t $r%.3f" }.mkString(", "))
+    assert(got("4_ivfpq_residual") >= got("3_ivfpq_global"),
+      s"residual must not lose to global at equal trained budget: $got")
+    // empty-query degenerate: report exists, zero-safe
+    val empty = similarity.annLadderReport(slim,
+      slim.where(F.lit(false)), "vec_id", "embedding",
+      k = 3, dim = 64, nlist = 4, nprobe = 4, m = 8, ksub = 8,
+      portableSeed = true)
+    assert(empty.count() == 5 &&
+      empty.filter(F.col("recall") =!= 0.0).count() == 0)
+  }
+
   test("int8TopK: high recall vs exact cosine; corrupt vectors excluded") {
     val slim = embs.select("vec_id", "embedding")
     val qs = slim.filter(F.col("vec_id") < 32)
