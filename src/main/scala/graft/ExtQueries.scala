@@ -4319,6 +4319,102 @@ object ExtQueries {
       .orderBy("tier")
   }
 
+  /** STREAMING component-map maintenance
+    * ([[graft.streaming.Streams.componentMapStream]]): x124's corpus —
+    * the even half split into three "days", day 3 carrying planted
+    * copies of day-2 docs — arrives as a FILE STREAM, one micro-batch
+    * per day file (maxFilesPerTrigger = 1), and each batch is probed
+    * against the persistent Jaccard index, LSH-paired within itself,
+    * and appended to the persistent component map through the real
+    * foreachBatch machinery. The final map must equal the BATCH
+    * lifecycle on the same days — and therefore x124's full
+    * recursive-CTE closure over the exact all-pairs Jaccard graph (one
+    * oracle, three plans: batch lifecycle, streaming lifecycle, full
+    * recompute). The equality is batching-insensitive by construction
+    * — cross-batch pairs always meet through the index probe — so the
+    * file stream's arrival order can't perturb the hash. */
+  def x132StreamingComponentMap(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    val run = streamSinkIds.incrementAndGet()
+    val ss = Streams.replaySession(s, partitions = 8)
+    val stage = java.nio.file.Files
+      .createTempDirectory(s"x132_days_$run").toString
+    val d = docs(ss, dir).filter(F.col("doc_id") % 2 === 0)
+    def dayOf(r: Int) = d.filter(F.col("doc_id") % 6 === r)
+      .select(F.col("doc_id"), F.col("text"))
+    val day3 = dayOf(4).unionByName(
+      dayOf(2).filter(F.col("doc_id") % 20 === 2)
+        .select((F.col("doc_id") + 2000000L).as("doc_id"), F.col("text")))
+    // one parquet file per day in one directory: maxFilesPerTrigger = 1
+    // makes each day one micro-batch (arrival order is irrelevant to
+    // the final state — see scaladoc)
+    Seq(dayOf(0), dayOf(2), day3).foreach(_.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stage))
+    val stream = ss.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(stage)
+    Streams.componentMapStream(stream, "doc_id", "text",
+      s"x132_idx_$run", s"x132_cm_$run")
+    graft.functions.index.readComponentMap(ss, s"x132_cm_$run")
+      .select(F.col("id").as("doc_id"), F.col("component"),
+        (F.col("id") === F.col("component")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** x132 steady state (the x123/x124/x126 bench-variant posture): the
+    * 3-day streamed base is built once per process; each sample streams
+    * ONE fresh re-crawl day (~1.7% of the corpus, per-sample-unique
+    * ids) through the same foreachBatch machinery against the existing
+    * state — the resume branch, which the correctness query's bootstrap
+    * path doesn't reach twice. */
+  def x132BenchStreamDay(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Streams
+    val ss = Streams.replaySession(s, partitions = 8)
+    ensureOnce("x132_bench", dir) {
+      x132StreamingBase(ss, dir); ()
+    }
+    val off = 50000000L + 1000000L * benchDaySeq.incrementAndGet()
+    val stage = java.nio.file.Files
+      .createTempDirectory(s"x132_bench_day_$off").toString + "/day"
+    docs(ss, dir).filter(F.col("doc_id") % 60 === 2)
+      .select((F.col("doc_id") + off).as("doc_id"), F.col("text"))
+      .coalesce(1).write.parquet(stage)
+    val stream = ss.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(stage)
+    Streams.componentMapStream(stream, "doc_id", "text",
+      "x132b_idx", "x132b_cm")
+    graft.functions.index.readComponentMap(ss, "x132b_cm")
+  }
+
+  /** x132's 3-day streamed lifecycle into fixed bench-base names. */
+  private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
+    import graft.streaming.Streams
+    val stage = java.nio.file.Files
+      .createTempDirectory("x132_bench_base_").toString
+    val d = docs(ss, dir).filter(F.col("doc_id") % 2 === 0)
+    def dayOf(r: Int) = d.filter(F.col("doc_id") % 6 === r)
+      .select(F.col("doc_id"), F.col("text"))
+    val day3 = dayOf(4).unionByName(
+      dayOf(2).filter(F.col("doc_id") % 20 === 2)
+        .select((F.col("doc_id") + 2000000L).as("doc_id"), F.col("text")))
+    Seq(dayOf(0), dayOf(2), day3).foreach(_.coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stage))
+    val stream = ss.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(stage)
+    Streams.componentMapStream(stream, "doc_id", "text",
+      "x132b_idx", "x132b_cm")
+  }
+
   private val x131Oracle =
     """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
       |    list_transform(list_zip(embedding, generate_series(0, 63)),
@@ -5343,7 +5439,8 @@ object ExtQueries {
     "x128_exact_index_takedown" -> (x128ExactIndexTakedown _),
     "x129_ivf_index_takedown" -> (x129IvfIndexTakedown _),
     "x130_residual_pq_index_takedown" -> (x130ResidualPqIndexTakedown _),
-    "x131_quantization_ladder" -> (x131QuantizationLadder _))
+    "x131_quantization_ladder" -> (x131QuantizationLadder _),
+    "x132_streaming_component_map" -> (x132StreamingComponentMap _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -5453,7 +5550,8 @@ object ExtQueries {
     "x04_dedup_simhash" -> (x04BenchSimhash _),
     "x123_incremental_components" -> (x123BenchAppendDay _),
     "x124_neardup_family_lifecycle" -> (x124BenchAppendDay _),
-    "x126_takedown_components" -> (x126BenchTakedown _))
+    "x126_takedown_components" -> (x126BenchTakedown _),
+    "x132_streaming_component_map" -> (x132BenchStreamDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -5588,5 +5686,8 @@ object ExtQueries {
     "x128_exact_index_takedown" -> x128Oracle,
     "x129_ivf_index_takedown" -> x129Oracle,
     "x130_residual_pq_index_takedown" -> x130Oracle,
-    "x131_quantization_ladder" -> x131Oracle)
+    "x131_quantization_ladder" -> x131Oracle,
+    // the streamed lifecycle must equal the batch lifecycle on the same
+    // days — one oracle, three plans (full closure / batch / stream)
+    "x132_streaming_component_map" -> x124Oracle)
 }

@@ -42,7 +42,7 @@ object dedup {
   private val hookedSessions =
     java.util.concurrent.ConcurrentHashMap.newKeySet[org.apache.spark.sql.SparkSession]()
 
-  private[functions] def cached(df: DataFrame): DataFrame = {
+  private[graft] def cached(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     persistedFrames.add((p, p))
     autoRelease(df.sparkSession)
@@ -51,7 +51,7 @@ object dedup {
 
   /** Persist `df` WITHOUT auto-release tracking; pair with
     * [[releaseWhenConsumed]] once the downstream result frame exists. */
-  private[functions] def cachedPinned(df: DataFrame): DataFrame =
+  private[graft] def cachedPinned(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Arm auto-release for a [[cachedPinned]] frame: unpersist `cachedDf`

@@ -332,6 +332,76 @@ object Streams {
     q.stop()
   }
 
+  /** Streaming near-dup FAMILY maintenance — x124's daily lifecycle as
+    * a stream, so the persistent component map stays current under
+    * ingest: each micro-batch of documents is probed against the
+    * persistent Jaccard index ([[graft.functions.index
+    * .probeJaccardIndex]] — the cross-history edges), paired within
+    * itself ([[graft.functions.dedup.jaccardPairsLsh]] — the in-batch
+    * edges), appended to the component map
+    * ([[graft.functions.index.appendComponentEdges]] — CC work scales
+    * with the batch, never the corpus), and appended to the index so
+    * later batches see it. foreachBatch is the right vehicle (the
+    * annProbeStream argument): probe pruning, LSH pair generation and
+    * the map append are batch constructs, and a micro-batch IS a batch.
+    *
+    * State lives entirely in the managed index + map tables — the
+    * stream itself is stateless, so a restart resumes from whatever
+    * the tables hold (the bootstrap branch fires only when the index
+    * doesn't exist yet). The final map provably equals the batch
+    * lifecycle over the same batches — and therefore (x123/x124) the
+    * full connected-components recompute over every edge ever seen,
+    * INDEPENDENT of how ingest was batched: cross-batch near-dup pairs
+    * always meet through the index probe, in-batch pairs through LSH,
+    * and the map's closure is order-insensitive. Synchronous: drains
+    * available input, then stops. */
+  def componentMapStream(docs: DataFrame, idCol: String, textCol: String,
+      indexName: String, mapName: String, minJ: Double = 0.8): Unit = {
+    import graft.functions.{dedup, index}
+    val q = docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        // the batch feeds 4 consumers (probe, LSH pairs, map nodes,
+        // index append) — pin it for the micro-batch
+        val b = dedup.cachedPinned(batch.toDF())
+        try {
+          val bootstrap = !s.catalog.tableExists(s"${indexName}_buckets")
+          val inBatch = dedup.jaccardPairsLsh(b, idCol, textCol,
+            minJ = minJ).select("id_a", "id_b")
+          val edges =
+            if (bootstrap) inBatch
+            else inBatch.unionByName(
+              index.probeJaccardIndex(s, b, idCol, textCol, indexName,
+                  minJ = minJ)
+                .select(F.col("id_new").as("id_a"),
+                  F.col("id_indexed").as("id_b")))
+          if (!s.catalog.tableExists(s"${mapName}_cmap"))
+            index.buildComponentMap(b.select(idCol), edges, idCol, mapName)
+          else
+            index.appendComponentEdges(b.select(idCol), edges, idCol,
+              mapName)
+          index.buildJaccardIndex(b, idCol, textCol, indexName,
+            mode = if (bootstrap) org.apache.spark.sql.SaveMode.Overwrite
+              else org.apache.spark.sql.SaveMode.Append)
+        } finally { b.unpersist(blocking = false); () }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the writes ran in the streaming query's cloned session, whose
+    // cache invalidations don't reach the CALLER's session — a caller
+    // that had already read these tables would silently keep a stale
+    // FileIndex; refresh them here so a post-stream read sees the
+    // appended state
+    val caller = docs.sparkSession
+    Seq(s"${mapName}_cmap", s"${mapName}_cremap", s"${mapName}_cedges",
+        s"${indexName}_buckets", s"${indexName}_sigs",
+        s"${indexName}_stats")
+      .foreach(t =>
+        if (caller.catalog.tableExists(t)) caller.catalog.refreshTable(t))
+  }
+
   /** Streaming heavy hitters: the Misra–Gries sketch aggregate
     * ([[graft.plans.HeavyHitters]]) as a Complete-mode streaming
     * aggregation over an item-grain stream (tokens, domains,

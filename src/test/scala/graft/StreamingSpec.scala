@@ -234,6 +234,52 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming component-map maintenance equals the batch lifecycle, resumes across streams") {
+    import graft.functions.{dedup, index}
+    // three families across two micro-batches: exact copies (J = 1)
+    // so LSH and the index probe must both hit; doc 30 bridges
+    // nothing (singleton)
+    val body = (i: Int) => (0 until 15).map(j => s"f${i}w${j % 7}")
+      .mkString(" ")
+    val day1 = Seq((10L, body(0)), (11L, body(0)), (20L, body(1)),
+      (30L, body(2))).toDF("doc_id", "text")
+    val day2 = Seq((12L, body(0)), (21L, body(1)), (40L, body(3)))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cms").toString
+    day1.coalesce(1).write.mode("append").parquet(dir)
+    day2.coalesce(1).write.mode("append").parquet(dir)
+    try {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).option("pathGlobFilter", "*.parquet")
+        .parquet(dir)
+      Streams.componentMapStream(stream, "doc_id", "text",
+        "graft_cms_idx", "graft_cms_cm")
+      val got = index.readComponentMap(spark, "graft_cms_cm").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L,
+        21L -> 20L, 30L -> 30L, 40L -> 40L),
+        s"streamed map must equal the batch closure: $got")
+      // a later stream RESUMES from the persisted state (no bootstrap):
+      // a new copy of family 20 must land in the existing family
+      val dir2 = Files.createTempDirectory("graft_cms2").toString
+      Seq((22L, body(1))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir2)
+      val stream2 = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("pathGlobFilter", "*.parquet").parquet(dir2)
+      Streams.componentMapStream(stream2, "doc_id", "text",
+        "graft_cms_idx", "graft_cms_cm")
+      val got2 = index.readComponentMap(spark, "graft_cms_cm").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2.get(22L).contains(20L) && got2.size == 8,
+        s"a resumed stream must extend the same families: $got2")
+    } finally {
+      Seq("graft_cms_idx_buckets", "graft_cms_idx_sigs",
+        "graft_cms_idx_stats", "graft_cms_cm_cmap", "graft_cms_cm_cremap",
+        "graft_cms_cm_cedges")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("stateful sessionization counts 30-min-gap sessions per user") {
     val dir = mkEvents()
     val events = spark.readStream.schema(Streams.eventSchema).parquet(dir).as[Streams.Event]
