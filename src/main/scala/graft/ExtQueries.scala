@@ -4392,6 +4392,85 @@ object ExtQueries {
     graft.functions.index.readComponentMap(ss, "x132b_cm")
   }
 
+  /** BPE SEGMENTATION at corpus scale, tied into token-budget chunking
+    * ([[graft.functions.bpe.segmentFast]] — the loop-based
+    * graft_bpe_segment kernel — composed with
+    * [[graft.functions.text.chunkTokens]], x40's operator): every
+    * document is segmented against a fixed 6-rule merge table (rule
+    * chaining included: th→the needs t+h first; training itself is
+    * x83's oracled row) and reported as (n_tokens, n_symbols); the
+    * SAME segmentation is then run over the document's
+    * non-overlapping 32-token chunks and summed back per document —
+    * the budget-accounting identity a chunked training pipeline relies
+    * on (chunk-level BPE token counts must add up to document-level
+    * counts, or packing budgets drift). The oracle replays the
+    * per-token merge folds as chained list_reduce (x83's form), the
+    * chunking as x40's slice replay, and both sums — so the kernel's
+    * one-pass-per-rank semantics AND the chunk identity hash-match
+    * bit-strict. */
+  def x133BpeSegmentChunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{bpe, text}
+    val toks = text.tokens(F.col("text"))
+    val symsPerTok = (t: org.apache.spark.sql.Column) =>
+      F.size(bpe.segmentFast(t, x133Merges)).cast(LongType)
+    val d = docs(s, dir)
+      .filter(F.size(toks) > 0 && F.length(F.element_at(toks, 1)) > 0)
+    val doc = d.select(F.col("doc_id"),
+      F.size(toks).cast(LongType).as("n_tokens"),
+      F.aggregate(F.transform(toks, symsPerTok), F.lit(0L),
+        (acc, x) => acc + x).as("n_symbols"))
+    val chunkToks = text.tokens(F.col("chunk_text"))
+    val chunked = text.chunkTokens(d, "doc_id", "text",
+        size = 32, stride = 32)
+      .select(F.col("doc_id"),
+        F.aggregate(F.transform(chunkToks, symsPerTok), F.lit(0L),
+          (acc, x) => acc + x).as("_cs"))
+      .groupBy("doc_id").agg(F.sum("_cs").as("n_symbols_chunked"))
+    doc.join(chunked, "doc_id")
+      .select(F.col("doc_id"), F.col("n_tokens"), F.col("n_symbols"),
+        F.col("n_symbols_chunked"))
+      .orderBy("doc_id")
+  }
+
+  /** x133's fixed merge table: chained rules (th→the), plus common
+    * pairs — the segmentation-semantics fuel; training is x83's row. */
+  private val x133Merges = Seq(("t", "h"), ("th", "e"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("i", "n"))
+
+  private lazy val x133Oracle = {
+    // per-token symbol count: the engine's one-pass-per-rank fold as
+    // chained DuckDB list_reduce (x83's replay form), one fold per rule
+    val chained = x133Merges.foldLeft("regexp_extract_all(tok, '[a-z]')") {
+      case (e, (a, b)) =>
+        s"""string_split(list_reduce($e,
+           |  (acc, x) -> CASE WHEN (acc = '$a' OR ends_with(acc, '|' || '$a'))
+           |      AND x = '$b'
+           |    THEN acc || x ELSE acc || '|' || x END), '|')""".stripMargin
+    }
+    val symCount =
+      s"CASE WHEN regexp_matches(tok, '^[a-z]+$$') THEN len($chained) ELSE 1 END"
+    s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ls
+       |  FROM documents
+       |  WHERE length(trim(text)) > 0 AND length(string_split_regex(
+       |    trim(text), '\\s+')[1]) > 0),
+       |doc AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_tokens,
+       |    CAST(list_sum(list_transform(ls, tok -> $symCount)) AS BIGINT)
+       |      AS n_symbols
+       |  FROM tk),
+       |c AS (SELECT doc_id, ls,
+       |    ((greatest(len(ls) - 32, 0) + 31) // 32 + 1) AS k FROM tk),
+       |s AS (SELECT doc_id, ls, i AS st
+       |  FROM c, unnest(generate_series(1, (k - 1) * 32 + 1, 32)) AS t(i)),
+       |ch AS (SELECT doc_id,
+       |    list_slice(ls, st, least(st + 31, len(ls))) AS ctoks FROM s),
+       |chs AS (SELECT doc_id,
+       |    CAST(SUM(list_sum(list_transform(ctoks, tok -> $symCount)))
+       |      AS BIGINT) AS n_symbols_chunked
+       |  FROM ch GROUP BY doc_id)
+       |SELECT doc.doc_id, n_tokens, n_symbols, n_symbols_chunked
+       |FROM doc JOIN chs USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
@@ -5440,7 +5519,8 @@ object ExtQueries {
     "x129_ivf_index_takedown" -> (x129IvfIndexTakedown _),
     "x130_residual_pq_index_takedown" -> (x130ResidualPqIndexTakedown _),
     "x131_quantization_ladder" -> (x131QuantizationLadder _),
-    "x132_streaming_component_map" -> (x132StreamingComponentMap _))
+    "x132_streaming_component_map" -> (x132StreamingComponentMap _),
+    "x133_bpe_segment_chunks" -> (x133BpeSegmentChunks _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -5689,5 +5769,6 @@ object ExtQueries {
     "x131_quantization_ladder" -> x131Oracle,
     // the streamed lifecycle must equal the batch lifecycle on the same
     // days — one oracle, three plans (full closure / batch / stream)
-    "x132_streaming_component_map" -> x124Oracle)
+    "x132_streaming_component_map" -> x124Oracle,
+    "x133_bpe_segment_chunks" -> x133Oracle)
 }

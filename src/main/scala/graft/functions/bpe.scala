@@ -194,4 +194,20 @@ object bpe {
     }
     F.when(tok.rlike("^[a-z]+$"), folded).otherwise(F.array(tok))
   }
+
+  /** [[segment]] against a RUNTIME merge table — identical semantics
+    * (one greedy left-to-right pass per merge, in rank order;
+    * cross-checked against the chained form in ExtensionsSpec), carried
+    * by ONE codegen'd expression
+    * ([[graft.plans.BpeSegmentExpr]]) holding the rules as a broadcast
+    * reference object. [[segment]]'s chain is fine for the handful of
+    * merges an oracled query trains; a production tokenizer's 1k–32k
+    * rules would explode the expression tree (Janino method limits,
+    * quadratic analysis) — here the rule count never touches plan
+    * size, and per token only ranks whose pair actually occurs run a
+    * pass. Shuffle-free map either way. */
+  def segmentFast(tok: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column =
+    F.call_function("graft_bpe_segment", tok,
+      F.typedlit(merges.flatMap(p => Seq(p._1, p._2))))
 }

@@ -1472,6 +1472,172 @@ case class HammingDistExpr(a: Expression, b: Expression)
   * per task thread for the whole scan, never per row, and still
   * leak-free (a thread's Deflater lives exactly as long as the
   * executor thread that owns it). */
+/** BPE segmentation against a RUNTIME merge table — the loop-based
+  * kernel behind [[graft.functions.bpe.segmentFast]]. Semantics are
+  * IDENTICAL to the expression-chained [[graft.functions.bpe.segment]]
+  * (one greedy left-to-right pass per merge, in rank order; lowercase
+  * tokens only, others pass through whole — cross-checked in
+  * ExtensionsSpec), but the merge table is one broadcast-referenced
+  * object instead of `numMerges` nested Catalyst expressions: a
+  * production tokenizer's 1k–32k rules would blow past Janino's method
+  * limits and quadratic analysis as a chain, while here the rule count
+  * never touches plan size. Per token the work is rank-ordered with a
+  * pending set — only ranks whose pair actually OCCURS (initially, or
+  * created by an earlier merge) run a pass, so a 32k-rule table costs
+  * O(pairs present), not O(rules). */
+case class BpeSegmentExpr(tok: Expression, merges: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = tok
+  override def right: Expression = merges
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (tok.dataType, merges.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        if (merges.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          "graft_bpe_segment: merges must be a literal array")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_bpe_segment expects (string, array<string> of flattened " +
+          s"lhs,rhs pairs), got ${tok.dataType} / ${merges.dataType}")
+    }
+
+  @transient private lazy val plan: BpeSegmentExpr.Plan = {
+    val arr = merges.eval().asInstanceOf[ArrayData]
+    require(arr != null && arr.numElements() % 2 == 0,
+      "graft_bpe_segment: merges must be non-null with an even length " +
+        "(flattened lhs,rhs pairs)")
+    val n = arr.numElements() / 2
+    val a = new Array[String](n); val b = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      a(i) = arr.getUTF8String(2 * i).toString
+      b(i) = arr.getUTF8String(2 * i + 1).toString
+      i += 1
+    }
+    new BpeSegmentExpr.Plan(a, b)
+  }
+
+  override protected def nullSafeEval(t: Any, m: Any): Any =
+    BpeSegmentExpr.compute(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], plan)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planRef = ctx.addReferenceObj("bpePlan", plan,
+      classOf[BpeSegmentExpr.Plan].getName)
+    nullSafeCodeGen(ctx, ev, (t, _) =>
+      s"${ev.value} = graft.plans.BpeSegmentExpr.compute($t, $planRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(tok = newLeft, merges = newRight)
+}
+
+object BpeSegmentExpr {
+
+  /** Precompiled merge table: rules by rank plus a pair → ranks index
+    * (a pair can recur at several ranks). Built once per plan on the
+    * driver, shipped as a codegen reference object. */
+  final class Plan(val a: Array[String], val b: Array[String])
+      extends Serializable {
+    val byPair: java.util.HashMap[String, Array[Int]] = {
+      val m = new java.util.HashMap[String, java.util.ArrayList[Integer]]()
+      var i = 0
+      while (i < a.length) {
+        val k = a(i) + " " + b(i)
+        var l = m.get(k)
+        if (l == null) { l = new java.util.ArrayList[Integer](); m.put(k, l) }
+        l.add(i)
+        i += 1
+      }
+      val out = new java.util.HashMap[String, Array[Int]]()
+      m.forEach((k, l) => {
+        val arr = new Array[Int](l.size)
+        var j = 0
+        while (j < arr.length) { arr(j) = l.get(j); j += 1 }
+        out.put(k, arr)
+        ()
+      })
+      out
+    }
+  }
+
+  private def isLowerAlpha(s: String): Boolean = {
+    if (s.isEmpty) return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 'a' || c > 'z') return false
+      i += 1
+    }
+    true
+  }
+
+  /** static so generated code can call it directly (one invoke per row).
+    *
+    * Equivalence to the sequential one-pass-per-rank fold: rank r fires
+    * exactly when its pair occurs in the state after ranks < r — here a
+    * rank enters `pending` when its pair occurs (seeding, or rescan
+    * after an APPLYING pass adds only ranks > the applied one), and a
+    * rank whose pair was consumed before its turn runs a no-op pass —
+    * both directions match the fold. A merged symbol never re-matches
+    * as lhs within its own pass (a+b ≠ a), also matching the fold. */
+  def compute(tok: org.apache.spark.unsafe.types.UTF8String,
+      plan: Plan): ArrayData = {
+    val s = tok.toString
+    if (!isLowerAlpha(s))
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    val syms = new Array[String](s.length)
+    var i = 0
+    while (i < s.length) { syms(i) = String.valueOf(s.charAt(i)); i += 1 }
+    var n = s.length
+    val pending = new java.util.TreeSet[Integer]()
+    def seedPairs(minRank: Int): Unit = {
+      var j = 0
+      while (j < n - 1) {
+        val ranks = plan.byPair.get(syms(j) + " " + syms(j + 1))
+        if (ranks != null) {
+          var k = 0
+          while (k < ranks.length) {
+            if (ranks(k) > minRank) { pending.add(ranks(k)); () }
+            k += 1
+          }
+        }
+        j += 1
+      }
+    }
+    seedPairs(-1)
+    while (!pending.isEmpty) {
+      val r = pending.pollFirst().intValue()
+      val a = plan.a(r); val b = plan.b(r)
+      // one greedy left-to-right pass for rank r, compacting in place
+      var w = 0; var rd = 0; var changed = false
+      while (rd < n) {
+        if (w > 0 && syms(w - 1) == a && syms(rd) == b) {
+          syms(w - 1) = a + b; changed = true
+        } else { syms(w) = syms(rd); w += 1 }
+        rd += 1
+      }
+      if (changed) {
+        n = w
+        // new adjacencies may enable LATER ranks only
+        seedPairs(r)
+      }
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(syms(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
@@ -2304,6 +2470,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDistExpr].getName, "graft_hamming"),
       (children: Seq[Expression]) => HammingDistExpr(children(0), children(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_bpe_segment"),
+      new ExpressionInfo(classOf[BpeSegmentExpr].getName, "graft_bpe_segment"),
+      (children: Seq[Expression]) => BpeSegmentExpr(children(0), children(1))))
     e.injectFunction((
       new FunctionIdentifier("graft_deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatioExpr].getName, "graft_deflate_ratio"),

@@ -2235,4 +2235,35 @@ class ExtensionsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(upairs == Set((10L, 11L, 0)), upairs.toString)
   }
+
+  test("segmentFast (graft_bpe_segment) ≡ the expression-chained segment") {
+    import graft.functions.bpe
+    // adversarial merge table: chained multi-char lhs (th → the →
+    // thea), a DUPLICATE rule, a rule whose pair only appears AFTER an
+    // earlier merge creates it, and a never-matching rule — the
+    // pending-rank kernel must replay the chain's one-pass-per-rank
+    // semantics exactly
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("q", "q"),
+      ("the", "a"), ("a", "n"), ("an", "d"), ("x", "y"))
+    val rnd = new scala.util.Random(20260815L)
+    val toks = Seq("the", "thean", "and", "banana", "qqq", "qqqq", "x",
+      "", "X42!", "ötther", "thethe", "ananan") ++
+      (0 until 200).map(_ => (0 until rnd.nextInt(12))
+        .map(_ => "theandqxyz".charAt(rnd.nextInt(10))).mkString)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "tok")
+    val both = df.select(F.col("id"), F.col("tok"),
+        bpe.segment(F.col("tok"), merges).as("chain"),
+        bpe.segmentFast(F.col("tok"), merges).as("fast"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](2) == r.getSeq[String](3),
+        s"chain != fast for token '${r.getString(1)}': " +
+          s"${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
+    }
+    // empty merge table: every lowercase token splits to chars
+    val none = df.filter(F.col("tok") === "the")
+      .select(bpe.segmentFast(F.col("tok"), Seq.empty).as("s")).head()
+    assert(none.getSeq[String](0) == Seq("t", "h", "e"))
+  }
 }

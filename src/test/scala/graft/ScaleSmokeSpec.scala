@@ -948,4 +948,140 @@ class ScaleSmokeSpec extends SparkSpec {
         s"the surviving sub-family keeps its own edges: $after")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("BPE segmentation maps a 100k-doc corpus against a 1k-rule table shuffle-free") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.{bpe, text}
+    // A production tokenizer's merge table is 1k-32k rules — far past
+    // what the expression-chained bpe.segment could carry (Janino
+    // method limits, quadratic analysis). The graft_bpe_segment kernel
+    // holds the table as ONE reference object: plan size is constant in
+    // the rule count, the segmentation is a pure map (the only shuffle
+    // in this job is the final 1-row count aggregation), and per token
+    // only ranks whose pair occurs run a pass.
+    val alpha = "abcdefghij".map(_.toString)
+    val merges = ((for { l <- alpha; r <- alpha } yield (l, r)) ++
+      (for { l <- alpha; m <- alpha; r <- alpha } yield (l + m, r)))
+      .take(1000)
+    assert(merges.size == 1000)
+    // 100k docs × 24 deterministic pseudo-words over the rule alphabet
+    val toks = (0 until 24).map(j => F.translate(
+      F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit(s"_$j"))),
+        1, 8),
+      "0123456789abcdef", "abcdefghijabcdef"))
+    val corpus = spark.range(0, 100000L)
+      .select(F.col("id"), F.concat_ws(" ", toks: _*).as("text"))
+    val shuffled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          shuffled.addAndGet(m.shuffleWriteMetrics.recordsWritten); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val totals = corpus.select(
+          F.aggregate(F.transform(text.tokens(F.col("text")),
+            t => F.size(bpe.segmentFast(t, merges)).cast("long")),
+            F.lit(0L), (acc, x) => acc + x).as("syms"))
+        .agg(F.sum("syms").as("n_symbols"), F.count(F.lit(1)).as("n"))
+        .head()
+      val nSymbols = totals.getLong(0); val nDocs = totals.getLong(1)
+      assert(nDocs == 100000L)
+      // 2.4M 8-char tokens: merges compress below 8 symbols/token but
+      // never below 1; both bounds breaking = kernel corruption
+      assert(nSymbols > 2400000L && nSymbols < 19200000L,
+        s"implausible symbol total $nSymbols")
+      Thread.sleep(2000)
+      val total = shuffled.get()
+      assert(total <= 1000L,
+        s"segmentation job shuffled $total records — the map is not " +
+          "shuffle-free")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("component map holds its contracts over a 50-day append/merge/compact horizon") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.{dedup, index}
+    // Long-horizon concern (index.scala readComponentMap contract):
+    // the remap grows by the day's merged-away representatives and is
+    // bounded only by compaction discipline — over 50 days of mixed
+    // accretion + cross-component merges it must stay EXACTLY the set
+    // of merged-away rep0s (flat, no chains, no leaks), the
+    // resolution join must stay a BROADCAST of that small table (a
+    // sort-merge there would shuffle the corpus map on every read),
+    // and the final state must equal the full recompute.
+    val baseN = 20000L
+    val nodes0 = spark.range(0, baseN).select(F.col("id"))
+    val pairs0 = spark.range(0, baseN / 10).select(
+      (F.col("id") * 10).as("id_a"), (F.col("id") * 10 + 1).as("id_b"))
+    index.buildComponentMap(nodes0, pairs0, "id", "lh_cm")
+    val allEdges = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    allEdges ++= (0L until baseN / 10).map(i => (i * 10, i * 10 + 1))
+    val allNodes = scala.collection.mutable.ArrayBuffer[Long]()
+    allNodes ++= (0L until baseN)
+    import spark.implicits._
+    (1 to 50).foreach { day =>
+      val base = baseN + (day - 1) * 300L
+      val newIds = (base until base + 300L)
+      // 100 accretion edges (new → old singletons), 150 new-new chain
+      // edges, 4 old-old bridges (the merge/remap fuel)
+      val edges =
+        newIds.take(100).zipWithIndex.map { case (n, i) =>
+          (n, (day * 100L + i) * 7 % baseN) } ++
+        newIds.drop(100).sliding(2, 2).collect {
+          case Seq(a, b) => (a, b) }.toSeq ++
+        (0 until 4).map { i =>
+          val a = ((day * 17 + i * 31) % (baseN / 10)) * 10
+          val b = ((day * 23 + i * 41) % (baseN / 10)) * 10
+          (a, b)
+        }.filter { case (a, b) => a != b }
+      index.appendComponentEdges(newIds.toDF("id"),
+        edges.toDF("id_a", "id_b"), "id", "lh_cm")
+      allEdges ++= edges
+      allNodes ++= newIds
+      if (day % 17 == 0) index.compactComponentMap(spark, "lh_cm")
+      if (day % 10 == 0 || day == 50) {
+        // remap invariants: keys are EXACTLY the merged-away rep0s of
+        // the map (nothing missing → reads resolve; nothing extra →
+        // no leak), one row per key, and FLAT (no rep is also a key)
+        val remap = spark.table("lh_cm_cremap").collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+        val remapKeys = remap.map(_._1).toSet
+        assert(remap.length == remapKeys.size,
+          s"day $day: remap must hold one row per merged-away rep")
+        assert(remap.map(_._2).toSet.intersect(remapKeys).isEmpty,
+          s"day $day: remap must stay flat (no chain entries)")
+        val current = index.readComponentMap(spark, "lh_cm")
+          .select("component").distinct()
+          .collect().map(_.getLong(0)).toSet
+        val rep0s = spark.table("lh_cm_cmap").select("rep0").distinct()
+          .collect().map(_.getLong(0)).toSet
+        assert(remapKeys == (rep0s -- current),
+          s"day $day: remap keys must be exactly the merged-away rep0s" +
+            s" (${(remapKeys diff (rep0s -- current)).take(3)} extra, " +
+            s"${((rep0s -- current) diff remapKeys).take(3)} missing)")
+      }
+    }
+    // resolution stays one BROADCAST join of the small remap — the
+    // read-side contract that makes the map consumable at corpus scale
+    val plan = index.readComponentMap(spark, "lh_cm")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"),
+      s"readComponentMap must broadcast the remap:\n$plan")
+    // 50-day incremental state ≡ the full recompute over every edge
+    val got = index.readComponentMap(spark, "lh_cm").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = dedup.connectedComponents(allEdges.toSeq.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bad = allNodes.iterator
+      .map(i => (i, got.get(i), full.getOrElse(i, i)))
+      .filter { case (_, g, w) => !g.contains(w) }.take(5).toSeq
+    assert(bad.isEmpty,
+      s"50-day incremental state diverged from the recompute: $bad")
+  }
 }
