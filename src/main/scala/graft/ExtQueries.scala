@@ -5624,6 +5624,76 @@ object ExtQueries {
     graft.functions.index.readComponentMap(s, "x126b_cm")
   }
 
+  /** x127-x130 steady state: each index is built ONCE per process;
+    * each sample removes a DIFFERENT ~1% residue class of live ids
+    * (the daily right-to-be-forgotten batch against a long-lived
+    * index) and re-probes — measuring the takedown rewrite + probe,
+    * not the repeated base build. The index shrinks ~1% per sample;
+    * the work shape is constant. */
+  def x127BenchTakedownDay(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    ensureOnce("x127_bench", dir) {
+      graft.functions.index.buildJaccardIndex(
+        d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x127b_jac")
+    }
+    val k = (benchDaySeq.incrementAndGet() % 97L) * 2L // even classes only
+    graft.functions.index.removeFromJaccardIndex(
+      d.filter(F.col("doc_id") % 194 === k).select("doc_id"),
+      "doc_id", "x127b_jac")
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+    graft.functions.index.probeJaccardIndex(s, batch, "doc_id", "text",
+      "x127b_jac", minJ = 0.8)
+  }
+
+  def x128BenchTakedownDay(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    ensureOnce("x128_bench", dir) {
+      graft.functions.index.buildExactIndex(
+        d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x128b_ex")
+    }
+    val k = (benchDaySeq.incrementAndGet() % 97L) * 2L
+    graft.functions.index.removeFromExactIndex(
+      d.filter(F.col("doc_id") % 194 === k).select("doc_id"),
+      "doc_id", "x128b_ex")
+    graft.functions.index.probeExactIndex(s,
+      d.filter(F.col("doc_id") % 2 === 1).select(F.col("doc_id"),
+        F.col("text")),
+      "doc_id", "text", "x128b_ex")
+  }
+
+  def x129BenchTakedownDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x129_bench", dir) {
+      graft.functions.index.buildIvfIndex(e, "vec_id", "embedding",
+        "x129b_ivf", nlist = 16, iters = 2)
+    }
+    val k = benchDaySeq.incrementAndGet() % 97L
+    graft.functions.index.removeFromIvfIndex(
+      e.filter(F.col("vec_id") % 97 === k).select("vec_id"),
+      "vec_id", "x129b_ivf")
+    graft.functions.index.probeIvfIndex(s,
+      e.filter(F.col("vec_id") < 12), "vec_id", "embedding",
+      "x129b_ivf", k = 6, nprobe = 16)
+  }
+
+  def x130BenchTakedownDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x130_bench", dir) {
+      graft.functions.index.buildPqIndex(e, "vec_id", "embedding",
+        "x130b_rpq", nlist = 8, m = 8, ksub = 16, ivfIters = 0,
+        pqIters = 0, sampleOneIn = 1L, portableSeed = true,
+        residual = true)
+    }
+    val k = benchDaySeq.incrementAndGet() % 97L
+    graft.functions.index.removeFromPqIndex(
+      e.filter(F.col("vec_id") % 97 === k).select("vec_id"),
+      "vec_id", "x130b_rpq")
+    graft.functions.index.probePqIndex(s,
+      e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+      "x130b_rpq", k = 5, nprobe = 3)
+  }
+
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
   val benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5631,6 +5701,10 @@ object ExtQueries {
     "x123_incremental_components" -> (x123BenchAppendDay _),
     "x124_neardup_family_lifecycle" -> (x124BenchAppendDay _),
     "x126_takedown_components" -> (x126BenchTakedown _),
+    "x127_jaccard_index_takedown" -> (x127BenchTakedownDay _),
+    "x128_exact_index_takedown" -> (x128BenchTakedownDay _),
+    "x129_ivf_index_takedown" -> (x129BenchTakedownDay _),
+    "x130_residual_pq_index_takedown" -> (x130BenchTakedownDay _),
     "x132_streaming_component_map" -> (x132BenchStreamDay _))
 
   val oracles: Map[String, String] = Map(
