@@ -4471,6 +4471,54 @@ object ExtQueries {
        |FROM doc JOIN chs USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  /** DEFERRED takedown then compaction
+    * ([[graft.functions.index.deferTakedown]] /
+    * `compactTakedowns`) — the 100 TB posture the physical x127
+    * rewrite can't be: a daily 0.1% takedown batch must not rewrite
+    * 100% of the index every day, so the ids land in a tiny pending
+    * table (O(batch) write), every probe excludes them IMMEDIATELY via
+    * one broadcast anti-join, and the rewrite is amortized to the
+    * compaction cadence. Both phases are probed: the `logical` probe
+    * runs with the purge still pending (materialized eagerly — a lazy
+    * frame would silently probe the compacted index and prove
+    * nothing), the `compacted` probe after the physical fold has run
+    * AND the pending table is truncated — so a purge that silently
+    * failed would resurrect ghosts and break the hash. Both phases
+    * must equal x127's survivors oracle: one oracle, one query, two
+    * execution regimes. */
+  def x134DeferredTakedown(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.index.buildJaccardIndex(
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x134_jac")
+    graft.functions.index.deferTakedown(
+      d.filter(F.col("doc_id") % 4 === 0).select("doc_id"),
+      "doc_id", "x134_jac")
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(
+        (F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    // materialize the logical-phase probe BEFORE compacting: DataFrames
+    // are lazy, and this one must capture the pending-filter plan
+    val logical = graft.functions.index.probeJaccardIndex(s, batch,
+      "doc_id", "text", "x134_jac", minJ = 0.8).localCheckpoint(true)
+    graft.functions.index.compactTakedowns(s, "x134_jac")
+    val compacted = graft.functions.index.probeJaccardIndex(s, batch,
+      "doc_id", "text", "x134_jac", minJ = 0.8)
+    logical.select(F.lit("logical").as("phase"), F.col("id_new"),
+        F.col("id_indexed"), F.col("jaccard"))
+      .unionByName(compacted.select(F.lit("compacted").as("phase"),
+        F.col("id_new"), F.col("id_indexed"), F.col("jaccard")))
+      .orderBy("phase", "id_new", "id_indexed")
+  }
+
+  private lazy val x134Oracle = {
+    val body = oracleEdit(x127Oracle, "\nORDER BY id_new, id_indexed", "")
+    s"""WITH hits AS ($body)
+       |SELECT p.phase, id_new, id_indexed, jaccard
+       |FROM hits CROSS JOIN (VALUES ('logical'), ('compacted')) AS p(phase)
+       |ORDER BY phase, id_new, id_indexed""".stripMargin
+  }
+
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
@@ -5520,7 +5568,8 @@ object ExtQueries {
     "x130_residual_pq_index_takedown" -> (x130ResidualPqIndexTakedown _),
     "x131_quantization_ladder" -> (x131QuantizationLadder _),
     "x132_streaming_component_map" -> (x132StreamingComponentMap _),
-    "x133_bpe_segment_chunks" -> (x133BpeSegmentChunks _))
+    "x133_bpe_segment_chunks" -> (x133BpeSegmentChunks _),
+    "x134_deferred_takedown" -> (x134DeferredTakedown _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -5844,5 +5893,6 @@ object ExtQueries {
     // the streamed lifecycle must equal the batch lifecycle on the same
     // days — one oracle, three plans (full closure / batch / stream)
     "x132_streaming_component_map" -> x124Oracle,
-    "x133_bpe_segment_chunks" -> x133Oracle)
+    "x133_bpe_segment_chunks" -> x133Oracle,
+    "x134_deferred_takedown" -> x134Oracle)
 }

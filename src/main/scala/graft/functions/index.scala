@@ -66,7 +66,10 @@ object index {
           s"bands=${stored._3})")
     }
     if (mode == SaveMode.Overwrite)
-      Seq(s"${name}_buckets", s"${name}_stats", s"${name}_sigs")
+      // _dels too: a fresh build is a fresh corpus — stale pending
+      // logical takedowns against the OLD build must not filter it
+      Seq(s"${name}_buckets", s"${name}_stats", s"${name}_sigs",
+          s"${name}_dels")
         .foreach(resetManagedTable(spark, _))
     val rowsPerBand = numPerm / bands
     // signatures + band keys are each read by two writers below —
@@ -209,6 +212,71 @@ object index {
     }
   }
 
+  /** DEFERRED (logical) takedown — the 100 TB posture: the physical
+    * removeFrom* ops below rewrite their index tables, so a daily 0.1%
+    * takedown batch would rewrite 100% of a 100 TB index every day.
+    * This appends the ids to a tiny `<name>_dels` table instead
+    * (O(batch), one small write); EVERY probe of any signature index
+    * family under `name` excludes pending ids immediately via one
+    * broadcast anti-join, and [[compactTakedowns]] folds the pending
+    * set into the physical purge on the deployment's compaction cadence
+    * — deletion-vector semantics: takedown is effective NOW, the
+    * rewrite is amortized.
+    *
+    * Signature families only (Jaccard buckets/sigs, exact fps, IVF
+    * cells, PQ codes — where exclusion is a row filter). The COMPONENT
+    * MAP is refused: deleting a bridge document SPLITS its family,
+    * which no row filter can express — use [[removeComponentIds]],
+    * which is already batch-scaled and needs no deferral. */
+  def deferTakedown(ids: DataFrame, idCol: String, name: String): Unit = {
+    similarity.requireIntegralId(ids, idCol, "index.deferTakedown")
+    val spark = ids.sparkSession
+    require(!spark.catalog.tableExists(s"${name}_cmap"),
+      s"index.deferTakedown: '$name' has a component map — map deletions " +
+        "can SPLIT families, which probe-time filtering cannot express; " +
+        "call removeComponentIds (already O(batch)) for the map")
+    delFrame(ids, idCol).select(F.col("_ix_del").as("id"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(s"${name}_dels")
+  }
+
+  /** Fold every pending logical takedown under `name` into the physical
+    * purge, across whichever signature index families exist, then
+    * truncate `<name>_dels`. Run on the compaction cadence (weekly,
+    * monthly — whenever one index rewrite is worth reclaiming the
+    * space); reads are identical before and after, because probes
+    * already exclude pending ids. */
+  def compactTakedowns(spark: SparkSession, name: String): Unit = {
+    if (!spark.catalog.tableExists(s"${name}_dels")) return
+    // pin the pending set OUTSIDE the dels table: the purges below run
+    // while it is being consumed, and the final truncate would yank a
+    // lazy plan's source out from under a late re-read
+    val ids = spark.table(s"${name}_dels").select("id").localCheckpoint(true)
+    if (spark.catalog.tableExists(s"${name}_buckets"))
+      removeFromJaccardIndex(ids, "id", name)
+    if (spark.catalog.tableExists(s"${name}_fps"))
+      removeFromExactIndex(ids, "id", name)
+    if (spark.catalog.tableExists(s"${name}_cells"))
+      removeFromIvfIndex(ids, "id", name)
+    if (spark.catalog.tableExists(s"${name}_pqcells"))
+      removeFromPqIndex(ids, "id", name)
+    spark.emptyDataFrame.select(F.lit(0L).as("id")).where(F.lit(false))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_dels")
+  }
+
+  /** `df` minus index `name`'s PENDING logical takedowns on `idColName`
+    * — one broadcast anti-join when `<name>_dels` exists, a no-op
+    * otherwise. Every probe's index side passes through here, so a
+    * [[deferTakedown]] is effective from the next query on. */
+  private def minusPending(spark: SparkSession, name: String,
+      df: DataFrame, idColName: String): DataFrame =
+    if (!spark.catalog.tableExists(s"${name}_dels")) df
+    else df.join(
+      F.broadcast(spark.table(s"${name}_dels")
+        .select(F.col("id").as("_ix_pending"))),
+      F.col(idColName) === F.col("_ix_pending"), "left_anti")
+
   /** TAKEDOWN for the Jaccard index — the [[removeComponentIds]]
     * lifecycle op for the `_buckets`/`_sigs`/`_stats` family: deleted
     * documents' band keys and shingle sets are physically PURGED (a
@@ -323,7 +391,7 @@ object index {
     val newKeys = sh.select(F.col("id").as("id_new"),
       F.posexplode(dedup.lshBandKeys(F.col("sig"), bands, rowsPerBand))
         .as(Seq("band", "band_hash")))
-    val idx = spark.table(s"${name}_buckets")
+    val idx = minusPending(spark, name, spark.table(s"${name}_buckets"), "id")
     val bucketCols = Seq("band", "band_hash")
     val cand0 =
       if (maxBucket <= 0)
@@ -402,7 +470,8 @@ object index {
         s"index: append canonicalize=$canonicalize does not match the " +
           s"build's canonicalize=$stored")
     }
-    if (mode == SaveMode.Overwrite) resetManagedTable(spark, s"${name}_fps")
+    if (mode == SaveMode.Overwrite)
+      Seq(s"${name}_fps", s"${name}_dels").foreach(resetManagedTable(spark, _))
     val key = if (canonicalize) text.foldedText(F.col(textCol))
       else F.col(textCol)
     df.select(F.col(idCol).cast(LongType).as("id"),
@@ -438,7 +507,8 @@ object index {
     * (`fp`) frame — the static side of a stream-static probe. */
   def probeExactIndexFingerprints(spark: SparkSession,
       name: String): DataFrame =
-    spark.table(s"${name}_fps").select("fp")
+    minusPending(spark, name, spark.table(s"${name}_fps"), "id")
+      .select("fp")
 
   /** Probe the exact index: every (id_new, id_indexed, fingerprint)
     * match between the batch and the indexed history. The fold mode
@@ -452,7 +522,8 @@ object index {
     val key = exactIndexKey(spark, name, F.col(textCol))
     val newFps = dfNew.select(F.col(idCol).cast(LongType).as("id_new"),
       text.fingerprintMd5(key).as("fp"))
-    newFps.join(spark.table(s"${name}_fps"), "fp")
+    newFps.join(minusPending(spark, name, spark.table(s"${name}_fps"), "id"),
+        "fp")
       .select(F.col("id_new"), F.col("id").as("id_indexed"),
         F.col("fp").as("fingerprint"))
   }
@@ -494,7 +565,7 @@ object index {
     val appending =
       mode == SaveMode.Append && spark.catalog.tableExists(s"${name}_cells")
     if (!appending)
-      Seq(s"${name}_cells", s"${name}_centroids")
+      Seq(s"${name}_cells", s"${name}_centroids", s"${name}_dels")
         .foreach(resetManagedTable(spark, _))
     val bank: Array[Double] =
       if (appending) {
@@ -565,7 +636,7 @@ object index {
       F.explode(F.call_function("graft_centroid_topk",
         F.col(vecCol), bankLit, F.lit(nprobe))).as("cell"))
     val q = if (broadcastQueries) F.broadcast(q0) else q0
-    val c0 = spark.table(s"${name}_cells")
+    val c0 = minusPending(spark, name, spark.table(s"${name}_cells"), "n_id")
     // Under the broadcast contract the query batch is small, so one tiny
     // job collects its distinct probed cells and turns them into a
     // STATIC partition filter: the scan reads only nprobe-ish of nlist
@@ -627,7 +698,7 @@ object index {
     }
     val dim = dimRow.head.getInt(0)
     if (!appending)
-      Seq(s"${name}_pqcells", s"${name}_pqbank")
+      Seq(s"${name}_pqcells", s"${name}_pqbank", s"${name}_dels")
         .foreach(resetManagedTable(spark, _))
     // stored parameters govern appends — including the RESIDUAL flag: a
     // batch encoded raw into a residual index (or vice versa) would
@@ -1123,7 +1194,7 @@ object index {
         F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
           .as("dt"))
     val q = if (broadcastQueries) F.broadcast(q0) else q0
-    val c0 = spark.table(s"${name}_pqcells")
+    val c0 = minusPending(spark, name, spark.table(s"${name}_pqcells"), "n_id")
     val c = if (broadcastQueries) {
       val cells = q0.select("cell").distinct().collect().map(_.getInt(0))
       c0.filter(F.col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))

@@ -206,6 +206,71 @@ class IndexTakedownSpec extends SparkSpec {
       "append after takedown must re-encode identically (residual kept)")
   }
 
+  test("deferred takedown: probes exclude pending ids immediately; compaction purges all families") {
+    val d = corpus()
+    val e = vectors()
+    // all four signature families under ONE name (their table suffixes
+    // are disjoint): a single pending set governs every probe
+    index.buildJaccardIndex(d, "doc_id", "text", "td_def", buckets = 8)
+    index.buildExactIndex(d, "doc_id", "text", "td_def", buckets = 8)
+    index.buildIvfIndex(e, "vec_id", "v", "td_def", nlist = 4, iters = 2)
+    index.buildPqIndex(e, "vec_id", "v", "td_def", nlist = 3, m = 4,
+      ksub = 8, ivfIters = 0, pqIters = 0, sampleOneIn = 1L,
+      portableSeed = true)
+    index.deferTakedown(Seq(0L, 4L, 7L).toDF("id"), "id", "td_def")
+    val batch = d.filter(F.col("doc_id") < 10)
+      .select((F.col("doc_id") + 1000L).as("doc_id"), F.col("text"))
+    val del = Set(0L, 4L, 7L)
+    def assertClean(tag: String): Unit = {
+      val jac = index.probeJaccardIndex(spark, batch, "doc_id", "text",
+        "td_def", minJ = 0.8).collect().map(_.getLong(1)).toSet
+      assert(jac.nonEmpty && jac.intersect(del).isEmpty, s"$tag jac: $jac")
+      val ex = index.probeExactIndex(spark, batch, "doc_id", "text",
+        "td_def").collect().map(_.getLong(1)).toSet
+      assert(ex.nonEmpty && ex.intersect(del).isEmpty, s"$tag exact: $ex")
+      val ivf = index.probeIvfIndex(spark, e.filter(F.col("vec_id") < 3),
+        "vec_id", "v", "td_def", k = 4, nprobe = 4)
+        .collect().map(_.getLong(1)).toSet
+      assert(ivf.nonEmpty && ivf.intersect(del).isEmpty, s"$tag ivf: $ivf")
+      val pq = index.probePqIndex(spark, e.filter(F.col("vec_id") < 3),
+        "vec_id", "v", "td_def", k = 4, nprobe = 3)
+        .collect().map(_.getLong(1)).toSet
+      assert(pq.nonEmpty && pq.intersect(del).isEmpty, s"$tag pq: $pq")
+    }
+    assertClean("logical") // purge hasn't run — the filter must
+    // rows are still physically present while pending
+    assert(spark.table("td_def_fps").filter(F.col("id").isin(0L, 4L, 7L))
+      .count() == 3L, "logical takedown must not rewrite anything yet")
+    index.compactTakedowns(spark, "td_def")
+    assert(spark.table("td_def_dels").count() == 0L,
+      "compaction must truncate the pending set")
+    Seq("td_def_buckets" -> "id", "td_def_sigs" -> "id",
+      "td_def_fps" -> "id", "td_def_cells" -> "n_id",
+      "td_def_pqcells" -> "n_id").foreach { case (t, c) =>
+      assert(spark.table(t).filter(F.col(c).isin(0L, 4L, 7L)).count() == 0L,
+        s"compaction must purge $t")
+    }
+    assertClean("compacted") // now the physical state alone
+    // a second compaction with nothing pending is a no-op
+    index.compactTakedowns(spark, "td_def")
+    assertClean("recompacted")
+    // the component map refuses the deferred path: splits can't be a
+    // row filter
+    index.buildComponentMap(Seq(1L, 2L).toDF("id"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"), "id", "td_def2")
+    index.buildExactIndex(d, "doc_id", "text", "td_def2", buckets = 4)
+    val err = intercept[IllegalArgumentException] {
+      index.deferTakedown(Seq(1L).toDF("id"), "id", "td_def2")
+    }
+    assert(err.getMessage.contains("component map"))
+    // a fresh Overwrite build clears stale pending deletions
+    index.deferTakedown(Seq(3L).toDF("doc_id"), "doc_id", "td_def")
+    index.buildExactIndex(d, "doc_id", "text", "td_def", buckets = 8)
+    assert(!spark.catalog.tableExists("td_def_dels") ||
+      spark.table("td_def_dels").count() == 0L,
+      "an Overwrite rebuild must not inherit the old corpus's pending set")
+  }
+
   test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)
