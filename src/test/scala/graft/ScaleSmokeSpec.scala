@@ -949,6 +949,60 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("deferred takedown is O(batch) against a 2M-row index; compaction owns the rewrite") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.index
+    // The deferTakedown contract (index.scala): the daily takedown
+    // batch must cost O(batch) — one small append, no scan, no rewrite
+    // of the 2M-row index — with the probe paying one broadcast
+    // anti-join; the index rewrite happens ONLY at compaction. 2M-row
+    // exact index, 1k-id takedown batch.
+    val n = 2000000L
+    index.buildExactIndex(
+      spark.range(0, n).select(F.col("id").as("doc_id"),
+        F.concat(F.lit("document body "), F.col("id")).as("text")),
+      "doc_id", "text", "smoke_dtd")
+    val read = new java.util.concurrent.atomic.AtomicLong(0L)
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          read.addAndGet(m.inputMetrics.recordsRead)
+          written.addAndGet(m.outputMetrics.recordsWritten); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      index.deferTakedown(
+        spark.range(0, 1000).select((F.col("id") * 1999).as("doc_id")),
+        "doc_id", "smoke_dtd")
+      Thread.sleep(2000)
+      assert(read.get() <= 10000L,
+        s"deferTakedown read ${read.get()} records — it must not scan the index")
+      assert(written.get() <= 2000L,
+        s"deferTakedown wrote ${written.get()} records — it must be one " +
+          "batch-sized append")
+      // probe: pending ids excluded; the extra cost is one broadcast of
+      // the 1k-row pending set, not an index rewrite
+      val probe = index.probeExactIndex(spark,
+        spark.range(0, 4000).select(F.col("id").as("doc_id"),
+          F.concat(F.lit("document body "), F.col("id") * 1999).as("text")),
+        "doc_id", "text", "smoke_dtd")
+      val hit = probe.select("id_indexed").collect().map(_.getLong(0)).toSet
+      assert(hit.nonEmpty, "live docs must still match")
+      val pending = (0L until 1000L).map(_ * 1999).toSet
+      assert(hit.intersect(pending).isEmpty, "pending ids must not match")
+      // compaction does the one rewrite; after it the dels are gone
+      index.compactTakedowns(spark, "smoke_dtd")
+      assert(spark.table("smoke_dtd_dels").count() == 0L)
+      assert(spark.table("smoke_dtd_fps").count() == n - 1000L,
+        "compaction must purge exactly the pending rows")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("BPE segmentation maps a 100k-doc corpus against a 1k-rule table shuffle-free") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import graft.functions.{bpe, text}

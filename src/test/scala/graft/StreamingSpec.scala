@@ -234,6 +234,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming index probe honors pending (deferred) takedowns") {
+    import graft.functions.index
+    // a deferred takedown must be effective for STREAMING probes too —
+    // a re-crawl of a legally-removed page is a NEW document again,
+    // not a dup of the ghost
+    val history = Seq(
+      (1L, "deferred takedown page one"),
+      (2L, "deferred takedown page two")).toDF("doc_id", "text")
+    index.buildExactIndex(history, "doc_id", "text", "graft_sxd2",
+      buckets = 2)
+    index.deferTakedown(Seq(1L).toDF("id"), "id", "graft_sxd2")
+    val dir = Files.createTempDirectory("graft_sxd2").toString
+    try {
+      Seq(
+        (10L, "deferred takedown page one"),  // matches only the GHOST
+        (11L, "deferred takedown page two"))  // matches a live doc
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+      val stream = Streams.dedupAgainstExactIndexStream(
+        spark.readStream.schema("doc_id LONG, text STRING").parquet(dir),
+        "doc_id", "text", "graft_sxd2")
+      Streams.runToMemory(stream, "sxd2_out", OutputMode.Append())
+      assert(spark.table("sxd2_out").select("doc_id").as[Long].collect()
+        .toSet == Set(10L),
+        "the pending-deleted doc's re-crawl must pass as new; the live " +
+          "doc's copy must still be dropped")
+    } finally {
+      Seq("graft_sxd2_fps", "graft_sxd2_dels")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("streaming component-map maintenance equals the batch lifecycle, resumes across streams") {
     import graft.functions.{dedup, index}
     // three families across two micro-batches: exact copies (J = 1)
