@@ -5743,6 +5743,29 @@ object ExtQueries {
       "x130b_rpq", k = 5, nprobe = 3)
   }
 
+  /** x134 steady state: the DAILY unit of the deferred path is
+    * defer + probe (one O(batch) append + a probe paying one broadcast
+    * anti-join) — the compaction rewrite it amortizes away is exactly
+    * what the x127-x130 variants already measure, so benching it here
+    * too would double-count. Base index built once; each sample defers
+    * a fresh ~1% residue class and probes through the grown pending
+    * set. */
+  def x134BenchDeferDay(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    ensureOnce("x134_bench", dir) {
+      graft.functions.index.buildJaccardIndex(
+        d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x134b_jac")
+    }
+    val k = (benchDaySeq.incrementAndGet() % 97L) * 2L
+    graft.functions.index.deferTakedown(
+      d.filter(F.col("doc_id") % 194 === k).select("doc_id"),
+      "doc_id", "x134b_jac")
+    graft.functions.index.probeJaccardIndex(s,
+      d.filter(F.col("doc_id") % 2 === 1)
+        .select(F.col("doc_id"), F.col("text")),
+      "doc_id", "text", "x134b_jac", minJ = 0.8)
+  }
+
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
   val benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5754,7 +5777,8 @@ object ExtQueries {
     "x128_exact_index_takedown" -> (x128BenchTakedownDay _),
     "x129_ivf_index_takedown" -> (x129BenchTakedownDay _),
     "x130_residual_pq_index_takedown" -> (x130BenchTakedownDay _),
-    "x132_streaming_component_map" -> (x132BenchStreamDay _))
+    "x132_streaming_component_map" -> (x132BenchStreamDay _),
+    "x134_deferred_takedown" -> (x134BenchDeferDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
