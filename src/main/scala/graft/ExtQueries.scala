@@ -4519,6 +4519,29 @@ object ExtQueries {
        |ORDER BY phase, id_new, id_indexed""".stripMargin
   }
 
+  /** DEFERRED takedown on the ANN path
+    * ([[graft.functions.index.deferTakedown]] against the
+    * cell-partitioned IVF index): x129's setting with the purge left
+    * PENDING — no compaction runs, the deleted vectors' rows are still
+    * physically in their cell directories — yet the nprobe = nlist
+    * probe must STILL be exactly the brute force over survivors,
+    * because the pending filter rides the partition-pruned scan.
+    * Oracle = x129's verbatim (one oracle, two deletion regimes:
+    * physical there, logical here); x134 pins the same for the
+    * bucketed-Jaccard path. */
+  def x135DeferredAnnTakedown(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildIvfIndex(e, "vec_id", "embedding",
+      "x135_ivf", nlist = 16, iters = 2)
+    graft.functions.index.deferTakedown(
+      e.filter(F.col("vec_id") % 5 === 0).select("vec_id"),
+      "vec_id", "x135_ivf")
+    graft.functions.index.probeIvfIndex(s,
+        e.filter(F.col("vec_id") < 12), "vec_id", "embedding",
+        "x135_ivf", k = 6, nprobe = 16)
+      .orderBy("q_id", "rank")
+  }
+
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
@@ -5569,7 +5592,8 @@ object ExtQueries {
     "x131_quantization_ladder" -> (x131QuantizationLadder _),
     "x132_streaming_component_map" -> (x132StreamingComponentMap _),
     "x133_bpe_segment_chunks" -> (x133BpeSegmentChunks _),
-    "x134_deferred_takedown" -> (x134DeferredTakedown _))
+    "x134_deferred_takedown" -> (x134DeferredTakedown _),
+    "x135_deferred_ann_takedown" -> (x135DeferredAnnTakedown _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -5918,5 +5942,8 @@ object ExtQueries {
     // days — one oracle, three plans (full closure / batch / stream)
     "x132_streaming_component_map" -> x124Oracle,
     "x133_bpe_segment_chunks" -> x133Oracle,
-    "x134_deferred_takedown" -> x134Oracle)
+    "x134_deferred_takedown" -> x134Oracle,
+    // pending (logical) deletion must probe exactly like the physical
+    // purge — x129's oracle, second plan
+    "x135_deferred_ann_takedown" -> x129Oracle)
 }
