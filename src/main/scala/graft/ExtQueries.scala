@@ -5790,6 +5790,24 @@ object ExtQueries {
       "doc_id", "text", "x134b_jac", minJ = 0.8)
   }
 
+  /** x135 steady state: defer one ~1% batch against the pre-built IVF
+    * index, probe through the pending set (the x134BenchDeferDay
+    * posture on the ANN path). */
+  def x135BenchDeferDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x135_bench", dir) {
+      graft.functions.index.buildIvfIndex(e, "vec_id", "embedding",
+        "x135b_ivf", nlist = 16, iters = 2)
+    }
+    val k = benchDaySeq.incrementAndGet() % 97L
+    graft.functions.index.deferTakedown(
+      e.filter(F.col("vec_id") % 97 === k).select("vec_id"),
+      "vec_id", "x135b_ivf")
+    graft.functions.index.probeIvfIndex(s,
+      e.filter(F.col("vec_id") < 12), "vec_id", "embedding",
+      "x135b_ivf", k = 6, nprobe = 16)
+  }
+
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
   val benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5802,7 +5820,8 @@ object ExtQueries {
     "x129_ivf_index_takedown" -> (x129BenchTakedownDay _),
     "x130_residual_pq_index_takedown" -> (x130BenchTakedownDay _),
     "x132_streaming_component_map" -> (x132BenchStreamDay _),
-    "x134_deferred_takedown" -> (x134BenchDeferDay _))
+    "x134_deferred_takedown" -> (x134BenchDeferDay _),
+    "x135_deferred_ann_takedown" -> (x135BenchDeferDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
