@@ -55,7 +55,9 @@ object bpe {
     require(numMerges >= 1, s"bpe: numMerges must be >= 1 (got $numMerges)")
     val words = df
       .select(F.explode(text.tokens(F.col(textCol))).as("w"))
-      .filter(F.col("w").rlike("^[a-z]+$"))
+      // \A..\z for char-exactness (see [[segment]]'s gate); moot for
+      // whitespace-split tokens, which cannot carry a trailing newline
+      .filter(F.col("w").rlike("\\A[a-z]+\\z"))
       .groupBy("w").agg(F.count(F.lit(1)).as("cnt"))
       .select(F.regexp_extract_all(F.col("w"), F.lit("[a-z]"), F.lit(0))
         .as("syms"), F.col("cnt"))
@@ -192,7 +194,11 @@ object bpe {
             F.concat(acc, x))
             .otherwise(F.concat(acc, F.lit("|"), x)))), "\\|")
     }
-    F.when(tok.rlike("^[a-z]+$"), folded).otherwise(F.array(tok))
+    // \A..\z, not ^..$: Java's $ also matches before a trailing
+    // newline, so "abc\n" would take the merge path here while
+    // [[segmentFast]]'s char-exact gate (and RE2-based oracle replays,
+    // where $ is end-of-text) pass it through whole
+    F.when(tok.rlike("\\A[a-z]+\\z"), folded).otherwise(F.array(tok))
   }
 
   /** [[segment]] against a RUNTIME merge table — identical semantics

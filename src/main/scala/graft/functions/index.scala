@@ -26,6 +26,18 @@ import org.apache.spark.sql.types._
   * The hash parameters (k, numPerm, bands) are recorded as table
   * properties at build time and READ BACK by the probe — a probe can
   * never silently use mismatched parameters and miss pairs.
+  *
+  * SINGLE-WRITER CONTRACT: the lifecycle mutators (build/append,
+  * removeFrom*, compactTakedowns, compactIndex) assume one writer per
+  * index name and a maintenance window with no concurrent probes on
+  * the same SparkSession — they swap tables through catalog renames
+  * (two renames, not one atomic step) and pin per-statement writer
+  * confs session-wide for their duration ([[withConf]]). Probes racing
+  * a physical takedown can observe a missing-table window; concurrent
+  * statements can inherit a flipped conf. Deployments needing live
+  * probe traffic during maintenance should prefer [[deferTakedown]]
+  * (an append, no swap — probes filter pending ids without any window)
+  * and schedule the physical compaction inside the window.
   */
 object index {
 
@@ -115,7 +127,11 @@ object index {
 
   /** Run `body` with a session conf pinned, restoring the previous
     * value (or unsetting) afterwards — the lifecycle ops below flip
-    * writer/scan behavior for one statement only. */
+    * writer/scan behavior for one statement only. The flip is
+    * session-WIDE while `body` runs (Spark has no per-statement scope
+    * for these writer confs): a concurrent statement on the same
+    * session would inherit it — part of the module's single-writer
+    * maintenance-window contract (see the object doc). */
   private def withConf[T](spark: SparkSession, key: String,
       value: String)(body: => T): T = {
     val prev = spark.conf.getOption(key)
@@ -147,8 +163,16 @@ object index {
     * with its bucket alignment forced (autoBucketedScan off → one task
     * per bucket), the deletion set broadcast anti-joins in place, and
     * the bucketBy write emits one file per bucket with NO exchange —
-    * the index is never shuffled. The swap is a catalog RENAME of the
-    * staged table (one directory move), not a second data copy. */
+    * the index is never shuffled.
+    *
+    * Swap discipline: the old generation is renamed ASIDE
+    * (`<table>_takedown_old`) before the staged survivors are promoted
+    * — never a drop-first window where no data exists on disk, and a
+    * crash anywhere leaves a complete generation recoverable under a
+    * deterministic name (`_takedown_old` holds the pre-takedown data
+    * until the final drop; `_takedown_stage` holds survivors until
+    * promotion). The two catalog renames are still not one atomic
+    * step, hence the module-level single-writer contract below. */
   private def rewriteBucketedMinus(spark: SparkSession, table: String,
       idColName: String, del: DataFrame, bucketCols: Seq[String]): Unit = {
     val nb = numBuckets(spark, table)
@@ -156,7 +180,9 @@ object index {
       .map(r => (r.getString(0), r.getString(1)))
       .filter(_._1.startsWith("graft."))
     val stage = s"${table}_takedown_stage"
+    val old = s"${table}_takedown_old"
     resetManagedTable(spark, stage)
+    resetManagedTable(spark, old)
     val survivors = spark.table(table)
       .join(F.broadcast(del), F.col(idColName) === F.col("_ix_del"),
         "left_anti")
@@ -169,8 +195,9 @@ object index {
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
         props.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
-    resetManagedTable(spark, table)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    resetManagedTable(spark, old)
   }
 
   /** Purge deleted ids from a cell-PARTITIONED index table (`_cells` /
@@ -227,7 +254,24 @@ object index {
     * cells, PQ codes — where exclusion is a row filter). The COMPONENT
     * MAP is refused: deleting a bridge document SPLITS its family,
     * which no row filter can express — use [[removeComponentIds]],
-    * which is already batch-scaled and needs no deferral. */
+    * which is already batch-scaled and needs no deferral.
+    *
+    * RE-INGEST CONTRACT — takedown wins until compaction: an `Append`
+    * of a pending id (a re-crawl of a taken-down page) stays hidden
+    * from probes while the id is pending, and [[compactTakedowns]]
+    * purges BOTH generations. This is deliberate: a
+    * right-to-be-forgotten id must not silently resurrect through the
+    * crawl pipeline inside the same compaction epoch. Re-ingesting the
+    * id AFTER a compaction indexes it normally (the pending set is
+    * empty then). Pinned by IndexTakedownSpec and the x136 oracle.
+    *
+    * When `spark.graft.index.autoCompactPendingThreshold` is set > 0
+    * and the pending set exceeds it after this append,
+    * [[compactTakedowns]] runs inline — a hard ceiling on the pending
+    * set for deployments that don't want to trust cadence alone
+    * (probes past [[minusPending]]'s broadcast gate stay correct
+    * either way, via the shuffled fallback). Default 0 = off: the
+    * deferred write stays O(batch). */
   def deferTakedown(ids: DataFrame, idCol: String, name: String): Unit = {
     similarity.requireIntegralId(ids, idCol, "index.deferTakedown")
     val spark = ids.sparkSession
@@ -238,18 +282,28 @@ object index {
     delFrame(ids, idCol).select(F.col("_ix_del").as("id"))
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(s"${name}_dels")
+    val autoCap = spark.conf
+      .get("spark.graft.index.autoCompactPendingThreshold", "0").toLong
+    if (autoCap > 0 && spark.table(s"${name}_dels").count() > autoCap)
+      compactTakedowns(spark, name)
   }
 
   /** Fold every pending logical takedown under `name` into the physical
     * purge, across whichever signature index families exist, then
-    * truncate `<name>_dels`. Run on the compaction cadence (weekly,
-    * monthly — whenever one index rewrite is worth reclaiming the
-    * space); reads are identical before and after, because probes
-    * already exclude pending ids. */
+    * remove exactly the PURGED ids from `<name>_dels`. Run on the
+    * compaction cadence (weekly, monthly — whenever one index rewrite
+    * is worth reclaiming the space); reads are identical before and
+    * after, because probes already exclude pending ids.
+    *
+    * The final shrink is an anti-join of the CURRENT dels against the
+    * pinned set, not a blind truncate: a [[deferTakedown]] that lands
+    * between the pin and this rewrite was never purged, and wiping it
+    * here would silently resurrect that id — it must stay pending for
+    * the next compaction. */
   def compactTakedowns(spark: SparkSession, name: String): Unit = {
     if (!spark.catalog.tableExists(s"${name}_dels")) return
     // pin the pending set OUTSIDE the dels table: the purges below run
-    // while it is being consumed, and the final truncate would yank a
+    // while it is being consumed, and the final rewrite would yank a
     // lazy plan's source out from under a late re-read
     val ids = spark.table(s"${name}_dels").select("id").localCheckpoint(true)
     if (spark.catalog.tableExists(s"${name}_buckets"))
@@ -260,22 +314,99 @@ object index {
       removeFromIvfIndex(ids, "id", name)
     if (spark.catalog.tableExists(s"${name}_pqcells"))
       removeFromPqIndex(ids, "id", name)
-    spark.emptyDataFrame.select(F.lit(0L).as("id")).where(F.lit(false))
+    // keep only ids deferred AFTER the pin (dels is read and rewritten:
+    // break the cycle through a stage table, the cremap posture)
+    spark.table(s"${name}_dels")
+      .join(F.broadcast(ids.withColumnRenamed("id", "_ix_purged")),
+        F.col("id") === F.col("_ix_purged"), "left_anti")
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${name}_dels_stage")
+    spark.table(s"${name}_dels_stage")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_dels")
+    resetManagedTable(spark, s"${name}_dels_stage")
+  }
+
+  /** Standing FILE compaction across every index family under `name` —
+    * no deletion involved. Each daily Append writes one file per
+    * bucket (the build ops' repartition-onto-the-grid posture), so a
+    * year of appends is ~365 files per bucket and every probe pays
+    * open/footer cost per file; until now only a takedown rewrite
+    * compacted, and only when deletions were pending. This rewrites
+    * each bucketed table onto its own grid (one file per bucket, no
+    * exchange — the [[rewriteBucketedMinus]] scan shape with an empty
+    * deletion set), rewrites each cell-partitioned table to one file
+    * per cell, and folds the `_stats` append log (one row per
+    * build/append/takedown per bucket) into one row per live bucket.
+    * Reads are identical before and after — only the file layout
+    * moves. Pending logical takedowns are NOT folded (that is
+    * [[compactTakedowns]]'s job); `<name>_dels` is untouched. Runs
+    * under the module's single-writer maintenance-window contract. */
+  def compactIndex(spark: SparkSession, name: String): Unit = {
+    val none = spark.range(0).select(F.col("id").as("_ix_del"))
+    if (spark.catalog.tableExists(s"${name}_buckets")) {
+      rewriteBucketedMinus(spark, s"${name}_buckets", "id", none,
+        Seq("band", "band_hash"))
+      rewriteBucketedMinus(spark, s"${name}_sigs", "id", none, Seq("id"))
+      // zero-sum buckets (fully taken down) drop out; a bucket absent
+      // from _stats reads as count 0 either way, so probes see no change
+      spark.table(s"${name}_stats")
+        .groupBy("band", "band_hash").agg(F.sum("cnt").as("cnt"))
+        .filter(F.col("cnt") =!= 0L)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_stats_stage")
+      spark.table(s"${name}_stats_stage")
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(s"${name}_stats")
+      resetManagedTable(spark, s"${name}_stats_stage")
+    }
+    if (spark.catalog.tableExists(s"${name}_fps"))
+      rewriteBucketedMinus(spark, s"${name}_fps", "id", none, Seq("fp"))
+    Seq(s"${name}_cells", s"${name}_pqcells")
+      .filter(spark.catalog.tableExists).foreach { t =>
+        // one task per cell = one file per cell; the dynamic overwrite
+        // replaces exactly the cells present — here, all of them (the
+        // removeFromCellTable write shape, minus the deletion)
+        withConf(spark, "spark.sql.sources.partitionOverwriteMode",
+            "dynamic") {
+          spark.table(t).repartition(F.col("cell"))
+            .write.mode(SaveMode.Overwrite).insertInto(t)
+        }
+      }
   }
 
   /** `df` minus index `name`'s PENDING logical takedowns on `idColName`
-    * — one broadcast anti-join when `<name>_dels` exists, a no-op
-    * otherwise. Every probe's index side passes through here, so a
-    * [[deferTakedown]] is effective from the next query on. */
-  private def minusPending(spark: SparkSession, name: String,
+    * — a no-op when `<name>_dels` doesn't exist. Every probe's index
+    * side passes through here, so a [[deferTakedown]] is effective from
+    * the next query on.
+    *
+    * The anti-join is COUNT-GATED: below
+    * `spark.graft.index.pendingBroadcastThreshold` (default 10M ids ≈
+    * 80 MB — the same posture as `cmap.localAffectedThreshold`) the
+    * pending set broadcasts, keeping the probe shuffle-free; above it
+    * the join falls back to a shuffled anti-join, because the pending
+    * set's size is bounded only by the deployment's compaction
+    * discipline (a skipped month of daily 0.1% takedowns on a 10B-doc
+    * corpus is ~300M ids — multi-GB, executor-OOM territory as a
+    * broadcast). The count is one metadata-only job over the small
+    * parquet table per probe CONSTRUCTION (not per probe execution).
+    * Results are identical on either side of the gate — only the
+    * physical join strategy moves. */
+  private[graft] def minusPending(spark: SparkSession, name: String,
       df: DataFrame, idColName: String): DataFrame =
     if (!spark.catalog.tableExists(s"${name}_dels")) df
-    else df.join(
-      F.broadcast(spark.table(s"${name}_dels")
-        .select(F.col("id").as("_ix_pending"))),
-      F.col(idColName) === F.col("_ix_pending"), "left_anti")
+    else {
+      val dels = spark.table(s"${name}_dels")
+        .select(F.col("id").as("_ix_pending"))
+      val cap = spark.conf
+        .get("spark.graft.index.pendingBroadcastThreshold", "10000000").toLong
+      val side =
+        if (dels.count() <= cap) F.broadcast(dels)
+        // hint the shuffled-hash strategy explicitly: without it AQE
+        // could still promote a just-over-threshold set to a broadcast
+        else dels.hint("shuffle_hash")
+      df.join(side, F.col(idColName) === F.col("_ix_pending"), "left_anti")
+    }
 
   /** TAKEDOWN for the Jaccard index — the [[removeComponentIds]]
     * lifecycle op for the `_buckets`/`_sigs`/`_stats` family: deleted
@@ -294,18 +425,26 @@ object index {
     val spark = ids.sparkSession
     val del = dedup.cachedPinned(delFrame(ids, idCol))
     try {
-      // decrement BEFORE the buckets rewrite (this is a write, so the
-      // old table is fully consumed before it is swapped)
-      spark.table(s"${name}_buckets")
+      // the decrement is computed from the PRE-rewrite buckets table,
+      // pinned eagerly (localCheckpoint — the source is about to be
+      // swapped), but APPENDED only after the rewrite commits: a retry
+      // after a mid-takedown failure then finds the rows already gone
+      // and appends nothing, instead of decrementing the same buckets
+      // twice and dragging _stats sums below live counts (maxBucket
+      // pruning misclassifies on understated counts; an overstated
+      // count — crash between rewrite and append — only errs hot-ward,
+      // which is pair-complete)
+      val dec = spark.table(s"${name}_buckets")
         .join(F.broadcast(del), F.col("id") === F.col("_ix_del"),
           "left_semi")
         .groupBy("band", "band_hash")
         .agg((-F.count(F.lit(1))).as("cnt"))
-        .write.mode(SaveMode.Append).format("parquet")
-        .saveAsTable(s"${name}_stats")
+        .localCheckpoint(true)
       rewriteBucketedMinus(spark, s"${name}_buckets", "id", del,
         Seq("band", "band_hash"))
       rewriteBucketedMinus(spark, s"${name}_sigs", "id", del, Seq("id"))
+      dec.write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(s"${name}_stats")
     } finally { del.unpersist(blocking = false); () }
   }
 

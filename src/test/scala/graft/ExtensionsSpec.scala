@@ -2246,8 +2246,12 @@ class ExtensionsSpec extends SparkSpec {
     val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("q", "q"),
       ("the", "a"), ("a", "n"), ("an", "d"), ("x", "y"))
     val rnd = new scala.util.Random(20260815L)
+    // "the\n" / "\nthe": Java ^..$ would admit a trailing newline into
+    // the merge path (the gate anchors \A..\z precisely so both forms
+    // pass such tokens through whole, like the RE2-based oracles)
     val toks = Seq("the", "thean", "and", "banana", "qqq", "qqqq", "x",
-      "", "X42!", "ötther", "thethe", "ananan") ++
+      "", "X42!", "ötther", "thethe", "ananan", "the\n", "\nthe",
+      "the\nthe") ++
       (0 until 200).map(_ => (0 until rnd.nextInt(12))
         .map(_ => "theandqxyz".charAt(rnd.nextInt(10))).mkString)
     val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }

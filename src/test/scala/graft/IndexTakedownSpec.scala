@@ -271,6 +271,169 @@ class IndexTakedownSpec extends SparkSpec {
       "an Overwrite rebuild must not inherit the old corpus's pending set")
   }
 
+  test("re-ingest while pending: takedown wins until compaction, then re-ingest sticks") {
+    val d = corpus()
+    index.buildExactIndex(d, "doc_id", "text", "td_re", buckets = 4)
+    val batch = d.filter(F.col("doc_id") === 0L)
+      .select((F.col("doc_id") + 1000L).as("doc_id"), F.col("text"))
+    def hits() = index.probeExactIndex(spark, batch, "doc_id", "text",
+      "td_re").collect().map(_.getLong(1)).toSet
+    assert(hits().contains(0L), "setup: batch must hit doc 0")
+    index.deferTakedown(Seq(0L).toDF("id"), "id", "td_re")
+    assert(!hits().contains(0L), "pending id must be hidden")
+    // a legitimate re-crawl of the taken-down id, while still pending
+    index.buildExactIndex(d.filter(F.col("doc_id") === 0L), "doc_id",
+      "text", "td_re", buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.table("td_re_fps").filter(F.col("id") === 0L).count() == 2L,
+      "setup: both generations physically present")
+    assert(!hits().contains(0L),
+      "takedown wins: a re-ingest of a pending id stays hidden")
+    index.compactTakedowns(spark, "td_re")
+    assert(spark.table("td_re_fps").filter(F.col("id") === 0L).count() == 0L,
+      "compaction must purge BOTH generations of a pending id")
+    assert(!hits().contains(0L))
+    // after compaction the pending set is empty — re-ingest is normal
+    index.buildExactIndex(d.filter(F.col("doc_id") === 0L), "doc_id",
+      "text", "td_re", buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(hits().contains(0L),
+      "a re-ingest AFTER compaction must index normally")
+  }
+
+  test("pending set past the broadcast threshold falls back to a shuffled anti-join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val d = corpus()
+    index.buildExactIndex(d, "doc_id", "text", "td_gate", buckets = 4)
+    index.deferTakedown(Seq(0L, 2L, 4L).toDF("id"), "id", "td_gate")
+    def strategies(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case _: BroadcastHashJoinExec => "broadcast"
+        case _: ShuffledHashJoinExec => "shuffled"
+      }
+    def survivorIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").collect().map(_.getLong(0)).toSet
+    val below = index.minusPending(spark, "td_gate",
+      spark.table("td_gate_fps"), "id")
+    assert(strategies(below).contains("broadcast"),
+      s"below the gate the pending set must broadcast: ${strategies(below)}")
+    val want = survivorIds(below)
+    assert(want.nonEmpty && want.intersect(Set(0L, 2L, 4L)).isEmpty)
+    spark.conf.set("spark.graft.index.pendingBroadcastThreshold", "2")
+    try {
+      val above = index.minusPending(spark, "td_gate",
+        spark.table("td_gate_fps"), "id")
+      val s = strategies(above)
+      assert(s.contains("shuffled") && !s.contains("broadcast"),
+        s"past the gate the anti-join must not broadcast: $s")
+      assert(survivorIds(above) == want,
+        "results must be identical on both sides of the gate")
+      // the full probe path stays green past the gate too
+      val batch = d.filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 1000L).as("doc_id"), F.col("text"))
+      val probed = index.probeExactIndex(spark, batch, "doc_id", "text",
+        "td_gate").collect().map(_.getLong(1)).toSet
+      assert(probed.nonEmpty && probed.intersect(Set(0L, 2L, 4L)).isEmpty)
+    } finally
+      spark.conf.unset("spark.graft.index.pendingBroadcastThreshold")
+  }
+
+  test("deferTakedown auto-compacts when pending exceeds the configured ceiling") {
+    val d = corpus()
+    index.buildExactIndex(d, "doc_id", "text", "td_auto", buckets = 4)
+    spark.conf.set("spark.graft.index.autoCompactPendingThreshold", "2")
+    try {
+      index.deferTakedown(Seq(0L).toDF("id"), "id", "td_auto")
+      assert(spark.table("td_auto_dels").count() == 1L,
+        "at or below the ceiling the defer stays O(batch) — no compaction")
+      assert(spark.table("td_auto_fps").filter(F.col("id") === 0L)
+        .count() == 1L)
+      index.deferTakedown(Seq(2L, 4L).toDF("id"), "id", "td_auto")
+      assert(spark.table("td_auto_dels").count() == 0L,
+        "exceeding the ceiling must compact inline")
+      assert(spark.table("td_auto_fps")
+        .filter(F.col("id").isin(0L, 2L, 4L)).count() == 0L,
+        "the inline compaction must physically purge all pending ids")
+    } finally
+      spark.conf.unset("spark.graft.index.autoCompactPendingThreshold")
+  }
+
+  /** Data files of a managed table, recursively (partitioned tables
+    * nest under cell=N directories). */
+  private def dataFiles(table: String): Seq[String] = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val root = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet"))
+        out += f.getPath.toString
+    }
+    out.toSeq
+  }
+
+  test("compactIndex folds append generations to one file per bucket/cell; reads unchanged") {
+    val d = corpus()
+    val e = vectors()
+    index.buildJaccardIndex(d.filter(F.col("doc_id") < 20), "doc_id",
+      "text", "td_cmp", buckets = 8)
+    Seq((20L, 30L), (30L, 40L)).foreach { case (lo, hi) =>
+      index.buildJaccardIndex(
+        d.filter(F.col("doc_id") >= lo && F.col("doc_id") < hi),
+        "doc_id", "text", "td_cmp", buckets = 8,
+        mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    index.buildIvfIndex(e.filter(F.col("vec_id") < 40), "vec_id", "v",
+      "td_cmp", nlist = 4, iters = 2)
+    index.buildIvfIndex(e.filter(F.col("vec_id") >= 40), "vec_id", "v",
+      "td_cmp", mode = org.apache.spark.sql.SaveMode.Append)
+    val batch = d.filter(F.col("doc_id") < 10)
+      .select((F.col("doc_id") + 1000L).as("doc_id"), F.col("text"))
+    val jacBefore = probeHits("td_cmp", batch)
+    val ivfBefore = index.probeIvfIndex(spark,
+        e.filter(F.col("vec_id") < 3), "vec_id", "v", "td_cmp",
+        k = 4, nprobe = 4)
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dataFiles("td_cmp_buckets").size > 8,
+      "setup: three append generations must leave multiple files per bucket")
+    val cellsBefore = dataFiles("td_cmp_cells")
+      .groupBy(p => p.split("/").reverse.find(_.startsWith("cell=")).get)
+    assert(cellsBefore.values.exists(_.size > 1),
+      "setup: appended cells must hold multiple files")
+    index.compactIndex(spark, "td_cmp")
+    assert(dataFiles("td_cmp_buckets").size <= 8,
+      s"buckets must fold to one file per bucket")
+    assert(dataFiles("td_cmp_sigs").size <= 8)
+    val cellsAfter = dataFiles("td_cmp_cells")
+      .groupBy(p => p.split("/").reverse.find(_.startsWith("cell=")).get)
+    assert(cellsAfter.values.forall(_.size == 1),
+      "cells must fold to one file per cell")
+    // stats folded to one row per bucket, still summing to live counts
+    val multi = spark.table("td_cmp_stats").groupBy("band", "band_hash")
+      .count().filter(F.col("count") > 1L).count()
+    assert(multi == 0L, "stats append log must fold to one row per bucket")
+    assert(probeHits("td_cmp", batch) == jacBefore,
+      "jaccard probe must be identical after compaction")
+    val ivfAfter = index.probeIvfIndex(spark,
+        e.filter(F.col("vec_id") < 3), "vec_id", "v", "td_cmp",
+        k = 4, nprobe = 4)
+      .select("q_id", "n_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ivfAfter == ivfBefore,
+      "ivf probe must be identical after compaction")
+    // params/properties survive; appends after compaction still work
+    assert(index.readParams(spark, "td_cmp") == ((3, 64, 32)))
+    index.buildJaccardIndex(
+      d.filter(F.col("doc_id") === 0L)
+        .select((F.col("doc_id") + 5000L).as("doc_id"), F.col("text")),
+      "doc_id", "text", "td_cmp", buckets = 8,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(probeHits("td_cmp", batch).contains((1000L, 5000L)))
+  }
+
   test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)
