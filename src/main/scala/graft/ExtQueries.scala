@@ -4305,13 +4305,18 @@ object ExtQueries {
     * residual pipeline at nprobe = 2, x113's binary codes), and each
     * recall is one exact hits/truth_n division — the WHOLE report,
     * counts and ratios, hashes identically. */
-  def x131QuantizationLadder(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(
+  /** x131's planted-cluster corpus: embeddings boosted along
+    * vec_id-mod-8 axes so seed codebooks have signal. */
+  private def x131Frame(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(
       F.col("vec_id").cast(LongType).as("vec_id"),
       F.transform(F.col("embedding"), (x, i) =>
         x.cast(DoubleType) + F.when(
           i % 8 === F.pmod(F.col("vec_id"), F.lit(8L)).cast(IntegerType),
           F.lit(8.0)).otherwise(F.lit(0.0))).as("v"))
+
+  def x131QuantizationLadder(s: SparkSession, dir: String): DataFrame = {
+    val e = x131Frame(s, dir)
     similarity.annLadderReport(e, e.filter(F.col("vec_id") < 8),
         "vec_id", "v", k = 5, dim = 64, nlist = 8, nprobe = 2,
         m = 8, ksub = 16, pqIters = 0, ivfIters = 0, sampleOneIn = 1L,
@@ -4540,6 +4545,104 @@ object ExtQueries {
         e.filter(F.col("vec_id") < 12), "vec_id", "embedding",
         "x135_ivf", k = 6, nprobe = 16)
       .orderBy("q_id", "rank")
+  }
+
+  /** RE-INGEST while a takedown is pending — the deferred path's
+    * documented contract (takedown wins until compaction,
+    * [[graft.functions.index.deferTakedown]]): x128's even-half exact
+    * index defers doc_id ≡ 0 (mod 4), then a legitimate re-crawl
+    * APPENDS every doc_id ≡ 0 (mod 20) — all of them pending — before
+    * any compaction. The logical-phase probe must hide BOTH
+    * generations (a re-ingested right-to-be-forgotten id must not
+    * resurrect through the crawl pipeline inside the compaction
+    * epoch), and [[graft.functions.index.compactTakedowns]] must purge
+    * both, so both phases equal x128's rebuild-on-survivors oracle —
+    * one oracle, one planted re-ingest, two execution regimes. A leak
+    * in either direction (re-ingest visible while pending, or a
+    * surviving second generation after compaction) adds hits and
+    * breaks the hash. */
+  def x136ReingestPending(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.index.buildExactIndex(
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x136_exact")
+    graft.functions.index.deferTakedown(
+      d.filter(F.col("doc_id") % 4 === 0).select("doc_id"),
+      "doc_id", "x136_exact")
+    // the planted re-crawl: every 20th doc (⊂ the pending set) lands
+    // again as a legitimate Append while its takedown is pending
+    graft.functions.index.buildExactIndex(
+      d.filter(F.col("doc_id") % 20 === 0), "doc_id", "text",
+      "x136_exact", mode = org.apache.spark.sql.SaveMode.Append)
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(
+        (F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    // materialize the logical-phase probe BEFORE compacting (lazy
+    // frames would silently probe the compacted index — the x134 pin)
+    val logical = graft.functions.index.probeExactIndex(s, batch,
+      "doc_id", "text", "x136_exact").localCheckpoint(true)
+    graft.functions.index.compactTakedowns(s, "x136_exact")
+    val compacted = graft.functions.index.probeExactIndex(s, batch,
+      "doc_id", "text", "x136_exact")
+    logical.select(F.lit("logical").as("phase"), F.col("id_new"),
+        F.col("id_indexed"), F.col("fingerprint"))
+      .unionByName(compacted.select(F.lit("compacted").as("phase"),
+        F.col("id_new"), F.col("id_indexed"), F.col("fingerprint")))
+      .orderBy("phase", "id_new", "id_indexed")
+  }
+
+  private lazy val x136Oracle = {
+    val body = oracleEdit(x128Oracle, "\nORDER BY id_new, id_indexed", "")
+    s"""WITH hits AS ($body)
+       |SELECT p.phase, id_new, id_indexed, fingerprint
+       |FROM hits CROSS JOIN (VALUES ('logical'), ('compacted')) AS p(phase)
+       |ORDER BY phase, id_new, id_indexed""".stripMargin
+  }
+
+  /** CURATION AUDIT TRAIL
+    * ([[graft.functions.pipelines.curationAudit]]): per-document drop
+    * provenance over x50's oracled stage chain — every input document
+    * gets each stage's verdict (NULL when it never reached the stage)
+    * and the first stage that dropped it. The oracle replays x50's
+    * WITH-chain verbatim (quality/language scoring, exact keep-min,
+    * the recursive-CTE near-dup closure, the md5 sample predicate) and
+    * re-derives every verdict column from it — so a single
+    * misattributed drop on any document breaks the hash, and
+    * `dropped_at = 'kept'` is provably x50's membership. */
+  def x137CurationAudit(s: SparkSession, dir: String): DataFrame =
+    graft.functions.pipelines.curationAudit(docs(s, dir),
+        minQuality = 0.3, langs = Seq("en"), nearDupThreshold = 0.7,
+        samplePermille = 9000)
+      .orderBy("doc_id")
+
+  private lazy val x137Oracle = {
+    val cut = "SELECT e.doc_id, e.source, e.quality, e.pred_lang"
+    require(x50Oracle.contains(cut), "x137: x50 oracle drifted from under")
+    val chain = x50Oracle.substring(0, x50Oracle.indexOf(cut))
+    val samp = "CAST(concat('0x', substring(md5(CAST(q.doc_id AS " +
+      "VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000"
+    chain +
+      s"""SELECT q.doc_id,
+         |  q.quality >= 0.3 AS quality_pass,
+         |  q.pred_lang IN ('en') AS lang_pass,
+         |  CASE WHEN q.quality >= 0.3 AND q.pred_lang IN ('en')
+         |    THEN e.doc_id IS NOT NULL END AS exact_keep,
+         |  CASE WHEN e.doc_id IS NOT NULL
+         |    THEN (comp.id IS NULL OR comp.component = q.doc_id)
+         |    END AS near_keep,
+         |  CASE WHEN e.doc_id IS NOT NULL
+         |      AND (comp.id IS NULL OR comp.component = q.doc_id)
+         |    THEN $samp END AS sample_keep,
+         |  CASE WHEN NOT (q.quality >= 0.3) THEN 'quality'
+         |    WHEN NOT (q.pred_lang IN ('en')) THEN 'language'
+         |    WHEN e.doc_id IS NULL THEN 'exact_dup'
+         |    WHEN NOT (comp.id IS NULL OR comp.component = q.doc_id)
+         |      THEN 'near_dup'
+         |    WHEN NOT ($samp) THEN 'sample'
+         |    ELSE 'kept' END AS dropped_at
+         |FROM q LEFT JOIN ex e ON e.doc_id = q.doc_id
+         |LEFT JOIN comp ON comp.id = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin
   }
 
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
@@ -4988,7 +5091,7 @@ object ExtQueries {
         "CAST(n_chars % 97 + 1 AS DOUBLE)", "(n_chars % 97 + 1)"),
       (w => w.cast(DoubleType) / F.lit(4.0), "(n_chars / 4.0)", "n_chars"))
 
-  private val sampBatterySeed = 20261014L
+  private val sampBatterySeed = 20261114L
   /** 12 draws = the COMPLETE operator × weight-family product (so
     * quota × fractional — the round-9 review's bug class — is always
     * drawn, never left to seed luck); group and size stay seeded. */
@@ -5092,7 +5195,7 @@ object ExtQueries {
     if (dim <= 32) "bit_count(xor(a.code[1], b.code[1]))"
     else "bit_count(xor(a.code[1], b.code[1])) + bit_count(xor(a.code[2], b.code[2]))"
 
-  private val hamBatterySeed = 20261015L
+  private val hamBatterySeed = 20261115L
   /** (tag, isTopK, dim, k-or-radius): both operators at dims 24/40/64 —
     * 40 and 24 put the PARTIAL-word packing (only spec'd in Scala until
     * now) under the cross-engine hash. */
@@ -5593,7 +5696,9 @@ object ExtQueries {
     "x132_streaming_component_map" -> (x132StreamingComponentMap _),
     "x133_bpe_segment_chunks" -> (x133BpeSegmentChunks _),
     "x134_deferred_takedown" -> (x134DeferredTakedown _),
-    "x135_deferred_ann_takedown" -> (x135DeferredAnnTakedown _))
+    "x135_deferred_ann_takedown" -> (x135DeferredAnnTakedown _),
+    "x136_reingest_pending" -> (x136ReingestPending _),
+    "x137_curation_audit" -> (x137CurationAudit _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -5808,6 +5913,81 @@ object ExtQueries {
       "x135b_ivf", k = 6, nprobe = 16)
   }
 
+  /** x131 steady state: the brute-force TRUTH set is computed once per
+    * process into a managed table (it is fixed for a fixed query set +
+    * corpus — the amortizable floor of any recall report); each sample
+    * re-evaluates the four quantized tiers against the stored truth —
+    * the daily "score candidate quantizers against the standing eval
+    * set" unit, not truth recomputation. */
+  def x131BenchLadderDay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = x131Frame(s, dir)
+    val q = e.filter(F.col("vec_id") < 8)
+    ensureOnce("x131_bench", dir) {
+      similarity.bruteForceTopK(e, q, "vec_id", "v", 5)
+        .select("q_id", "n_id")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable("x131b_truth")
+    }
+    val truth = s.table("x131b_truth")
+    val truthN = truth.count()
+    val tiers: Seq[(String, DataFrame)] = Seq(
+      ("2_int8", similarity.int8TopK(e, q, "vec_id", "v", 5)),
+      ("3_ivfpq_global", similarity.ivfPqTopK(e, q, "vec_id", "v", 5,
+        8, 2, 8, 16, 0, 0, 20000, 1L, portableSeed = true)),
+      ("4_ivfpq_residual", similarity.ivfPqResidualTopK(e, q, "vec_id",
+        "v", 5, 8, 2, 8, 16, 0, 0, 20000, 1L, portableSeed = true)),
+      ("5_hamming_binary", similarity.hammingTopK(e, q, "vec_id", "v",
+        5, 64)))
+    tiers.map { case (tier, df) =>
+      val hits = df.select("q_id", "n_id")
+        .join(truth, Seq("q_id", "n_id")).count()
+      (tier, hits, truthN,
+        if (truthN == 0L) 0.0 else hits.toDouble / truthN)
+    }.toDF("tier", "hits", "truth_n", "recall")
+  }
+
+  /** x133 steady state: ONE corpus segmentation pass (per-document
+    * token/symbol counts) — the production daily unit. The chunk-sum
+    * identity x133 also computes is a correctness artifact that
+    * re-segments the corpus a second time; it stays under the
+    * correctness gate, not the bench. */
+  def x133BenchSegmentDay(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{bpe, text}
+    val toks = text.tokens(F.col("text"))
+    val symsPerTok = (t: org.apache.spark.sql.Column) =>
+      F.size(bpe.segmentFast(t, x133Merges)).cast(LongType)
+    docs(s, dir)
+      .filter(F.size(toks) > 0 && F.length(F.element_at(toks, 1)) > 0)
+      .select(F.col("doc_id"),
+        F.size(toks).cast(LongType).as("n_tokens"),
+        F.aggregate(F.transform(toks, symsPerTok), F.lit(0L),
+          (acc, x) => acc + x).as("n_symbols"))
+  }
+
+  /** x136 steady state: defer a fresh ~1% residue class, re-Append the
+    * SAME class while pending (the day's conflicting re-crawl), probe
+    * through the pending set — the x134BenchDeferDay unit plus the
+    * re-ingest write. Base index built once. */
+  def x136BenchReingestDay(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    ensureOnce("x136_bench", dir) {
+      graft.functions.index.buildExactIndex(
+        d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x136b_ex")
+    }
+    val k = (benchDaySeq.incrementAndGet() % 97L) * 2L
+    graft.functions.index.deferTakedown(
+      d.filter(F.col("doc_id") % 194 === k).select("doc_id"),
+      "doc_id", "x136b_ex")
+    graft.functions.index.buildExactIndex(
+      d.filter(F.col("doc_id") % 194 === k), "doc_id", "text",
+      "x136b_ex", mode = org.apache.spark.sql.SaveMode.Append)
+    graft.functions.index.probeExactIndex(s,
+      d.filter(F.col("doc_id") % 2 === 1).select(F.col("doc_id"),
+        F.col("text")),
+      "doc_id", "text", "x136b_ex")
+  }
+
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
   val benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5820,8 +6000,11 @@ object ExtQueries {
     "x129_ivf_index_takedown" -> (x129BenchTakedownDay _),
     "x130_residual_pq_index_takedown" -> (x130BenchTakedownDay _),
     "x132_streaming_component_map" -> (x132BenchStreamDay _),
+    "x131_quantization_ladder" -> (x131BenchLadderDay _),
+    "x133_bpe_segment_chunks" -> (x133BenchSegmentDay _),
     "x134_deferred_takedown" -> (x134BenchDeferDay _),
-    "x135_deferred_ann_takedown" -> (x135BenchDeferDay _))
+    "x135_deferred_ann_takedown" -> (x135BenchDeferDay _),
+    "x136_reingest_pending" -> (x136BenchReingestDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -5964,5 +6147,7 @@ object ExtQueries {
     "x134_deferred_takedown" -> x134Oracle,
     // pending (logical) deletion must probe exactly like the physical
     // purge — x129's oracle, second plan
-    "x135_deferred_ann_takedown" -> x129Oracle)
+    "x135_deferred_ann_takedown" -> x129Oracle,
+    "x136_reingest_pending" -> x136Oracle,
+    "x137_curation_audit" -> x137Oracle)
 }

@@ -121,4 +121,68 @@ object pipelines {
     dedup.releaseWhenConsumed(scored, result)
     result
   }
+
+  /** Per-document drop PROVENANCE over [[curateDocuments]]'s oracled
+    * stage chain — the audit trail a production pipeline needs for
+    * debugging and takedown appeals: one row per INPUT document with
+    * each stage's verdict and the first stage that dropped it.
+    *
+    * Columns: `quality_pass` / `lang_pass` (always defined — pure
+    * per-row predicates), `exact_keep` / `near_keep` / `sample_keep`
+    * (NULL when the document never REACHED the stage — a doc dropped
+    * by the quality filter has no exact-dedup verdict), and
+    * `dropped_at` ∈ {quality, language, exact_dup, near_dup, sample,
+    * kept} — the first failing stage. The kept set is exactly
+    * [[curateDocuments]] with `nearDupExact = true` on the same
+    * parameters (the x50 path), so the audit is a strict refinement:
+    * `dropped_at = 'kept'` ⟺ membership in the curated output.
+    *
+    * Scale shape: the stage predicates are pure expressions; the only
+    * additional work over the pipeline itself is two id-frame left
+    * joins (exact keepers, near survivors) — no new shuffles beyond
+    * what the dedup stages already do. */
+  def curationAudit(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minQuality: Double = 0.3,
+      langs: Seq[String] = Seq("en"),
+      nearDupThreshold: Double = 0.7,
+      nearDupMaxBucket: Int = 1000,
+      samplePermille: Int = 10000): DataFrame = {
+    val scored = dedup.cachedPinned(docs
+      .withColumn("quality", text.qualityScore(F.col(textCol)))
+      .withColumn("pred_lang", text.languageId(F.col(textCol))))
+    val qPass = F.col("quality") >= minQuality
+    val lPass = F.col("pred_lang").isin(langs: _*)
+    val filt = scored.filter(qPass && lPass)
+    val exKeep = dedup.exactDuplicates(filt, idCol, textCol)
+      .select(F.col("keep_id").as(idCol))
+    val exactDeduped = filt.join(exKeep, Seq(idCol))
+    val nearPairs = dedup.jaccardPairsLsh(exactDeduped, idCol, textCol,
+      minJ = nearDupThreshold, maxBucket = nearDupMaxBucket)
+    val nearKeep = dedup.keepCanonical(exactDeduped, idCol, nearPairs)
+      .select(F.col(idCol))
+    val ex = exKeep.withColumn("_ca_ex", F.lit(true))
+    val near = nearKeep.withColumn("_ca_near", F.lit(true))
+    val samplePass = sampling.hashBucket(F.col(idCol)) < samplePermille
+    val result = scored
+      .join(ex, Seq(idCol), "left")
+      .join(near, Seq(idCol), "left")
+      .select(
+        F.col(idCol),
+        qPass.as("quality_pass"),
+        lPass.as("lang_pass"),
+        F.when(qPass && lPass,
+          F.coalesce(F.col("_ca_ex"), F.lit(false))).as("exact_keep"),
+        F.when(qPass && lPass && F.col("_ca_ex").isNotNull,
+          F.coalesce(F.col("_ca_near"), F.lit(false))).as("near_keep"),
+        F.when(F.col("_ca_near").isNotNull, samplePass).as("sample_keep"),
+        F.when(!qPass, F.lit("quality"))
+          .when(!lPass, F.lit("language"))
+          .when(F.col("_ca_ex").isNull, F.lit("exact_dup"))
+          .when(F.col("_ca_near").isNull, F.lit("near_dup"))
+          .when(!samplePass, F.lit("sample"))
+          .otherwise(F.lit("kept")).as("dropped_at"))
+    dedup.releaseWhenConsumed(scored, result)
+    result
+  }
 }

@@ -38,11 +38,11 @@ object DiffFuzz {
 
   val N = 300
   // bumped each round after a local two-SF verify: fresh random trees
-  // through the same hash gate. Round 10 rotated every battery onto
-  // the 20261001–20261013 series (this expression seed plus the
-  // per-battery seeds below); per-battery values live at their
-  // declaration sites.
-  val Seed = 20261001L
+  // through the same hash gate. Round 12 rotated every battery onto
+  // the 20261101–20261115 series (this expression seed plus the
+  // per-battery seeds below, and the x117/x118 battery seeds in
+  // ExtQueries); per-battery values live at their declaration sites.
+  val Seed = 20261101L
   val Depth = 3
 
   private final class Gen(rnd: scala.util.Random) {
@@ -258,7 +258,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val WinN = 48
-  val WinSeed = 20261002L
+  val WinSeed = 20261102L
 
   /** (DSL order markers, SQL ORDER BY text — explicit NULLS). */
   private type OrdPair = (Seq[ColExpr], String)
@@ -373,7 +373,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val AggN = 40
-  val AggSeed = 20261003L
+  val AggSeed = 20261103L
 
   private final class AggGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -462,7 +462,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val QtN = 24
-  val QtSeed = 20261004L
+  val QtSeed = 20261104L
 
   private final class QtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -707,7 +707,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val PipeN = 16
-  val PipeSeed = 20261005L
+  val PipeSeed = 20261105L
 
   private sealed trait PStep
   private final case class PFilter(cond: ColExpr, sql: String) extends PStep
@@ -955,7 +955,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DtN = 36
-  val DtSeed = 20261006L
+  val DtSeed = 20261106L
 
   private final class DtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1073,7 +1073,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val OaN = 20
-  val OaSeed = 20261007L
+  val OaSeed = 20261107L
 
   private final class OaGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1175,7 +1175,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SpN = 28
-  val SpSeed = 20261008L
+  val SpSeed = 20261108L
 
   /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
   private def enc0(g: GE): GE = GE(
@@ -1347,7 +1347,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DecN = 24
-  val DecSeed = 20261009L
+  val DecSeed = 20261109L
 
   private final class DecGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1439,7 +1439,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val CastN = 24
-  val CastSeed = 20261010L
+  val CastSeed = 20261110L
 
   private final class CastGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1608,7 +1608,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val TjN = 18
-  val TjSeed = 20261011L
+  val TjSeed = 20261111L
 
   private final case class TjSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
@@ -1873,7 +1873,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val StrN = 220
-  val StrSeed = 20261012L
+  val StrSeed = 20261112L
   val StrDepth = 3
 
   private final class StrGen(rnd: scala.util.Random) {
@@ -2028,7 +2028,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SkN = 12
-  val SkSeed = 20261013L
+  val SkSeed = 20261113L
 
   private final case class SkSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)

@@ -1057,6 +1057,109 @@ class ScaleSmokeSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("pending takedown set past the default broadcast gate: shuffled fallback, probe completes") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.index
+    // The one unenforced scale bound of the deferred path (r11 verdict):
+    // a skipped month of compaction at 10B-doc scale leaves a pending
+    // set far too large to broadcast on every probe. Plant 12M pending
+    // ids against a small index and assert the DEFAULT 10M gate routes
+    // the exclusion through a shuffled anti-join (no BroadcastExchange
+    // anywhere in the filter plan) and the probe still excludes
+    // correctly.
+    val docs = spark.range(0, 2000).select(F.col("id").as("doc_id"),
+      F.concat(F.lit("body "), F.col("id")).as("text"))
+    index.buildExactIndex(docs, "doc_id", "text", "sm_gate", buckets = 8)
+    index.deferTakedown(
+      spark.range(0, 12000000).select((F.col("id") * 2).as("doc_id")),
+      "doc_id", "sm_gate")
+    val filtered = index.minusPending(spark, "sm_gate",
+      spark.table("sm_gate_fps"), "id")
+    val plan = filtered.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"a 12M-id pending set must not broadcast:\n${plan.take(2000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffled anti-join:\n${plan.take(2000)}")
+    // even ids pending → the 1000 odd ids survive, on the fallback path
+    assert(filtered.count() == 1000L)
+    val hits = index.probeExactIndex(spark, docs, "doc_id", "text",
+      "sm_gate")
+    assert(hits.filter(F.col("id_indexed") % 2 === 0).count() == 0L,
+      "pending ids must stay excluded on the fallback path")
+    assert(hits.count() == 1000L)
+  }
+
+  test("deferred takedown holds its contracts over a 50-day defer/compact horizon") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.index
+    // The x134 daily unit run as a LIFECYCLE (the component-map 50-day
+    // smoke's sibling): 50 daily ingests + defers over a growing exact
+    // index with weekly compactions. At every checkpoint the probe must
+    // equal the direct computation over (ingested − every id ever
+    // deferred) — pending ids filtered, compacted ids purged, both
+    // regimes mixed mid-week — and each compaction must drain the
+    // pending set to exactly 0.
+    def gen(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      F.col("id").as("doc_id"),
+      F.concat(F.lit("doc body "),
+        F.pmod(F.col("id"), F.lit(5000L))).as("text"))
+    index.buildExactIndex(gen(0, 20000), "doc_id", "text", "lh_def",
+      buckets = 16)
+    var ingested = (0L until 20000L).toSet
+    var deferredEver = Set.empty[Long]
+    import spark.implicits._
+    val batch = gen(1000000L, 1000200L) // classes 0..199, fixed probe set
+    // AQE off so the checkpoint receipts' join-node SQLMetrics are
+    // readable on the static plan (the boilerplate-cluster arm's note)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try (1 to 50).foreach { day =>
+      val base = 20000L + (day - 1) * 300L
+      index.buildExactIndex(gen(base, base + 300L), "doc_id", "text",
+        "lh_def", buckets = 16,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      ingested ++= (base until base + 300L)
+      // the day's right-to-be-forgotten batch: ~40 not-yet-deferred ids
+      val todays = (ingested -- deferredEver).toSeq.sorted
+        .filter(i => (i * 31 + day) % 37 == 0).take(40)
+      assert(todays.nonEmpty, s"day $day: defer batch must be non-empty")
+      index.deferTakedown(todays.toDF("doc_id"), "doc_id", "lh_def")
+      deferredEver ++= todays
+      if (day % 7 == 0) {
+        index.compactTakedowns(spark, "lh_def")
+        assert(spark.table("lh_def_dels").count() == 0L,
+          s"day $day: compaction must drain the pending set to 0")
+      }
+      if (day % 10 == 0 || day == 50) {
+        val survivorsByClass = (ingested -- deferredEver)
+          .groupBy(_ % 5000L).view.mapValues(_.size.toLong).toMap
+        val wantHits = (1000000L until 1000200L)
+          .map(i => survivorsByClass.getOrElse(i % 5000L, 0L)).sum
+        val probe = index.probeExactIndex(spark, batch, "doc_id",
+          "text", "lh_def")
+        val got = probe.count()
+        assert(got == wantHits,
+          s"day $day: probe hits $got != survivors-direct $wantHits")
+        assert(probe.join(deferredEver.toSeq.toDF("_d"),
+            F.col("id_indexed") === F.col("_d"), "left_semi").count() == 0L,
+          s"day $day: no deferred id may match, pending or purged")
+        // SQLMetrics receipt: the probe's join work stays in the
+        // linear regime (≈ fingerprint matches + pending exclusions),
+        // never corpus × batch
+        import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+        val executed = probe.queryExecution.executedPlan
+        probe.queryExecution.toRdd.count()
+        val joinOut = executed.collect {
+          case j: SortMergeJoinExec => j.metrics("numOutputRows").value
+          case j: ShuffledHashJoinExec => j.metrics("numOutputRows").value
+          case j: BroadcastHashJoinExec => j.metrics("numOutputRows").value
+        }.sum
+        assert(joinOut > 0L && joinOut <= wantHits + ingested.size,
+          s"day $day: join metrics $joinOut outside the linear regime " +
+            s"(hits $wantHits, corpus ${ingested.size})")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("component map holds its contracts over a 50-day append/merge/compact horizon") {
     assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
     import graft.functions.{dedup, index}
