@@ -4615,6 +4615,43 @@ object ExtQueries {
         samplePermille = 9000)
       .orderBy("doc_id")
 
+  /** STANDING FILE COMPACTION is read-invisible
+    * ([[graft.functions.index.compactIndex]]): x97's even-half Jaccard
+    * index is built as THREE append generations (three files per
+    * bucket, the daily-append small-file reality), a takedown leaves a
+    * folded `_stats` log, then compactIndex rewrites every table onto
+    * its own grid — and x97's probe must return exactly x97's oracle
+    * restricted to the surviving generations. One oracle, a third
+    * execution regime (fresh build / takedown rewrite / file
+    * compaction); any row lost or duplicated by the grid rewrite, or a
+    * stats fold that changes the sum, breaks the hash. */
+  def x138CompactedIndexProbe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val even = d.filter(F.col("doc_id") % 2 === 0)
+    graft.functions.index.buildJaccardIndex(
+      even.filter(F.col("doc_id") % 6 === 0), "doc_id", "text", "x138_jac")
+    Seq(2, 4).foreach { r =>
+      graft.functions.index.buildJaccardIndex(
+        even.filter(F.col("doc_id") % 6 === r), "doc_id", "text",
+        "x138_jac", mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    graft.functions.index.removeFromJaccardIndex(
+      d.filter(F.col("doc_id") % 4 === 0).select("doc_id"),
+      "doc_id", "x138_jac")
+    graft.functions.index.compactIndex(s, "x138_jac")
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(
+        (F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    graft.functions.index.probeJaccardIndex(s, batch, "doc_id", "text",
+        "x138_jac", minJ = 0.8)
+      .orderBy("id_new", "id_indexed")
+  }
+
+  // the three appends cover all of doc_id % 2 = 0; the takedown is
+  // x127's — so the compacted index must probe exactly like x127
+  private lazy val x138Oracle = x127Oracle
+
   private lazy val x137Oracle = {
     val cut = "SELECT e.doc_id, e.source, e.quality, e.pred_lang"
     require(x50Oracle.contains(cut), "x137: x50 oracle drifted from under")
@@ -5698,7 +5735,8 @@ object ExtQueries {
     "x134_deferred_takedown" -> (x134DeferredTakedown _),
     "x135_deferred_ann_takedown" -> (x135DeferredAnnTakedown _),
     "x136_reingest_pending" -> (x136ReingestPending _),
-    "x137_curation_audit" -> (x137CurationAudit _))
+    "x137_curation_audit" -> (x137CurationAudit _),
+    "x138_compacted_index_probe" -> (x138CompactedIndexProbe _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -5988,6 +6026,29 @@ object ExtQueries {
       "doc_id", "text", "x136b_ex")
   }
 
+  /** x138 steady state: base index built once; each sample runs the
+    * production maintenance unit — append the day's batch (fresh ids),
+    * compactIndex back to one file per bucket, probe. */
+  def x138BenchCompactDay(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    ensureOnce("x138_bench", dir) {
+      graft.functions.index.buildJaccardIndex(
+        d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x138b_jac")
+    }
+    val k = benchDaySeq.incrementAndGet() % 97L
+    graft.functions.index.buildJaccardIndex(
+      d.filter(F.col("doc_id") % 194 === k * 2)
+        .select((F.col("doc_id") + 10000000L + 100000L * k).as("doc_id"),
+          F.col("text")),
+      "doc_id", "text", "x138b_jac",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.functions.index.compactIndex(s, "x138b_jac")
+    graft.functions.index.probeJaccardIndex(s,
+      d.filter(F.col("doc_id") % 2 === 1)
+        .select(F.col("doc_id"), F.col("text")),
+      "doc_id", "text", "x138b_jac", minJ = 0.8)
+  }
+
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
   val benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6004,7 +6065,8 @@ object ExtQueries {
     "x133_bpe_segment_chunks" -> (x133BenchSegmentDay _),
     "x134_deferred_takedown" -> (x134BenchDeferDay _),
     "x135_deferred_ann_takedown" -> (x135BenchDeferDay _),
-    "x136_reingest_pending" -> (x136BenchReingestDay _))
+    "x136_reingest_pending" -> (x136BenchReingestDay _),
+    "x138_compacted_index_probe" -> (x138BenchCompactDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -6149,5 +6211,8 @@ object ExtQueries {
     // purge — x129's oracle, second plan
     "x135_deferred_ann_takedown" -> x129Oracle,
     "x136_reingest_pending" -> x136Oracle,
-    "x137_curation_audit" -> x137Oracle)
+    "x137_curation_audit" -> x137Oracle,
+    // file compaction must be read-invisible — x127's oracle, third
+    // execution regime (append generations + takedown + grid rewrite)
+    "x138_compacted_index_probe" -> x138Oracle)
 }
