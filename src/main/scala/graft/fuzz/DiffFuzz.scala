@@ -929,7 +929,10 @@ object DiffFuzz {
   /** All pipelines unioned, one row each, ordered by tag. Codegen
     * re-A/B'd at the 20261005 seed: the lighter mix (17 shuffles, was
     * 32) inverted round 9's choice back — interpreted ~3.9 s vs
-    * codegen'd ~4.3 s warm medians over 6 samples (BENCH_NOTES). */
+    * codegen'd ~4.3 s warm medians over 6 samples (BENCH_NOTES).
+    * Re-A/B'd again at the 20261105 seed (heavier 33-shuffle mix):
+    * samples overlap ({4.28,4.60,4.55} cg vs {4.78,4.61,4.14}) — no
+    * flip without a clear margin, stays interpreted (BENCH_NOTES r12). */
   def pipelineQuery(s0: SparkSession, dir: String): DataFrame = {
     val s = fixtureSession(s0, codegen = false)
     pipeBattery.map(p => pipeTable(s, dir, p))
@@ -1830,7 +1833,8 @@ object DiffFuzz {
     import org.apache.spark.sql.{functions => F}
     // codegen re-A/B'd at the 20261011 seed: this mix flipped TO
     // codegen (~4.1 vs ~4.6 s warm medians over 6 samples; 3.15 vs
-    // 3.62 in the combined-battery run — BENCH_NOTES round 10)
+    // 3.62 in the combined-battery run — BENCH_NOTES round 10);
+    // re-confirmed at the 20261111 seed (3.62 vs 4.69 — BENCH_NOTES r12)
     val s = fixtureSession(s0, codegen = true)
     tjSpecs.map { spec =>
       val df = spec.mk(s, dir)

@@ -340,6 +340,35 @@ class EmptyInputSpec extends SparkSpec {
     val prof = profile.columnProfile(docs0, Seq("doc_id", "text"))
     assert(prof.count() >= 0, "columnProfile")
     assertEmpty(pipelines.curateDocuments(docs0), "curateDocuments")
+    assertEmpty(pipelines.curationAudit(docs0), "curationAudit")
+    dedup.unpersistAll()
+  }
+
+  test("index lifecycle maintenance on empty / missing state") {
+    import spark.implicits._
+    // compaction ops on a name with NO tables at all: clean no-ops
+    index.compactTakedowns(spark, "ei_absent")
+    index.compactIndex(spark, "ei_absent")
+    // an empty deferTakedown batch must not perturb probes or state
+    index.buildExactIndex(docsSmall, "doc_id", "text", "ei_def",
+      buckets = 4)
+    index.deferTakedown(docs0.select("doc_id"), "doc_id", "ei_def")
+    val hits = index.probeExactIndex(spark, docsSmall, "doc_id", "text",
+      "ei_def")
+    assert(hits.count() == 20L, "empty pending set must not drop matches")
+    // compacting an empty pending set: no-op, probes unchanged
+    index.compactTakedowns(spark, "ei_def")
+    assert(spark.table("ei_def_fps").count() == 20L)
+    // compactIndex on a single-generation index: reads unchanged
+    index.compactIndex(spark, "ei_def")
+    assert(index.probeExactIndex(spark, docsSmall, "doc_id", "text",
+      "ei_def").count() == 20L)
+    // the audit on a corpus where EVERY stage passes or drops cleanly:
+    // one row per input doc, dropped_at total-covers the input
+    val audit = pipelines.curationAudit(docsSmall, samplePermille = 9000)
+    assert(audit.count() == 20L, "audit must cover every input row")
+    assert(audit.filter(F.col("dropped_at").isNull).count() == 0L,
+      "dropped_at must be total")
     dedup.unpersistAll()
   }
 }
