@@ -157,6 +157,26 @@ object index {
   private def delFrame(ids: DataFrame, idCol: String): DataFrame =
     ids.select(F.col(idCol).cast(LongType).as("_ix_del")).distinct()
 
+  /** Whether a deletion set is small enough to broadcast into the
+    * takedown joins — the [[minusPending]] gate applied to the PHYSICAL
+    * path: a compaction folding a pathological pending set (a skipped
+    * cadence at 10B-doc scale) must not OOM the rewrite either. Callers
+    * pass a pinned/cached frame, so the count is one cheap job. */
+  private def delIsSmall(spark: SparkSession, del: DataFrame): Boolean =
+    del.count() <= spark.conf
+      .get("spark.graft.index.pendingBroadcastThreshold", "10000000").toLong
+
+  /** `df` minus / restricted-to the deletion set: broadcast below the
+    * gate; hinted shuffled-hash above it (the anti/semi join then
+    * exchanges the scanned rows, and the fallback rewrite repartitions
+    * back onto its grid — at that pending size, one exchange of a
+    * table being 100%-rewritten anyway). */
+  private def delJoin(df: DataFrame, del: DataFrame, idColName: String,
+      how: String, small: Boolean): DataFrame = {
+    val side = if (small) F.broadcast(del) else del.hint("shuffle_hash")
+    df.join(side, F.col(idColName) === F.col("_ix_del"), how)
+  }
+
   /** Rewrite bucketed index table `table` minus the rows whose
     * `idColName` is in `del`, preserving the bucket spec and every
     * graft.* table property. Scale shape: the table is SCANNED once
@@ -183,9 +203,16 @@ object index {
     val old = s"${table}_takedown_old"
     resetManagedTable(spark, stage)
     resetManagedTable(spark, old)
-    val survivors = spark.table(table)
-      .join(F.broadcast(del), F.col(idColName) === F.col("_ix_del"),
-        "left_anti")
+    // above the broadcast gate the anti-join shuffles the scanned rows,
+    // so the fallback repartitions them back onto the bucket grid —
+    // one exchange of a table being fully rewritten anyway; below it
+    // the bucket-aligned scan flows into the write with NO exchange
+    val small = delIsSmall(spark, del)
+    val minus = delJoin(spark.table(table), del, idColName, "left_anti",
+      small)
+    val survivors =
+      if (small) minus
+      else minus.repartition(nb, bucketCols.map(F.col): _*)
     withConf(spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled",
         "false") {
       survivors.write.mode(SaveMode.Overwrite)
@@ -210,17 +237,24 @@ object index {
     * from the dynamic overwrite and would keep its ghost directory —
     * those partitions are dropped explicitly. */
   private def removeFromCellTable(spark: SparkSession, table: String,
+      del0: DataFrame): Unit = {
+    // the deletion set is consumed three times (count gate, affected
+    // semi-join, survivor anti-join) — pin it for the op
+    val del = dedup.cachedPinned(del0)
+    try removeFromCellTablePinned(spark, table, del)
+    finally { del.unpersist(blocking = false); () }
+  }
+
+  private def removeFromCellTablePinned(spark: SparkSession, table: String,
       del: DataFrame): Unit = {
-    val aff = spark.table(table)
-      .join(F.broadcast(del), F.col("n_id") === F.col("_ix_del"),
-        "left_semi")
+    val small = delIsSmall(spark, del)
+    val aff = delJoin(spark.table(table), del, "n_id", "left_semi", small)
       .select("cell").distinct().collect().map(_.getInt(0))
     if (aff.isEmpty) return
     val affSet = aff.map(Integer.valueOf).toSeq
-    val survivors = spark.table(table)
-      .filter(F.col("cell").isin(affSet: _*))
-      .join(F.broadcast(del), F.col("n_id") === F.col("_ix_del"),
-        "left_anti")
+    val survivors = delJoin(
+      spark.table(table).filter(F.col("cell").isin(affSet: _*)),
+      del, "n_id", "left_anti", small)
     // cells every one of whose rows is deleted are ABSENT from the
     // dynamic overwrite (it only replaces partitions present in the
     // written data) and would keep their ghost directories — find them
@@ -434,9 +468,8 @@ object index {
       // pruning misclassifies on understated counts; an overstated
       // count — crash between rewrite and append — only errs hot-ward,
       // which is pair-complete)
-      val dec = spark.table(s"${name}_buckets")
-        .join(F.broadcast(del), F.col("id") === F.col("_ix_del"),
-          "left_semi")
+      val dec = delJoin(spark.table(s"${name}_buckets"), del, "id",
+          "left_semi", delIsSmall(spark, del))
         .groupBy("band", "band_hash")
         .agg((-F.count(F.lit(1))).as("cnt"))
         .localCheckpoint(true)
@@ -456,8 +489,10 @@ object index {
       name: String): Unit = {
     similarity.requireIntegralId(ids, idCol, "index.removeFromExactIndex")
     val spark = ids.sparkSession
-    rewriteBucketedMinus(spark, s"${name}_fps", "id",
-      delFrame(ids, idCol), Seq("fp"))
+    // pinned: the rewrite consumes the set twice (count gate + join)
+    val del = dedup.cachedPinned(delFrame(ids, idCol))
+    try rewriteBucketedMinus(spark, s"${name}_fps", "id", del, Seq("fp"))
+    finally { del.unpersist(blocking = false); () }
   }
 
   /** TAKEDOWN for the IVF ANN index: deleted vectors leave `_cells`;

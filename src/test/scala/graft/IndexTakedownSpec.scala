@@ -338,6 +338,44 @@ class IndexTakedownSpec extends SparkSpec {
       spark.conf.unset("spark.graft.index.pendingBroadcastThreshold")
   }
 
+  test("physical takedowns under the forced shuffled fallback equal the broadcast path") {
+    // threshold 0 forces delJoin's shuffled branch in every rewrite —
+    // the compaction-of-a-pathological-pending-set posture; results
+    // must be identical to the broadcast path (the other tests)
+    val d = corpus()
+    val e = vectors()
+    index.buildJaccardIndex(d, "doc_id", "text", "td_fb", buckets = 8)
+    index.buildExactIndex(d, "doc_id", "text", "td_fb", buckets = 8)
+    index.buildIvfIndex(e, "vec_id", "v", "td_fb", nlist = 4, iters = 2)
+    val del = Seq(0L, 4L, 8L, 21L).toDF("doc_id")
+    spark.conf.set("spark.graft.index.pendingBroadcastThreshold", "0")
+    try {
+      index.removeFromJaccardIndex(del, "doc_id", "td_fb")
+      index.removeFromExactIndex(del, "doc_id", "td_fb")
+      index.removeFromIvfIndex(del.withColumnRenamed("doc_id", "vec_id"),
+        "vec_id", "td_fb")
+    } finally
+      spark.conf.unset("spark.graft.index.pendingBroadcastThreshold")
+    val batch = d.filter(F.col("doc_id") < 10)
+      .select((F.col("doc_id") + 1000L).as("doc_id"), F.col("text"))
+    val got = probeHits("td_fb", batch)
+    index.buildJaccardIndex(
+      d.join(del.withColumnRenamed("doc_id", "_d"),
+        F.col("doc_id") === F.col("_d"), "left_anti"),
+      "doc_id", "text", "td_fb_rebuilt", buckets = 8)
+    assert(got == probeHits("td_fb_rebuilt", batch),
+      "fallback takedown != rebuild-on-survivors")
+    // one file per bucket even on the fallback path (the explicit
+    // grid repartition), and the grid itself survives for appends
+    assert(dataFiles("td_fb_buckets").size <= 8,
+      "fallback rewrite must still emit one file per bucket")
+    val ex = index.probeExactIndex(spark, batch, "doc_id", "text",
+      "td_fb").collect().map(_.getLong(1)).toSet
+    assert(ex.nonEmpty && ex.intersect(Set(0L, 4L, 8L, 21L)).isEmpty)
+    assert(spark.table("td_fb_cells")
+      .filter(F.col("n_id").isin(0L, 4L, 8L, 21L)).count() == 0L)
+  }
+
   test("deferTakedown auto-compacts when pending exceeds the configured ceiling") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_auto", buckets = 4)

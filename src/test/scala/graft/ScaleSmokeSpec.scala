@@ -1087,6 +1087,13 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(hits.filter(F.col("id_indexed") % 2 === 0).count() == 0L,
       "pending ids must stay excluded on the fallback path")
     assert(hits.count() == 1000L)
+    // folding the 12M-id pending set PHYSICALLY also runs above the
+    // gate (delJoin's shuffled branch inside the rewrite) — the
+    // compaction must complete and leave exactly the odd survivors
+    index.compactTakedowns(spark, "sm_gate")
+    assert(spark.table("sm_gate_dels").count() == 0L)
+    assert(spark.table("sm_gate_fps").count() == 1000L,
+      "fallback compaction must purge exactly the even half")
   }
 
   test("deferred takedown holds its contracts over a 50-day defer/compact horizon") {
