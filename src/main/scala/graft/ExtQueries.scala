@@ -4652,6 +4652,53 @@ object ExtQueries {
   // x127's — so the compacted index must probe exactly like x127
   private lazy val x138Oracle = x127Oracle
 
+  /** NON-PARQUET SOURCE ROUNDTRIP under the hash gate: the documents
+    * table exported to JSON, CSV and ORC and read back with an
+    * explicit schema; each format's read-back is reduced to exact
+    * aggregates (count, id sum, min/max md5 of the text) that must
+    * equal the ORIGINAL parquet's — DuckDB computes them from the
+    * parquet directly, so a single row corrupted by any format's
+    * writer/reader (CSV quoting of embedded newlines/quotes, JSON
+    * unicode escapes, ORC nulls) breaks the hash. Upgrades the
+    * source-format surface from spec-only (SourceSinkSpec) to an
+    * oracled row. */
+  def x139SourceRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField}
+    val d = docs(s, dir).select(
+      F.col("doc_id").cast(LongType).as("doc_id"),
+      F.col("text"), F.col("source"))
+    val base = java.nio.file.Files.createTempDirectory("x139_rt_").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("source", StringType)))
+    d.write.mode("overwrite").json(s"$base/j")
+    // quote-doubling (escape = quote) is the RFC-4180 form — symmetric
+    // on read, and multiLine carries embedded newlines through
+    d.write.mode("overwrite").option("quoteAll", "true")
+      .option("escape", "\"").csv(s"$base/c")
+    d.write.mode("overwrite").orc(s"$base/o")
+    def agg(df: DataFrame, fmt: String): DataFrame =
+      df.agg(F.count(F.lit(1)).as("n"), F.sum("doc_id").as("id_sum"),
+          F.min(F.md5(F.col("text"))).as("md5_min"),
+          F.max(F.md5(F.col("text"))).as("md5_max"))
+        .select(F.lit(fmt).as("format"), F.col("n"), F.col("id_sum"),
+          F.col("md5_min"), F.col("md5_max"))
+    agg(s.read.schema(schema).json(s"$base/j"), "json")
+      .unionByName(agg(s.read.schema(schema)
+        .option("multiLine", "true").option("escape", "\"")
+        .csv(s"$base/c"), "csv"))
+      .unionByName(agg(s.read.schema(schema).orc(s"$base/o"), "orc"))
+      .orderBy("format")
+  }
+
+  private val x139Oracle =
+    """WITH a AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+      |    MIN(md5(text)) AS md5_min, MAX(md5(text)) AS md5_max
+      |  FROM documents)
+      |SELECT f.format, n, id_sum, md5_min, md5_max
+      |FROM a CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(format)
+      |ORDER BY format""".stripMargin
+
   private lazy val x137Oracle = {
     val cut = "SELECT e.doc_id, e.source, e.quality, e.pred_lang"
     require(x50Oracle.contains(cut), "x137: x50 oracle drifted from under")
@@ -5736,7 +5783,8 @@ object ExtQueries {
     "x135_deferred_ann_takedown" -> (x135DeferredAnnTakedown _),
     "x136_reingest_pending" -> (x136ReingestPending _),
     "x137_curation_audit" -> (x137CurationAudit _),
-    "x138_compacted_index_probe" -> (x138CompactedIndexProbe _))
+    "x138_compacted_index_probe" -> (x138CompactedIndexProbe _),
+    "x139_source_roundtrip" -> (x139SourceRoundtrip _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6214,5 +6262,6 @@ object ExtQueries {
     "x137_curation_audit" -> x137Oracle,
     // file compaction must be read-invisible — x127's oracle, third
     // execution regime (append generations + takedown + grid rewrite)
-    "x138_compacted_index_probe" -> x138Oracle)
+    "x138_compacted_index_probe" -> x138Oracle,
+    "x139_source_roundtrip" -> x139Oracle)
 }
