@@ -4690,6 +4690,36 @@ object ExtQueries {
       .orderBy("format")
   }
 
+  /** SQL-EMITTER roundtrip under the hash gate: q01's flagship
+    * pipeline re-built verb-for-verb, emitted as runnable Spark SQL by
+    * `build_query` ([[graft.table.Table.buildQuerySql]]) and executed
+    * via `spark.sql` — held to q01's own DuckDB oracle. One oracle, a
+    * second execution path: any emitter mistranslation (a verb, the
+    * decimal-intermediate casts, the timestamp literal, grouping or
+    * ordering) diverges from the DataFrame compiler's proven result
+    * and breaks the hash. Upgrades build_query from spec-only
+    * (SqlGenSpec; PipelineFuzzSpec's SQL≡DF gate) to an oracled row. */
+  def x140SqlEmitterRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    def dsum(e: ColExpr) = e.cast(DecimalType(18, 4)).sum().cast(DoubleType)
+    def dsum25(e: ColExpr) = e.cast(DecimalType(25, 6)).sum().cast(DoubleType)
+    val t = Table.source(s, dir, "lineitem")
+      .filter(C("l_shipdate") <= timestamp("1998-09-02 00:00:00"))
+      .groupBy(C("l_returnflag"), C("l_linestatus"))
+      .summarize(
+        "sum_qty" -> dsum(C("l_quantity")),
+        "sum_base_price" -> dsum(C("l_extendedprice")),
+        "sum_disc_price" -> dsum25(C("l_extendedprice") * (lit(1.0) - C("l_discount"))),
+        "avg_qty" -> dsum(C("l_quantity")) / count(),
+        "avg_disc" -> dsum(C("l_discount")) / count(),
+        "count_order" -> count())
+      .arrange(C("l_returnflag"), C("l_linestatus"))
+    s.sql(t.buildQuerySql)
+  }
+
+  // q01's oracle verbatim — the emitted-SQL path must match the
+  // DataFrame path's proven replay exactly
+  private lazy val x140Oracle = Queries.oracles("q01_summarize_flagship")
+
   private val x139Oracle =
     """WITH a AS (SELECT COUNT(*) AS n,
       |    CAST(SUM(doc_id) AS BIGINT) AS id_sum,
@@ -5784,7 +5814,8 @@ object ExtQueries {
     "x136_reingest_pending" -> (x136ReingestPending _),
     "x137_curation_audit" -> (x137CurationAudit _),
     "x138_compacted_index_probe" -> (x138CompactedIndexProbe _),
-    "x139_source_roundtrip" -> (x139SourceRoundtrip _))
+    "x139_source_roundtrip" -> (x139SourceRoundtrip _),
+    "x140_sql_emitter_roundtrip" -> (x140SqlEmitterRoundtrip _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6263,5 +6294,6 @@ object ExtQueries {
     // file compaction must be read-invisible — x127's oracle, third
     // execution regime (append generations + takedown + grid rewrite)
     "x138_compacted_index_probe" -> x138Oracle,
-    "x139_source_roundtrip" -> x139Oracle)
+    "x139_source_roundtrip" -> x139Oracle,
+    "x140_sql_emitter_roundtrip" -> x140Oracle)
 }
