@@ -83,4 +83,50 @@ class ConcurrencySpec extends SparkSpec {
     val rounds = Future.sequence((1 to 6).map(_ => Future(run())))
     Await.result(rounds, 5.minutes).foreach(r => assert(r == expected))
   }
+
+  test("probes never fail while deferTakedown batches land concurrently") {
+    // The deferred path's documented advantage over the physical
+    // rewrites (index.scala module doc): a defer is an APPEND — no
+    // table swap, no reader-visible window — so live probe traffic is
+    // safe during takedown ingestion. Pin it: one thread streams 20
+    // defer batches while others probe continuously; every probe must
+    // SUCCEED (no missing-table/missing-file error), never resurrect a
+    // previously-pending id, and end-state excludes all deferred ids.
+    import spark.implicits._
+    val docs = spark.range(0, 400).select(F.col("id").as("doc_id"),
+      F.concat(F.lit("probe body "), F.col("id")).as("text"))
+    index.buildExactIndex(docs, "doc_id", "text", "cc_def", buckets = 4)
+    val batch = docs.select((F.col("doc_id") + 5000L).as("doc_id"),
+      F.col("text"))
+    @volatile var deferredSoFar = Set.empty[Long]
+    val writer = Future {
+      (0 until 20).foreach { i =>
+        val ids = (i * 20L until i * 20L + 20L)
+        index.deferTakedown(ids.toDF("doc_id"), "doc_id", "cc_def")
+        deferredSoFar ++= ids // after the append commits
+      }
+    }
+    val probes = Future.sequence((1 to 4).map(_ => Future {
+      var n = 0
+      while (!writer.isCompleted) {
+        // snapshot BEFORE the probe: ids in it were fully deferred
+        // before this probe started and must already be hidden
+        val before = deferredSoFar
+        val got = index.probeExactIndex(spark, batch, "doc_id", "text",
+          "cc_def").collect().map(_.getLong(1)).toSet
+        assert(got.intersect(before).isEmpty,
+          s"probe resurrected pending ids: ${got.intersect(before).take(5)}")
+        n += 1
+      }
+      n
+    }))
+    Await.result(writer, 5.minutes)
+    val counts = Await.result(probes, 5.minutes)
+    assert(counts.sum > 0, "probes must have run during the defers")
+    val fin = index.probeExactIndex(spark, batch, "doc_id", "text",
+      "cc_def").collect().map(_.getLong(1)).toSet
+    // the 20 batches covered the whole corpus — nothing may match
+    assert(fin.isEmpty,
+      s"end state must exclude every deferred id (got ${fin.size} hits)")
+  }
 }
