@@ -192,7 +192,7 @@ object index {
     * deterministic name (`_takedown_old` holds the pre-takedown data
     * until the final drop; `_takedown_stage` holds survivors until
     * promotion). The two catalog renames are still not one atomic
-    * step, hence the module-level single-writer contract below. */
+    * step, hence the module-level single-writer contract (object doc). */
   private def rewriteBucketedMinus(spark: SparkSession, table: String,
       idColName: String, del: DataFrame, bucketCols: Seq[String]): Unit = {
     val nb = numBuckets(spark, table)
@@ -349,10 +349,15 @@ object index {
     if (spark.catalog.tableExists(s"${name}_pqcells"))
       removeFromPqIndex(ids, "id", name)
     // keep only ids deferred AFTER the pin (dels is read and rewritten:
-    // break the cycle through a stage table, the cremap posture)
+    // break the cycle through a stage table, the cremap posture); the
+    // purge set is pending-set-sized, so its join is gated like every
+    // other deletion join (delJoin discipline)
+    val purged = ids.withColumnRenamed("id", "_ix_purged")
+    val purgedSide =
+      if (delIsSmall(spark, purged)) F.broadcast(purged)
+      else purged.hint("shuffle_hash")
     spark.table(s"${name}_dels")
-      .join(F.broadcast(ids.withColumnRenamed("id", "_ix_purged")),
-        F.col("id") === F.col("_ix_purged"), "left_anti")
+      .join(purgedSide, F.col("id") === F.col("_ix_purged"), "left_anti")
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${name}_dels_stage")
     spark.table(s"${name}_dels_stage")
