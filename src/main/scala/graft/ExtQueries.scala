@@ -4690,6 +4690,29 @@ object ExtQueries {
       .orderBy("format")
   }
 
+  /** DEFERRED takedown on the RESIDUAL-PQ path — the last probe
+    * family without a pending-regime oracled row (jaccard = x134,
+    * exact = x136, IVF = x135): x130's setting with the purge left
+    * PENDING — the deleted vectors' codes are still physically in
+    * their cell directories — yet the ADC ranking must exclude them
+    * exactly as the physical purge would, because the pending filter
+    * rides the code scan before the cell join. Oracle = x130's
+    * verbatim (one oracle, two deletion regimes — completing the
+    * symmetry across all four signature families). */
+  def x141DeferredPqTakedown(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildPqIndex(e, "vec_id", "embedding",
+      "x141_rpq", nlist = 8, m = 8, ksub = 16, ivfIters = 0, pqIters = 0,
+      sampleOneIn = 1L, portableSeed = true, residual = true)
+    graft.functions.index.deferTakedown(
+      e.filter(F.col("vec_id") % 5 === 0).select("vec_id"),
+      "vec_id", "x141_rpq")
+    graft.functions.index.probePqIndex(s,
+        e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+        "x141_rpq", k = 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** SQL-EMITTER roundtrip under the hash gate: q01's flagship
     * pipeline re-built verb-for-verb, emitted as runnable Spark SQL by
     * `build_query` ([[graft.table.Table.buildQuerySql]]) and executed
@@ -5815,7 +5838,8 @@ object ExtQueries {
     "x137_curation_audit" -> (x137CurationAudit _),
     "x138_compacted_index_probe" -> (x138CompactedIndexProbe _),
     "x139_source_roundtrip" -> (x139SourceRoundtrip _),
-    "x140_sql_emitter_roundtrip" -> (x140SqlEmitterRoundtrip _))
+    "x140_sql_emitter_roundtrip" -> (x140SqlEmitterRoundtrip _),
+    "x141_deferred_pq_takedown" -> (x141DeferredPqTakedown _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6105,6 +6129,26 @@ object ExtQueries {
       "doc_id", "text", "x136b_ex")
   }
 
+  /** x141 steady state: defer one ~1% batch against the pre-built
+    * residual-PQ index, probe through the pending set (x135's
+    * defer-day unit on the PQ path). */
+  def x141BenchDeferDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x141_bench", dir) {
+      graft.functions.index.buildPqIndex(e, "vec_id", "embedding",
+        "x141b_rpq", nlist = 8, m = 8, ksub = 16, ivfIters = 0,
+        pqIters = 0, sampleOneIn = 1L, portableSeed = true,
+        residual = true)
+    }
+    val k = benchDaySeq.incrementAndGet() % 97L
+    graft.functions.index.deferTakedown(
+      e.filter(F.col("vec_id") % 97 === k).select("vec_id"),
+      "vec_id", "x141b_rpq")
+    graft.functions.index.probePqIndex(s,
+      e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+      "x141b_rpq", k = 5, nprobe = 3)
+  }
+
   /** x138 steady state: base index built once; each sample runs the
     * production maintenance unit — append the day's batch (fresh ids),
     * compactIndex back to one file per bucket, probe. */
@@ -6145,7 +6189,8 @@ object ExtQueries {
     "x134_deferred_takedown" -> (x134BenchDeferDay _),
     "x135_deferred_ann_takedown" -> (x135BenchDeferDay _),
     "x136_reingest_pending" -> (x136BenchReingestDay _),
-    "x138_compacted_index_probe" -> (x138BenchCompactDay _))
+    "x138_compacted_index_probe" -> (x138BenchCompactDay _),
+    "x141_deferred_pq_takedown" -> (x141BenchDeferDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -6295,5 +6340,8 @@ object ExtQueries {
     // execution regime (append generations + takedown + grid rewrite)
     "x138_compacted_index_probe" -> x138Oracle,
     "x139_source_roundtrip" -> x139Oracle,
-    "x140_sql_emitter_roundtrip" -> x140Oracle)
+    "x140_sql_emitter_roundtrip" -> x140Oracle,
+    // pending deletion must rank exactly like the physical purge —
+    // x130's oracle, second regime (the x135 pattern on the PQ path)
+    "x141_deferred_pq_takedown" -> x130Oracle)
 }
