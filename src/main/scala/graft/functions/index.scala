@@ -38,8 +38,57 @@ import org.apache.spark.sql.types._
   * probe traffic during maintenance should prefer [[deferTakedown]]
   * (an append, no swap — probes filter pending ids without any window)
   * and schedule the physical compaction inside the window.
+  *
+  * The one exception to "no writes outside the window" is the pending
+  * set itself: [[deferTakedown]] appends to `<name>_dels` under live
+  * traffic by design, so its writers coordinate through an in-process
+  * per-index lock ([[delsLock]]) — within one JVM, defers racing a
+  * [[compactTakedowns]] shrink are never lost at any interleaving.
   */
 object index {
+
+  /** In-process writer locks, one per `<name>_dels` table: the pending
+    * set is the ONE index table written outside the maintenance window
+    * (every [[deferTakedown]] appends to it under live traffic), so
+    * unlike the swap-based rewrites its writers must coordinate. The
+    * lock serializes dels APPENDS against the [[compactTakedowns]]
+    * shrink-and-swap, which closes the lost-defer window completely
+    * for the tested topology (every writer in one JVM — Spark local,
+    * or a driver-side maintenance service): a defer landing during the
+    * long purge phase survives the shrink via the anti-join against
+    * the pinned purge set, and a defer racing the shrink itself blocks
+    * for the milliseconds the swap takes. Writers in SEPARATE driver
+    * processes remain under the module's single-writer contract. */
+  private val delsLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def delsLock(delsTable: String): Object =
+    delsLocks.computeIfAbsent(delsTable.toLowerCase, _ => new Object)
+
+  /** Cached pending-set row count per (session, dels table) — the
+    * [[minusPending]] broadcast gate used to run one count job per
+    * probe CONSTRUCTION, measurable overhead at streaming micro-batch
+    * cadence. Every in-process dels writer refreshes or invalidates
+    * the entry (deferTakedown, compactTakedowns, any Overwrite build's
+    * [[resetManagedTable]]), so probes read the gate for free; a count
+    * that somehow went stale (an out-of-contract external writer)
+    * could only flip the JOIN STRATEGY, never the result — both sides
+    * of the gate produce identical rows. */
+  private val pendingCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def pendingKey(spark: SparkSession, delsTable: String): String =
+    System.identityHashCode(spark).toString + "/" + delsTable.toLowerCase
+  private def refreshPendingCount(spark: SparkSession,
+      delsTable: String): Long = {
+    val c = spark.table(delsTable).count()
+    pendingCounts.put(pendingKey(spark, delsTable), c)
+    c
+  }
+  private def invalidatePendingCount(delsTable: String): Unit = {
+    // all sessions' entries: the table is gone on disk for everyone
+    val suffix = "/" + delsTable.toLowerCase
+    pendingCounts.keySet.removeIf(_.endsWith(suffix))
+    ()
+  }
 
   /** Make an Overwrite build idempotent ACROSS sessions: drop the
     * catalog entry and clear any leftover managed-table directory from a
@@ -53,7 +102,32 @@ object index {
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path)) fs.delete(path, true)
+    if (table.toLowerCase.endsWith("_dels")) invalidatePendingCount(table)
     ()
+  }
+
+  /** Rewrite a small unbucketed managed table under the rename-aside
+    * swap discipline ([[rewriteBucketedMinus]]'s shape for the flat
+    * tables — `_dels`, `_stats`, the component-map family): the new
+    * generation is written ONCE to `<table>_stage` (both stage and the
+    * `_old` name are reset first, so a crash-orphaned directory from a
+    * dead session can never fail the write — the [[resetManagedTable]]
+    * cross-session contract), the old generation is renamed aside
+    * before promotion so there is never a no-table-on-disk state, and
+    * a crash at any step leaves a complete generation recoverable
+    * under a deterministic name. Replaces the old stage-then-Overwrite
+    * shape, which wrote the data TWICE and recreated the table in
+    * place. */
+  private def swapViaRename(spark: SparkSession, table: String)(
+      writeStage: String => Unit): Unit = {
+    val stage = s"${table}_stage"
+    val old = s"${table}_old"
+    resetManagedTable(spark, stage)
+    resetManagedTable(spark, old)
+    writeStage(stage)
+    spark.sql(s"ALTER TABLE $table RENAME TO $old")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    resetManagedTable(spark, old)
   }
 
   /** Build (SaveMode.Overwrite) or extend (SaveMode.Append) the index
@@ -305,7 +379,13 @@ object index {
     * set for deployments that don't want to trust cadence alone
     * (probes past [[minusPending]]'s broadcast gate stay correct
     * either way, via the shuffled fallback). Default 0 = off: the
-    * deferred write stays O(batch). */
+    * deferred write stays O(batch). CAVEAT: the inline compaction's
+    * physical purges swap index tables through catalog renames, i.e.
+    * it runs under the module's single-writer MAINTENANCE-WINDOW
+    * contract — a probe racing the triggered compaction can observe
+    * the rename window. Do not enable the ceiling on an index probed
+    * by live traffic while defers land; the defer-only path (ceiling
+    * off) has no swap and no window. */
   def deferTakedown(ids: DataFrame, idCol: String, name: String): Unit = {
     similarity.requireIntegralId(ids, idCol, "index.deferTakedown")
     val spark = ids.sparkSession
@@ -313,12 +393,21 @@ object index {
       s"index.deferTakedown: '$name' has a component map — map deletions " +
         "can SPLIT families, which probe-time filtering cannot express; " +
         "call removeComponentIds (already O(batch)) for the map")
-    delFrame(ids, idCol).select(F.col("_ix_del").as("id"))
-      .write.mode(SaveMode.Append).format("parquet")
-      .saveAsTable(s"${name}_dels")
+    // the append and the count refresh run under the in-process dels
+    // writer lock: a concurrently running compactTakedowns shrink can
+    // neither lose this batch nor publish a stale gate count over the
+    // refresh (see [[delsLock]]); the count itself is one cheap job
+    // over the small pending parquet and is what lets every future
+    // probe read the broadcast gate for free ([[minusPending]])
+    val cnt = delsLock(s"${name}_dels").synchronized {
+      delFrame(ids, idCol).select(F.col("_ix_del").as("id"))
+        .write.mode(SaveMode.Append).format("parquet")
+        .saveAsTable(s"${name}_dels")
+      refreshPendingCount(spark, s"${name}_dels")
+    }
     val autoCap = spark.conf
       .get("spark.graft.index.autoCompactPendingThreshold", "0").toLong
-    if (autoCap > 0 && spark.table(s"${name}_dels").count() > autoCap)
+    if (autoCap > 0 && cnt > autoCap)
       compactTakedowns(spark, name)
   }
 
@@ -333,7 +422,13 @@ object index {
     * pinned set, not a blind truncate: a [[deferTakedown]] that lands
     * between the pin and this rewrite was never purged, and wiping it
     * here would silently resurrect that id — it must stay pending for
-    * the next compaction. */
+    * the next compaction. The shrink itself (re-read, anti-join,
+    * rename-aside swap) runs under the in-process dels writer lock
+    * ([[delsLock]]), so a defer racing the swap blocks instead of
+    * appending into a table about to be renamed out from under it —
+    * within one JVM no defer can be lost at ANY interleaving (pinned
+    * by ConcurrencySpec's defers-during-compaction arm); writers in
+    * separate driver processes stay under the single-writer contract. */
   def compactTakedowns(spark: SparkSession, name: String): Unit = {
     if (!spark.catalog.tableExists(s"${name}_dels")) return
     // pin the pending set OUTSIDE the dels table: the purges below run
@@ -348,22 +443,32 @@ object index {
       removeFromIvfIndex(ids, "id", name)
     if (spark.catalog.tableExists(s"${name}_pqcells"))
       removeFromPqIndex(ids, "id", name)
-    // keep only ids deferred AFTER the pin (dels is read and rewritten:
-    // break the cycle through a stage table, the cremap posture); the
-    // purge set is pending-set-sized, so its join is gated like every
-    // other deletion join (delJoin discipline)
-    val purged = ids.withColumnRenamed("id", "_ix_purged")
+    shrinkDels(spark, name, ids)
+  }
+
+  /** Remove exactly `purged0`'s ids from `<name>_dels` — the tail of
+    * every op that folds pending takedowns into a physical rewrite
+    * ([[compactTakedowns]], the retrain ops). Keeps only ids deferred
+    * AFTER the caller's pin; the purge set is pending-set-sized, so
+    * its join is gated like every other deletion join ([[delJoin]]
+    * discipline). Runs under the dels writer lock — see
+    * [[compactTakedowns]]'s contract note. */
+  private def shrinkDels(spark: SparkSession, name: String,
+      purged0: DataFrame): Unit = {
+    val purged = purged0.withColumnRenamed("id", "_ix_purged")
     val purgedSide =
       if (delIsSmall(spark, purged)) F.broadcast(purged)
       else purged.hint("shuffle_hash")
-    spark.table(s"${name}_dels")
-      .join(purgedSide, F.col("id") === F.col("_ix_purged"), "left_anti")
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_dels_stage")
-    spark.table(s"${name}_dels_stage")
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_dels")
-    resetManagedTable(spark, s"${name}_dels_stage")
+    delsLock(s"${name}_dels").synchronized {
+      swapViaRename(spark, s"${name}_dels") { stage =>
+        spark.table(s"${name}_dels")
+          .join(purgedSide, F.col("id") === F.col("_ix_purged"), "left_anti")
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(stage)
+      }
+      refreshPendingCount(spark, s"${name}_dels")
+      ()
+    }
   }
 
   /** Standing FILE compaction across every index family under `name` —
@@ -389,15 +494,13 @@ object index {
       rewriteBucketedMinus(spark, s"${name}_sigs", "id", none, Seq("id"))
       // zero-sum buckets (fully taken down) drop out; a bucket absent
       // from _stats reads as count 0 either way, so probes see no change
-      spark.table(s"${name}_stats")
-        .groupBy("band", "band_hash").agg(F.sum("cnt").as("cnt"))
-        .filter(F.col("cnt") =!= 0L)
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_stats_stage")
-      spark.table(s"${name}_stats_stage")
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_stats")
-      resetManagedTable(spark, s"${name}_stats_stage")
+      swapViaRename(spark, s"${name}_stats") { stage =>
+        spark.table(s"${name}_stats")
+          .groupBy("band", "band_hash").agg(F.sum("cnt").as("cnt"))
+          .filter(F.col("cnt") =!= 0L)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(stage)
+      }
     }
     if (spark.catalog.tableExists(s"${name}_fps"))
       rewriteBucketedMinus(spark, s"${name}_fps", "id", none, Seq("fp"))
@@ -427,10 +530,13 @@ object index {
     * set's size is bounded only by the deployment's compaction
     * discipline (a skipped month of daily 0.1% takedowns on a 10B-doc
     * corpus is ~300M ids — multi-GB, executor-OOM territory as a
-    * broadcast). The count is one metadata-only job over the small
-    * parquet table per probe CONSTRUCTION (not per probe execution).
-    * Results are identical on either side of the gate — only the
-    * physical join strategy moves. */
+    * broadcast). The gate count comes from the [[pendingCounts]] cache
+    * maintained by every dels writer (defer/compact/rebuild), so probe
+    * construction normally costs NO job; the count() is the cold-start
+    * fallback for a session that has not written yet. Results are
+    * identical on either side of the gate — only the physical join
+    * strategy moves, so even an out-of-contract stale count cannot
+    * change rows. */
   private[graft] def minusPending(spark: SparkSession, name: String,
       df: DataFrame, idColName: String): DataFrame =
     if (!spark.catalog.tableExists(s"${name}_dels")) df
@@ -439,8 +545,11 @@ object index {
         .select(F.col("id").as("_ix_pending"))
       val cap = spark.conf
         .get("spark.graft.index.pendingBroadcastThreshold", "10000000").toLong
+      val cnt: Long = pendingCounts.computeIfAbsent(
+        pendingKey(spark, s"${name}_dels"),
+        _ => spark.table(s"${name}_dels").count())
       val side =
-        if (dels.count() <= cap) F.broadcast(dels)
+        if (cnt <= cap) F.broadcast(dels)
         // hint the shuffled-hash strategy explicitly: without it AQE
         // could still promote a just-over-threshold set to a broadcast
         else dels.hint("shuffle_hash")
@@ -1102,14 +1211,13 @@ object index {
           .unionByName(changed.select(F.col("_cm_from").as("rep0"),
             F.col("_cm_to").as("rep")))
         // the remap table is overwritten while also being read: break
-        // the read-write cycle through a staging table (distributed —
-        // no driver materialization, whatever the merge history's size)
-        newRemap.write.mode(SaveMode.Overwrite).format("parquet")
-          .saveAsTable(s"${name}_cremap_stage")
-        spark.table(s"${name}_cremap_stage")
-          .write.mode(SaveMode.Overwrite).format("parquet")
-          .saveAsTable(s"${name}_cremap")
-        resetManagedTable(spark, s"${name}_cremap_stage")
+        // the read-write cycle through the stage-write-then-rename swap
+        // (distributed — no driver materialization, whatever the merge
+        // history's size; one write, not stage-then-copy)
+        swapViaRename(spark, s"${name}_cremap") { stage =>
+          newRemap.write.mode(SaveMode.Overwrite).format("parquet")
+            .saveAsTable(stage)
+        }
       }
     } finally {
       comp.unpersist(blocking = false)
@@ -1126,26 +1234,22 @@ object index {
     * results are identical before and after — compaction only moves
     * where the resolution happens. */
   def compactComponentMap(spark: SparkSession, name: String): Unit = {
-    readComponentMap(spark, name)
-      .select(F.col("id"), F.col("component").as("rep0"))
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_cmap_stage")
-    spark.table(s"${name}_cmap_stage")
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_cmap")
-    resetManagedTable(spark, s"${name}_cmap_stage")
+    swapViaRename(spark, s"${name}_cmap") { stage =>
+      readComponentMap(spark, name)
+        .select(F.col("id"), F.col("component").as("rep0"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(stage)
+    }
     // the edge log shares the rep0 resolution invariant — fold the
     // remap into it too before truncating
-    spark.table(s"${name}_cedges")
-      .join(F.broadcast(spark.table(s"${name}_cremap")), Seq("rep0"), "left")
-      .select(F.col("id_a"), F.col("id_b"),
-        F.coalesce(F.col("rep"), F.col("rep0")).as("rep0"))
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_cedges_stage")
-    spark.table(s"${name}_cedges_stage")
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_cedges")
-    resetManagedTable(spark, s"${name}_cedges_stage")
+    swapViaRename(spark, s"${name}_cedges") { stage =>
+      spark.table(s"${name}_cedges")
+        .join(F.broadcast(spark.table(s"${name}_cremap")), Seq("rep0"), "left")
+        .select(F.col("id_a"), F.col("id_b"),
+          F.coalesce(F.col("rep"), F.col("rep0")).as("rep0"))
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(stage)
+    }
     spark.emptyDataFrame
       .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep")).where(F.lit(false))
       .write.mode(SaveMode.Overwrite).format("parquet")
@@ -1223,35 +1327,29 @@ object index {
         .join(F.broadcast(del), Seq("id"), "left_anti")
         .join(comp2.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
         .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
-      keepRows.unionByName(survivors)
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cmap_stage")
-      spark.table(s"${name}_cmap_stage")
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cmap")
-      resetManagedTable(spark, s"${name}_cmap_stage")
+      swapViaRename(spark, s"${name}_cmap") { stage =>
+        keepRows.unionByName(survivors)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(stage)
+      }
       val relabeled = survEdges
         .join(comp2.select(F.col("id").as("id_a"),
           F.col("component").as("_cm_c")), Seq("id_a"), "left")
         .select(F.col("id_a"), F.col("id_b"),
           F.coalesce(F.col("_cm_c"), F.col("id_a")).as("rep0"))
-      keepEdges.unionByName(relabeled)
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cedges_stage")
-      spark.table(s"${name}_cedges_stage")
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cedges")
-      resetManagedTable(spark, s"${name}_cedges_stage")
+      swapViaRename(spark, s"${name}_cedges") { stage =>
+        keepEdges.unionByName(relabeled)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(stage)
+      }
       // remap entries resolving into affected components point at rows
       // that just got fresh labels — drop them; others are untouched
-      remap.join(F.broadcast(aff),
-          F.col("rep") === F.col("_cm_aff"), "left_anti")
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cremap_stage")
-      spark.table(s"${name}_cremap_stage")
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cremap")
-      resetManagedTable(spark, s"${name}_cremap_stage")
+      swapViaRename(spark, s"${name}_cremap") { stage =>
+        remap.join(F.broadcast(aff),
+            F.col("rep") === F.col("_cm_aff"), "left_anti")
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(stage)
+      }
     } finally { comp2.unpersist(blocking = false); () }
   }
 

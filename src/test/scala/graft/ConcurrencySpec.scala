@@ -129,4 +129,42 @@ class ConcurrencySpec extends SparkSpec {
     assert(fin.isEmpty,
       s"end state must exclude every deferred id (got ${fin.size} hits)")
   }
+
+  test("no defer is lost while compactTakedowns runs concurrently") {
+    // The dels shrink at the end of compactTakedowns re-reads the
+    // pending table and swaps it — the one write a concurrent
+    // deferTakedown could race. The in-process dels writer lock
+    // (index.scala delsLock) closes that window: a defer landing during
+    // the long purge phase survives the shrink via the anti-join
+    // against the pinned purge set, and a defer racing the swap itself
+    // blocks until the swap is done. Pin it: one thread streams 40
+    // defer batches while the main thread runs back-to-back
+    // compactions; afterwards every id ever deferred must be purged —
+    // a lost batch would leave its fingerprints behind.
+    import spark.implicits._
+    val docs = spark.range(0, 2000).select(F.col("id").as("doc_id"),
+      F.concat(F.lit("cc cmp body "), F.col("id")).as("text"))
+    index.buildExactIndex(docs, "doc_id", "text", "cc_cmp", buckets = 4)
+    val writer = Future {
+      (0 until 40).foreach { i =>
+        index.deferTakedown((i * 50L until i * 50L + 50L).toDF("doc_id"),
+          "doc_id", "cc_cmp")
+      }
+    }
+    var compactions = 0
+    while (!writer.isCompleted) {
+      index.compactTakedowns(spark, "cc_cmp")
+      compactions += 1
+    }
+    Await.result(writer, 5.minutes)
+    assert(compactions > 1, "compactions must have raced the defers")
+    // fold whatever was still pending when the writer finished
+    index.compactTakedowns(spark, "cc_cmp")
+    assert(spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("cc_cmp_dels")))
+    assert(spark.table("cc_cmp_dels").count() == 0L,
+      "the final compaction must drain every pending id")
+    assert(spark.table("cc_cmp_fps").count() == 0L,
+      "a defer lost to the shrink race leaves its fingerprints unpurged")
+  }
 }

@@ -472,6 +472,50 @@ class IndexTakedownSpec extends SparkSpec {
     assert(probeHits("td_cmp", batch).contains((1000L, 5000L)))
   }
 
+  test("pending-count cache: the broadcast gate is served by writer-maintained counts") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val docs = spark.range(0, 200).select(F.col("id").as("doc_id"),
+      F.concat(F.lit("pc body "), F.col("id")).as("text"))
+    index.buildExactIndex(docs, "doc_id", "text", "td_pcache", buckets = 4)
+    def strategies(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case _: BroadcastHashJoinExec => "broadcast"
+        case _: ShuffledHashJoinExec => "shuffled"
+      }
+    def pending() = index.minusPending(spark, "td_pcache",
+      spark.table("td_pcache_fps"), "id")
+    spark.conf.set("spark.graft.index.pendingBroadcastThreshold", "5")
+    try {
+      index.deferTakedown(Seq(0L, 1L).toDF("doc_id"), "doc_id", "td_pcache")
+      assert(strategies(pending()).contains("broadcast"))
+      // OUT-OF-BAND append (bypassing deferTakedown — out of contract,
+      // simulating an external writer): actual pending rows become 14,
+      // over the gate, but the cached count is still 2 — probe
+      // construction must NOT re-count, so the plan still broadcasts...
+      (10L until 22L).toDF("id").write
+        .mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+        .saveAsTable("td_pcache_dels")
+      val stale = pending()
+      assert(strategies(stale).contains("broadcast"),
+        "probe construction must serve the gate from the cache, not a count job")
+      // ...and a stale gate can only flip strategy, never rows: all 14
+      // pending ids are excluded regardless
+      assert(stale.count() == 200L - 14L)
+      // the next writer refreshes the count past the gate → shuffled
+      index.deferTakedown(Seq(2L).toDF("doc_id"), "doc_id", "td_pcache")
+      val s = strategies(pending())
+      assert(s.contains("shuffled") && !s.contains("broadcast"),
+        s"defer must refresh the cached gate count: $s")
+      // compaction drains the pending set and refreshes to 0 → broadcast
+      index.compactTakedowns(spark, "td_pcache")
+      assert(spark.table("td_pcache_dels").count() == 0L)
+      val drained = pending()
+      assert(strategies(drained).contains("broadcast"))
+      assert(drained.count() == 200L - 15L)
+    } finally
+      spark.conf.unset("spark.graft.index.pendingBroadcastThreshold")
+  }
+
   test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)
