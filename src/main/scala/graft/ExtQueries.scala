@@ -18,6 +18,29 @@ import graft.table.Table
   */
 object ExtQueries {
 
+  /** A temp staging directory reclaimed at JVM exit (recursive delete
+    * via one shutdown hook over all registered dirs) — the x102/x132/
+    * x139 rows each stage files per run, and without reclamation
+    * repeated Verify/Bench invocations accumulate /tmp litter in a
+    * long-lived deployment (r12 advice). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      scratchDirs.forEach(p => rm(p.toFile))
+    }))
+  }
+  private def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
@@ -3686,8 +3709,7 @@ object ExtQueries {
     * the whole export/claim lifecycle replays cross-engine. */
   def x102ShardedExportRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_x102_shards_").toString
+    val out = scratchDir("graft_x102_shards_")
     graft.functions.layout.writeSharded(d, out, "doc_id", nShards = 8,
       maxRecordsPerFile = 200, sortCols = Seq("doc_id"))
     graft.functions.layout.readSharded(s, out, shards = Seq(0, 3, 5))
@@ -4342,8 +4364,7 @@ object ExtQueries {
     import graft.streaming.Streams
     val run = streamSinkIds.incrementAndGet()
     val ss = Streams.replaySession(s, partitions = 8)
-    val stage = java.nio.file.Files
-      .createTempDirectory(s"x132_days_$run").toString
+    val stage = scratchDir(s"x132_days_$run")
     val d = docs(ss, dir).filter(F.col("doc_id") % 2 === 0)
     def dayOf(r: Int) = d.filter(F.col("doc_id") % 6 === r)
       .select(F.col("doc_id"), F.col("text"))
@@ -4382,8 +4403,7 @@ object ExtQueries {
       x132StreamingBase(ss, dir); ()
     }
     val off = 50000000L + 1000000L * benchDaySeq.incrementAndGet()
-    val stage = java.nio.file.Files
-      .createTempDirectory(s"x132_bench_day_$off").toString + "/day"
+    val stage = scratchDir(s"x132_bench_day_$off") + "/day"
     docs(ss, dir).filter(F.col("doc_id") % 60 === 2)
       .select((F.col("doc_id") + off).as("doc_id"), F.col("text"))
       .coalesce(1).write.parquet(stage)
@@ -4667,7 +4687,7 @@ object ExtQueries {
     val d = docs(s, dir).select(
       F.col("doc_id").cast(LongType).as("doc_id"),
       F.col("text"), F.col("source"))
-    val base = java.nio.file.Files.createTempDirectory("x139_rt_").toString
+    val base = scratchDir("x139_rt_")
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType), StructField("source", StringType)))
     d.write.mode("overwrite").json(s"$base/j")
@@ -4758,8 +4778,15 @@ object ExtQueries {
     val chain = x50Oracle.substring(0, x50Oracle.indexOf(cut))
     val samp = "CAST(concat('0x', substring(md5(CAST(q.doc_id AS " +
       "VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000"
-    chain +
-      s"""SELECT q.doc_id,
+    // xm: every filtered doc's fingerprint-group KEEPER — re-derived
+    // from the same md5-grouping the chain's `ex` CTE keeps, so dup_of
+    // for exact losers is pinned against an independent derivation
+    chain.trim + "," +
+      s"""
+         |xm AS (SELECT f.doc_id, k.keep FROM filt f JOIN (
+         |    SELECT md5(text) AS fp, MIN(doc_id) AS keep
+         |    FROM filt GROUP BY md5(text)) k ON md5(f.text) = k.fp)
+         |SELECT q.doc_id,
          |  q.quality >= 0.3 AS quality_pass,
          |  q.pred_lang IN ('en') AS lang_pass,
          |  CASE WHEN q.quality >= 0.3 AND q.pred_lang IN ('en')
@@ -4776,17 +4803,172 @@ object ExtQueries {
          |    WHEN NOT (comp.id IS NULL OR comp.component = q.doc_id)
          |      THEN 'near_dup'
          |    WHEN NOT ($samp) THEN 'sample'
-         |    ELSE 'kept' END AS dropped_at
+         |    ELSE 'kept' END AS dropped_at,
+         |  CASE WHEN q.quality >= 0.3 AND q.pred_lang IN ('en')
+         |      AND e.doc_id IS NULL THEN xm.keep
+         |    WHEN e.doc_id IS NOT NULL
+         |      AND NOT (comp.id IS NULL OR comp.component = q.doc_id)
+         |      THEN comp.component END AS dup_of
          |FROM q LEFT JOIN ex e ON e.doc_id = q.doc_id
          |LEFT JOIN comp ON comp.id = q.doc_id
+         |LEFT JOIN xm ON xm.doc_id = q.doc_id
          |ORDER BY q.doc_id""".stripMargin
   }
+
+  /** CODEBOOK RETRAIN over the residual-PQ index
+    * ([[graft.functions.index.retrainPqIndex]]) — the index lifecycle
+    * op x130's "takedown must not retrain" contract deliberately
+    * forbids, delivered as its own maintenance step: x130's build
+    * loses every fifth vector PHYSICALLY, every seventh is left
+    * PENDING, then retrain trains BOTH quantizer banks afresh on the
+    * live survivors (seed-deterministic: ivfIters = pqIters = 0,
+    * portableSeed), re-encodes exactly the live corpus from the
+    * caller's vector store, swaps under the rename-aside discipline
+    * and folds the pending set. The oracle is x120's full
+    * training-and-ADC replay with the corpus CTE restricted to the
+    * live survivors — i.e. the retrained index must rank bit-exactly
+    * like one built from scratch on what survived: stale day-1 banks,
+    * a resurrected removed/pending id, or an encode against the old
+    * geometry all break the hash. */
+  def x142PqIndexRetrain(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildPqIndex(e, "vec_id", "embedding",
+      "x142_rpq", nlist = 8, m = 8, ksub = 16, ivfIters = 0, pqIters = 0,
+      sampleOneIn = 1L, portableSeed = true, residual = true)
+    graft.functions.index.removeFromPqIndex(
+      e.filter(F.col("vec_id") % 5 === 0).select("vec_id"),
+      "vec_id", "x142_rpq")
+    graft.functions.index.deferTakedown(
+      e.filter(F.col("vec_id") % 7 === 3).select("vec_id"),
+      "vec_id", "x142_rpq")
+    graft.functions.index.retrainPqIndex(e, "vec_id", "embedding",
+      "x142_rpq", ivfIters = 0, pqIters = 0, sampleOneIn = 1L,
+      portableSeed = true)
+    graft.functions.index.probePqIndex(s,
+        e.filter(F.col("vec_id") < 8 && F.col("vec_id") % 5 =!= 0
+          && F.col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", "x142_rpq", k = 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  // x120's replay with training, encode AND ranking all restricted to
+  // the live survivors — rebuild-on-survivors equality, the retrain
+  // contract (vs x130's same-oracle-stale-banks for takedown)
+  private lazy val x142Oracle = oracleEdit(x120Oracle,
+    "FROM embeddings),",
+    "FROM embeddings WHERE vec_id % 5 != 0 AND vec_id % 7 != 3),")
+
+  /** CENTROID RETRAIN over the IVF index
+    * ([[graft.functions.index.retrainIvfIndex]]) — the vector-storing
+    * sibling of x142, self-contained (no external store: `_cells`
+    * holds the vectors): a seed-deterministic build loses every
+    * fourth vector physically and every ninth pending, retrain
+    * re-derives the centroid bank from the survivors and re-assigns
+    * them, and the nprobe = 3 < nlist = 8 probe runs against the new
+    * geometry. The oracle replays the whole retrained pipeline in SQL
+    * — md5-ordered seeds over SURVIVORS, argmax cell assignment,
+    * per-query probed-cell pruning, exact cosine ranking — so a probe
+    * still routed by the day-1 centroids (different seeds: the
+    * removed ids changed the md5 order) breaks the hash. */
+  def x143IvfIndexRetrain(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    graft.functions.index.buildIvfIndex(e, "vec_id", "embedding",
+      "x143_ivf", nlist = 8, iters = 0, sampleOneIn = 1L,
+      portableSeed = true)
+    graft.functions.index.removeFromIvfIndex(
+      e.filter(F.col("vec_id") % 4 === 1).select("vec_id"),
+      "vec_id", "x143_ivf")
+    graft.functions.index.deferTakedown(
+      e.filter(F.col("vec_id") % 9 === 2).select("vec_id"),
+      "vec_id", "x143_ivf")
+    graft.functions.index.retrainIvfIndex(s, "x143_ivf", iters = 0,
+      sampleOneIn = 1L, portableSeed = true)
+    graft.functions.index.probeIvfIndex(s,
+        e.filter(F.col("vec_id") < 10 && F.col("vec_id") % 4 =!= 1
+          && F.col("vec_id") % 9 =!= 2),
+        "vec_id", "embedding", "x143_ivf", k = 5, nprobe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private val x143Oracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 4 != 1 AND vec_id % 9 != 2),
+      |en AS (SELECT vec_id, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |assign AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT en.vec_id, sn.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY en.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(en.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM en CROSS JOIN sn) WHERE rk = 1),
+      |q AS (SELECT * FROM en WHERE vec_id < 10),
+      |probe AS (
+      |  SELECT vec_id AS q_id, cell FROM (
+      |    SELECT q.vec_id, sn.cell,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(q.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM q CROSS JOIN sn) WHERE rk <= 3),
+      |scored AS (
+      |  SELECT p.q_id, c.vec_id AS n_id,
+      |    list_sum(list_transform(list_zip(q.v, c.v), z -> z[1] * z[2]))
+      |      / q.nrm / c.nrm AS cos
+      |  FROM probe p
+      |  JOIN assign a ON a.cell = p.cell
+      |  JOIN en c ON c.vec_id = a.vec_id
+      |  JOIN q ON q.vec_id = p.q_id
+      |  WHERE c.vec_id != p.q_id)
+      |SELECT q_id, n_id, cos, rank FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** SQL-EMITTER roundtrip, JOIN + GROUPED-WINDOW arm (x140's sibling
+    * — the r12 verdict's breadth ask): a customer ⨝ nation pipeline
+    * with a grouped mutate (aggregates compiled to windows under
+    * group_by, the q13 shape) re-built verb-for-verb, emitted as
+    * runnable Spark SQL by `build_query` and executed via `spark.sql`,
+    * under its own DuckDB window replay. Pins the emitter's join
+    * clause, the window rewrite, and the decimal-intermediate
+    * discipline through the emitted-SQL path — a mistranslation in any
+    * of them diverges from the proven arithmetic and breaks the hash. */
+  def x144SqlEmitterJoinWindow(s: SparkSession, dir: String): DataFrame = {
+    def dsum(e: ColExpr) = e.cast(DecimalType(18, 4)).sum().cast(DoubleType)
+    val nat = Table.source(s, dir, "nation")
+    val t = Table.source(s, dir, "customer")
+      .innerJoin(nat, C("c_nationkey") === nat.col("n_nationkey"))
+      .groupBy(C("n_name"))
+      .mutate(
+        "nation_total" -> dsum(C("c_acctbal")),
+        "nation_n" -> count(),
+        "share" -> C("c_acctbal") / (dsum(C("c_acctbal")) + lit(1e-9)))
+      .ungroup
+      .select(C("c_custkey"), C("n_name"), C("nation_total"),
+        C("nation_n"), C("share"))
+      .arrange(C("c_custkey"))
+    s.sql(t.buildQuerySql)
+  }
+
+  private val x144Oracle =
+    """SELECT c_custkey, n_name,
+      |CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER w AS DOUBLE) AS nation_total,
+      |COUNT(*) OVER w AS nation_n,
+      |c_acctbal / (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER w AS DOUBLE) + 1e-9) AS share
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WINDOW w AS (PARTITION BY n_name)
+      |ORDER BY c_custkey""".stripMargin
 
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
-    val stage = java.nio.file.Files
-      .createTempDirectory("x132_bench_base_").toString
+    val stage = scratchDir("x132_bench_base_")
     val d = docs(ss, dir).filter(F.col("doc_id") % 2 === 0)
     def dayOf(r: Int) = d.filter(F.col("doc_id") % 6 === r)
       .select(F.col("doc_id"), F.col("text"))
@@ -5839,7 +6021,10 @@ object ExtQueries {
     "x138_compacted_index_probe" -> (x138CompactedIndexProbe _),
     "x139_source_roundtrip" -> (x139SourceRoundtrip _),
     "x140_sql_emitter_roundtrip" -> (x140SqlEmitterRoundtrip _),
-    "x141_deferred_pq_takedown" -> (x141DeferredPqTakedown _))
+    "x141_deferred_pq_takedown" -> (x141DeferredPqTakedown _),
+    "x142_pq_index_retrain" -> (x142PqIndexRetrain _),
+    "x143_ivf_index_retrain" -> (x143IvfIndexRetrain _),
+    "x144_sql_emitter_join_window" -> (x144SqlEmitterJoinWindow _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6343,5 +6528,12 @@ object ExtQueries {
     "x140_sql_emitter_roundtrip" -> x140Oracle,
     // pending deletion must rank exactly like the physical purge —
     // x130's oracle, second regime (the x135 pattern on the PQ path)
-    "x141_deferred_pq_takedown" -> x130Oracle)
+    "x141_deferred_pq_takedown" -> x130Oracle,
+    // retrain must rank exactly like a rebuild on the survivors —
+    // x120's replay restricted to the live corpus
+    "x142_pq_index_retrain" -> x142Oracle,
+    "x143_ivf_index_retrain" -> x143Oracle,
+    // the emitted join + grouped-window SQL must match the window
+    // replay exactly — x140's oracle posture on the q13 shape
+    "x144_sql_emitter_join_window" -> x144Oracle)
 }

@@ -97,6 +97,24 @@ object index {
     * LOCATION_ALREADY_EXISTS). A daily index rebuild must not depend on
     * the previous builder's metastore surviving. */
   private[graft] def resetManagedTable(spark: SparkSession, table: String): Unit = {
+    // A PARTITIONED table's per-partition locations go STALE after a
+    // catalog rename (the table directory moves, the partition entries
+    // keep their absolute pre-rename paths — i.e. they alias ANOTHER
+    // table's live data after a rename-aside swap). DROP TABLE deletes
+    // managed-partition data at those registered locations, so dropping
+    // a renamed-aside generation would eat the PROMOTED table's
+    // directories. Purge the partition METADATA first (retainData —
+    // catalog-only), so the drop below can only ever delete this
+    // table's own directory.
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (cat.tableExists(ident) &&
+        cat.getTableMetadata(ident).partitionColumnNames.nonEmpty) {
+      val specs = cat.listPartitions(ident).map(_.spec)
+      if (specs.nonEmpty)
+        cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
@@ -106,20 +124,24 @@ object index {
     ()
   }
 
-  /** Rewrite a small unbucketed managed table under the rename-aside
-    * swap discipline ([[rewriteBucketedMinus]]'s shape for the flat
-    * tables — `_dels`, `_stats`, the component-map family): the new
-    * generation is written ONCE to `<table>_stage` (both stage and the
-    * `_old` name are reset first, so a crash-orphaned directory from a
-    * dead session can never fail the write — the [[resetManagedTable]]
-    * cross-session contract), the old generation is renamed aside
-    * before promotion so there is never a no-table-on-disk state, and
-    * a crash at any step leaves a complete generation recoverable
-    * under a deterministic name. Replaces the old stage-then-Overwrite
+  /** Rewrite a managed table under the rename-aside swap discipline
+    * ([[rewriteBucketedMinus]]'s shape for the flat tables — `_dels`,
+    * `_stats`, the component-map family — and, with `partitioned`,
+    * the retrain ops' cell tables): the new generation is written ONCE
+    * to `<table>_stage` (both stage and the `_old` name are reset
+    * first, so a crash-orphaned directory from a dead session can
+    * never fail the write — the [[resetManagedTable]] cross-session
+    * contract), the old generation is renamed aside before promotion
+    * so there is never a no-table-on-disk state, and a crash at any
+    * step leaves a complete generation recoverable under a
+    * deterministic name (a crashed PARTITIONED generation additionally
+    * needs `RECOVER PARTITIONS` after its rescue rename — renames
+    * leave partition metadata stale, see below and
+    * [[resetManagedTable]]). Replaces the old stage-then-Overwrite
     * shape, which wrote the data TWICE and recreated the table in
     * place. */
-  private def swapViaRename(spark: SparkSession, table: String)(
-      writeStage: String => Unit): Unit = {
+  private def swapViaRename(spark: SparkSession, table: String,
+      partitioned: Boolean = false)(writeStage: String => Unit): Unit = {
     val stage = s"${table}_stage"
     val old = s"${table}_old"
     resetManagedTable(spark, stage)
@@ -127,6 +149,11 @@ object index {
     writeStage(stage)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
+    // renaming a PARTITIONED managed table moves its directory but the
+    // catalog's per-partition locations keep pointing at the old path —
+    // every read would silently scan nothing. Rebuild them from the
+    // directory layout (≤ nlist partitions — one cheap listing).
+    if (partitioned) spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
     resetManagedTable(spark, old)
   }
 
@@ -517,6 +544,182 @@ object index {
       }
   }
 
+  // ---------------- codebook / centroid RETRAIN ----------------
+
+  /** The pinned pending set of `name` (None when no `_dels` table): an
+    * eager, lineage-severed copy, because retrain both consumes it
+    * (training/encode exclusion) and then folds it into `_dels` via
+    * [[shrinkDels]] — a lazy plan would re-read a table being swapped. */
+  private def pinnedPending(spark: SparkSession,
+      name: String): Option[DataFrame] =
+    if (!spark.catalog.tableExists(s"${name}_dels")) None
+    else Some(spark.table(s"${name}_dels").select("id").localCheckpoint(true))
+
+  /** `df` minus a pinned pending set on `idColName` — the [[delJoin]]
+    * gate applied to the retrain exclusion joins. No distinct: an
+    * anti-join ignores duplicate build keys, and deduplicating would
+    * put an extra exchange inside the rewrite's one-exchange plan (the
+    * ScaleSmoke receipt); re-deferred ids only overcount the gate,
+    * which errs toward the safe (shuffled) side. */
+  private def minusPinned(spark: SparkSession, df: DataFrame,
+      pend: Option[DataFrame], idColName: String): DataFrame = pend match {
+    case None => df
+    case Some(p) =>
+      val del = p.select(F.col("id").cast(LongType).as("_ix_del"))
+      delJoin(df, del, idColName, "left_anti", delIsSmall(spark, del))
+  }
+
+  /** RETRAIN the IVF coarse quantizer of index `name` — the index
+    * lifecycle op for a DRIFTING corpus: [[buildIvfIndex]]'s Append
+    * deliberately assigns new batches against the day-1 centroid bank
+    * (cell ids must stay stable mid-lifecycle), so after months of
+    * appends the cell geometry no longer matches the data and probe
+    * recall decays at a fixed nprobe budget. This trains a FRESH bank
+    * on the current live corpus (the same Lloyd-as-Spark-jobs path as
+    * the build — `portableSeed` keeps the iters = 0 seed path exactly
+    * replayable, the x143 oracle gate), re-assigns every live vector
+    * in one codegen pass, and swaps both tables under the rename-aside
+    * discipline. Self-contained: `_cells` stores the vectors, so no
+    * external source is needed (contrast [[retrainPqIndex]]).
+    *
+    * Pending logical takedowns are handled the right-to-be-forgotten
+    * way: pending ids are EXCLUDED from both the training sample and
+    * the re-encode (the rewrite is their physical purge — deleted data
+    * must not shape the new geometry either), and the pinned pending
+    * set is folded out of `_dels` afterwards ([[shrinkDels]] — a defer
+    * landing mid-retrain stays pending, the compactTakedowns
+    * contract). Probe results change ONLY through candidate geometry:
+    * with nprobe = nlist a post-retrain probe is still exactly the
+    * brute force over survivors.
+    *
+    * Scale shape: training touches a ≤ sampleN hash sample; the
+    * re-encode is ONE scan of the live cells (codegen argmax against
+    * the broadcast-literal new bank) plus the one exchange every cell
+    * rewrite pays (repartition onto the new cell grid → one file per
+    * cell); the corpus is never joined or shuffled otherwise. Runs
+    * under the module's single-writer maintenance-window contract. */
+  def retrainIvfIndex(spark: SparkSession, name: String, iters: Int = 5,
+      sampleN: Int = 20000, sampleOneIn: Long = 0L,
+      portableSeed: Boolean = false): Unit = {
+    val dim = readIvfDim(spark, name)
+    val nlist = readIvfBank(spark, name).length / (dim + 1)
+    val pend = pinnedPending(spark, name)
+    val live = minusPinned(spark, spark.table(s"${name}_cells"), pend, "n_id")
+    val bank = similarity.trainIvfCentroids(live, "n_id", "n_vec", nlist,
+      iters, sampleN, sampleOneIn, portableSeed)
+    require(bank.nonEmpty,
+      s"index.retrainIvfIndex: '$name' has no live vectors to retrain on")
+    val bankLit = F.typedlit(bank.toSeq)
+    swapViaRename(spark, s"${name}_cells", partitioned = true) { stage =>
+      live.select(F.col("n_id"), F.col("n_vec"), F.col("n_nrm"),
+          F.element_at(F.call_function("graft_centroid_topk",
+            F.col("n_vec"), bankLit, F.lit(1)), 1).as("cell"))
+        .repartition(F.col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .format("parquet").saveAsTable(stage)
+      spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
+        s"'graft.dim'='$dim')")
+    }
+    swapViaRename(spark, s"${name}_centroids") { stage =>
+      import spark.implicits._
+      bank.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("pos", "v").coalesce(1)
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stage)
+    }
+    pend.foreach(p => shrinkDels(spark, name, p))
+  }
+
+  /** RETRAIN both quantizer banks of PQ index `name` (IVF centroids +
+    * PQ codebooks, raw or residual per the index's own stored flag) —
+    * [[retrainIvfIndex]]'s sibling for the code-storing layout, and
+    * the remedy for the recall decay [[buildPqIndex]]'s
+    * stored-bank-append contract accumulates on a drifting corpus.
+    *
+    * PQ codes are LOSSY — the original vectors are deliberately not
+    * persisted — so re-encoding needs the authoritative vector store:
+    * `df` (any frame holding at least every live indexed id's current
+    * vector; extra rows are ignored). The live set is exactly the ids
+    * physically in `_pqcells` minus the pinned pending takedowns —
+    * rows `df` carries for already-removed ids can never resurrect
+    * (the takedown contract), and the rewrite must cover ALL live ids:
+    * coverage is enforced by counting the staged table against the
+    * live set before the swap, so a partial vector store aborts with
+    * the index untouched rather than silently shrinking it.
+    *
+    * The storage contract is preserved: nlist, m, ksub (inferred from
+    * the stored banks' shapes) and the residual flag all stay fixed —
+    * retrain refreshes bank VALUES, not the code-space shape, so
+    * probes and appends keep working unchanged against the new banks.
+    * Pending ids are excluded from training and encode and folded out
+    * of `_dels` (see [[retrainIvfIndex]]).
+    *
+    * Scale shape: training touches hash samples; the rewrite pays one
+    * id semi-join of `df` against the live id set (the one join the
+    * lossy layout forces — O(corpus), like the rewrite itself) plus
+    * the cell-grid exchange; no other shuffle. Single-writer
+    * maintenance-window contract. */
+  def retrainPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      name: String, ivfIters: Int = 2, pqIters: Int = 0,
+      sampleN: Int = 20000, sampleOneIn: Long = 0L,
+      portableSeed: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    similarity.requireIntegralId(df, idCol, "index.retrainPqIndex")
+    val dim = readPqProp(spark, name, "graft.dim").toInt
+    val m = readPqProp(spark, name, "graft.m").toInt
+    val residual =
+      readPqPropOr(spark, name, "graft.residual", "false").toBoolean
+    val nlist = readPqBank(spark, name, "ivf").length / (dim + 1)
+    // cb layout is m × ksub × (dim/m) doubles → ksub = |cb| / dim; a
+    // tiny build that trained kEff < ksub codewords retrains at kEff —
+    // the effective budget the stored codes were paid at
+    val ksub = readPqBank(spark, name, "cb").length / dim
+    val pend = pinnedPending(spark, name)
+    val liveIds = minusPinned(spark,
+      spark.table(s"${name}_pqcells").select("n_id"), pend, "n_id")
+    val nLive = liveIds.count()
+    require(nLive > 0,
+      s"index.retrainPqIndex: '$name' has no live vectors to retrain on")
+    val src = df.select(F.col(idCol).cast(LongType).as("n_id"),
+      F.col(vecCol).as("n_vec"))
+    val liveVecs = src.join(liveIds, Seq("n_id"), "left_semi")
+    val bank = similarity.trainIvfCentroids(liveVecs, "n_id", "n_vec",
+      nlist, ivfIters, sampleN, sampleOneIn, portableSeed)
+    val cb =
+      if (residual) similarity.trainPqCodebooks(
+        residualFrame(similarity.cleanDim(liveVecs, "n_vec", dim),
+          "n_id", "n_vec", bank, dim), "n_id", "_rc_r",
+        m, ksub, pqIters, sampleN, sampleOneIn, portableSeed)
+      else similarity.trainPqCodebooks(liveVecs, "n_id", "n_vec", m, ksub,
+        pqIters, sampleN, sampleOneIn, portableSeed)
+    swapViaRename(spark, s"${name}_pqcells", partitioned = true) { stage =>
+      encodeCells(similarity.cleanDim(liveVecs, "n_vec", dim),
+          "n_id", "n_vec", bank, cb, m, dim, residual)
+        .repartition(F.col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .format("parquet").saveAsTable(stage)
+      // coverage gate BEFORE any rename: a vector store missing live
+      // ids (or carrying duplicates / ragged vectors for them) must
+      // abort with the standing index intact, not swap in a shrunken
+      // generation. Throwing here leaves only a stage orphan, which
+      // the next retrain's reset clears.
+      val staged = spark.table(stage).count()
+      require(staged == nLive,
+        s"index.retrainPqIndex: vector source re-encoded $staged of " +
+          s"$nLive live indexed ids — it must cover every live id " +
+          "exactly once at the trained width")
+      spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
+        s"'graft.dim'='$dim', 'graft.m'='$m', 'graft.residual'='$residual')")
+    }
+    swapViaRename(spark, s"${name}_pqbank") { stage =>
+      import spark.implicits._
+      val rows = bank.zipWithIndex.map { case (v, i) => ("ivf", i, v) } ++
+        cb.zipWithIndex.map { case (v, i) => ("cb", i, v) }
+      rows.toSeq.toDF("kind", "pos", "v").coalesce(1)
+        .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stage)
+    }
+    pend.foreach(p => shrinkDels(spark, name, p))
+  }
+
   /** `df` minus index `name`'s PENDING logical takedowns on `idColName`
     * — a no-op when `<name>_dels` doesn't exist. Every probe's index
     * side passes through here, so a [[deferTakedown]] is effective from
@@ -846,7 +1049,8 @@ object index {
     * part of graft's training-data-pipeline extension family. */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
       name: String, nlist: Int = 64, iters: Int = 5, sampleN: Int = 20000,
-      sampleOneIn: Long = 0L, mode: SaveMode = SaveMode.Overwrite): Unit = {
+      sampleOneIn: Long = 0L, mode: SaveMode = SaveMode.Overwrite,
+      portableSeed: Boolean = false): Unit = {
     require(nlist >= 1, s"index: nlist must be >= 1 (got $nlist)")
     val spark = df.sparkSession
     val dim = df.select(F.size(F.col(vecCol))).head().getInt(0)
@@ -863,7 +1067,7 @@ object index {
           s"index: append dim $dim does not match the build's $storedDim")
         stored
       } else similarity.trainIvfCentroids(
-        df, idCol, vecCol, nlist, iters, sampleN, sampleOneIn)
+        df, idCol, vecCol, nlist, iters, sampleN, sampleOneIn, portableSeed)
     val bankLit = F.typedlit(bank.toSeq)
     val cells = df.select(
       F.col(idCol).cast(LongType).as("n_id"),
@@ -1018,27 +1222,11 @@ object index {
         (ivf, cbTrain)
       }
     val mEff = if (appending) readPqProp(spark, name, "graft.m").toInt else m
-    val cbLit = F.typedlit(cb.toSeq)
     // ragged-row hygiene (the hammingTopK posture): a vector that isn't
     // exactly `dim` wide has no defined code — exclude it rather than
     // persist a NULL/misaligned encoding into the index
     val clean = similarity.cleanDim(df, vecCol, dim)
-    val cells =
-      if (resEff)
-        residualFrame(clean, idCol, vecCol, bank, dim)
-          .select(F.col("n_id").cast(LongType).as("n_id"),
-            F.call_function("graft_pq_encode", F.col("_rc_r"), cbLit,
-              F.lit(mEff)).as("codes"),
-            F.col("cell"))
-      else {
-        val bankLit = F.typedlit(bank.toSeq)
-        clean.select(
-          F.col(idCol).cast(LongType).as("n_id"),
-          F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(mEff))
-            .as("codes"),
-          F.element_at(F.call_function("graft_centroid_topk",
-            F.col(vecCol), bankLit, F.lit(1)), 1).as("cell"))
-      }
+    val cells = encodeCells(clean, idCol, vecCol, bank, cb, mEff, dim, resEff)
     // one file per cell per append, not per (task × cell) — see
     // [[buildIvfIndex]]'s small-file note
     cells.repartition(F.col("cell"))
@@ -1398,6 +1586,32 @@ object index {
       .select(F.col("n_id"), F.col("cell"),
         F.call_function("graft_vec_sub", F.col("_rc_v"), F.col("_rc_cent"))
           .as("_rc_r"))
+  }
+
+  /** `(n_id, codes, cell)` for a width-clean vector frame under the
+    * given banks — the encode shared by build, append and retrain: a
+    * residual index codes v − centroid(cell) against the residual
+    * codebooks, a raw index codes v directly; either way one codegen
+    * pass against broadcast-literal banks, no shuffle. */
+  private def encodeCells(clean: DataFrame, idCol: String, vecCol: String,
+      bank: Array[Double], cb: Array[Double], m: Int, dim: Int,
+      residual: Boolean): DataFrame = {
+    val cbLit = F.typedlit(cb.toSeq)
+    if (residual)
+      residualFrame(clean, idCol, vecCol, bank, dim)
+        .select(F.col("n_id").cast(LongType).as("n_id"),
+          F.call_function("graft_pq_encode", F.col("_rc_r"), cbLit,
+            F.lit(m)).as("codes"),
+          F.col("cell"))
+    else {
+      val bankLit = F.typedlit(bank.toSeq)
+      clean.select(
+        F.col(idCol).cast(LongType).as("n_id"),
+        F.call_function("graft_pq_encode", F.col(vecCol), cbLit, F.lit(m))
+          .as("codes"),
+        F.element_at(F.call_function("graft_centroid_topk",
+          F.col(vecCol), bankLit, F.lit(1)), 1).as("cell"))
+    }
   }
 
   private def readPqBank(spark: SparkSession, name: String,

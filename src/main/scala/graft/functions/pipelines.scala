@@ -130,17 +130,22 @@ object pipelines {
     * Columns: `quality_pass` / `lang_pass` (always defined — pure
     * per-row predicates), `exact_keep` / `near_keep` / `sample_keep`
     * (NULL when the document never REACHED the stage — a doc dropped
-    * by the quality filter has no exact-dedup verdict), and
+    * by the quality filter has no exact-dedup verdict),
     * `dropped_at` ∈ {quality, language, exact_dup, near_dup, sample,
-    * kept} — the first failing stage. The kept set is exactly
+    * kept} — the first failing stage — and `dup_of`: the CANONICAL
+    * surviving id a duplicate folded into (its fingerprint group's
+    * keeper for exact_dup, its near-dup component's representative for
+    * near_dup; NULL otherwise) — what a takedown appeal or a dedup
+    * debug needs to answer "duplicate of WHAT". The kept set is exactly
     * [[curateDocuments]] with `nearDupExact = true` on the same
     * parameters (the x50 path), so the audit is a strict refinement:
     * `dropped_at = 'kept'` ⟺ membership in the curated output.
     *
     * Scale shape: the stage predicates are pure expressions; the only
-    * additional work over the pipeline itself is two id-frame left
-    * joins (exact keepers, near survivors) — no new shuffles beyond
-    * what the dedup stages already do. */
+    * additional work over the pipeline itself is the fingerprint-group
+    * keeper join (same key grain the exact-dedup stage already
+    * shuffles) and the component-frame left join — no new shuffle
+    * classes beyond what the dedup stages already do. */
   def curationAudit(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       minQuality: Double = 0.3,
@@ -154,34 +159,47 @@ object pipelines {
     val qPass = F.col("quality") >= minQuality
     val lPass = F.col("pred_lang").isin(langs: _*)
     val filt = scored.filter(qPass && lPass)
-    val exKeep = dedup.exactDuplicates(filt, idCol, textCol)
-      .select(F.col("keep_id").as(idCol))
-    val exactDeduped = filt.join(exKeep, Seq(idCol))
+    // id → its fingerprint group's keeper (non-NULL ⟺ reached the
+    // exact stage; keeper ⟺ _ca_keep = id) — carrying the keeper id
+    // instead of a boolean is what makes dup_of derivable
+    val exMap = filt.select(F.col(idCol),
+        text.fingerprintMd5(F.col(textCol)).as("_ca_fp"))
+      .join(dedup.exactDuplicates(filt, idCol, textCol)
+        .select(F.col("fingerprint").as("_ca_fp"),
+          F.col("keep_id").as("_ca_keep")), Seq("_ca_fp"))
+      .select(F.col(idCol), F.col("_ca_keep"))
+    val exactDeduped = filt.join(
+      exMap.filter(F.col("_ca_keep") === F.col(idCol)).select(F.col(idCol)),
+      Seq(idCol))
     val nearPairs = dedup.jaccardPairsLsh(exactDeduped, idCol, textCol,
       minJ = nearDupThreshold, maxBucket = nearDupMaxBucket)
-    val nearKeep = dedup.keepCanonical(exactDeduped, idCol, nearPairs)
-      .select(F.col(idCol))
-    val ex = exKeep.withColumn("_ca_ex", F.lit(true))
-    val near = nearKeep.withColumn("_ca_near", F.lit(true))
+    // the component frame (id, representative) rather than the survivor
+    // set: a near-dup loser's dup_of IS its component representative
+    val comp = dedup.connectedComponents(nearPairs)
+      .select(F.col("id").as(idCol), F.col("component").as("_ca_comp"))
+    val keeper = F.col("_ca_keep") === F.col(idCol)
+    val nearSurvives = F.col("_ca_comp").isNull ||
+      F.col("_ca_comp") === F.col(idCol)
     val samplePass = sampling.hashBucket(F.col(idCol)) < samplePermille
     val result = scored
-      .join(ex, Seq(idCol), "left")
-      .join(near, Seq(idCol), "left")
+      .join(exMap, Seq(idCol), "left")
+      .join(comp, Seq(idCol), "left")
       .select(
         F.col(idCol),
         qPass.as("quality_pass"),
         lPass.as("lang_pass"),
-        F.when(qPass && lPass,
-          F.coalesce(F.col("_ca_ex"), F.lit(false))).as("exact_keep"),
-        F.when(qPass && lPass && F.col("_ca_ex").isNotNull,
-          F.coalesce(F.col("_ca_near"), F.lit(false))).as("near_keep"),
-        F.when(F.col("_ca_near").isNotNull, samplePass).as("sample_keep"),
+        F.when(qPass && lPass, keeper).as("exact_keep"),
+        F.when(qPass && lPass && keeper, nearSurvives).as("near_keep"),
+        F.when(qPass && lPass && keeper && nearSurvives, samplePass)
+          .as("sample_keep"),
         F.when(!qPass, F.lit("quality"))
           .when(!lPass, F.lit("language"))
-          .when(F.col("_ca_ex").isNull, F.lit("exact_dup"))
-          .when(F.col("_ca_near").isNull, F.lit("near_dup"))
+          .when(!keeper, F.lit("exact_dup"))
+          .when(!nearSurvives, F.lit("near_dup"))
           .when(!samplePass, F.lit("sample"))
-          .otherwise(F.lit("kept")).as("dropped_at"))
+          .otherwise(F.lit("kept")).as("dropped_at"),
+        F.when(qPass && lPass && !keeper, F.col("_ca_keep"))
+          .when(!nearSurvives, F.col("_ca_comp")).as("dup_of"))
     dedup.releaseWhenConsumed(scored, result)
     result
   }

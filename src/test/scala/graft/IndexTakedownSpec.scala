@@ -516,6 +516,90 @@ class IndexTakedownSpec extends SparkSpec {
       spark.conf.unset("spark.graft.index.pendingBroadcastThreshold")
   }
 
+  test("retrainIvfIndex: rebuild-on-survivors geometry, pending folded, contract survives") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(F.col("vec_id").cast(org.apache.spark.sql.types.LongType)
+        .as("vec_id"), F.col("embedding"))
+    index.buildIvfIndex(e, "vec_id", "embedding", "td_rtivf", nlist = 8,
+      iters = 0, sampleOneIn = 1L, portableSeed = true)
+    val bankBefore = index.readIvfBank(spark, "td_rtivf")
+    index.removeFromIvfIndex(
+      e.filter(F.col("vec_id") % 3 === 1).select("vec_id"),
+      "vec_id", "td_rtivf")
+    index.deferTakedown(
+      e.filter(F.col("vec_id") % 7 === 2).select("vec_id"),
+      "vec_id", "td_rtivf")
+    index.retrainIvfIndex(spark, "td_rtivf", iters = 0, sampleOneIn = 1L,
+      portableSeed = true)
+    // the new bank IS a fresh training run over the live survivors —
+    // bit-strict (portable seeds, iters = 0 ⇒ seeds are the bank)
+    val survivors = e.filter(F.col("vec_id") % 3 =!= 1
+      && F.col("vec_id") % 7 =!= 2)
+    val bankAfter = index.readIvfBank(spark, "td_rtivf")
+    val expect = graft.functions.similarity.trainIvfCentroids(survivors,
+      "vec_id", "embedding", 8, 0, 20000, 1L, portableSeed = true)
+    assert(bankAfter.toSeq == expect.toSeq,
+      "retrained bank must equal a fresh training run on the survivors")
+    assert(bankAfter.toSeq != bankBefore.toSeq,
+      "the removals change the md5 seed order — the bank must move")
+    // pending ids are folded: physically absent AND drained from _dels
+    assert(spark.table("td_rtivf_dels").count() == 0L)
+    val ids = spark.table("td_rtivf_cells").select("n_id")
+      .collect().map(_.getLong(0)).toSet
+    val wantIds = survivors.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == wantIds, "cells must hold exactly the live survivors")
+    // probe contract unchanged: nprobe = nlist is still brute force
+    val got = index.probeIvfIndex(spark, e.filter(F.col("vec_id") < 6),
+        "vec_id", "embedding", "td_rtivf", k = 4, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    val want = similarity.bruteForceTopK(survivors,
+        e.filter(F.col("vec_id") < 6), "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    assert(got == want, "nprobe = nlist after retrain must stay brute force")
+    // the lifecycle continues: an append assigns against the NEW bank
+    index.buildIvfIndex(
+      e.filter(F.col("vec_id") === 0L)
+        .select((F.col("vec_id") + 9000L).as("vec_id"), F.col("embedding")),
+      "vec_id", "embedding", "td_rtivf",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.table("td_rtivf_cells")
+      .filter(F.col("n_id") === 9000L).count() == 1L)
+  }
+
+  test("retrainPqIndex: partial vector store aborts with the index intact; contract preserved") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(F.col("vec_id").cast(org.apache.spark.sql.types.LongType)
+        .as("vec_id"), F.col("embedding"))
+    index.buildPqIndex(e, "vec_id", "embedding", "td_rtpq", nlist = 4,
+      m = 8, ksub = 8, ivfIters = 0, pqIters = 0, sampleOneIn = 1L,
+      portableSeed = true, residual = true)
+    val qs = e.filter(F.col("vec_id") < 4)
+    def probe() = index.probePqIndex(spark, qs, "vec_id", "embedding",
+        "td_rtpq", k = 3, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val before = probe()
+    // a store covering only half the live ids must abort BEFORE any
+    // swap — the standing generation keeps serving identically
+    val err = intercept[IllegalArgumentException] {
+      index.retrainPqIndex(e.filter(F.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", "td_rtpq", ivfIters = 0, pqIters = 0,
+        sampleOneIn = 1L, portableSeed = true)
+    }
+    assert(err.getMessage.contains("live indexed ids"))
+    assert(probe() == before, "a failed retrain must leave the index untouched")
+    // full store: retrain succeeds and preserves the storage contract
+    index.retrainPqIndex(e, "vec_id", "embedding", "td_rtpq",
+      ivfIters = 0, pqIters = 0, sampleOneIn = 1L, portableSeed = true)
+    val props = spark.sql("SHOW TBLPROPERTIES td_rtpq_pqcells").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.dim") == "64" && props("graft.m") == "8"
+      && props("graft.residual") == "true")
+    // same corpus, same deterministic knobs ⇒ same banks ⇒ same probe
+    assert(probe() == before,
+      "retraining on the unchanged corpus must reproduce the build's ranking")
+  }
+
   test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)

@@ -348,6 +348,63 @@ class PqAnnSpec extends SparkSpec {
     assert(withDirty.nonEmpty && withDirty.forall(_.getLong(1) != 777777L))
   }
 
+  test("retrainPqIndex restores recall on a drifted corpus (before/after receipt)") {
+    import graft.functions.index
+    import org.apache.spark.sql.SaveMode
+    // Day-1 corpus: clusters planted along dims {0,4,8,12} (the x131
+    // planting discipline); day-2 append: NEW ids whose clusters live
+    // on dims {32,36,40,44} — a genuinely drifted distribution. The
+    // day-1 banks (buildPqIndex trains once; appends re-encode against
+    // the STORED banks by contract) neither route nor code the new
+    // mass well, so recall on day-2 queries decays; retrainPqIndex
+    // re-derives both banks from the standing corpus and must win it
+    // back. Real Lloyd training (ivfIters/pqIters > 0), portable seeds
+    // for determinism of the assertion.
+    def planted(idOffset: Long, axisBase: Int) =
+      embs.select((F.col("vec_id") + idOffset).as("vec_id"),
+        F.transform(F.col("embedding"), (x, i) =>
+          x.cast(org.apache.spark.sql.types.DoubleType) + F.when(
+            i === F.lit(axisBase) + F.pmod(F.col("vec_id"), F.lit(4L))
+              .cast(org.apache.spark.sql.types.IntegerType) * 4,
+            F.lit(10.0)).otherwise(F.lit(0.0))).as("v"))
+    val day1 = planted(0L, 0)
+    val day2 = planted(1000000L, 32)
+    val full = day1.unionByName(day2)
+    index.buildPqIndex(day1, "vec_id", "v", "rt_drift", nlist = 8,
+      m = 8, ksub = 16, ivfIters = 2, pqIters = 3, sampleOneIn = 1L,
+      portableSeed = true, residual = true)
+    index.buildPqIndex(day2, "vec_id", "v", "rt_drift",
+      mode = SaveMode.Append)
+    // exact squared-L2 ground truth for 32 day-2 queries, driver-side
+    val k = 10
+    val vecs = full.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qIds = vecs.keys.filter(i => i >= 1000000L && i < 1000032L).toSeq
+    val truth: Map[Long, Set[Long]] = qIds.map { q =>
+      q -> vecs.filter(_._1 != q).toSeq.map { case (n, nv) =>
+        (vecs(q).zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum, n)
+      }.sortBy(identity).take(k).map(_._2).toSet
+    }.toMap
+    val qs = full.filter(F.col("vec_id") >= 1000000L
+      && F.col("vec_id") < 1000032L)
+    def recall(): Double = {
+      val got = index.probePqIndex(spark, qs, "vec_id", "v", "rt_drift",
+          k = k, nprobe = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      truth.map { case (q, t) =>
+        got.getOrElse(q, Set.empty).intersect(t).size.toDouble / k
+      }.sum / truth.size
+    }
+    val before = recall()
+    index.retrainPqIndex(full, "vec_id", "v", "rt_drift",
+      ivfIters = 2, pqIters = 3, sampleOneIn = 1L, portableSeed = true)
+    val after = recall()
+    info(f"recall@$k on drifted queries: before $before%.4f → after $after%.4f")
+    assert(after > before,
+      f"retrain must restore recall on the drifted mass: $before%.4f → $after%.4f")
+  }
+
   test("Lloyd iterations refine codebooks deterministically") {
     val a = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
       m = 4, ksub = 8, iters = 3, portableSeed = true)

@@ -1248,4 +1248,98 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"50-day incremental state diverged from the recompute: $bad")
   }
+
+  test("retrainIvfIndex re-encodes a 200k corpus with one cell-grid exchange, no corpus join shuffle") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.index
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // The retrain scale contract (index.scala): the re-encode is ONE
+    // scan of the live cells — codegen argmax against the broadcast
+    // new bank — plus the single exchange every cell rewrite pays
+    // (repartition onto the new grid). The pending exclusion must ride
+    // that scan as a BROADCAST anti-join at batch-sized pending sets:
+    // no shuffled join of the 200k-vector corpus anywhere in the
+    // rewrite. 200k 16-dim vectors, nlist = 32, 10k pending ids.
+    val vecs = spark.range(0, 200000).select(
+      F.col("id").as("vec_id"),
+      F.array((0 until 16).map(i =>
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(2000)) - 1000)
+          .cast("double") / 1000.0): _*).as("embedding"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { plans.add(qe.executedPlan); () }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    // AQE off so the captured plan's exchange count is the static
+    // truth (the 50-day arm's note)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      index.buildIvfIndex(vecs, "vec_id", "embedding", "smoke_rt",
+        nlist = 32, iters = 1, sampleOneIn = 20)
+      index.deferTakedown(
+        spark.range(0, 10000).select((F.col("id") * 20).as("vec_id")),
+        "vec_id", "smoke_rt")
+      spark.listenerManager.register(listener)
+      try index.retrainIvfIndex(spark, "smoke_rt", iters = 1,
+        sampleOneIn = 20)
+      finally spark.listenerManager.unregister(listener)
+      // the listener posts async — wait for the stage write's plan.
+      // saveAsTable runs as a CTAS command whose physical shell holds
+      // the query as an untraversable logical child; the actual file
+      // write is a NESTED execution (WriteFiles over the cells scan) —
+      // that is the plan whose exchanges are the receipt.
+      val deadline = System.nanoTime() + 15000000000L
+      def stagePlan() = {
+        import scala.jdk.CollectionConverters._
+        plans.iterator().asScala.find { p =>
+          p.collect { case w: org.apache.spark.sql.execution
+            .datasources.WriteFilesExec => w }.nonEmpty &&
+          p.toString.contains("smoke_rt_cells")
+        }
+      }
+      var sp = stagePlan()
+      while (sp.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); sp = stagePlan()
+      }
+      assert(sp.nonEmpty, {
+        import scala.jdk.CollectionConverters._
+        "the cells-stage write plan was not captured; saw:\n" +
+          plans.iterator().asScala.map(_.toString.linesIterator.take(3)
+            .mkString(" | ")).mkString("\n")
+      })
+      val exchanges = sp.get.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.length == 1,
+        s"the rewrite must pay exactly the one cell-grid exchange, " +
+          s"got ${exchanges.length}:\n${sp.get.toString.take(2000)}")
+      val shuffledJoins = sp.get.collect {
+        case j: ShuffledHashJoinExec => j
+        case j: SortMergeJoinExec => j
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      }
+      assert(shuffledJoins.isEmpty,
+        s"the pending exclusion must broadcast, never shuffle the corpus: " +
+          s"${shuffledJoins.map(_.nodeName)}")
+      // correctness at scale: pending folded, survivors exact
+      assert(spark.table("smoke_rt_dels").count() == 0L)
+      assert(spark.table("smoke_rt_cells").count() == 190000L,
+        "retrain must re-encode exactly the live survivors")
+      val out = index.probeIvfIndex(spark,
+        vecs.filter(F.col("vec_id") < 50 && F.col("vec_id") % 20 =!= 0),
+        "vec_id", "embedding", "smoke_rt", k = 10, nprobe = 4)
+      assert(out.count() > 0L)
+      assert(out.filter(F.col("n_id") % 20 === 0).count() == 0L,
+        "folded pending ids must not match post-retrain probes")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Seq("smoke_rt_cells", "smoke_rt_centroids", "smoke_rt_dels")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
