@@ -38,11 +38,11 @@ object DiffFuzz {
 
   val N = 300
   // bumped each round after a local two-SF verify: fresh random trees
-  // through the same hash gate. Round 12 rotated every battery onto
-  // the 20261101–20261115 series (this expression seed plus the
+  // through the same hash gate. Round 13 rotated every battery onto
+  // the 20261201–20261215 series (this expression seed plus the
   // per-battery seeds below, and the x117/x118 battery seeds in
   // ExtQueries); per-battery values live at their declaration sites.
-  val Seed = 20261101L
+  val Seed = 20261201L
   val Depth = 3
 
   private final class Gen(rnd: scala.util.Random) {
@@ -258,7 +258,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val WinN = 48
-  val WinSeed = 20261102L
+  val WinSeed = 20261202L
 
   /** (DSL order markers, SQL ORDER BY text — explicit NULLS). */
   private type OrdPair = (Seq[ColExpr], String)
@@ -373,7 +373,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val AggN = 40
-  val AggSeed = 20261103L
+  val AggSeed = 20261203L
 
   private final class AggGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -462,7 +462,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val QtN = 24
-  val QtSeed = 20261104L
+  val QtSeed = 20261204L
 
   private final class QtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -707,7 +707,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val PipeN = 16
-  val PipeSeed = 20261105L
+  val PipeSeed = 20261205L
 
   private sealed trait PStep
   private final case class PFilter(cond: ColExpr, sql: String) extends PStep
@@ -958,7 +958,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DtN = 36
-  val DtSeed = 20261106L
+  val DtSeed = 20261206L
 
   private final class DtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1076,7 +1076,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val OaN = 20
-  val OaSeed = 20261107L
+  val OaSeed = 20261207L
 
   private final class OaGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1178,7 +1178,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SpN = 28
-  val SpSeed = 20261108L
+  val SpSeed = 20261208L
 
   /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
   private def enc0(g: GE): GE = GE(
@@ -1350,7 +1350,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DecN = 24
-  val DecSeed = 20261109L
+  val DecSeed = 20261209L
 
   private final class DecGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1442,7 +1442,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val CastN = 24
-  val CastSeed = 20261110L
+  val CastSeed = 20261210L
 
   private final class CastGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1611,7 +1611,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val TjN = 18
-  val TjSeed = 20261111L
+  val TjSeed = 20261211L
 
   private final case class TjSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
@@ -1877,7 +1877,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val StrN = 220
-  val StrSeed = 20261112L
+  val StrSeed = 20261212L
   val StrDepth = 3
 
   private final class StrGen(rnd: scala.util.Random) {
@@ -2032,7 +2032,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SkN = 12
-  val SkSeed = 20261113L
+  val SkSeed = 20261213L
 
   private final case class SkSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
