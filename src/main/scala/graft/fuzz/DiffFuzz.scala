@@ -932,7 +932,9 @@ object DiffFuzz {
     * codegen'd ~4.3 s warm medians over 6 samples (BENCH_NOTES).
     * Re-A/B'd again at the 20261105 seed (heavier 33-shuffle mix):
     * samples overlap ({4.28,4.60,4.55} cg vs {4.78,4.61,4.14}) — no
-    * flip without a clear margin, stays interpreted (BENCH_NOTES r12). */
+    * flip without a clear margin, stays interpreted (BENCH_NOTES r12).
+    * Re-A/B'd at 20261205: interpreted 3.24 vs codegen 3.71 warm
+    * medians at sf0.1 — stays interpreted (BENCH_NOTES r13). */
   def pipelineQuery(s0: SparkSession, dir: String): DataFrame = {
     val s = fixtureSession(s0, codegen = false)
     pipeBattery.map(p => pipeTable(s, dir, p))
@@ -1831,11 +1833,13 @@ object DiffFuzz {
     * the union schema is uniform. */
   def temporalJoinQuery(s0: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.{functions => F}
-    // codegen re-A/B'd at the 20261011 seed: this mix flipped TO
-    // codegen (~4.1 vs ~4.6 s warm medians over 6 samples; 3.15 vs
-    // 3.62 in the combined-battery run — BENCH_NOTES round 10);
-    // re-confirmed at the 20261111 seed (3.62 vs 4.69 — BENCH_NOTES r12)
-    val s = fixtureSession(s0, codegen = true)
+    // codegen re-A/B'd at the 20261011 seed: that mix flipped TO
+    // codegen (~4.1 vs ~4.6 s warm medians; BENCH_NOTES round 10),
+    // re-confirmed at 20261111 (3.62 vs 4.69 — r12). The 20261211 mix
+    // flipped BACK: interpreted won all three paired sf0.1 runs
+    // (2.76/3.12/3.06 vs 3.80/3.31/3.14 warm medians — BENCH_NOTES
+    // r13), so this battery follows its draw, not a fixed choice.
+    val s = fixtureSession(s0, codegen = false)
     tjSpecs.map { spec =>
       val df = spec.mk(s, dir)
       if (df.columns.contains("n_null")) df
