@@ -6359,6 +6359,52 @@ object ExtQueries {
 
   /** Production-posture substitutes benched under the same key — see
     * [[SparkEntry.benchVariants]] for the contract. */
+  /** x142 steady state: the MAINTENANCE-day unit is one retrain of the
+    * standing residual-PQ index + the post-retrain probe — the initial
+    * build is index state, not the day's work. Each sample defers a
+    * fresh ~1% residue class first, so every retrain folds a real
+    * pending set and re-encodes the shrunken live corpus (the same
+    * work mix the full row pins under its oracle). */
+  def x142BenchRetrainDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x142_bench", dir) {
+      graft.functions.index.buildPqIndex(e, "vec_id", "embedding",
+        "x142b_rpq", nlist = 8, m = 8, ksub = 16, ivfIters = 0,
+        pqIters = 0, sampleOneIn = 1L, portableSeed = true,
+        residual = true)
+    }
+    val k = benchDaySeq.incrementAndGet() % 97L
+    graft.functions.index.deferTakedown(
+      e.filter(F.col("vec_id") % 97 === k).select("vec_id"),
+      "vec_id", "x142b_rpq")
+    graft.functions.index.retrainPqIndex(e, "vec_id", "embedding",
+      "x142b_rpq", ivfIters = 0, pqIters = 0, sampleOneIn = 1L,
+      portableSeed = true)
+    graft.functions.index.probePqIndex(s,
+      e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+      "x142b_rpq", k = 5, nprobe = 3)
+  }
+
+  /** x143 steady state: x142's retrain-day unit on the IVF path
+    * (self-contained — the cells table holds the vectors). */
+  def x143BenchRetrainDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x143_bench", dir) {
+      graft.functions.index.buildIvfIndex(e, "vec_id", "embedding",
+        "x143b_ivf", nlist = 8, iters = 0, sampleOneIn = 1L,
+        portableSeed = true)
+    }
+    val k = benchDaySeq.incrementAndGet() % 97L
+    graft.functions.index.deferTakedown(
+      e.filter(F.col("vec_id") % 97 === k).select("vec_id"),
+      "vec_id", "x143b_ivf")
+    graft.functions.index.retrainIvfIndex(s, "x143b_ivf", iters = 0,
+      sampleOneIn = 1L, portableSeed = true)
+    graft.functions.index.probeIvfIndex(s,
+      e.filter(F.col("vec_id") < 8), "vec_id", "embedding",
+      "x143b_ivf", k = 5, nprobe = 3)
+  }
+
   val benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x04_dedup_simhash" -> (x04BenchSimhash _),
     "x123_incremental_components" -> (x123BenchAppendDay _),
@@ -6375,7 +6421,9 @@ object ExtQueries {
     "x135_deferred_ann_takedown" -> (x135BenchDeferDay _),
     "x136_reingest_pending" -> (x136BenchReingestDay _),
     "x138_compacted_index_probe" -> (x138BenchCompactDay _),
-    "x141_deferred_pq_takedown" -> (x141BenchDeferDay _))
+    "x141_deferred_pq_takedown" -> (x141BenchDeferDay _),
+    "x142_pq_index_retrain" -> (x142BenchRetrainDay _),
+    "x143_ivf_index_retrain" -> (x143BenchRetrainDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
