@@ -4965,6 +4965,42 @@ object ExtQueries {
       |WINDOW w AS (PARTITION BY n_name)
       |ORDER BY c_custkey""".stripMargin
 
+  /** INDEX DESCRIBE ([[graft.functions.index.describeIndex]]) — the
+    * observability surface of the index lifecycle, oracled: an exact
+    * index over the even documents and an IVF index over the
+    * embeddings share one name, a pending batch is deferred, and the
+    * one-row-per-table inventory (row counts + the stored graft.*
+    * parameters probes read back) must match the independently
+    * derived counts — a build that silently dropped rows, a defer
+    * that didn't land, or a parameter that drifted from the build
+    * call all break the hash. `centroids` pins the driver-sized bank
+    * layout (nlist × (dim + 1) rows). */
+  def x145IndexDescribe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.index.buildExactIndex(
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x145_ix")
+    graft.functions.index.buildIvfIndex(embs(s, dir), "vec_id",
+      "embedding", "x145_ix", nlist = 8, iters = 0, sampleOneIn = 1L,
+      portableSeed = true)
+    graft.functions.index.deferTakedown(
+      d.filter(F.col("doc_id") % 10 === 0).select("doc_id"),
+      "doc_id", "x145_ix")
+    graft.functions.index.describeIndex(s, "x145_ix").orderBy("part")
+  }
+
+  private val x145Oracle =
+    """WITH c AS (SELECT COUNT(*) AS n FROM embeddings),
+      |f AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 2 = 0),
+      |dl AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+      |  WHERE doc_id % 10 = 0)
+      |SELECT part, n_rows, params FROM (
+      |  SELECT 'cells' AS part, c.n AS n_rows, 'graft.dim=64' AS params
+      |    FROM c
+      |  UNION ALL SELECT 'centroids', 520, ''
+      |  UNION ALL SELECT 'dels', dl.n, '' FROM dl
+      |  UNION ALL SELECT 'fps', f.n, 'graft.canonicalize=false' FROM f)
+      |ORDER BY part""".stripMargin
+
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
@@ -6024,7 +6060,8 @@ object ExtQueries {
     "x141_deferred_pq_takedown" -> (x141DeferredPqTakedown _),
     "x142_pq_index_retrain" -> (x142PqIndexRetrain _),
     "x143_ivf_index_retrain" -> (x143IvfIndexRetrain _),
-    "x144_sql_emitter_join_window" -> (x144SqlEmitterJoinWindow _))
+    "x144_sql_emitter_join_window" -> (x144SqlEmitterJoinWindow _),
+    "x145_index_describe" -> (x145IndexDescribe _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6583,5 +6620,7 @@ object ExtQueries {
     "x143_ivf_index_retrain" -> x143Oracle,
     // the emitted join + grouped-window SQL must match the window
     // replay exactly — x140's oracle posture on the q13 shape
-    "x144_sql_emitter_join_window" -> x144Oracle)
+    "x144_sql_emitter_join_window" -> x144Oracle,
+    // the inventory's counts and stored params re-derived independently
+    "x145_index_describe" -> x145Oracle)
 }

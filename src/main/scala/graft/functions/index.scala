@@ -720,6 +720,42 @@ object index {
     pend.foreach(p => shrinkDels(spark, name, p))
   }
 
+  /** One-row-per-physical-table inventory of everything under index
+    * `name` — the observability surface of the index lifecycle: every
+    * mutator (build/append/defer/takedown/compact/retrain) moves state
+    * a production deployment needs to SEE before trusting a
+    * maintenance run. Columns: `part` (the table suffix), `n_rows`,
+    * and `params` — the stored `graft.*` TBLPROPERTIES rendered
+    * `k=v,k=v` in key order, i.e. the SAME values every probe reads
+    * back, so parameter drift between what was built and what ops
+    * believe is visible in one query. The pending-takedown depth is
+    * the `dels` row; signature families with no trained state
+    * (Jaccard, exact) have no retrain op by construction — their
+    * params ARE the geometry, so rebuild ≡ retrain.
+    *
+    * Scale shape: one metadata-cheap count per table (parquet
+    * row-group stats — no data columns scanned) plus catalog property
+    * reads, over a fixed ≤ 12-suffix inventory — driver-bounded by
+    * construction. */
+  def describeIndex(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val suffixes = Seq("buckets", "sigs", "stats", "fps", "cells",
+      "centroids", "pqcells", "pqbank", "dels", "cmap", "cremap",
+      "cedges")
+    suffixes.flatMap { sfx =>
+      val t = s"${name}_$sfx"
+      if (!spark.catalog.tableExists(t)) None
+      else {
+        val params = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
+          .map(r => r.getString(0) -> r.getString(1))
+          .filter(_._1.startsWith("graft."))
+          .sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString(",")
+        Some((sfx, spark.table(t).count(), params))
+      }
+    }.toDF("part", "n_rows", "params")
+  }
+
   /** `df` minus index `name`'s PENDING logical takedowns on `idColName`
     * — a no-op when `<name>_dels` doesn't exist. Every probe's index
     * side passes through here, so a [[deferTakedown]] is effective from

@@ -600,6 +600,30 @@ class IndexTakedownSpec extends SparkSpec {
       "retraining on the unchanged corpus must reproduce the build's ranking")
   }
 
+  test("describeIndex tracks the lifecycle: counts and params move with each mutator") {
+    val d = corpus()
+    def desc() = index.describeIndex(spark, "td_desc")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(desc().isEmpty, "an unbuilt name must describe to zero rows")
+    index.buildExactIndex(d, "doc_id", "text", "td_desc", buckets = 4)
+    val d0 = desc()
+    assert(d0("fps") == ((40L, "graft.canonicalize=false")))
+    assert(!d0.contains("dels"))
+    index.deferTakedown(Seq(0L, 4L, 8L).toDF("doc_id"), "doc_id", "td_desc")
+    assert(desc()("dels")._1 == 3L, "the pending depth must be visible")
+    index.compactTakedowns(spark, "td_desc")
+    val d1 = desc()
+    assert(d1("dels")._1 == 0L && d1("fps")._1 == 37L,
+      "compaction must show as purged rows and a drained pending set")
+    // the jaccard family under another name reports its hash params
+    index.buildJaccardIndex(d, "doc_id", "text", "td_desc2", buckets = 4)
+    val d2 = index.describeIndex(spark, "td_desc2")
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(d2("buckets") == "graft.bands=32,graft.k=3,graft.numPerm=64")
+    assert(d2.keySet == Set("buckets", "sigs", "stats"))
+  }
+
   test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)
