@@ -580,7 +580,10 @@ object index {
     * replayable, the x143 oracle gate), re-assigns every live vector
     * in one codegen pass, and swaps both tables under the rename-aside
     * discipline. Self-contained: `_cells` stores the vectors, so no
-    * external source is needed (contrast [[retrainPqIndex]]).
+    * external source is needed (contrast [[retrainPqIndex]]). Passing
+    * `nlist` > 0 RESIZES the cell geometry in the same pass — the
+    * growth path an append-only corpus eventually needs (see the
+    * inline note below).
     *
     * Pending logical takedowns are handled the right-to-be-forgotten
     * way: pending ids are EXCLUDED from both the training sample and
@@ -600,12 +603,20 @@ object index {
     * under the module's single-writer maintenance-window contract. */
   def retrainIvfIndex(spark: SparkSession, name: String, iters: Int = 5,
       sampleN: Int = 20000, sampleOneIn: Long = 0L,
-      portableSeed: Boolean = false): Unit = {
+      portableSeed: Boolean = false, nlist: Int = 0): Unit = {
     val dim = readIvfDim(spark, name)
-    val nlist = readIvfBank(spark, name).length / (dim + 1)
+    // nlist > 0 RESIZES the cell geometry — the growth path an
+    // append-only corpus eventually needs (cells sized for day 1 go
+    // hot as the corpus grows; nlist ∝ √n keeps probe cost flat).
+    // Safe here precisely because retrain re-assigns EVERY live row:
+    // unlike append-time cell ids, nothing persisted refers to the old
+    // geometry after the swap. 0 (default) keeps the stored width.
+    val nlistEff =
+      if (nlist > 0) nlist
+      else readIvfBank(spark, name).length / (dim + 1)
     val pend = pinnedPending(spark, name)
     val live = minusPinned(spark, spark.table(s"${name}_cells"), pend, "n_id")
-    val bank = similarity.trainIvfCentroids(live, "n_id", "n_vec", nlist,
+    val bank = similarity.trainIvfCentroids(live, "n_id", "n_vec", nlistEff,
       iters, sampleN, sampleOneIn, portableSeed)
     require(bank.nonEmpty,
       s"index.retrainIvfIndex: '$name' has no live vectors to retrain on")
@@ -646,12 +657,20 @@ object index {
     * live set before the swap, so a partial vector store aborts with
     * the index untouched rather than silently shrinking it.
     *
-    * The storage contract is preserved: nlist, m, ksub (inferred from
-    * the stored banks' shapes) and the residual flag all stay fixed —
+    * The storage contract holds by default: nlist, m, ksub (inferred
+    * from the stored banks' shapes) and the residual flag stay fixed —
     * retrain refreshes bank VALUES, not the code-space shape, so
     * probes and appends keep working unchanged against the new banks.
-    * Pending ids are excluded from training and encode and folded out
-    * of `_dels` (see [[retrainIvfIndex]]).
+    * Because the rewrite re-encodes EVERY live row, the shape can
+    * also be RESIZED in the same pass when the corpus has outgrown it:
+    * `nlist`/`m`/`ksub` > 0 override the stored widths (nlist ∝ √n
+    * keeps probe cost flat; a larger m buys recall at more ints per
+    * row) — nothing persisted refers to the old geometry after the
+    * swap, and the updated widths land in TBLPROPERTIES/`_pqbank` so
+    * later appends and probes read the resized contract. The residual
+    * flag alone is immutable (it is a semantic, not a width). Pending
+    * ids are excluded from training and encode and folded out of
+    * `_dels` (see [[retrainIvfIndex]]).
     *
     * Scale shape: training touches hash samples; the rewrite pays one
     * id semi-join of `df` against the live id set (the one join the
@@ -661,18 +680,26 @@ object index {
   def retrainPqIndex(df: DataFrame, idCol: String, vecCol: String,
       name: String, ivfIters: Int = 2, pqIters: Int = 0,
       sampleN: Int = 20000, sampleOneIn: Long = 0L,
-      portableSeed: Boolean = false): Unit = {
+      portableSeed: Boolean = false, nlist: Int = 0, m: Int = 0,
+      ksub: Int = 0): Unit = {
     val spark = df.sparkSession
     similarity.requireIntegralId(df, idCol, "index.retrainPqIndex")
     val dim = readPqProp(spark, name, "graft.dim").toInt
-    val m = readPqProp(spark, name, "graft.m").toInt
+    val mEff =
+      if (m > 0) m else readPqProp(spark, name, "graft.m").toInt
+    require(dim % mEff == 0,
+      s"index.retrainPqIndex: m=$mEff must divide dim=$dim")
     val residual =
       readPqPropOr(spark, name, "graft.residual", "false").toBoolean
-    val nlist = readPqBank(spark, name, "ivf").length / (dim + 1)
+    val nlistEff =
+      if (nlist > 0) nlist
+      else readPqBank(spark, name, "ivf").length / (dim + 1)
     // cb layout is m × ksub × (dim/m) doubles → ksub = |cb| / dim; a
     // tiny build that trained kEff < ksub codewords retrains at kEff —
     // the effective budget the stored codes were paid at
-    val ksub = readPqBank(spark, name, "cb").length / dim
+    val ksubEff =
+      if (ksub > 0) ksub
+      else readPqBank(spark, name, "cb").length / dim
     val pend = pinnedPending(spark, name)
     val liveIds = minusPinned(spark,
       spark.table(s"${name}_pqcells").select("n_id"), pend, "n_id")
@@ -683,17 +710,17 @@ object index {
       F.col(vecCol).as("n_vec"))
     val liveVecs = src.join(liveIds, Seq("n_id"), "left_semi")
     val bank = similarity.trainIvfCentroids(liveVecs, "n_id", "n_vec",
-      nlist, ivfIters, sampleN, sampleOneIn, portableSeed)
+      nlistEff, ivfIters, sampleN, sampleOneIn, portableSeed)
     val cb =
       if (residual) similarity.trainPqCodebooks(
         residualFrame(similarity.cleanDim(liveVecs, "n_vec", dim),
           "n_id", "n_vec", bank, dim), "n_id", "_rc_r",
-        m, ksub, pqIters, sampleN, sampleOneIn, portableSeed)
-      else similarity.trainPqCodebooks(liveVecs, "n_id", "n_vec", m, ksub,
-        pqIters, sampleN, sampleOneIn, portableSeed)
+        mEff, ksubEff, pqIters, sampleN, sampleOneIn, portableSeed)
+      else similarity.trainPqCodebooks(liveVecs, "n_id", "n_vec", mEff,
+        ksubEff, pqIters, sampleN, sampleOneIn, portableSeed)
     swapViaRename(spark, s"${name}_pqcells", partitioned = true) { stage =>
       encodeCells(similarity.cleanDim(liveVecs, "n_vec", dim),
-          "n_id", "n_vec", bank, cb, m, dim, residual)
+          "n_id", "n_vec", bank, cb, mEff, dim, residual)
         .repartition(F.col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
         .format("parquet").saveAsTable(stage)
@@ -708,7 +735,8 @@ object index {
           s"$nLive live indexed ids — it must cover every live id " +
           "exactly once at the trained width")
       spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
-        s"'graft.dim'='$dim', 'graft.m'='$m', 'graft.residual'='$residual')")
+        s"'graft.dim'='$dim', 'graft.m'='$mEff', " +
+        s"'graft.residual'='$residual')")
     }
     swapViaRename(spark, s"${name}_pqbank") { stage =>
       import spark.implicits._

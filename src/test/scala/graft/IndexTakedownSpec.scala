@@ -600,6 +600,66 @@ class IndexTakedownSpec extends SparkSpec {
       "retraining on the unchanged corpus must reproduce the build's ranking")
   }
 
+  test("retrain RESIZE: nlist/m/ksub grow with the corpus; contracts still hold") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(F.col("vec_id").cast(org.apache.spark.sql.types.LongType)
+        .as("vec_id"), F.col("embedding"))
+    // IVF: resize 4 → 16 cells; nprobe = new nlist must STILL be the
+    // brute force over the corpus (training-independent), and the bank
+    // must carry the resized width for future appends/probes
+    index.buildIvfIndex(e, "vec_id", "embedding", "td_rsivf", nlist = 4,
+      iters = 0, sampleOneIn = 1L, portableSeed = true)
+    index.retrainIvfIndex(spark, "td_rsivf", iters = 0, sampleOneIn = 1L,
+      portableSeed = true, nlist = 16)
+    assert(index.readIvfBank(spark, "td_rsivf").length == 16 * 65,
+      "the resized bank must be nlist x (dim+1)")
+    val qs = e.filter(F.col("vec_id") < 5)
+    val got = index.probeIvfIndex(spark, qs, "vec_id", "embedding",
+        "td_rsivf", k = 4, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    val want = similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(1))).toSet
+    assert(got == want, "nprobe = resized nlist must stay brute force")
+    // an append after the resize assigns against the 16-cell bank
+    index.buildIvfIndex(
+      e.filter(F.col("vec_id") === 0L)
+        .select((F.col("vec_id") + 9100L).as("vec_id"), F.col("embedding")),
+      "vec_id", "embedding", "td_rsivf",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.table("td_rsivf_cells")
+      .filter(F.col("n_id") === 9100L).count() == 1L)
+    // PQ: resize m 8 → 4 and ksub 8 → 16; the resized index must rank
+    // exactly like the direct computation at the NEW widths (the
+    // probe ≡ direct pin, post-resize), and the contract lands in
+    // the stored properties
+    index.buildPqIndex(e, "vec_id", "embedding", "td_rspq", nlist = 4,
+      m = 8, ksub = 8, ivfIters = 0, pqIters = 0, sampleOneIn = 1L,
+      portableSeed = true, residual = true)
+    index.retrainPqIndex(e, "vec_id", "embedding", "td_rspq",
+      ivfIters = 0, pqIters = 0, sampleOneIn = 1L, portableSeed = true,
+      m = 4, ksub = 16)
+    val props = spark.sql("SHOW TBLPROPERTIES td_rspq_pqcells").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("graft.m") == "4")
+    assert(spark.table("td_rspq_pqcells").head()
+      .getSeq[Int](1).length == 4, "codes must be m ints wide")
+    val viaIndex = index.probePqIndex(spark, qs, "vec_id", "embedding",
+        "td_rspq", k = 3, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val direct = similarity.ivfPqResidualTopK(e, qs, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 4, m = 4, ksub = 16,
+        pqIters = 0, ivfIters = 0, sampleOneIn = 1L, portableSeed = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(viaIndex == direct,
+      "the resized index must reproduce the direct computation at the new widths")
+    // residual flag is a semantic, not a width — it must survive
+    assert(props("graft.residual") == "true")
+  }
+
   test("describeIndex tracks the lifecycle: counts and params move with each mutator") {
     val d = corpus()
     def desc() = index.describeIndex(spark, "td_desc")
