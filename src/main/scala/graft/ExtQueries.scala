@@ -5001,6 +5001,31 @@ object ExtQueries {
       |  UNION ALL SELECT 'fps', f.n, 'graft.canonicalize=false' FROM f)
       |ORDER BY part""".stripMargin
 
+  /** JACCARD RE-BAND ([[graft.functions.index.rehashJaccardIndex]]) —
+    * the no-trained-state family's retrain: x97's even-half index is
+    * re-banded from (numPerm 64, bands 32) to (64, 64) using ONLY the
+    * stored shingle-hash sets (the corpus text is never re-read), then
+    * x97's probe runs at the re-banded parameters read back from the
+    * index's own properties. Finer banding can only WIDEN candidate
+    * generation and verification is exact Jaccard, so the result must
+    * still equal x97's full-pair oracle — a re-band that derived wrong
+    * minhashes from the stored sets, dropped a document, or left stale
+    * parameters behind changes the pair set and breaks the hash. */
+  def x146JaccardRehash(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.functions.index.buildJaccardIndex(
+      d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x146_jac")
+    graft.functions.index.rehashJaccardIndex(s, "x146_jac",
+      numPerm = 64, bands = 64)
+    val batch = d.filter(F.col("doc_id") % 2 === 1)
+      .select(F.col("doc_id"), F.col("text"))
+      .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(
+        (F.col("doc_id") + 1000000L).as("doc_id"), F.col("text")))
+    graft.functions.index.probeJaccardIndex(s, batch, "doc_id", "text",
+        "x146_jac", minJ = 0.8)
+      .orderBy("id_new", "id_indexed")
+  }
+
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
@@ -6061,7 +6086,8 @@ object ExtQueries {
     "x142_pq_index_retrain" -> (x142PqIndexRetrain _),
     "x143_ivf_index_retrain" -> (x143IvfIndexRetrain _),
     "x144_sql_emitter_join_window" -> (x144SqlEmitterJoinWindow _),
-    "x145_index_describe" -> (x145IndexDescribe _))
+    "x145_index_describe" -> (x145IndexDescribe _),
+    "x146_jaccard_rehash" -> (x146JaccardRehash _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6622,5 +6648,8 @@ object ExtQueries {
     // replay exactly — x140's oracle posture on the q13 shape
     "x144_sql_emitter_join_window" -> x144Oracle,
     // the inventory's counts and stored params re-derived independently
-    "x145_index_describe" -> x145Oracle)
+    "x145_index_describe" -> x145Oracle,
+    // re-banding from stored sets must preserve the exact-verified pair
+    // set — x97's full-pair oracle, second banding regime
+    "x146_jaccard_rehash" -> x97Oracle)
 }

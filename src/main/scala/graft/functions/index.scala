@@ -544,6 +544,62 @@ object index {
       }
   }
 
+  /** RE-BAND the Jaccard index: rebuild `_buckets` and `_stats` at NEW
+    * (numPerm, bands) from the STORED shingle-hash sets — the banding
+    * budget is recall tuning (more bands at the same numPerm catch
+    * lower-similarity pairs; a different numPerm re-prices the
+    * signature), and a standing 100 TB index must be able to move it
+    * WITHOUT re-reading the corpus text. `_sigs` already persists each
+    * document's full k-shingle hash set, so the re-band is ONE scan of
+    * sigs (minhash + band keys re-derived in a codegen pass) and two
+    * grid writes; the text is never touched and `_sigs` itself is
+    * parameter-independent and unchanged. `k` is immutable — the
+    * stored sets ARE k-shingle hashes (changing k is a rebuild from
+    * text, by construction). The new parameters land in TBLPROPERTIES,
+    * so every future probe and append reads the re-banded contract;
+    * pending takedowns (`_dels`) are untouched and keep filtering.
+    * This is the no-trained-state family's [[retrainPqIndex]]: the
+    * signature family's "geometry" is its hash parameters.
+    *
+    * Swap discipline and single-writer contract as everywhere
+    * ([[swapViaRename]]). Re-banding to FINER bands (more bands, same
+    * numPerm) can only widen candidate generation, so exact-verified
+    * probe results are preserved or improved — the x146 oracle pins
+    * the preserved case. */
+  def rehashJaccardIndex(spark: SparkSession, name: String,
+      numPerm: Int, bands: Int): Unit = {
+    require(bands >= 1 && numPerm % bands == 0,
+      s"index: bands must be >= 1 and divide numPerm " +
+        s"(got numPerm=$numPerm, bands=$bands)")
+    val (k, _, _) = readParams(spark, name)
+    val nb = numBuckets(spark, s"${name}_buckets")
+    val rowsPerBand = numPerm / bands
+    // re-derived keys feed both grid writes — persist for the call
+    // (the build's own two-writer posture)
+    val keys = dedup.cachedPinned(
+      spark.table(s"${name}_sigs").select(F.col("id"),
+        F.posexplode(dedup.lshBandKeys(
+          dedup.minhashFromHashes(F.col("sh"), numPerm),
+          bands, rowsPerBand)).as(Seq("band", "band_hash"))))
+    try {
+      swapViaRename(spark, s"${name}_buckets") { stage =>
+        // one task per bucket = one file per bucket (the build posture)
+        keys.repartition(nb, F.col("band"), F.col("band_hash"))
+          .write.mode(SaveMode.Overwrite).bucketBy(nb, "band", "band_hash")
+          .format("parquet").saveAsTable(stage)
+        spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
+          s"'graft.k'='$k','graft.numPerm'='$numPerm'," +
+          s"'graft.bands'='$bands')")
+      }
+      swapViaRename(spark, s"${name}_stats") { stage =>
+        keys.groupBy("band", "band_hash")
+          .agg(F.count(F.lit(1)).as("cnt"))
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(stage)
+      }
+    } finally { keys.unpersist(blocking = false); () }
+  }
+
   // ---------------- codebook / centroid RETRAIN ----------------
 
   /** The pinned pending set of `name` (None when no `_dels` table): an

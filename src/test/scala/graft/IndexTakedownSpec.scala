@@ -660,6 +660,41 @@ class IndexTakedownSpec extends SparkSpec {
     assert(props("graft.residual") == "true")
   }
 
+  test("rehashJaccardIndex: re-band from stored sets equals a rebuild at the new params") {
+    val d = corpus()
+    val batch = d.filter(F.col("doc_id") < 10)
+      .select((F.col("doc_id") + 1000L).as("doc_id"), F.col("text"))
+    // rehash path: build at (64, 32), re-band to (32, 32) — numPerm
+    // AND bands both move; the text is never re-read
+    index.buildJaccardIndex(d, "doc_id", "text", "td_rh", buckets = 8)
+    index.rehashJaccardIndex(spark, "td_rh", numPerm = 32, bands = 32)
+    assert(index.readParams(spark, "td_rh") == ((3, 32, 32)),
+      "probes must read back the re-banded parameters")
+    // rebuild path: same corpus, same target params, from text
+    index.buildJaccardIndex(d, "doc_id", "text", "td_rh2", buckets = 8,
+      numPerm = 32, bands = 32)
+    val got = probeHits("td_rh", batch)
+    assert(got == probeHits("td_rh2", batch),
+      "re-band must be bit-equal to a rebuild at the new parameters")
+    assert(got.nonEmpty)
+    // the tables themselves agree (same grid, same rows)
+    def rows(t: String) = spark.table(t)
+      .collect().map(_.toSeq).toSet
+    assert(rows("td_rh_buckets") == rows("td_rh2_buckets"))
+    assert(rows("td_rh_stats") == rows("td_rh2_stats"))
+    // appends after the re-band hash at the NEW parameters
+    index.buildJaccardIndex(
+      d.filter(F.col("doc_id") === 1L)
+        .select((F.col("doc_id") + 7000L).as("doc_id"), F.col("text")),
+      "doc_id", "text", "td_rh", buckets = 8, numPerm = 32, bands = 32,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(probeHits("td_rh", batch).contains((1001L, 7001L)))
+    // k is immutable: the stored sets ARE k-shingle hashes
+    val err = intercept[IllegalArgumentException](
+      index.rehashJaccardIndex(spark, "td_rh", numPerm = 33, bands = 32))
+    assert(err.getMessage.contains("divide"))
+  }
+
   test("describeIndex tracks the lifecycle: counts and params move with each mutator") {
     val d = corpus()
     def desc() = index.describeIndex(spark, "td_desc")
