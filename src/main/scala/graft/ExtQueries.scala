@@ -5026,6 +5026,245 @@ object ExtQueries {
       .orderBy("id_new", "id_indexed")
   }
 
+  /** SQL-EMITTER roundtrip, UNION + SLICE + ORDERED-STRING-AGG arm
+    * (x140/x144's remaining-verbs sibling): two overlapping customer
+    * subsets unioned DISTINCT, a grouped ordered `str.join` (the
+    * context-kwargs aggregate), and a `slice_head` with an offset —
+    * re-built verb-for-verb, emitted as runnable Spark SQL by
+    * `build_query`, executed via `spark.sql`, and held to a DuckDB
+    * UNION/STRING_AGG(ORDER BY)/LIMIT-OFFSET replay. Pins the
+    * emitter's set-op arm, the nested-limit/offset merge and the
+    * ordered-aggregate rendering through the emitted-SQL path — any
+    * mistranslation diverges from the DataFrame compiler's proven
+    * result and breaks the hash. */
+  def x149SqlEmitterUnionSlice(s: SparkSession, dir: String): DataFrame = {
+    def half(k: Long) = Table.source(s, dir, "customer")
+      .filter(C("c_custkey") % lit(k) === lit(0L))
+      .select(C("c_custkey"), C("c_name"), C("c_nationkey"))
+    val t = half(2L).union(half(3L), distinct = true)
+      .groupBy(C("c_nationkey"))
+      .summarize(
+        "names" -> C("c_name").str.join("|", arrange = Seq(C("c_custkey"))),
+        "n" -> count())
+      .arrange(C("c_nationkey"))
+      .sliceHead(10, offset = 5)
+    s.sql(t.buildQuerySql)
+  }
+
+  private val x149Oracle =
+    """WITH u AS (
+      |  SELECT c_custkey, c_name, c_nationkey FROM customer
+      |  WHERE c_custkey % 2 = 0
+      |  UNION
+      |  SELECT c_custkey, c_name, c_nationkey FROM customer
+      |  WHERE c_custkey % 3 = 0)
+      |SELECT c_nationkey,
+      |  STRING_AGG(c_name, '|' ORDER BY c_custkey) AS names,
+      |  COUNT(*) AS n
+      |FROM u GROUP BY c_nationkey ORDER BY c_nationkey
+      |LIMIT 10 OFFSET 5""".stripMargin
+
+  /** The x147/x148 drift corpus: day 1 is the raw embeddings (cast to
+    * double), day 2 plants +4.0 on one HIGH dim per vector (32 + id%8)
+    * under offset ids — mass the day-1 geometry never saw, exactly
+    * replayable in SQL. */
+  private def driftDay1(e: DataFrame): DataFrame =
+    e.select(F.col("vec_id"),
+      F.transform(F.col("embedding"), x => x.cast(DoubleType)).as("v"))
+
+  private def driftDay2(e: DataFrame): DataFrame =
+    e.select((F.col("vec_id") + 1000000L).as("vec_id"),
+      F.transform(F.col("embedding"), (x, i) =>
+        x.cast(DoubleType) + F.when(
+          i === F.lit(32) + F.pmod(F.col("vec_id") + 1000000L, F.lit(8L))
+            .cast(IntegerType), F.lit(4.0)).otherwise(F.lit(0.0))).as("v"))
+
+  /** INDEX DRIFT REPORT, IVF family
+    * ([[graft.functions.index.driftIndexReport]]) — the
+    * when-to-retrain signal the retrain ops (x142/x143) close the loop
+    * with: day 1 builds seed-deterministically (the geometry baseline
+    * is STAMPED at build), day 2 appends the planted drifted batch
+    * (appends deliberately do not restamp — accumulation against the
+    * build-time geometry IS what is measured), a pending batch is
+    * deferred, and the report compares the LIVE corpus's assignment
+    * tightness (decimal-summed mean and exact p95 of 1 − cos to the
+    * assigned centroid) and occupancy shape against the baseline. The
+    * oracle re-derives every number — seeds, argmax assignment,
+    * per-row distances, both aggregations, the day-1 baseline, the
+    * ratios — so pending ids leaking into the report, a restamped
+    * baseline, or any drifted metric definition breaks the hash. */
+  def x147IvfDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val day1 = driftDay1(e)
+    val day2 = driftDay2(e)
+    graft.functions.index.buildIvfIndex(day1, "vec_id", "v", "x147_ivf",
+      nlist = 8, iters = 0, sampleOneIn = 1L, portableSeed = true)
+    graft.functions.index.buildIvfIndex(day2, "vec_id", "v", "x147_ivf",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.functions.index.deferTakedown(
+      day1.select("vec_id").unionAll(day2.select("vec_id"))
+        .filter(F.col("vec_id") % 9 === 2),
+      "vec_id", "x147_ivf")
+    graft.functions.index.driftIndexReport(s, "x147_ivf")
+      .select(F.col("family"), F.col("metric"),
+        F.round(F.col("value"), 6).as("value"),
+        F.round(F.col("baseline"), 6).as("baseline"),
+        F.round(F.col("ratio"), 6).as("ratio"))
+      .orderBy("metric")
+  }
+
+  private val x147Oracle =
+    """WITH e1 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e2 AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, generate_series(0, 63)),
+      |      p -> p[1] + CASE WHEN p[2] = 32 + ((vec_id + 1000000) % 8)
+      |        THEN 4.0 ELSE 0.0 END) AS v
+      |  FROM e1),
+      |au AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+      |live AS (SELECT * FROM au WHERE vec_id % 9 != 2),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e1 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |acur AS (
+      |  SELECT vec_id, cell, d FROM (
+      |    SELECT l.vec_id, sn.cell,
+      |      1.0 - list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2]))
+      |        / sqrt(list_sum(list_transform(l.v, x -> x * x)))
+      |        / sn.cnrm AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY l.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM live l CROSS JOIN sn) WHERE rk = 1),
+      |abase AS (
+      |  SELECT vec_id, cell, d FROM (
+      |    SELECT l.vec_id, sn.cell,
+      |      1.0 - list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2]))
+      |        / sqrt(list_sum(list_transform(l.v, x -> x * x)))
+      |        / sn.cnrm AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY l.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM e1 l CROSS JOIN sn) WHERE rk = 1),
+      |ccur AS (SELECT cell, COUNT(*) AS cnt FROM acur GROUP BY cell),
+      |cbase AS (SELECT cell, COUNT(*) AS cnt FROM abase GROUP BY cell),
+      |mcur AS (SELECT
+      |    CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean,
+      |    quantile_cont(d, 0.95) AS p95 FROM acur),
+      |mbase AS (SELECT
+      |    CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean,
+      |    quantile_cont(d, 0.95) AS p95 FROM abase),
+      |ocur AS (SELECT CAST(8 - COUNT(*) AS DOUBLE) AS occ_empty,
+      |    CAST(MAX(cnt) AS DOUBLE) * 8 / SUM(cnt) AS occ_hot FROM ccur),
+      |obase AS (SELECT CAST(8 - COUNT(*) AS DOUBLE) AS occ_empty,
+      |    CAST(MAX(cnt) AS DOUBLE) * 8 / SUM(cnt) AS occ_hot FROM cbase),
+      |raw AS (
+      |  SELECT 'assign_mean' AS metric, mcur.mean AS value,
+      |    mbase.mean AS baseline FROM mcur, mbase
+      |  UNION ALL SELECT 'assign_p95', mcur.p95, mbase.p95
+      |    FROM mcur, mbase
+      |  UNION ALL SELECT 'occ_empty', ocur.occ_empty, obase.occ_empty
+      |    FROM ocur, obase
+      |  UNION ALL SELECT 'occ_hot', ocur.occ_hot, obase.occ_hot
+      |    FROM ocur, obase)
+      |SELECT 'ivf' AS family, metric, ROUND(value, 6) AS value,
+      |  ROUND(baseline, 6) AS baseline,
+      |  ROUND(value / nullif(baseline, 0.0), 6) AS ratio
+      |FROM raw ORDER BY metric""".stripMargin
+
+  /** INDEX DRIFT REPORT, PQ reconstruction error
+    * ([[graft.functions.index.driftPqReport]]) — the lossy family's
+    * drift signal, and the canary for a code space decoded with the
+    * wrong banks (the documented cross-table crash window): x147's
+    * drifted day-2 batch is APPENDED into a day-1-trained residual-PQ
+    * index (appends encode against the STORED banks by contract), and
+    * the report decodes the STORED codes against the STORED banks to
+    * measure mean/p95 squared quantization error vs the at-build
+    * baseline. The oracle replays the full x120 training pipeline —
+    * seeds, residuals, codebook seeds, per-subspace argmin — and
+    * re-derives each row's error as the sum of its chosen codeword
+    * distances, the decimal mean, the exact p95 and the ratios. */
+  def x148PqDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val day1 = driftDay1(e)
+    val day2 = driftDay2(e)
+    graft.functions.index.buildPqIndex(day1, "vec_id", "v", "x148_pq",
+      nlist = 8, m = 8, ksub = 16, ivfIters = 0, pqIters = 0,
+      sampleOneIn = 1L, portableSeed = true, residual = true)
+    graft.functions.index.buildPqIndex(day2, "vec_id", "v", "x148_pq",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.functions.index.driftPqReport(
+        day1.unionByName(day2), "vec_id", "v", "x148_pq")
+      .select(F.col("family"), F.col("metric"),
+        F.round(F.col("value"), 6).as("value"),
+        F.round(F.col("baseline"), 6).as("baseline"),
+        F.round(F.col("ratio"), 6).as("ratio"))
+      .orderBy("metric")
+  }
+
+  private val x148Oracle =
+    """WITH e1 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e2 AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, generate_series(0, 63)),
+      |      p -> p[1] + CASE WHEN p[2] = 32 + ((vec_id + 1000000) % 8)
+      |        THEN 4.0 ELSE 0.0 END) AS v
+      |  FROM e1),
+      |au AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e1 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |assign AS (
+      |  SELECT vec_id, cell, c FROM (
+      |    SELECT a.vec_id, sn.cell, sn.c,
+      |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(a.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM au a CROSS JOIN sn) WHERE rk = 1),
+      |resid AS (
+      |  SELECT a.vec_id,
+      |    list_transform(list_zip(au.v, a.c), p -> p[1] - p[2]) AS r
+      |  FROM assign a JOIN au ON au.vec_id = a.vec_id),
+      |pqseeds AS (
+      |  SELECT r, ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) AS c
+      |  FROM resid WHERE vec_id < 1000000 QUALIFY c <= 16),
+      |cb AS (
+      |  SELECT t.s, pqseeds.c - 1 AS c, pqseeds.r[t.s*8+1 : t.s*8+8] AS cv
+      |  FROM pqseeds CROSS JOIN generate_series(0, 7) AS t(s)),
+      |enc0 AS (
+      |  SELECT resid.vec_id, cb.s, cb.c,
+      |    list_sum(list_transform(list_zip(resid.r[cb.s*8+1 : cb.s*8+8], cb.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      |  FROM resid CROSS JOIN cb),
+      |rec AS (SELECT vec_id, list_sum(list(d2 ORDER BY s)) AS e2 FROM (
+      |    SELECT vec_id, s, d2, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d2, c) AS rn
+      |    FROM enc0) WHERE rn = 1 GROUP BY vec_id),
+      |mcur AS (SELECT
+      |    CAST(SUM(CAST(e2 AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean,
+      |    quantile_cont(e2, 0.95) AS p95 FROM rec),
+      |mbase AS (SELECT
+      |    CAST(SUM(CAST(e2 AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean,
+      |    quantile_cont(e2, 0.95) AS p95 FROM rec WHERE vec_id < 1000000),
+      |raw AS (
+      |  SELECT 'recon_mean' AS metric, mcur.mean AS value,
+      |    mbase.mean AS baseline FROM mcur, mbase
+      |  UNION ALL SELECT 'recon_p95', mcur.p95, mbase.p95
+      |    FROM mcur, mbase)
+      |SELECT 'pq' AS family, metric, ROUND(value, 6) AS value,
+      |  ROUND(baseline, 6) AS baseline,
+      |  ROUND(value / nullif(baseline, 0.0), 6) AS ratio
+      |FROM raw ORDER BY metric""".stripMargin
+
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
@@ -6087,7 +6326,10 @@ object ExtQueries {
     "x143_ivf_index_retrain" -> (x143IvfIndexRetrain _),
     "x144_sql_emitter_join_window" -> (x144SqlEmitterJoinWindow _),
     "x145_index_describe" -> (x145IndexDescribe _),
-    "x146_jaccard_rehash" -> (x146JaccardRehash _))
+    "x146_jaccard_rehash" -> (x146JaccardRehash _),
+    "x147_ivf_drift_report" -> (x147IvfDriftReport _),
+    "x148_pq_drift_report" -> (x148PqDriftReport _),
+    "x149_sql_emitter_union_slice" -> (x149SqlEmitterUnionSlice _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6450,6 +6692,41 @@ object ExtQueries {
 
   /** x143 steady state: x142's retrain-day unit on the IVF path
     * (self-contained — the cells table holds the vectors). */
+  /** x147 steady state: the recurring unit is the HEALTH CHECK — one
+    * driftIndexReport over a standing, already-drifted index (built
+    * once as a bench base); the correctness row's build-append-defer
+    * stays under the oracle gate, not the bench. */
+  def x147BenchDriftDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x147_bench", dir) {
+      graft.functions.index.buildIvfIndex(driftDay1(e), "vec_id", "v",
+        "x147b_ivf", nlist = 8, iters = 0, sampleOneIn = 1L,
+        portableSeed = true)
+      graft.functions.index.buildIvfIndex(driftDay2(e), "vec_id", "v",
+        "x147b_ivf", mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    graft.functions.index.driftIndexReport(s, "x147b_ivf")
+      .orderBy("metric")
+  }
+
+  /** x148 steady state: the PQ health check over a standing drifted
+    * index — the report's one id join + decode aggregation, daily. */
+  def x148BenchDriftDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x148_bench", dir) {
+      graft.functions.index.buildPqIndex(driftDay1(e), "vec_id", "v",
+        "x148b_pq", nlist = 8, m = 8, ksub = 16, ivfIters = 0,
+        pqIters = 0, sampleOneIn = 1L, portableSeed = true,
+        residual = true)
+      graft.functions.index.buildPqIndex(driftDay2(e), "vec_id", "v",
+        "x148b_pq", mode = org.apache.spark.sql.SaveMode.Append)
+    }
+    graft.functions.index.driftPqReport(
+        driftDay1(e).unionByName(driftDay2(e)), "vec_id", "v",
+        "x148b_pq")
+      .orderBy("metric")
+  }
+
   def x143BenchRetrainDay(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     ensureOnce("x143_bench", dir) {
@@ -6486,7 +6763,9 @@ object ExtQueries {
     "x138_compacted_index_probe" -> (x138BenchCompactDay _),
     "x141_deferred_pq_takedown" -> (x141BenchDeferDay _),
     "x142_pq_index_retrain" -> (x142BenchRetrainDay _),
-    "x143_ivf_index_retrain" -> (x143BenchRetrainDay _))
+    "x143_ivf_index_retrain" -> (x143BenchRetrainDay _),
+    "x147_ivf_drift_report" -> (x147BenchDriftDay _),
+    "x148_pq_drift_report" -> (x148BenchDriftDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -6651,5 +6930,15 @@ object ExtQueries {
     "x145_index_describe" -> x145Oracle,
     // re-banding from stored sets must preserve the exact-verified pair
     // set — x97's full-pair oracle, second banding regime
-    "x146_jaccard_rehash" -> x97Oracle)
+    "x146_jaccard_rehash" -> x97Oracle,
+    // the when-to-retrain signal: every drift metric, its at-build
+    // baseline and the ratio re-derived in SQL (seeds, argmax, 1−cos
+    // distances, decimal means, exact p95, occupancy)
+    "x147_ivf_drift_report" -> x147Oracle,
+    // PQ reconstruction error of the STORED codes vs the STORED banks,
+    // re-derived via the x120 training replay (chosen-codeword d2 sums)
+    "x148_pq_drift_report" -> x148Oracle,
+    // the emitted union + slice_head + ordered-string-agg SQL must
+    // match the set-op/LIMIT-OFFSET/STRING_AGG replay exactly
+    "x149_sql_emitter_union_slice" -> x149Oracle)
 }

@@ -44,6 +44,16 @@ import org.apache.spark.sql.types._
   * traffic by design, so its writers coordinate through an in-process
   * per-index lock ([[delsLock]]) — within one JVM, defers racing a
   * [[compactTakedowns]] shrink are never lost at any interleaving.
+  *
+  * ACROSS processes the single-writer contract is no longer an honor
+  * system: every window mutator stamps a writer lease on the
+  * catalog-only `<name>_lease` table and re-checks it before each
+  * swap, so two drivers mutating one index fail LOUDLY instead of
+  * silently colliding ([[releaseStaleLease]] recovers an abandoned
+  * stamp). Probes never read the lease; they instead carry a bounded
+  * retry over the swap's brief missing-table window ([[resolveRetry]])
+  * — a probe whose EXECUTION overlaps a swap may still need one
+  * caller-level retry, the documented residue of non-atomic renames.
   */
 object index {
 
@@ -63,6 +73,26 @@ object index {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def delsLock(delsTable: String): Object =
     delsLocks.computeIfAbsent(delsTable.toLowerCase, _ => new Object)
+  // delsLocks is deliberately NEVER evicted: an entry is one Object per
+  // distinct dels-table NAME ever written by this JVM (bounded by the
+  // deployment's index inventory, not by session churn), and evicting a
+  // lock another thread still holds would silently break the mutual
+  // exclusion it exists for.
+
+  /** Stable per-session cache key: a UUID assigned on first sight and
+    * held under a WEAK key — a collected session's entry disappears
+    * with it, and unlike identityHashCode a UUID can never be recycled
+    * to a different live session after GC. */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
+      }
+      id
+    }
 
   /** Cached pending-set row count per (session, dels table) — the
     * [[minusPending]] broadcast gate used to run one count job per
@@ -72,15 +102,25 @@ object index {
     * [[resetManagedTable]]), so probes read the gate for free; a count
     * that somehow went stale (an out-of-contract external writer)
     * could only flip the JOIN STRATEGY, never the result — both sides
-    * of the gate produce identical rows. */
+    * of the gate produce identical rows. Bounded: under session churn
+    * (the streaming replay-session-per-query pattern) dead sessions'
+    * entries would otherwise accumulate, so past a fixed cap the map
+    * is simply cleared — it is an advisory cache whose worst-case
+    * miss is one count job. */
   private val pendingCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val pendingCountsCap = 4096
+  private def putPendingCount(key: String, c: Long): Unit = {
+    if (pendingCounts.size > pendingCountsCap) pendingCounts.clear()
+    pendingCounts.put(key, c)
+    ()
+  }
   private def pendingKey(spark: SparkSession, delsTable: String): String =
-    System.identityHashCode(spark).toString + "/" + delsTable.toLowerCase
+    sessionKey(spark) + "/" + delsTable.toLowerCase
   private def refreshPendingCount(spark: SparkSession,
       delsTable: String): Long = {
     val c = spark.table(delsTable).count()
-    pendingCounts.put(pendingKey(spark, delsTable), c)
+    putPendingCount(pendingKey(spark, delsTable), c)
     c
   }
   private def invalidatePendingCount(delsTable: String): Unit = {
@@ -89,6 +129,201 @@ object index {
     pendingCounts.keySet.removeIf(_.endsWith(suffix))
     ()
   }
+
+  // ---------------- cross-driver writer lease ----------------
+
+  /** CROSS-PROCESS writer lease, one per index name. [[delsLock]]
+    * closes every in-JVM race, but a deployment with two DRIVER
+    * processes mutating the same index rested on an honor-system
+    * single-writer contract — a second process's rename-aside rewrite
+    * racing the first's could silently drop or collide with an
+    * in-flight stage. The lease converts that silent corruption into a
+    * loud error: every maintenance-window mutator stamps
+    * `graft.writer` (a fresh UUID) + a bumped `graft.epoch` on the
+    * catalog-only `<name>_lease` table at window start, refuses to
+    * start while a FOREIGN stamp is in place, re-checks the stamp
+    * before every swap ([[swapViaRename]] / [[rewriteBucketedMinus]] /
+    * the cell overwrites) — if another process stamped over the
+    * window, the mutator aborts BEFORE renaming anything — and clears
+    * its stamp on exit (including on failure). [[deferTakedown]], the
+    * one out-of-window writer, checks the same stamp: a defer landing
+    * while a FOREIGN process's window is open is exactly the
+    * cross-process lost-defer scenario, so it fails loudly instead.
+    *
+    * In-process the lease is re-entrant per index name (nested
+    * mutators — compactTakedowns calling removeFrom* — and the legal
+    * defers-during-compaction topology share the JVM's token);
+    * in-process window serialization remains the module's
+    * single-writer contract plus the [[deferTakedown]] auto-compact
+    * guard. A window abandoned by a crashed driver leaves its stamp
+    * behind BY DESIGN — every later mutator fails loudly until an
+    * operator inspects the wreckage (rescue `_old`/`_stage`
+    * generations, see [[swapViaRename]]) and calls
+    * [[releaseStaleLease]]. Probes never read the lease — zero
+    * overhead on the probe path. */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private def leaseTable(name: String): String = s"${name}_lease"
+
+  // lease properties are read through the catalog API, NOT SHOW
+  // TBLPROPERTIES: SHOW passes values through the SQL redaction regex
+  // (anything matching token/secret/... comes back "*(redacted)"),
+  // and a redacted writer stamp would mis-compare as foreign
+  private def leaseProps(spark: SparkSession,
+      name: String): Map[String, String] = {
+    val cat = spark.sessionState.catalog
+    val ident =
+      org.apache.spark.sql.catalyst.TableIdentifier(leaseTable(name))
+    if (!cat.tableExists(ident)) Map.empty
+    else cat.getTableMetadata(ident).properties
+  }
+
+  private def readLeaseWriter(spark: SparkSession,
+      name: String): Option[String] =
+    leaseProps(spark, name).get("graft.writer").filter(_.nonEmpty)
+
+  private def staleLeaseError(name: String, writer: String) =
+    new IllegalStateException(
+      s"index: another writer's maintenance window is stamped on " +
+        s"'$name' (graft.writer=$writer on ${leaseTable(name)}). A " +
+        "concurrent driver process is mutating this index, or a " +
+        "previous window crashed without clearing its stamp. Inspect " +
+        "(crashed windows leave complete generations under _stage/_old " +
+        "names), then call index.releaseStaleLease to clear the stamp.")
+
+  /** Run `body` inside a maintenance window on `name`: stamp the
+    * lease, fail loudly if a foreign stamp is in place, clear on exit.
+    * Re-entrant per name within the JVM. */
+  private def withLease[T](spark: SparkSession, name: String)
+      (body: => T): T = {
+    val key = name.toLowerCase
+    val joined = heldLeases.computeIfPresent(key,
+      (_, v) => (v._1, v._2 + 1))
+    if (joined != null) {
+      try body
+      finally {
+        heldLeases.computeIfPresent(key,
+          (_, v) => if (v._2 <= 1) null else (v._1, v._2 - 1))
+        ()
+      }
+    } else {
+      val lt = leaseTable(name)
+      if (!spark.catalog.tableExists(lt))
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $lt (lease_anchor INT) " +
+          "USING parquet")
+      readLeaseWriter(spark, name).foreach(w =>
+        throw staleLeaseError(name, w))
+      val token = java.util.UUID.randomUUID().toString
+      val epoch = leaseProps(spark, name)
+        .get("graft.epoch").map(_.toLong).getOrElse(0L) + 1
+      spark.sql(s"ALTER TABLE $lt SET TBLPROPERTIES(" +
+        s"'graft.epoch'='$epoch','graft.writer'='$token')")
+      heldLeases.put(key, (token, 1))
+      try body
+      finally {
+        heldLeases.remove(key)
+        // clear only our own stamp: a rogue overstamper's token must
+        // stay visible as evidence, not be wiped on our way out
+        if (readLeaseWriter(spark, name).contains(token))
+          spark.sql(s"ALTER TABLE $lt SET TBLPROPERTIES(" +
+            "'graft.writer'='')")
+      }
+    }
+  }
+
+  /** Abort (loudly) if the lease stamp on `name` is no longer this
+    * JVM's window token — called by every swap immediately before its
+    * catalog renames: a foreign overstamp means another process
+    * entered a window mid-flight, and renaming now could collide with
+    * ITS stage. One catalog read; no Spark job. */
+  private def checkLease(spark: SparkSession, name: String): Unit = {
+    val held = heldLeases.get(name.toLowerCase)
+    require(held != null,
+      s"index: internal — table swap on '$name' outside a lease window")
+    readLeaseWriter(spark, name) match {
+      case Some(w) if w != held._1 => throw staleLeaseError(name, w)
+      case _ => ()
+    }
+  }
+
+  /** Whether this JVM currently holds the window whose token is
+    * stamped on `name` — the [[deferTakedown]] foreign-window test. */
+  private def jvmHoldsLease(name: String, token: String): Boolean = {
+    val held = heldLeases.get(name.toLowerCase)
+    held != null && held._1 == token
+  }
+
+  /** Clear an abandoned maintenance-window stamp on index `name` — the
+    * recovery step after a crashed writer (see the lease contract
+    * above). Refuses while this JVM itself holds the window. */
+  def releaseStaleLease(spark: SparkSession, name: String): Unit = {
+    require(!heldLeases.containsKey(name.toLowerCase),
+      s"index.releaseStaleLease: this process holds an open window on " +
+        s"'$name' — it clears its own stamp on exit")
+    if (spark.catalog.tableExists(leaseTable(name)))
+      spark.sql(s"ALTER TABLE ${leaseTable(name)} SET TBLPROPERTIES(" +
+        "'graft.writer'='')")
+    ()
+  }
+
+  /** One-at-a-time guard for [[deferTakedown]]'s inline auto-compaction
+    * trigger: two defer threads crossing the pending ceiling together
+    * must not run [[compactTakedowns]] concurrently (the family-table
+    * rename-aside rewrites are not serialized against each other) — the
+    * loser SKIPS, and the next defer past the ceiling re-triggers. */
+  private val autoCompactRunning = new java.util.concurrent
+    .ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicBoolean]()
+
+  // ---------------- probe-side swap-window retry ----------------
+
+  /** Resolve `table` with a bounded retry over the rename-aside swap's
+    * reader-visible window: between `RENAME TO _old` and
+    * `RENAME _stage TO table` the canonical name resolves to nothing
+    * for the milliseconds the two catalog renames take, and a probe
+    * constructed exactly then used to throw TABLE_OR_VIEW_NOT_FOUND.
+    * Every probe-side table read goes through here; mutators do NOT
+    * (a missing table is a real error inside a maintenance window).
+    * Bounded at ~1 s — a table still missing then is genuinely gone.
+    * A probe that resolved but OVERLAPS a swap in execution can still
+    * hit moved files; that residue stays under the module's
+    * maintenance-window contract (callers retry the probe — pinned in
+    * ConcurrencySpec's probes-during-swap arm). */
+  private def resolveRetry(spark: SparkSession, table: String): DataFrame =
+    retryMissing(table)(spark.table(table))
+
+  /** [[resolveRetry]] for SHOW TBLPROPERTIES — parameter reads race the
+    * same rename window. */
+  private def showPropsRetry(spark: SparkSession,
+      table: String): Map[String, String] =
+    retryMissing(table)(spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap)
+
+  private def retryMissing[T](table: String)(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if attempt < 40 && e.getMessage != null &&
+              e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") =>
+          attempt += 1
+          Thread.sleep(25)
+      }
+    }
+    throw new IllegalStateException(s"unreachable: $table")
+  }
+
+  /** Whether dels table `d` logically exists for a probe — catalog
+    * existence with the rename window papered over: mid-swap the
+    * canonical name is briefly absent while `_stage`/`_old` hold the
+    * generations, and answering "no pending set" then would leak
+    * pending ids into a probe. The final re-check of the canonical
+    * name covers a swap that completed between the probes. */
+  private def delsVisible(spark: SparkSession, d: String): Boolean =
+    spark.catalog.tableExists(d) ||
+      spark.catalog.tableExists(s"${d}_stage") ||
+      spark.catalog.tableExists(s"${d}_old") ||
+      spark.catalog.tableExists(d)
 
   /** Make an Overwrite build idempotent ACROSS sessions: drop the
     * catalog entry and clear any leftover managed-table directory from a
@@ -141,12 +376,18 @@ object index {
     * shape, which wrote the data TWICE and recreated the table in
     * place. */
   private def swapViaRename(spark: SparkSession, table: String,
-      partitioned: Boolean = false)(writeStage: String => Unit): Unit = {
+      leaseName: String, partitioned: Boolean = false)
+      (writeStage: String => Unit): Unit = {
+    checkLease(spark, leaseName)
     val stage = s"${table}_stage"
     val old = s"${table}_old"
     resetManagedTable(spark, stage)
     resetManagedTable(spark, old)
     writeStage(stage)
+    // re-check right before the renames: a foreign process stamping
+    // over the window mid-write must abort HERE, with the standing
+    // table untouched and only a stage orphan left behind
+    checkLease(spark, leaseName)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
     // renaming a PARTITIONED managed table moves its directory but the
@@ -295,7 +536,9 @@ object index {
     * promotion). The two catalog renames are still not one atomic
     * step, hence the module-level single-writer contract (object doc). */
   private def rewriteBucketedMinus(spark: SparkSession, table: String,
-      idColName: String, del: DataFrame, bucketCols: Seq[String]): Unit = {
+      leaseName: String, idColName: String, del: DataFrame,
+      bucketCols: Seq[String]): Unit = {
+    checkLease(spark, leaseName)
     val nb = numBuckets(spark, table)
     val props = spark.sql(s"SHOW TBLPROPERTIES $table").collect()
       .map(r => (r.getString(0), r.getString(1)))
@@ -323,6 +566,8 @@ object index {
     if (props.nonEmpty)
       spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
         props.map { case (k, v) => s"'$k'='$v'" }.mkString(",") + ")")
+    // pre-rename lease re-check — see [[swapViaRename]]
+    checkLease(spark, leaseName)
     spark.sql(s"ALTER TABLE $table RENAME TO $old")
     spark.sql(s"ALTER TABLE $stage RENAME TO $table")
     resetManagedTable(spark, old)
@@ -338,16 +583,17 @@ object index {
     * from the dynamic overwrite and would keep its ghost directory —
     * those partitions are dropped explicitly. */
   private def removeFromCellTable(spark: SparkSession, table: String,
-      del0: DataFrame): Unit = {
+      leaseName: String, del0: DataFrame): Unit = {
     // the deletion set is consumed three times (count gate, affected
     // semi-join, survivor anti-join) — pin it for the op
     val del = dedup.cachedPinned(del0)
-    try removeFromCellTablePinned(spark, table, del)
+    try removeFromCellTablePinned(spark, table, leaseName, del)
     finally { del.unpersist(blocking = false); () }
   }
 
   private def removeFromCellTablePinned(spark: SparkSession, table: String,
-      del: DataFrame): Unit = {
+      leaseName: String, del: DataFrame): Unit = {
+    checkLease(spark, leaseName)
     val small = delIsSmall(spark, del)
     val aff = delJoin(spark.table(table), del, "n_id", "left_semi", small)
       .select("cell").distinct().collect().map(_.getInt(0))
@@ -427,6 +673,27 @@ object index {
     // over the small pending parquet and is what lets every future
     // probe read the broadcast gate for free ([[minusPending]])
     val cnt = delsLock(s"${name}_dels").synchronized {
+      // cross-process guard: a FOREIGN driver's maintenance window
+      // means its shrink/rewrite could rename _dels out from under
+      // this append — exactly the lost-defer scenario the in-JVM lock
+      // cannot see. Fail loudly; a window held by THIS JVM is the
+      // legal defers-during-compaction topology and proceeds. The
+      // stamp read can race a window's EXIT (stamp still visible for
+      // the instant between the held-map removal and the clear), so an
+      // apparent-foreign stamp is re-read briefly before throwing — a
+      // real foreign window outlives the loop by construction (it
+      // spans a whole maintenance op).
+      var leaseTries = 0
+      var leaseOk = false
+      while (!leaseOk) {
+        readLeaseWriter(spark, name) match {
+          case Some(w) if !jvmHoldsLease(name, w) =>
+            if (leaseTries >= 40) throw staleLeaseError(name, w)
+            leaseTries += 1
+            Thread.sleep(25)
+          case _ => leaseOk = true
+        }
+      }
       delFrame(ids, idCol).select(F.col("_ix_del").as("id"))
         .write.mode(SaveMode.Append).format("parquet")
         .saveAsTable(s"${name}_dels")
@@ -434,8 +701,17 @@ object index {
     }
     val autoCap = spark.conf
       .get("spark.graft.index.autoCompactPendingThreshold", "0").toLong
-    if (autoCap > 0 && cnt > autoCap)
-      compactTakedowns(spark, name)
+    if (autoCap > 0 && cnt > autoCap) {
+      // one inline compaction at a time per index: concurrent defer
+      // threads crossing the ceiling together must not run the
+      // rename-aside rewrites concurrently — losers skip, and the next
+      // defer past the ceiling re-triggers ([[autoCompactRunning]])
+      val guard = autoCompactRunning.computeIfAbsent(name.toLowerCase,
+        _ => new java.util.concurrent.atomic.AtomicBoolean(false))
+      if (guard.compareAndSet(false, true))
+        try compactTakedowns(spark, name)
+        finally guard.set(false)
+    }
   }
 
   /** Fold every pending logical takedown under `name` into the physical
@@ -458,19 +734,22 @@ object index {
     * separate driver processes stay under the single-writer contract. */
   def compactTakedowns(spark: SparkSession, name: String): Unit = {
     if (!spark.catalog.tableExists(s"${name}_dels")) return
-    // pin the pending set OUTSIDE the dels table: the purges below run
-    // while it is being consumed, and the final rewrite would yank a
-    // lazy plan's source out from under a late re-read
-    val ids = spark.table(s"${name}_dels").select("id").localCheckpoint(true)
-    if (spark.catalog.tableExists(s"${name}_buckets"))
-      removeFromJaccardIndex(ids, "id", name)
-    if (spark.catalog.tableExists(s"${name}_fps"))
-      removeFromExactIndex(ids, "id", name)
-    if (spark.catalog.tableExists(s"${name}_cells"))
-      removeFromIvfIndex(ids, "id", name)
-    if (spark.catalog.tableExists(s"${name}_pqcells"))
-      removeFromPqIndex(ids, "id", name)
-    shrinkDels(spark, name, ids)
+    withLease(spark, name) {
+      // pin the pending set OUTSIDE the dels table: the purges below
+      // run while it is being consumed, and the final rewrite would
+      // yank a lazy plan's source out from under a late re-read
+      val ids = spark.table(s"${name}_dels").select("id")
+        .localCheckpoint(true)
+      if (spark.catalog.tableExists(s"${name}_buckets"))
+        removeFromJaccardIndex(ids, "id", name)
+      if (spark.catalog.tableExists(s"${name}_fps"))
+        removeFromExactIndex(ids, "id", name)
+      if (spark.catalog.tableExists(s"${name}_cells"))
+        removeFromIvfIndex(ids, "id", name)
+      if (spark.catalog.tableExists(s"${name}_pqcells"))
+        removeFromPqIndex(ids, "id", name)
+      shrinkDels(spark, name, ids)
+    }
   }
 
   /** Remove exactly `purged0`'s ids from `<name>_dels` — the tail of
@@ -487,7 +766,7 @@ object index {
       if (delIsSmall(spark, purged)) F.broadcast(purged)
       else purged.hint("shuffle_hash")
     delsLock(s"${name}_dels").synchronized {
-      swapViaRename(spark, s"${name}_dels") { stage =>
+      swapViaRename(spark, s"${name}_dels", name) { stage =>
         spark.table(s"${name}_dels")
           .join(purgedSide, F.col("id") === F.col("_ix_purged"), "left_anti")
           .write.mode(SaveMode.Overwrite).format("parquet")
@@ -513,36 +792,40 @@ object index {
     * moves. Pending logical takedowns are NOT folded (that is
     * [[compactTakedowns]]'s job); `<name>_dels` is untouched. Runs
     * under the module's single-writer maintenance-window contract. */
-  def compactIndex(spark: SparkSession, name: String): Unit = {
-    val none = spark.range(0).select(F.col("id").as("_ix_del"))
-    if (spark.catalog.tableExists(s"${name}_buckets")) {
-      rewriteBucketedMinus(spark, s"${name}_buckets", "id", none,
-        Seq("band", "band_hash"))
-      rewriteBucketedMinus(spark, s"${name}_sigs", "id", none, Seq("id"))
-      // zero-sum buckets (fully taken down) drop out; a bucket absent
-      // from _stats reads as count 0 either way, so probes see no change
-      swapViaRename(spark, s"${name}_stats") { stage =>
-        spark.table(s"${name}_stats")
-          .groupBy("band", "band_hash").agg(F.sum("cnt").as("cnt"))
-          .filter(F.col("cnt") =!= 0L)
-          .write.mode(SaveMode.Overwrite).format("parquet")
-          .saveAsTable(stage)
-      }
-    }
-    if (spark.catalog.tableExists(s"${name}_fps"))
-      rewriteBucketedMinus(spark, s"${name}_fps", "id", none, Seq("fp"))
-    Seq(s"${name}_cells", s"${name}_pqcells")
-      .filter(spark.catalog.tableExists).foreach { t =>
-        // one task per cell = one file per cell; the dynamic overwrite
-        // replaces exactly the cells present — here, all of them (the
-        // removeFromCellTable write shape, minus the deletion)
-        withConf(spark, "spark.sql.sources.partitionOverwriteMode",
-            "dynamic") {
-          spark.table(t).repartition(F.col("cell"))
-            .write.mode(SaveMode.Overwrite).insertInto(t)
+  def compactIndex(spark: SparkSession, name: String): Unit =
+    withLease(spark, name) {
+      val none = spark.range(0).select(F.col("id").as("_ix_del"))
+      if (spark.catalog.tableExists(s"${name}_buckets")) {
+        rewriteBucketedMinus(spark, s"${name}_buckets", name, "id", none,
+          Seq("band", "band_hash"))
+        rewriteBucketedMinus(spark, s"${name}_sigs", name, "id", none,
+          Seq("id"))
+        // zero-sum buckets (fully taken down) drop out; a bucket absent
+        // from _stats reads as count 0 either way — no probe change
+        swapViaRename(spark, s"${name}_stats", name) { stage =>
+          spark.table(s"${name}_stats")
+            .groupBy("band", "band_hash").agg(F.sum("cnt").as("cnt"))
+            .filter(F.col("cnt") =!= 0L)
+            .write.mode(SaveMode.Overwrite).format("parquet")
+            .saveAsTable(stage)
         }
       }
-  }
+      if (spark.catalog.tableExists(s"${name}_fps"))
+        rewriteBucketedMinus(spark, s"${name}_fps", name, "id", none,
+          Seq("fp"))
+      Seq(s"${name}_cells", s"${name}_pqcells")
+        .filter(spark.catalog.tableExists).foreach { t =>
+          // one task per cell = one file per cell; the dynamic
+          // overwrite replaces exactly the cells present — here, all
+          // of them (the removeFromCellTable write shape, no deletion)
+          checkLease(spark, name)
+          withConf(spark, "spark.sql.sources.partitionOverwriteMode",
+              "dynamic") {
+            spark.table(t).repartition(F.col("cell"))
+              .write.mode(SaveMode.Overwrite).insertInto(t)
+          }
+        }
+    }
 
   /** RE-BAND the Jaccard index: rebuild `_buckets` and `_stats` at NEW
     * (numPerm, bands) from the STORED shingle-hash sets — the banding
@@ -574,30 +857,33 @@ object index {
     val (k, _, _) = readParams(spark, name)
     val nb = numBuckets(spark, s"${name}_buckets")
     val rowsPerBand = numPerm / bands
-    // re-derived keys feed both grid writes — persist for the call
-    // (the build's own two-writer posture)
-    val keys = dedup.cachedPinned(
-      spark.table(s"${name}_sigs").select(F.col("id"),
-        F.posexplode(dedup.lshBandKeys(
-          dedup.minhashFromHashes(F.col("sh"), numPerm),
-          bands, rowsPerBand)).as(Seq("band", "band_hash"))))
-    try {
-      swapViaRename(spark, s"${name}_buckets") { stage =>
-        // one task per bucket = one file per bucket (the build posture)
-        keys.repartition(nb, F.col("band"), F.col("band_hash"))
-          .write.mode(SaveMode.Overwrite).bucketBy(nb, "band", "band_hash")
-          .format("parquet").saveAsTable(stage)
-        spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
-          s"'graft.k'='$k','graft.numPerm'='$numPerm'," +
-          s"'graft.bands'='$bands')")
-      }
-      swapViaRename(spark, s"${name}_stats") { stage =>
-        keys.groupBy("band", "band_hash")
-          .agg(F.count(F.lit(1)).as("cnt"))
-          .write.mode(SaveMode.Overwrite).format("parquet")
-          .saveAsTable(stage)
-      }
-    } finally { keys.unpersist(blocking = false); () }
+    withLease(spark, name) {
+      // re-derived keys feed both grid writes — persist for the call
+      // (the build's own two-writer posture)
+      val keys = dedup.cachedPinned(
+        spark.table(s"${name}_sigs").select(F.col("id"),
+          F.posexplode(dedup.lshBandKeys(
+            dedup.minhashFromHashes(F.col("sh"), numPerm),
+            bands, rowsPerBand)).as(Seq("band", "band_hash"))))
+      try {
+        swapViaRename(spark, s"${name}_buckets", name) { stage =>
+          // one task per bucket = one file per bucket (build posture)
+          keys.repartition(nb, F.col("band"), F.col("band_hash"))
+            .write.mode(SaveMode.Overwrite)
+            .bucketBy(nb, "band", "band_hash")
+            .format("parquet").saveAsTable(stage)
+          spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
+            s"'graft.k'='$k','graft.numPerm'='$numPerm'," +
+            s"'graft.bands'='$bands')")
+        }
+        swapViaRename(spark, s"${name}_stats", name) { stage =>
+          keys.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).as("cnt"))
+            .write.mode(SaveMode.Overwrite).format("parquet")
+            .saveAsTable(stage)
+        }
+      } finally { keys.unpersist(blocking = false); () }
+    }
   }
 
   // ---------------- codebook / centroid RETRAIN ----------------
@@ -656,10 +942,21 @@ object index {
     * the broadcast-literal new bank) plus the one exchange every cell
     * rewrite pays (repartition onto the new cell grid → one file per
     * cell); the corpus is never joined or shuffled otherwise. Runs
-    * under the module's single-writer maintenance-window contract. */
+    * under the module's single-writer maintenance-window contract.
+    *
+    * CRASH WINDOW — cross-TABLE consistency: the two interdependent
+    * swaps (`_cells` then `_centroids`) are sequential, so a crash
+    * between them leaves rows ASSIGNED against the new bank while
+    * probes still read the OLD bank — probes keep running but route
+    * with degraded recall, a SILENT state (no error is thrown). The
+    * single-table rename rescue ([[swapViaRename]]) is not enough
+    * here: recover by re-running the retrain (idempotent — it trains
+    * on the live survivors again), or by rescuing BOTH `_old`
+    * generations as a PAIR — never one without the other. */
   def retrainIvfIndex(spark: SparkSession, name: String, iters: Int = 5,
       sampleN: Int = 20000, sampleOneIn: Long = 0L,
-      portableSeed: Boolean = false, nlist: Int = 0): Unit = {
+      portableSeed: Boolean = false, nlist: Int = 0): Unit =
+   withLease(spark, name) {
     val dim = readIvfDim(spark, name)
     // nlist > 0 RESIZES the cell geometry — the growth path an
     // append-only corpus eventually needs (cells sized for day 1 go
@@ -677,7 +974,8 @@ object index {
     require(bank.nonEmpty,
       s"index.retrainIvfIndex: '$name' has no live vectors to retrain on")
     val bankLit = F.typedlit(bank.toSeq)
-    swapViaRename(spark, s"${name}_cells", partitioned = true) { stage =>
+    swapViaRename(spark, s"${name}_cells", name, partitioned = true) {
+        stage =>
       live.select(F.col("n_id"), F.col("n_vec"), F.col("n_nrm"),
           F.element_at(F.call_function("graft_centroid_topk",
             F.col("n_vec"), bankLit, F.lit(1)), 1).as("cell"))
@@ -687,14 +985,19 @@ object index {
       spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
         s"'graft.dim'='$dim')")
     }
-    swapViaRename(spark, s"${name}_centroids") { stage =>
+    swapViaRename(spark, s"${name}_centroids", name) { stage =>
       import spark.implicits._
       bank.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("pos", "v").coalesce(1)
         .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stage)
     }
     pend.foreach(p => shrinkDels(spark, name, p))
-  }
+    // retrain restamps the drift baseline: the new geometry fits the
+    // live corpus by construction, so the report's ratio returns to 1
+    if (driftConfOn(spark))
+      stampDrift(spark, s"${name}_cells",
+        ivfDriftMetrics(spark, spark.table(s"${name}_cells"), bank, dim))
+   }
 
   /** RETRAIN both quantizer banks of PQ index `name` (IVF centroids +
     * PQ codebooks, raw or residual per the index's own stored flag) —
@@ -732,7 +1035,17 @@ object index {
     * id semi-join of `df` against the live id set (the one join the
     * lossy layout forces — O(corpus), like the rewrite itself) plus
     * the cell-grid exchange; no other shuffle. Single-writer
-    * maintenance-window contract. */
+    * maintenance-window contract.
+    *
+    * CRASH WINDOW — cross-TABLE consistency: the `_pqcells` and
+    * `_pqbank` swaps are sequential, so a crash between them leaves
+    * codes ENCODED against the new banks while probes still decode
+    * with the OLD codebooks — for PQ that is silently WRONG ADC
+    * distances, not just recall loss, and no error is thrown. The
+    * single-table rename rescue ([[swapViaRename]]) is not enough
+    * here: recover by re-running the retrain (idempotent), or by
+    * rescuing BOTH `_old` generations as a PAIR — never one without
+    * the other. */
   def retrainPqIndex(df: DataFrame, idCol: String, vecCol: String,
       name: String, ivfIters: Int = 2, pqIters: Int = 0,
       sampleN: Int = 20000, sampleOneIn: Long = 0L,
@@ -740,6 +1053,7 @@ object index {
       ksub: Int = 0): Unit = {
     val spark = df.sparkSession
     similarity.requireIntegralId(df, idCol, "index.retrainPqIndex")
+    withLease(spark, name) {
     val dim = readPqProp(spark, name, "graft.dim").toInt
     val mEff =
       if (m > 0) m else readPqProp(spark, name, "graft.m").toInt
@@ -764,6 +1078,20 @@ object index {
       s"index.retrainPqIndex: '$name' has no live vectors to retrain on")
     val src = df.select(F.col(idCol).cast(LongType).as("n_id"),
       F.col(vecCol).as("n_vec"))
+    // fail-fast coverage pre-check: a vector store MISSING live ids
+    // must abort BEFORE the training and the full re-encode write, not
+    // after paying them — one anti-join count over the id columns
+    // (dwarfed by the encode it guards), with the standing index and
+    // catalog untouched (no stage table is ever created). The staged
+    // post-write gate below stays: it additionally catches duplicate
+    // and ragged-vector rows the id-level pre-check cannot see.
+    val missing = liveIds
+      .join(src.select("n_id").distinct(), Seq("n_id"), "left_anti")
+      .count()
+    require(missing == 0L,
+      s"index.retrainPqIndex: vector source is missing $missing of " +
+        s"$nLive live indexed ids — aborting before any re-encode " +
+        "(the index is untouched)")
     val liveVecs = src.join(liveIds, Seq("n_id"), "left_semi")
     val bank = similarity.trainIvfCentroids(liveVecs, "n_id", "n_vec",
       nlistEff, ivfIters, sampleN, sampleOneIn, portableSeed)
@@ -774,27 +1102,36 @@ object index {
         mEff, ksubEff, pqIters, sampleN, sampleOneIn, portableSeed)
       else similarity.trainPqCodebooks(liveVecs, "n_id", "n_vec", mEff,
         ksubEff, pqIters, sampleN, sampleOneIn, portableSeed)
-    swapViaRename(spark, s"${name}_pqcells", partitioned = true) { stage =>
+    swapViaRename(spark, s"${name}_pqcells", name, partitioned = true) {
+        stage =>
       encodeCells(similarity.cleanDim(liveVecs, "n_vec", dim),
           "n_id", "n_vec", bank, cb, mEff, dim, residual)
         .repartition(F.col("cell"))
         .write.mode(SaveMode.Overwrite).partitionBy("cell")
         .format("parquet").saveAsTable(stage)
-      // coverage gate BEFORE any rename: a vector store missing live
-      // ids (or carrying duplicates / ragged vectors for them) must
-      // abort with the standing index intact, not swap in a shrunken
-      // generation. Throwing here leaves only a stage orphan, which
-      // the next retrain's reset clears.
-      val staged = spark.table(stage).count()
-      require(staged == nLive,
-        s"index.retrainPqIndex: vector source re-encoded $staged of " +
-          s"$nLive live indexed ids — it must cover every live id " +
-          "exactly once at the trained width")
+      // coverage gate BEFORE any rename: a vector store carrying
+      // duplicate rows or ragged vectors for live ids (the pre-check
+      // above already killed MISSING ids cheaply) must abort with the
+      // standing index intact, not swap in a corrupted generation.
+      // Row count alone can be fooled — a duplicate masking a ragged
+      // drop leaves the total at nLive — so distinct-id coverage is
+      // asserted too (one gate job; its tiny exchange is the price of
+      // the abort contract). Throwing here leaves only a stage
+      // orphan, which the next retrain's reset clears.
+      val gate = spark.table(stage)
+        .agg(F.count(F.lit(1)), F.count_distinct(F.col("n_id"))).head()
+      val staged = gate.getLong(0)
+      val stagedIds = gate.getLong(1)
+      require(staged == nLive && stagedIds == nLive,
+        s"index.retrainPqIndex: vector source re-encoded $staged rows " +
+          s"covering $stagedIds distinct ids of $nLive live indexed " +
+          "ids — it must cover every live id exactly once at the " +
+          "trained width")
       spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
         s"'graft.dim'='$dim', 'graft.m'='$mEff', " +
         s"'graft.residual'='$residual')")
     }
-    swapViaRename(spark, s"${name}_pqbank") { stage =>
+    swapViaRename(spark, s"${name}_pqbank", name) { stage =>
       import spark.implicits._
       val rows = bank.zipWithIndex.map { case (v, i) => ("ivf", i, v) } ++
         cb.zipWithIndex.map { case (v, i) => ("cb", i, v) }
@@ -802,6 +1139,18 @@ object index {
         .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(stage)
     }
     pend.foreach(p => shrinkDels(spark, name, p))
+    // restamp the drift baseline against the fresh banks — the
+    // report's ratio returns to 1 after a retrain (see retrainIvf)
+    if (driftConfOn(spark)) {
+      val (_, rMean, rP95) = pqReconStats(spark, name, df, idCol, vecCol)
+      // widths from the TRAINED banks (≤ the requested ones on a
+      // sample smaller than nlist/ksub), matching the report's view
+      stampDrift(spark, s"${name}_pqcells",
+        pqOccMetrics(spark, spark.table(s"${name}_pqcells"),
+          bank.length / (dim + 1), cb.length / dim) ++
+          Seq("recon_mean" -> rMean, "recon_p95" -> rP95))
+    }
+    }
   }
 
   /** One-row-per-physical-table inventory of everything under index
@@ -830,14 +1179,258 @@ object index {
       val t = s"${name}_$sfx"
       if (!spark.catalog.tableExists(t)) None
       else {
-        val params = spark.sql(s"SHOW TBLPROPERTIES $t").collect()
-          .map(r => r.getString(0) -> r.getString(1))
-          .filter(_._1.startsWith("graft."))
+        // graft.drift.* baselines are data-derived doubles surfaced
+        // (with their comparison) by [[driftIndexReport]], not here —
+        // `params` stays the build-call parameters probes read back
+        val params = showPropsRetry(spark, t).toSeq
+          .filter { case (k, _) =>
+            k.startsWith("graft.") && !k.startsWith("graft.drift.") }
           .sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(",")
-        Some((sfx, spark.table(t).count(), params))
+        Some((sfx, resolveRetry(spark, t).count(), params))
       }
     }.toDF("part", "n_rows", "params")
+  }
+
+  // ---------------- geometry drift / index health ----------------
+
+  /** The WHEN-TO-RETRAIN signal: [[retrainIvfIndex]]/[[retrainPqIndex]]
+    * provably restore recall on a drifted corpus (PqAnnSpec's receipt),
+    * but a standing index needs a metric that says the geometry has
+    * drifted WITHOUT a ground-truth neighbor set. Two families of
+    * cheap, truth-set-free signals, each compared against an AT-BUILD
+    * baseline stamped into TBLPROPERTIES (`graft.drift.*`) by every
+    * bank-producing op (fresh build and retrain — appends deliberately
+    * do NOT restamp, accumulation against the build-time geometry IS
+    * the drift being measured):
+    *
+    *  - assignment tightness (IVF, vectors stored): mean and p95 of
+    *    `1 − cos(v, centroid(cell))` over live rows — rises as
+    *    appended mass lands far from every trained centroid;
+    *  - reconstruction error (PQ, codes stored — [[driftPqReport]],
+    *    which needs the caller's vector store like every
+    *    vector-touching PQ op): mean/p95 of the squared quantization
+    *    error of the STORED codes decoded against the STORED banks —
+    *    also a canary for a code space corrupted by the documented
+    *    cross-table crash window, which probes cannot see;
+    *  - occupancy shape (both): empty-cell count and hot-cell ratio
+    *    (max cell size ÷ uniform share) — drifting mass concentrates
+    *    in few cells, degrading probe cost at fixed nprobe — plus
+    *    codeword-usage skew for PQ (`code_hot`).
+    *
+    * Every number is deterministic run-to-run (means ride DECIMAL
+    * sums, the quantile is the exact interpolating percentile,
+    * occupancy is integer-derived), so reports are comparable across
+    * days and engines — the x147/x148 oracles re-derive them in SQL.
+    * Scale shape: one column-pruned aggregation scan per family (the
+    * compactIndex cost class), a broadcast of the nlist-row centroid
+    * frame, driver-bounded collects (≤ nlist per-cell partials).
+    * Baseline stamping can be disabled for a build
+    * (`spark.graft.index.driftBaseline` = false) — the report then
+    * returns null baselines/ratios. */
+  private def driftConfOn(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.index.driftBaseline", "true").toBoolean
+
+  private val driftDec = DecimalType(30, 12)
+
+  /** IVF-family metrics over `cells` rows against the flat `bank`:
+    * assign_mean / assign_p95 / occ_empty / occ_hot. Zero-norm rows
+    * (no defined angle) are excluded from the distance metrics but
+    * counted in occupancy. Two jobs: per-cell partials (≤ nlist rows
+    * collected; the global mean is the exact sum of per-cell DECIMAL
+    * sums, so the reduction order can never move it) + the exact
+    * percentile. */
+  private def ivfDriftMetrics(spark: SparkSession, cells: DataFrame,
+      bank: Array[Double], dim: Int): Seq[(String, Double)] = {
+    import spark.implicits._
+    val nlist = bank.length / (dim + 1)
+    if (nlist == 0) return Seq.empty
+    val cents = (0 until nlist).map(c =>
+      (c, bank.slice(c * dim, (c + 1) * dim).toSeq, bank(nlist * dim + c)))
+    val cdf = F.broadcast(cents.toDF("cell", "_dr_c", "_dr_cn"))
+    val ok = F.col("n_nrm") > 0 && F.col("_dr_cn") > 0
+    val dist = F.lit(1.0) -
+      similarity.dot(F.col("n_vec").cast(ArrayType(DoubleType)),
+        F.col("_dr_c")) / F.col("n_nrm") / F.col("_dr_cn")
+    val per = cells.join(cdf, "cell")
+      .select(F.col("cell"), F.when(ok, dist).as("_dr_d"))
+    val cellRows = per.groupBy("cell").agg(
+        F.count(F.lit(1)).as("_dr_n"),
+        F.count(F.col("_dr_d")).as("_dr_nd"),
+        F.sum(F.col("_dr_d").cast(driftDec)).as("_dr_s"))
+      .collect()
+    if (cellRows.isEmpty) return Seq.empty
+    val n = cellRows.map(_.getLong(1)).sum
+    val nd = cellRows.map(_.getLong(2)).sum
+    val sum = cellRows.filter(!_.isNullAt(3)).map(_.getDecimal(3))
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val maxCnt = cellRows.map(_.getLong(1)).max
+    val distRows =
+      if (nd == 0) Seq.empty // every live row zero-norm: no angles
+      else Seq(
+        "assign_mean" -> sum.doubleValue / nd,
+        "assign_p95" -> per.agg(F.percentile(F.col("_dr_d"), F.lit(0.95)))
+          .head().getDouble(0))
+    distRows ++ Seq(
+      "occ_empty" -> (nlist - cellRows.length).toDouble,
+      "occ_hot" -> maxCnt.toDouble * nlist / n)
+  }
+
+  /** PQ-family occupancy + codeword-usage metrics over stored codes —
+    * vector-free (see [[driftPqReport]] for reconstruction error). */
+  private def pqOccMetrics(spark: SparkSession, pq: DataFrame,
+      nlist: Int, ksubEff: Int): Seq[(String, Double)] = {
+    val cellRows = pq.groupBy("cell")
+      .agg(F.count(F.lit(1)).as("_dr_n")).collect()
+    if (cellRows.isEmpty) return Seq.empty
+    val n = cellRows.map(_.getLong(1)).sum
+    val maxCnt = cellRows.map(_.getLong(1)).max
+    val maxUse = pq
+      .select(F.posexplode(F.col("codes")).as(Seq("_dr_s", "_dr_cw")))
+      .groupBy("_dr_s", "_dr_cw").agg(F.count(F.lit(1)).as("_dr_u"))
+      .agg(F.max("_dr_u")).head().getLong(0)
+    Seq(
+      "occ_empty" -> (nlist - cellRows.length).toDouble,
+      "occ_hot" -> maxCnt.toDouble * nlist / n,
+      "code_hot" -> maxUse.toDouble * ksubEff / n)
+  }
+
+  /** (count, recon_mean, recon_p95) of the STORED codes of index
+    * `name`'s live rows decoded against the STORED banks, with the
+    * true vectors supplied by `df` — the one join the lossy layout
+    * forces (the [[retrainPqIndex]] posture). `count` is the joined
+    * row count, which callers gate against the live count: a store
+    * missing live ids (or duplicating them) silently skews a drift
+    * metric, so it is refused the same way retrain refuses it. */
+  private def pqReconStats(spark: SparkSession, name: String,
+      df: DataFrame, idCol: String,
+      vecCol: String): (Long, Double, Double) = {
+    import spark.implicits._
+    val dim = readPqProp(spark, name, "graft.dim").toInt
+    val mEff = readPqProp(spark, name, "graft.m").toInt
+    val residual =
+      readPqPropOr(spark, name, "graft.residual", "false").toBoolean
+    val ivfBank = readPqBank(spark, name, "ivf")
+    val cbLit = F.typedlit(readPqBank(spark, name, "cb").toSeq)
+    val live = minusPending(spark, name,
+        resolveRetry(spark, s"${name}_pqcells"), "n_id")
+      .select("n_id", "codes", "cell")
+    val src = df.select(F.col(idCol).cast(LongType).as("n_id"),
+      F.col(vecCol).as("_dr_v"))
+    val joined = live.join(similarity.cleanDim(src, "_dr_v", dim),
+      Seq("n_id"))
+    // residual codes quantize v − centroid(STORED cell): decode error
+    // must subtract the same centroid the encode used, so the stored
+    // cell routes the lookup (never a recomputed argmax)
+    val (framed, vecExpr) =
+      if (residual) {
+        val nlist = ivfBank.length / (dim + 1)
+        val cdf = F.broadcast((0 until nlist).map(c =>
+            (c, ivfBank.slice(c * dim, (c + 1) * dim).toSeq)).toDF(
+            "cell", "_dr_cent"))
+        (joined.join(cdf, "cell"),
+          F.call_function("graft_vec_sub", F.col("_dr_v"),
+            F.col("_dr_cent")))
+      } else (joined, F.col("_dr_v"))
+    val e2 = F.call_function("graft_pq_adc", F.col("codes"),
+      F.call_function("graft_pq_dists", vecExpr, cbLit, F.lit(mEff)))
+    val agg = framed.select(e2.as("_dr_e2")).agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("_dr_e2").cast(driftDec)),
+        F.percentile(F.col("_dr_e2"), F.lit(0.95)))
+      .head()
+    val cnt = agg.getLong(0)
+    if (cnt == 0) (0L, 0.0, 0.0)
+    else (cnt, agg.getDecimal(1).doubleValue / cnt, agg.getDouble(2))
+  }
+
+  private def stampDrift(spark: SparkSession, table: String,
+      metrics: Seq[(String, Double)]): Unit =
+    if (metrics.nonEmpty) {
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+        metrics.map { case (k, v) => s"'graft.drift.$k'='$v'" }
+          .mkString(",") + ")")
+      ()
+    }
+
+  private def driftBaselines(spark: SparkSession,
+      table: String): Map[String, Double] =
+    showPropsRetry(spark, table).collect {
+      case (k, v) if k.startsWith("graft.drift.") =>
+        k.stripPrefix("graft.drift.") -> v.toDouble
+    }
+
+  private def driftRows(metrics: Seq[(String, Double)],
+      base: Map[String, Double], family: String)
+      : Seq[(String, String, Double, Option[Double], Option[Double])] =
+    metrics.map { case (k, v) =>
+      val b = base.get(k)
+      (family, k, v, b, b.filter(_ != 0.0).map(v / _))
+    }
+
+  /** Geometry-health report for index `name` — one row per (family,
+    * metric): current value over the LIVE rows (pending takedowns
+    * excluded, the probe's view), the at-build/at-retrain baseline
+    * from TBLPROPERTIES (null if stamping was off or predates this
+    * op), and their ratio (null when the baseline is 0 or absent). A
+    * ratio drifting up — assignment distance, hot-cell share — is the
+    * retrain signal; retraining restamps the baseline, pulling it
+    * back to 1 (pinned rise-then-fall in PqAnnSpec, oracled in x147).
+    * Covers the vector-free metrics of both trained-geometry families
+    * (`_cells`, `_pqcells`); PQ reconstruction error needs the vector
+    * store — [[driftPqReport]]. Signature families (Jaccard, exact)
+    * have no trained state: their parameters ARE the geometry, so
+    * there is nothing to drift ([[rehashJaccardIndex]] is their
+    * retrain). */
+  def driftIndexReport(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Double, Option[Double], Option[Double])]
+    if (spark.catalog.tableExists(s"${name}_cells")) {
+      val dim = readIvfDim(spark, name)
+      val bank = readIvfBank(spark, name)
+      val live = minusPending(spark, name,
+        resolveRetry(spark, s"${name}_cells"), "n_id")
+      rows ++= driftRows(ivfDriftMetrics(spark, live, bank, dim),
+        driftBaselines(spark, s"${name}_cells"), "ivf")
+    }
+    if (spark.catalog.tableExists(s"${name}_pqcells")) {
+      val dim = readPqProp(spark, name, "graft.dim").toInt
+      val ivfBank = readPqBank(spark, name, "ivf")
+      val nlist = ivfBank.length / (dim + 1)
+      val ksubEff = readPqBank(spark, name, "cb").length / dim
+      val live = minusPending(spark, name,
+        resolveRetry(spark, s"${name}_pqcells"), "n_id")
+      rows ++= driftRows(pqOccMetrics(spark, live, nlist, ksubEff),
+        driftBaselines(spark, s"${name}_pqcells"), "pq")
+    }
+    rows.toSeq.toDF("family", "metric", "value", "baseline", "ratio")
+  }
+
+  /** [[driftIndexReport]]'s PQ reconstruction-error rows — mean/p95 of
+    * the squared quantization error of the stored codes against the
+    * stored banks, with the live vectors supplied by `df` (PQ is
+    * lossy; same vector-store contract as [[retrainPqIndex]], and the
+    * same exactly-once coverage requirement: a store missing or
+    * duplicating live ids would silently skew the metric, so it is
+    * refused instead). Baselines are stamped by buildPqIndex/
+    * retrainPqIndex from the same computation. */
+  def driftPqReport(df: DataFrame, idCol: String, vecCol: String,
+      name: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    similarity.requireIntegralId(df, idCol, "index.driftPqReport")
+    val nLive = minusPending(spark, name,
+        resolveRetry(spark, s"${name}_pqcells"), "n_id")
+      .count()
+    val (cnt, mean, p95) = pqReconStats(spark, name, df, idCol, vecCol)
+    require(cnt == nLive,
+      s"index.driftPqReport: vector source covered $cnt of $nLive " +
+        "live indexed ids — it must cover every live id exactly once " +
+        "at the stored width")
+    driftRows(Seq("recon_mean" -> mean, "recon_p95" -> p95),
+        driftBaselines(spark, s"${name}_pqcells"), "pq")
+      .toDF("family", "metric", "value", "baseline", "ratio")
   }
 
   /** `df` minus index `name`'s PENDING logical takedowns on `idColName`
@@ -862,15 +1455,29 @@ object index {
     * change rows. */
   private[graft] def minusPending(spark: SparkSession, name: String,
       df: DataFrame, idColName: String): DataFrame =
-    if (!spark.catalog.tableExists(s"${name}_dels")) df
+    // delsVisible, not tableExists: mid-shrink-swap the canonical name
+    // is briefly absent while _stage/_old hold the generations, and
+    // answering "no pending set" then would LEAK pending ids into the
+    // probe; resolveRetry then rides out the rename window itself
+    if (!delsVisible(spark, s"${name}_dels")) df
     else {
-      val dels = spark.table(s"${name}_dels")
+      val dels = resolveRetry(spark, s"${name}_dels")
         .select(F.col("id").as("_ix_pending"))
       val cap = spark.conf
         .get("spark.graft.index.pendingBroadcastThreshold", "10000000").toLong
-      val cnt: Long = pendingCounts.computeIfAbsent(
-        pendingKey(spark, s"${name}_dels"),
-        _ => spark.table(s"${name}_dels").count())
+      // cold-start count OUTSIDE the map's compute (computeIfAbsent
+      // would hold the bin lock for the whole job, blocking writers'
+      // refreshPendingCount puts hashed to the same bin); two racing
+      // cold probes at worst both count — the cache is advisory
+      val key = pendingKey(spark, s"${name}_dels")
+      val cached = pendingCounts.get(key)
+      val cnt: Long =
+        if (cached != null) cached.longValue
+        else {
+          val c = resolveRetry(spark, s"${name}_dels").count()
+          putPendingCount(key, c)
+          c
+        }
       val side =
         if (cnt <= cap) F.broadcast(dels)
         // hint the shuffled-hash strategy explicitly: without it AQE
@@ -894,6 +1501,7 @@ object index {
       name: String): Unit = {
     similarity.requireIntegralId(ids, idCol, "index.removeFromJaccardIndex")
     val spark = ids.sparkSession
+    withLease(spark, name) {
     val del = dedup.cachedPinned(delFrame(ids, idCol))
     try {
       // the decrement is computed from the PRE-rewrite buckets table,
@@ -910,12 +1518,14 @@ object index {
         .groupBy("band", "band_hash")
         .agg((-F.count(F.lit(1))).as("cnt"))
         .localCheckpoint(true)
-      rewriteBucketedMinus(spark, s"${name}_buckets", "id", del,
+      rewriteBucketedMinus(spark, s"${name}_buckets", name, "id", del,
         Seq("band", "band_hash"))
-      rewriteBucketedMinus(spark, s"${name}_sigs", "id", del, Seq("id"))
+      rewriteBucketedMinus(spark, s"${name}_sigs", name, "id", del,
+        Seq("id"))
       dec.write.mode(SaveMode.Append).format("parquet")
         .saveAsTable(s"${name}_stats")
     } finally { del.unpersist(blocking = false); () }
+    }
   }
 
   /** TAKEDOWN for the exact-dedup index: deleted documents'
@@ -926,10 +1536,13 @@ object index {
       name: String): Unit = {
     similarity.requireIntegralId(ids, idCol, "index.removeFromExactIndex")
     val spark = ids.sparkSession
-    // pinned: the rewrite consumes the set twice (count gate + join)
-    val del = dedup.cachedPinned(delFrame(ids, idCol))
-    try rewriteBucketedMinus(spark, s"${name}_fps", "id", del, Seq("fp"))
-    finally { del.unpersist(blocking = false); () }
+    withLease(spark, name) {
+      // pinned: the rewrite consumes the set twice (count gate + join)
+      val del = dedup.cachedPinned(delFrame(ids, idCol))
+      try rewriteBucketedMinus(spark, s"${name}_fps", name, "id", del,
+        Seq("fp"))
+      finally { del.unpersist(blocking = false); () }
+    }
   }
 
   /** TAKEDOWN for the IVF ANN index: deleted vectors leave `_cells`;
@@ -943,7 +1556,10 @@ object index {
       name: String): Unit = {
     similarity.requireIntegralId(ids, idCol, "index.removeFromIvfIndex")
     val spark = ids.sparkSession
-    removeFromCellTable(spark, s"${name}_cells", delFrame(ids, idCol))
+    withLease(spark, name) {
+      removeFromCellTable(spark, s"${name}_cells", name,
+        delFrame(ids, idCol))
+    }
   }
 
   /** TAKEDOWN for the PQ index (raw or residual — the stored codes are
@@ -959,13 +1575,15 @@ object index {
       name: String): Unit = {
     similarity.requireIntegralId(ids, idCol, "index.removeFromPqIndex")
     val spark = ids.sparkSession
-    removeFromCellTable(spark, s"${name}_pqcells", delFrame(ids, idCol))
+    withLease(spark, name) {
+      removeFromCellTable(spark, s"${name}_pqcells", name,
+        delFrame(ids, idCol))
+    }
   }
 
   /** The hash parameters recorded at build time: (k, numPerm, bands). */
   def readParams(spark: SparkSession, name: String): (Int, Int, Int) = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_buckets").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = showPropsRetry(spark, s"${name}_buckets")
     def p(key: String): Int = props.getOrElse(key, throw new IllegalArgumentException(
       s"index: table ${name}_buckets has no '$key' property — " +
         "not built by buildJaccardIndex?")).toInt
@@ -1002,14 +1620,15 @@ object index {
     val newKeys = sh.select(F.col("id").as("id_new"),
       F.posexplode(dedup.lshBandKeys(F.col("sig"), bands, rowsPerBand))
         .as(Seq("band", "band_hash")))
-    val idx = minusPending(spark, name, spark.table(s"${name}_buckets"), "id")
+    val idx = minusPending(spark, name,
+      resolveRetry(spark, s"${name}_buckets"), "id")
     val bucketCols = Seq("band", "band_hash")
     val cand0 =
       if (maxBucket <= 0)
         newKeys.join(idx, bucketCols)
           .select(F.col("id_new"), F.col("id").as("id_indexed"))
       else {
-        val idxCnt = spark.table(s"${name}_stats")
+        val idxCnt = resolveRetry(spark, s"${name}_stats")
           .groupBy(bucketCols.map(F.col): _*)
           .agg(F.sum("cnt").as("_mi")).filter(F.col("_mi") > maxBucket)
         // cool buckets: the bucketed join, index side never moves
@@ -1049,7 +1668,7 @@ object index {
     // (no exchange on the index side), batch shingles from the cache
     val inter = F.call_function("graft_intersect_count",
       F.col("sh_new"), F.col("sh")).cast(DoubleType)
-    cand.join(spark.table(s"${name}_sigs"),
+    cand.join(resolveRetry(spark, s"${name}_sigs"),
         F.col("id_indexed") === F.col("id"))
       .join(sh.select(F.col("id").as("id_new"), F.col("sh").as("sh_new"),
         F.col("n").as("n_new")), Seq("id_new"))
@@ -1098,8 +1717,7 @@ object index {
   }
 
   private def readExactCanonicalize(spark: SparkSession, name: String): Boolean = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_fps").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = showPropsRetry(spark, s"${name}_fps")
     props.getOrElse("graft.canonicalize", throw new IllegalArgumentException(
       s"index: table ${name}_fps has no 'graft.canonicalize' property — " +
         "not built by buildExactIndex?")).toBoolean
@@ -1118,7 +1736,7 @@ object index {
     * (`fp`) frame — the static side of a stream-static probe. */
   def probeExactIndexFingerprints(spark: SparkSession,
       name: String): DataFrame =
-    minusPending(spark, name, spark.table(s"${name}_fps"), "id")
+    minusPending(spark, name, resolveRetry(spark, s"${name}_fps"), "id")
       .select("fp")
 
   /** Probe the exact index: every (id_new, id_indexed, fingerprint)
@@ -1133,7 +1751,8 @@ object index {
     val key = exactIndexKey(spark, name, F.col(textCol))
     val newFps = dfNew.select(F.col(idCol).cast(LongType).as("id_new"),
       text.fingerprintMd5(key).as("fp"))
-    newFps.join(minusPending(spark, name, spark.table(s"${name}_fps"), "id"),
+    newFps.join(
+        minusPending(spark, name, resolveRetry(spark, s"${name}_fps"), "id"),
         "fp")
       .select(F.col("id_new"), F.col("id").as("id_indexed"),
         F.col("fp").as("fingerprint"))
@@ -1211,18 +1830,22 @@ object index {
         .saveAsTable(s"${name}_centroids")
       spark.sql(s"ALTER TABLE ${name}_cells SET TBLPROPERTIES(" +
         s"'graft.dim'='$dim')")
+      // at-build drift baseline ([[driftIndexReport]]): one extra
+      // column-pruned aggregation over the fresh generation
+      if (driftConfOn(spark))
+        stampDrift(spark, s"${name}_cells",
+          ivfDriftMetrics(spark, spark.table(s"${name}_cells"), bank, dim))
     }
   }
 
   /** The flat centroid bank recorded at build time (layout of
     * [[similarity.trainIvfCentroids]]: centroids ++ norms). */
   def readIvfBank(spark: SparkSession, name: String): Array[Double] =
-    spark.table(s"${name}_centroids").orderBy("pos")
+    resolveRetry(spark, s"${name}_centroids").orderBy("pos")
       .collect().map(_.getDouble(1))
 
   private def readIvfDim(spark: SparkSession, name: String): Int = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_cells").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val props = showPropsRetry(spark, s"${name}_cells")
     props.getOrElse("graft.dim", throw new IllegalArgumentException(
       s"index: table ${name}_cells has no 'graft.dim' property — " +
         "not built by buildIvfIndex?")).toInt
@@ -1248,7 +1871,8 @@ object index {
       F.explode(F.call_function("graft_centroid_topk",
         F.col(vecCol), bankLit, F.lit(nprobe))).as("cell"))
     val q = if (broadcastQueries) F.broadcast(q0) else q0
-    val c0 = minusPending(spark, name, spark.table(s"${name}_cells"), "n_id")
+    val c0 = minusPending(spark, name,
+      resolveRetry(spark, s"${name}_cells"), "n_id")
     // Under the broadcast contract the query batch is small, so one tiny
     // job collects its distinct probed cells and turns them into a
     // STATIC partition filter: the scan reads only nprobe-ish of nlist
@@ -1361,6 +1985,16 @@ object index {
         .saveAsTable(s"${name}_pqbank")
       spark.sql(s"ALTER TABLE ${name}_pqcells SET TBLPROPERTIES(" +
         s"'graft.dim'='$dim', 'graft.m'='$m', 'graft.residual'='$resEff')")
+      // at-build drift baseline: occupancy/codeword skew from the
+      // stored codes + reconstruction error from the build's own
+      // vector source (see [[driftPqReport]])
+      if (driftConfOn(spark)) {
+        val (_, rMean, rP95) = pqReconStats(spark, name, df, idCol, vecCol)
+        stampDrift(spark, s"${name}_pqcells",
+          pqOccMetrics(spark, spark.table(s"${name}_pqcells"),
+            bank.length / (dim + 1), cb.length / dim) ++
+            Seq("recon_mean" -> rMean, "recon_p95" -> rP95))
+      }
     }
   }
 
@@ -1445,6 +2079,7 @@ object index {
       idCol: String, name: String): Unit = {
     requireComponentIds(nodes, idCol, pairs, "index.appendComponentEdges")
     val spark = nodes.sparkSession
+    withLease(spark, name) {
     val cmap = spark.table(s"${name}_cmap")
     val remap = spark.table(s"${name}_cremap")
     // the batch's pair frame is typically an expensive near-dup
@@ -1522,7 +2157,7 @@ object index {
         // the read-write cycle through the stage-write-then-rename swap
         // (distributed — no driver materialization, whatever the merge
         // history's size; one write, not stage-then-copy)
-        swapViaRename(spark, s"${name}_cremap") { stage =>
+        swapViaRename(spark, s"${name}_cremap", name) { stage =>
           newRemap.write.mode(SaveMode.Overwrite).format("parquet")
             .saveAsTable(stage)
         }
@@ -1531,6 +2166,7 @@ object index {
       comp.unpersist(blocking = false)
       e.unpersist(blocking = false)
       ()
+    }
     }
   }
 
@@ -1541,28 +2177,31 @@ object index {
     * the broadcast-joined remap small on long-lived indexes. Read
     * results are identical before and after — compaction only moves
     * where the resolution happens. */
-  def compactComponentMap(spark: SparkSession, name: String): Unit = {
-    swapViaRename(spark, s"${name}_cmap") { stage =>
-      readComponentMap(spark, name)
-        .select(F.col("id"), F.col("component").as("rep0"))
+  def compactComponentMap(spark: SparkSession, name: String): Unit =
+    withLease(spark, name) {
+      swapViaRename(spark, s"${name}_cmap", name) { stage =>
+        readComponentMap(spark, name)
+          .select(F.col("id"), F.col("component").as("rep0"))
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(stage)
+      }
+      // the edge log shares the rep0 resolution invariant — fold the
+      // remap into it too before truncating
+      swapViaRename(spark, s"${name}_cedges", name) { stage =>
+        spark.table(s"${name}_cedges")
+          .join(F.broadcast(spark.table(s"${name}_cremap")),
+            Seq("rep0"), "left")
+          .select(F.col("id_a"), F.col("id_b"),
+            F.coalesce(F.col("rep"), F.col("rep0")).as("rep0"))
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(stage)
+      }
+      spark.emptyDataFrame
+        .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep"))
+        .where(F.lit(false))
         .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(stage)
+        .saveAsTable(s"${name}_cremap")
     }
-    // the edge log shares the rep0 resolution invariant — fold the
-    // remap into it too before truncating
-    swapViaRename(spark, s"${name}_cedges") { stage =>
-      spark.table(s"${name}_cedges")
-        .join(F.broadcast(spark.table(s"${name}_cremap")), Seq("rep0"), "left")
-        .select(F.col("id_a"), F.col("id_b"),
-          F.coalesce(F.col("rep"), F.col("rep0")).as("rep0"))
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(stage)
-    }
-    spark.emptyDataFrame
-      .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep")).where(F.lit(false))
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_cremap")
-  }
 
   /** TAKEDOWN — remove documents from the component map (the
     * right-to-be-forgotten / legal-removal lifecycle op a long-lived
@@ -1583,6 +2222,7 @@ object index {
       name: String): Unit = {
     similarity.requireIntegralId(ids, idCol, "index.removeComponentIds")
     val spark = ids.sparkSession
+    withLease(spark, name) {
     val del = ids.select(F.col(idCol).cast(LongType).as("id")).distinct()
     val remap = spark.table(s"${name}_cremap")
     val cmap = spark.table(s"${name}_cmap")
@@ -1635,7 +2275,7 @@ object index {
         .join(F.broadcast(del), Seq("id"), "left_anti")
         .join(comp2.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
         .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
-      swapViaRename(spark, s"${name}_cmap") { stage =>
+      swapViaRename(spark, s"${name}_cmap", name) { stage =>
         keepRows.unionByName(survivors)
           .write.mode(SaveMode.Overwrite).format("parquet")
           .saveAsTable(stage)
@@ -1645,20 +2285,21 @@ object index {
           F.col("component").as("_cm_c")), Seq("id_a"), "left")
         .select(F.col("id_a"), F.col("id_b"),
           F.coalesce(F.col("_cm_c"), F.col("id_a")).as("rep0"))
-      swapViaRename(spark, s"${name}_cedges") { stage =>
+      swapViaRename(spark, s"${name}_cedges", name) { stage =>
         keepEdges.unionByName(relabeled)
           .write.mode(SaveMode.Overwrite).format("parquet")
           .saveAsTable(stage)
       }
       // remap entries resolving into affected components point at rows
       // that just got fresh labels — drop them; others are untouched
-      swapViaRename(spark, s"${name}_cremap") { stage =>
+      swapViaRename(spark, s"${name}_cremap", name) { stage =>
         remap.join(F.broadcast(aff),
             F.col("rep") === F.col("_cm_aff"), "left_anti")
           .write.mode(SaveMode.Overwrite).format("parquet")
           .saveAsTable(stage)
       }
     } finally { comp2.unpersist(blocking = false); () }
+    }
   }
 
   /** The component-map ops `cast(.., LongType)` their id columns — a
@@ -1678,8 +2319,9 @@ object index {
     * every edge ever appended would return. One broadcast join; the map
     * is never shuffled. */
   def readComponentMap(spark: SparkSession, name: String): DataFrame =
-    spark.table(s"${name}_cmap")
-      .join(F.broadcast(spark.table(s"${name}_cremap")), Seq("rep0"), "left")
+    resolveRetry(spark, s"${name}_cmap")
+      .join(F.broadcast(resolveRetry(spark, s"${name}_cremap")),
+        Seq("rep0"), "left")
       .select(F.col("id"),
         F.coalesce(F.col("rep"), F.col("rep0")).as("component"))
 
@@ -1736,23 +2378,19 @@ object index {
 
   private def readPqBank(spark: SparkSession, name: String,
       kind: String): Array[Double] =
-    spark.table(s"${name}_pqbank").filter(F.col("kind") === kind)
+    resolveRetry(spark, s"${name}_pqbank").filter(F.col("kind") === kind)
       .orderBy("pos").select("v").collect().map(_.getDouble(0))
 
   private def readPqProp(spark: SparkSession, name: String,
-      key: String): String = {
-    val props = spark.sql(s"SHOW TBLPROPERTIES ${name}_pqcells").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    props.getOrElse(key, throw new IllegalArgumentException(
-      s"index: table ${name}_pqcells has no '$key' property — " +
-        "not built by buildPqIndex?"))
-  }
+      key: String): String =
+    showPropsRetry(spark, s"${name}_pqcells")
+      .getOrElse(key, throw new IllegalArgumentException(
+        s"index: table ${name}_pqcells has no '$key' property — " +
+          "not built by buildPqIndex?"))
 
   private def readPqPropOr(spark: SparkSession, name: String,
       key: String, default: String): String =
-    spark.sql(s"SHOW TBLPROPERTIES ${name}_pqcells").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-      .getOrElse(key, default)
+    showPropsRetry(spark, s"${name}_pqcells").getOrElse(key, default)
 
   /** Probe the PQ index: ADC top-k of each query over the stored CODES
     * of its `nprobe` nearest cells — the scan reads only the probed
@@ -1805,7 +2443,8 @@ object index {
         F.call_function("graft_pq_dists", F.col(vecCol), cbLit, F.lit(m))
           .as("dt"))
     val q = if (broadcastQueries) F.broadcast(q0) else q0
-    val c0 = minusPending(spark, name, spark.table(s"${name}_pqcells"), "n_id")
+    val c0 = minusPending(spark, name,
+      resolveRetry(spark, s"${name}_pqcells"), "n_id")
     val c = if (broadcastQueries) {
       val cells = q0.select("cell").distinct().collect().map(_.getInt(0))
       c0.filter(F.col("cell").isin(cells.map(Integer.valueOf).toSeq: _*))

@@ -167,4 +167,97 @@ class ConcurrencySpec extends SparkSpec {
     assert(spark.table("cc_cmp_fps").count() == 0L,
       "a defer lost to the shrink race leaves its fingerprints unpurged")
   }
+
+  test("probes during rename-aside swaps converge under bounded retry") {
+    // The reader contract for maintenance overlapping live probes
+    // (index.scala swapViaRename): probe CONSTRUCTION rides out the
+    // two-rename missing-table window itself (resolveRetry inside
+    // every probe-side read), and a probe whose EXECUTION overlaps a
+    // swap may fail once on moved files — the documented residue — so
+    // callers retry the probe. Pin both halves: one thread runs
+    // back-to-back compactIndex swaps (file compaction — reads are
+    // identical before and after, so every probe has ONE right
+    // answer), the others probe in a loop with a bounded whole-probe
+    // retry; every probe must eventually return exactly the expected
+    // rows, within the bound.
+    import spark.implicits._
+    val docs = spark.range(0, 300).select(F.col("id").as("doc_id"),
+      F.concat(F.lit("swap body "), F.col("id")).as("text"))
+    index.buildExactIndex(docs, "doc_id", "text", "cc_swap", buckets = 4)
+    index.buildJaccardIndex(docs, "doc_id", "text", "cc_swap",
+      k = 3, numPerm = 16, bands = 8, buckets = 4)
+    val batch = docs.limit(50).select((F.col("doc_id") + 7000L)
+      .as("doc_id"), F.col("text"))
+    def probeOnce(): Set[Long] =
+      index.probeExactIndex(spark, batch, "doc_id", "text", "cc_swap")
+        .collect().map(_.getLong(1)).toSet
+    val expected = probeOnce()
+    assert(expected.size == 50)
+    val swapper = Future {
+      (0 until 6).foreach(_ => index.compactIndex(spark, "cc_swap"))
+    }
+    val probes = Future.sequence((1 to 3).map(_ => Future {
+      var n = 0
+      while (!swapper.isCompleted) {
+        var attempts = 0
+        var got: Option[Set[Long]] = None
+        while (got.isEmpty) {
+          try got = Some(probeOnce())
+          catch {
+            case _: Exception if attempts < 10 =>
+              attempts += 1; Thread.sleep(50)
+          }
+        }
+        assert(got.get == expected,
+          s"probe under swap returned wrong rows (attempt $attempts)")
+        n += 1
+      }
+      n
+    }))
+    Await.result(swapper, 5.minutes)
+    assert(Await.result(probes, 5.minutes).sum > 0,
+      "probes must have run during the swaps")
+    assert(probeOnce() == expected)
+  }
+
+  test("a foreign writer lease fails mutators loudly; releaseStaleLease recovers") {
+    // The cross-driver lease (index.scala): a second driver process
+    // mutating the same index is detected through the stamp on
+    // `<name>_lease`, converting silent rename collisions into a loud
+    // error. Simulate the foreign driver by stamping a token this JVM
+    // does not hold; every mutator class must refuse — the window
+    // starter (compactIndex), the physical takedown, AND the
+    // out-of-window defer writer — and the index must be untouched.
+    import spark.implicits._
+    val docs = spark.range(0, 100).select(F.col("id").as("doc_id"),
+      F.concat(F.lit("lease body "), F.col("id")).as("text"))
+    index.buildExactIndex(docs, "doc_id", "text", "cc_lease", buckets = 4)
+    // one prior window creates the lease table and clears its stamp
+    index.compactIndex(spark, "cc_lease")
+    spark.sql("ALTER TABLE cc_lease_lease SET TBLPROPERTIES(" +
+      "'graft.writer'='foreign-driver-token')")
+    val before = spark.table("cc_lease_fps").count()
+    val e1 = intercept[IllegalStateException] {
+      index.compactIndex(spark, "cc_lease")
+    }
+    assert(e1.getMessage.contains("foreign-driver-token")
+      && e1.getMessage.contains("releaseStaleLease"))
+    val e2 = intercept[IllegalStateException] {
+      index.removeFromExactIndex(Seq(1L).toDF("doc_id"), "doc_id",
+        "cc_lease")
+    }
+    assert(e2.getMessage.contains("foreign-driver-token"))
+    val e3 = intercept[IllegalStateException] {
+      index.deferTakedown(Seq(2L).toDF("doc_id"), "doc_id", "cc_lease")
+    }
+    assert(e3.getMessage.contains("foreign-driver-token"))
+    assert(spark.table("cc_lease_fps").count() == before,
+      "refused mutators must leave the index untouched")
+    assert(!spark.catalog.tableExists("cc_lease_dels"),
+      "a refused defer must not have appended")
+    // recovery: clear the abandoned stamp, then mutate normally
+    index.releaseStaleLease(spark, "cc_lease")
+    index.removeFromExactIndex(Seq(1L).toDF("doc_id"), "doc_id", "cc_lease")
+    assert(spark.table("cc_lease_fps").count() == before - 1)
+  }
 }

@@ -586,8 +586,24 @@ class IndexTakedownSpec extends SparkSpec {
         "vec_id", "embedding", "td_rtpq", ivfIters = 0, pqIters = 0,
         sampleOneIn = 1L, portableSeed = true)
     }
-    assert(err.getMessage.contains("live indexed ids"))
+    assert(err.getMessage.contains("missing"))
+    // the fail-fast pre-check aborts BEFORE the encode: no stage table
+    // was ever created, so the full re-encode write was never paid
+    assert(!spark.catalog.tableExists("td_rtpq_pqcells_stage"),
+      "a missing-id abort must fire before any stage write")
     assert(probe() == before, "a failed retrain must leave the index untouched")
+    // a store with a DUPLICATE row for a live id passes the id-level
+    // pre-check but must be caught by the staged distinct-id gate —
+    // even when a duplicate would mask the row-count arithmetic
+    val dup = intercept[IllegalArgumentException] {
+      index.retrainPqIndex(
+        e.unionByName(e.filter(F.col("vec_id") === 2L)),
+        "vec_id", "embedding", "td_rtpq", ivfIters = 0, pqIters = 0,
+        sampleOneIn = 1L, portableSeed = true)
+    }
+    assert(dup.getMessage.contains("exactly once"))
+    assert(probe() == before,
+      "a duplicate-row abort must leave the index untouched")
     // full store: retrain succeeds and preserves the storage contract
     index.retrainPqIndex(e, "vec_id", "embedding", "td_rtpq",
       ivfIters = 0, pqIters = 0, sampleOneIn = 1L, portableSeed = true)

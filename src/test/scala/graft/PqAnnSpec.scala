@@ -397,8 +397,32 @@ class PqAnnSpec extends SparkSpec {
       }.sum / truth.size
     }
     val before = recall()
+    // the WHEN-to-retrain signal (driftPqReport): before the retrain,
+    // the day-2 mass coded against day-1 banks must push the stored
+    // codes' reconstruction error well past the at-build baseline —
+    // the truth-set-free counterpart of the recall drop this test
+    // already measures
+    def drift(): (Double, Double, Double) = {
+      val r = index.driftPqReport(full, "vec_id", "v", "rt_drift")
+        .filter(F.col("metric") === "recon_mean").head()
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    }
+    val (dBefore, _, rBefore) = drift()
+    info(f"recon_mean before retrain: $dBefore%.4f (ratio $rBefore%.3f)")
+    assert(rBefore > 1.2,
+      f"drifted appends must raise recon error past the baseline: $rBefore%.4f")
     index.retrainPqIndex(full, "vec_id", "v", "rt_drift",
       ivfIters = 2, pqIters = 3, sampleOneIn = 1L, portableSeed = true)
+    // ...and after: fresh banks fit the live corpus, the baseline is
+    // restamped from the same computation, so the error FALLS and the
+    // ratio returns to exactly 1 (both sides are the one deterministic
+    // number)
+    val (dAfter, _, rAfter) = drift()
+    info(f"recon_mean after retrain: $dAfter%.4f (ratio $rAfter%.3f)")
+    assert(dAfter < dBefore,
+      f"retrain must reduce reconstruction error: $dBefore%.4f → $dAfter%.4f")
+    assert(math.abs(rAfter - 1.0) < 1e-9,
+      f"a just-retrained index must sit exactly on its restamped baseline: $rAfter")
     val after = recall()
     info(f"recall@$k on drifted queries: before $before%.4f → after $after%.4f")
     assert(after > before,
