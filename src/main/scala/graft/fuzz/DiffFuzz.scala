@@ -38,11 +38,11 @@ object DiffFuzz {
 
   val N = 300
   // bumped each round after a local two-SF verify: fresh random trees
-  // through the same hash gate. Round 13 rotated every battery onto
-  // the 20261201–20261215 series (this expression seed plus the
+  // through the same hash gate. Round 14 rotated every battery onto
+  // the 20270101–20270115 series (this expression seed plus the
   // per-battery seeds below, and the x117/x118 battery seeds in
   // ExtQueries); per-battery values live at their declaration sites.
-  val Seed = 20261201L
+  val Seed = 20270101L
   val Depth = 3
 
   private final class Gen(rnd: scala.util.Random) {
@@ -258,7 +258,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val WinN = 48
-  val WinSeed = 20261202L
+  val WinSeed = 20270102L
 
   /** (DSL order markers, SQL ORDER BY text — explicit NULLS). */
   private type OrdPair = (Seq[ColExpr], String)
@@ -373,7 +373,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val AggN = 40
-  val AggSeed = 20261203L
+  val AggSeed = 20270103L
 
   private final class AggGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -462,7 +462,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val QtN = 24
-  val QtSeed = 20261204L
+  val QtSeed = 20270104L
 
   private final class QtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -707,7 +707,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val PipeN = 16
-  val PipeSeed = 20261205L
+  val PipeSeed = 20270105L
 
   private sealed trait PStep
   private final case class PFilter(cond: ColExpr, sql: String) extends PStep
@@ -934,7 +934,9 @@ object DiffFuzz {
     * samples overlap ({4.28,4.60,4.55} cg vs {4.78,4.61,4.14}) — no
     * flip without a clear margin, stays interpreted (BENCH_NOTES r12).
     * Re-A/B'd at 20261205: interpreted 3.24 vs codegen 3.71 warm
-    * medians at sf0.1 — stays interpreted (BENCH_NOTES r13). */
+    * medians at sf0.1 — stays interpreted (BENCH_NOTES r13).
+    * Re-A/B'd at 20270105: {3.55,3.42} int vs {3.46,4.41} cg —
+    * overlap, no flip without a clear margin (BENCH_NOTES r14). */
   def pipelineQuery(s0: SparkSession, dir: String): DataFrame = {
     val s = fixtureSession(s0, codegen = false)
     pipeBattery.map(p => pipeTable(s, dir, p))
@@ -960,7 +962,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DtN = 36
-  val DtSeed = 20261206L
+  val DtSeed = 20270106L
 
   private final class DtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1078,7 +1080,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val OaN = 20
-  val OaSeed = 20261207L
+  val OaSeed = 20270107L
 
   private final class OaGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1180,7 +1182,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SpN = 28
-  val SpSeed = 20261208L
+  val SpSeed = 20270108L
 
   /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
   private def enc0(g: GE): GE = GE(
@@ -1352,7 +1354,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DecN = 24
-  val DecSeed = 20261209L
+  val DecSeed = 20270109L
 
   private final class DecGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1444,7 +1446,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val CastN = 24
-  val CastSeed = 20261210L
+  val CastSeed = 20270110L
 
   private final class CastGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1613,7 +1615,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val TjN = 18
-  val TjSeed = 20261211L
+  val TjSeed = 20270111L
 
   private final case class TjSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
@@ -1839,6 +1841,8 @@ object DiffFuzz {
     // flipped BACK: interpreted won all three paired sf0.1 runs
     // (2.76/3.12/3.06 vs 3.80/3.31/3.14 warm medians — BENCH_NOTES
     // r13), so this battery follows its draw, not a fixed choice.
+    // 20270111 mix: {3.04,3.86} int vs {3.74,3.23} cg — overlap,
+    // stays interpreted (BENCH_NOTES r14).
     val s = fixtureSession(s0, codegen = false)
     tjSpecs.map { spec =>
       val df = spec.mk(s, dir)
@@ -1881,7 +1885,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val StrN = 220
-  val StrSeed = 20261212L
+  val StrSeed = 20270112L
   val StrDepth = 3
 
   private final class StrGen(rnd: scala.util.Random) {
@@ -2036,7 +2040,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SkN = 12
-  val SkSeed = 20261213L
+  val SkSeed = 20270113L
 
   private final case class SkSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
