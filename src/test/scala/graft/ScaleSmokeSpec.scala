@@ -1342,4 +1342,84 @@ class ScaleSmokeSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  test("driftIndexReport audits a 250k-vector index with broadcast-only joins") {
+    assume(on, "set GRAFT_SCALE_SMOKE=1 to run")
+    import graft.functions.index
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, BroadcastHashJoinExec}
+    // The drift report's scale contract (index.scala): per family, one
+    // column-pruned aggregation scan whose only JOIN is the broadcast
+    // of the nlist-row centroid frame — the 250k-vector corpus is
+    // never shuffled through a join by a health check. 200k base
+    // vectors + a 50k planted-drift append (one dim shifted +5), so
+    // the report must also SHOW the drift: appended mass sits farther
+    // from the day-1 centroids and concentrates in fewer cells.
+    def mk(lo: Long, hi: Long, shift: Boolean) =
+      spark.range(lo, hi).select(
+        F.col("id").as("vec_id"),
+        F.array((0 until 16).map(i =>
+          ((F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(2000)) - 1000)
+            .cast("double") / 1000.0) +
+            (if (shift) F.when(F.pmod(F.col("id"), F.lit(16L)) === i,
+              F.lit(5.0)).otherwise(F.lit(0.0))
+             else F.lit(0.0))): _*).as("embedding"))
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = { plans.add(qe.executedPlan); () }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    // AQE off so the captured plans' join nodes are the static truth
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      index.buildIvfIndex(mk(0, 200000, shift = false), "vec_id",
+        "embedding", "smoke_dr", nlist = 32, iters = 1, sampleOneIn = 20)
+      index.buildIvfIndex(mk(200000, 250000, shift = true), "vec_id",
+        "embedding", "smoke_dr",
+        mode = org.apache.spark.sql.SaveMode.Append)
+      spark.listenerManager.register(listener)
+      val report =
+        try index.driftIndexReport(spark, "smoke_dr")
+          .collect().map(r => r.getString(1) ->
+            (r.getDouble(2), if (r.isNullAt(4)) Double.NaN
+             else r.getDouble(4))).toMap
+        finally spark.listenerManager.unregister(listener)
+      // the listener posts async — give the metric jobs' plans a beat
+      val deadline = System.nanoTime() + 10000000000L
+      def snap() = {
+        import scala.jdk.CollectionConverters._
+        plans.iterator().asScala.toSeq
+      }
+      var ps = snap()
+      while (ps.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); ps = snap()
+      }
+      assert(ps.nonEmpty, "no report plans captured")
+      val shuffledJoins = ps.flatMap(_.collect {
+        case j: ShuffledHashJoinExec => j
+        case j: SortMergeJoinExec => j
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec => j
+      })
+      assert(shuffledJoins.isEmpty,
+        s"a health check must never shuffle the corpus through a join: " +
+          s"${shuffledJoins.map(_.nodeName).distinct}")
+      assert(ps.flatMap(_.collect {
+        case j: BroadcastHashJoinExec => j }).nonEmpty,
+        "the centroid-frame join must be a broadcast")
+      // the signal itself: drifted mass is farther from the day-1
+      // geometry (mean assignment distance above the stamped baseline)
+      val (_, meanRatio) = report("assign_mean")
+      assert(meanRatio > 1.0,
+        s"planted drift must raise assign_mean past the baseline: $meanRatio")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Seq("smoke_dr_cells", "smoke_dr_centroids", "smoke_dr_dels")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
