@@ -5003,7 +5003,7 @@ object ExtQueries {
 
   /** JACCARD RE-BAND ([[graft.functions.index.rehashJaccardIndex]]) —
     * the no-trained-state family's retrain: x97's even-half index is
-    * re-banded from (numPerm 64, bands 32) to (64, 64) using ONLY the
+    * re-banded from (numPerm 64, bands 32) to (128, 64) using ONLY the
     * stored shingle-hash sets (the corpus text is never re-read), then
     * x97's probe runs at the re-banded parameters read back from the
     * index's own properties. Finer banding can only WIDEN candidate
@@ -5015,8 +5015,18 @@ object ExtQueries {
     val d = docs(s, dir)
     graft.functions.index.buildJaccardIndex(
       d.filter(F.col("doc_id") % 2 === 0), "doc_id", "text", "x146_jac")
+    // (64,32) → (128,64): BOTH knobs move. Finer-by-superset is exact
+    // here — perm i is xxhash64(i, h), so the 128-perm signature's
+    // first 64 slots ARE the 64-perm signature, and band b of (128,64)
+    // at rowsPerBand 2 hashes the same slots as band b of (64,32) for
+    // b < 32 — candidates strictly widen, verification is exact
+    // Jaccard, the x97 oracle holds. (The previous (64,64) variant
+    // proved the same contract at rowsPerBand 1, where EVERY pair
+    // sharing any single minhash is a candidate — a pathological
+    // banding no deployment would run, and 13× the probe cost at
+    // sf0.1 for the same verified pair set.)
     graft.functions.index.rehashJaccardIndex(s, "x146_jac",
-      numPerm = 64, bands = 64)
+      numPerm = 128, bands = 64)
     val batch = d.filter(F.col("doc_id") % 2 === 1)
       .select(F.col("doc_id"), F.col("text"))
       .unionByName(d.filter(F.col("doc_id") % 10 === 0).select(

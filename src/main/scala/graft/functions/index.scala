@@ -858,13 +858,19 @@ object index {
     val nb = numBuckets(spark, s"${name}_buckets")
     val rowsPerBand = numPerm / bands
     withLease(spark, name) {
-      // re-derived keys feed both grid writes — persist for the call
-      // (the build's own two-writer posture)
-      val keys = dedup.cachedPinned(
+      // materialize the signature BEFORE deriving band keys (the build
+      // path's posture): inlined into lshBandKeys' array, the
+      // numPerm-wide minhash would be re-evaluated once per band key —
+      // bands × numPerm hash passes over every stored shingle set
+      // (measured 82 s vs ~4 s at sf0.1 for the x146 re-band). The
+      // persisted (id, sig) frame feeds both grid writes; each derives
+      // its 64 keys from the materialized signature for free.
+      val sg = dedup.cachedPinned(
         spark.table(s"${name}_sigs").select(F.col("id"),
-          F.posexplode(dedup.lshBandKeys(
-            dedup.minhashFromHashes(F.col("sh"), numPerm),
-            bands, rowsPerBand)).as(Seq("band", "band_hash"))))
+          dedup.minhashFromHashes(F.col("sh"), numPerm).as("_rh_sig")))
+      val keys = sg.select(F.col("id"),
+        F.posexplode(dedup.lshBandKeys(F.col("_rh_sig"),
+          bands, rowsPerBand)).as(Seq("band", "band_hash")))
       try {
         swapViaRename(spark, s"${name}_buckets", name) { stage =>
           // one task per bucket = one file per bucket (build posture)
@@ -882,7 +888,7 @@ object index {
             .write.mode(SaveMode.Overwrite).format("parquet")
             .saveAsTable(stage)
         }
-      } finally { keys.unpersist(blocking = false); () }
+      } finally { sg.unpersist(blocking = false); () }
     }
   }
 
