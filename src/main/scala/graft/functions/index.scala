@@ -1108,6 +1108,17 @@ object index {
         mEff, ksubEff, pqIters, sampleN, sampleOneIn, portableSeed)
       else similarity.trainPqCodebooks(liveVecs, "n_id", "n_vec", mEff,
         ksubEff, pqIters, sampleN, sampleOneIn, portableSeed)
+    // recon baseline computed BEFORE the swaps: the encode-side scan
+    // re-reads liveVecs, whose plan still points at the OLD generation
+    // — after the rename-aside swap those files are gone. The values
+    // depend only on the live vectors and the NEW banks, so computing
+    // here and stamping after the swap is the same number.
+    val reconBase =
+      if (driftConfOn(spark))
+        Some(pqReconStatsAtEncode(
+          similarity.cleanDim(liveVecs, "n_vec", dim), "n_id", "n_vec",
+          bank, cb, mEff, dim, residual))
+      else None
     swapViaRename(spark, s"${name}_pqcells", name, partitioned = true) {
         stage =>
       encodeCells(similarity.cleanDim(liveVecs, "n_vec", dim),
@@ -1147,8 +1158,7 @@ object index {
     pend.foreach(p => shrinkDels(spark, name, p))
     // restamp the drift baseline against the fresh banks — the
     // report's ratio returns to 1 after a retrain (see retrainIvf)
-    if (driftConfOn(spark)) {
-      val (_, rMean, rP95) = pqReconStats(spark, name, df, idCol, vecCol)
+    reconBase.foreach { case (rMean, rP95) =>
       // widths from the TRAINED banks (≤ the requested ones on a
       // sample smaller than nlist/ksub), matching the report's view
       stampDrift(spark, s"${name}_pqcells",
@@ -1348,6 +1358,36 @@ object index {
     val cnt = agg.getLong(0)
     if (cnt == 0) (0L, 0.0, 0.0)
     else (cnt, agg.getDecimal(1).doubleValue / cnt, agg.getDouble(2))
+  }
+
+  /** (recon_mean, recon_p95) computed on the ENCODE side — one
+    * aggregation scan of a build/retrain's own width-clean vector
+    * frame against the in-memory banks: no table reads, no id join
+    * (the broadcast centroid join only in residual mode). Encode is
+    * deterministic, so this equals the stored-code path
+    * ([[pqReconStats]]) bit-for-bit on the same state — the x148
+    * oracle pins the equality through the stamped baseline. This is
+    * what the bank-producing ops stamp with, so an index BUILD pays
+    * one scan for its recon baseline, not the report's join. */
+  private def pqReconStatsAtEncode(clean: DataFrame, idCol: String,
+      vecCol: String, bank: Array[Double], cb: Array[Double], m: Int,
+      dim: Int, residual: Boolean): (Double, Double) = {
+    val cbLit = F.typedlit(cb.toSeq)
+    val (framed, vecExpr) =
+      if (residual)
+        (residualFrame(clean, idCol, vecCol, bank, dim), F.col("_rc_r"))
+      else (clean, F.col(vecCol))
+    val e2 = F.call_function("graft_pq_adc",
+      F.call_function("graft_pq_encode", vecExpr, cbLit, F.lit(m)),
+      F.call_function("graft_pq_dists", vecExpr, cbLit, F.lit(m)))
+    val agg = framed.select(e2.as("_dr_e2")).agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("_dr_e2").cast(driftDec)),
+        F.percentile(F.col("_dr_e2"), F.lit(0.95)))
+      .head()
+    val cnt = agg.getLong(0)
+    if (cnt == 0) (0.0, 0.0)
+    else (agg.getDecimal(1).doubleValue / cnt, agg.getDouble(2))
   }
 
   private def stampDrift(spark: SparkSession, table: String,
@@ -1992,10 +2032,12 @@ object index {
       spark.sql(s"ALTER TABLE ${name}_pqcells SET TBLPROPERTIES(" +
         s"'graft.dim'='$dim', 'graft.m'='$m', 'graft.residual'='$resEff')")
       // at-build drift baseline: occupancy/codeword skew from the
-      // stored codes + reconstruction error from the build's own
-      // vector source (see [[driftPqReport]])
+      // stored codes + reconstruction error on the encode side (one
+      // scan against the in-memory banks — see [[driftPqReport]] for
+      // the stored-code audit path this equals bit-for-bit)
       if (driftConfOn(spark)) {
-        val (_, rMean, rP95) = pqReconStats(spark, name, df, idCol, vecCol)
+        val (rMean, rP95) = pqReconStatsAtEncode(clean, idCol, vecCol,
+          bank, cb, mEff, dim, resEff)
         stampDrift(spark, s"${name}_pqcells",
           pqOccMetrics(spark, spark.table(s"${name}_pqcells"),
             bank.length / (dim + 1), cb.length / dim) ++
