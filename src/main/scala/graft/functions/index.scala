@@ -459,6 +459,12 @@ object index {
         .format("parquet").saveAsTable(s"${name}_sigs")
       spark.sql(s"ALTER TABLE ${name}_buckets SET TBLPROPERTIES(" +
         s"'graft.k'='$k','graft.numPerm'='$numPerm','graft.bands'='$bands')")
+      // at-build drift baseline for the banding geometry (fresh builds
+      // only — hot buckets accumulating across appends IS the drift
+      // the report measures): one tiny aggregation over `_stats`
+      if (mode == SaveMode.Overwrite && driftConfOn(spark))
+        stampDrift(spark, s"${name}_buckets",
+          jaccardDriftMetrics(spark, spark.table(s"${name}_stats")))
     } finally {
       keys.unpersist(blocking = false)
       sh.unpersist(blocking = false)
@@ -888,6 +894,11 @@ object index {
             .write.mode(SaveMode.Overwrite).format("parquet")
             .saveAsTable(stage)
         }
+        // a re-band is this family's retrain: restamp the geometry
+        // baseline, so the report's ratio returns to 1
+        if (driftConfOn(spark))
+          stampDrift(spark, s"${name}_buckets",
+            jaccardDriftMetrics(spark, spark.table(s"${name}_stats")))
       } finally { sg.unpersist(blocking = false); () }
     }
   }
@@ -1360,6 +1371,34 @@ object index {
     else (cnt, agg.getDecimal(1).doubleValue / cnt, agg.getDouble(2))
   }
 
+  /** Jaccard-family drift: hot-BUCKET skew from the persisted `_stats`
+    * counts — the when-to-RE-BAND signal ([[rehashJaccardIndex]] is
+    * this family's retrain; its parameters ARE the geometry). A
+    * drifting or boilerplate-accumulating corpus concentrates band
+    * keys into few buckets, degrading probe cost (and forcing
+    * `maxBucket` salting) at the standing banding budget.
+    * `bucket_hot` = largest live bucket ÷ mean live bucket size —
+    * computed entirely from `_stats` (one tiny aggregation; the corpus
+    * is never read). Pending takedowns are logical and deliberately
+    * NOT reflected: the metric measures the physical banding
+    * geometry probes scan. NOT DuckDB-oracled: the xxhash64 banding
+    * is not SQL-replayable (x97/x127/x146 pin `_stats` integrity
+    * transitively); the rise-then-restamp contract is spec-pinned. */
+  private def jaccardDriftMetrics(spark: SparkSession,
+      stats: DataFrame): Seq[(String, Double)] = {
+    val agg = stats.groupBy("band", "band_hash")
+      .agg(F.sum("cnt").as("_dr_c"))
+      .filter(F.col("_dr_c") > 0)
+      .agg(F.count(F.lit(1)), F.sum("_dr_c"), F.max("_dr_c")).head()
+    if (agg.isNullAt(1)) Seq.empty // no live buckets
+    else {
+      val nBuckets = agg.getLong(0)
+      val total = agg.getLong(1)
+      val mx = agg.getLong(2)
+      Seq("bucket_hot" -> mx.toDouble * nBuckets / total)
+    }
+  }
+
   /** (recon_mean, recon_p95) computed on the ENCODE side — one
     * aggregation scan of a build/retrain's own width-clean vector
     * frame against the in-memory banks: no table reads, no id join
@@ -1450,6 +1489,10 @@ object index {
       rows ++= driftRows(pqOccMetrics(spark, live, nlist, ksubEff),
         driftBaselines(spark, s"${name}_pqcells"), "pq")
     }
+    if (spark.catalog.tableExists(s"${name}_stats"))
+      rows ++= driftRows(
+        jaccardDriftMetrics(spark, resolveRetry(spark, s"${name}_stats")),
+        driftBaselines(spark, s"${name}_buckets"), "jaccard")
     rows.toSeq.toDF("family", "metric", "value", "baseline", "ratio")
   }
 

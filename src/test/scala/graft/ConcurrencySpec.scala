@@ -168,6 +168,40 @@ class ConcurrencySpec extends SparkSpec {
       "a defer lost to the shrink race leaves its fingerprints unpurged")
   }
 
+  test("concurrent defers over the auto-compact ceiling: one compaction at a time, none lost") {
+    // The inline auto-compaction guard (index.scala deferTakedown):
+    // several defer threads crossing the pending ceiling together must
+    // not run compactTakedowns concurrently — the rename-aside rewrites
+    // of one compaction would collide with another's in-flight stage.
+    // With the per-name guard, losers SKIP and the next defer past the
+    // ceiling re-triggers. Pin the end-to-end invariant: 4 writer
+    // threads × 15 batches under a low ceiling, no thread throws, and
+    // after a final explicit compaction every id ever deferred is
+    // physically purged — a lost defer or a collided rewrite leaves
+    // fingerprints behind (or a crashed rename loses a table).
+    import spark.implicits._
+    val docs = spark.range(0, 1200).select(F.col("id").as("doc_id"),
+      F.concat(F.lit("ac body "), F.col("id")).as("text"))
+    index.buildExactIndex(docs, "doc_id", "text", "cc_auto", buckets = 4)
+    spark.conf.set("spark.graft.index.autoCompactPendingThreshold", "10")
+    try {
+      val writers = Future.sequence((0 until 4).map(t => Future {
+        (0 until 15).foreach { i =>
+          val base = (t * 15 + i) * 20L
+          index.deferTakedown((base until base + 20L).toDF("doc_id"),
+            "doc_id", "cc_auto")
+        }
+      }))
+      Await.result(writers, 5.minutes)
+      index.compactTakedowns(spark, "cc_auto")
+      assert(spark.table("cc_auto_dels").count() == 0L,
+        "the final compaction must drain every pending id")
+      assert(spark.table("cc_auto_fps").count() == 0L,
+        "a defer lost to a racing inline compaction leaves fingerprints")
+    } finally
+      spark.conf.unset("spark.graft.index.autoCompactPendingThreshold")
+  }
+
   test("probes during rename-aside swaps converge under bounded retry") {
     // The reader contract for maintenance overlapping live probes
     // (index.scala swapViaRename): probe CONSTRUCTION rides out the

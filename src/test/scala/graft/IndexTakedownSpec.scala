@@ -735,6 +735,45 @@ class IndexTakedownSpec extends SparkSpec {
     assert(d2.keySet == Set("buckets", "sigs", "stats"))
   }
 
+  test("jaccard drift: a boilerplate append raises bucket_hot; re-band restamps to 1") {
+    import spark.implicits._
+    // day 1: distinct texts → near-uniform band buckets (baseline
+    // stamped at build); day 2: 200 copies of ONE text appended —
+    // every copy lands in the same band buckets, so the hot-bucket
+    // ratio must rise well past the baseline (appends do not restamp
+    // by design). rehashJaccardIndex is this family's retrain: it
+    // restamps, so the ratio returns to EXACTLY 1 (the report
+    // recomputes the same deterministic number the restamp wrote).
+    // 8 md5-derived "words" per doc: no shared shingles, so day 1's
+    // band buckets are near-uniform singletons
+    val day1 = spark.range(0, 400).select(F.col("id").as("doc_id"),
+      F.concat_ws(" ", (1 to 8).map(i =>
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(s"w$i")))): _*)
+        .as("text"))
+    index.buildJaccardIndex(day1, "doc_id", "text", "td_jdrift",
+      k = 3, numPerm = 32, bands = 16, buckets = 4)
+    def hot(): (Double, Option[Double]) = {
+      val r = index.driftIndexReport(spark, "td_jdrift")
+        .filter(F.col("family") === "jaccard" &&
+          F.col("metric") === "bucket_hot").head()
+      (r.getDouble(2), if (r.isNullAt(4)) None else Some(r.getDouble(4)))
+    }
+    val (v0, r0) = hot()
+    assert(r0.contains(1.0), s"freshly built index must sit on its baseline: $r0")
+    val day2 = spark.range(10000, 10200).select(F.col("id").as("doc_id"),
+      F.lit("boilerplate body repeated verbatim in every copy").as("text"))
+    index.buildJaccardIndex(day2, "doc_id", "text", "td_jdrift",
+      k = 3, numPerm = 32, bands = 16, buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val (v1, r1) = hot()
+    assert(v1 > v0 && r1.exists(_ > 2.0),
+      s"a 200-copy boilerplate append must blow up bucket_hot: $v0 -> $v1 ($r1)")
+    index.rehashJaccardIndex(spark, "td_jdrift", numPerm = 32, bands = 16)
+    val (_, r2) = hot()
+    assert(r2.contains(1.0),
+      s"a re-band restamps the geometry baseline — ratio must be exactly 1: $r2")
+  }
+
   test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)
