@@ -5275,6 +5275,109 @@ object ExtQueries {
       |  ROUND(value / nullif(baseline, 0.0), 6) AS ratio
       |FROM raw ORDER BY metric""".stripMargin
 
+  /** MAINTENANCE ADVISOR ([[graft.functions.index
+    * .adviseIndexMaintenance]]) — the decision layer that closes the
+    * signal→action loop: x147's setting (day-1 seed-deterministic IVF
+    * build stamps the baseline, day-2 planted drifted append, a
+    * pending mod-9 defer), then the advisor converts the drift ratios
+    * and the pending depth into the maintenance verbs under the
+    * default thresholds. The oracle re-derives EVERYTHING — seeds,
+    * argmax assignment, the decimal mean / exact p95 ratios, the
+    * hot-cell ratio, the pending fraction (pending ids ÷ physical
+    * rows) AND each CASE decision — so a drifted threshold, a
+    * pending-set leak into the metrics, or a wrong action mapping
+    * breaks the hash, not just a wrong number. */
+  def x150MaintenanceAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val day1 = driftDay1(e)
+    val day2 = driftDay2(e)
+    graft.functions.index.buildIvfIndex(day1, "vec_id", "v", "x150_ivf",
+      nlist = 8, iters = 0, sampleOneIn = 1L, portableSeed = true)
+    graft.functions.index.buildIvfIndex(day2, "vec_id", "v", "x150_ivf",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.functions.index.deferTakedown(
+      day1.select("vec_id").unionAll(day2.select("vec_id"))
+        .filter(F.col("vec_id") % 9 === 2),
+      "vec_id", "x150_ivf")
+    graft.functions.index.adviseIndexMaintenance(s, "x150_ivf")
+      .select(F.col("family"), F.col("signal"),
+        F.round(F.col("value"), 6).as("value"),
+        F.col("threshold"), F.col("action"))
+      .orderBy("signal")
+  }
+
+  private val x150Oracle =
+    """WITH e1 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e2 AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, generate_series(0, 63)),
+      |      p -> p[1] + CASE WHEN p[2] = 32 + ((vec_id + 1000000) % 8)
+      |        THEN 4.0 ELSE 0.0 END) AS v
+      |  FROM e1),
+      |au AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+      |live AS (SELECT * FROM au WHERE vec_id % 9 != 2),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e1 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |acur AS (
+      |  SELECT vec_id, cell, d FROM (
+      |    SELECT l.vec_id, sn.cell,
+      |      1.0 - list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2]))
+      |        / sqrt(list_sum(list_transform(l.v, x -> x * x)))
+      |        / sn.cnrm AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY l.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM live l CROSS JOIN sn) WHERE rk = 1),
+      |abase AS (
+      |  SELECT vec_id, cell, d FROM (
+      |    SELECT l.vec_id, sn.cell,
+      |      1.0 - list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2]))
+      |        / sqrt(list_sum(list_transform(l.v, x -> x * x)))
+      |        / sn.cnrm AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY l.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM e1 l CROSS JOIN sn) WHERE rk = 1),
+      |ccur AS (SELECT cell, COUNT(*) AS cnt FROM acur GROUP BY cell),
+      |cbase AS (SELECT cell, COUNT(*) AS cnt FROM abase GROUP BY cell),
+      |mcur AS (SELECT
+      |    CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean,
+      |    quantile_cont(d, 0.95) AS p95 FROM acur),
+      |mbase AS (SELECT
+      |    CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean,
+      |    quantile_cont(d, 0.95) AS p95 FROM abase),
+      |ocur AS (SELECT CAST(MAX(cnt) AS DOUBLE) * 8 / SUM(cnt) AS occ_hot
+      |  FROM ccur),
+      |obase AS (SELECT CAST(MAX(cnt) AS DOUBLE) * 8 / SUM(cnt) AS occ_hot
+      |  FROM cbase),
+      |pend AS (SELECT
+      |    CAST((SELECT COUNT(*) FROM au WHERE vec_id % 9 = 2) AS DOUBLE)
+      |      / (SELECT COUNT(*) FROM au) AS frac),
+      |drift AS (
+      |  SELECT 'assign_mean' AS signal, mcur.mean / mbase.mean AS ratio
+      |    FROM mcur, mbase
+      |  UNION ALL SELECT 'assign_p95', mcur.p95 / mbase.p95
+      |    FROM mcur, mbase
+      |  UNION ALL SELECT 'occ_hot', ocur.occ_hot / obase.occ_hot
+      |    FROM ocur, obase),
+      |rows_ AS (
+      |  SELECT 'ivf' AS family, signal, ratio AS value,
+      |    CAST(1.5 AS DOUBLE) AS threshold,
+      |    CASE WHEN ratio > 1.5 THEN 'retrain' ELSE 'ok' END AS action
+      |  FROM drift
+      |  UNION ALL
+      |  SELECT 'ivf', 'pending_frac', frac, CAST(0.1 AS DOUBLE),
+      |    CASE WHEN frac > 0.1 THEN 'compact' ELSE 'ok' END
+      |  FROM pend)
+      |SELECT family, signal, ROUND(value, 6) AS value, threshold, action
+      |FROM rows_ ORDER BY signal""".stripMargin
+
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
@@ -6339,7 +6442,8 @@ object ExtQueries {
     "x146_jaccard_rehash" -> (x146JaccardRehash _),
     "x147_ivf_drift_report" -> (x147IvfDriftReport _),
     "x148_pq_drift_report" -> (x148PqDriftReport _),
-    "x149_sql_emitter_union_slice" -> (x149SqlEmitterUnionSlice _))
+    "x149_sql_emitter_union_slice" -> (x149SqlEmitterUnionSlice _),
+    "x150_maintenance_advisor" -> (x150MaintenanceAdvisor _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6737,6 +6841,27 @@ object ExtQueries {
       .orderBy("metric")
   }
 
+  /** x150 steady state: the recurring unit is the ADVISOR CHECK — one
+    * adviseIndexMaintenance over a standing drifted index with a
+    * standing pending backlog (built once as a bench base); the
+    * build-append-defer stays under the oracle gate, not the bench. */
+  def x150BenchAdvisorDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x150_bench", dir) {
+      graft.functions.index.buildIvfIndex(driftDay1(e), "vec_id", "v",
+        "x150b_ivf", nlist = 8, iters = 0, sampleOneIn = 1L,
+        portableSeed = true)
+      graft.functions.index.buildIvfIndex(driftDay2(e), "vec_id", "v",
+        "x150b_ivf", mode = org.apache.spark.sql.SaveMode.Append)
+      graft.functions.index.deferTakedown(
+        driftDay1(e).select("vec_id")
+          .unionAll(driftDay2(e).select("vec_id"))
+          .filter(F.col("vec_id") % 9 === 2), "vec_id", "x150b_ivf")
+    }
+    graft.functions.index.adviseIndexMaintenance(s, "x150b_ivf")
+      .orderBy("signal")
+  }
+
   def x143BenchRetrainDay(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     ensureOnce("x143_bench", dir) {
@@ -6775,7 +6900,8 @@ object ExtQueries {
     "x142_pq_index_retrain" -> (x142BenchRetrainDay _),
     "x143_ivf_index_retrain" -> (x143BenchRetrainDay _),
     "x147_ivf_drift_report" -> (x147BenchDriftDay _),
-    "x148_pq_drift_report" -> (x148BenchDriftDay _))
+    "x148_pq_drift_report" -> (x148BenchDriftDay _),
+    "x150_maintenance_advisor" -> (x150BenchAdvisorDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -6950,5 +7076,6 @@ object ExtQueries {
     "x148_pq_drift_report" -> x148Oracle,
     // the emitted union + slice_head + ordered-string-agg SQL must
     // match the set-op/LIMIT-OFFSET/STRING_AGG replay exactly
-    "x149_sql_emitter_union_slice" -> x149Oracle)
+    "x149_sql_emitter_union_slice" -> x149Oracle,
+    "x150_maintenance_advisor" -> x150Oracle)
 }

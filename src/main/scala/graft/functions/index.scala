@@ -1522,6 +1522,74 @@ object index {
       .toDF("family", "metric", "value", "baseline", "ratio")
   }
 
+  /** Drift metrics that rise MONOTONICALLY with geometry decay — the
+    * ones a threshold can act on. `occ_empty` is deliberately absent:
+    * it is count-valued with a routinely-zero baseline (ratio null on
+    * a healthy index), so it stays report-only context for operators. */
+  private val advisableDriftMetrics = Seq("assign_mean", "assign_p95",
+    "occ_hot", "code_hot", "recon_mean", "recon_p95", "bucket_hot")
+
+  /** The DECISION layer over the health signals — closes the
+    * signal→action loop: [[driftIndexReport]] says how far the
+    * geometry has drifted, [[describeIndex]] says how deep the
+    * pending backlog is, and this op turns both into the maintenance
+    * verb to run, under documented deterministic thresholds. One row
+    * per (family, signal):
+    *
+    *  - each advisable drift metric (ratio vs its at-build baseline):
+    *    ratio > `driftRatio` → `retrain` ([[retrainIvfIndex]]/
+    *    [[retrainPqIndex]]) for the trained-geometry families, or
+    *    `reband` ([[rehashJaccardIndex]]) for the Jaccard family,
+    *    whose banding parameters ARE its geometry; a null ratio →
+    *    `no_baseline` (stamping was off or predates the op — the
+    *    index cannot be judged, which is itself actionable);
+    *  - `pending_frac` per family present: the pending-takedown
+    *    depth ÷ the family's primary table's PHYSICAL row count (the
+    *    probe-scan mass the pending set taxes — both exact counts);
+    *    above `pendingFrac` → `compact` ([[compactTakedowns]]).
+    *
+    * `report` lets a caller fold in rows the advisor cannot compute
+    * itself — [[driftPqReport]]'s reconstruction error needs the
+    * vector store by the PQ contract — or reuse an already-computed
+    * report; default is [[driftIndexReport]] on the spot. Every
+    * value is deterministic (the report's numbers are; the fractions
+    * are integer-derived), so the advice is comparable across days
+    * and replayable in SQL — x150's oracle re-derives the ratios,
+    * the fraction AND the threshold decisions. Scale shape: the
+    * report's (one aggregation scan per family); the advisor itself
+    * adds only metadata-cheap counts on a fixed ≤ 4-table inventory. */
+  def adviseIndexMaintenance(spark: SparkSession, name: String,
+      driftRatio: Double = 1.5, pendingFrac: Double = 0.1,
+      report: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val rep = report.getOrElse(driftIndexReport(spark, name))
+    val drift = rep
+      .filter(F.col("metric").isin(advisableDriftMetrics: _*))
+      .select(F.col("family"), F.col("metric").as("signal"),
+        F.col("ratio").as("value"), F.lit(driftRatio).as("threshold"),
+        F.when(F.col("ratio").isNull, F.lit("no_baseline"))
+          .when(F.col("ratio") > driftRatio,
+            F.when(F.col("family") === "jaccard", F.lit("reband"))
+              .otherwise(F.lit("retrain")))
+          .otherwise(F.lit("ok")).as("action"))
+    val nPending =
+      if (!delsVisible(spark, s"${name}_dels")) 0L
+      else resolveRetry(spark, s"${name}_dels").count()
+    val primaries = Seq("jaccard" -> "sigs", "exact" -> "fps",
+      "ivf" -> "cells", "pq" -> "pqcells")
+    val pend = primaries.flatMap { case (fam, sfx) =>
+      val t = s"${name}_$sfx"
+      if (!spark.catalog.tableExists(t)) None
+      else {
+        val n = resolveRetry(spark, t).count()
+        val frac = if (n == 0L) 0.0 else nPending.toDouble / n
+        Some((fam, "pending_frac", frac, pendingFrac,
+          if (frac > pendingFrac) "compact" else "ok"))
+      }
+    }.toDF("family", "signal", "value", "threshold", "action")
+    drift.unionByName(pend)
+  }
+
   /** `df` minus index `name`'s PENDING logical takedowns on `idColName`
     * — a no-op when `<name>_dels` doesn't exist. Every probe's index
     * side passes through here, so a [[deferTakedown]] is effective from

@@ -774,6 +774,78 @@ class IndexTakedownSpec extends SparkSpec {
       s"a re-band restamps the geometry baseline — ratio must be exactly 1: $r2")
   }
 
+  test("advisor: drift says retrain, backlog says compact, the remedies restore ok") {
+    import spark.implicits._
+    // The decision layer end-to-end on the IVF family: a fresh build
+    // sits on its stamped baseline (every action ok), a far-field
+    // append pushes the assignment ratio over the drift threshold
+    // (action retrain), deferring that mass converts the problem from
+    // drift to backlog (live corpus is clean again, pending_frac over
+    // its threshold → compact), and running the advised verbs —
+    // compact, then retrain's restamp — returns every row to ok.
+    val e = vectors()
+    index.buildIvfIndex(e, "vec_id", "v", "td_adv", nlist = 4, iters = 2)
+    def advice(): Map[String, String] =
+      index.adviseIndexMaintenance(spark, "td_adv").collect()
+        .map(r => r.getString(1) -> r.getString(4)).toMap
+    val a0 = advice()
+    assert(a0.nonEmpty && a0.values.toSet == Set("ok"),
+      s"fresh index must be all ok (ratios exactly 1): $a0")
+    val drift = (0 until 120).map { i =>
+      (1000L + i, (0 until 8).map(j => -40.0 + math.cos(i + j)))
+    }.toDF("vec_id", "v")
+    index.buildIvfIndex(drift, "vec_id", "v", "td_adv",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(advice()("assign_mean") == "retrain",
+      "far-field append mass must push assign_mean past the threshold")
+    index.deferTakedown(drift.select("vec_id"), "vec_id", "td_adv")
+    val a2 = advice()
+    assert(a2("pending_frac") == "compact",
+      s"120 pending of 180 physical is a compaction backlog: $a2")
+    assert(a2("assign_mean") == "ok",
+      "pending rows are excluded from the drift view — the live corpus is clean")
+    index.compactTakedowns(spark, "td_adv")
+    index.retrainIvfIndex(spark, "td_adv", iters = 2)
+    val a3 = advice()
+    assert(a3.values.toSet == Set("ok"),
+      s"compact + retrain must clear every signal: $a3")
+  }
+
+  test("advisor: jaccard drift routes to reband; unstamped index says no_baseline") {
+    import spark.implicits._
+    // family routing: the Jaccard family's geometry is its banding
+    // parameters, so its remedy is rehashJaccardIndex, not retrain
+    val day1 = spark.range(0, 300).select(F.col("id").as("doc_id"),
+      F.concat_ws(" ", (1 to 8).map(i =>
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(s"a$i")))): _*)
+        .as("text"))
+    index.buildJaccardIndex(day1, "doc_id", "text", "td_advj",
+      k = 3, numPerm = 32, bands = 16, buckets = 4)
+    val boiler = spark.range(5000, 5200).select(F.col("id").as("doc_id"),
+      F.lit("advisor boilerplate body repeated verbatim").as("text"))
+    index.buildJaccardIndex(boiler, "doc_id", "text", "td_advj",
+      k = 3, numPerm = 32, bands = 16, buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val aj = index.adviseIndexMaintenance(spark, "td_advj").collect()
+      .map(r => r.getString(1) -> r.getString(4)).toMap
+    assert(aj("bucket_hot") == "reband",
+      s"hot-bucket drift on the jaccard family must advise reband: $aj")
+    // stamping off: the metric exists but cannot be judged — the
+    // advisor says so instead of guessing
+    spark.conf.set("spark.graft.index.driftBaseline", "false")
+    try {
+      index.buildExactIndex(day1, "doc_id", "text", "td_advnb", buckets = 4)
+      index.buildIvfIndex(vectors(), "vec_id", "v", "td_advnb",
+        nlist = 4, iters = 2)
+      val nb = index.adviseIndexMaintenance(spark, "td_advnb").collect()
+        .map(r => (r.getString(1), r.getString(4)))
+      assert(nb.filter(_._1 != "pending_frac").forall(_._2 == "no_baseline"),
+        s"unstamped drift metrics must report no_baseline: ${nb.toSeq}")
+      assert(nb.collect { case ("pending_frac", a) => a }.toSet == Set("ok"),
+        "pending fraction needs no baseline — exact and ivf rows both ok")
+    } finally spark.conf.unset("spark.graft.index.driftBaseline")
+  }
+
   test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)
