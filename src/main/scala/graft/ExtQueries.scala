@@ -5378,6 +5378,134 @@ object ExtQueries {
       |SELECT family, signal, ROUND(value, 6) AS value, threshold, action
       |FROM rows_ ORDER BY signal""".stripMargin
 
+  /** ADVISED MAINTENANCE, EXECUTED ([[graft.functions.index
+    * .runAdvisedMaintenance]]) — x150's drifted + backlogged setting
+    * run through the one-call maintenance job, then the advisor again:
+    * the output is the pre-advice with each verb's execution status
+    * UNION the post-state advice (signals prefixed `post_`). The
+    * oracle re-derives the pre rows exactly as x150 does, maps each
+    * action to its status by the executor's contract, and derives the
+    * post rows from the REMEDIES' semantics: compaction drains the
+    * backlog (`post_pending_frac` = 0), and a retrain restamps the
+    * geometry baseline so every drift ratio returns to EXACTLY 1 —
+    * conditional in SQL on whether any signal actually crossed the
+    * threshold, so the hash pins that the verbs RAN (a skipped retrain
+    * or compaction leaves the drifted pre values in the post rows and
+    * breaks the hash). */
+  def x151AdvisedMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val day1 = driftDay1(e)
+    val day2 = driftDay2(e)
+    graft.functions.index.buildIvfIndex(day1, "vec_id", "v", "x151_ivf",
+      nlist = 8, iters = 0, sampleOneIn = 1L, portableSeed = true)
+    graft.functions.index.buildIvfIndex(day2, "vec_id", "v", "x151_ivf",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    graft.functions.index.deferTakedown(
+      day1.select("vec_id").unionAll(day2.select("vec_id"))
+        .filter(F.col("vec_id") % 9 === 2),
+      "vec_id", "x151_ivf")
+    val acted = graft.functions.index
+      .runAdvisedMaintenance(s, "x151_ivf",
+        retrainIters = 0, sampleOneIn = 1L, portableSeed = true)
+      .select(F.col("family"), F.col("signal"),
+        F.round(F.col("value"), 6).as("value"),
+        F.col("threshold"), F.col("action"), F.col("status"))
+    val post = graft.functions.index
+      .adviseIndexMaintenance(s, "x151_ivf")
+      .select(F.col("family"),
+        F.concat(F.lit("post_"), F.col("signal")).as("signal"),
+        F.round(F.col("value"), 6).as("value"),
+        F.col("threshold"), F.col("action"), F.lit("advice").as("status"))
+    acted.unionByName(post).orderBy("signal")
+  }
+
+  private val x151Oracle =
+    """WITH e1 AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |e2 AS (SELECT vec_id + 1000000 AS vec_id,
+      |    list_transform(list_zip(v, generate_series(0, 63)),
+      |      p -> p[1] + CASE WHEN p[2] = 32 + ((vec_id + 1000000) % 8)
+      |        THEN 4.0 ELSE 0.0 END) AS v
+      |  FROM e1),
+      |au AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2),
+      |live AS (SELECT * FROM au WHERE vec_id % 9 != 2),
+      |seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY
+      |      md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell, v AS c
+      |  FROM e1 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |sn AS (SELECT cell, c,
+      |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM seeds),
+      |acur AS (
+      |  SELECT vec_id, cell, d FROM (
+      |    SELECT l.vec_id, sn.cell,
+      |      1.0 - list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2]))
+      |        / sqrt(list_sum(list_transform(l.v, x -> x * x)))
+      |        / sn.cnrm AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY l.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM live l CROSS JOIN sn) WHERE rk = 1),
+      |abase AS (
+      |  SELECT vec_id, cell, d FROM (
+      |    SELECT l.vec_id, sn.cell,
+      |      1.0 - list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2]))
+      |        / sqrt(list_sum(list_transform(l.v, x -> x * x)))
+      |        / sn.cnrm AS d,
+      |      ROW_NUMBER() OVER (PARTITION BY l.vec_id
+      |        ORDER BY list_sum(list_transform(list_zip(l.v, sn.c),
+      |          p -> p[1] * p[2])) / sn.cnrm DESC, sn.cell) AS rk
+      |    FROM e1 l CROSS JOIN sn) WHERE rk = 1),
+      |ccur AS (SELECT cell, COUNT(*) AS cnt FROM acur GROUP BY cell),
+      |cbase AS (SELECT cell, COUNT(*) AS cnt FROM abase GROUP BY cell),
+      |mcur AS (SELECT
+      |    CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean,
+      |    quantile_cont(d, 0.95) AS p95 FROM acur),
+      |mbase AS (SELECT
+      |    CAST(SUM(CAST(d AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS mean,
+      |    quantile_cont(d, 0.95) AS p95 FROM abase),
+      |ocur AS (SELECT CAST(MAX(cnt) AS DOUBLE) * 8 / SUM(cnt) AS occ_hot
+      |  FROM ccur),
+      |obase AS (SELECT CAST(MAX(cnt) AS DOUBLE) * 8 / SUM(cnt) AS occ_hot
+      |  FROM cbase),
+      |pend AS (SELECT
+      |    CAST((SELECT COUNT(*) FROM au WHERE vec_id % 9 = 2) AS DOUBLE)
+      |      / (SELECT COUNT(*) FROM au) AS frac),
+      |drift AS (
+      |  SELECT 'assign_mean' AS signal, mcur.mean / mbase.mean AS ratio
+      |    FROM mcur, mbase
+      |  UNION ALL SELECT 'assign_p95', mcur.p95 / mbase.p95
+      |    FROM mcur, mbase
+      |  UNION ALL SELECT 'occ_hot', ocur.occ_hot / obase.occ_hot
+      |    FROM ocur, obase),
+      |fired AS (SELECT MAX(CASE WHEN ratio > 1.5 THEN 1 ELSE 0 END) AS y
+      |  FROM drift),
+      |rows_ AS (
+      |  SELECT 'ivf' AS family, signal, ratio AS value,
+      |    CAST(1.5 AS DOUBLE) AS threshold,
+      |    CASE WHEN ratio > 1.5 THEN 'retrain' ELSE 'ok' END AS action,
+      |    CASE WHEN ratio > 1.5 THEN 'done' ELSE 'none' END AS status
+      |  FROM drift
+      |  UNION ALL
+      |  SELECT 'ivf', 'pending_frac', frac, CAST(0.1 AS DOUBLE),
+      |    CASE WHEN frac > 0.1 THEN 'compact' ELSE 'ok' END,
+      |    CASE WHEN frac > 0.1 THEN 'done' ELSE 'none' END
+      |  FROM pend
+      |  UNION ALL
+      |  SELECT 'ivf', 'post_' || signal,
+      |    CASE WHEN fired.y = 1 THEN 1.0 ELSE ratio END,
+      |    CAST(1.5 AS DOUBLE), 'ok', 'advice'
+      |  FROM drift, fired
+      |  UNION ALL
+      |  SELECT 'ivf', 'post_pending_frac',
+      |    CASE WHEN frac > 0.1 THEN 0.0 ELSE frac END,
+      |    CAST(0.1 AS DOUBLE), 'ok', 'advice'
+      |  FROM pend)
+      |SELECT family, signal, ROUND(value, 6) AS value, threshold,
+      |  action, status
+      |FROM rows_ ORDER BY signal""".stripMargin
+
   /** x132's 3-day streamed lifecycle into fixed bench-base names. */
   private def x132StreamingBase(ss: SparkSession, dir: String): Unit = {
     import graft.streaming.Streams
@@ -6443,7 +6571,8 @@ object ExtQueries {
     "x147_ivf_drift_report" -> (x147IvfDriftReport _),
     "x148_pq_drift_report" -> (x148PqDriftReport _),
     "x149_sql_emitter_union_slice" -> (x149SqlEmitterUnionSlice _),
-    "x150_maintenance_advisor" -> (x150MaintenanceAdvisor _))
+    "x150_maintenance_advisor" -> (x150MaintenanceAdvisor _),
+    "x151_advised_maintenance" -> (x151AdvisedMaintenance _))
 
   // ---- steady-state bench variants for the lifecycle rows ----
   //
@@ -6862,6 +6991,31 @@ object ExtQueries {
       .orderBy("signal")
   }
 
+  /** x151 steady state: the recurring unit is the NIGHTLY EXECUTOR
+    * CALL on a healthy index — the bench base drifts, backlogs and
+    * REMEDIES once (the expensive execution is under the oracle gate),
+    * so every sample measures the advice-and-execute-nothing path a
+    * deployment pays every night the index is fine. */
+  def x151BenchMaintenanceDay(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    ensureOnce("x151_bench", dir) {
+      graft.functions.index.buildIvfIndex(driftDay1(e), "vec_id", "v",
+        "x151b_ivf", nlist = 8, iters = 0, sampleOneIn = 1L,
+        portableSeed = true)
+      graft.functions.index.buildIvfIndex(driftDay2(e), "vec_id", "v",
+        "x151b_ivf", mode = org.apache.spark.sql.SaveMode.Append)
+      graft.functions.index.deferTakedown(
+        driftDay1(e).select("vec_id")
+          .unionAll(driftDay2(e).select("vec_id"))
+          .filter(F.col("vec_id") % 9 === 2), "vec_id", "x151b_ivf")
+      graft.functions.index.runAdvisedMaintenance(s, "x151b_ivf",
+        retrainIters = 0, sampleOneIn = 1L, portableSeed = true)
+      ()
+    }
+    graft.functions.index.runAdvisedMaintenance(s, "x151b_ivf")
+      .orderBy("signal")
+  }
+
   def x143BenchRetrainDay(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     ensureOnce("x143_bench", dir) {
@@ -6901,7 +7055,8 @@ object ExtQueries {
     "x143_ivf_index_retrain" -> (x143BenchRetrainDay _),
     "x147_ivf_drift_report" -> (x147BenchDriftDay _),
     "x148_pq_drift_report" -> (x148BenchDriftDay _),
-    "x150_maintenance_advisor" -> (x150BenchAdvisorDay _))
+    "x150_maintenance_advisor" -> (x150BenchAdvisorDay _),
+    "x151_advised_maintenance" -> (x151BenchMaintenanceDay _))
 
   val oracles: Map[String, String] = Map(
     "x01_dedup_exact" -> x01Oracle,
@@ -7077,5 +7232,6 @@ object ExtQueries {
     // the emitted union + slice_head + ordered-string-agg SQL must
     // match the set-op/LIMIT-OFFSET/STRING_AGG replay exactly
     "x149_sql_emitter_union_slice" -> x149Oracle,
-    "x150_maintenance_advisor" -> x150Oracle)
+    "x150_maintenance_advisor" -> x150Oracle,
+    "x151_advised_maintenance" -> x151Oracle)
 }

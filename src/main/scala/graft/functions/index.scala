@@ -1590,6 +1590,87 @@ object index {
     drift.unionByName(pend)
   }
 
+  /** The ACTION layer — [[adviseIndexMaintenance]] executed: computes
+    * the advice, runs the advised verbs in the cheap-first order
+    * (compact drains the backlog before any retrain re-encodes, each
+    * verb at most once however many signals advised it), and returns
+    * the advice rows with a `status` column recording what actually
+    * ran — the one-call nightly maintenance job. Per-verb
+    * executability follows each op's own contract:
+    *
+    *  - `compact` → [[compactTakedowns]], parameter-free — always
+    *    `done`;
+    *  - `retrain`/ivf → [[retrainIvfIndex]], self-contained (the
+    *    cells hold the vectors) — `done`;
+    *  - `retrain`/pq → [[retrainPqIndex]] needs the caller's vector
+    *    store (codes are lossy): `done` when `pqVectors` is passed,
+    *    else `needs_vectors` — advice, not silence;
+    *  - `reband` → [[rehashJaccardIndex]] needs a NEW banding budget
+    *    (re-banding at the standing params is a no-op by
+    *    determinism): `done` when `rebandTo` is passed, else
+    *    `needs_params`;
+    *  - `no_baseline` → `unjudged`: auto-remedying an index that
+    *    cannot be judged would launder missing evidence into a
+    *    full-rewrite maintenance op;
+    *  - `ok` → `none`.
+    *
+    * Every executed verb takes the cross-driver writer lease itself
+    * (re-entrant in-process), so the sequence inherits the
+    * single-writer contract; a crash mid-sequence leaves each
+    * completed verb's rename-aside generation intact and the advice
+    * re-derivable — re-running the executor is idempotent-by-advice
+    * (remedied signals come back `ok` and are skipped). Retrain's
+    * restamp pulls the drifted ratios back to exactly 1, which is
+    * how x151 pins in its oracle hash that the verbs actually ran. */
+  def runAdvisedMaintenance(spark: SparkSession, name: String,
+      driftRatio: Double = 1.5, pendingFrac: Double = 0.1,
+      report: Option[DataFrame] = None,
+      pqVectors: Option[(DataFrame, String, String)] = None,
+      rebandTo: Option[(Int, Int)] = None,
+      retrainIters: Int = 5, sampleN: Int = 20000,
+      sampleOneIn: Long = 0L, portableSeed: Boolean = false)
+      : DataFrame = {
+    import spark.implicits._
+    val advice = adviseIndexMaintenance(spark, name, driftRatio,
+        pendingFrac, report)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(r.getDouble(2)),
+        r.getDouble(3), r.getString(4)))
+    val actionsBy = advice.groupBy(_._5)
+    if (actionsBy.contains("compact")) compactTakedowns(spark, name)
+    val retrainFams =
+      actionsBy.getOrElse("retrain", Array.empty).map(_._1).distinct
+    if (retrainFams.contains("ivf"))
+      retrainIvfIndex(spark, name, iters = retrainIters,
+        sampleN = sampleN, sampleOneIn = sampleOneIn,
+        portableSeed = portableSeed)
+    val pqRan = retrainFams.contains("pq") && pqVectors.isDefined
+    if (pqRan) {
+      val (df, id, vec) = pqVectors.get
+      retrainPqIndex(df, id, vec, name, sampleN = sampleN,
+        sampleOneIn = sampleOneIn, portableSeed = portableSeed)
+    }
+    val rebandRan = actionsBy.contains("reband") && rebandTo.isDefined
+    if (rebandRan) {
+      val (np, b) = rebandTo.get
+      rehashJaccardIndex(spark, name, numPerm = np, bands = b)
+    }
+    advice.map { case (fam, sig, v, th, action) =>
+      val status = action match {
+        case "ok" => "none"
+        case "compact" => "done"
+        case "retrain" =>
+          if (fam == "pq" && !pqRan) "needs_vectors" else "done"
+        case "reband" => if (rebandRan) "done" else "needs_params"
+        case _ => "unjudged"
+      }
+      (fam, sig, v, th, action, status)
+    }.toSeq
+      .toDF("family", "signal", "value", "threshold", "action", "status")
+  }
+
   /** `df` minus index `name`'s PENDING logical takedowns on `idColName`
     * — a no-op when `<name>_dels` doesn't exist. Every probe's index
     * side passes through here, so a [[deferTakedown]] is effective from

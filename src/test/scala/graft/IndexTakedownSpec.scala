@@ -846,6 +846,74 @@ class IndexTakedownSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.index.driftBaseline")
   }
 
+  test("executor: runs the advised verbs, clears every signal, idempotent-by-advice") {
+    import spark.implicits._
+    // drifted mass stays live (retrain must fire) while a slice of the
+    // day-1 corpus is deferred (20/180 > 0.1 — compact must fire)
+    val e = vectors()
+    index.buildIvfIndex(e, "vec_id", "v", "td_exec", nlist = 4, iters = 2)
+    val drift = (0 until 120).map { i =>
+      (1000L + i, (0 until 8).map(j => -40.0 + math.cos(i + j)))
+    }.toDF("vec_id", "v")
+    index.buildIvfIndex(drift, "vec_id", "v", "td_exec",
+      mode = org.apache.spark.sql.SaveMode.Append)
+    index.deferTakedown(e.select("vec_id").limit(20), "vec_id", "td_exec")
+    val out = index.runAdvisedMaintenance(spark, "td_exec",
+        retrainIters = 2).collect()
+      .map(r => (r.getString(1), r.getString(5))).toMap
+    assert(out("pending_frac") == "done" && out("assign_mean") == "done",
+      s"backlog and drift must both execute: $out")
+    assert(spark.table("td_exec_dels").count() == 0L,
+      "the executed compaction must drain the backlog")
+    val post = index.adviseIndexMaintenance(spark, "td_exec").collect()
+      .map(r => r.getString(1) -> r.getString(4)).toMap
+    assert(post.values.toSet == Set("ok"),
+      s"executed maintenance must clear every signal: $post")
+    // re-running executes nothing: remedied signals advise ok
+    val again = index.runAdvisedMaintenance(spark, "td_exec",
+        retrainIters = 2).collect()
+    assert(again.forall(_.getString(5) == "none"),
+      s"second run must find nothing to do: ${again.toSeq}")
+  }
+
+  test("executor: pq retrain gates on the vector store, reband on a new budget") {
+    import spark.implicits._
+    // driftRatio = 0 makes every stamped ratio (exactly 1 on a fresh
+    // build) advise its remedy — the gating contracts without drift
+    val e = vectors()
+    index.buildPqIndex(e, "vec_id", "v", "td_execpq",
+      nlist = 2, m = 4, ksub = 4)
+    val bankBefore = spark.table("td_execpq_pqbank").collect().toSet
+    val pq0 = index.runAdvisedMaintenance(spark, "td_execpq",
+        driftRatio = 0.0).collect()
+      .filter(_.getString(4) == "retrain").map(_.getString(5)).toSet
+    assert(pq0 == Set("needs_vectors"),
+      s"pq retrain without a store must be advice, not action: $pq0")
+    assert(spark.table("td_execpq_pqbank").collect().toSet == bankBefore,
+      "gated retrain must leave the banks untouched")
+    val pq1 = index.runAdvisedMaintenance(spark, "td_execpq",
+        driftRatio = 0.0, pqVectors = Some((e, "vec_id", "v"))).collect()
+      .filter(_.getString(4) == "retrain").map(_.getString(5)).toSet
+    assert(pq1 == Set("done"), s"store provided -> executed: $pq1")
+    val day1 = spark.range(0, 200).select(F.col("id").as("doc_id"),
+      F.concat_ws(" ", (1 to 8).map(i =>
+        F.md5(F.concat(F.col("id").cast("string"), F.lit(s"e$i")))): _*)
+        .as("text"))
+    index.buildJaccardIndex(day1, "doc_id", "text", "td_execj",
+      k = 3, numPerm = 32, bands = 16, buckets = 4)
+    val j0 = index.runAdvisedMaintenance(spark, "td_execj",
+        driftRatio = 0.0).collect()
+      .filter(_.getString(1) == "bucket_hot").map(_.getString(5)).toSet
+    assert(j0 == Set("needs_params"),
+      s"reband without a new banding budget must not run: $j0")
+    val j1 = index.runAdvisedMaintenance(spark, "td_execj",
+        driftRatio = 0.0, rebandTo = Some((64, 32))).collect()
+      .filter(_.getString(1) == "bucket_hot").map(_.getString(5)).toSet
+    assert(j1 == Set("done"), s"budget provided -> executed: $j1")
+    assert(index.readParams(spark, "td_execj")._2 == 64,
+      "the executed re-band must land the new banding budget")
+  }
+
   test("takedown of unknown ids is a no-op; non-integral ids fail loudly") {
     val d = corpus()
     index.buildExactIndex(d, "doc_id", "text", "td_noop", buckets = 4)
