@@ -1202,7 +1202,7 @@ object index {
     val suffixes = Seq("buckets", "sigs", "stats", "fps", "cells",
       "centroids", "pqcells", "pqbank", "dels", "cmap", "cremap",
       "cedges")
-    suffixes.flatMap { sfx =>
+    val parts = suffixes.flatMap { sfx =>
       val t = s"${name}_$sfx"
       if (!spark.catalog.tableExists(t)) None
       else {
@@ -1214,9 +1214,19 @@ object index {
             k.startsWith("graft.") && !k.startsWith("graft.drift.") }
           .sortBy(_._1)
           .map { case (k, v) => s"$k=$v" }.mkString(",")
-        Some((sfx, resolveRetry(spark, t).count(), params))
+        // one lazy single-row aggregate per table; the union below
+        // makes the whole inventory ONE Spark job (the old form ran
+        // one sequential count() job per suffix — up to 12 fixed
+        // scheduling floors for a metadata-cheap listing)
+        Some(resolveRetry(spark, t)
+          .agg(F.count(F.lit(1)).as("n_rows"))
+          .select(F.lit(sfx).as("part"), F.col("n_rows"),
+            F.lit(params).as("params")))
       }
-    }.toDF("part", "n_rows", "params")
+    }
+    if (parts.isEmpty)
+      Seq.empty[(String, Long, String)].toDF("part", "n_rows", "params")
+    else parts.reduce(_.unionAll(_))
   }
 
   // ---------------- geometry drift / index health ----------------
@@ -1263,10 +1273,10 @@ object index {
   /** IVF-family metrics over `cells` rows against the flat `bank`:
     * assign_mean / assign_p95 / occ_empty / occ_hot. Zero-norm rows
     * (no defined angle) are excluded from the distance metrics but
-    * counted in occupancy. Two jobs: per-cell partials (≤ nlist rows
-    * collected; the global mean is the exact sum of per-cell DECIMAL
-    * sums, so the reduction order can never move it) + the exact
-    * percentile. */
+    * counted in occupancy. ONE fused ROLLUP job: per-cell partials
+    * (≤ nlist rows collected; the global mean is the exact sum of
+    * per-cell DECIMAL sums, so the reduction order can never move it)
+    * and the exact global percentile from the grand-total row. */
   private def ivfDriftMetrics(spark: SparkSession, cells: DataFrame,
       bank: Array[Double], dim: Int): Seq[(String, Double)] = {
     import spark.implicits._
@@ -1280,12 +1290,26 @@ object index {
       similarity.dot(F.col("n_vec").cast(ArrayType(DoubleType)),
         F.col("_dr_c")) / F.col("n_nrm") / F.col("_dr_cn")
     val per = cells.join(cdf, "cell")
-      .select(F.col("cell"), F.when(ok, dist).as("_dr_d"))
-    val cellRows = per.groupBy("cell").agg(
+      .select(F.col("cell").as("_dr_cell"), F.when(ok, dist).as("_dr_d"))
+    // ONE fused aggregation job (was two): ROLLUP(cell) yields the
+    // per-cell partials AND the grand-total row carrying the exact
+    // global percentile in a single scan + exchange. Values are
+    // bit-identical to the two-job form: the per-cell DECIMAL sums
+    // and their driver fold are unchanged, and the grand-total
+    // percentile aggregates the same full distance multiset the
+    // dedicated job saw. Rows are classified by the rollup key's
+    // nullness (cell is a never-null partition value, so NULL
+    // _dr_cell ⇔ the grand-total grouping set); the Column overload
+    // of rollup is deliberate — the String overload resolves the key
+    // with the dataset-id tag and DetectAmbiguousSelfJoin then
+    // rejects the Expand'd plan.
+    val rolled = per.rollup(F.col("_dr_cell")).agg(
         F.count(F.lit(1)).as("_dr_n"),
         F.count(F.col("_dr_d")).as("_dr_nd"),
-        F.sum(F.col("_dr_d").cast(driftDec)).as("_dr_s"))
+        F.sum(F.col("_dr_d").cast(driftDec)).as("_dr_s"),
+        F.percentile(F.col("_dr_d"), F.lit(0.95)).as("_dr_p"))
       .collect()
+    val cellRows = rolled.filter(!_.isNullAt(0))
     if (cellRows.isEmpty) return Seq.empty
     val n = cellRows.map(_.getLong(1)).sum
     val nd = cellRows.map(_.getLong(2)).sum
@@ -1296,8 +1320,7 @@ object index {
       if (nd == 0) Seq.empty // every live row zero-norm: no angles
       else Seq(
         "assign_mean" -> sum.doubleValue / nd,
-        "assign_p95" -> per.agg(F.percentile(F.col("_dr_d"), F.lit(0.95)))
-          .head().getDouble(0))
+        "assign_p95" -> rolled.find(_.isNullAt(0)).get.getDouble(4))
     distRows ++ Seq(
       "occ_empty" -> (nlist - cellRows.length).toDouble,
       "occ_hot" -> maxCnt.toDouble * nlist / n)
@@ -1307,15 +1330,34 @@ object index {
     * vector-free (see [[driftPqReport]] for reconstruction error). */
   private def pqOccMetrics(spark: SparkSession, pq: DataFrame,
       nlist: Int, ksubEff: Int): Seq[(String, Double)] = {
-    val cellRows = pq.groupBy("cell")
-      .agg(F.count(F.lit(1)).as("_dr_n")).collect()
+    // ONE fused aggregation job (was two: cell counts + codeword
+    // usage): GROUPING SETS ((cell), (subspace, codeword)) over the
+    // exploded code stream computes both count families in a single
+    // scan + exchange (guide §2.4). Per-cell row counts come from the
+    // subspace-0 entry each stored row contributes exactly once
+    // (posexplode_outer keeps a null-subspace marker for a degenerate
+    // empty-codes row, so the count matches the old groupBy("cell")
+    // bit-for-bit); codeword usage counts are the same groups the
+    // dedicated job built. Collected rows stay driver-bounded:
+    // ≤ nlist + m·ksub.
+    val s0 = F.col("_dr_s") === 0 || F.col("_dr_s").isNull
+    val rows = pq
+      .select(F.col("cell"),
+        F.posexplode_outer(F.col("codes")).as(Seq("_dr_s", "_dr_cw")))
+      .groupingSets(
+        Seq(Seq(F.col("cell")), Seq(F.col("_dr_s"), F.col("_dr_cw"))),
+        F.col("cell"), F.col("_dr_s"), F.col("_dr_cw"))
+      .agg(F.count(F.when(s0, F.lit(1))).as("_dr_n"),
+        F.count(F.lit(1)).as("_dr_u"))
+      .collect()
+    // grouping-set membership read off the keys' nullness (cell is
+    // never null in a stored row, so NULL cell ⇔ the (s, cw) set)
+    val cellRows = rows.filter(!_.isNullAt(0))
     if (cellRows.isEmpty) return Seq.empty
-    val n = cellRows.map(_.getLong(1)).sum
-    val maxCnt = cellRows.map(_.getLong(1)).max
-    val maxUse = pq
-      .select(F.posexplode(F.col("codes")).as(Seq("_dr_s", "_dr_cw")))
-      .groupBy("_dr_s", "_dr_cw").agg(F.count(F.lit(1)).as("_dr_u"))
-      .agg(F.max("_dr_u")).head().getLong(0)
+    val n = cellRows.map(_.getLong(3)).sum
+    val maxCnt = cellRows.map(_.getLong(3)).max
+    val maxUse = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getLong(4)).max
     Seq(
       "occ_empty" -> (nlist - cellRows.length).toDouble,
       "occ_hot" -> maxCnt.toDouble * nlist / n,
@@ -1325,13 +1367,20 @@ object index {
   /** (count, recon_mean, recon_p95) of the STORED codes of index
     * `name`'s live rows decoded against the STORED banks, with the
     * true vectors supplied by `df` — the one join the lossy layout
-    * forces (the [[retrainPqIndex]] posture). `count` is the joined
-    * row count, which callers gate against the live count: a store
-    * missing live ids (or duplicating them) silently skews a drift
-    * metric, so it is refused the same way retrain refuses it. */
+    * forces (the [[retrainPqIndex]] posture). Returns
+    * `(total, matched, mean, p95)` from ONE left-join aggregation job
+    * (was a separate live `count()` + an inner-join agg): `total`
+    * counts live rows times source multiplicity, `matched` counts
+    * rows whose source vector arrived, so `matched == total` iff the
+    * store covers every live id exactly once — the coverage gate a
+    * store missing live ids (or duplicating them) must fail, since
+    * either silently skews a drift metric. The fused gate is strictly
+    * stronger than the old count-equality (a duplicate can no longer
+    * mask a missing id), and on every PASSING store the aggregated
+    * multiset is identical, so the reported values are bit-equal. */
   private def pqReconStats(spark: SparkSession, name: String,
       df: DataFrame, idCol: String,
-      vecCol: String): (Long, Double, Double) = {
+      vecCol: String): (Long, Long, Double, Double) = {
     import spark.implicits._
     val dim = readPqProp(spark, name, "graft.dim").toInt
     val mEff = readPqProp(spark, name, "graft.m").toInt
@@ -1344,8 +1393,14 @@ object index {
       .select("n_id", "codes", "cell")
     val src = df.select(F.col(idCol).cast(LongType).as("n_id"),
       F.col(vecCol).as("_dr_v"))
+    // left outer: unmatched live rows survive with a NULL vector, so
+    // the same aggregation that scores the store also audits its
+    // coverage (graft_vec_sub/graft_pq_dists/graft_pq_adc are
+    // null-propagating, so an unmatched row's e2 is NULL and drops
+    // out of count/sum/percentile exactly as the inner join dropped
+    // the row)
     val joined = live.join(similarity.cleanDim(src, "_dr_v", dim),
-      Seq("n_id"))
+      Seq("n_id"), "left_outer")
     // residual codes quantize v − centroid(STORED cell): decode error
     // must subtract the same centroid the encode used, so the stored
     // cell routes the lookup (never a recomputed argmax)
@@ -1363,12 +1418,15 @@ object index {
       F.call_function("graft_pq_dists", vecExpr, cbLit, F.lit(mEff)))
     val agg = framed.select(e2.as("_dr_e2")).agg(
         F.count(F.lit(1)),
+        F.count(F.col("_dr_e2")),
         F.sum(F.col("_dr_e2").cast(driftDec)),
         F.percentile(F.col("_dr_e2"), F.lit(0.95)))
       .head()
-    val cnt = agg.getLong(0)
-    if (cnt == 0) (0L, 0.0, 0.0)
-    else (cnt, agg.getDecimal(1).doubleValue / cnt, agg.getDouble(2))
+    val total = agg.getLong(0)
+    val matched = agg.getLong(1)
+    if (matched == 0) (total, 0L, 0.0, 0.0)
+    else (total, matched, agg.getDecimal(2).doubleValue / matched,
+      agg.getDouble(3))
   }
 
   /** Jaccard-family drift: hot-BUCKET skew from the persisted `_stats`
@@ -1509,14 +1567,20 @@ object index {
     val spark = df.sparkSession
     import spark.implicits._
     similarity.requireIntegralId(df, idCol, "index.driftPqReport")
-    val nLive = minusPending(spark, name,
-        resolveRetry(spark, s"${name}_pqcells"), "n_id")
-      .count()
-    val (cnt, mean, p95) = pqReconStats(spark, name, df, idCol, vecCol)
-    require(cnt == nLive,
-      s"index.driftPqReport: vector source covered $cnt of $nLive " +
+    // coverage audit rides the same single aggregation job as the
+    // metrics (pqReconStats' left-join gate) — the separate live
+    // count() job this health check used to pay is gone; the live
+    // count in the error message is computed only on the failure path
+    val (total, matched, mean, p95) =
+      pqReconStats(spark, name, df, idCol, vecCol)
+    require(matched == total, {
+      val nLive = minusPending(spark, name,
+          resolveRetry(spark, s"${name}_pqcells"), "n_id")
+        .count()
+      s"index.driftPqReport: vector source covered $matched of $nLive " +
         "live indexed ids — it must cover every live id exactly once " +
-        "at the stored width")
+        "at the stored width"
+    })
     driftRows(Seq("recon_mean" -> mean, "recon_p95" -> p95),
         driftBaselines(spark, s"${name}_pqcells"), "pq")
       .toDF("family", "metric", "value", "baseline", "ratio")
@@ -1572,20 +1636,34 @@ object index {
             F.when(F.col("family") === "jaccard", F.lit("reband"))
               .otherwise(F.lit("retrain")))
           .otherwise(F.lit("ok")).as("action"))
-    val nPending =
-      if (!delsVisible(spark, s"${name}_dels")) 0L
-      else resolveRetry(spark, s"${name}_dels").count()
     val primaries = Seq("jaccard" -> "sigs", "exact" -> "fps",
       "ivf" -> "cells", "pq" -> "pqcells")
-    val pend = primaries.flatMap { case (fam, sfx) =>
-      val t = s"${name}_$sfx"
-      if (!spark.catalog.tableExists(t)) None
-      else {
-        val n = resolveRetry(spark, t).count()
-        val frac = if (n == 0L) 0.0 else nPending.toDouble / n
-        Some((fam, "pending_frac", frac, pendingFrac,
-          if (frac > pendingFrac) "compact" else "ok"))
-      }
+    // ONE fused count job for the whole inventory (dels + every
+    // present primary) instead of one sequential count() job per
+    // table: each table contributes a single-row aggregate and the
+    // union is a single action — same exact counts, one scheduling
+    // floor (guide §2.4). The dels count stays an exact job (not the
+    // advisory pendingCounts cache): pending_frac is a VALUE the x150
+    // oracle re-derives, not a join-strategy gate.
+    val present = primaries.filter { case (_, sfx) =>
+      spark.catalog.tableExists(s"${name}_$sfx") }
+    val countFrames =
+      (if (delsVisible(spark, s"${name}_dels"))
+         Seq("dels" -> s"${name}_dels") else Seq.empty) ++
+        present.map { case (fam, sfx) => fam -> s"${name}_$sfx" }
+    val counts: Map[String, Long] =
+      if (countFrames.isEmpty) Map.empty
+      else countFrames.map { case (label, t) =>
+          resolveRetry(spark, t).agg(F.count(F.lit(1)).as("_adv_n"))
+            .select(F.lit(label).as("_adv_t"), F.col("_adv_n"))
+        }.reduce(_.unionAll(_)).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nPending = counts.getOrElse("dels", 0L)
+    val pend = present.map { case (fam, _) =>
+      val n = counts(fam)
+      val frac = if (n == 0L) 0.0 else nPending.toDouble / n
+      (fam, "pending_frac", frac, pendingFrac,
+        if (frac > pendingFrac) "compact" else "ok")
     }.toDF("family", "signal", "value", "threshold", "action")
     drift.unionByName(pend)
   }
