@@ -259,6 +259,12 @@ object quality {
     val dec0 = DecimalType(38, 0)
     var w = Array.fill(dim)(0.0)
     var b = 0.0
+    // under-split inputs serialize the per-token gradient fold onto
+    // one core for EVERY iteration (census at sf0.1: the gradient
+    // stage ran 1 task × 2.65 s) — fan out once before the loop
+    // (measured gate, the bm25/minhash posture; gradient sums are
+    // exact DECIMAL, so partitioning cannot move the result)
+    val src = skew.rebalanceUnderSplit(df)
     for (_ <- 0 until iters) {
       val wLit = F.typedlit(w.toSeq)
       val toks = graft.functions.text.tokens(F.col(textCol))
@@ -273,7 +279,7 @@ object quality {
       // boundary (the mean fold is expensive and multiply-referenced,
       // so CollapseProject keeps it); inlining err into the per-token
       // lambda would re-run the whole fold once per token.
-      val base = df.select(toks.as("_tc_toks"),
+      val base = src.select(toks.as("_tc_toks"),
           F.size(toks).cast(LongType).as("_tc_n"),
           F.round((F.round(p - label.cast(DoubleType), 6)) * 1000000L)
             .cast(LongType).as("_tc_err6"))
