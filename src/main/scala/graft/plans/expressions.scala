@@ -2397,6 +2397,7 @@ object HeavyHitters {
   * entry points do). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => PercentileFusion)
     e.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
