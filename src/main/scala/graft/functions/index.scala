@@ -398,6 +398,35 @@ object index {
     resetManagedTable(spark, old)
   }
 
+  /** Run independent TABLE-WRITE thunks concurrently (guide §2.6 —
+    * Spark happily runs several jobs at once inside one application;
+    * actions are sequential only because the driver calls them
+    * sequentially). The lifecycle ops below commit 2-3 derived tables
+    * per call, each write an independent job over shared pinned input:
+    * run sequentially every write pays the full fixed job floor
+    * (scheduling + commit protocol) end to end, while concurrently the
+    * later writes back-fill executors freed by the first write's tail
+    * — and at cluster scale the commits overlap instead of serializing
+    * on the object store. Failure shape is unchanged from sequential:
+    * any thunk's failure propagates (first failure wins) and other
+    * already-started writes land or die on their own tables, exactly
+    * the partial-commit exposure the sequential code had. Thunks must
+    * touch DISTINCT tables and share no session-conf flips. */
+  private def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.lengthCompare(2) < 0) tasks.foreach(_.apply())
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        Await.result(Future.sequence(tasks.map(t => Future(t()))),
+          Duration.Inf)
+        ()
+      } finally { pool.shutdown(); () }
+    }
+
   /** Build (SaveMode.Overwrite) or extend (SaveMode.Append) the index
     * tables under `name`. Appending batches over time is the intended
     * lifecycle: today's verified-new documents become tomorrow's index.
@@ -437,26 +466,33 @@ object index {
           .as(Seq("band", "band_hash")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // Repartition onto the bucket grid BEFORE the bucketed write:
-      // Spark's writer otherwise emits one file per (task × bucket) —
-      // measured at 2048 near-empty parquet files and ~4.5 s per append
-      // at 32 tasks × 64 buckets, and at cluster scale a small-file
-      // explosion on every daily append. repartition(buckets, cols)
-      // uses the SAME pmod(murmur3) placement as the bucket spec, so
-      // each task holds exactly one bucket and writes exactly one file.
-      keys.repartition(buckets, F.col("band"), F.col("band_hash"))
-        .write.mode(mode).bucketBy(buckets, "band", "band_hash")
-        .format("parquet").saveAsTable(s"${name}_buckets")
-      // per-bucket counts: appended parts are re-aggregated at probe
-      // time, so Append just adds this batch's counts
-      keys.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).as("cnt"))
-        .write.mode(mode).format("parquet").saveAsTable(s"${name}_stats")
-      sh.select(F.col("id"), F.col("sh"),
-          F.size(F.col("sh")).cast(DoubleType).as("n"))
-        .repartition(buckets, F.col("id"))
-        .write.mode(mode).bucketBy(buckets, "id")
-        .format("parquet").saveAsTable(s"${name}_sigs")
+      // The three derived tables are INDEPENDENT writes over the two
+      // pinned frames — commit them concurrently (inParallel, guide
+      // §2.6): sequentially each pays its full fixed job floor; the
+      // daily-append rows (x98/x124/x138) pay that floor per table per
+      // day. Within each write:
+      // - buckets: repartition onto the bucket grid BEFORE the bucketed
+      //   write — Spark's writer otherwise emits one file per
+      //   (task × bucket), measured at 2048 near-empty parquet files
+      //   and ~4.5 s per append at 32 tasks × 64 buckets, and at
+      //   cluster scale a small-file explosion on every daily append.
+      //   repartition(buckets, cols) uses the SAME pmod(murmur3)
+      //   placement as the bucket spec, so each task holds exactly one
+      //   bucket and writes exactly one file.
+      // - stats: per-bucket counts; appended parts are re-aggregated at
+      //   probe time, so Append just adds this batch's counts.
+      inParallel(Seq(
+        () => keys.repartition(buckets, F.col("band"), F.col("band_hash"))
+          .write.mode(mode).bucketBy(buckets, "band", "band_hash")
+          .format("parquet").saveAsTable(s"${name}_buckets"),
+        () => keys.groupBy("band", "band_hash")
+          .agg(F.count(F.lit(1)).as("cnt"))
+          .write.mode(mode).format("parquet").saveAsTable(s"${name}_stats"),
+        () => sh.select(F.col("id"), F.col("sh"),
+            F.size(F.col("sh")).cast(DoubleType).as("n"))
+          .repartition(buckets, F.col("id"))
+          .write.mode(mode).bucketBy(buckets, "id")
+          .format("parquet").saveAsTable(s"${name}_sigs")))
       spark.sql(s"ALTER TABLE ${name}_buckets SET TBLPROPERTIES(" +
         s"'graft.k'='$k','graft.numPerm'='$numPerm','graft.bands'='$bands')")
       // at-build drift baseline for the banding geometry (fresh builds
@@ -1368,19 +1404,23 @@ object index {
     * `name`'s live rows decoded against the STORED banks, with the
     * true vectors supplied by `df` — the one join the lossy layout
     * forces (the [[retrainPqIndex]] posture). Returns
-    * `(total, matched, mean, p95)` from ONE left-join aggregation job
-    * (was a separate live `count()` + an inner-join agg): `total`
-    * counts live rows times source multiplicity, `matched` counts
-    * rows whose source vector arrived, so `matched == total` iff the
-    * store covers every live id exactly once — the coverage gate a
-    * store missing live ids (or duplicating them) must fail, since
-    * either silently skews a drift metric. The fused gate is strictly
-    * stronger than the old count-equality (a duplicate can no longer
-    * mask a missing id), and on every PASSING store the aggregated
-    * multiset is identical, so the reported values are bit-equal. */
+    * `(total, matched, distinct, mean, p95)` from ONE left-join
+    * aggregation job (was a separate live `count()` + an inner-join
+    * agg): `total` counts live rows times source multiplicity,
+    * `matched` counts rows whose source vector arrived, and
+    * `distinct` counts the DISTINCT live ids a vector arrived for —
+    * so `matched == total && distinct == matched` iff the store
+    * covers every live id exactly once, the coverage gate a store
+    * missing live ids OR duplicating them must fail, since either
+    * silently skews a drift metric. (matched == total alone misses
+    * the duplicate-only source: a duplicated live id inflates total
+    * and matched equally — the r14 verdict's gate bug — while
+    * distinct < matched exposes it.) On every PASSING store the
+    * aggregated multiset is identical to the old inner join's, so
+    * the reported values are bit-equal. */
   private def pqReconStats(spark: SparkSession, name: String,
       df: DataFrame, idCol: String,
-      vecCol: String): (Long, Long, Double, Double) = {
+      vecCol: String): (Long, Long, Long, Double, Double) = {
     import spark.implicits._
     val dim = readPqProp(spark, name, "graft.dim").toInt
     val mEff = readPqProp(spark, name, "graft.m").toInt
@@ -1416,17 +1456,21 @@ object index {
       } else (joined, F.col("_dr_v"))
     val e2 = F.call_function("graft_pq_adc", F.col("codes"),
       F.call_function("graft_pq_dists", vecExpr, cbLit, F.lit(mEff)))
-    val agg = framed.select(e2.as("_dr_e2")).agg(
+    val agg = framed.select(e2.as("_dr_e2"), F.col("n_id")).agg(
         F.count(F.lit(1)),
         F.count(F.col("_dr_e2")),
+        F.count_distinct(F.when(F.col("_dr_e2").isNotNull,
+          F.col("n_id"))),
         F.sum(F.col("_dr_e2").cast(driftDec)),
         F.percentile(F.col("_dr_e2"), F.lit(0.95)))
       .head()
     val total = agg.getLong(0)
     val matched = agg.getLong(1)
-    if (matched == 0) (total, 0L, 0.0, 0.0)
-    else (total, matched, agg.getDecimal(2).doubleValue / matched,
-      agg.getDouble(3))
+    val distinct = agg.getLong(2)
+    if (matched == 0) (total, 0L, distinct, 0.0, 0.0)
+    else (total, matched, distinct,
+      agg.getDecimal(3).doubleValue / matched,
+      agg.getDouble(4))
   }
 
   /** Jaccard-family drift: hot-BUCKET skew from the persisted `_stats`
@@ -1570,16 +1614,21 @@ object index {
     // coverage audit rides the same single aggregation job as the
     // metrics (pqReconStats' left-join gate) — the separate live
     // count() job this health check used to pay is gone; the live
-    // count in the error message is computed only on the failure path
-    val (total, matched, mean, p95) =
+    // count in the error message is computed only on the failure path.
+    // Both directions fail: matched < total ⇒ a live id got no vector;
+    // distinct < matched ⇒ a live id got MORE than one (a dup-only
+    // source inflates matched and total equally, so matched == total
+    // alone would pass it and silently double-count recon_mean/p95)
+    val (total, matched, distinct, mean, p95) =
       pqReconStats(spark, name, df, idCol, vecCol)
-    require(matched == total, {
+    require(matched == total && distinct == matched, {
       val nLive = minusPending(spark, name,
           resolveRetry(spark, s"${name}_pqcells"), "n_id")
         .count()
-      s"index.driftPqReport: vector source covered $matched of $nLive " +
-        "live indexed ids — it must cover every live id exactly once " +
-        "at the stored width"
+      s"index.driftPqReport: vector source covered $distinct distinct " +
+        s"ids ($matched of $total join rows matched) of $nLive live " +
+        "indexed ids — it must cover every live id exactly once at " +
+        "the stored width"
     })
     driftRows(Seq("recon_mean" -> mean, "recon_p95" -> p95),
         driftBaselines(spark, s"${name}_pqcells"), "pq")
@@ -2134,16 +2183,22 @@ object index {
     // partition write: one file per cell per append instead of one per
     // (task × cell) — same small-file explosion as the bucketed writes
     // (see [[buildJaccardIndex]]); the writer's own partition-column
-    // sort handles a task holding several cells
-    cells.repartition(F.col("cell"))
-      .write.mode(mode).partitionBy("cell")
-      .format("parquet").saveAsTable(s"${name}_cells")
-    if (!appending) {
+    // sort handles a task holding several cells. On a fresh build the
+    // tiny centroid-bank write overlaps the cell write (inParallel,
+    // guide §2.6 — two independent tables, one commit).
+    def writeCells(): Unit =
+      cells.repartition(F.col("cell"))
+        .write.mode(mode).partitionBy("cell")
+        .format("parquet").saveAsTable(s"${name}_cells")
+    if (appending) writeCells()
+    else {
       import spark.implicits._
-      bank.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-        .toDF("pos", "v").coalesce(1)
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_centroids")
+      inParallel(Seq(
+        () => writeCells(),
+        () => bank.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("pos", "v").coalesce(1)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${name}_centroids")))
       spark.sql(s"ALTER TABLE ${name}_cells SET TBLPROPERTIES(" +
         s"'graft.dim'='$dim')")
       // at-build drift baseline ([[driftIndexReport]]): one extra
@@ -2288,17 +2343,23 @@ object index {
     val clean = similarity.cleanDim(df, vecCol, dim)
     val cells = encodeCells(clean, idCol, vecCol, bank, cb, mEff, dim, resEff)
     // one file per cell per append, not per (task × cell) — see
-    // [[buildIvfIndex]]'s small-file note
-    cells.repartition(F.col("cell"))
-      .write.mode(mode).partitionBy("cell")
-      .format("parquet").saveAsTable(s"${name}_pqcells")
-    if (!appending) {
+    // [[buildIvfIndex]]'s small-file note; on a fresh build the tiny
+    // bank write overlaps the cell encode+write (inParallel, guide
+    // §2.6 — two independent tables, one commit)
+    def writeCells(): Unit =
+      cells.repartition(F.col("cell"))
+        .write.mode(mode).partitionBy("cell")
+        .format("parquet").saveAsTable(s"${name}_pqcells")
+    if (appending) writeCells()
+    else {
       import spark.implicits._
       val rows = bank.zipWithIndex.map { case (v, i) => ("ivf", i, v) } ++
         cb.zipWithIndex.map { case (v, i) => ("cb", i, v) }
-      rows.toSeq.toDF("kind", "pos", "v").coalesce(1)
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_pqbank")
+      inParallel(Seq(
+        () => writeCells(),
+        () => rows.toSeq.toDF("kind", "pos", "v").coalesce(1)
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${name}_pqbank")))
       spark.sql(s"ALTER TABLE ${name}_pqcells SET TBLPROPERTIES(" +
         s"'graft.dim'='$dim', 'graft.m'='$m', 'graft.residual'='$resEff')")
       // at-build drift baseline: occupancy/codeword skew from the
@@ -2363,31 +2424,39 @@ object index {
       F.col("id_b").cast(LongType).as("id_b")))
     val comp = dedup.cached(dedup.connectedComponents(e))
     try {
-      nodes.select(F.col(idCol).cast(LongType).as("id"))
-        .join(comp.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
-        .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cmap")
-      // the edge LOG, labeled with the edge's component at insert time
-      // (same resolution invariant as cmap rows) — what makes DELETION
-      // possible: a removal re-solves only the affected components'
-      // edges, found by a broadcast filter on the label, never by
-      // re-resolving every endpoint (see removeComponentIds)
-      e.join(comp.select(F.col("id").as("id_a"),
-          F.col("component").as("_cm_c")), Seq("id_a"), "left")
-        .select(F.col("id_a"), F.col("id_b"),
-          F.coalesce(F.col("_cm_c"), F.col("id_a")).as("rep0"))
-        .write.mode(SaveMode.Overwrite).format("parquet")
-        .saveAsTable(s"${name}_cedges")
+      // map + edge log + empty remap are one logical commit over the
+      // shared cached component frame — three independent tables,
+      // written concurrently (inParallel, guide §2.6) instead of three
+      // sequential job floors. The edge LOG is labeled with the edge's
+      // component at insert time (same resolution invariant as cmap
+      // rows) — what makes DELETION possible: a removal re-solves only
+      // the affected components' edges, found by a broadcast filter on
+      // the label, never by re-resolving every endpoint
+      // (see removeComponentIds).
+      inParallel(Seq(
+        () => nodes.select(F.col(idCol).cast(LongType).as("id"))
+          .join(comp.withColumnRenamed("component", "_cm_c"), Seq("id"),
+            "left")
+          .select(F.col("id"),
+            F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${name}_cmap"),
+        () => e.join(comp.select(F.col("id").as("id_a"),
+            F.col("component").as("_cm_c")), Seq("id_a"), "left")
+          .select(F.col("id_a"), F.col("id_b"),
+            F.coalesce(F.col("_cm_c"), F.col("id_a")).as("rep0"))
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${name}_cedges"),
+        () => spark.emptyDataFrame
+          .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep"))
+          .where(F.lit(false))
+          .write.mode(SaveMode.Overwrite).format("parquet")
+          .saveAsTable(s"${name}_cremap")))
     } finally {
       comp.unpersist(blocking = false)
       e.unpersist(blocking = false)
       ()
     }
-    spark.emptyDataFrame
-      .select(F.lit(0L).as("rep0"), F.lit(0L).as("rep")).where(F.lit(false))
-      .write.mode(SaveMode.Overwrite).format("parquet")
-      .saveAsTable(s"${name}_cremap")
   }
 
   /** One incremental day: insert `nodes` (new ids) and connect `pairs`
@@ -2433,26 +2502,33 @@ object index {
       .filter(F.col("id_a") =!= F.col("id_b"))
     val comp = dedup.cached(dedup.connectedComponents(contracted))
     try {
-      // edge log: today's edges labeled with their component after
-      // today's merges (the contracted endpoint's component; a
-      // within-component edge keeps the endpoint's current rep) — see
-      // buildComponentMap / removeComponentIds
-      withReps
-        .join(comp.select(F.col("id").as("_cm_ca"),
-          F.col("component").as("_cm_c")), Seq("_cm_ca"), "left")
-        .select(F.col("id_a"), F.col("id_b"),
-          F.coalesce(F.col("_cm_c"), F.col("_cm_ca")).as("rep0"))
-        .write.mode(SaveMode.Append).format("parquet")
-        .saveAsTable(s"${name}_cedges")
-      // new rows: each batch id's rep0 is its component in the
-      // contracted graph (current-rep values ARE global min ids, so the
-      // min over a merged set is the true global min — the keep rule
-      // stays stable across days)
-      newIds
-        .join(comp.withColumnRenamed("component", "_cm_c"), Seq("id"), "left")
-        .select(F.col("id"), F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
-        .write.mode(SaveMode.Append).format("parquet")
-        .saveAsTable(s"${name}_cmap")
+      // The day's two appends are one logical commit over the shared
+      // cached component frame — independent tables, committed
+      // concurrently (inParallel, guide §2.6) instead of two
+      // sequential per-day job floors:
+      // - edge log: today's edges labeled with their component after
+      //   today's merges (the contracted endpoint's component; a
+      //   within-component edge keeps the endpoint's current rep) —
+      //   see buildComponentMap / removeComponentIds;
+      // - new rows: each batch id's rep0 is its component in the
+      //   contracted graph (current-rep values ARE global min ids, so
+      //   the min over a merged set is the true global min — the keep
+      //   rule stays stable across days).
+      inParallel(Seq(
+        () => withReps
+          .join(comp.select(F.col("id").as("_cm_ca"),
+            F.col("component").as("_cm_c")), Seq("_cm_ca"), "left")
+          .select(F.col("id_a"), F.col("id_b"),
+            F.coalesce(F.col("_cm_c"), F.col("_cm_ca")).as("rep0"))
+          .write.mode(SaveMode.Append).format("parquet")
+          .saveAsTable(s"${name}_cedges"),
+        () => newIds
+          .join(comp.withColumnRenamed("component", "_cm_c"), Seq("id"),
+            "left")
+          .select(F.col("id"),
+            F.coalesce(F.col("_cm_c"), F.col("id")).as("rep0"))
+          .write.mode(SaveMode.Append).format("parquet")
+          .saveAsTable(s"${name}_cmap")))
       // remap rewrite: old reps whose component changed re-point every
       // rep0 that currently resolves to them; existing entries are
       // composed through today's changes so the table stays FLAT

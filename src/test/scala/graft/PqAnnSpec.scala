@@ -429,6 +429,36 @@ class PqAnnSpec extends SparkSpec {
       f"retrain must restore recall on the drifted mass: $before%.4f → $after%.4f")
   }
 
+  test("driftPqReport refuses a duplicate-only vector source") {
+    import graft.functions.index
+    // the r14-verdict gate bug: a source that duplicates a live id but
+    // misses NONE inflates matched and total equally, so the fused
+    // matched == total check alone PASSES it while recon_mean/p95
+    // silently double-count the duplicated id. The gate must compare
+    // distinct covered ids too — red before the fix, green after.
+    val base = embs.select(F.col("vec_id"), F.col("embedding"))
+    index.buildPqIndex(base, "vec_id", "embedding", "dupgate_spec",
+      nlist = 4, m = 4, ksub = 8, ivfIters = 0, pqIters = 0,
+      sampleOneIn = 1L, portableSeed = true)
+    // sanity: the exact-coverage source passes
+    assert(index.driftPqReport(base, "vec_id", "embedding",
+      "dupgate_spec").count() == 2L)
+    val dupOnly = base.unionByName(base.limit(1))
+    val e = intercept[IllegalArgumentException] {
+      index.driftPqReport(dupOnly, "vec_id", "embedding", "dupgate_spec")
+        .collect()
+    }
+    assert(e.getMessage.contains("exactly once"),
+      s"dup-only source must fail the coverage gate: ${e.getMessage}")
+    // …and a missing-id source still fails as before
+    val missing = base.filter(F.col("vec_id") =!= base.head().getLong(0))
+    val e2 = intercept[IllegalArgumentException] {
+      index.driftPqReport(missing, "vec_id", "embedding", "dupgate_spec")
+        .collect()
+    }
+    assert(e2.getMessage.contains("exactly once"))
+  }
+
   test("Lloyd iterations refine codebooks deterministically") {
     val a = similarity.trainPqCodebooks(embs, "vec_id", "embedding",
       m = 4, ksub = 8, iters = 3, portableSeed = true)
