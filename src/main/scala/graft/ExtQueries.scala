@@ -4399,7 +4399,14 @@ object ExtQueries {
   def x132BenchStreamDay(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.Streams
     val ss = Streams.replaySession(s, partitions = 8)
-    ensureOnce("x132_bench", dir) {
+    ensureBounded("x132_bench", dir) {
+      // componentMapStream RESUMES when its tables exist (that is the
+      // machinery under test), so a bounded rebuild must drop the
+      // standing state first to get the bootstrap path, not 3 more
+      // appended days with duplicate ids
+      Seq("x132b_cm_cmap", "x132b_cm_cremap", "x132b_cm_cedges",
+          "x132b_idx_buckets", "x132b_idx_sigs", "x132b_idx_stats")
+        .foreach(t => ss.sql(s"DROP TABLE IF EXISTS $t"))
       x132StreamingBase(ss, dir); ()
     }
     val off = 50000000L + 1000000L * benchDaySeq.incrementAndGet()
@@ -6593,6 +6600,32 @@ object ExtQueries {
     benchBaseBuilt.synchronized {
       if (benchBaseBuilt.get(key) != dir) { build; benchBaseBuilt.put(key, dir); () }
     }
+  /** [[ensureOnce]] with a BOUNDED standing state: the base is rebuilt
+    * (the builds overwrite — buildComponentMap/buildJaccardIndex reset
+    * their tables) every `every`-th acquisition, so a variant that
+    * APPENDS a day (or removes a class) per sample scans at most
+    * `every - 1` accumulated days no matter how many samples a process
+    * takes — the r14 verdict's unbounded-unit fix. `every = 6` matches
+    * the bench's 3-cold + 3-warm sampling exactly: a standard bench
+    * process rebuilds only on the first cold sample (identical
+    * behavior and numbers to ensureOnce), while dev loops and paired
+    * runs that re-acquire in one JVM can no longer grow the unit
+    * without bound. The counter is PER VARIANT (benchDaySeq is global
+    * across variants, so it cannot count a variant's samples). */
+  private val benchUnitSeq =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+  private def ensureBounded(key: String, dir: String, every: Long = 6L)(
+      build: => Unit): Unit = {
+    val n = benchUnitSeq
+      .computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+    benchBaseBuilt.synchronized {
+      if (benchBaseBuilt.get(key) != dir || (n - 1L) % every == 0L) {
+        build; benchBaseBuilt.put(key, dir); ()
+      }
+    }
+  }
   private val benchDaySeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** x123 steady state: one accretion day — fresh near-dup copies of
@@ -6601,7 +6634,7 @@ object ExtQueries {
     * map-maintenance machinery (endpoint resolve, contraction, CC over
     * the batch, map/edge-log appends), not the base build. */
   def x123BenchAppendDay(s: SparkSession, dir: String): DataFrame = {
-    ensureOnce("x123_bench", dir) {
+    ensureBounded("x123_bench", dir) {
       crossDayFamilyLifecycle(s, dir, "x123b_cm"); ()
     }
     val off = 10000000L * (benchDaySeq.incrementAndGet() + 1L)
@@ -6621,7 +6654,7 @@ object ExtQueries {
     * the index. The full x124 lifecycle is the once-per-process base. */
   def x124BenchAppendDay(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.SaveMode
-    ensureOnce("x124_bench", dir) {
+    ensureBounded("x124_bench", dir) {
       val d = docs(s, dir).filter(F.col("doc_id") % 2 === 0)
       def dayOf(r: Int) = d.filter(F.col("doc_id") % 6 === r)
         .select(F.col("doc_id"), F.col("text"))
@@ -6665,7 +6698,7 @@ object ExtQueries {
     * machinery — affected-set resolve, edge-log re-solve, three staged
     * rewrites — not the base build. */
   def x126BenchTakedown(s: SparkSession, dir: String): DataFrame = {
-    ensureOnce("x126_bench", dir) {
+    ensureBounded("x126_bench", dir) {
       crossDayFamilyLifecycle(s, dir, "x126b_cm"); ()
     }
     val k = (benchDaySeq.incrementAndGet() % 97L).toInt
@@ -6798,6 +6831,13 @@ object ExtQueries {
     val e = x131Frame(s, dir)
     val q = e.filter(F.col("vec_id") < 8)
     ensureOnce("x131_bench", dir) {
+      // a previous PROCESS's truth table survives in spark-warehouse
+      // while the in-memory catalog starts empty, so a bare Overwrite
+      // saveAsTable dies with LOCATION_ALREADY_EXISTS and every sample
+      // fast-fails (~0.1 s) — which is exactly what the committed
+      // r13/r14 x131 numbers were. Reset location + catalog entry
+      // first so the row measures the ladder again.
+      graft.functions.index.resetManagedTable(s, "x131b_truth")
       similarity.bruteForceTopK(e, q, "vec_id", "v", 5)
         .select("q_id", "n_id")
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
