@@ -1857,6 +1857,26 @@ object DiffFuzz {
       else s"SELECT *, CAST(0 AS BIGINT) AS n_null FROM (\n${spec.sql}\n) z"
     }.mkString("", "\nUNION ALL\n", "\nORDER BY tag")
 
+  /** Per-mix census hook (r14 verdict: the driver's c8 run recorded a
+    * 23.6 s x84 sample vs its 5-6 s median — a rotated-seed mix CAN
+    * plant a skewed temporal join, and the unioned battery hides which
+    * draw). Times each draw SOLO through the noop sink under the same
+    * interpreted-codegen fixture session the battery runs, so a
+    * pathological mix is attributable by tag. Dev-only (Explain's
+    * `x84_census` pseudo-query); never part of the bench or oracle. */
+  def temporalJoinCensus(s0: SparkSession, dir: String): Unit = {
+    val s = fixtureSession(s0, codegen = false)
+    tjSpecs.foreach { spec =>
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        spec.mk(s, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[tjmix] ${spec.tag}%-24s " +
+        runs.map(r => f"$r%6.2f s").mkString(" "))
+    }
+  }
+
   // -------------------------------------------------------------------
   // String fuzz battery (q45): the string surface over REAL document
   // text plus multibyte/emoji/Cyrillic literal content — the q30
