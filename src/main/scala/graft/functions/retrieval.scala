@@ -88,10 +88,17 @@ object retrieval {
     // out once; the rebalance exchange is reused by every branch
     val src = skew.rebalanceUnderSplit(corpus)
     // (id, dl, token) -> tf: dl is functionally dependent on the id, so
-    // carrying it as a grouping key costs nothing and saves the lens join
+    // carrying it as a grouping key costs nothing and saves the lens join.
+    // Materialize the token array through its OWN projection first:
+    // size() lands in a Project and explode() in a Generate — two
+    // operators, no cross-operator subexpression elimination — so
+    // inlining `toks` would run the whole regex split twice per row
+    // (CollapseProject keeps the boundary: split is not a cheap
+    // expression and is referenced twice, so it is never re-inlined).
     val tf = src
-      .select(F.col(idCol), F.size(toks).as("dl"),
-        F.explode(toks).as("token"))
+      .select(F.col(idCol), toks.as("_bm_toks"))
+      .select(F.col(idCol), F.size(F.col("_bm_toks")).as("dl"),
+        F.explode(F.col("_bm_toks")).as("token"))
       .groupBy(idCol, "dl", "token").agg(F.count(F.lit(1)).as("tf"))
     // doc frequency straight off the corpus row (distinct tokens per
     // doc), one count per token after map-side combine; no broadcast
