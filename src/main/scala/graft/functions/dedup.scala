@@ -878,10 +878,16 @@ object dedup {
   def repeatedWindows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
     require(n >= 2, "repeatedWindows: n must be >= 2")
+    // materialize the per-document expressions BELOW the generate:
+    // selected alongside the posexplode, ExtractGenerator would park
+    // n_tokens in the Project ABOVE the Generate and re-run the whole
+    // tokenize once per OUTPUT window (the bm25TopK re-tokenize bug)
     val wins = df.select(F.col(idCol).as("id"),
         F.size(text.tokens(F.col(textCol))).as("n_tokens"),
-        F.posexplode(F.transform(shingleStrings(F.col(textCol), n),
-          w => F.md5(w))).as(Seq("pos", "fp")))
+        F.transform(shingleStrings(F.col(textCol), n), w => F.md5(w))
+          .as("_rw_fps"))
+      .select(F.col("id"), F.col("n_tokens"),
+        F.posexplode(F.col("_rw_fps")).as(Seq("pos", "fp")))
     val keepers = wins.groupBy("fp")
       .agg(F.min(F.struct(F.col("id"), F.col("pos"))).as("k"))
       .select(F.col("fp"), F.col("k.id").as("id"), F.col("k.pos").as("pos"),
