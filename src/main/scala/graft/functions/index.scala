@@ -1232,7 +1232,15 @@ object index {
     * Scale shape: one metadata-cheap count per table (parquet
     * row-group stats — no data columns scanned) plus catalog property
     * reads, over a fixed ≤ 12-suffix inventory — driver-bounded by
-    * construction. */
+    * construction. The counts ride ONE union-of-aggregates job that
+    * executes at the CALLER'S action (lazy, at-action-time semantics —
+    * not a snapshot at call time): a concurrent mutator committing
+    * between describeIndex() and the collect is visible in the counts,
+    * and a table dropped in that window fails the action rather than
+    * returning a stale row. Callers needing a point-in-time snapshot
+    * under concurrent mutation should collect immediately while
+    * holding the family's maintenance lease (the same `_lease` table
+    * every mutator takes). */
   def describeIndex(spark: SparkSession, name: String): DataFrame = {
     import spark.implicits._
     val suffixes = Seq("buckets", "sigs", "stats", "fps", "cells",

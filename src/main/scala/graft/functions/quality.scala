@@ -234,10 +234,14 @@ object quality {
     * shares plus two synthetic rows for the bias gradient and the row
     * count — and a map-side-combined DECIMAL aggregation reduces them
     * to `dim` + 2 rows on the driver, which applies the update. The
-    * corpus is scanned once per iteration and never shuffled (the
-    * exchange carries ≤ tasks × (dim+2) partial rows); driver state is
-    * one double[dim] — the IVF-centroid posture, so training the
-    * quality model needs no exit from the engine and no second system.
+    * corpus is scanned once per iteration and the scan itself is never
+    * shuffled (the gradient exchange carries ≤ tasks × (dim+2) partial
+    * rows); driver state is one double[dim] — the IVF-centroid
+    * posture, so training the quality model needs no exit from the
+    * engine and no second system. Exception: a drastically UNDER-SPLIT
+    * corpus pays one rebalance shuffle before the loop (the measured
+    * gate below), pinned across iterations when iters > 1 so the
+    * fan-out is paid once, not once per gradient job.
     *
     * Engine-portable by construction: the only float rounding in the
     * loop is the sigmoid (6 digits — the established cross-engine
@@ -263,8 +267,15 @@ object quality {
     // one core for EVERY iteration (census at sf0.1: the gradient
     // stage ran 1 task × 2.65 s) — fan out once before the loop
     // (measured gate, the bm25/minhash posture; gradient sums are
-    // exact DECIMAL, so partitioning cannot move the result)
-    val src = skew.rebalanceUnderSplit(df)
+    // exact DECIMAL, so partitioning cannot move the result). When the
+    // gate fires AND the loop runs more than one job, pin the
+    // rebalanced frame: exchange reuse does not span jobs, so an
+    // uncached repartition would re-shuffle the corpus every iteration.
+    val rebalanced = skew.rebalanceUnderSplit(df)
+    val pinned = (rebalanced ne df) && iters > 1
+    val src = if (pinned) rebalanced.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else rebalanced
+    try {
     for (_ <- 0 until iters) {
       val wLit = F.typedlit(w.toSeq)
       val toks = graft.functions.text.tokens(F.col(textCol))
@@ -310,5 +321,6 @@ object quality {
         wk - lr * (sums.getOrElse(k, 0.0) / 1.0e18 / n) }
     }
     (w, b)
+    } finally { if (pinned) { src.unpersist(blocking = false); () } }
   }
 }
