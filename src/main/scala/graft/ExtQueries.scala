@@ -5958,7 +5958,7 @@ object ExtQueries {
         "CAST(n_chars % 97 + 1 AS DOUBLE)", "(n_chars % 97 + 1)"),
       (w => w.cast(DoubleType) / F.lit(4.0), "(n_chars / 4.0)", "n_chars"))
 
-  private val sampBatterySeed = 20270114L
+  private val sampBatterySeed = 20270214L
   /** 12 draws = the COMPLETE operator × weight-family product (so
     * quota × fractional — the round-9 review's bug class — is always
     * drawn, never left to seed luck); group and size stay seeded. */
@@ -6062,7 +6062,7 @@ object ExtQueries {
     if (dim <= 32) "bit_count(xor(a.code[1], b.code[1]))"
     else "bit_count(xor(a.code[1], b.code[1])) + bit_count(xor(a.code[2], b.code[2]))"
 
-  private val hamBatterySeed = 20270115L
+  private val hamBatterySeed = 20270215L
   /** (tag, isTopK, dim, k-or-radius): both operators at dims 24/40/64 —
     * 40 and 24 put the PARTIAL-word packing (only spec'd in Scala until
     * now) under the cross-engine hash. */

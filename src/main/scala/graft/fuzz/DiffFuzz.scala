@@ -38,11 +38,11 @@ object DiffFuzz {
 
   val N = 300
   // bumped each round after a local two-SF verify: fresh random trees
-  // through the same hash gate. Round 14 rotated every battery onto
-  // the 20270101–20270115 series (this expression seed plus the
+  // through the same hash gate. Round 15 rotated every battery onto
+  // the 20270201–20270215 series (this expression seed plus the
   // per-battery seeds below, and the x117/x118 battery seeds in
   // ExtQueries); per-battery values live at their declaration sites.
-  val Seed = 20270101L
+  val Seed = 20270201L
   val Depth = 3
 
   private final class Gen(rnd: scala.util.Random) {
@@ -258,7 +258,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val WinN = 48
-  val WinSeed = 20270102L
+  val WinSeed = 20270202L
 
   /** (DSL order markers, SQL ORDER BY text — explicit NULLS). */
   private type OrdPair = (Seq[ColExpr], String)
@@ -373,7 +373,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val AggN = 40
-  val AggSeed = 20270103L
+  val AggSeed = 20270203L
 
   private final class AggGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -462,7 +462,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val QtN = 24
-  val QtSeed = 20270104L
+  val QtSeed = 20270204L
 
   private final class QtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -707,7 +707,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val PipeN = 16
-  val PipeSeed = 20270105L
+  val PipeSeed = 20270205L
 
   private sealed trait PStep
   private final case class PFilter(cond: ColExpr, sql: String) extends PStep
@@ -962,7 +962,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DtN = 36
-  val DtSeed = 20270106L
+  val DtSeed = 20270206L
 
   private final class DtGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1080,7 +1080,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val OaN = 20
-  val OaSeed = 20270107L
+  val OaSeed = 20270207L
 
   private final class OaGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1182,7 +1182,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SpN = 28
-  val SpSeed = 20270108L
+  val SpSeed = 20270208L
 
   /** Sentinel-encode NaN/±Inf so the hash gate sees finite doubles. */
   private def enc0(g: GE): GE = GE(
@@ -1354,7 +1354,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val DecN = 24
-  val DecSeed = 20270109L
+  val DecSeed = 20270209L
 
   private final class DecGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1446,7 +1446,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val CastN = 24
-  val CastSeed = 20270110L
+  val CastSeed = 20270210L
 
   private final class CastGen(rnd: scala.util.Random) {
     private def pick[T](xs: IndexedSeq[T]): T = xs(rnd.nextInt(xs.length))
@@ -1615,7 +1615,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val TjN = 18
-  val TjSeed = 20270111L
+  val TjSeed = 20270211L
 
   private final case class TjSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
@@ -1905,7 +1905,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val StrN = 220
-  val StrSeed = 20270112L
+  val StrSeed = 20270212L
   val StrDepth = 3
 
   private final class StrGen(rnd: scala.util.Random) {
@@ -2060,7 +2060,7 @@ object DiffFuzz {
   // -------------------------------------------------------------------
 
   val SkN = 12
-  val SkSeed = 20270113L
+  val SkSeed = 20270213L
 
   private final case class SkSpec(tag: String,
       mk: (SparkSession, String) => DataFrame, sql: String)
