@@ -529,6 +529,11 @@ object dedup {
       F.col("a.sh"), F.col("b.sh")).cast(DoubleType)
     cand.join(shN.as("a"), F.col("new_id") === F.col("a.id"))
       .join(shR.as("b"), F.col("ref_id") === F.col("b.id"))
+      // length filter before the O(|A|+|B|) merge: J ≤ min/max, so
+      // J ≥ minJ forces min(n) ≥ minJ·max(n); the 0.5 slack is ulp-safe
+      // on integral sizes (see probeJaccardIndex) — value-neutral
+      .filter(F.least(F.col("a.n"), F.col("b.n")) >=
+        F.lit(minJ) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(0.5))
       .select(F.col("new_id"), F.col("ref_id"),
         (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
       .filter(F.col("jaccard") >= minJ)
@@ -790,6 +795,11 @@ object dedup {
       F.col("a.sh"), F.col("b.sh")).cast(DoubleType)
     cand.join(sh.as("a"), F.col("id_a") === F.col("a.id"))
       .join(sh.as("b"), F.col("id_b") === F.col("b.id"))
+      // length filter before the O(|A|+|B|) merge: J ≤ min/max, so
+      // J ≥ minJ forces min(n) ≥ minJ·max(n); the 0.5 slack is ulp-safe
+      // on integral sizes (see probeJaccardIndex) — value-neutral
+      .filter(F.least(F.col("a.n"), F.col("b.n")) >=
+        F.lit(minJ) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(0.5))
       .select(F.col("id_a"), F.col("id_b"),
         (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
       .filter(F.col("jaccard") >= minJ)
@@ -849,6 +859,10 @@ object dedup {
       F.col("a.sh"), F.col("b.sh")).cast(DoubleType)
     cand.join(sh.as("a"), F.col("id_a") === F.col("a.id"))
       .join(sh.as("b"), F.col("id_b") === F.col("b.id"))
+      // asymmetric length filter before the merge: C(a→b) = i/|Sa| with
+      // i ≤ min(na, nb), so C ≥ minC forces nb ≥ minC·na; 0.5 slack is
+      // ulp-safe on integral sizes (see probeJaccardIndex)
+      .filter(F.col("b.n") >= F.lit(minC) * F.col("a.n") - F.lit(0.5))
       .select(F.col("id_a"), F.col("id_b"),
         (inter / F.col("a.n")).as("containment"))
       .filter(F.col("containment") >= minC)
@@ -957,7 +971,12 @@ object dedup {
     val inter = F.call_function("graft_intersect_count",
       F.col("a.toks"), F.col("b.toks")).cast(DoubleType)
     toks.as("a").join(toks.as("b"),
-        F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id"))
+        F.col("a.bucket") === F.col("b.bucket") && F.col("a.id") < F.col("b.id") &&
+        // length filter before the O(|A|+|B|) merge: J ≤ min/max, so
+        // J ≥ minJ forces min(n) ≥ minJ·max(n); 0.5 slack is ulp-safe
+        // on integral sizes (see probeJaccardIndex)
+        F.least(F.col("a.n"), F.col("b.n")) >=
+          F.lit(minJ) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(0.5))
       .select(F.col("a.id").as("id_a"), F.col("b.id").as("id_b"),
         (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
       .filter(F.col("jaccard") >= minJ)

@@ -914,22 +914,26 @@ object index {
         F.posexplode(dedup.lshBandKeys(F.col("_rh_sig"),
           bands, rowsPerBand)).as(Seq("band", "band_hash")))
       try {
-        swapViaRename(spark, s"${name}_buckets", name) { stage =>
-          // one task per bucket = one file per bucket (build posture)
-          keys.repartition(nb, F.col("band"), F.col("band_hash"))
-            .write.mode(SaveMode.Overwrite)
-            .bucketBy(nb, "band", "band_hash")
-            .format("parquet").saveAsTable(stage)
-          spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
-            s"'graft.k'='$k','graft.numPerm'='$numPerm'," +
-            s"'graft.bands'='$bands')")
-        }
-        swapViaRename(spark, s"${name}_stats", name) { stage =>
-          keys.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).as("cnt"))
-            .write.mode(SaveMode.Overwrite).format("parquet")
-            .saveAsTable(stage)
-        }
+        // the two generation swaps touch DISTINCT tables over the same
+        // pinned signature frame — run them concurrently (inParallel,
+        // guide §2.6) instead of two sequential write+rename floors
+        inParallel(Seq(
+          () => swapViaRename(spark, s"${name}_buckets", name) { stage =>
+            // one task per bucket = one file per bucket (build posture)
+            keys.repartition(nb, F.col("band"), F.col("band_hash"))
+              .write.mode(SaveMode.Overwrite)
+              .bucketBy(nb, "band", "band_hash")
+              .format("parquet").saveAsTable(stage)
+            spark.sql(s"ALTER TABLE $stage SET TBLPROPERTIES(" +
+              s"'graft.k'='$k','graft.numPerm'='$numPerm'," +
+              s"'graft.bands'='$bands')")
+          },
+          () => swapViaRename(spark, s"${name}_stats", name) { stage =>
+            keys.groupBy("band", "band_hash")
+              .agg(F.count(F.lit(1)).as("cnt"))
+              .write.mode(SaveMode.Overwrite).format("parquet")
+              .saveAsTable(stage)
+          }))
         // a re-band is this family's retrain: restamp the geometry
         // baseline, so the report's ratio returns to 1
         if (driftConfOn(spark))
@@ -2045,6 +2049,16 @@ object index {
         F.col("id_indexed") === F.col("id"))
       .join(sh.select(F.col("id").as("id_new"), F.col("sh").as("sh_new"),
         F.col("n").as("n_new")), Seq("id_new"))
+      // LENGTH FILTER before the O(|A|+|B|) intersection merge:
+      // J(A,B) = |A∩B|/|A∪B| ≤ min/max, so J ≥ minJ forces
+      // min(n, n_new) ≥ minJ·max(n, n_new) — a size-incompatible
+      // candidate can never verify and its merge is skipped. The 0.5
+      // slack makes the cut ulp-safe: n/n_new are exact integral
+      // doubles, so a pair the (double-arithmetic) jaccard gate below
+      // could accept is never more than an ulp inside the real bound,
+      // and 0.5 absorbs that — the filter is provably value-neutral.
+      .filter(F.least(F.col("n"), F.col("n_new")) >=
+        F.lit(minJ) * F.greatest(F.col("n"), F.col("n_new")) - F.lit(0.5))
       .select(F.col("id_new"), F.col("id_indexed"),
         (inter / (F.col("n_new") + F.col("n") - inter)).as("jaccard"))
       .filter(F.col("jaccard") >= minJ)
