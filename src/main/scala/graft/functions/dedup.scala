@@ -530,13 +530,14 @@ object dedup {
     cand.join(shN.as("a"), F.col("new_id") === F.col("a.id"))
       .join(shR.as("b"), F.col("ref_id") === F.col("b.id"))
       // length filter before the O(|A|+|B|) merge: J ≤ min/max, so
-      // J ≥ minJ forces min(n) ≥ minJ·max(n); the 0.5 slack is ulp-safe
-      // on integral sizes (see probeJaccardIndex) — value-neutral
-      .filter(F.least(F.col("a.n"), F.col("b.n")) >=
-        F.lit(minJ) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(0.5))
+      // J ≥ minJ forces min(n) ≥ minJ·max(n); 0.5 slack is ulp-safe on
+      // integral sizes. One hand-built And, cheap guard LEFT so the
+      // short-circuit skips the merge (see probeJaccardIndex).
+      .filter((F.least(F.col("a.n"), F.col("b.n")) >=
+          F.lit(minJ) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(0.5)) &&
+        (inter / (F.col("a.n") + F.col("b.n") - inter)) >= minJ)
       .select(F.col("new_id"), F.col("ref_id"),
         (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
-      .filter(F.col("jaccard") >= minJ)
   }
 
   /** Connected components of the undirected pair graph produced by the
@@ -796,13 +797,14 @@ object dedup {
     cand.join(sh.as("a"), F.col("id_a") === F.col("a.id"))
       .join(sh.as("b"), F.col("id_b") === F.col("b.id"))
       // length filter before the O(|A|+|B|) merge: J ≤ min/max, so
-      // J ≥ minJ forces min(n) ≥ minJ·max(n); the 0.5 slack is ulp-safe
-      // on integral sizes (see probeJaccardIndex) — value-neutral
-      .filter(F.least(F.col("a.n"), F.col("b.n")) >=
-        F.lit(minJ) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(0.5))
+      // J ≥ minJ forces min(n) ≥ minJ·max(n); 0.5 slack is ulp-safe on
+      // integral sizes. One hand-built And, cheap guard LEFT so the
+      // short-circuit skips the merge (see probeJaccardIndex).
+      .filter((F.least(F.col("a.n"), F.col("b.n")) >=
+          F.lit(minJ) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(0.5)) &&
+        (inter / (F.col("a.n") + F.col("b.n") - inter)) >= minJ)
       .select(F.col("id_a"), F.col("id_b"),
         (inter / (F.col("a.n") + F.col("b.n") - inter)).as("jaccard"))
-      .filter(F.col("jaccard") >= minJ)
   }
 
   /** Exact k-shingle CONTAINMENT pairs: ordered (id_a, id_b) with
@@ -861,11 +863,13 @@ object dedup {
       .join(sh.as("b"), F.col("id_b") === F.col("b.id"))
       // asymmetric length filter before the merge: C(a→b) = i/|Sa| with
       // i ≤ min(na, nb), so C ≥ minC forces nb ≥ minC·na; 0.5 slack is
-      // ulp-safe on integral sizes (see probeJaccardIndex)
-      .filter(F.col("b.n") >= F.lit(minC) * F.col("a.n") - F.lit(0.5))
+      // ulp-safe on integral sizes. One hand-built And, cheap guard
+      // LEFT so the short-circuit skips the merge (two stacked Filters
+      // recombined expensive-first here — see probeJaccardIndex).
+      .filter((F.col("b.n") >= F.lit(minC) * F.col("a.n") - F.lit(0.5)) &&
+        (inter / F.col("a.n")) >= minC)
       .select(F.col("id_a"), F.col("id_b"),
         (inter / F.col("a.n")).as("containment"))
-      .filter(F.col("containment") >= minC)
   }
 
   /** Duplicated token windows: every n-token window whose fingerprint

@@ -2057,11 +2057,16 @@ object index {
       // doubles, so a pair the (double-arithmetic) jaccard gate below
       // could accept is never more than an ulp inside the real bound,
       // and 0.5 absorbs that — the filter is provably value-neutral.
-      .filter(F.least(F.col("n"), F.col("n_new")) >=
-        F.lit(minJ) * F.greatest(F.col("n"), F.col("n_new")) - F.lit(0.5))
+      // ONE hand-built conjunction, cheap guard LEFT: `And` evaluates
+      // left-to-right with short-circuit, and a single Filter keeps
+      // the operand order through PushPredicateThroughJoin (two
+      // stacked Filters can recombine with the expensive predicate
+      // first — observed on the containment path).
+      .filter((F.least(F.col("n"), F.col("n_new")) >=
+          F.lit(minJ) * F.greatest(F.col("n"), F.col("n_new")) - F.lit(0.5)) &&
+        (inter / (F.col("n_new") + F.col("n") - inter)) >= minJ)
       .select(F.col("id_new"), F.col("id_indexed"),
         (inter / (F.col("n_new") + F.col("n") - inter)).as("jaccard"))
-      .filter(F.col("jaccard") >= minJ)
   }
 
   // ---------------- persistent exact-dedup index ----------------
